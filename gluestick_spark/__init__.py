@@ -1,0 +1,40 @@
+"""gluestick_spark — PySpark-native ETL engine with gluestick's capabilities.
+
+Re-expresses hotgluexyz/gluestick (pandas/polars ETL utilities for the
+Singer protocol) as lazy Spark DataFrame transformations, plus
+large-scale LLM-data-pipeline operators (dedup, similarity search,
+text analysis, multimodal columns).
+"""
+
+from .session import get_spark
+from .schema import (
+    json_schema_to_spark_type,
+    json_schema_to_struct,
+    spark_type_to_json_schema,
+    struct_to_json_schema,
+    combine_anyof_types,
+)
+from .sources.reader import Reader, read_csv_folder, read_parquet_folder, read_snapshots
+from .operators.restructure import (
+    explode_json_to_rows,
+    explode_json_to_cols,
+    compress_rows_to_col,
+    json_tuple_to_cols,
+    enforce_exploded_col_types,
+)
+from .operators.project import (
+    rename,
+    pluck_fields,
+    pluck_fields_by_regex,
+    custom_fields_expr,
+    drop_all_null_columns,
+)
+from .operators.union import union_relaxed, keep_last, widest_common_type
+from .operators.snapshot import snapshot_records, drop_redundant, merge_id_from_snapshot, upsert
+from .functions.hashing import row_hash_expr, with_row_hash
+from .functions.casting import cast_expr, cast_df_to_schema
+from .functions.strings import format_str_safely, build_string_format_variables, get_index_safely
+from .sinks.singer import to_singer, write_schema, write_record, write_state, gen_singer_header
+from .sinks.export import to_export
+
+__version__ = "0.1.0"

@@ -1,0 +1,46 @@
+"""Datetime helpers.
+
+Parity targets (citations into /root/reference):
+- ``localize_datetime`` (df mode): gluestick/date_utils.py:82-90 —
+  ``to_datetime(errors="coerce")`` then tz-localize/convert to UTC. With the
+  session timezone pinned UTC, this is ``try_to_timestamp``.
+- Singer datetime rendering ``%Y-%m-%dT%H:%M:%S.%fZ`` / ``%Y-%m-%d``:
+  gluestick/singer.py:17, 280-304 (``deep_convert_datetimes``).
+
+Plus an engine-specific helper: parquet TIMESTAMP(NANOS) columns are read as
+long nanos (see session.ENGINE_CONF) and converted here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["localize_datetime", "ns_to_timestamp", "singer_datetime_expr"]
+
+SINGER_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+
+
+def localize_datetime(df: DataFrame, column: str) -> DataFrame:
+    """Coerce a column to UTC timestamp; unparseable values become null."""
+    dt = df.schema[column].dataType
+    if isinstance(dt, T.TimestampType):
+        return df
+    return df.withColumn(column, F.try_to_timestamp(F.col(f"`{column}`").cast("string")))
+
+
+def ns_to_timestamp(col: Column) -> Column:
+    """Long nanoseconds-since-epoch → TimestampType (micro truncation)."""
+    return F.timestamp_micros((col / F.lit(1000)).cast("long"))
+
+
+def singer_datetime_expr(col: Column, dt: T.DataType) -> Column:
+    """Render a temporal column the way the Singer sink does
+    (deep_convert_datetimes): timestamps → ISO-µs ``Z``, dates → yyyy-MM-dd.
+    """
+    if isinstance(dt, T.TimestampType):
+        return F.date_format(col, SINGER_TS_FORMAT)
+    if isinstance(dt, T.DateType):
+        return F.date_format(col, "yyyy-MM-dd")
+    return col

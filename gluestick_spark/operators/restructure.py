@@ -1,0 +1,353 @@
+"""JSON restructuring operators: explode to rows/cols, compress back.
+
+Parity targets (citations into /root/reference):
+- ``explode_json_to_rows``: gluestick/pandas_utils.py:175-295 — one row per
+  array element, ``{col}.{key}`` child columns, scalars wrapped to 1-lists,
+  null cell preserved (→ Spark ``explode_outer``), source column dropped.
+- ``explode_json_to_cols``: gluestick/pandas_utils.py:298-378 — dict column
+  → one column per key (cross-row key union + ``expected_keys``; default
+  ``["value", "name"]`` when all empty).
+- ``compress_rows_to_col``: gluestick/pandas_utils.py:415-445 — inverse of
+  explode: group child cols into a per-row list on the deduped parent.
+- ``json_tuple_to_cols``: gluestick/pandas_utils.py:12-71.
+- ``enforce_exploded_col_types``: gluestick/pandas_utils.py:115-172.
+
+Scale notes: schema inference for string-encoded JSON uses Spark's own
+distributed JSON inference (one extra scan job over just the target column —
+column-pruned at the parquet reader). Parsing is a single ``from_json``
+projection; the explode is Catalyst ``Generate(explode_outer)``. No Python
+in the hot path unless the input contains Python-literal (non-JSON) strings,
+in which case a vectorized pandas UDF normalizes them first
+(gluestick/singer.py:306-331 ``ast.literal_eval`` fallback).
+"""
+
+from __future__ import annotations
+
+import ast
+import json
+from typing import Any, Iterable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..functions.casting import cast_expr
+from ..schema import json_schema_to_spark_type
+
+__all__ = [
+    "normalize_json_literals",
+    "infer_json_schema",
+    "explode_json_to_rows",
+    "explode_json_to_cols",
+    "compress_rows_to_col",
+    "json_tuple_to_cols",
+    "enforce_exploded_col_types",
+]
+
+
+# ---------------------------------------------------------------------------
+# Python-literal normalization (the F2 `parse_objs` fallback)
+# ---------------------------------------------------------------------------
+
+def _normalize_one(val: str | None) -> str | None:
+    if val is None or val == "":
+        return None
+    try:
+        json.loads(val)
+        return val  # already valid JSON
+    except (ValueError, TypeError):
+        pass
+    try:
+        return json.dumps(ast.literal_eval(val))
+    except (ValueError, SyntaxError, TypeError):
+        return None
+
+
+@pandas_udf(T.StringType())
+def _normalize_json_udf(s: pd.Series) -> pd.Series:
+    return s.map(_normalize_one)
+
+
+def normalize_json_literals(col: Column) -> Column:
+    """Normalize Python-literal strings (single quotes, ``None``) to JSON.
+
+    Vectorized pandas UDF — only used when the data actually needs it
+    (see ``_maybe_normalize``).
+    """
+    return _normalize_json_udf(col)
+
+
+def _needs_normalization(df: DataFrame, column: str, sample: int = 100) -> bool:
+    """Driver-side sample check: does the column contain non-JSON literals?"""
+    rows = (
+        df.select(F.col(column).alias("v"))
+        .where(F.col("v").isNotNull() & (F.col("v") != ""))
+        .limit(sample)
+        .collect()
+    )
+    for r in rows:
+        v = r["v"]
+        if not isinstance(v, str):
+            return False
+        try:
+            json.loads(v)
+        except (ValueError, TypeError):
+            return True
+    return False
+
+
+def _maybe_normalize(df: DataFrame, column: str, python_literals: bool | str) -> DataFrame:
+    if python_literals == "auto":
+        python_literals = _needs_normalization(df, column)
+    if python_literals:
+        df = df.withColumn(column, normalize_json_literals(F.col(column)))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Distributed JSON schema inference
+# ---------------------------------------------------------------------------
+
+def infer_json_schema(df: DataFrame, column: str) -> T.DataType:
+    """Infer the element schema of a string-encoded JSON column.
+
+    Runs Spark's distributed JSON inference over just the target column
+    (column-pruned scan). Top-level JSON arrays are flattened to records by
+    the JSON source, so the returned StructType is the *element* schema for
+    both dict-valued and array-of-dict-valued columns.
+    """
+    strings = df.select(F.col(column).cast("string").alias("v")).where(
+        F.col("v").isNotNull() & (F.col("v") != "")
+    )
+    inferred = strings.sparkSession.read.json(strings.rdd.map(lambda r: r[0]))
+    schema = T.StructType(
+        [f for f in inferred.schema.fields if not f.name.startswith("_corrupt")]
+    )
+    return schema
+
+
+# ---------------------------------------------------------------------------
+# Explodes
+# ---------------------------------------------------------------------------
+
+def _parsed_column_type(df: DataFrame, column: str) -> T.DataType | None:
+    """If the column is already a struct/array, no parsing needed."""
+    dt = df.schema[column].dataType
+    if isinstance(dt, (T.StructType, T.ArrayType, T.MapType)):
+        return dt
+    return None
+
+
+def explode_json_to_rows(
+    df: DataFrame,
+    column_name: str,
+    drop: bool = True,
+    schema: T.StructType | dict[str, Any] | None = None,
+    python_literals: bool | str = "auto",
+    sep: str = ".",
+) -> DataFrame:
+    """Array-of-objects column → one row per element with ``{col}.{key}``
+    child columns. Scalars/bare dicts wrapped as 1-element arrays; null or
+    empty cells keep their row with null children (``explode_outer``).
+    """
+    existing = _parsed_column_type(df, column_name)
+    if existing is None:
+        df = _maybe_normalize(df, column_name, python_literals)
+        if schema is None:
+            elem: T.DataType = infer_json_schema(df, column_name)
+        elif isinstance(schema, dict):
+            elem = json_schema_to_spark_type(schema)
+        else:
+            elem = schema
+        src = F.col(column_name).cast("string")
+        # array first; bare dict (valid for elem schema) wrapped to 1-list
+        parsed = F.coalesce(
+            F.from_json(src, T.ArrayType(elem)),
+            F.array(F.from_json(src, elem)),
+        )
+    else:
+        if isinstance(existing, T.ArrayType):
+            elem = existing.elementType
+            parsed = F.col(column_name)
+        else:
+            elem = existing
+            parsed = F.array(F.col(column_name))
+
+    tmp = f"__exploded_{column_name}__"
+    out = df.withColumn(tmp, F.explode_outer(parsed))
+    parent = [F.col(f"`{c}`") for c in df.columns if c != column_name or not drop]
+    if isinstance(elem, T.StructType):
+        children = [
+            F.col(tmp).getField(f.name).alias(f"{column_name}{sep}{f.name}")
+            for f in elem.fields
+        ]
+    else:
+        children = [F.col(tmp).alias(f"{column_name}{sep}value")]
+    return out.select(*parent, *children)
+
+
+def explode_json_to_cols(
+    df: DataFrame,
+    column_name: str,
+    drop: bool = True,
+    expected_keys: Iterable[str] | None = None,
+    schema: T.StructType | dict[str, Any] | None = None,
+    python_literals: bool | str = "auto",
+    sep: str = ".",
+    **kwargs: Any,
+) -> DataFrame:
+    """Dict column → one column per key (union of keys across rows plus
+    ``expected_keys``); missing keys become null. When no keys exist at all,
+    the reference defaults to ``["value", "name"]``
+    (gluestick/pandas_utils.py:330-338).
+
+    ``kwargs`` absorbs the legacy ``reducer`` argument (accepted-but-unused
+    in the reference, see SURVEY §2.9 R2).
+    """
+    existing = _parsed_column_type(df, column_name)
+    if existing is not None and isinstance(existing, T.StructType):
+        st = existing
+        parsed = F.col(column_name)
+    else:
+        df = _maybe_normalize(df, column_name, python_literals)
+        if schema is None:
+            inferred = infer_json_schema(df, column_name)
+            st = inferred if isinstance(inferred, T.StructType) else T.StructType()
+        elif isinstance(schema, dict):
+            got = json_schema_to_spark_type(schema)
+            st = got if isinstance(got, T.StructType) else T.StructType()
+        else:
+            st = schema
+        extra = [k for k in (expected_keys or []) if k not in st.fieldNames()]
+        for k in extra:
+            st = st.add(T.StructField(k, T.StringType(), True))
+        if not st.fields:
+            for k in expected_keys or ["value", "name"]:
+                st = st.add(T.StructField(k, T.StringType(), True))
+        parsed = F.from_json(F.col(column_name).cast("string"), st)
+
+    tmp = f"__parsed_{column_name}__"
+    out = df.withColumn(tmp, parsed)
+    parent = [F.col(f"`{c}`") for c in df.columns if c != column_name or not drop]
+    children = [
+        F.col(tmp).getField(f.name).alias(f"{column_name}{sep}{f.name}")
+        for f in st.fields
+    ]
+    return out.select(*parent, *children)
+
+
+def compress_rows_to_col(
+    df: DataFrame,
+    pk: str | list[str],
+    column_name: str,
+    prefix: str | None = None,
+    stringify: bool = False,
+    sep: str = ".",
+) -> DataFrame:
+    """Inverse of ``explode_json_to_rows``: gather ``{prefix}.{key}`` child
+    columns into a per-PK list column named ``column_name``
+    (gluestick/pandas_utils.py:415-445).
+
+    One ``groupBy(pk)`` pass (single shuffle): parent columns via ``first``
+    — they are constant within a PK by construction of the explode.
+    ``stringify=True`` emits a list of JSON strings like the reference;
+    default keeps a typed ``array<struct>``.
+    """
+    pk_list = [pk] if isinstance(pk, str) else list(pk)
+    prefix = prefix if prefix is not None else column_name
+    child_cols = [c for c in df.columns if c.startswith(prefix + sep)]
+    parent_cols = [c for c in df.columns if c not in child_cols and c not in pk_list]
+
+    element = F.struct(
+        *[F.col(f"`{c}`").alias(c[len(prefix) + len(sep):]) for c in child_cols]
+    )
+    if stringify:
+        element = F.to_json(element)
+    aggs = [F.first(F.col(f"`{c}`"), ignorenulls=False).alias(c) for c in parent_cols]
+    aggs.append(F.collect_list(element).alias(column_name))
+    return df.groupBy(*[F.col(f"`{c}`") for c in pk_list]).agg(*aggs)
+
+
+def json_tuple_to_cols(
+    df: DataFrame,
+    column_name: str,
+    col_config: dict[str, Any] | None = None,
+    schema: T.StructType | None = None,
+    python_literals: bool | str = "auto",
+) -> DataFrame:
+    """Extract two props from a JSON tuple column (dict or first-of-list)
+    into named columns, dropping the source (gluestick/pandas_utils.py:12-71).
+
+    ``col_config`` defaults mirror the reference: output columns
+    ``{col}_name`` / ``{col}_value`` from props ``Name`` / ``Value``.
+    """
+    cfg = {
+        "cols": {
+            "key_prop": f"{column_name}_name",
+            "value_prop": f"{column_name}_value",
+        },
+        "keys": {"key_prop": "Name", "value_prop": "Value"},
+    }
+    if col_config:
+        for k in ("cols", "keys"):
+            if k in col_config:
+                cfg[k].update(col_config[k])
+
+    existing = _parsed_column_type(df, column_name)
+    key_prop, value_prop = cfg["keys"]["key_prop"], cfg["keys"]["value_prop"]
+    if existing is None:
+        df = _maybe_normalize(df, column_name, python_literals)
+        st = schema or T.StructType(
+            [
+                T.StructField(key_prop, T.StringType(), True),
+                T.StructField(value_prop, T.StringType(), True),
+            ]
+        )
+        src = F.col(column_name).cast("string")
+        # dict directly, or first element of a list (pandas_utils.py:40-49)
+        parsed = F.coalesce(
+            F.from_json(src, st),
+            F.element_at(F.from_json(src, T.ArrayType(st)), 1),
+        )
+    elif isinstance(existing, T.ArrayType):
+        parsed = F.element_at(F.col(column_name), 1)
+    else:
+        parsed = F.col(column_name)
+
+    tmp = f"__tuple_{column_name}__"
+    out = df.withColumn(tmp, parsed)
+    keep = [F.col(f"`{c}`") for c in df.columns if c != column_name]
+    return out.select(
+        *keep,
+        F.col(tmp).getField(key_prop).alias(cfg["cols"]["key_prop"]),
+        F.col(tmp).getField(value_prop).alias(cfg["cols"]["value_prop"]),
+    )
+
+
+def enforce_exploded_col_types(
+    df: DataFrame,
+    column_name: str,
+    catalog_properties: dict[str, Any] | None = None,
+    sep: str = ".",
+) -> DataFrame:
+    """Cast ``{col}.{key}`` child columns per catalog property types
+    (gluestick/pandas_utils.py:115-172). With typed ``from_json`` parsing
+    this is usually a no-op; it exists for catalog-driven overrides.
+    """
+    if not catalog_properties:
+        return df
+    cols = []
+    for c in df.columns:
+        if c.startswith(column_name + sep):
+            key = c[len(column_name) + len(sep):]
+            prop = catalog_properties.get(key)
+            if prop is not None:
+                dt = json_schema_to_spark_type(prop)
+                src = df.schema[c].dataType
+                if src != dt:
+                    cols.append(cast_expr(F.col(f"`{c}`"), dt, source_dt=src).alias(c))
+                    continue
+        cols.append(F.col(f"`{c}`"))
+    return df.select(*cols)

@@ -1,0 +1,172 @@
+"""Singer protocol sink: SCHEMA → RECORD* → STATE newline-JSON.
+
+Parity targets (citations into /root/reference):
+- message primitives: gluestick/singer.py:20-70 (write_schema/record/state;
+  key_properties string→list coercion; aware ``time_extracted`` only).
+- ``to_singer``: gluestick/singer.py:436-549 — drop all-null columns (unless
+  keeping nulls), schema precedence (explicit > catalog > inferred), chunked
+  record emission (env ``SINGER_CHUNK_SIZE``, default 20000, flush per
+  chunk), append mode when the file exists, per-record null dropping,
+  ISO-µs UTC datetime rendering (``%Y-%m-%dT%H:%M:%S.%fZ``, singer.py:17).
+- header generation: gluestick/singer.py:99-187 — typed columns map to
+  Singer types; complex columns allowed as object/array schemas when
+  ``allow_objects`` else stringified.
+
+Spark shape: the record body is built executor-side as one
+``to_json(struct(*))`` projection (JVM, whole-stage codegen) with the Singer
+timestamp/date formats; the driver streams partitions via
+``toLocalIterator`` and wraps each JSON body in the RECORD envelope — the
+single-appendable-file contract of the Singer protocol is inherently
+driver-sequential (SURVEY §4.2.3). At cluster scale prefer
+``to_export(..., "jsonl")`` which writes distributed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from datetime import datetime
+from typing import Any, IO
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.project import drop_all_null_columns
+from ..schema import struct_to_json_schema
+
+__all__ = [
+    "write_schema",
+    "write_record",
+    "write_state",
+    "to_singer",
+    "gen_singer_header",
+]
+
+_DATETIME_FMT = "%Y-%m-%dT%H:%M:%S.%fZ"
+_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+_DATE_FORMAT = "yyyy-MM-dd"
+
+
+def _emit(msg: dict[str, Any], fp: IO[str] | None = None) -> None:
+    line = json.dumps(msg, default=str) + "\n"
+    if fp is None:
+        sys.stdout.write(line)
+        sys.stdout.flush()
+    else:
+        fp.write(line)
+
+
+def write_schema(
+    stream: str,
+    schema: dict[str, Any],
+    key_properties: str | list[str],
+    bookmark_properties: list[str] | None = None,
+    fp: IO[str] | None = None,
+) -> None:
+    if isinstance(key_properties, (str, bytes)):
+        key_properties = [key_properties]
+    if not isinstance(key_properties, list):
+        raise ValueError("key_properties must be a string or list of strings")
+    msg: dict[str, Any] = {
+        "type": "SCHEMA",
+        "stream": stream,
+        "schema": schema,
+        "key_properties": key_properties,
+    }
+    if bookmark_properties:
+        msg["bookmark_properties"] = bookmark_properties
+    _emit(msg, fp)
+
+
+def write_record(
+    stream: str,
+    record: dict[str, Any],
+    version: Any = None,
+    time_extracted: datetime | None = None,
+    fp: IO[str] | None = None,
+) -> None:
+    msg: dict[str, Any] = {"type": "RECORD", "stream": stream, "record": record}
+    if version is not None:
+        msg["version"] = version
+    if time_extracted:
+        if not time_extracted.tzinfo:
+            raise ValueError(
+                "'time_extracted' must be either None or an aware datetime (with a time zone)"
+            )
+        import datetime as _dt
+
+        msg["time_extracted"] = time_extracted.astimezone(_dt.timezone.utc).strftime(
+            _DATETIME_FMT
+        )
+    _emit(msg, fp)
+
+
+def write_state(value: dict[str, Any], fp: IO[str] | None = None) -> None:
+    _emit({"type": "STATE", "value": value}, fp)
+
+
+def gen_singer_header(
+    df: DataFrame, allow_objects: bool, schema: dict[str, Any] | None = None
+) -> tuple[DataFrame, dict[str, Any]]:
+    """Build the Singer SCHEMA header for ``df`` and (when
+    ``allow_objects=False``) stringify complex columns like the reference
+    (singer.py:178-180: non-typed columns get ``_serialize_value``)."""
+    if schema is not None:
+        return df, schema
+    if not allow_objects:
+        cols = []
+        changed = False
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType)):
+                cols.append(F.to_json(F.col(f"`{f.name}`")).alias(f.name))
+                changed = True
+            else:
+                cols.append(F.col(f"`{f.name}`"))
+        if changed:
+            df = df.select(*cols)
+    return df, struct_to_json_schema(df.schema)
+
+
+def to_singer(
+    df: DataFrame,
+    stream: str,
+    output_dir: str,
+    keys: list[str] | None = None,
+    filename: str = "data.singer",
+    allow_objects: bool = False,
+    schema: dict[str, Any] | None = None,
+    keep_null_fields: bool = False,
+) -> None:
+    """Export ``df`` as a Singer ndjson file (append mode when it exists)."""
+    keys = keys or []
+    if allow_objects and not keep_null_fields:
+        df = drop_all_null_columns(df)
+    df, header_map = gen_singer_header(df, allow_objects, schema)
+
+    body = F.to_json(
+        F.struct(*[F.col(f"`{c}`") for c in df.columns]),
+        {
+            "timestampFormat": _TS_FORMAT,
+            "dateFormat": _DATE_FORMAT,
+            "ignoreNullFields": "false" if keep_null_fields else "true",
+        },
+    )
+    lines = df.select(body.alias("j"))
+
+    os.makedirs(output_dir, exist_ok=True)
+    output = os.path.join(output_dir, filename)
+    mode = "a" if os.path.isfile(output) else "w"
+    chunk_size = int(os.environ.get("SINGER_CHUNK_SIZE", "20000"))
+    prefix = json.dumps({"type": "RECORD", "stream": stream})[:-1] + ', "record": '
+
+    with open(output, mode) as f:
+        write_schema(stream, header_map, keys, fp=f)
+        n = 0
+        for row in lines.toLocalIterator(prefetchPartitions=True):
+            f.write(prefix + row["j"] + "}\n")
+            n += 1
+            if n % chunk_size == 0:
+                f.flush()
+        write_state({}, fp=f)

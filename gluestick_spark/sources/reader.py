@@ -1,0 +1,229 @@
+"""Directory-convention stream reader (Spark edition).
+
+Re-expresses the reference Reader family as lazy Spark scans:
+- stream discovery `{stream}-{timestamp}.{csv,parquet}` — first file wins,
+  ignore-list honored (/root/reference/gluestick/reader.py:154-190).
+- catalog-typed reads: JSON-Schema → StructType → one projection of casts
+  (reader.py:49-116, 232-279); boolean string CASE + try_to_timestamp
+  coercion semantics (utils/polars_utils.py:31-59).
+- parquet KV metadata + key_properties (reader.py:118-152).
+- folder readers returning ``{stream: DataFrame}``
+  (etl_utils.py:23-93, 96-149) and snapshot reads (etl_utils.py:152-178).
+
+All reads are lazy logical-plan nodes: schema application happens at the
+scan (predicate/column pushdown preserved), casts are a single Project.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..functions.casting import cast_df_to_schema
+from ..schema import json_schema_to_struct
+
+__all__ = ["Reader", "read_csv_folder", "read_parquet_folder", "read_snapshots"]
+
+_EXTS = (".parquet", ".csv")
+
+
+def _discover(input_dir: str, ignore: list[str] | None = None) -> dict[str, str]:
+    """`{stream}-{ts}.{ext}` → {stream: path}; first file wins (sorted listing)."""
+    ignore = ignore or []
+    results: dict[str, str] = {}
+    if not os.path.isdir(input_dir):
+        return results
+    for entry in sorted(os.listdir(input_dir)):
+        path = os.path.join(input_dir, entry)
+        if not os.path.isfile(path):
+            continue
+        base, ext = os.path.splitext(entry)
+        if ext.lower() not in _EXTS:
+            continue
+        # stream name = filename before the LAST '-' (reader.py:166-171);
+        # files without '-' use the whole stem.
+        stream = base.rsplit("-", 1)[0] if "-" in base else base
+        if stream in ignore or stream in results:
+            continue
+        results[stream] = path
+    return results
+
+
+class Reader:
+    """Discovers Singer-style stream files and reads them as Spark DataFrames."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_dir: str | None = None,
+        root_dir: str | None = None,
+        ignore: list[str] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.root_dir = root_dir or os.environ.get("ROOT_DIR", ".")
+        self.input_dir = input_dir or os.path.join(self.root_dir, "sync-output")
+        self.input_files = _discover(self.input_dir, ignore)
+        self.catalog = self.read_catalog()
+
+    def __contains__(self, stream: str) -> bool:
+        return stream in self.input_files
+
+    def __iter__(self):
+        return iter(self.input_files)
+
+    def keys(self) -> list[str]:
+        return list(self.input_files)
+
+    # -- catalog ---------------------------------------------------------
+    def read_catalog(self) -> dict[str, Any] | None:
+        path = os.path.join(self.root_dir, "catalog.json")
+        if not os.path.isfile(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def read_target_catalog(self) -> dict[str, Any] | None:
+        path = os.path.join(self.root_dir, "target-catalog.json")
+        if not os.path.isfile(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    @staticmethod
+    def clean_catalog(catalog: dict[str, Any]) -> dict[str, Any]:
+        """Flatten catalog to {stream: properties} (reader.py:204-214)."""
+        out: dict[str, Any] = {}
+        for entry in catalog.get("streams", []):
+            name = entry.get("stream") or entry.get("tap_stream_id")
+            props = entry.get("schema", {}).get("properties", {})
+            out[name] = props
+        return out
+
+    def stream_schema(self, stream: str, headers: list[str] | None = None) -> T.StructType | None:
+        """Catalog JSON-Schema for ``stream`` → StructType (reader.py:232-279).
+
+        ``headers`` restricts to columns present in the data file.
+        """
+        if not self.catalog:
+            return None
+        for entry in self.catalog.get("streams", []):
+            name = entry.get("stream") or entry.get("tap_stream_id")
+            if name != stream:
+                continue
+            props = entry.get("schema", {}).get("properties", {})
+            if headers is not None:
+                props = {k: v for k, v in props.items() if k in headers}
+            return json_schema_to_struct({"properties": props})
+        return None
+
+    # -- metadata --------------------------------------------------------
+    def get_metadata(self, stream: str) -> dict[str, str]:
+        """Parquet footer key-value metadata (reader.py:118-128). Driver-side."""
+        path = self.input_files.get(stream)
+        if not path or not path.endswith(".parquet"):
+            return {}
+        import pyarrow.parquet as pq
+
+        meta = pq.read_schema(path).metadata or {}
+        return {
+            k.decode(): v.decode()
+            for k, v in meta.items()
+            if k != b"pandas"
+        }
+
+    def get_pk(self, stream: str) -> list[str]:
+        """PKs from parquet metadata ``key_properties`` else catalog
+        ``table-key-properties`` breadcrumb (reader.py:130-152)."""
+        meta = self.get_metadata(stream)
+        if "key_properties" in meta:
+            try:
+                return list(json.loads(meta["key_properties"]))
+            except (ValueError, TypeError):
+                pass
+        if self.catalog:
+            for entry in self.catalog.get("streams", []):
+                name = entry.get("stream") or entry.get("tap_stream_id")
+                if name != stream:
+                    continue
+                for m in entry.get("metadata", []):
+                    if m.get("breadcrumb") == []:
+                        kp = m.get("metadata", {}).get("table-key-properties")
+                        if kp:
+                            return list(kp)
+                if entry.get("key_properties"):
+                    return list(entry["key_properties"])
+        return []
+
+    # -- reads -----------------------------------------------------------
+    def get(
+        self,
+        stream: str,
+        default: DataFrame | None = None,
+        catalog_types: bool = False,
+        **kwargs: Any,
+    ) -> DataFrame | None:
+        """Read one stream as a (lazy) DataFrame with optional catalog coercion."""
+        path = self.input_files.get(stream)
+        if path is None:
+            return default
+        if path.endswith(".parquet"):
+            df = self.spark.read.parquet(path)
+        else:
+            df = self.spark.read.option("header", "true").csv(path, **kwargs)
+        if catalog_types:
+            target = self.stream_schema(stream, headers=df.columns)
+            if target is not None:
+                try:
+                    df = cast_df_to_schema(df, target)
+                except Exception as exc:  # silent fallback (reader.py:95-98)
+                    print(f"catalog coercion failed for {stream}: {exc}")
+        return df
+
+
+def read_csv_folder(
+    spark: SparkSession,
+    path: str,
+    converters: dict[str, Any] | None = None,
+    index_cols: dict[str, Any] | None = None,
+    ignore: list[str] | None = None,
+) -> dict[str, DataFrame]:
+    """All CSVs in folder → {entity: DataFrame} (etl_utils.py:23-93).
+
+    ``converters``/``index_cols`` are accepted for signature parity; Spark
+    reads are schema-on-read so converters become post-read expressions the
+    caller applies.
+    """
+    out: dict[str, DataFrame] = {}
+    for stream, p in _discover(path, ignore).items():
+        if p.endswith(".csv"):
+            out[stream] = spark.read.option("header", "true").option("inferSchema", "true").csv(p)
+    return out
+
+
+def read_parquet_folder(
+    spark: SparkSession, path: str, ignore: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """All parquet files in folder → {entity: DataFrame} (etl_utils.py:96-149)."""
+    out: dict[str, DataFrame] = {}
+    for stream, p in _discover(path, ignore).items():
+        if p.endswith(".parquet"):
+            out[stream] = spark.read.parquet(p)
+    return out
+
+
+def read_snapshots(
+    spark: SparkSession, stream: str, snapshot_dir: str
+) -> DataFrame | None:
+    """Read `{dir}/{stream}.snapshot.parquet` (preferred) else `.csv`
+    (etl_utils.py:152-178)."""
+    pq_path = os.path.join(snapshot_dir, f"{stream}.snapshot.parquet")
+    csv_path = os.path.join(snapshot_dir, f"{stream}.snapshot.csv")
+    if os.path.exists(pq_path):
+        return spark.read.parquet(pq_path)
+    if os.path.exists(csv_path):
+        return spark.read.option("header", "true").option("inferSchema", "true").csv(csv_path)
+    return None
