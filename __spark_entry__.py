@@ -1,38 +1,794 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+(or a beyond-reference LLM-pipeline operator) through the gluestick_spark
+public API; ``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL.
+
+Float discipline for the value-hash compare: aggregates go through exact
+DECIMAL arithmetic and are cast to DOUBLE at the end (bit-identical in both
+engines); similarity scores are rounded to 4 decimals on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gluestick_spark import (  # noqa: E402
+    compress_rows_to_col,
+    custom_fields_expr,
+    explode_json_to_cols,
+    explode_json_to_rows,
+    json_tuple_to_cols,
+    keep_last,
+    pluck_fields,
+    pluck_fields_by_regex,
+    rename,
+    union_relaxed,
+    upsert,
+)
+from gluestick_spark.functions.hashing import row_hash_expr, with_row_hash  # noqa: E402
+from gluestick_spark.llm.dedup import (  # noqa: E402
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    simhash_near_dups,
+)
+from gluestick_spark.llm.multimodal import (  # noqa: E402
+    attach_binary_metadata,
+    decode_image_features,
+)
+from gluestick_spark.llm.similarity import (  # noqa: E402
+    cosine_similarity,
+    cosine_topk,
+    lsh_ann_topk,
+)
+from gluestick_spark.llm.text import (  # noqa: E402
+    LANG_MARKERS,
+    STOPWORDS,
+    bpe_token_count_expr,
+    fingerprint_expr,
+    lang_id_expr,
+    quality_score_expr,
+    tokens_expr,
+    word_count_expr,
+)
+from gluestick_spark.operators.snapshot import merge_id_df  # noqa: E402
+
+
+def _prep(spark: SparkSession) -> None:
+    """Runtime confs the driver's session may not have."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _prep(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dec(c, scale: int = 2):
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+def _event_date():
+    """events.ts is long nanos: exact µs division, rendered as ISO date string."""
+    micros = (F.col("ts").cast("decimal(38,0)") / F.lit(1000)).cast("long")
+    return F.date_format(F.timestamp_micros(micros), "yyyy-MM-dd")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style analytics (bench headliners)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,4)")
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(_dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+_Q_SHIPPING_SQL = """
+SELECT l_orderkey,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+"""
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .where(c["c_nationkey"] == s["s_nationkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+_Q_LOCAL_SUPPLIER_SQL = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.col("user_id"), _event_date().alias("event_date"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
+
+
+_Q_EVENTS_DAILY_SQL = """
+SELECT user_id, strftime(ts, '%Y-%m-%d') AS event_date,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+  COUNT(DISTINCT event_type) AS n_types
+FROM events
+GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+"""
+
+
+# ---------------------------------------------------------------------------
+# Reference ETL operators
+# ---------------------------------------------------------------------------
+
+def q_explode_json_to_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    out = explode_json_to_cols(e.select("event_id", "props"), "props")
+    return out.select("event_id", F.col("`props.k`").cast("long").alias("props_k"))
+
+
+_Q_EXPLODE_COLS_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
+FROM events
+"""
+
+
+def q_explode_json_to_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    detail = F.concat(
+        F.lit('[{"q":'), k.cast("string"), F.lit('},{"q":'), (k + 1).cast("string"), F.lit("}]")
+    )
+    df = e.select("event_id", detail.alias("detail"))
+    out = explode_json_to_rows(df, "detail")
+    return out.select("event_id", F.col("`detail.q`").cast("long").alias("detail_q"))
+
+
+_Q_EXPLODE_ROWS_SQL = """
+SELECT event_id, unnest([k, k + 1]) AS detail_q
+FROM (SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+"""
+
+
+def q_compress_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    df = l.select(F.col("l_orderkey"), F.col("l_linenumber").alias("line.num"))
+    out = compress_rows_to_col(df, "l_orderkey", "line", flatten_single=True)
+    return out.select("l_orderkey", F.sort_array("line").alias("line"))
+
+
+_Q_COMPRESS_SQL = """
+SELECT l_orderkey, list_sort(list(l_linenumber)) AS line
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_json_tuple_to_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    tup = F.concat(F.lit('{"Name":"k","Value":"'), k, F.lit('"}'))
+    df = e.select("event_id", tup.alias("kv"))
+    return json_tuple_to_cols(df, "kv")
+
+
+_Q_JSON_TUPLE_SQL = """
+SELECT event_id, 'k' AS kv_name, json_extract_string(props, '$.k') AS kv_value
+FROM events
+"""
+
+
+def q_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    snap = o.where(F.col("o_orderkey") % 2 == 0)
+    inc = o.where(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    merged = upsert(snap, inc, "o_orderkey")
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+
+
+_Q_SNAPSHOT_SQL = """
+WITH snap AS (SELECT *, 0 AS p FROM orders WHERE o_orderkey % 2 = 0),
+inc AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+               o_orderdate, o_orderpriority, 1 AS p FROM orders WHERE o_orderkey % 3 = 0),
+u AS (SELECT * FROM snap UNION ALL SELECT * FROM inc)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+FROM u QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY p DESC) = 1
+"""
+
+
+_HASH_COLS = ["c_custkey", "c_mktsegment", "c_name", "c_nationkey"]
+
+
+def q_row_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(*_HASH_COLS)
+    return with_row_hash(c, "hash")
+
+
+_Q_ROW_HASH_SQL = """
+SELECT c_custkey, c_mktsegment, c_name, c_nationkey,
+  md5(concat(CAST(c_custkey AS VARCHAR), c_mktsegment, c_name, CAST(c_nationkey AS VARCHAR))) AS hash
+FROM customer
+"""
+
+
+def q_drop_redundant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless CDC core: rows whose (pk, hash) was seen before are dropped
+    (here: the even-custkey half simulates the prior run's hash snapshot)."""
+    c = _t(spark, sf_dir, "customer").select(*_HASH_COLS)
+    hashed = c.withColumn("hash", row_hash_expr(_HASH_COLS))
+    prior = (
+        c.where(F.col("c_custkey") % 2 == 0)
+        .withColumn("hash", row_hash_expr(_HASH_COLS))
+        .select("c_custkey", "hash")
+    )
+    return hashed.join(F.broadcast(prior), ["c_custkey", "hash"], "left_anti").drop("hash")
+
+
+_Q_DROP_REDUNDANT_SQL = """
+SELECT c_custkey, c_mktsegment, c_name, c_nationkey
+FROM customer WHERE c_custkey % 2 <> 0
+"""
+
+
+def q_merge_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    ids = c.where(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").cast("string").alias("InputId"),
+        (F.col("c_custkey") * 1000).alias("RemoteId"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").cast("string").alias("externalId")
+    )
+    return merge_id_df(o, ids, "remote_id")
+
+
+_Q_MERGE_ID_SQL = """
+SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS externalId,
+  CASE WHEN o_custkey % 2 = 0 THEN o_custkey * 1000 ELSE NULL END AS remote_id
+FROM orders
+"""
+
+
+def q_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return rename(
+        p, {"p_partkey": "part_id", "p_name": "part_name", "p_retailprice": "retail_price"}
+    )
+
+
+_Q_RENAME_SQL = """
+SELECT p_partkey AS part_id, p_name AS part_name, p_retailprice AS retail_price FROM part
+"""
+
+
+def q_pluck_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    return pluck_fields(n, "n_nationkey", [1, 3, 5, 7], {"n_name": "name"})
+
+
+_Q_PLUCK_SQL = """
+SELECT n_nationkey, n_name AS name FROM nation WHERE n_nationkey IN (1, 3, 5, 7)
+"""
+
+
+def q_pluck_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return pluck_fields_by_regex(l, r"^l_(return|line)", keep=["l_orderkey"])
+
+
+_Q_PLUCK_REGEX_SQL = """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus FROM lineitem
+"""
+
+
+def q_union_relaxed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("string").alias("id"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("bal"),
+    )
+    return union_relaxed(c, s)
+
+
+_Q_UNION_SQL = """
+SELECT CAST(c_custkey AS VARCHAR) AS id, c_name AS name, CAST(NULL AS DOUBLE) AS bal FROM customer
+UNION ALL
+SELECT CAST(s_suppkey AS VARCHAR) AS id, s_name AS name, s_acctbal AS bal FROM supplier
+"""
+
+
+def q_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return keep_last(o, "o_custkey", order_col="o_orderkey")
+
+
+_Q_KEEP_LAST_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) = 1
+"""
+
+
+def q_custom_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey", custom_fields_expr(["n_name", "n_regionkey"]).alias("cf")
+    )
+
+
+_Q_CUSTOM_FIELDS_SQL = """
+SELECT n_nationkey,
+  [struct_pack(name := 'n_name', value := n_name),
+   struct_pack(name := 'n_regionkey', value := CAST(n_regionkey AS VARCHAR))] AS cf
+FROM nation
+"""
+
+
+def q_catalog_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/S15 semantics: string columns coerced per catalog types
+    (int cast, boolean lowercase-CASE, try_to_timestamp)."""
+    from gluestick_spark.functions.casting import cast_df_to_schema
+    from pyspark.sql import types as T
+
+    e = _t(spark, sf_dir, "events")
+    raw = e.select(
+        "event_id",
+        F.col("user_id").cast("string").alias("user_id"),
+        F.when(F.col("event_type") == "signup", "True")
+        .when(F.col("event_type") == "error", "FALSE")
+        .otherwise("not-a-bool")
+        .alias("flag"),
+    )
+    target = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("flag", T.BooleanType()),
+        ]
+    )
+    out = cast_df_to_schema(raw, target)
+    return out.withColumn("flag", F.col("flag").cast("string"))
+
+
+_Q_CATALOG_COERCION_SQL = """
+SELECT event_id, user_id,
+  CAST(CASE WHEN event_type = 'signup' THEN TRUE
+       WHEN event_type = 'error' THEN FALSE
+       ELSE NULL END AS VARCHAR) AS flag
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id").select("doc_id", "lang", "source")
+
+
+_Q_DEDUP_EXACT_SQL = """
+SELECT doc_id, lang, source FROM documents
+QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+"""
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set fingerprint near-dup removal (order/dup-insensitive)."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__fp__").orderBy(F.col("doc_id").asc())
+    return (
+        d.withColumn("__fp__", fingerprint_expr(F.col("text")))
+        .withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") == 1)
+        .select("doc_id")
+    )
+
+
+_Q_DEDUP_FP_SQL = """
+SELECT doc_id FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY md5(array_to_string(list_sort(list_distinct(
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != ''))), ' '))
+  ORDER BY doc_id) = 1
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        word_count_expr(F.col("text")).cast("long").alias("n_words"),
+        bpe_token_count_expr(F.col("text")).cast("long").alias("n_bpe"),
+    )
+
+
+_Q_TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_calc,
+  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS BIGINT) AS n_words,
+  CAST(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])')) AS BIGINT) AS n_bpe
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id_expr(F.col("text")).alias("lang_pred"))
+
+
+def _lang_id_sql() -> str:
+    score_exprs = []
+    for lang, words in LANG_MARKERS.items():
+        parts = " + ".join(
+            f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in words
+        )
+        score_exprs.append(f"({parts}) AS s_{lang}")
+    scores = ", ".join(score_exprs)
+    langs = sorted(LANG_MARKERS)
+    m = "greatest(" + ", ".join(f"s_{x}" for x in langs) + ")"
+    case = " ".join(f"WHEN s_{x} = {m} THEN '{x}'" for x in langs)
+    return f"""
+WITH scored AS (SELECT doc_id, {scores} FROM documents)
+SELECT doc_id, CASE WHEN {m} = 0 THEN 'und' {case} ELSE 'und' END AS lang_pred
+FROM scored
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score_expr(F.col("text")).alias("quality"))
+
+
+def _quality_sql() -> str:
+    stop_hits = " + ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in STOPWORDS
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS n_words,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    ({stop_hits}) AS n_stop
+  FROM documents
+)
+SELECT doc_id, floor((
+  (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0 ELSE 0.5 END) * 0.3
+  + (CASE WHEN n_chars / greatest(n_words, 1) >= 3.0
+          AND n_chars / greatest(n_words, 1) <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.2
+  + (CASE WHEN n_stop / greatest(n_words, 1) > 0.05 THEN 1.0 ELSE 0.6 END) * 0.2
+  + (n_alpha / greatest(n_chars, 1)) * 0.3) * 1e6) / 1e6 AS quality
+FROM base
+"""
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    e = _t(spark, sf_dir, "embeddings")
+    return list(e.where(F.col("vec_id") == 0).select("embedding").first()["embedding"])
+
+
+def q_cosine_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    sim = cosine_similarity(e, "embedding", q)
+    return sim.select("vec_id", (F.floor(F.col("similarity") * 1e4) / 1e4).alias("similarity"))
+
+
+_Q_COSINE_ALL_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+  floor((list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+    / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(q.qv, q.qv)))) * 1e4) / 1e4 AS similarity
+FROM embeddings, q
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    top = cosine_topk(e, "embedding", q, k=10)
+    return top.select("vec_id", (F.floor(F.col("similarity") * 1e4) / 1e4).alias("similarity"))
+
+
+_Q_ANN_TOPK_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT vec_id,
+    list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(q.qv, q.qv))) AS raw_sim
+  FROM embeddings, q
+)
+SELECT vec_id, floor(raw_sim * 1e4) / 1e4 AS similarity
+FROM sims ORDER BY raw_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_jaccard_vs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    q_words = (
+        d.where(F.col("doc_id") == 0)
+        .select(F.array_distinct(tokens_expr(F.lower(F.col("text")))).alias("w"))
+        .first()["w"]
+    )
+    qa = F.array(*[F.lit(w) for w in q_words])
+    words = F.array_distinct(tokens_expr(F.lower(F.col("text"))))
+    jac = F.size(F.array_intersect(words, qa)) / F.size(F.array_union(words, qa))
+    return d.select("doc_id", (F.floor(jac * 1e4) / 1e4).alias("jaccard"))
+
+
+_Q_JACCARD_SQL = r"""
+WITH q AS (
+  SELECT list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')) AS qw
+  FROM documents WHERE doc_id = 0
+)
+SELECT doc_id,
+  floor((len(list_intersect(dw, q.qw)) / len(list_distinct(list_concat(dw, q.qw)))) * 1e4) / 1e4 AS jaccard
+FROM (
+  SELECT doc_id,
+    list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')) AS dw
+  FROM documents
+), q
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    b = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    meta = attach_binary_metadata(b, "payload", "image", "image/png")
+    return meta.select(
+        "doc_id",
+        F.col("media_meta.modality").alias("modality"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.sha256").alias("sha256"),
+    )
+
+
+_Q_MULTIMODAL_SQL = """
+SELECT doc_id, 'image' AS modality,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  sha256(text) AS sha256
+FROM documents
+"""
+
+
+# -- rows-only checks (not SQL-expressible; driver records weaker check) ----
+
+def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d, "text", "doc_id")
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return minhash_dedup(d, "text", "doc_id", threshold=0.8).select("doc_id")
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return simhash_near_dups(d, "text", "doc_id", max_hamming=8)
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    top = lsh_ann_topk(e, "embedding", q, k=10, num_planes=8, multiprobe=2)
+    return top.select("vec_id", (F.floor(F.col("similarity") * 1e4) / 1e4).alias("similarity"))
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    b = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    feats = decode_image_features(b, "payload", ["doc_id"])
+    return feats.select("doc_id", "features.width", "features.height", "features.mean_intensity")
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: EP2-style pipeline on sf0.001 — JSON explode + daily agg."""
+    sf_dir = "/root/testdata/sf0.001"
+    e = _t(spark, sf_dir, "events")
+    ex = explode_json_to_cols(e, "props")
+    return (
+        ex.groupBy(F.col("event_type"), _event_date().alias("event_date"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+            F.avg(F.col("`props.k`")).alias("avg_k"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
+        "events_daily": q_events_daily,
+        "explode_json_to_cols": q_explode_json_to_cols,
+        "explode_json_to_rows": q_explode_json_to_rows,
+        "compress_rows_to_col": q_compress_rows,
+        "json_tuple_to_cols": q_json_tuple_to_cols,
+        "snapshot_upsert": q_snapshot_upsert,
+        "row_hash": q_row_hash,
+        "drop_redundant": q_drop_redundant,
+        "merge_id_from_snapshot": q_merge_id,
+        "rename": q_rename,
+        "pluck_fields": q_pluck_fields,
+        "pluck_fields_by_regex": q_pluck_regex,
+        "union_relaxed": q_union_relaxed,
+        "keep_last_dedup": q_keep_last,
+        "custom_fields": q_custom_fields,
+        "catalog_coercion": q_catalog_coercion,
+        "dedup_exact": q_dedup_exact,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "token_stats": q_token_stats,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "cosine_similarity": q_cosine_all,
+        "ann_topk": q_ann_topk,
+        "jaccard_vs_query": q_jaccard_vs_query,
+        "multimodal_metadata": q_multimodal_meta,
+        "minhash_candidates": q_minhash_candidates,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_near_dups": q_simhash_near_dups,
+        "lsh_ann_topk": q_lsh_ann,
+        "image_features": q_image_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": _Q_PRICING_SQL,
+        "shipping_priority": _Q_SHIPPING_SQL,
+        "local_supplier_volume": _Q_LOCAL_SUPPLIER_SQL,
+        "events_daily": _Q_EVENTS_DAILY_SQL,
+        "explode_json_to_cols": _Q_EXPLODE_COLS_SQL,
+        "explode_json_to_rows": _Q_EXPLODE_ROWS_SQL,
+        "compress_rows_to_col": _Q_COMPRESS_SQL,
+        "json_tuple_to_cols": _Q_JSON_TUPLE_SQL,
+        "snapshot_upsert": _Q_SNAPSHOT_SQL,
+        "row_hash": _Q_ROW_HASH_SQL,
+        "drop_redundant": _Q_DROP_REDUNDANT_SQL,
+        "merge_id_from_snapshot": _Q_MERGE_ID_SQL,
+        "rename": _Q_RENAME_SQL,
+        "pluck_fields": _Q_PLUCK_SQL,
+        "pluck_fields_by_regex": _Q_PLUCK_REGEX_SQL,
+        "union_relaxed": _Q_UNION_SQL,
+        "keep_last_dedup": _Q_KEEP_LAST_SQL,
+        "custom_fields": _Q_CUSTOM_FIELDS_SQL,
+        "catalog_coercion": _Q_CATALOG_COERCION_SQL,
+        "dedup_exact": _Q_DEDUP_EXACT_SQL,
+        "dedup_fingerprint": _Q_DEDUP_FP_SQL,
+        "token_stats": _Q_TOKEN_STATS_SQL,
+        "lang_id": _lang_id_sql(),
+        "quality_score": _quality_sql(),
+        "cosine_similarity": _Q_COSINE_ALL_SQL,
+        "ann_topk": _Q_ANN_TOPK_SQL,
+        "jaccard_vs_query": _Q_JACCARD_SQL,
+        "multimodal_metadata": _Q_MULTIMODAL_SQL,
+    }

@@ -31,8 +31,13 @@ def localize_datetime(df: DataFrame, column: str) -> DataFrame:
 
 
 def ns_to_timestamp(col: Column) -> Column:
-    """Long nanoseconds-since-epoch → TimestampType (micro truncation)."""
-    return F.timestamp_micros((col / F.lit(1000)).cast("long"))
+    """Long nanoseconds-since-epoch → TimestampType (micro truncation).
+
+    Exact integer division via decimal — a double division would lose
+    precision above 2^53 ns (~104 days into 1970).
+    """
+    micros = (col.cast("decimal(38,0)") / F.lit(1000)).cast("long")
+    return F.timestamp_micros(micros)
 
 
 def singer_datetime_expr(col: Column, dt: T.DataType) -> Column:

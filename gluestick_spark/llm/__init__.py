@@ -1,0 +1,34 @@
+from .text import (
+    tokens_expr,
+    word_count_expr,
+    bpe_token_count_expr,
+    lang_id_expr,
+    lang_scores_expr,
+    quality_score_expr,
+    fingerprint_expr,
+    shingles_expr,
+)
+from .dedup import (
+    exact_dedup,
+    minhash_signature_expr,
+    minhash_lsh_candidates,
+    minhash_dedup,
+    simhash_expr,
+    simhash_near_dups,
+    jaccard_expr,
+)
+from .similarity import (
+    cosine_expr,
+    cosine_similarity,
+    cosine_topk,
+    lsh_ann_topk,
+    ivf_assign,
+    ivf_topk,
+    random_hyperplanes,
+)
+from .multimodal import (
+    attach_binary_metadata,
+    decode_image_features,
+    sample_frames,
+    fake_image_decoder,
+)

@@ -1,0 +1,222 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point — these must survive 100 TB):
+- **exact_dedup**: hash-groupBy. One shuffle on the content hash; keep-min
+  representative is a window on the hash key. At scale, AQE handles skew
+  (identical boilerplate documents land in one hash bucket).
+- **minhash_lsh**: shingle → K minhash values (xxhash64 with per-permutation
+  seeds, all JVM expressions) → band into B buckets → self-join per bucket →
+  verify candidates with exact Jaccard. The *only* pairwise work happens
+  inside LSH buckets, never across the full corpus (O(N²) avoided). Bucket
+  join is a shuffle on (band_id, band_hash); hot buckets (e.g. empty docs)
+  are the skew risk — cap bucket width via ``max_bucket`` salt-out.
+- **simhash**: 64-bit signature per doc from token hashes — pure expressions
+  (explode-free: aggregate over the token array), near-dups = signatures at
+  hamming distance ≤ d found by banding the 64 bits into chunks.
+- **ngram_jaccard**: exact verified Jaccard for candidate pairs.
+
+All hashes are Spark's ``xxhash64`` — deterministic across runs/executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .text import shingles_expr, tokens_expr
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signature_expr",
+    "minhash_lsh_candidates",
+    "minhash_dedup",
+    "simhash_expr",
+    "simhash_near_dups",
+    "jaccard_expr",
+]
+
+
+def exact_dedup(
+    df: DataFrame,
+    content_cols: str | list[str],
+    id_col: str,
+) -> DataFrame:
+    """Keep one representative row (min ``id_col``) per exact content hash.
+
+    Plan: md5 projection → window on hash ordered by id → filter rank 1.
+    Single shuffle, map-side-combinable.
+    """
+    cols = [content_cols] if isinstance(content_cols, str) else list(content_cols)
+    h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
+    w = Window.partitionBy("__h__").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__h__", h)
+        .withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") == 1)
+        .drop("__h__", "__rn__")
+    )
+
+
+def minhash_signature_expr(shingles: Column, num_perm: int = 64) -> Column:
+    """MinHash signature: per permutation i, min over shingles of
+    xxhash64(shingle, seed=i). Array<long> of length ``num_perm``.
+    Pure JVM expressions — no UDF, no shuffle."""
+    return F.array(
+        *[F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i)))) for i in range(num_perm)]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    Returns distinct (``a``, ``b``) id pairs (a < b) that collide in ≥1 band.
+    rows = bands × rows_per_band; two docs with Jaccard j collide w.p.
+    1-(1-j^r)^b. Defaults (64 perms, 16 bands of 4) target j ≳ 0.5.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signature_expr(shingles_expr(F.col(text_col), shingle_n), num_perm)
+    with_sig = df.select(F.col(id_col).alias("__id__"), sig.alias("__sig__"))
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.element_at("__sig__", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = with_sig.select("__id__", F.explode(band_structs).alias("bb")).select(
+        "__id__", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.__id__") < F.col("r.__id__")),
+        )
+        .select(F.col("l.__id__").alias("a"), F.col("r.__id__").alias("b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_expr(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two string arrays (as sets)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate removal: LSH candidates → exact-Jaccard verify →
+    drop the higher id of each confirmed pair (union-find-free greedy,
+    deterministic). Returns the deduplicated DataFrame.
+
+    At scale the candidate verify joins shingle arrays back in — two
+    broadcast-or-shuffle hash joins on the id column, never O(N²).
+    """
+    cand = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, shingle_n)
+    sh = df.select(
+        F.col(id_col).alias("__id__"),
+        F.array_distinct(shingles_expr(F.col(text_col), shingle_n)).alias("__sh__"),
+    )
+    verified = (
+        cand.join(sh.withColumnRenamed("__id__", "a").withColumnRenamed("__sh__", "__sha__"), "a")
+        .join(sh.withColumnRenamed("__id__", "b").withColumnRenamed("__sh__", "__shb__"), "b")
+        .where(jaccard_expr(F.col("__sha__"), F.col("__shb__")) >= threshold)
+        .select("a", "b")
+    )
+    drop_ids = verified.select(F.col("b").alias(id_col)).distinct()
+    return df.join(drop_ids, on=id_col, how="left_anti")
+
+
+def simhash_expr(text: Column, bits: int = 64) -> Column:
+    """SimHash signature (long) from whitespace tokens.
+
+    For each bit position, sum +1/-1 over token hashes and take the sign.
+    Expressed with aggregate() over the token array — one pass, no explode,
+    no UDF.
+    """
+    toks = F.array_distinct(tokens_expr(F.lower(text)))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_sum(i: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(bit_sum(i) > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    chunks: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit signature into ``chunks``
+    16/8-bit pieces; pairs agreeing on ≥1 piece are candidates (pigeonhole:
+    any pair within hamming ≤ chunks-1 shares a piece); verify by exact
+    hamming distance ≤ ``max_hamming``. Returns (a, b, hamming)."""
+    bits_per = 64 // chunks
+    sig = simhash_expr(F.col(text_col))
+    base = df.select(F.col(id_col).alias("__id__"), sig.alias("__sig__"))
+
+    pieces = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright("__sig__", c * bits_per)
+                .bitwiseAND(F.lit((1 << bits_per) - 1))
+                .alias("piece"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    keyed = base.select("__id__", "__sig__", F.explode(pieces).alias("p")).select(
+        "__id__", "__sig__", F.col("p.chunk").alias("chunk"), F.col("p.piece").alias("piece")
+    )
+    l, r = keyed.alias("l"), keyed.alias("r")
+    ham = F.bit_count(F.col("l.__sig__").bitwiseXOR(F.col("r.__sig__")))
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.piece") == F.col("r.piece"))
+            & (F.col("l.__id__") < F.col("r.__id__")),
+        )
+        .select(F.col("l.__id__").alias("a"), F.col("r.__id__").alias("b"), ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,141 @@
+"""Multimodal column pattern: opaque binary payloads + typed metadata.
+
+Design: image/audio/video payloads are ``binary`` columns accompanied by a
+``struct`` metadata column (modality, mime, size, checksum, and
+modality-specific fields). Decode / feature-extract / resize / frame-sample
+run as Arrow-batched pandas functions over ``mapInPandas`` — the Spark-side
+plumbing (schema, batch shape, partitioning) is real; the actual codec call
+is stubbed (image/audio libraries are not available in this container) via
+``decoder=`` injection: pass a real decoder in production, the default
+deterministic fake elsewhere.
+
+Scale notes: payload columns dominate IO — always ``select`` them away
+before wide shuffles; metadata-only plans never touch the bytes thanks to
+parquet column pruning. ``mapInPandas`` preserves partitioning (no shuffle)
+and streams Arrow batches, so executor memory is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any, Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "MEDIA_METADATA_TYPE",
+    "attach_binary_metadata",
+    "fake_image_decoder",
+    "decode_image_features",
+    "sample_frames",
+]
+
+MEDIA_METADATA_TYPE = T.StructType(
+    [
+        T.StructField("modality", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+    ]
+)
+
+IMAGE_FEATURES_TYPE = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+    ]
+)
+
+
+def attach_binary_metadata(
+    df: DataFrame, payload_col: str, modality: str, mime: str, out_col: str = "media_meta"
+) -> DataFrame:
+    """Typed metadata struct for a binary payload column — pure expressions
+    (sha2/length are JVM built-ins), no Python."""
+    return df.withColumn(
+        out_col,
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.lit(mime).alias("mime"),
+            F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+            F.sha2(F.col(payload_col), 256).alias("sha256"),
+        ),
+    )
+
+
+def fake_image_decoder(payload: bytes) -> dict[str, Any]:
+    """Deterministic stand-in for a real image codec (PIL/libvips are not in
+    this container). Derives stable pseudo-dimensions from the payload hash.
+    Replace with a real decoder via the ``decoder=`` argument."""
+    h = hashlib.sha256(payload).digest()
+    return {
+        "width": 64 + h[0] % 192,
+        "height": 64 + h[1] % 192,
+        "channels": 3,
+        "mean_intensity": round(sum(h[:16]) / 16 / 255.0, 6),
+    }
+
+
+def decode_image_features(
+    df: DataFrame,
+    payload_col: str,
+    id_cols: list[str],
+    decoder: Callable[[bytes], dict[str, Any]] = fake_image_decoder,
+) -> DataFrame:
+    """Decode image payloads to a feature struct via mapInPandas.
+
+    Output schema: id_cols + ``features`` struct. Arrow-batched; the
+    decoder runs once per row inside the batch loop (vectorize inside the
+    decoder for real codecs).
+    """
+    id_fields = [df.schema[c] for c in id_cols]
+    out_schema = T.StructType(list(id_fields) + [T.StructField("features", IMAGE_FEATURES_TYPE)])
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf[payload_col].map(
+                lambda b: decoder(bytes(b)) if b is not None else None
+            )
+            out = pdf[id_cols].copy()
+            out["features"] = feats
+            yield out
+
+    return df.select(*id_cols, payload_col).mapInPandas(process, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str,
+    id_cols: list[str],
+    every_n: int = 10,
+    frame_extractor: Callable[[bytes, int], list[bytes]] | None = None,
+) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: emits one row per sampled
+    frame (id_cols + frame_idx + frame binary). The extractor is stubbed —
+    ``NotImplementedError`` unless injected."""
+    id_fields = [df.schema[c] for c in id_cols]
+    out_schema = T.StructType(
+        list(id_fields)
+        + [T.StructField("frame_idx", T.IntegerType()), T.StructField("frame", T.BinaryType())]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                if frame_extractor is None:
+                    raise NotImplementedError(
+                        "video decoding requires a frame_extractor (codec libs not available)"
+                    )
+                frames = frame_extractor(bytes(row[payload_col]), every_n)
+                for i, fr in enumerate(frames):
+                    rows.append({**{c: row[c] for c in id_cols}, "frame_idx": i, "frame": fr})
+            yield pd.DataFrame(rows, columns=[*id_cols, "frame_idx", "frame"])
+
+    return df.select(*id_cols, payload_col).mapInPandas(process, out_schema)

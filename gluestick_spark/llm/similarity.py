@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (array<float>).
+
+Scale design:
+- **cosine_similarity / brute-force top-k**: the dot product is a JVM
+  ``aggregate``/``zip_with`` expression over double arrays — no Python, no
+  shuffle until the final top-k (``orderBy ... limit k`` → Spark's
+  TakeOrderedAndProject, a per-partition heap + driver merge: O(N) scan,
+  O(k) result, no full sort).
+- **LSH-bucketed ANN (random hyperplanes)**: H seeded hyperplanes → H-bit
+  signature → candidates share the query's bucket (multi-probe: hamming ≤ 1
+  neighbors). Planes are generated driver-side from a fixed seed and inlined
+  as literals — deterministic across runs. Bucket search touches ~N/2^H of
+  the corpus.
+- **IVF (inverted file)**: k centroid seeds chosen deterministically; each
+  vector assigned to nearest centroid (one pass); queries probe the nearest
+  ``nprobe`` centroids. Partition-prunable when the table is written
+  partitioned by centroid id.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dot_expr",
+    "norm_expr",
+    "cosine_expr",
+    "cosine_similarity",
+    "cosine_topk",
+    "random_hyperplanes",
+    "hyperplane_signature_expr",
+    "lsh_ann_topk",
+    "ivf_assign",
+    "ivf_topk",
+]
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Dot product of two numeric arrays (double accumulation, JVM-side)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    denom = norm_expr(a) * norm_expr(b)
+    return F.when(denom > 0, dot_expr(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def cosine_similarity(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    out_col: str = "similarity",
+) -> DataFrame:
+    """Append cosine similarity vs a literal query vector. One projection."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return df.withColumn(out_col, cosine_expr(F.col(vec_col), q))
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force exact top-k by cosine similarity (ties broken by id).
+
+    ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject — per
+    partition heap, no global sort shuffle.
+    """
+    sim = cosine_similarity(df, vec_col, query)
+    return sim.select(id_col, "similarity").orderBy(
+        F.col("similarity").desc(), F.col(id_col).asc()
+    ).limit(k)
+
+
+def random_hyperplanes(dim: int, num_planes: int = 12, seed: int = 42) -> list[list[float]]:
+    """Deterministic unit hyperplanes (driver-side, seeded)."""
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(num_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def hyperplane_signature_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature (long) of ``vec`` against the hyperplanes."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        pl = F.array(*[F.lit(float(x)) for x in p])
+        sig = sig + F.when(dot_expr(vec, pl) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    num_planes: int = 12,
+    seed: int = 42,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: restrict the brute-force scan to vectors whose
+    hyperplane signature is within hamming distance ``multiprobe`` of the
+    query's signature, then rank by exact cosine."""
+    dim = len(query)
+    planes = random_hyperplanes(dim, num_planes, seed)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query, p)) > 0:
+            qsig |= 1 << i
+    sig = hyperplane_signature_expr(F.col(vec_col), planes)
+    candidates = df.withColumn("__sig__", sig).where(
+        F.bit_count(F.col("__sig__").bitwiseXOR(F.lit(qsig).cast("long"))) <= multiprobe
+    )
+    return cosine_topk(candidates.drop("__sig__"), vec_col, query, k, id_col)
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    out_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine). One
+    projection; write the result partitioned by ``out_col`` for
+    partition-pruned probes at scale."""
+    best_id = F.lit(0)
+    best_sim = F.lit(-2.0)
+    for i, c in enumerate(centroids):
+        cl = F.array(*[F.lit(float(x)) for x in c])
+        s = cosine_expr(F.col(vec_col), cl)
+        best_id = F.when(s > best_sim, F.lit(i)).otherwise(best_id)
+        best_sim = F.when(s > best_sim, s).otherwise(best_sim)
+    return df.withColumn(out_col, best_id)
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe: rank centroids by similarity to the query, brute-force
+    only the ``nprobe`` nearest lists."""
+    sims = []
+    for i, c in enumerate(centroids):
+        denom = math.sqrt(sum(x * x for x in c)) * math.sqrt(sum(x * x for x in query))
+        s = sum(a * b for a, b in zip(query, c)) / denom if denom else 0.0
+        sims.append((s, i))
+    probe = [i for _, i in sorted(sims, reverse=True)[:nprobe]]
+    assigned = ivf_assign(df, vec_col, centroids)
+    candidates = assigned.where(F.col("centroid_id").isin(probe)).drop("centroid_id")
+    return cosine_topk(candidates, vec_col, query, k, id_col)

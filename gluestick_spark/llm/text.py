@@ -1,0 +1,136 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): language ID, quality
+scoring, token counting, document fingerprinting. All hot paths are built-in
+``pyspark.sql.functions`` expressions (JVM, whole-stage codegen) — no Python
+in the per-row path — so they scale linearly with executors and never
+shuffle except where aggregation is requested by the caller.
+
+Every operator is deterministic and (where noted) mirrorable in ANSI SQL for
+the DuckDB correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens_expr",
+    "word_count_expr",
+    "bpe_token_count_expr",
+    "lang_scores_expr",
+    "lang_id_expr",
+    "quality_score_expr",
+    "fingerprint_expr",
+    "shingles_expr",
+    "STOPWORDS",
+    "LANG_MARKERS",
+]
+
+# Small English stopword list for quality scoring (public-domain set).
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this", "are",
+]
+
+# Marker words per language for the n-gram/stopword language heuristic.
+# Deterministic, SQL-mirrorable (each score is a sum of CONTAINS hits).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "with"],
+    "de": ["der", "und", "das", "nicht", "ist"],
+    "es": ["el", "que", "los", "una", "por"],
+    "fr": ["le", "les", "des", "est", "une"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def tokens_expr(col: Column) -> Column:
+    """Whitespace tokenization with empty-token removal."""
+    return F.filter(F.split(col, r"\s+"), lambda x: x != "")
+
+
+def word_count_expr(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_expr(col))
+
+
+def bpe_token_count_expr(col: Column) -> Column:
+    """BPE-ish token estimate: count of word pieces / number runs /
+    punctuation singletons (a common regex approximation of byte-pair
+    tokenizers — SQL-mirrorable via regexp matching).
+    """
+    pieces = F.regexp_extract_all(col, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1)
+    return F.size(pieces)
+
+
+def _word_hits(col: Column, word: str) -> Column:
+    """Count of whole-word occurrences of ``word`` (case-insensitive)."""
+    return F.size(
+        F.regexp_extract_all(F.lower(col), F.lit(rf"\b{word}\b"), 0)
+    )
+
+
+def lang_scores_expr(col: Column) -> dict[str, Column]:
+    """Per-language marker-hit scores."""
+    return {
+        lang: sum((_word_hits(col, w) for w in words), F.lit(0))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id_expr(col: Column) -> Column:
+    """Argmax language by marker score, ties broken by language code order;
+    'und' (undetermined) when no marker hits at all."""
+    scores = lang_scores_expr(col)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(scores, reverse=True):
+        s = scores[lang]
+        # >= so that earlier (alphabetically smaller) languages win ties
+        best = F.when(s >= best_score, F.lit(lang)).otherwise(best)
+        best_score = F.when(s >= best_score, s).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def quality_score_expr(col: Column) -> Column:
+    """Composite quality score in [0,1]: combines length band, alphabetic
+    ratio, stopword ratio, and mean word length band. Deterministic integer/
+    double arithmetic, SQL-mirrorable.
+    """
+    n_chars = F.length(col)
+    n_words = word_count_expr(col)
+    n_alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
+    n_stop = sum((_word_hits(col, w) for w in STOPWORDS), F.lit(0))
+
+    alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_words, F.lit(1))
+    mean_word_len = n_chars / F.greatest(n_words, F.lit(1))
+
+    len_band = F.when((n_chars >= 100) & (n_chars <= 10000), F.lit(1.0)).otherwise(F.lit(0.5))
+    wl_band = F.when((mean_word_len >= 3.0) & (mean_word_len <= 12.0), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    stop_band = F.when(stop_ratio > 0.05, F.lit(1.0)).otherwise(F.lit(0.6))
+    score = (len_band * 0.3 + wl_band * 0.2 + stop_band * 0.2) + alpha_ratio * 0.3
+    # truncate, don't round: round() half-ties resolve differently across
+    # engines (observed: 0.9428125 → Spark 0.942812, DuckDB 0.942813)
+    return F.floor(score * 1e6) / 1e6
+
+
+def fingerprint_expr(col: Column) -> Column:
+    """Document fingerprint: md5 over the sorted set of lowercase words —
+    word-order- and duplication-insensitive content identity (cheap exact
+    near-dup key; SQL-mirrorable)."""
+    norm = F.array_sort(F.array_distinct(tokens_expr(F.lower(col))))
+    return F.md5(F.concat_ws(" ", norm))
+
+
+def shingles_expr(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array of strings (input to MinHash)."""
+    toks = tokens_expr(F.lower(col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))

@@ -244,6 +244,7 @@ def compress_rows_to_col(
     column_name: str,
     prefix: str | None = None,
     stringify: bool = False,
+    flatten_single: bool = False,
     sep: str = ".",
 ) -> DataFrame:
     """Inverse of ``explode_json_to_rows``: gather ``{prefix}.{key}`` child
@@ -260,11 +261,14 @@ def compress_rows_to_col(
     child_cols = [c for c in df.columns if c.startswith(prefix + sep)]
     parent_cols = [c for c in df.columns if c not in child_cols and c not in pk_list]
 
-    element = F.struct(
-        *[F.col(f"`{c}`").alias(c[len(prefix) + len(sep):]) for c in child_cols]
-    )
-    if stringify:
-        element = F.to_json(element)
+    if flatten_single and len(child_cols) == 1:
+        element = F.col(f"`{child_cols[0]}`")
+    else:
+        element = F.struct(
+            *[F.col(f"`{c}`").alias(c[len(prefix) + len(sep):]) for c in child_cols]
+        )
+        if stringify:
+            element = F.to_json(element)
     aggs = [F.first(F.col(f"`{c}`"), ignorenulls=False).alias(c) for c in parent_cols]
     aggs.append(F.collect_list(element).alias(column_name))
     return df.groupBy(*[F.col(f"`{c}`") for c in pk_list]).agg(*aggs)

@@ -204,6 +204,18 @@ def drop_redundant(
     return result.drop("hash")
 
 
+def merge_id_df(df: DataFrame, ids: DataFrame, pk: str) -> DataFrame:
+    """Core of merge_id_from_snapshot: ids (InputId, RemoteId) deduped
+    keep-last, broadcast left join on df.externalId, RemoteId → ``pk``."""
+    from .union import keep_last
+
+    ids = keep_last(ids.select("InputId", "RemoteId"), "InputId")
+    merged = df.join(F.broadcast(ids), df["externalId"] == ids["InputId"], "left").drop(
+        "InputId"
+    )
+    return merged.withColumnRenamed("RemoteId", pk)
+
+
 def merge_id_from_snapshot(
     spark: SparkSession,
     df: DataFrame,
@@ -224,13 +236,4 @@ def merge_id_from_snapshot(
     snap = read_snapshots(spark, prefix, snapshot_dir)
     if snap is None:
         return df
-
-    from .union import keep_last
-
-    ids = keep_last(snap.select("InputId", "RemoteId"), "InputId")
-    merged = df.join(
-        F.broadcast(ids),
-        df["externalId"] == ids["InputId"],
-        "left",
-    ).drop("InputId")
-    return merged.withColumnRenamed("RemoteId", pk)
+    return merge_id_df(df, snap, pk)
