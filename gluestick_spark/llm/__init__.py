@@ -9,6 +9,7 @@ from .text import (
     shingles_expr,
 )
 from .dedup import (
+    minhash_signatures,
     exact_dedup,
     minhash_signature_expr,
     minhash_lsh_candidates,

@@ -59,12 +59,34 @@ def exact_dedup(
 
 
 def minhash_signature_expr(shingles: Column, num_perm: int = 64) -> Column:
-    """MinHash signature: per permutation i, min over shingles of
-    xxhash64(shingle, seed=i). Array<long> of length ``num_perm``.
-    Pure JVM expressions — no UDF, no shuffle."""
+    """MinHash signature as a single expression: per permutation i, min over
+    shingles of xxhash64(shingle, seed=i). Array<long> of length
+    ``num_perm``. NOTE: prefer ``minhash_signatures`` (DataFrame form) in
+    pipelines — this inline form re-evaluates the shingle array per
+    permutation and overflows whole-stage codegen at num_perm=64."""
     return F.array(
         *[F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i)))) for i in range(num_perm)]
     )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>) via explode + 64 map-side-combinable ``min``
+    aggregates. The shingle array is computed once; each shingle is hashed
+    ``num_perm`` times on the exploded rows (the minimum possible work).
+    One shuffle on the id, partial aggregation executor-side."""
+    sh = df.select(
+        F.col(id_col).alias("__id__"),
+        F.explode_outer(F.array_distinct(shingles_expr(F.col(text_col), shingle_n))).alias("__s__"),
+    )
+    mins = [F.min(F.xxhash64("__s__", F.lit(i))).alias(f"m{i}") for i in range(num_perm)]
+    agg = sh.groupBy("__id__").agg(*mins)
+    return agg.select("__id__", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("__sig__"))
 
 
 def minhash_lsh_candidates(
@@ -82,8 +104,7 @@ def minhash_lsh_candidates(
     1-(1-j^r)^b. Defaults (64 perms, 16 bands of 4) target j ≳ 0.5.
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signature_expr(shingles_expr(F.col(text_col), shingle_n), num_perm)
-    with_sig = df.select(F.col(id_col).alias("__id__"), sig.alias("__sig__"))
+    with_sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
 
     band_structs = F.array(
         *[
