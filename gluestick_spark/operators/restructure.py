@@ -310,10 +310,12 @@ def json_tuple_to_cols(
             ]
         )
         src = F.col(column_name).cast("string")
-        # dict directly, or first element of a list (pandas_utils.py:40-49)
+        # first element of a list, else the dict directly
+        # (pandas_utils.py:40-49). Array parse first: from_json with a
+        # struct schema on an array input yields a struct of nulls, not null.
         parsed = F.coalesce(
-            F.from_json(src, st),
             F.element_at(F.from_json(src, T.ArrayType(st)), 1),
+            F.from_json(src, st),
         )
     elif isinstance(existing, T.ArrayType):
         parsed = F.element_at(F.col(column_name), 1)

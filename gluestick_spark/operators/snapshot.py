@@ -192,6 +192,13 @@ def drop_redundant(
                 "_updated", F.coalesce(F.col("_updated"), F.lit(False))
             )
 
+    # Materialize before the hash-snapshot swap: the result plan references
+    # the OLD snapshot files, which the upsert below replaces. Without the
+    # persist, collecting the returned DataFrame later would hit
+    # FAILED_READ_FILE on the swapped-out files.
+    result = result.persist()
+    result.count()
+
     snap_cols = pk_list + ["hash"] if pk_list else ["hash"]
     snapshot_records(
         spark,

@@ -1,0 +1,177 @@
+"""LLM-pipeline operator tests: dedup, similarity, text analysis, multimodal."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from gluestick_spark.llm import (
+    attach_binary_metadata,
+    bpe_token_count_expr,
+    cosine_topk,
+    decode_image_features,
+    exact_dedup,
+    fingerprint_expr,
+    ivf_topk,
+    jaccard_expr,
+    lang_id_expr,
+    lsh_ann_topk,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    quality_score_expr,
+    sample_frames,
+    simhash_expr,
+    simhash_near_dups,
+    word_count_expr,
+)
+from gluestick_spark.llm.similarity import random_hyperplanes
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=3, text="same"), Row(doc_id=1, text="same"), Row(doc_id=2, text="other")]
+    )
+    out = exact_dedup(df, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+
+
+def test_minhash_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+    near = base.replace("lazy", "sleepy")
+    far = "completely different words about spark dataframes and shuffle partitions at scale"
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text=near), Row(doc_id=3, text=far)]
+    )
+    cands = {(r["a"], r["b"]) for r in minhash_lsh_candidates(df, "text", "doc_id").collect()}
+    assert (1, 2) in cands
+    out = minhash_dedup(df, "text", "doc_id", threshold=0.5)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 3]  # 2 dropped as near-dup of 1
+
+
+def test_minhash_deterministic(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = sorted(map(tuple, minhash_lsh_candidates(docs, "text", "doc_id").collect()))
+    b = sorted(map(tuple, minhash_lsh_candidates(docs, "text", "doc_id").collect()))
+    assert a == b
+
+
+def test_simhash_identical_and_near(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta eta theta"),
+            Row(doc_id=2, text="alpha beta gamma delta epsilon zeta eta theta"),
+            Row(doc_id=3, text="alpha beta gamma delta epsilon zeta eta iota"),
+        ]
+    )
+    sigs = {r["doc_id"]: r["s"] for r in df.select("doc_id", simhash_expr(F.col("text")).alias("s")).collect()}
+    assert sigs[1] == sigs[2]
+
+    def ham(x: int, y: int) -> int:
+        return bin((x ^ y) & (2**64 - 1)).count("1")
+
+    # one-word change moves the signature, but much less than a random doc
+    other = simhash_expr(F.lit("totally unrelated corpus of shuffle partitions and executors"))
+    sig_other = df.limit(1).select(other.alias("s")).first()["s"]
+    assert 0 < ham(sigs[1], sigs[3]) < ham(sigs[1], sig_other)
+    # identical docs are always found by the banded search
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_near_dups(df, "text", "doc_id", max_hamming=16).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_jaccard_expr(spark):
+    df = spark.createDataFrame([Row(a=["x", "y", "z"], b=["y", "z", "w"])])
+    assert abs(df.select(jaccard_expr(F.col("a"), F.col("b")).alias("j")).first()["j"] - 0.5) < 1e-9
+
+
+def test_cosine_topk_exact(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = list(emb.where("vec_id = 0").first()["embedding"])
+    top = cosine_topk(emb, "embedding", q, k=3).collect()
+    assert top[0]["vec_id"] == 0
+    assert abs(top[0]["similarity"] - 1.0) < 1e-9
+    assert top[0]["similarity"] >= top[1]["similarity"] >= top[2]["similarity"]
+
+
+def test_lsh_ann_subset_of_bruteforce_space(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = list(emb.where("vec_id = 0").first()["embedding"])
+    approx = lsh_ann_topk(emb, "embedding", q, k=5, num_planes=8, multiprobe=2).collect()
+    assert approx[0]["vec_id"] == 0  # query vector always in its own bucket
+    exact = {r["vec_id"]: r["similarity"] for r in cosine_topk(emb, "embedding", q, k=500).collect()}
+    for r in approx:
+        assert abs(exact[r["vec_id"]] - r["similarity"]) < 1e-9
+
+
+def test_ivf_topk(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = list(emb.where("vec_id = 0").first()["embedding"])
+    cents = random_hyperplanes(len(q), 4, seed=7)
+    top = ivf_topk(emb, "embedding", q, cents, k=3, nprobe=4).collect()
+    # nprobe = all centroids → identical to brute force
+    exact = cosine_topk(emb, "embedding", q, k=3).collect()
+    assert [r["vec_id"] for r in top] == [r["vec_id"] for r in exact]
+
+
+def test_text_stats_and_lang(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat and the dog, with 42 others!"),
+            Row(doc_id=2, text="el que los una por el que"),
+            Row(doc_id=3, text=""),
+        ]
+    )
+    out = df.select(
+        "doc_id",
+        word_count_expr(F.col("text")).alias("w"),
+        bpe_token_count_expr(F.col("text")).alias("b"),
+        lang_id_expr(F.col("text")).alias("lang"),
+        quality_score_expr(F.col("text")).alias("q"),
+        fingerprint_expr(F.col("text")).alias("fp"),
+    ).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert rows[1]["w"] == 8
+    assert rows[1]["b"] == 10  # words + number + comma + bang
+    assert rows[1]["lang"] == "en"
+    assert rows[2]["lang"] == "es"
+    assert rows[3]["lang"] == "und"
+    assert 0.0 <= rows[1]["q"] <= 1.0
+    assert len(rows[1]["fp"]) == 32
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, text="alpha beta gamma"), Row(id=2, text="gamma  alpha beta beta")]
+    )
+    fps = [r["fp"] for r in df.select(fingerprint_expr(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_multimodal_metadata_and_decode(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="hello world")])
+    b = df.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    meta = attach_binary_metadata(b, "payload", "image", "image/png").first()["media_meta"]
+    assert meta["n_bytes"] == 11
+    assert len(meta["sha256"]) == 64
+    feats = decode_image_features(b, "payload", ["doc_id"]).first()["features"]
+    assert 64 <= feats["width"] < 256
+    assert feats["channels"] == 3
+    # deterministic fake
+    feats2 = decode_image_features(b, "payload", ["doc_id"]).first()["features"]
+    assert feats == feats2
+
+
+def test_sample_frames_requires_extractor(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="x")])
+    b = df.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    with pytest.raises(Exception, match="frame_extractor"):
+        sample_frames(b, "payload", ["doc_id"]).collect()
+    out = sample_frames(
+        b, "payload", ["doc_id"], frame_extractor=lambda data, n: [data, data]
+    ).collect()
+    assert [r["frame_idx"] for r in out] == [0, 1]

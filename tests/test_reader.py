@@ -1,0 +1,125 @@
+"""Reader tests (FIXTURES.md F5/F8; reference tests/function_tests/test_reader.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import types as T
+
+from gluestick_spark import Reader, read_csv_folder, read_parquet_folder
+from gluestick_spark.functions.casting import cast_df_to_schema
+
+
+def _setup_dir(tmp_dir: str) -> str:
+    sync = os.path.join(tmp_dir, "sync-output")
+    os.makedirs(sync)
+    pdf = pd.DataFrame(
+        {
+            "order_id": ["1", "2"],
+            "amount": ["5.5", "6.25"],
+            "created_at": ["2024-01-01T00:00:00Z", "bogus"],
+            "is_active": ["true", "nope"],
+        }
+    )
+    pdf.to_csv(os.path.join(sync, "orders-20250427T202522.csv"), index=False)
+    table = pa.Table.from_pandas(pdf)
+    table = table.replace_schema_metadata({"key_properties": json.dumps(["order_id"])})
+    pq.write_table(table, os.path.join(sync, "invoices-20250427T202522.parquet"))
+    # a second (older-named later) file for the same stream: first wins
+    pdf.head(1).to_csv(os.path.join(sync, "orders-20250428T000000.csv"), index=False)
+    catalog = {
+        "streams": [
+            {
+                "stream": "orders",
+                "tap_stream_id": "orders",
+                "schema": {
+                    "properties": {
+                        "order_id": {"type": ["integer", "null"]},
+                        "amount": {"type": ["number", "null"]},
+                        "created_at": {"type": ["string", "null"], "format": "date-time"},
+                        "is_active": {"type": ["boolean", "null"]},
+                    }
+                },
+                "metadata": [
+                    {"breadcrumb": [], "metadata": {"table-key-properties": ["order_id"]}}
+                ],
+            }
+        ]
+    }
+    with open(os.path.join(tmp_dir, "catalog.json"), "w") as f:
+        json.dump(catalog, f)
+    return tmp_dir
+
+
+def test_discovery_and_stream_names(spark, tmp_dir):
+    root = _setup_dir(tmp_dir)
+    r = Reader(spark, root_dir=root)
+    assert set(r.keys()) == {"orders", "invoices"}
+    assert "orders" in r
+    # first file wins
+    assert r.input_files["orders"].endswith("orders-20250427T202522.csv")
+
+
+def test_ignore_list(spark, tmp_dir):
+    root = _setup_dir(tmp_dir)
+    r = Reader(spark, root_dir=root, ignore=["invoices"])
+    assert set(r.keys()) == {"orders"}
+
+
+def test_catalog_typed_read(spark, tmp_dir):
+    root = _setup_dir(tmp_dir)
+    r = Reader(spark, root_dir=root)
+    df = r.get("orders", catalog_types=True)
+    schema = dict(df.dtypes)
+    assert schema["order_id"] == "bigint"
+    assert schema["amount"] == "double"
+    assert schema["created_at"] == "timestamp"
+    assert schema["is_active"] == "boolean"
+    rows = {r_["order_id"]: r_ for r_ in df.collect()}
+    assert rows[1]["amount"] == 5.5
+    assert rows[1]["is_active"] is True
+    assert rows[2]["is_active"] is None  # "nope" → null (boolean CASE)
+    assert rows[2]["created_at"] is None  # "bogus" → null (coerce)
+
+
+def test_get_default_for_missing_stream(spark, tmp_dir):
+    root = _setup_dir(tmp_dir)
+    r = Reader(spark, root_dir=root)
+    assert r.get("nope") is None
+    sentinel = spark.range(1)
+    assert r.get("nope", default=sentinel) is sentinel
+
+
+def test_pk_from_parquet_metadata(spark, tmp_dir):
+    root = _setup_dir(tmp_dir)
+    r = Reader(spark, root_dir=root)
+    assert r.get_pk("invoices") == ["order_id"]
+
+
+def test_pk_from_catalog_breadcrumb(spark, tmp_dir):
+    root = _setup_dir(tmp_dir)
+    r = Reader(spark, root_dir=root)
+    assert r.get_pk("orders") == ["order_id"]
+
+
+def test_folder_readers(spark, tmp_dir):
+    root = _setup_dir(tmp_dir)
+    sync = os.path.join(root, "sync-output")
+    csvs = read_csv_folder(spark, sync)
+    assert "orders" in csvs and "invoices" not in csvs
+    pqs = read_parquet_folder(spark, sync)
+    assert "invoices" in pqs and pqs["invoices"].count() == 2
+
+
+def test_cast_df_strict_adds_missing(spark):
+    df = spark.createDataFrame([("1",)], ["a"])
+    target = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    out = cast_df_to_schema(df, target, strict=True)
+    assert set(out.columns) == {"a", "b"}
+    assert out.first()["b"] is None

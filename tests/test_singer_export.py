@@ -1,0 +1,131 @@
+"""Singer sink + export router tests (FIXTURES.md F5/F11;
+reference tests/function_tests/test_to_singer.py, test_singer_protocol.py)."""
+
+from __future__ import annotations
+
+import datetime
+import io
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from gluestick_spark import to_export, to_singer
+from gluestick_spark.sinks.singer import write_record, write_schema, write_state
+
+
+def test_write_schema_coerces_key_properties():
+    buf = io.StringIO()
+    write_schema("s", {"type": "object"}, "id", fp=buf)
+    msg = json.loads(buf.getvalue())
+    assert msg["key_properties"] == ["id"]
+    with pytest.raises(ValueError):
+        write_schema("s", {}, 123, fp=buf)
+
+
+def test_write_record_rejects_naive_time_extracted():
+    buf = io.StringIO()
+    with pytest.raises(ValueError):
+        write_record("s", {}, time_extracted=datetime.datetime(2024, 1, 1), fp=buf)
+    aware = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    write_record("s", {"a": 1}, time_extracted=aware, fp=buf)
+    msg = json.loads(buf.getvalue())
+    assert msg["time_extracted"] == "2024-01-01T00:00:00.000000Z"
+
+
+def test_write_state():
+    buf = io.StringIO()
+    write_state({"bookmark": 5}, fp=buf)
+    assert json.loads(buf.getvalue()) == {"type": "STATE", "value": {"bookmark": 5}}
+
+
+def test_to_singer_message_shape(spark, tmp_dir):
+    df = spark.createDataFrame(
+        [Row(a=1, b="x", ts=datetime.datetime(2024, 1, 2, 3, 4, 5, 123456)),
+         Row(a=2, b=None, ts=None)]
+    )
+    to_singer(df, "t", tmp_dir, keys=["a"])
+    lines = [json.loads(l) for l in open(os.path.join(tmp_dir, "data.singer"))]
+    assert [m["type"] for m in lines] == ["SCHEMA", "RECORD", "RECORD", "STATE"]
+    schema = lines[0]
+    assert schema["key_properties"] == ["a"]
+    assert schema["schema"]["properties"]["ts"] == {
+        "type": ["string", "null"],
+        "format": "date-time",
+    }
+    recs = {m["record"]["a"]: m["record"] for m in lines[1:3]}
+    # singer datetime format %Y-%m-%dT%H:%M:%S.%fZ
+    assert recs[1]["ts"] == "2024-01-02T03:04:05.123456Z"
+    # nulls dropped per record
+    assert "b" not in recs[2] and "ts" not in recs[2]
+
+
+def test_to_singer_keep_null_fields(spark, tmp_dir):
+    df = spark.createDataFrame([Row(a=1, b=None)], schema="a long, b string")
+    to_singer(df, "t", tmp_dir, keys=["a"], keep_null_fields=True, filename="k.singer")
+    lines = [json.loads(l) for l in open(os.path.join(tmp_dir, "k.singer"))]
+    assert lines[1]["record"] == {"a": 1, "b": None}
+
+
+def test_to_singer_append_mode(spark, tmp_dir):
+    df = spark.createDataFrame([Row(a=1)])
+    to_singer(df, "t", tmp_dir, keys=["a"])
+    to_singer(df, "t", tmp_dir, keys=["a"])
+    lines = [json.loads(l) for l in open(os.path.join(tmp_dir, "data.singer"))]
+    assert [m["type"] for m in lines] == ["SCHEMA", "RECORD", "STATE"] * 2
+
+
+def test_to_singer_stringifies_complex_without_allow_objects(spark, tmp_dir):
+    df = spark.createDataFrame([Row(a=1, obj=Row(x=1, y="z"))])
+    to_singer(df, "t", tmp_dir, keys=["a"], filename="c.singer")
+    lines = [json.loads(l) for l in open(os.path.join(tmp_dir, "c.singer"))]
+    assert lines[0]["schema"]["properties"]["obj"] == {"type": ["string", "null"]}
+    assert json.loads(lines[1]["record"]["obj"]) == {"x": 1, "y": "z"}
+
+
+def test_to_singer_allow_objects_keeps_structs(spark, tmp_dir):
+    df = spark.createDataFrame([Row(a=1, obj=Row(x=1, y="z"))])
+    df = df.withColumn("dead", F.lit(None).cast("string"))
+    to_singer(df, "t", tmp_dir, keys=["a"], allow_objects=True, filename="o.singer")
+    lines = [json.loads(l) for l in open(os.path.join(tmp_dir, "o.singer"))]
+    props = lines[0]["schema"]["properties"]
+    assert "dead" not in props  # all-null column dropped
+    assert props["obj"]["type"] == ["object", "null"]
+    assert lines[1]["record"]["obj"] == {"x": 1, "y": "z"}
+
+
+def test_to_export_parquet_roundtrip(spark, tmp_dir):
+    df = spark.createDataFrame([Row(a=1, b="x"), Row(a=2, b="y")])
+    to_export(df, "camp", tmp_dir, export_format="parquet")
+    back = spark.read.parquet(os.path.join(tmp_dir, "camp.parquet"))
+    assert sorted([tuple(r) for r in back.collect()]) == [(1, "x"), (2, "y")]
+
+
+def test_to_export_csv_roundtrip(spark, tmp_dir):
+    df = spark.createDataFrame([Row(a=1, b="x")])
+    to_export(df, "camp", tmp_dir, export_format="csv")
+    back = spark.read.option("header", "true").csv(os.path.join(tmp_dir, "camp.csv"))
+    assert back.first()["b"] == "x"
+
+
+def test_to_export_jsonl(spark, tmp_dir):
+    df = spark.createDataFrame([Row(a=1, b="x")])
+    to_export(df, "camp", tmp_dir, export_format="jsonl")
+    back = spark.read.json(os.path.join(tmp_dir, "camp.jsonl"))
+    assert back.first()["a"] == 1
+
+
+def test_to_export_name_override_env(spark, tmp_dir, monkeypatch):
+    monkeypatch.setenv("HG_UNIFIED_OUTPUT_CAMP", "renamed")
+    df = spark.createDataFrame([Row(a=1)])
+    to_export(df, "camp", tmp_dir, export_format="parquet")
+    assert os.path.exists(os.path.join(tmp_dir, "renamed.parquet"))
+
+
+def test_to_export_prefix_templating(spark, tmp_dir, monkeypatch):
+    monkeypatch.setenv("TENANT", "acme")
+    df = spark.createDataFrame([Row(a=1)])
+    to_export(df, "camp", tmp_dir, export_format="parquet", output_file_prefix="{tenant}_")
+    assert os.path.exists(os.path.join(tmp_dir, "acme_camp.parquet"))
