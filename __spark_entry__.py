@@ -478,6 +478,34 @@ FROM events
 # LLM-pipeline operators
 # ---------------------------------------------------------------------------
 
+def q_map_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5/R6 mapping DSL: simple rename + nested struct + pick lookup join."""
+    from gluestick_spark.operators.mapping import map_fields_df
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    mapping = {
+        "order_id": "o_orderkey",
+        "status": "o_orderstatus",
+        "customer_name": {
+            "pick": {
+                "objects": "customer",
+                "id_field": "c_custkey",
+                "filter_ids": "rec.o_custkey",
+                "target_fields": "c_name",
+            }
+        },
+    }
+    out = map_fields_df(o, mapping, {"customer": c})
+    return out.select("order_id", "status", "customer_name")
+
+
+_Q_MAP_FIELDS_SQL = """
+SELECT o_orderkey AS order_id, o_orderstatus AS status, c_name AS customer_name
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return exact_dedup(d, "text", "doc_id").select("doc_id", "lang", "source")
@@ -744,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keep_last_dedup": q_keep_last,
         "custom_fields": q_custom_fields,
         "catalog_coercion": q_catalog_coercion,
+        "map_fields": q_map_fields,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "token_stats": q_token_stats,
@@ -782,6 +811,7 @@ def oracle_sql() -> dict[str, str]:
         "keep_last_dedup": _Q_KEEP_LAST_SQL,
         "custom_fields": _Q_CUSTOM_FIELDS_SQL,
         "catalog_coercion": _Q_CATALOG_COERCION_SQL,
+        "map_fields": _Q_MAP_FIELDS_SQL,
         "dedup_exact": _Q_DEDUP_EXACT_SQL,
         "dedup_fingerprint": _Q_DEDUP_FP_SQL,
         "token_stats": _Q_TOKEN_STATS_SQL,

@@ -1,0 +1,59 @@
+"""Config/env plumbing.
+
+Parity targets (citations into /root/reference):
+- ``config_utils``: gluestick/config_utils.py — env-var + config.json
+  resolution and the hotglue directory conventions (``sync-output``,
+  ``etl-output``, ``snapshots``, ``tmp`` under the job root,
+  config_utils.py:46-57).
+
+Driver-side pure Python; Spark jobs read the resolved paths.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+__all__ = ["JobDirs", "get_job_dirs", "read_config", "get_config_value"]
+
+
+class JobDirs:
+    """Hotglue job directory conventions."""
+
+    def __init__(self, root: str | None = None) -> None:
+        self.root = root or os.environ.get("ROOT_DIR", ".")
+        self.input_dir = os.environ.get("INPUT_DIR", os.path.join(self.root, "sync-output"))
+        self.output_dir = os.environ.get("OUTPUT_DIR", os.path.join(self.root, "etl-output"))
+        self.snapshot_dir = os.environ.get("SNAPSHOT_DIR", os.path.join(self.root, "snapshots"))
+        self.tmp_dir = os.environ.get("TMP_DIR", os.path.join(self.root, "tmp"))
+
+    def ensure(self) -> "JobDirs":
+        for d in (self.output_dir, self.snapshot_dir, self.tmp_dir):
+            os.makedirs(d, exist_ok=True)
+        return self
+
+
+def get_job_dirs(root: str | None = None) -> JobDirs:
+    return JobDirs(root)
+
+
+def read_config(root: str | None = None, filename: str = "config.json") -> dict[str, Any]:
+    """Load ``{root}/config.json`` (empty dict when absent)."""
+    root = root or os.environ.get("ROOT_DIR", ".")
+    path = os.path.join(root, filename)
+    if not os.path.isfile(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def get_config_value(key: str, config: dict[str, Any] | None = None, default: Any = None) -> Any:
+    """Resolve a config value: env var (upper-cased key) wins, then
+    config.json, then default."""
+    env = os.environ.get(key.upper())
+    if env is not None:
+        return env
+    if config and key in config:
+        return config[key]
+    return default
