@@ -440,6 +440,24 @@ FROM nation
 """
 
 
+def q_array_to_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 array_to_dict_reducer: entries array -> map, emitted as JSON."""
+    from gluestick_spark.operators.project import array_to_dict_expr, custom_fields_expr
+
+    c = _t(spark, sf_dir, "customer")
+    entries = custom_fields_expr(["c_name", "c_mktsegment"])
+    return c.select(
+        "c_custkey", F.to_json(array_to_dict_expr(entries)).alias("attrs")
+    )
+
+
+_Q_ARRAY_TO_DICT_SQL = """
+SELECT c_custkey,
+  to_json(map(['c_name','c_mktsegment'], [c_name, c_mktsegment]))::VARCHAR AS attrs
+FROM customer
+"""
+
+
 def q_catalog_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7/S15 semantics: string columns coerced per catalog types
     (int cast, boolean lowercase-CASE, try_to_timestamp)."""
@@ -713,6 +731,13 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(d, "text", "doc_id", threshold=0.8).select("doc_id")
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gluestick_spark.llm.dedup import embedding_near_dups
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(e, "embedding", "vec_id", threshold=0.3, dim=64)
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     return simhash_near_dups(d, "text", "doc_id", max_hamming=8)
@@ -773,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custom_fields": q_custom_fields,
         "catalog_coercion": q_catalog_coercion,
         "map_fields": q_map_fields,
+        "array_to_dict": q_array_to_dict,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "token_stats": q_token_stats,
@@ -785,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": q_minhash_candidates,
         "minhash_dedup": q_minhash_dedup,
         "simhash_near_dups": q_simhash_near_dups,
+        "embedding_near_dups": q_embedding_near_dups,
         "lsh_ann_topk": q_lsh_ann,
         "image_features": q_image_features,
     }
@@ -812,6 +839,7 @@ def oracle_sql() -> dict[str, str]:
         "custom_fields": _Q_CUSTOM_FIELDS_SQL,
         "catalog_coercion": _Q_CATALOG_COERCION_SQL,
         "map_fields": _Q_MAP_FIELDS_SQL,
+        "array_to_dict": _Q_ARRAY_TO_DICT_SQL,
         "dedup_exact": _Q_DEDUP_EXACT_SQL,
         "dedup_fingerprint": _Q_DEDUP_FP_SQL,
         "token_stats": _Q_TOKEN_STATS_SQL,

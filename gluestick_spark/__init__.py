@@ -27,8 +27,12 @@ from .operators.project import (
     pluck_fields,
     pluck_fields_by_regex,
     custom_fields_expr,
+    array_to_dict_expr,
     drop_all_null_columns,
 )
+from .operators.mapping import map_fields_df, read_tenant_custom_mapping, should_map_table
+from .config import JobDirs, get_job_dirs, read_config, get_config_value, exception
+from .validation import validate_records, split_valid_invalid
 from .operators.union import union_relaxed, keep_last, widest_common_type
 from .operators.snapshot import snapshot_records, drop_redundant, merge_id_from_snapshot, upsert
 from .functions.hashing import row_hash_expr, with_row_hash

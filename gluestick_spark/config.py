@@ -15,7 +15,7 @@ import json
 import os
 from typing import Any
 
-__all__ = ["JobDirs", "get_job_dirs", "read_config", "get_config_value"]
+__all__ = ["JobDirs", "get_job_dirs", "read_config", "get_config_value", "exception"]
 
 
 class JobDirs:
@@ -46,6 +46,19 @@ def read_config(root: str | None = None, filename: str = "config.json") -> dict[
         return {}
     with open(path) as f:
         return json.load(f)
+
+
+def exception(message: str, root: str | None = None, error_file: str = "errors.txt") -> None:
+    """Persist ``message`` to ``{root}/errors.txt`` then raise
+    (gluestick/etl_utils.py:834-853): downstream job tooling reads the file
+    after the process dies."""
+    root = root or os.environ.get("ROOT_DIR", ".")
+    try:
+        with open(os.path.join(root, error_file), "a") as f:
+            f.write(message + "\n")
+    except OSError:
+        pass
+    raise Exception(message)
 
 
 def get_config_value(key: str, config: dict[str, Any] | None = None, default: Any = None) -> Any:

@@ -17,6 +17,8 @@ from .dedup import (
     simhash_expr,
     simhash_near_dups,
     jaccard_expr,
+    embedding_near_dups,
+    embedding_dedup,
 )
 from .similarity import (
     cosine_expr,

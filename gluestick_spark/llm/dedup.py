@@ -34,6 +34,8 @@ __all__ = [
     "simhash_expr",
     "simhash_near_dups",
     "jaccard_expr",
+    "embedding_near_dups",
+    "embedding_dedup",
 ]
 
 
@@ -170,6 +172,86 @@ def minhash_dedup(
         .select("a", "b")
     )
     drop_ids = verified.select(F.col("b").alias(id_col)).distinct()
+    return df.join(drop_ids, on=id_col, how="left_anti")
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    dim: int | None = None,
+    num_planes: int = 16,
+    chunks: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-LSH banding.
+
+    ``num_planes`` seeded random hyperplanes give each vector a sign-bit
+    signature; the signature is banded into ``chunks`` pieces and pairs
+    agreeing on ≥1 piece (same piece id + value) are candidates — near-equal
+    embeddings agree on most sign bits, so by pigeonhole any pair within
+    ``chunks-1`` differing bits shares a piece. Candidates are verified with
+    exact cosine ≥ ``threshold``. Returns (a, b, cosine) with a < b.
+
+    Scale: buckets carry only (id, chunk, piece); vectors are joined back
+    for the verify step — two hash joins on the id, never an N² cross join.
+    """
+    from .similarity import cosine_expr, hyperplane_signature_udf, random_hyperplanes
+
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col))).first()[0]
+    planes = random_hyperplanes(dim, num_planes, seed)
+    bits_per = num_planes // chunks
+    sig = hyperplane_signature_udf(planes)(F.col(vec_col))
+    base = df.select(F.col(id_col).alias("__id__"), sig.alias("__sig__"))
+
+    pieces = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright("__sig__", c * bits_per)
+                .bitwiseAND(F.lit((1 << bits_per) - 1))
+                .alias("piece"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    keyed = base.select("__id__", F.explode(pieces).alias("p")).select(
+        "__id__", F.col("p.chunk").alias("chunk"), F.col("p.piece").alias("piece")
+    )
+    l, r = keyed.alias("l"), keyed.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.piece") == F.col("r.piece"))
+            & (F.col("l.__id__") < F.col("r.__id__")),
+        )
+        .select(F.col("l.__id__").alias("a"), F.col("r.__id__").alias("b"))
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("__id__"), F.col(vec_col).alias("__v__"))
+    return (
+        cand.join(vecs.withColumnRenamed("__id__", "a").withColumnRenamed("__v__", "__va__"), "a")
+        .join(vecs.withColumnRenamed("__id__", "b").withColumnRenamed("__v__", "__vb__"), "b")
+        .withColumn("cosine", cosine_expr(F.col("__va__"), F.col("__vb__")))
+        .where(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+def embedding_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    **kwargs,
+) -> DataFrame:
+    """Drop the higher id of each embedding-cosine near-dup pair (same
+    greedy rule as :func:`minhash_dedup`)."""
+    pairs = embedding_near_dups(df, vec_col, id_col, threshold, **kwargs)
+    drop_ids = pairs.select(F.col("b").alias(id_col)).distinct()
     return df.join(drop_ids, on=id_col, how="left_anti")
 
 

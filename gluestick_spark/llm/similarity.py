@@ -33,6 +33,7 @@ __all__ = [
     "cosine_topk",
     "random_hyperplanes",
     "hyperplane_signature_expr",
+    "hyperplane_signature_udf",
     "lsh_ann_topk",
     "ivf_assign",
     "ivf_topk",
@@ -112,6 +113,37 @@ def hyperplane_signature_expr(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def hyperplane_signature_udf(planes: list[list[float]]):
+    """Arrow-batched signature: one ``N×dim @ dim×H`` matmul per batch.
+
+    The pure-expression form (:func:`hyperplane_signature_expr`) expands to
+    H lambda-aggregates, which overflows whole-stage codegen's 64 KB method
+    limit at H≥16 and falls back to slow interpreted evaluation — this is
+    the documented "Python is genuinely faster" case: a single BLAS matmul
+    over an Arrow batch beats H interpreted array folds by orders of
+    magnitude, locally and on a cluster.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64).T  # dim × H
+    weights = np.array([1 << i for i in range(P.shape[1])], dtype=np.int64)
+
+    def _sig(v):
+        mask = v.notna()
+        out = np.zeros(len(v), dtype=np.int64)
+        if mask.any():
+            m = np.stack(v[mask].to_numpy()).astype(np.float64)
+            out[mask.to_numpy()] = ((m @ P) > 0) @ weights
+        return pd.Series(out)
+
+    # real class annotations: the module-level ``from __future__ import
+    # annotations`` would stringify inline hints, which pandas_udf rejects
+    _sig.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(_sig, "long")
+
+
 def lsh_ann_topk(
     df: DataFrame,
     vec_col: str,
@@ -131,7 +163,7 @@ def lsh_ann_topk(
     for i, p in enumerate(planes):
         if sum(a * b for a, b in zip(query, p)) > 0:
             qsig |= 1 << i
-    sig = hyperplane_signature_expr(F.col(vec_col), planes)
+    sig = hyperplane_signature_udf(planes)(F.col(vec_col))
     candidates = df.withColumn("__sig__", sig).where(
         F.bit_count(F.col("__sig__").bitwiseXOR(F.lit(qsig).cast("long"))) <= multiprobe
     )

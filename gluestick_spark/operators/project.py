@@ -26,6 +26,7 @@ __all__ = [
     "pluck_fields",
     "pluck_fields_by_regex",
     "custom_fields_expr",
+    "array_to_dict_expr",
     "drop_all_null_columns",
 ]
 
@@ -90,6 +91,20 @@ def custom_fields_expr(columns: list[str], name_key: str = "name", value_key: st
         ]
     )
     return F.filter(entries, lambda x: x[value_key].isNotNull())
+
+
+def array_to_dict_expr(
+    entries: Column, key_field: str = "name", value_field: str = "value"
+) -> Column:
+    """``array<struct>`` of key/value entries → ``map`` column — the inverse
+    of :func:`custom_fields_expr` (gluestick/pandas_utils.py:381-412
+    ``array_to_dict_reducer``). Later duplicate keys win, matching the
+    reference's reduce-into-dict semantics (``map_from_entries`` keeps the
+    last entry under ``spark.sql.mapKeyDedupPolicy=LAST_WIN``; the session
+    factory sets it)."""
+    return F.map_from_entries(
+        F.transform(entries, lambda x: F.struct(x[key_field], x[value_field]))
+    )
 
 
 def drop_all_null_columns(df: DataFrame) -> DataFrame:

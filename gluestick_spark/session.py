@@ -33,6 +33,9 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     # Broadcast joins for dim tables (catalogs, snapshots' id maps).
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Reference's reduce-into-dict keeps the last value under a repeated key
+    # (pandas_utils.py:381-412); map_from_entries must match, not throw.
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
     # Parquet TIMESTAMP(NANOS) (e.g. the events table) is otherwise illegal
     # in Spark; read as long nanos, convert with functions.ts.ns_to_timestamp.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
