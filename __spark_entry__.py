@@ -74,6 +74,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
+    """Table load for CPU-heavy per-row operators (regex/hash/UDF): split an
+    under-partitioned scan across all cores first. No-op when the scan
+    already has enough splits (i.e. at real data scale)."""
+    from gluestick_spark.partitioning import ensure_min_partitions
+
+    return ensure_min_partitions(_t(spark, sf_dir, name), key)
+
+
 def _dec(c, scale: int = 2):
     return F.col(c).cast(f"decimal(18,{scale})")
 
@@ -525,7 +534,7 @@ FROM orders LEFT JOIN customer ON o_custkey = c_custkey
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents", "doc_id")
     return exact_dedup(d, "text", "doc_id").select("doc_id", "lang", "source")
 
 
@@ -537,7 +546,7 @@ QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
 
 def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-set fingerprint near-dup removal (order/dup-insensitive)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents", "doc_id")
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("__fp__").orderBy(F.col("doc_id").asc())
@@ -559,7 +568,7 @@ QUALIFY row_number() OVER (
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents", "doc_id")
     return d.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_calc"),
@@ -578,7 +587,7 @@ FROM documents
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents", "doc_id")
     return d.select("doc_id", lang_id_expr(F.col("text")).alias("lang_pred"))
 
 
@@ -601,7 +610,7 @@ FROM scored
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents", "doc_id")
     return d.select("doc_id", quality_score_expr(F.col("text")).alias("quality"))
 
 
@@ -672,7 +681,7 @@ FROM sims ORDER BY raw_sim DESC, vec_id ASC LIMIT 10
 
 
 def q_jaccard_vs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents", "doc_id")
     q_words = (
         d.where(F.col("doc_id") == 0)
         .select(F.array_distinct(tokens_expr(F.lower(F.col("text")))).alias("w"))
@@ -700,7 +709,7 @@ FROM (
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents", "doc_id")
     b = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     meta = attach_binary_metadata(b, "payload", "image", "image/png")
     return meta.select(
@@ -751,7 +760,7 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents", "doc_id")
     b = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     feats = decode_image_features(b, "payload", ["doc_id"])
     return feats.select("doc_id", "features.width", "features.height", "features.mean_intensity")

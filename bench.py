@@ -43,8 +43,13 @@ def main() -> None:
     spark = get_spark("gluestick-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + parquet footer caches
-    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+    # warmup: JVM, parquet reader, shuffle + join + agg codegen paths — on
+    # the two tiny dimension tables so no headline data is touched
+    from pyspark.sql import functions as F
+
+    n = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    r = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    n.join(r, n.n_regionkey == r.r_regionkey).groupBy("r_name").agg(F.count("*")).collect()
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}

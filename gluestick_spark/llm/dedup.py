@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..partitioning import ensure_min_partitions as _parallelize
 from .text import shingles_expr, tokens_expr
 
 __all__ = [
@@ -82,7 +83,7 @@ def minhash_signatures(
     aggregates. The shingle array is computed once; each shingle is hashed
     ``num_perm`` times on the exploded rows (the minimum possible work).
     One shuffle on the id, partial aggregation executor-side."""
-    sh = df.select(
+    sh = _parallelize(df, id_col).select(
         F.col(id_col).alias("__id__"),
         F.explode_outer(F.array_distinct(shingles_expr(F.col(text_col), shingle_n))).alias("__s__"),
     )
@@ -161,7 +162,7 @@ def minhash_dedup(
     broadcast-or-shuffle hash joins on the id column, never O(N²).
     """
     cand = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, shingle_n)
-    sh = df.select(
+    sh = _parallelize(df, id_col).select(
         F.col(id_col).alias("__id__"),
         F.array_distinct(shingles_expr(F.col(text_col), shingle_n)).alias("__sh__"),
     )
@@ -204,7 +205,7 @@ def embedding_near_dups(
     planes = random_hyperplanes(dim, num_planes, seed)
     bits_per = num_planes // chunks
     sig = hyperplane_signature_udf(planes)(F.col(vec_col))
-    base = df.select(F.col(id_col).alias("__id__"), sig.alias("__sig__"))
+    base = _parallelize(df, id_col).select(F.col(id_col).alias("__id__"), sig.alias("__sig__"))
 
     pieces = F.array(
         *[
@@ -294,7 +295,7 @@ def simhash_near_dups(
     hamming distance ≤ ``max_hamming``. Returns (a, b, hamming)."""
     bits_per = 64 // chunks
     sig = simhash_expr(F.col(text_col))
-    base = df.select(F.col(id_col).alias("__id__"), sig.alias("__sig__"))
+    base = _parallelize(df, id_col).select(F.col(id_col).alias("__id__"), sig.alias("__sig__"))
 
     pieces = F.array(
         *[

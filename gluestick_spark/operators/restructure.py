@@ -121,9 +121,18 @@ def infer_json_schema(df: DataFrame, column: str) -> T.DataType:
     strings = df.select(F.col(column).cast("string").alias("v")).where(
         F.col("v").isNotNull() & (F.col("v") != "")
     )
-    inferred = strings.sparkSession.read.json(strings.rdd.map(lambda r: r[0]))
+    spark = strings.sparkSession
+    try:
+        # JVM-only: DataFrameReader.json(Dataset[String]) — no Python worker
+        # round-trip (~10x faster than the RDD form on classic PySpark)
+        enc = spark._jvm.org.apache.spark.sql.Encoders.STRING()
+        ds = getattr(strings._jdf, "as")(enc)
+        jschema = spark._jsparkSession.read().json(ds).schema()
+        inferred_schema = T._parse_datatype_json_string(jschema.json())
+    except Exception:  # Spark Connect or internals moved: portable fallback
+        inferred_schema = spark.read.json(strings.rdd.map(lambda r: r[0])).schema
     schema = T.StructType(
-        [f for f in inferred.schema.fields if not f.name.startswith("_corrupt")]
+        [f for f in inferred_schema.fields if not f.name.startswith("_corrupt")]
     )
     return schema
 
