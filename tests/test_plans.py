@@ -1,0 +1,78 @@
+"""Physical-plan shape tests: lock in the scale posture.
+
+These assert the properties that matter at 100 TB — predicate pushdown to
+the parquet scan, column pruning, broadcast of dimension tables, top-k via
+TakeOrderedAndProject (no global sort), no row-at-a-time Python in JVM hot
+paths, and minimal shuffle counts — so a refactor that silently regresses
+the plan fails CI even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _queries():
+    import __spark_entry__ as em
+
+    return em.queries()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(_queries()["pricing_summary"](spark, SF))
+    scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scan_lines, plan
+    assert "isnotnull(l_shipdate" in scan_lines[0]
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _plan(_queries()["explode_json_to_cols"](spark, SF))
+    scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scan_lines, plan
+    # events has 6 columns; only the 2 used may be read
+    assert "event_id" in scan_lines[0] and "props" in scan_lines[0]
+    for unused in ("user_id", "event_type", "value"):
+        assert unused not in scan_lines[0]
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = _plan(_queries()["shipping_priority"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = _plan(_queries()["ann_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no full-sort node
+
+
+def test_json_explode_stays_jvm_side(spark):
+    plan = _plan(_queries()["explode_json_to_cols"](spark, SF))
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDF
+    assert "ArrowEvalPython" not in plan  # not even vectorized Python
+
+
+def test_snapshot_upsert_single_shuffle(spark):
+    plan = _plan(_queries()["snapshot_upsert"](spark, SF))
+    assert plan.count("+- Exchange") + plan.count(":- Exchange") <= 1
+
+
+def test_lsh_signature_is_arrow_vectorized(spark):
+    plan = _plan(_queries()["embedding_near_dups"](spark, SF))
+    assert "ArrowEvalPython" in plan  # pandas_udf matmul, Arrow-batched
+    assert "BatchEvalPython" not in plan
+
+
+def test_exact_dedup_is_one_shuffle(spark):
+    plan = _plan(_queries()["dedup_exact"](spark, SF))
+    # one exchange for the hash-window (plus optionally the parallelize
+    # repartition, which is a no-op at scale)
+    assert plan.count("Exchange hashpartitioning") <= 2
