@@ -4,8 +4,8 @@ Scale design (the whole point — these must survive 100 TB):
 - **exact_dedup**: hash-groupBy. One shuffle on the content hash; keep-min
   representative is a window on the hash key. At scale, AQE handles skew
   (identical boilerplate documents land in one hash bucket).
-- **minhash_lsh**: shingle → K minhash values (xxhash64 with per-permutation
-  seeds, all JVM expressions) → band into B buckets → self-join per bucket →
+- **minhash_lsh**: shingle → one xxhash64 → K affine permutations mod 2³¹-1
+  (all JVM expressions) → band into B buckets → self-join per bucket →
   verify candidates with exact Jaccard. The *only* pairwise work happens
   inside LSH buckets, never across the full corpus (O(N²) avoided). Bucket
   join is a shuffle on (band_id, band_hash); hot buckets (e.g. empty docs)
@@ -61,14 +61,32 @@ def exact_dedup(
     )
 
 
+# MinHash permutation family: each shingle is hashed ONCE (xxhash64 → 31-bit
+# via mod p), then permutation i is the affine map h → (aᵢ·h + bᵢ) mod p —
+# the standard universal-hashing construction (64 long mul-adds per shingle
+# instead of 64 full string hashes; ~4x faster and codegen-friendly).
+# p = 2³¹-1 keeps aᵢ·h < 2⁶² so ANSI-mode long arithmetic can't overflow.
+_MINHASH_P = 2_147_483_647
+
+
+def _minhash_perms(num_perm: int, seed: int = 1) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MINHASH_P), rng.randrange(0, _MINHASH_P)) for _ in range(num_perm)]
+
+
 def minhash_signature_expr(shingles: Column, num_perm: int = 64) -> Column:
-    """MinHash signature as a single expression: per permutation i, min over
-    shingles of xxhash64(shingle, seed=i). Array<long> of length
-    ``num_perm``. NOTE: prefer ``minhash_signatures`` (DataFrame form) in
-    pipelines — this inline form re-evaluates the shingle array per
-    permutation and overflows whole-stage codegen at num_perm=64."""
+    """MinHash signature as a single expression (array<long> of length
+    ``num_perm``). NOTE: prefer ``minhash_signatures`` (DataFrame form) in
+    pipelines — this inline form re-evaluates the hashed-shingle array per
+    permutation."""
+    hs = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_P)))
     return F.array(
-        *[F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i)))) for i in range(num_perm)]
+        *[
+            F.array_min(F.transform(hs, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MINHASH_P))))
+            for a, b in _minhash_perms(num_perm)
+        ]
     )
 
 
@@ -79,15 +97,18 @@ def minhash_signatures(
     num_perm: int = 64,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, sig array<long>) via explode + 64 map-side-combinable ``min``
-    aggregates. The shingle array is computed once; each shingle is hashed
-    ``num_perm`` times on the exploded rows (the minimum possible work).
-    One shuffle on the id, partial aggregation executor-side."""
+    """(id, sig array<long>) via explode + ``num_perm`` map-side-combinable
+    ``min`` aggregates. Each shingle is string-hashed once; the permutations
+    are affine transforms of that hash (see ``_minhash_perms``). One shuffle
+    on the id, partial aggregation executor-side."""
     sh = _parallelize(df, id_col).select(
         F.col(id_col).alias("__id__"),
         F.explode_outer(F.array_distinct(shingles_expr(F.col(text_col), shingle_n))).alias("__s__"),
-    )
-    mins = [F.min(F.xxhash64("__s__", F.lit(i))).alias(f"m{i}") for i in range(num_perm)]
+    ).select("__id__", F.pmod(F.xxhash64("__s__"), F.lit(_MINHASH_P)).alias("__h__"))
+    mins = [
+        F.min(F.pmod(F.col("__h__") * F.lit(a) + F.lit(b), F.lit(_MINHASH_P))).alias(f"m{i}")
+        for i, (a, b) in enumerate(_minhash_perms(num_perm))
+    ]
     agg = sh.groupBy("__id__").agg(*mins)
     return agg.select("__id__", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("__sig__"))
 
