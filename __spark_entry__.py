@@ -467,6 +467,32 @@ FROM customer
 """
 
 
+def q_localize_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 localize_datetime: string -> UTC timestamp, unparseable -> null."""
+    from gluestick_spark.functions.datetimes import localize_datetime
+
+    o = _t(spark, sf_dir, "orders")
+    s = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 100 == 0, F.lit("not a date"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+        .alias("odate"),
+    )
+    out = localize_datetime(s, "odate")
+    return out.select(
+        "o_orderkey", F.date_format("odate", "yyyy-MM-dd HH:mm:ss").alias("odate")
+    )
+
+
+_Q_LOCALIZE_SQL = """
+SELECT o_orderkey,
+  strftime(try_cast(CASE WHEN o_orderkey % 100 = 0 THEN 'not a date'
+                         ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END AS TIMESTAMP),
+           '%Y-%m-%d %H:%M:%S') AS odate
+FROM orders
+"""
+
+
 def q_catalog_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7/S15 semantics: string columns coerced per catalog types
     (int cast, boolean lowercase-CASE, try_to_timestamp)."""
@@ -752,6 +778,19 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(d, "text", "doc_id", max_hamming=8)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gluestick_spark.llm.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    cents = [
+        list(r["embedding"])
+        for r in e.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    top = ivf_topk(e, "embedding", q, cents, k=10, nprobe=2)
+    return top.select("vec_id", (F.floor(F.col("similarity") * 1e4) / 1e4).alias("similarity"))
+
+
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
@@ -806,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keep_last_dedup": q_keep_last,
         "custom_fields": q_custom_fields,
         "catalog_coercion": q_catalog_coercion,
+        "localize_datetime": q_localize_datetime,
         "map_fields": q_map_fields,
         "array_to_dict": q_array_to_dict,
         "dedup_exact": q_dedup_exact,
@@ -821,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
+        "ivf_topk": q_ivf_topk,
         "lsh_ann_topk": q_lsh_ann,
         "image_features": q_image_features,
     }
@@ -847,6 +888,7 @@ def oracle_sql() -> dict[str, str]:
         "keep_last_dedup": _Q_KEEP_LAST_SQL,
         "custom_fields": _Q_CUSTOM_FIELDS_SQL,
         "catalog_coercion": _Q_CATALOG_COERCION_SQL,
+        "localize_datetime": _Q_LOCALIZE_SQL,
         "map_fields": _Q_MAP_FIELDS_SQL,
         "array_to_dict": _Q_ARRAY_TO_DICT_SQL,
         "dedup_exact": _Q_DEDUP_EXACT_SQL,

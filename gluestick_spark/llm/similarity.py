@@ -178,15 +178,30 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine). One
     projection; write the result partitioned by ``out_col`` for
-    partition-pruned probes at scale."""
-    best_id = F.lit(0)
-    best_sim = F.lit(-2.0)
-    for i, c in enumerate(centroids):
-        cl = F.array(*[F.lit(float(x)) for x in c])
-        s = cosine_expr(F.col(vec_col), cl)
-        best_id = F.when(s > best_sim, F.lit(i)).otherwise(best_id)
-        best_sim = F.when(s > best_sim, s).otherwise(best_sim)
-    return df.withColumn(out_col, best_id)
+    partition-pruned probes at scale.
+
+    Centroids are L2-normalized driver-side so the per-row work is one dot
+    product per centroid; argmax(dot with unit centroid) == argmax(cosine)
+    since the row norm is a constant positive factor. The argmax is
+    array_max + array_position over a sims column — linear, not the
+    exponential when-chain a running-best fold would build.
+    """
+    normed = []
+    for c in centroids:
+        n = math.sqrt(sum(x * x for x in c)) or 1.0
+        normed.append([float(x) / n for x in c])
+    sims = F.array(
+        *[dot_expr(F.col(vec_col), F.array(*[F.lit(x) for x in c])) for c in normed]
+    )
+    tmp = "__ivf_sims__"
+    return (
+        df.withColumn(tmp, sims)
+        .withColumn(
+            out_col,
+            (F.array_position(F.col(tmp), F.array_max(F.col(tmp))) - 1).cast("int"),
+        )
+        .drop(tmp)
+    )
 
 
 def ivf_topk(
