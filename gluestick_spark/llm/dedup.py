@@ -33,6 +33,7 @@ __all__ = [
     "minhash_lsh_candidates",
     "minhash_dedup",
     "simhash_expr",
+    "simhash_signature_udf",
     "simhash_near_dups",
     "jaccard_expr",
     "embedding_near_dups",
@@ -303,6 +304,35 @@ def simhash_expr(text: Column, bits: int = 64) -> Column:
     return sig
 
 
+def simhash_signature_udf():
+    """Arrow-batched SimHash from an ``array<long>`` of token hashes.
+
+    Hybrid split: token strings are hashed JVM-side (``xxhash64`` inside
+    codegen); the 64-bit majority vote — which as pure expressions is 64
+    array folds per row and overflows whole-stage codegen — is one numpy
+    bit-matrix per batch. Bit-identical to :func:`simhash_expr`.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = np.uint64(1) << shifts
+
+    def _sig(hashes):
+        out = np.zeros(len(hashes), dtype=np.uint64)
+        for j, arr in enumerate(hashes):
+            if arr is None or len(arr) == 0:
+                continue
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            ones = ((h[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+            out[j] = ((ones * 2 > len(h)) * weights).sum(dtype=np.uint64)
+        return pd.Series(out.astype(np.int64))
+
+    _sig.__annotations__ = {"hashes": pd.Series, "return": pd.Series}
+    return pandas_udf(_sig, "long")
+
+
 def simhash_near_dups(
     df: DataFrame,
     text_col: str,
@@ -315,8 +345,13 @@ def simhash_near_dups(
     any pair within hamming ≤ chunks-1 shares a piece); verify by exact
     hamming distance ≤ ``max_hamming``. Returns (a, b, hamming)."""
     bits_per = 64 // chunks
-    sig = simhash_expr(F.col(text_col))
-    base = _parallelize(df, id_col).select(F.col(id_col).alias("__id__"), sig.alias("__sig__"))
+    token_hashes = F.transform(
+        F.array_distinct(tokens_expr(F.lower(F.col(text_col)))), lambda t: F.xxhash64(t)
+    )
+    base = _parallelize(df, id_col).select(
+        F.col(id_col).alias("__id__"),
+        simhash_signature_udf()(token_hashes).alias("__sig__"),
+    )
 
     pieces = F.array(
         *[
