@@ -29,6 +29,7 @@ __all__ = [
     "stream_from_directory",
     "windowed_event_counts",
     "streaming_snapshot_upsert",
+    "sessionize",
 ]
 
 
@@ -77,6 +78,77 @@ def windowed_event_counts(
             *group_cols,
             "n_events",
             "total_value",
+        )
+    )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+_SESSION_STATE_SCHEMA = "session_start timestamp, last_ts timestamp, n long"
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: float = 30.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization per user via
+    ``applyInPandasWithState`` (arbitrary state Spark's built-in windows
+    can't express — a session closes ``gap_minutes`` after its last event,
+    however long it ran).
+
+    State per user = (session_start, last_ts, n). A session is emitted when
+    a later event exceeds the gap, or when event-time timeout fires (the
+    watermark passed last_ts + gap — bounded state, the 100 TB/day
+    requirement). Emission is append-mode: closed sessions only.
+    """
+    import datetime as _dt
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = _dt.timedelta(minutes=gap_minutes)
+
+    def handle(key, pdf_iter, state: GroupState):
+        (user,) = key
+        cols = ["user_id", "session_start", "session_end", "n_events"]
+        if state.hasTimedOut:
+            s0, last, n = state.get
+            state.remove()
+            yield pd.DataFrame([(user, s0, last, n)], columns=cols)
+            return
+        batches = [pdf[[ts_col]] for pdf in pdf_iter]
+        rows = pd.concat(batches).sort_values(ts_col)
+        if state.exists:
+            s0, last, n = state.get
+        else:
+            s0, last, n = None, None, 0
+        closed = []
+        for ts in rows[ts_col]:
+            if last is not None and (ts - last) > gap:
+                closed.append((user, s0, last, n))
+                s0, n = None, 0
+            if s0 is None:
+                s0 = ts
+            last = ts
+            n += 1
+        state.update((s0, last, n))
+        # close the open session once event time passes last + gap
+        state.setTimeoutTimestamp(int(last.timestamp() * 1000) + int(gap.total_seconds() * 1000))
+        yield pd.DataFrame(closed, columns=cols)
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col))
+        .applyInPandasWithState(
+            handle,
+            SESSION_OUTPUT_SCHEMA,
+            _SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
         )
     )
 
