@@ -67,6 +67,23 @@ def main() -> None:
                 cold[name] = elapsed
         timings[name] = elapsed
 
+    # Singer-sink throughput on lineitem (the reference's own headline
+    # benchmark shape: ~6 primitive columns; bench_to_singer.py measures
+    # 500k rows — the reference does ~55k rows/s on this hardware).
+    import tempfile
+
+    from gluestick_spark import to_singer
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate", "l_linestatus"
+    )
+    n_rows = li.count()
+    with tempfile.TemporaryDirectory() as d:
+        t0 = time.time()
+        to_singer(li, "lineitem", d, keys=["l_orderkey"])
+        singer_s = time.time() - t0
+    singer_rps = round(n_rows / singer_s)
+
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -81,6 +98,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold_total": round(sum(cold.values()), 3),
+                "singer_rows_per_sec": singer_rps,
                 "sf": sf_val,
             }
         )
