@@ -150,3 +150,24 @@ def test_enforce_exploded_col_types(spark):
     assert r["m.flag"] is True
     assert r["m.n"] == 7
     assert out.schema["m.n"].dataType == T.LongType()
+
+
+def test_explode_order_independence(spark):
+    """F4 multi_json: cols-then-rows == rows-then-cols (etl_test.py:113-124)."""
+    df = spark.createDataFrame(
+        [
+            Row(
+                CompanyId=1,
+                Metadata='{"FirstName":"John","LastName":"Smith"}',
+                LineDetail='[{"Id":"1","Amount":101.15},{"Id":"2","Amount":5.5}]',
+                Total=106.65,
+            ),
+            Row(CompanyId=2, Metadata=None, LineDetail=None, Total=0.0),
+        ]
+    )
+    a = explode_json_to_rows(explode_json_to_cols(df, "Metadata"), "LineDetail")
+    b = explode_json_to_cols(explode_json_to_rows(df, "LineDetail"), "Metadata")
+    cols = sorted(a.columns)
+    assert cols == sorted(b.columns)
+    key = lambda r: tuple(str(r[c]) for c in cols)
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
