@@ -67,6 +67,7 @@ def _prep(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -559,6 +560,58 @@ FROM orders LEFT JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data pipeline: language filter -> quality gate ->
+    exact dedup (keep min doc_id per fingerprint) -> per-language token
+    budget. The end-to-end shape a 100 TB corpus-prep job runs."""
+    d = _tp(spark, sf_dir, "documents", "doc_id")
+    from pyspark.sql.window import Window
+
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        quality_score_expr(F.col("text")).alias("q"),
+        fingerprint_expr(F.col("text")).alias("fp"),
+        word_count_expr(F.col("text")).cast("long").alias("n_words"),
+    ).where(F.col("lang").isin("en", "de", "es", "fr") & (F.col("q") >= 0.5))
+    w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    deduped = scored.withColumn("__rn__", F.row_number().over(w)).where(F.col("__rn__") == 1)
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        (F.floor(F.avg("q") * 1e6) / 1e6).alias("avg_quality"),
+    )
+
+
+def _clean_corpus_sql() -> str:
+    q = _quality_sql()
+    return f"""
+WITH quality AS ({q}),
+fp AS (
+  SELECT doc_id,
+    md5(array_to_string(list_sort(list_distinct(
+      list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != ''))), ' ')) AS fp,
+    len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS n_words,
+    lang
+  FROM documents
+),
+scored AS (
+  SELECT fp.doc_id, fp.lang, fp.fp, fp.n_words, quality.quality AS q
+  FROM fp JOIN quality USING (doc_id)
+  WHERE fp.lang IN ('en','de','es','fr') AND quality.quality >= 0.5
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM scored
+  ) WHERE rn = 1
+)
+SELECT lang, COUNT(*) AS n_docs, SUM(n_words) AS total_words,
+  floor(AVG(q) * 1e6) / 1e6 AS avg_quality
+FROM deduped GROUP BY lang
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _tp(spark, sf_dir, "documents", "doc_id")
     return exact_dedup(d, "text", "doc_id").select("doc_id", "lang", "source")
@@ -848,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "localize_datetime": q_localize_datetime,
         "map_fields": q_map_fields,
         "array_to_dict": q_array_to_dict,
+        "clean_corpus": q_clean_corpus,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "token_stats": q_token_stats,
@@ -891,6 +945,7 @@ def oracle_sql() -> dict[str, str]:
         "localize_datetime": _Q_LOCALIZE_SQL,
         "map_fields": _Q_MAP_FIELDS_SQL,
         "array_to_dict": _Q_ARRAY_TO_DICT_SQL,
+        "clean_corpus": _clean_corpus_sql(),
         "dedup_exact": _Q_DEDUP_EXACT_SQL,
         "dedup_fingerprint": _Q_DEDUP_FP_SQL,
         "token_stats": _Q_TOKEN_STATS_SQL,

@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "row_hash",
     "dedup_exact",
     "dedup_fingerprint",
+    "clean_corpus",
     "minhash_dedup",
     "token_stats",
     "quality_score",
