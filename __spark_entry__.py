@@ -823,7 +823,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gluestick_spark.llm.dedup import embedding_near_dups
 
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dups(e, "embedding", "vec_id", threshold=0.3, dim=64)
+    return embedding_near_dups(e, "embedding", "vec_id", threshold=0.3, dim=64, num_planes=16)
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

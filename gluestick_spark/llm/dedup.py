@@ -204,7 +204,7 @@ def embedding_near_dups(
     id_col: str,
     threshold: float = 0.95,
     dim: int | None = None,
-    num_planes: int = 16,
+    num_planes: int = 32,
     chunks: int = 4,
     seed: int = 42,
 ) -> DataFrame:
@@ -219,8 +219,11 @@ def embedding_near_dups(
 
     Scale: buckets carry only (id, chunk, piece); vectors are joined back
     for the verify step — two hash joins on the id, never an N² cross join.
+    Piece width = num_planes/chunks bits sets bucket fan-out (2^width
+    buckets per chunk): defaults give 8-bit pieces — 256 buckets — so
+    random collisions stay rare and the verify set stays small.
     """
-    from .similarity import cosine_expr, hyperplane_signature_udf, random_hyperplanes
+    from .similarity import cosine_pairs_udf, hyperplane_signature_udf, random_hyperplanes
 
     if dim is None:
         dim = df.select(F.size(F.col(vec_col))).first()[0]
@@ -258,7 +261,7 @@ def embedding_near_dups(
     return (
         cand.join(vecs.withColumnRenamed("__id__", "a").withColumnRenamed("__v__", "__va__"), "a")
         .join(vecs.withColumnRenamed("__id__", "b").withColumnRenamed("__v__", "__vb__"), "b")
-        .withColumn("cosine", cosine_expr(F.col("__va__"), F.col("__vb__")))
+        .withColumn("cosine", cosine_pairs_udf()(F.col("__va__"), F.col("__vb__")))
         .where(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
