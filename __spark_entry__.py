@@ -210,6 +210,36 @@ GROUP BY n_name
 """
 
 
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-style: lineitem x part fact-dim join (part broadcast), conditional
+    revenue share by brand."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    promo = F.when(F.col("p_type") == "ECONOMY", revenue).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_Q_PROMO_SQL = """
+SELECT p_brand,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+  CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+  COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
 def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return (
@@ -882,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
+        "promo_revenue": q_promo_revenue,
         "events_daily": q_events_daily,
         "explode_json_to_cols": q_explode_json_to_cols,
         "explode_json_to_rows": q_explode_json_to_rows,
@@ -926,6 +957,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": _Q_PRICING_SQL,
         "shipping_priority": _Q_SHIPPING_SQL,
         "local_supplier_volume": _Q_LOCAL_SUPPLIER_SQL,
+        "promo_revenue": _Q_PROMO_SQL,
         "events_daily": _Q_EVENTS_DAILY_SQL,
         "explode_json_to_cols": _Q_EXPLODE_COLS_SQL,
         "explode_json_to_rows": _Q_EXPLODE_ROWS_SQL,

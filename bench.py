@@ -20,6 +20,7 @@ BENCH_QUERIES = [
     "pricing_summary",
     "shipping_priority",
     "local_supplier_volume",
+    "promo_revenue",
     "events_daily",
     "explode_json_to_cols",
     "snapshot_upsert",
