@@ -28,7 +28,7 @@ from ..schema import json_schema_to_struct
 
 __all__ = ["Reader", "read_csv_folder", "read_parquet_folder", "read_snapshots"]
 
-_EXTS = (".parquet", ".csv")
+_EXTS = (".parquet", ".csv", ".jsonl", ".json")
 
 
 def _discover(input_dir: str, ignore: list[str] | None = None) -> dict[str, str]:
@@ -172,6 +172,10 @@ class Reader:
             return default
         if path.endswith(".parquet"):
             df = self.spark.read.parquet(path)
+        elif path.endswith((".jsonl", ".json")):
+            # ndjson (the shape to_export's jsonl sink writes); beyond the
+            # reference's csv/parquet surface for round-trip read parity
+            df = self.spark.read.json(path, **kwargs)
         else:
             df = self.spark.read.option("header", "true").csv(path, **kwargs)
         if catalog_types:

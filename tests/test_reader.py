@@ -123,3 +123,29 @@ def test_cast_df_strict_adds_missing(spark):
     out = cast_df_to_schema(df, target, strict=True)
     assert set(out.columns) == {"a", "b"}
     assert out.first()["b"] is None
+
+
+def test_reader_jsonl_roundtrip(spark, tmp_dir):
+    """to_export jsonl output is readable back through the Reader."""
+    import os
+
+    from pyspark.sql import Row
+
+    from gluestick_spark import to_export
+
+    df = spark.createDataFrame([Row(id=1, name="a"), Row(id=2, name="b")])
+    out_dir = os.path.join(tmp_dir, "sync-output")
+    to_export(df, "things-20260101T000000", out_dir, export_format="jsonl")
+    # Spark writes a directory named {name}.jsonl; point the Reader at a
+    # flattened single-file layout like a tap would produce
+    import glob, shutil
+
+    src = glob.glob(os.path.join(out_dir, "things-20260101T000000.jsonl", "part-*.json"))[0]
+    flat = os.path.join(tmp_dir, "flat")
+    os.makedirs(flat)
+    shutil.copy(src, os.path.join(flat, "things-20260101T000000.jsonl"))
+
+    r = Reader(spark, input_dir=flat)
+    assert "things" in r
+    got = {row["id"]: row["name"] for row in r.get("things").collect()}
+    assert got == {1: "a", 2: "b"}
