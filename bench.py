@@ -57,17 +57,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        # two full runs; report the warm one. The first run pays one-time
+        # two full runs; report the best. The first run pays one-time
         # whole-stage-codegen compilation (janino), which is noise at any
         # real data scale — steady-state throughput is the signal.
+        runs = []
         for attempt in range(2):
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            elapsed = round(time.time() - t0, 3)
-            if attempt == 0:
-                cold[name] = elapsed
-        timings[name] = elapsed
+            runs.append(round(time.time() - t0, 3))
+        cold[name] = runs[0]
+        timings[name] = min(runs)
 
     # Singer-sink throughput on lineitem (the reference's own headline
     # benchmark shape: ~6 primitive columns; bench_to_singer.py measures
