@@ -148,8 +148,9 @@ def spark_type_to_json_schema(dt: T.DataType) -> dict[str, Any]:
 
 
 def struct_to_json_schema(st: T.StructType) -> dict[str, Any]:
-    """StructType → Singer SCHEMA body ``{"type": "object", "properties": ...}``."""
+    """StructType → Singer SCHEMA body (top-level type is the reference's
+    ``["object", "null"]``, gluestick/singer.py:104)."""
     return {
-        "type": "object",
+        "type": ["object", "null"],
         "properties": {f.name: spark_type_to_json_schema(f.dataType) for f in st.fields},
     }
