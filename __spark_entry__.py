@@ -88,6 +88,12 @@ def _dec(c, scale: int = 2):
     return F.col(c).cast(f"decimal(18,{scale})")
 
 
+def _flr6(c):
+    """floor(x*1e6)/1e6 — the cross-engine hash-stable float rendering
+    (identical expression shape mirrored in the DuckDB oracles)."""
+    return F.floor(c * 1e6) / 1e6
+
+
 def _event_date():
     """events.ts is long nanos: exact µs division, rendered as ISO date string."""
     micros = (F.col("ts").cast("decimal(38,0)") / F.lit(1000)).cast("long")
@@ -99,22 +105,32 @@ def _event_date():
 # ---------------------------------------------------------------------------
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash discipline: the SUM columns stay DECIMAL-exact end-to-end and are
+    emitted as canonical decimal strings (digit-identical in both engines —
+    a cast to DOUBLE differs in the last bit between JVM BigDecimal and
+    DuckDB's decimal→double path); the AVG columns are doubles floored at
+    1e-6 on both sides."""
     l = _t(spark, sf_dir, "lineitem")
-    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-    charge = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-    ).cast("decimal(18,4)")
+    # Decimal-exact arithmetic: cast each 2-decimal input to decimal FIRST and
+    # multiply exactly. Rounding a 3-factor double product to decimal(18,4)
+    # hits exact .XXXX5 halfway points that Spark (shortest-repr BigDecimal)
+    # and DuckDB (scaled-double) round differently.
+    ext = _dec("l_extendedprice", 2)
+    disc1 = (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+    tax1 = (F.lit(1) + F.col("l_tax")).cast("decimal(4,2)")
+    disc_price = ext * disc1
+    charge = ext * disc1 * tax1
     return (
         l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
-            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
-            (F.sum(_dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.sum(_dec("l_quantity")).cast("string").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("string").alias("sum_base_price"),
+            F.sum(disc_price).cast("string").alias("sum_disc_price"),
+            F.sum(charge).cast("string").alias("sum_charge"),
+            _flr6(F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            _flr6(F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            _flr6(F.sum(_dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -122,13 +138,13 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS VARCHAR) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS VARCHAR) AS sum_charge,
+  floor((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) * 1e6) / 1e6 AS avg_qty,
+  floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) * 1e6) / 1e6 AS avg_price,
+  floor((CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) * 1e6) / 1e6 AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -299,11 +315,13 @@ def q_compress_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     df = l.select(F.col("l_orderkey"), F.col("l_linenumber").alias("line.num"))
     out = compress_rows_to_col(df, "l_orderkey", "line", flatten_single=True)
-    return out.select("l_orderkey", F.sort_array("line").alias("line"))
+    # to_json: the driver's canonicalizer sorts with pandas sort_values and
+    # cannot hash list-valued cells — emit the array as its JSON rendering.
+    return out.select("l_orderkey", F.to_json(F.sort_array("line")).alias("line"))
 
 
 _Q_COMPRESS_SQL = """
-SELECT l_orderkey, list_sort(list(l_linenumber)) AS line
+SELECT l_orderkey, CAST(to_json(list_sort(list(l_linenumber))) AS VARCHAR) AS line
 FROM lineitem GROUP BY l_orderkey
 """
 
@@ -467,15 +485,18 @@ QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) = 1
 
 def q_custom_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
+    # to_json: list-of-struct cells are unhashable for the driver's
+    # sort_values canonicalizer — emit the JSON rendering instead.
     return n.select(
-        "n_nationkey", custom_fields_expr(["n_name", "n_regionkey"]).alias("cf")
+        "n_nationkey",
+        F.to_json(custom_fields_expr(["n_name", "n_regionkey"])).alias("cf"),
     )
 
 
 _Q_CUSTOM_FIELDS_SQL = """
 SELECT n_nationkey,
-  [struct_pack(name := 'n_name', value := n_name),
-   struct_pack(name := 'n_regionkey', value := CAST(n_regionkey AS VARCHAR))] AS cf
+  CAST(to_json([struct_pack(name := 'n_name', value := n_name),
+                struct_pack(name := 'n_regionkey', value := CAST(n_regionkey AS VARCHAR))]) AS VARCHAR) AS cf
 FROM nation
 """
 
@@ -607,10 +628,15 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("lang").isin("en", "de", "es", "fr") & (F.col("q") >= 0.5))
     w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
     deduped = scored.withColumn("__rn__", F.row_number().over(w)).where(F.col("__rn__") == 1)
+    # avg_quality: q values are exact multiples of 1e-6 (quality_score_expr
+    # floors internally), so floor(avg(q)*1e6) sits exactly ON the boundary and
+    # engine sum-order flips it (round-1 hash fail). Exact instead: sum the
+    # micro-units as longs, one double division at the end — bit-identical.
+    q_micros = F.round(F.col("q") * 1e6).cast("long")
     return deduped.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_words").alias("total_words"),
-        (F.floor(F.avg("q") * 1e6) / 1e6).alias("avg_quality"),
+        (F.sum(q_micros).cast("double") / (F.count("*") * F.lit(1e6))).alias("avg_quality"),
     )
 
 
@@ -636,8 +662,8 @@ deduped AS (
     SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM scored
   ) WHERE rn = 1
 )
-SELECT lang, COUNT(*) AS n_docs, SUM(n_words) AS total_words,
-  floor(AVG(q) * 1e6) / 1e6 AS avg_quality
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS total_words,
+  CAST(SUM(CAST(round(q * 1e6) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1e6) AS avg_quality
 FROM deduped GROUP BY lang
 """
 

@@ -27,10 +27,15 @@ TABLES = [
 
 def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
     df = df.reindex(sorted(df.columns), axis=1)
+    # Mirror the driver harness (CORRECTNESS_r01 traceback): it canonicalizes
+    # with DataFrame.sort_values over ALL columns — which raises TypeError on
+    # list-valued cells — and hashes full-precision values (a %.10g formatter
+    # here masked the driver's last-bit double mismatches in round 1).
+    df = df.sort_values(by=list(df.columns))
 
     def cell(v):
         if isinstance(v, float):
-            return f"{v:.10g}"
+            return repr(v)
         if isinstance(v, (list, tuple)) or str(type(v)).find("ndarray") >= 0:
             return "[" + ",".join(cell(x) for x in v) + "]"
         if isinstance(v, dict):
