@@ -9,7 +9,9 @@ Scale design (the whole point — these must survive 100 TB):
   verify candidates with exact Jaccard. The *only* pairwise work happens
   inside LSH buckets, never across the full corpus (O(N²) avoided). Bucket
   join is a shuffle on (band_id, band_hash); hot buckets (e.g. empty docs)
-  are the skew risk — cap bucket width via ``max_bucket`` salt-out.
+  are the skew risk — ``max_bucket`` drops buckets over the cap before the
+  self-join (implemented in ``_cap_buckets``, available on every bucketed
+  operator here).
 - **simhash**: 64-bit signature per doc from token hashes — pure expressions
   (explode-free: aggregate over the token array), near-dups = signatures at
   hamming distance ≤ d found by banding the 64 bits into chunks.
@@ -31,6 +33,7 @@ __all__ = [
     "exact_dedup",
     "minhash_signature_expr",
     "minhash_lsh_candidates",
+    "minhash_near_dup_pairs",
     "minhash_dedup",
     "simhash_expr",
     "simhash_signature_udf",
@@ -39,6 +42,27 @@ __all__ = [
     "embedding_near_dups",
     "embedding_dedup",
 ]
+
+
+def _cap_buckets(buckets: DataFrame, key_cols: list[str], max_bucket: int | None) -> DataFrame:
+    """Drop LSH buckets wider than ``max_bucket`` before the self-join.
+
+    A bucket of width w contributes w·(w-1)/2 candidate pairs — one degenerate
+    bucket (empty docs, boilerplate) makes the join quadratic at corpus scale.
+    Docs in an oversized bucket are near-identical under the signature; exact
+    hash dedup (:func:`exact_dedup`) already collapses the truly identical
+    ones, so dropping the pathological bucket loses only pathological pairs.
+    The width count is a window over the same (band, bucket) partitioning the
+    join shuffles on, so AQE reuses the exchange.
+    """
+    if max_bucket is None:
+        return buckets
+    w = Window.partitionBy(*key_cols)
+    return (
+        buckets.withColumn("__bw__", F.count("*").over(w))
+        .where(F.col("__bw__") <= max_bucket)
+        .drop("__bw__")
+    )
 
 
 def exact_dedup(
@@ -121,12 +145,15 @@ def minhash_lsh_candidates(
     num_perm: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
     Returns distinct (``a``, ``b``) id pairs (a < b) that collide in ≥1 band.
     rows = bands × rows_per_band; two docs with Jaccard j collide w.p.
     1-(1-j^r)^b. Defaults (64 perms, 16 bands of 4) target j ≳ 0.5.
+    ``max_bucket`` caps bucket width (see :func:`_cap_buckets`) — set it at
+    corpus scale to keep one hot bucket from going quadratic.
     """
     rows_per_band = num_perm // bands
     with_sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
@@ -145,6 +172,7 @@ def minhash_lsh_candidates(
     buckets = with_sig.select("__id__", F.explode(band_structs).alias("bb")).select(
         "__id__", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    buckets = _cap_buckets(buckets, ["band", "bucket"], max_bucket)
     left = buckets.alias("l")
     right = buckets.alias("r")
     pairs = (
@@ -167,6 +195,43 @@ def jaccard_expr(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Verified near-dup pairs: LSH candidates → exact-Jaccard verify.
+
+    Returns (``a``, ``b``, ``jaccard``) with a < b and jaccard ≥ ``threshold``.
+    Unlike the raw candidate set (which carries band-collision false
+    positives), this output is exact-similarity-defined: when the banding has
+    full recall at ``threshold`` it equals the brute-force all-pairs result,
+    which is what the correctness oracle checks.
+
+    At scale the verify joins shingle arrays back in — two
+    broadcast-or-shuffle hash joins on the id column, never O(N²).
+    """
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, num_perm, bands, shingle_n, max_bucket
+    )
+    sh = _parallelize(df, id_col).select(
+        F.col(id_col).alias("__id__"),
+        F.array_distinct(shingles_expr(F.col(text_col), shingle_n)).alias("__sh__"),
+    )
+    return (
+        cand.join(sh.withColumnRenamed("__id__", "a").withColumnRenamed("__sh__", "__sha__"), "a")
+        .join(sh.withColumnRenamed("__id__", "b").withColumnRenamed("__sh__", "__shb__"), "b")
+        .withColumn("jaccard", jaccard_expr(F.col("__sha__"), F.col("__shb__")))
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str,
@@ -175,24 +240,13 @@ def minhash_dedup(
     num_perm: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate removal: LSH candidates → exact-Jaccard verify →
     drop the higher id of each confirmed pair (union-find-free greedy,
-    deterministic). Returns the deduplicated DataFrame.
-
-    At scale the candidate verify joins shingle arrays back in — two
-    broadcast-or-shuffle hash joins on the id column, never O(N²).
-    """
-    cand = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, shingle_n)
-    sh = _parallelize(df, id_col).select(
-        F.col(id_col).alias("__id__"),
-        F.array_distinct(shingles_expr(F.col(text_col), shingle_n)).alias("__sh__"),
-    )
-    verified = (
-        cand.join(sh.withColumnRenamed("__id__", "a").withColumnRenamed("__sh__", "__sha__"), "a")
-        .join(sh.withColumnRenamed("__id__", "b").withColumnRenamed("__sh__", "__shb__"), "b")
-        .where(jaccard_expr(F.col("__sha__"), F.col("__shb__")) >= threshold)
-        .select("a", "b")
+    deterministic). Returns the deduplicated DataFrame."""
+    verified = minhash_near_dup_pairs(
+        df, text_col, id_col, threshold, num_perm, bands, shingle_n, max_bucket
     )
     drop_ids = verified.select(F.col("b").alias(id_col)).distinct()
     return df.join(drop_ids, on=id_col, how="left_anti")
@@ -207,6 +261,7 @@ def embedding_near_dups(
     num_planes: int = 32,
     chunks: int = 4,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via hyperplane-LSH banding.
 
@@ -246,6 +301,7 @@ def embedding_near_dups(
     keyed = base.select("__id__", F.explode(pieces).alias("p")).select(
         "__id__", F.col("p.chunk").alias("chunk"), F.col("p.piece").alias("piece")
     )
+    keyed = _cap_buckets(keyed, ["chunk", "piece"], max_bucket)
     l, r = keyed.alias("l"), keyed.alias("r")
     cand = (
         l.join(
@@ -342,11 +398,18 @@ def simhash_near_dups(
     id_col: str,
     max_hamming: int = 3,
     chunks: int = 8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into ``chunks``
     16/8-bit pieces; pairs agreeing on ≥1 piece are candidates (pigeonhole:
     any pair within hamming ≤ chunks-1 shares a piece); verify by exact
-    hamming distance ≤ ``max_hamming``. Returns (a, b, hamming)."""
+    hamming distance ≤ ``max_hamming``. Returns (a, b, hamming).
+
+    Piece width (64/chunks bits) sets the bucket fan-out: 2^width buckets per
+    chunk. Bucket population grows ~N/2^width, so at corpus scale either
+    lower ``chunks`` (wider pieces, more buckets, less recall slack) or set
+    ``max_bucket`` to cap the per-bucket self-join (see :func:`_cap_buckets`).
+    """
     bits_per = 64 // chunks
     token_hashes = F.transform(
         F.array_distinct(tokens_expr(F.lower(F.col(text_col)))), lambda t: F.xxhash64(t)
@@ -370,6 +433,7 @@ def simhash_near_dups(
     keyed = base.select("__id__", "__sig__", F.explode(pieces).alias("p")).select(
         "__id__", "__sig__", F.col("p.chunk").alias("chunk"), F.col("p.piece").alias("piece")
     )
+    keyed = _cap_buckets(keyed, ["chunk", "piece"], max_bucket)
     l, r = keyed.alias("l"), keyed.alias("r")
     ham = F.bit_count(F.col("l.__sig__").bitwiseXOR(F.col("r.__sig__")))
     return (

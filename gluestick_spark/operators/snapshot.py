@@ -182,13 +182,17 @@ def drop_redundant(
     if hash_snap is not None:
         if pk_list:
             hash_snap = hash_snap.dropDuplicates(pk_list)
+        # No broadcast hint: the hash snapshot has one row per row EVER seen —
+        # at scale it is the same order as the incoming batch, so forcing a
+        # broadcast is an executor OOM. AQE broadcasts it when it measures
+        # genuinely small and shuffle-joins otherwise.
         join_keys = pk_list + ["hash"] if pk_list else ["hash"]
-        result = hashed.join(F.broadcast(hash_snap.select(*join_keys)), on=join_keys, how="left_anti")
+        result = hashed.join(hash_snap.select(*join_keys), on=join_keys, how="left_anti")
         if updated_flag and pk_list:
             seen = hash_snap.select(*pk_list).dropDuplicates(pk_list).withColumn(
                 "_updated", F.lit(True)
             )
-            result = result.join(F.broadcast(seen), on=pk_list, how="left").withColumn(
+            result = result.join(seen, on=pk_list, how="left").withColumn(
                 "_updated", F.coalesce(F.col("_updated"), F.lit(False))
             )
 
@@ -213,7 +217,12 @@ def drop_redundant(
 
 def merge_id_df(df: DataFrame, ids: DataFrame, pk: str) -> DataFrame:
     """Core of merge_id_from_snapshot: ids (InputId, RemoteId) deduped
-    keep-last, broadcast left join on df.externalId, RemoteId → ``pk``."""
+    keep-last, broadcast left join on df.externalId, RemoteId → ``pk``.
+
+    The broadcast hint assumes the id map is small (one row per remote
+    entity id this flow has posted — thousands, not billions). If a flow
+    ever accumulates an id map near executor memory, drop the hint and let
+    AQE pick the join side."""
     from .union import keep_last
 
     ids = keep_last(ids.select("InputId", "RemoteId"), "InputId")

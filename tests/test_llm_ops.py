@@ -175,3 +175,58 @@ def test_sample_frames_requires_extractor(spark):
         b, "payload", ["doc_id"], frame_extractor=lambda data, n: [data, data]
     ).collect()
     assert [r["frame_idx"] for r in out] == [0, 1]
+
+
+def test_minhash_bucket_cap_degenerate_corpus(spark):
+    """A boilerplate-heavy corpus (2k identical docs) must not go quadratic:
+    with max_bucket set, the hot bucket is dropped before the self-join and
+    the candidate count stays bounded; distinct docs still pair up."""
+    base = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+    rows = [Row(doc_id=i, text="boilerplate header please ignore this page") for i in range(2000)]
+    rows += [Row(doc_id=9001, text=base), Row(doc_id=9002, text=base.replace("lazy", "sleepy"))]
+    df = spark.createDataFrame(rows)
+    cands = minhash_lsh_candidates(df, "text", "doc_id", max_bucket=100)
+    got = {(r["a"], r["b"]) for r in cands.collect()}
+    assert (9001, 9002) in got
+    # uncapped would be ~2M boilerplate pairs; the cap drops that bucket
+    assert len(got) < 1000
+
+
+def test_simhash_embedding_bucket_cap(spark):
+    rows = [Row(doc_id=i, text="same words every single time") for i in range(500)]
+    rows += [Row(doc_id=9001, text="alpha beta gamma delta epsilon zeta eta theta")]
+    df = spark.createDataFrame(rows)
+    capped = simhash_near_dups(df, "text", "doc_id", max_hamming=3, max_bucket=50)
+    assert capped.count() == 0  # the one hot bucket exceeded the cap
+
+    from gluestick_spark.llm.dedup import embedding_near_dups
+
+    vecs = [Row(vec_id=i, embedding=[1.0, 0.0, 0.0, 0.0]) for i in range(200)]
+    vecs += [Row(vec_id=901, embedding=[0.9, 0.1, 0.0, 0.0])]
+    vdf = spark.createDataFrame(vecs)
+    out = embedding_near_dups(
+        vdf, "embedding", "vec_id", threshold=0.99, dim=4, num_planes=8, max_bucket=50
+    )
+    assert out.count() == 0
+
+
+def test_minhash_near_dup_pairs_matches_brute_force(spark):
+    from gluestick_spark.llm.dedup import minhash_near_dup_pairs
+    from gluestick_spark.llm.text import shingles_expr
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = {
+        (r["a"], r["b"])
+        for r in minhash_near_dup_pairs(docs, "text", "doc_id", threshold=0.8).collect()
+    }
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(shingles_expr(F.col("text"), 3)).alias("sh"),
+    )
+    l, r = sh.alias("l"), sh.alias("r")
+    brute = (
+        l.join(r, F.col("l.id") < F.col("r.id"))
+        .where(jaccard_expr(F.col("l.sh"), F.col("r.sh")) >= 0.8)
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+    )
+    assert pairs == {(x["a"], x["b"]) for x in brute.collect()}

@@ -76,3 +76,24 @@ def test_exact_dedup_is_one_shuffle(spark):
     # one exchange for the hash-window (plus optionally the parallelize
     # repartition, which is a no-op at scale)
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_drop_redundant_snapshot_not_force_broadcast(spark, tmp_path):
+    """The hash snapshot grows with every row ever seen — it must never carry
+    a forced broadcast hint (VERDICT r1 #3). The logical plan must contain no
+    ResolvedHint on the anti-join; size-based/AQE broadcast remains allowed."""
+    from pyspark.sql import functions as F
+
+    from gluestick_spark.operators.snapshot import drop_redundant
+
+    df = spark.range(100).select(F.col("id").alias("pk"), (F.col("id") * 2).alias("v"))
+    out_dir = str(tmp_path)
+    drop_redundant(spark, df, "t", out_dir, pk="pk")  # seeds the hash snapshot
+    result = drop_redundant(spark, df, "t", out_dir, pk="pk")
+    qe = result._jdf.queryExecution()
+    analyzed = qe.analyzed().toString()
+    optimized = qe.optimizedPlan().toString()
+    # no hint node and no hint annotation on the join; a size-based
+    # BroadcastHashJoin chosen by the planner/AQE is fine and not asserted on
+    for marker in ("ResolvedHint", "UnresolvedHint", "strategy=broadcast"):
+        assert marker not in analyzed and marker not in optimized
