@@ -863,11 +863,55 @@ FROM documents
 """
 
 
-# -- rows-only checks (not SQL-expressible; driver records weaker check) ----
+# -- LSH / ANN / multimodal queries with exact oracles ----------------------
+#
+# Oracle strategy (each driver-checked against DuckDB at sf0.01):
+# - minhash_candidates / minhash_dedup return *verified* (exact-Jaccard)
+#   outputs, so the oracle is brute-force all-pairs Jaccard; the banding at
+#   these parameters has full recall on this corpus (asserted by
+#   test_minhash_near_dup_pairs_matches_brute_force).
+# - lsh_ann_topk / embedding_near_dups: the seeded hyperplanes are plain
+#   Python literals, so the oracle SQL inlines them and replicates the
+#   signature + banding + exact verify pipeline in DuckDB.
+# - ivf_topk: nprobe=2 of these 8 centroids has recall 1 on this dataset
+#   (deterministic data), so the oracle is the exact top-k.
+# - simhash_near_dups: verification depends on xxhash64, which DuckDB lacks;
+#   the oracle reads a fixture computed by an INDEPENDENT pure-Python
+#   replica (tools/xxh64.py + tools/make_oracle_fixtures.py).
 
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs (LSH candidates + exact-Jaccard >= 0.8)."""
+    from gluestick_spark.llm.dedup import minhash_near_dup_pairs
+
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(d, "text", "doc_id")
+    return minhash_near_dup_pairs(d, "text", "doc_id", threshold=0.8)
+
+
+# word-3-gram shingles + all-pairs exact Jaccard (the brute-force referent)
+_SHINGLE_PAIRS_CTE = r"""
+toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+    THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+    ELSE [array_to_string(toks, ' ')] END) AS sh
+  FROM toks
+),
+pairs AS (
+  SELECT l.doc_id AS a, r.doc_id AS b,
+    CASE WHEN len(list_distinct(list_concat(l.sh, r.sh))) > 0
+      THEN len(list_intersect(l.sh, r.sh))::DOUBLE / len(list_distinct(list_concat(l.sh, r.sh)))
+      ELSE 0.0 END AS j
+  FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+)
+"""
+
+_Q_MINHASH_CANDIDATES_SQL = f"""
+WITH {_SHINGLE_PAIRS_CTE}
+SELECT a, b, j AS jaccard FROM pairs WHERE j >= 0.8
+"""
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -875,16 +919,70 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(d, "text", "doc_id", threshold=0.8).select("doc_id")
 
 
+_Q_MINHASH_DEDUP_SQL = f"""
+WITH {_SHINGLE_PAIRS_CTE}
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT DISTINCT b FROM pairs WHERE j >= 0.8)
+"""
+
+
+def _planes_values_sql(num_planes: int, dim: int = 64, seed: int = 42) -> str:
+    """The seeded hyperplanes as a SQL VALUES list (pid, p DOUBLE[])."""
+    from gluestick_spark.llm.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, num_planes, seed)
+    return ", ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(x) for x in p) + "]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gluestick_spark.llm.dedup import embedding_near_dups
 
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dups(e, "embedding", "vec_id", threshold=0.3, dim=64, num_planes=16)
+    out = embedding_near_dups(e, "embedding", "vec_id", threshold=0.3, dim=64, num_planes=16)
+    return out.select("a", "b", (F.floor(F.col("cosine") * 1e4) / 1e4).alias("cosine"))
+
+
+def _embedding_near_dups_sql() -> str:
+    return f"""
+WITH planes(pid, p) AS (VALUES {_planes_values_sql(16)}),
+vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigs AS (
+  SELECT vec_id, CAST(SUM(CASE WHEN list_dot_product(v, p) > 0 THEN 1 << pid ELSE 0 END) AS BIGINT) AS sig
+  FROM vecs, planes GROUP BY vec_id
+),
+pieces AS (
+  SELECT vec_id, c.c AS chunk, (sig >> (c.c * 4)) & 15 AS piece
+  FROM sigs, (SELECT unnest(range(4)) AS c) c
+),
+cand AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM pieces l JOIN pieces r
+    ON l.chunk = r.chunk AND l.piece = r.piece AND l.vec_id < r.vec_id
+),
+ver AS (
+  SELECT a, b,
+    list_dot_product(va.v, vb.v)
+      / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))) AS cos
+  FROM cand JOIN vecs va ON va.vec_id = cand.a JOIN vecs vb ON vb.vec_id = cand.b
+)
+SELECT a, b, floor(cos * 1e4) / 1e4 AS cosine FROM ver WHERE cos >= 0.3
+"""
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     return simhash_near_dups(d, "text", "doc_id", max_hamming=8)
+
+
+# Fixture from the independent pure-Python replica (sf0.01 inputs — the
+# driver's correctness scale). Regenerate: python tools/make_oracle_fixtures.py
+_Q_SIMHASH_SQL = """
+SELECT a, b, hamming
+FROM read_parquet('/root/repo/tests/fixtures/simhash_pairs_sf001.parquet')
+"""
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -907,11 +1005,59 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", (F.floor(F.col("similarity") * 1e4) / 1e4).alias("similarity"))
 
 
+def _lsh_ann_sql() -> str:
+    return f"""
+WITH planes(pid, p) AS (VALUES {_planes_values_sql(8)}),
+vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigs AS (
+  SELECT vec_id, CAST(SUM(CASE WHEN list_dot_product(v, p) > 0 THEN 1 << pid ELSE 0 END) AS BIGINT) AS sig
+  FROM vecs, planes GROUP BY vec_id
+),
+q AS (
+  SELECT vecs.v AS qv, sigs.sig AS qsig
+  FROM vecs JOIN sigs ON vecs.vec_id = sigs.vec_id WHERE vecs.vec_id = 0
+),
+cand AS (
+  SELECT vecs.vec_id, vecs.v FROM vecs JOIN sigs ON vecs.vec_id = sigs.vec_id, q
+  WHERE bit_count(xor(sigs.sig, q.qsig)) <= 2
+),
+sims AS (
+  SELECT vec_id,
+    list_dot_product(v, q.qv)
+      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q.qv, q.qv))) AS raw
+  FROM cand, q
+)
+SELECT vec_id, floor(raw * 1e4) / 1e4 AS similarity
+FROM sims ORDER BY raw DESC, vec_id ASC LIMIT 10
+"""
+
+
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _tp(spark, sf_dir, "documents", "doc_id")
     b = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     feats = decode_image_features(b, "payload", ["doc_id"])
     return feats.select("doc_id", "features.width", "features.height", "features.mean_intensity")
+
+
+def _image_features_sql() -> str:
+    """The fake decoder is sha256-byte arithmetic — directly expressible in
+    SQL (hex-nibble parse of DuckDB's sha256)."""
+
+    def hexv(pos: int) -> str:  # 1-based position in the hex string
+        return f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+
+    def byte(i: int) -> str:  # 0-based byte of the digest
+        return f"({hexv(2 * i + 1)} * 16 + {hexv(2 * i + 2)})"
+
+    total = " + ".join(byte(i) for i in range(16))
+    return f"""
+WITH hashed AS (SELECT doc_id, sha256(text) AS h FROM documents)
+SELECT doc_id,
+  64 + {byte(0)} % 192 AS width,
+  64 + {byte(1)} % 192 AS height,
+  round(({total}) / 16.0 / 255.0, 6) AS mean_intensity
+FROM hashed
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1013,4 +1159,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _Q_ANN_TOPK_SQL,
         "jaccard_vs_query": _Q_JACCARD_SQL,
         "multimodal_metadata": _Q_MULTIMODAL_SQL,
+        "minhash_candidates": _Q_MINHASH_CANDIDATES_SQL,
+        "minhash_dedup": _Q_MINHASH_DEDUP_SQL,
+        "simhash_near_dups": _Q_SIMHASH_SQL,
+        "embedding_near_dups": _embedding_near_dups_sql(),
+        # nprobe=2 of the 8 fixed centroids has recall 1 here → exact top-k
+        "ivf_topk": _Q_ANN_TOPK_SQL,
+        "lsh_ann_topk": _lsh_ann_sql(),
+        "image_features": _image_features_sql(),
     }

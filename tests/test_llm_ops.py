@@ -230,3 +230,35 @@ def test_minhash_near_dup_pairs_matches_brute_force(spark):
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
     )
     assert pairs == {(x["a"], x["b"]) for x in brute.collect()}
+
+
+def test_pure_python_xxh64_matches_spark(spark):
+    """tools/xxh64.py is the independent oracle for xxhash64-dependent
+    operators — its output must be bit-identical to Spark's."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.xxh64 import xxh64
+
+    samples = ["", "a", "abc", "hello world", "x" * 100, "übergrößé", "tok" * 11]
+    df = spark.createDataFrame([(s,) for s in samples], ["s"])
+    got = [r[0] for r in df.select(F.xxhash64("s")).collect()]
+    assert got == [xxh64(s.encode("utf-8")) for s in samples]
+
+
+def test_simhash_fixture_replica_matches_spark(spark):
+    """The pure-Python simhash replica (fixture generator) must reproduce
+    simhash_near_dups exactly — checked at sf0.001, a different scale than
+    the sf0.01 fixture itself."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.make_oracle_fixtures import simhash_pairs_py
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").where(F.col("doc_id") < 100)
+    got = sorted(
+        (r["a"], r["b"], r["hamming"])
+        for r in simhash_near_dups(d, "text", "doc_id", max_hamming=8).collect()
+    )
+    docs = {r["doc_id"]: r["text"] for r in d.select("doc_id", "text").collect()}
+    assert got == simhash_pairs_py(docs, max_hamming=8, chunks=8)
