@@ -39,6 +39,12 @@ from .functions.hashing import row_hash_expr, with_row_hash
 from .functions.casting import cast_expr, cast_df_to_schema
 from .functions.strings import format_str_safely, build_string_format_variables, get_index_safely
 from .sinks.singer import to_singer, write_schema, write_record, write_state, gen_singer_header
+from .sinks.singer_schema import (
+    to_singer_schema,
+    unwrap_json_schema,
+    get_catalog_schema,
+    parse_df_cols,
+)
 from .sinks.export import to_export
 
 __version__ = "0.1.0"

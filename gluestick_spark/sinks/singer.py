@@ -108,12 +108,21 @@ def write_state(value: dict[str, Any], fp: IO[str] | None = None) -> None:
 
 
 def gen_singer_header(
-    df: DataFrame, allow_objects: bool, schema: dict[str, Any] | None = None
+    df: DataFrame,
+    allow_objects: bool,
+    schema: dict[str, Any] | None = None,
+    catalog_schema: bool = False,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Build the Singer SCHEMA header for ``df`` and (when
     ``allow_objects=False``) stringify complex columns like the reference
-    (singer.py:178-180: non-typed columns get ``_serialize_value``)."""
-    if schema is not None:
+    (singer.py:178-180: non-typed columns get ``_serialize_value``).
+
+    An explicit/unified ``schema`` is returned as-is; under the catalog path
+    (``catalog_schema=True``) the header is inferred from the DataFrame and
+    then overridden by the catalog properties, keeping extra columns the
+    catalog doesn't know (tenant, sync_date, ... — singer.py:182-186).
+    """
+    if schema is not None and not catalog_schema:
         return df, schema
     if not allow_objects:
         cols = []
@@ -126,7 +135,10 @@ def gen_singer_header(
                 cols.append(F.col(f"`{f.name}`"))
         if changed:
             df = df.select(*cols)
-    return df, struct_to_json_schema(df.schema)
+    header = struct_to_json_schema(df.schema)
+    if catalog_schema and schema is not None:
+        header["properties"].update(schema.get("properties", {}))
+    return df, header
 
 
 def to_singer(
@@ -137,20 +149,52 @@ def to_singer(
     filename: str = "data.singer",
     allow_objects: bool = False,
     schema: dict[str, Any] | None = None,
+    unified_model: Any | None = None,
     keep_null_fields: bool = False,
+    catalog_stream: str | None = None,
 ) -> None:
-    """Export ``df`` as a Singer ndjson file (append mode when it exists)."""
-    keys = keys or []
-    if allow_objects and not keep_null_fields:
-        df = drop_all_null_columns(df)
-    df, header_map = gen_singer_header(df, allow_objects, schema)
+    """Export ``df`` as a Singer ndjson file (append mode when it exists).
 
+    Schema precedence (reference singer.py:494-516): catalog
+    (``USE_CATALOG_SCHEMA=true`` env or ``catalog_stream``) > Pydantic
+    ``unified_model`` (its ``model_json_schema()`` unwrapped) > explicit
+    ``schema`` > inferred from the DataFrame. The catalog path also parses
+    string-encoded object/array columns back into structures and keeps null
+    fields; ``INCLUDE_ALL_UNIFIED_FIELDS=true`` keeps nulls on the unified
+    path.
+    """
+    keys = keys or []
+    use_catalog = os.environ.get("USE_CATALOG_SCHEMA", "false").lower() == "true"
+    include_all_unified = (
+        os.environ.get("INCLUDE_ALL_UNIFIED_FIELDS", "false").lower() == "true"
+        and unified_model is not None
+    )
+
+    # all-null column drop happens BEFORE the catalog branch flips
+    # allow_objects (reference singer.py:498-500)
+    if allow_objects and not (use_catalog or include_all_unified or keep_null_fields):
+        df = drop_all_null_columns(df)
+
+    if use_catalog or catalog_stream:
+        from .singer_schema import get_catalog_schema, parse_df_cols
+
+        allow_objects = True
+        schema = get_catalog_schema(catalog_stream or stream)
+        df = parse_df_cols(df, schema)
+    elif unified_model is not None:
+        from .singer_schema import unwrap_json_schema
+
+        schema = unwrap_json_schema(unified_model.model_json_schema())
+
+    df, header_map = gen_singer_header(df, allow_objects, schema, catalog_schema=use_catalog)
+
+    keep_nulls = use_catalog or include_all_unified or keep_null_fields
     body = F.to_json(
         F.struct(*[F.col(f"`{c}`") for c in df.columns]),
         {
             "timestampFormat": _TS_FORMAT,
             "dateFormat": _DATE_FORMAT,
-            "ignoreNullFields": "false" if keep_null_fields else "true",
+            "ignoreNullFields": "false" if keep_nulls else "true",
         },
     )
     lines = df.select(body.alias("j"))
