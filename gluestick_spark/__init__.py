@@ -28,11 +28,19 @@ from .operators.project import (
     pluck_fields_by_regex,
     custom_fields_expr,
     array_to_dict_expr,
+    array_to_dict_reducer,
     drop_all_null_columns,
 )
 from .operators.mapping import map_fields_df, read_tenant_custom_mapping, should_map_table
 from .config import JobDirs, get_job_dirs, read_config, get_config_value, exception
 from .validation import validate_records, split_valid_invalid
+from .records import (
+    CustomValidationError,
+    map_fields,
+    process_custom_fields,
+    localize_record_datetimes,
+    get_model_datetime_fields,
+)
 from .operators.union import union_relaxed, keep_last, widest_common_type
 from .operators.snapshot import snapshot_records, drop_redundant, merge_id_from_snapshot, upsert
 from .functions.hashing import row_hash_expr, with_row_hash

@@ -22,8 +22,19 @@ __all__ = ["localize_datetime", "ns_to_timestamp", "singer_datetime_expr"]
 SINGER_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
 
 
-def localize_datetime(df: DataFrame, column: str) -> DataFrame:
-    """Coerce a column to UTC timestamp; unparseable values become null."""
+def localize_datetime(df, column, timezone: str = "UTC"):
+    """Coerce a column to UTC timestamp; unparseable values become null.
+
+    Two modes like the reference (date_utils.py:38-115): a Spark DataFrame
+    with a column name (distributed; always UTC), or a single record dict
+    with a list of field names (driver-side validation flow — dispatches to
+    :func:`gluestick_spark.records.localize_record_datetimes`, which raises
+    ``CustomValidationError`` on NaT values).
+    """
+    if isinstance(column, (list, tuple)) or isinstance(df, dict):
+        from ..records import localize_record_datetimes
+
+        return localize_record_datetimes(df, list(column), timezone)
     dt = df.schema[column].dataType
     if isinstance(dt, T.TimestampType):
         return df
