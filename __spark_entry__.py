@@ -729,8 +729,12 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lang_id_sql() -> str:
     score_exprs = []
     for lang, words in LANG_MARKERS.items():
+        # non-ASCII markers are substring counts, mirroring _word_hits
         parts = " + ".join(
-            f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in words
+            f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
+            if w.isascii()
+            else f"len(regexp_extract_all(lower(text), '{w}'))"
+            for w in words
         )
         score_exprs.append(f"({parts}) AS s_{lang}")
     scores = ", ".join(score_exprs)

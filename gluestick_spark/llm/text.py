@@ -12,6 +12,8 @@ the DuckDB correctness oracle.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -65,10 +67,15 @@ def bpe_token_count_expr(col: Column) -> Column:
 
 
 def _word_hits(col: Column, word: str) -> Column:
-    """Count of whole-word occurrences of ``word`` (case-insensitive)."""
-    return F.size(
-        F.regexp_extract_all(F.lower(col), F.lit(rf"\b{word}\b"), 0)
-    )
+    """Count of whole-word occurrences of ``word`` (case-insensitive).
+
+    Java-regex ``\\b`` is ASCII-``\\w`` based and never matches between
+    adjacent CJK characters, so non-ASCII markers (zh) use plain substring
+    counts instead — mirrored in the DuckDB oracle the same way.
+    """
+    if word.isascii():
+        return F.size(F.regexp_extract_all(F.lower(col), F.lit(rf"\b{word}\b"), 0))
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(re.escape(word)), 0))
 
 
 def lang_scores_expr(col: Column) -> dict[str, Column]:

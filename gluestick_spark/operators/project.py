@@ -27,6 +27,7 @@ __all__ = [
     "pluck_fields_by_regex",
     "custom_fields_expr",
     "array_to_dict_expr",
+    "array_to_dict_reducer",
     "drop_all_null_columns",
 ]
 
@@ -105,6 +106,26 @@ def array_to_dict_expr(
     return F.map_from_entries(
         F.transform(entries, lambda x: F.struct(x[key_field], x[value_field]))
     )
+
+
+def array_to_dict_reducer(key_prop: str | None = None, value_prop: str | None = None):
+    """Record-level reducer: fold an array of dicts into one dict
+    (gluestick/pandas_utils.py:381-412). Kept for API parity — reference ETL
+    scripts pass it as ``explode_json_to_cols(..., reducer=...)`` (where the
+    reference, like this repo, accepts-and-ignores it) and use it with
+    ``functools.reduce`` directly. The distributed equivalent is
+    :func:`array_to_dict_expr`."""
+
+    def reducer(accumulator: dict, current_value: dict) -> dict:
+        if type(current_value) is not dict:
+            raise AttributeError("Value being reduced must be a dictionary")
+        if key_prop is not None and value_prop is not None:
+            accumulator[current_value.get(key_prop)] = current_value.get(value_prop)
+        else:
+            accumulator.update(current_value)
+        return accumulator
+
+    return reducer
 
 
 def drop_all_null_columns(df: DataFrame) -> DataFrame:

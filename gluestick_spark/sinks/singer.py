@@ -141,6 +141,38 @@ def gen_singer_header(
     return df, header
 
 
+def _record_body(df: DataFrame, keep_nulls: bool, trim_nested_nulls: bool):
+    """Column expression rendering one record as a JSON object string.
+
+    Reference null semantics (singer.py:521-543): with ``keep_nulls`` every
+    field is emitted (nulls as ``null``); otherwise top-level nulls are
+    dropped, and nested nulls are dropped too only when
+    ``trim_nested_nulls`` (``remove_nulls_deep``). Spark's ``to_json``
+    ``ignoreNullFields`` is all-levels-or-nothing, so the
+    drop-top-keep-nested mode assembles the object from per-field
+    ``to_json`` fragments — still one JVM projection, no Python. Flat
+    frames (no struct/array/map columns) can't have nested nulls and take
+    the single-``to_json`` path regardless.
+    """
+    opts_keep = {"timestampFormat": _TS_FORMAT, "dateFormat": _DATE_FORMAT, "ignoreNullFields": "false"}
+    opts_drop = {**opts_keep, "ignoreNullFields": "true"}
+    whole = F.struct(*[F.col(f"`{c}`") for c in df.columns])
+    if keep_nulls:
+        return F.to_json(whole, opts_keep)
+    has_complex = any(
+        isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType)) for f in df.schema.fields
+    )
+    if trim_nested_nulls or not has_complex:
+        return F.to_json(whole, opts_drop)
+    frags = []
+    for c in df.columns:
+        one = F.to_json(F.struct(F.col(f"`{c}`").alias(c)), opts_keep)
+        # '{"c":v}' -> '"c":v'; null field -> fragment null -> filtered out
+        frags.append(F.when(F.col(f"`{c}`").isNotNull(), one.substr(F.lit(2), F.length(one) - 2)))
+    body = F.array_join(F.array_compact(F.array(*frags)), ",")
+    return F.concat(F.lit("{"), body, F.lit("}"))
+
+
 def to_singer(
     df: DataFrame,
     stream: str,
@@ -152,6 +184,7 @@ def to_singer(
     unified_model: Any | None = None,
     keep_null_fields: bool = False,
     catalog_stream: str | None = None,
+    trim_nested_nulls: bool = False,
 ) -> None:
     """Export ``df`` as a Singer ndjson file (append mode when it exists).
 
@@ -162,6 +195,12 @@ def to_singer(
     string-encoded object/array columns back into structures and keeps null
     fields; ``INCLUDE_ALL_UNIFIED_FIELDS=true`` keeps nulls on the unified
     path.
+
+    Null semantics (reference singer.py:521-543): top-level null fields are
+    dropped unless ``keep_nulls``; NESTED nulls are kept unless
+    ``trim_nested_nulls`` (``remove_nulls_deep`` per record). Flat frames
+    take the single-``to_json`` fast path; only frames with complex columns
+    in the keep-nested-nulls mode pay the per-field assembly.
     """
     keys = keys or []
     use_catalog = os.environ.get("USE_CATALOG_SCHEMA", "false").lower() == "true"
@@ -186,18 +225,24 @@ def to_singer(
 
         schema = unwrap_json_schema(unified_model.model_json_schema())
 
+    # float32 → double before rendering: the reference materializes records
+    # through Python floats (json.dumps of float32 upcasts to float64), so
+    # 0.37426901f must serialize as 0.3742690086364746 for byte/value parity
+    # with reference singer output (tests/data/output/data.singer).
+    if any(isinstance(f.dataType, T.FloatType) for f in df.schema.fields):
+        df = df.select(
+            *[
+                F.col(f"`{f.name}`").cast("double").alias(f.name)
+                if isinstance(f.dataType, T.FloatType)
+                else F.col(f"`{f.name}`")
+                for f in df.schema.fields
+            ]
+        )
+
     df, header_map = gen_singer_header(df, allow_objects, schema, catalog_schema=use_catalog)
 
     keep_nulls = use_catalog or include_all_unified or keep_null_fields
-    body = F.to_json(
-        F.struct(*[F.col(f"`{c}`") for c in df.columns]),
-        {
-            "timestampFormat": _TS_FORMAT,
-            "dateFormat": _DATE_FORMAT,
-            "ignoreNullFields": "false" if keep_nulls else "true",
-        },
-    )
-    lines = df.select(body.alias("j"))
+    lines = df.select(_record_body(df, keep_nulls, trim_nested_nulls).alias("j"))
 
     os.makedirs(output_dir, exist_ok=True)
     output = os.path.join(output_dir, filename)

@@ -177,7 +177,9 @@ class Reader:
             # reference's csv/parquet surface for round-trip read parity
             df = self.spark.read.json(path, **kwargs)
         else:
-            df = self.spark.read.option("header", "true").csv(path, **kwargs)
+            # escape='"': RFC 4180 doubled-quote escaping (what pandas/the
+            # reference write); Spark's default is backslash
+            df = self.spark.read.option("header", "true").option("escape", '"').csv(path, **kwargs)
         if catalog_types:
             target = self.stream_schema(stream, headers=df.columns)
             if target is not None:
@@ -204,7 +206,12 @@ def read_csv_folder(
     out: dict[str, DataFrame] = {}
     for stream, p in _discover(path, ignore).items():
         if p.endswith(".csv"):
-            out[stream] = spark.read.option("header", "true").option("inferSchema", "true").csv(p)
+            out[stream] = (
+                spark.read.option("header", "true")
+                .option("inferSchema", "true")
+                .option("escape", '"')
+                .csv(p)
+            )
     return out
 
 
@@ -229,5 +236,10 @@ def read_snapshots(
     if os.path.exists(pq_path):
         return spark.read.parquet(pq_path)
     if os.path.exists(csv_path):
-        return spark.read.option("header", "true").option("inferSchema", "true").csv(csv_path)
+        return (
+            spark.read.option("header", "true")
+            .option("inferSchema", "true")
+            .option("escape", '"')
+            .csv(csv_path)
+        )
     return None

@@ -144,6 +144,17 @@ def test_text_stats_and_lang(spark):
     assert len(rows[1]["fp"]) == 32
 
 
+def test_lang_id_cjk(spark):
+    """zh markers are substring counts (ASCII \\b never fires inside CJK)."""
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="我是学生了的"), Row(doc_id=2, text="the cat is the cat")]
+    )
+    out = {r["doc_id"]: r["lang"] for r in df.select(
+        "doc_id", lang_id_expr(F.col("text")).alias("lang")).collect()}
+    assert out[1] == "zh"
+    assert out[2] == "en"
+
+
 def test_fingerprint_order_insensitive(spark):
     df = spark.createDataFrame(
         [Row(id=1, text="alpha beta gamma"), Row(id=2, text="gamma  alpha beta beta")]

@@ -1,0 +1,163 @@
+"""Parity against the reference's checked-in golden files.
+
+Runs this repo's operators/sinks over /root/reference/tests/data/input/*
+and compares with /root/reference/tests/data/output/* — the same fixtures
+the reference's own tests/etl_test.py:22-227 assert against. Comparison is
+value-level (parsed JSON / parsed CSV), matching the reference test's own
+``json.loads``-then-compare strategy.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import pandas as pd
+import pytest
+
+from gluestick_spark import (
+    Reader,
+    array_to_dict_reducer,
+    explode_json_to_cols,
+    explode_json_to_rows,
+    to_export,
+)
+
+REF_DATA = "/root/reference/tests/data"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_DATA), reason="reference fixtures not available"
+)
+
+
+def _read_input_csv(spark, name):
+    return (
+        spark.read.option("header", "true")
+        .option("inferSchema", "true")
+        .option("escape", '"')
+        .csv(os.path.join(REF_DATA, "input", name))
+    )
+
+
+def _golden_csv(name):
+    # golden CSVs carry a BOM and were written with the pandas index
+    return pd.read_csv(os.path.join(REF_DATA, "output", name), encoding="utf-8-sig")
+
+
+def _assert_frames_match(got: pd.DataFrame, want: pd.DataFrame):
+    assert sorted(got.columns) == sorted(want.columns)
+    got = got[sorted(got.columns)].reset_index(drop=True)
+    want = want[sorted(want.columns)].reset_index(drop=True)
+    assert len(got) == len(want)
+    for col in want.columns:
+        for g, w in zip(got[col].tolist(), want[col].tolist()):
+            if pd.isna(w):
+                assert pd.isna(g), f"{col}: {g!r} != NaN"
+            elif isinstance(w, float):
+                assert math.isclose(float(g), w, rel_tol=1e-6), f"{col}: {g!r} != {w!r}"
+            else:
+                assert str(g) == str(w), f"{col}: {g!r} != {w!r}"
+
+
+def test_golden_explode_json_to_cols(spark):
+    df = _read_input_csv(spark, "json_to_cols.csv")
+    out = explode_json_to_cols(
+        df, "Metadata", reducer=array_to_dict_reducer("Name", "StringValue")
+    )
+    _assert_frames_match(out.toPandas(), _golden_csv("json_to_cols.csv"))
+
+
+def test_golden_explode_json_to_cols_unique(spark):
+    df = _read_input_csv(spark, "json_to_cols_unique.csv")
+    out = explode_json_to_cols(df, "Metadata")
+    _assert_frames_match(out.toPandas(), _golden_csv("json_to_cols_unique.csv"))
+
+
+def test_golden_explode_json_to_rows(spark):
+    df = _read_input_csv(spark, "json_to_rows.csv")
+    out = explode_json_to_rows(df, "Line Detail")
+    _assert_frames_match(out.toPandas(), _golden_csv("json_to_rows.csv"))
+
+
+def test_golden_explode_multi_both_orders(spark):
+    df = _read_input_csv(spark, "multi_json.csv")
+    want = _golden_csv("explode_multi.csv")
+    r = array_to_dict_reducer("Name", "StringValue")
+
+    cols_then_rows = explode_json_to_rows(
+        explode_json_to_cols(df, "Metadata", reducer=r), "LineDetail"
+    )
+    _assert_frames_match(cols_then_rows.toPandas(), want)
+
+    rows_then_cols = explode_json_to_cols(
+        explode_json_to_rows(df, "LineDetail"), "Metadata", reducer=r
+    )
+    _assert_frames_match(rows_then_cols.toPandas(), want)
+
+
+@pytest.fixture()
+def campaign_reader(spark):
+    return Reader(spark, input_dir=os.path.join(REF_DATA, "input"))
+
+
+def _parsed_lines(path):
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def _assert_json_equal(got, want, where=""):
+    if isinstance(want, dict):
+        assert isinstance(got, dict) and sorted(got) == sorted(want), f"{where}: {got} != {want}"
+        for k in want:
+            _assert_json_equal(got[k], want[k], f"{where}.{k}")
+    elif isinstance(want, list):
+        assert isinstance(got, list) and len(got) == len(want), where
+        for i, (g, w) in enumerate(zip(got, want)):
+            _assert_json_equal(g, w, f"{where}[{i}]")
+    elif isinstance(want, float):
+        assert math.isclose(float(got), want, rel_tol=0, abs_tol=0), f"{where}: {got!r} != {want!r}"
+    else:
+        assert got == want, f"{where}: {got!r} != {want!r}"
+
+
+def test_golden_to_export_singer(spark, tmp_path, campaign_reader):
+    """Default to_export (singer) over the parquet fixture must produce the
+    reference's data.singer message-for-message (etl_test.py:129-180)."""
+    df = campaign_reader.get("campaign_performance")
+    to_export(
+        df,
+        "campaign_performance",
+        str(tmp_path),
+        reader=campaign_reader,
+    )
+    got = _parsed_lines(tmp_path / "data.singer")
+    want = _parsed_lines(os.path.join(REF_DATA, "output", "data.singer"))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        _assert_json_equal(g, w, w.get("type", "?"))
+
+
+@pytest.mark.parametrize("source", ["parquet", "csv"])
+def test_golden_to_export_csv(spark, tmp_path, campaign_reader, source):
+    stream = "campaign_performance" if source == "parquet" else "campaign_csv"
+    df = campaign_reader.get(stream)
+    to_export(df, "camp", str(tmp_path), export_format="csv", keys=["id"])
+    part_dir = tmp_path / "camp.csv"
+    parts = [p for p in os.listdir(part_dir) if p.endswith(".csv")]
+    assert len(parts) == 1
+    got = pd.read_csv(part_dir / parts[0])
+    want = _golden_csv(f"campaign_performance_{source}.csv")
+    _assert_frames_match(got, want)
+
+
+@pytest.mark.parametrize("source", ["parquet", "csv"])
+def test_golden_to_export_parquet(spark, tmp_path, campaign_reader, source):
+    stream = "campaign_performance" if source == "parquet" else "campaign_csv"
+    df = campaign_reader.get(stream)
+    to_export(df, "camp", str(tmp_path), export_format="parquet", keys=["id"])
+    got = pd.read_parquet(tmp_path / "camp.parquet")
+    want = pd.read_parquet(
+        os.path.join(REF_DATA, "output", f"campaign_performance_{source}.parquet")
+    )
+    _assert_frames_match(got, want)

@@ -129,3 +129,63 @@ def test_to_export_prefix_templating(spark, tmp_dir, monkeypatch):
     df = spark.createDataFrame([Row(a=1)])
     to_export(df, "camp", tmp_dir, export_format="parquet", output_file_prefix="{tenant}_")
     assert os.path.exists(os.path.join(tmp_dir, "acme_camp.parquet"))
+
+
+def test_to_singer_nested_nulls_kept_by_default(spark, tmp_dir):
+    """Reference default (singer.py:521-543): top-level nulls dropped,
+    NESTED nulls kept; trim_nested_nulls prunes them deep."""
+    df = spark.createDataFrame(
+        [Row(a=1, top=None, obj=Row(x=1, y=None))],
+        schema="a long, top string, obj struct<x: long, y: string>",
+    )
+    to_singer(df, "t", tmp_dir, keys=["a"], allow_objects=True, filename="n.singer")
+    rec = [json.loads(l) for l in open(os.path.join(tmp_dir, "n.singer"))][1]["record"]
+    assert "top" not in rec
+    assert rec["obj"] == {"x": 1, "y": None}
+
+    to_singer(
+        df, "t", tmp_dir, keys=["a"], allow_objects=True,
+        trim_nested_nulls=True, filename="trim.singer",
+    )
+    rec = [json.loads(l) for l in open(os.path.join(tmp_dir, "trim.singer"))][1]["record"]
+    assert "top" not in rec
+    assert rec["obj"] == {"x": 1}
+
+
+def test_to_singer_float32_upcast(spark, tmp_dir):
+    """float columns render via their exact float64 value (pandas parity)."""
+    df = spark.createDataFrame([Row(a=1, f=0.37426901)], schema="a long, f float")
+    to_singer(df, "t", tmp_dir, keys=["a"], filename="f.singer")
+    rec = [json.loads(l) for l in open(os.path.join(tmp_dir, "f.singer"))][1]["record"]
+    import numpy as np
+
+    assert rec["f"] == float(np.float32(0.37426901))
+
+
+def test_to_export_json_array(spark, tmp_dir):
+    df = spark.createDataFrame([Row(a=1, b="x"), Row(a=2, b="y")])
+    to_export(df, "camp", tmp_dir, export_format="json", keys=["a"])
+    with open(os.path.join(tmp_dir, "camp.json")) as f:
+        data = json.load(f)
+    assert sorted(data, key=lambda r: r["a"]) == [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]
+
+
+def test_to_export_singer_pk_fallback(spark, tmp_dir, tmp_path):
+    """Empty keys resolve via Reader.get_pk (reference etl_utils.py:646-647)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    table = pa.Table.from_pandas(pd.DataFrame({"id": [1, 2], "v": ["a", "b"]}))
+    table = table.replace_schema_metadata({"key_properties": json.dumps(["id"])})
+    pq.write_table(table, in_dir / "camp-20260101T000000.parquet")
+
+    from gluestick_spark import Reader
+
+    reader = Reader(spark, input_dir=str(in_dir))
+    out_dir = tmp_path / "out"
+    to_export(reader.get("camp"), "camp", str(out_dir), reader=reader)
+    lines = [json.loads(l) for l in open(out_dir / "data.singer")]
+    assert lines[0]["key_properties"] == ["id"]
