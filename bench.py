@@ -92,19 +92,43 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_total": round(sum(cold.values()), 3),
-                "singer_rows_per_sec": singer_rps,
-                "sf": sf_val,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_total": round(sum(cold.values()), 3),
+        "singer_rows_per_sec": singer_rps,
+        "sf": sf_val,
+    }
+    prev = _previous_round(sf_val)
+    if prev:
+        deltas = {
+            q: round(timings[q] / prev[q] - 1, 3)
+            for q in timings
+            if prev.get(q)
+        }
+        result["delta_vs_prev"] = deltas
+        result["regressions_gt_10pct"] = sorted(q for q, d in deltas.items() if d > 0.10)
+    print(json.dumps(result))
+
+
+def _previous_round(sf_val) -> dict[str, float]:
+    """Per-query seconds from the newest BENCH_r*.json at the same SF
+    (round-over-round regression tracking; VERDICT r1 #10)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            parsed = rec.get("parsed", rec)
+            if parsed.get("sf") == sf_val and parsed.get("queries"):
+                return parsed["queries"]
+        except (OSError, ValueError):
+            continue
+    return {}
 
 
 if __name__ == "__main__":

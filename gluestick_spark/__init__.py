@@ -32,7 +32,15 @@ from .operators.project import (
     drop_all_null_columns,
 )
 from .operators.mapping import map_fields_df, read_tenant_custom_mapping, should_map_table
-from .config import JobDirs, get_job_dirs, read_config, get_config_value, exception
+from .config import (
+    JobDirs,
+    get_job_dirs,
+    read_config,
+    get_config_value,
+    exception,
+    establish_directories,
+    load_config_json,
+)
 from .validation import validate_records, split_valid_invalid
 from .records import (
     CustomValidationError,
@@ -40,9 +48,18 @@ from .records import (
     process_custom_fields,
     localize_record_datetimes,
     get_model_datetime_fields,
+    validate_model,
+    handle_validation_error,
 )
 from .operators.union import union_relaxed, keep_last, widest_common_type
-from .operators.snapshot import snapshot_records, drop_redundant, merge_id_from_snapshot, upsert
+from .operators.snapshot import (
+    snapshot_records,
+    drop_redundant,
+    merge_id_from_snapshot,
+    upsert,
+    prepare_snapshot_write,
+    finish_snapshot_write,
+)
 from .functions.hashing import row_hash_expr, with_row_hash
 from .functions.casting import cast_expr, cast_df_to_schema
 from .functions.strings import format_str_safely, build_string_format_variables, get_index_safely

@@ -15,7 +15,15 @@ import json
 import os
 from typing import Any
 
-__all__ = ["JobDirs", "get_job_dirs", "read_config", "get_config_value", "exception"]
+__all__ = [
+    "JobDirs",
+    "get_job_dirs",
+    "read_config",
+    "get_config_value",
+    "exception",
+    "establish_directories",
+    "load_config_json",
+]
 
 
 class JobDirs:
@@ -59,6 +67,65 @@ def exception(message: str, root: str | None = None, error_file: str = "errors.t
     except OSError:
         pass
     raise Exception(message)
+
+
+def establish_directories(global_vars: dict[str, Any]) -> tuple:
+    """Resolve job directories/ids env-first and create them on disk,
+    returning the reference's 9-tuple ``(ROOT_DIR, base_input_dir,
+    output_dir, snapshot_dir, tenant_id, flow_id, today, tmp_dir,
+    config_json)`` (gluestick/config_utils.py:12-95). Precedence per value:
+    env var > ``global_vars`` > default relative to ``ROOT_DIR``."""
+    import datetime
+
+    def get_var(name: str, default: Any) -> Any:
+        return os.getenv(name, global_vars.get(name, default))
+
+    root = get_var("ROOT_DIR", ".")
+    base_input_dir = get_var("base_input_dir", f"{root}/sync-output")
+    output_dir = get_var("output_dir", f"{root}/etl-output")
+    snapshot_dir = get_var("snapshot_dir", f"{root}/snapshots")
+    tmp_dir = get_var("tmp_dir", f"{root}/tmp")
+    config_json = get_var("config_json", f"{root}/config.json")
+    today = get_var("today", None)
+    tenant_id = get_var("USER_ID", get_var("TENANT", None))
+    flow_id = get_var("FLOW", None)
+
+    if today is None:
+        today = datetime.date.today()
+    else:
+        today = datetime.datetime.strptime(today, "%Y%m%d")
+
+    for d in (base_input_dir, output_dir, snapshot_dir, tmp_dir):
+        os.makedirs(d, exist_ok=True)
+
+    if not os.path.exists(config_json):
+        config_json = None
+
+    return (
+        root,
+        base_input_dir,
+        output_dir,
+        snapshot_dir,
+        tenant_id,
+        flow_id,
+        today,
+        tmp_dir,
+        config_json,
+    )
+
+
+def load_config_json(config_json: str | None, config_vars: dict[str, Any]) -> dict[str, Any]:
+    """Merge a config.json file over default variables; empty-string or
+    missing keys keep their defaults (gluestick/config_utils.py:97-163).
+    Returns ``config_vars`` unchanged when the path is falsy/absent."""
+    if not config_json or not os.path.exists(config_json):
+        return config_vars
+    with open(config_json) as f:
+        data = json.load(f)
+    for key in config_vars:
+        if key not in data or data[key] == "":
+            data[key] = config_vars[key]
+    return data
 
 
 def get_config_value(key: str, config: dict[str, Any] | None = None, default: Any = None) -> Any:

@@ -45,6 +45,8 @@ __all__ = [
     "drop_redundant",
     "merge_id_from_snapshot",
     "upsert",
+    "prepare_snapshot_write",
+    "finish_snapshot_write",
 ]
 
 _SRC = "__src_priority__"
@@ -77,6 +79,27 @@ def _write_snapshot(df: DataFrame, stream: str, snapshot_dir: str, use_csv: bool
     os.rename(tmp, final)
     if os.path.exists(lock):
         shutil.rmtree(lock, ignore_errors=True)
+
+
+LOCK_SUFFIX = ".hg.partial_written.lock"
+
+
+def prepare_snapshot_write(canonical_path: str) -> str:
+    """Public lock-rename protocol, step 1 (reference snapshot_lock.py:13-29):
+    move any existing snapshot (file OR Spark output directory) aside to the
+    ``.lock`` path and return the path to write to. ``_write_snapshot``
+    applies the same protocol internally; this is the standalone API for
+    callers doing their own writes."""
+    lock_path = canonical_path + LOCK_SUFFIX
+    if os.path.exists(canonical_path):
+        os.rename(canonical_path, lock_path)
+    return lock_path
+
+
+def finish_snapshot_write(lock_path: str, canonical_path: str) -> None:
+    """Step 2 (reference snapshot_lock.py:31-47): commit by renaming the lock
+    path to the canonical path. Only call after a successful write."""
+    os.rename(lock_path, canonical_path)
 
 
 def upsert(snapshot: DataFrame, incoming: DataFrame, pk: str | list[str]) -> DataFrame:

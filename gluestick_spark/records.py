@@ -32,6 +32,8 @@ __all__ = [
     "process_custom_fields",
     "localize_record_datetimes",
     "get_model_datetime_fields",
+    "validate_model",
+    "handle_validation_error",
 ]
 
 
@@ -202,6 +204,60 @@ def get_model_datetime_fields(model: Any) -> list[str]:
                 out.append(name)
                 break
     return out
+
+
+def handle_validation_error(
+    error_message: str, file_path: str = "error_log.txt", raise_error: bool = False
+) -> None:
+    """Raise ``CustomValidationError`` or append message+traceback to a log
+    (reference gluestick/unified_models_utils.py:9-32)."""
+    if raise_error:
+        raise CustomValidationError(error_message)
+    import traceback
+
+    with open(file_path, "a") as f:
+        f.write(f"ERROR: {error_message}\n")
+        f.write(f"TRACEBACK:\n{traceback.format_exc()}\n\n")
+
+
+def validate_model(
+    records: list[dict[str, Any]],
+    model: Any,
+    config: dict[str, Any],
+    raise_error: bool = True,
+) -> list[Any]:
+    """Localize datetime fields then validate/cast each record against a
+    Pydantic model class (reference gluestick/unified_models_utils.py:34-80).
+
+    Driver-side, matching the reference's per-record flow. For
+    DataFrame-scale validation use
+    :func:`gluestick_spark.validation.validate_records` (Arrow-batched).
+    """
+    try:
+        from pydantic import ValidationError
+    except ImportError as exc:  # pragma: no cover
+        raise ImportError("validate_model requires pydantic") from exc
+
+    output: list[Any] = []
+    datetime_fields = get_model_datetime_fields(model)
+    timezone = config.get("timezone", "UTC")
+    for value in records:
+        try:
+            value = localize_record_datetimes(value, datetime_fields, timezone)
+            output.append(model(**value))
+        except ValidationError as ve:
+            for error in ve.errors():
+                field_name = error["loc"][0] if error["loc"] else "?"
+                message = (
+                    f"Field '{field_name}' in model "
+                    f"{getattr(model, 'schema_name', model.__name__)} failed to be "
+                    f"casted as '{error['type']}', value trying to be casted: "
+                    f"'{error.get('input')}'"
+                )
+                handle_validation_error(message, raise_error=raise_error)
+        except CustomValidationError as e:
+            handle_validation_error(str(e), raise_error=raise_error)
+    return output
 
 
 def localize_record_datetimes(

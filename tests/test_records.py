@@ -9,6 +9,8 @@ equivalence test of the row-form vs the distributed df-form mapping DSL.
 from __future__ import annotations
 
 import datetime
+import os
+import typing
 
 import pandas as pd
 import pytest
@@ -330,3 +332,72 @@ def test_get_model_datetime_fields():
         }
 
     assert get_model_datetime_fields(_FakeModel) == ["created_at", "updated_at"]
+
+
+def test_validate_model_roundtrip(tmp_path, monkeypatch):
+    """validate_model localizes datetimes then casts via Pydantic
+    (reference unified_models_utils.py:34-80)."""
+    pydantic = pytest.importorskip("pydantic")
+    from gluestick_spark import validate_model, CustomValidationError
+
+    class Item(pydantic.BaseModel):
+        schema_name: typing.ClassVar[str] = "Item"
+        id: int
+        created_at: typing.Optional[datetime.datetime] = None
+
+    records = [
+        {"id": "1", "created_at": "2024-01-02T03:04:05"},
+        {"id": 2, "created_at": None},
+    ]
+    out = validate_model(records, Item, {"timezone": "UTC"})
+    assert [m.id for m in out] == [1, 2]
+    assert out[0].created_at.tzinfo is not None
+
+    # invalid record raises when raise_error=True
+    with pytest.raises(CustomValidationError):
+        validate_model([{"id": "nope"}], Item, {})
+
+    # ... and is logged + skipped when raise_error=False
+    monkeypatch.chdir(tmp_path)
+    out = validate_model([{"id": "nope"}, {"id": 3}], Item, {}, raise_error=False)
+    assert [m.id for m in out] == [3]
+    assert "failed to be casted" in open(tmp_path / "error_log.txt").read()
+
+
+def test_establish_directories_and_load_config_json(tmp_path, monkeypatch):
+    from gluestick_spark import establish_directories, load_config_json
+    import json as _json
+
+    monkeypatch.delenv("ROOT_DIR", raising=False)
+    (tmp_path / "config.json").write_text(_json.dumps({"batch_size": 500, "empty": ""}))
+    root, base_in, out_dir, snap, tenant, flow, today, tmp, cfg_path = establish_directories(
+        {"ROOT_DIR": str(tmp_path), "USER_ID": "t1", "FLOW": "f1", "today": "20260102"}
+    )
+    assert root == str(tmp_path)
+    for d in (base_in, out_dir, snap, tmp):
+        assert os.path.isdir(d)
+    assert (tenant, flow) == ("t1", "f1")
+    assert today == datetime.datetime(2026, 1, 2)
+    assert cfg_path == str(tmp_path / "config.json")
+
+    merged = load_config_json(cfg_path, {"batch_size": 100, "timeout": 30, "empty": "x"})
+    assert merged == {"batch_size": 500, "timeout": 30, "empty": "x"}
+    assert load_config_json(None, {"a": 1}) == {"a": 1}
+
+
+def test_snapshot_lock_protocol(tmp_path):
+    from gluestick_spark import prepare_snapshot_write, finish_snapshot_write
+
+    canonical = str(tmp_path / "s.snapshot.csv")
+    # first write: nothing to move aside
+    lock = prepare_snapshot_write(canonical)
+    assert lock.endswith(".hg.partial_written.lock") and not os.path.exists(canonical)
+    open(lock, "w").write("v1")
+    finish_snapshot_write(lock, canonical)
+    assert open(canonical).read() == "v1"
+    # second write: canonical moved to lock (inode reuse), then committed
+    lock = prepare_snapshot_write(canonical)
+    assert not os.path.exists(canonical) and open(lock).read() == "v1"
+    open(lock, "w").write("v2")
+    finish_snapshot_write(lock, canonical)
+    assert open(canonical).read() == "v2"

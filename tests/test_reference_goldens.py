@@ -161,3 +161,32 @@ def test_golden_to_export_parquet(spark, tmp_path, campaign_reader, source):
         os.path.join(REF_DATA, "output", f"campaign_performance_{source}.parquet")
     )
     _assert_frames_match(got, want)
+
+
+@pytest.mark.parametrize("source", ["parquet", "csv"])
+def test_golden_chunked_singer(spark, tmp_path, campaign_reader, source):
+    """Chunked export: two append-mode to_singer calls produce the
+    reference's chunk_*_campaign_performance.singer message sequence
+    (SCHEMA+RECORDS+STATE per chunk). The chunk goldens predate the
+    anonymization of the input fixtures, so record VALUES differ — protocol
+    shape (message sequence, schema properties, record field sets) is what's
+    asserted. Chunked reads themselves are subsumed by partitions
+    (SURVEY §2.1 S3)."""
+    from gluestick_spark import to_singer
+
+    stream = "campaign_performance" if source == "parquet" else "campaign_csv"
+    df = campaign_reader.get(stream)
+    pdf = df.toPandas()
+    for start in (0, 5):
+        chunk = spark.createDataFrame(pdf.iloc[start : start + 5], schema=df.schema)
+        to_singer(chunk, "campaign_performance", str(tmp_path), keys=["id"], allow_objects=True)
+    got = _parsed_lines(tmp_path / "data.singer")
+    want = _parsed_lines(
+        os.path.join(REF_DATA, "output", f"chunk_{source}_campaign_performance.singer")
+    )
+    assert [m["type"] for m in got] == [m["type"] for m in want]
+    for g, w in zip(got, want):
+        if w["type"] == "SCHEMA":
+            assert sorted(g["schema"]["properties"]) == sorted(w["schema"]["properties"])
+        elif w["type"] == "RECORD":
+            assert sorted(g["record"]) == sorted(w["record"])
