@@ -56,7 +56,9 @@ from gluestick_spark.llm.text import (  # noqa: E402
     fingerprint_expr,
     lang_id_expr,
     quality_score_expr,
+    rolling_hashes_expr,
     tokens_expr,
+    winnow_fingerprint_expr,
     word_count_expr,
 )
 from gluestick_spark.operators.snapshot import merge_id_df  # noqa: E402
@@ -679,6 +681,47 @@ QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
 """
 
 
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (Karp-Rabin) winnowing fingerprint per document:
+    shingle-hash count + mod-p-sampled fingerprint. Pure JVM expressions
+    (llm/text.py rolling_hashes_expr / winnow_fingerprint_expr)."""
+    d = _tp(spark, sf_dir, "documents", "doc_id")
+    hashes = rolling_hashes_expr(F.col("text"), 3)
+    return d.select(
+        "doc_id",
+        F.size(hashes).alias("n_shingles"),
+        winnow_fingerprint_expr(F.col("text"), 3, 8).alias("winnow_fp"),
+    )
+
+
+_Q_WINNOW_FP_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS words
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, CASE WHEN len(words) >= 3
+    THEN [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+    ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w
+),
+h AS (
+  SELECT doc_id, list_transform(shingles,
+    s -> list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+      (acc, c) -> (acc * 31 + c) % 1000000007)) AS hashes
+  FROM sh
+)
+SELECT doc_id, CAST(len(hashes) AS INT) AS n_shingles,
+  -- coalesce: DuckDB array_to_string([]) is NULL, Spark concat_ws is ''
+  md5(coalesce(array_to_string(
+    list_sort(list_distinct(list_filter(hashes, x -> x % 8 = 0))), ','), '')) AS winnow_fp
+FROM h
+"""
+
+
 def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-set fingerprint near-dup removal (order/dup-insensitive)."""
     d = _tp(spark, sf_dir, "documents", "doc_id")
@@ -1111,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
+        "winnow_fingerprint": q_winnow_fingerprint,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -1156,6 +1200,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus": _clean_corpus_sql(),
         "dedup_exact": _Q_DEDUP_EXACT_SQL,
         "dedup_fingerprint": _Q_DEDUP_FP_SQL,
+        "winnow_fingerprint": _Q_WINNOW_FP_SQL,
         "token_stats": _Q_TOKEN_STATS_SQL,
         "lang_id": _lang_id_sql(),
         "quality_score": _quality_sql(),

@@ -7,6 +7,8 @@ from .text import (
     quality_score_expr,
     fingerprint_expr,
     shingles_expr,
+    rolling_hashes_expr,
+    winnow_fingerprint_expr,
 )
 from .dedup import (
     minhash_signatures,
@@ -32,6 +34,8 @@ from .similarity import (
 from .multimodal import (
     attach_binary_metadata,
     decode_image_features,
+    resize_images,
     sample_frames,
     fake_image_decoder,
+    fake_image_resizer,
 )

@@ -30,7 +30,9 @@ __all__ = [
     "MEDIA_METADATA_TYPE",
     "attach_binary_metadata",
     "fake_image_decoder",
+    "fake_image_resizer",
     "decode_image_features",
+    "resize_images",
     "sample_frames",
 ]
 
@@ -107,6 +109,49 @@ def decode_image_features(
             yield out
 
     return df.select(*id_cols, payload_col).mapInPandas(process, out_schema)
+
+
+def fake_image_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real resize (no codec libs in this
+    container): returns a stable pseudo-bitmap of exactly ``width*height``
+    bytes derived from the payload hash, so output size — the property the
+    plumbing cares about — behaves like a real resize."""
+    seed = hashlib.sha256(payload).digest()
+    reps = (width * height) // len(seed) + 1
+    return (seed * reps)[: width * height]
+
+
+def resize_images(
+    df: DataFrame,
+    payload_col: str,
+    id_cols: list[str],
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] = fake_image_resizer,
+    out_col: str = "resized",
+) -> DataFrame:
+    """Resize image payloads via mapInPandas: id_cols + ``out_col`` binary +
+    refreshed metadata struct for the new payload.
+
+    Same plumbing contract as :func:`decode_image_features` — Arrow-batched,
+    partition-preserving (no shuffle), payload pruned to the single column
+    needed. Inject a real ``resizer`` (PIL/libvips) in production.
+    """
+    id_fields = [df.schema[c] for c in id_cols]
+    out_schema = T.StructType(
+        list(id_fields) + [T.StructField(out_col, T.BinaryType())]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[id_cols].copy()
+            out[out_col] = pdf[payload_col].map(
+                lambda b: resizer(bytes(b), width, height) if b is not None else None
+            )
+            yield out
+
+    resized = df.select(*id_cols, payload_col).mapInPandas(process, out_schema)
+    return attach_binary_metadata(resized, out_col, "image", "application/octet-stream")
 
 
 def sample_frames(

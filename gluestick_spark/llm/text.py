@@ -26,6 +26,8 @@ __all__ = [
     "quality_score_expr",
     "fingerprint_expr",
     "shingles_expr",
+    "rolling_hashes_expr",
+    "winnow_fingerprint_expr",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -141,3 +143,43 @@ def shingles_expr(col: Column, n: int = 3) -> Column:
         F.size(toks) >= n,
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+# Karp-Rabin parameters: base 31, modulus 1e9+7 — both small enough that
+# acc*31+char never overflows a signed 64-bit long, so the identical
+# arithmetic runs in Spark expressions and the DuckDB oracle.
+KR_BASE = 31
+KR_MOD = 1_000_000_007
+
+
+def rolling_hashes_expr(col: Column, n: int = 3) -> Column:
+    """Karp-Rabin polynomial hash of each word n-gram shingle
+    (``array<long>``): h(s) = fold(chars, acc*31 + ascii(c) mod 1e9+7).
+
+    The classic rolling-hash document representation (Rabin 1981; winnowing
+    per Schleimer et al., SIGMOD 2003, §2). Pure JVM expression — one
+    ``transform``/``aggregate`` chain, no Python, no shuffle.
+    """
+    return F.transform(
+        shingles_expr(col, n),
+        lambda s: F.aggregate(
+            F.transform(F.split(s, ""), lambda c: F.ascii(c).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * KR_BASE + c) % KR_MOD,
+        ),
+    )
+
+
+def winnow_fingerprint_expr(col: Column, n: int = 3, p: int = 8) -> Column:
+    """Winnowing-style document fingerprint: select shingle hashes
+    ``h % p == 0`` (mod-p sampling — deterministic, position-independent,
+    ~1/p of shingles kept) and md5 the sorted distinct selection.
+
+    Robust to local edits in ways :func:`fingerprint_expr` (whole-document
+    word set) is not: an edit only perturbs the n shingles covering it, so
+    two near-identical documents share most selected hashes. Returns a
+    32-hex string; empty selection hashes the empty string.
+    """
+    hashes = rolling_hashes_expr(col, n)
+    selected = F.array_sort(F.array_distinct(F.filter(hashes, lambda h: h % p == 0)))
+    return F.md5(F.concat_ws(",", F.transform(selected, lambda h: h.cast("string"))))

@@ -163,6 +163,38 @@ def test_fingerprint_order_insensitive(spark):
     assert fps[0] == fps[1]
 
 
+def test_rolling_hash_winnow_fingerprint(spark):
+    from gluestick_spark.llm import rolling_hashes_expr, winnow_fingerprint_expr
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base),  # identical -> identical fp
+            Row(doc_id=3, text=base.replace("lazy", "sleepy")),  # local edit
+            Row(doc_id=4, text="totally different content here entirely"),
+            Row(doc_id=5, text=""),
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            rolling_hashes_expr(F.col("text"), 3).alias("h"),
+            winnow_fingerprint_expr(F.col("text"), 3, 2).alias("fp"),
+        ).collect()
+    }
+    # 13 words -> 11 trigram shingles
+    assert len(out[1]["h"]) == 11
+    assert out[1]["fp"] == out[2]["fp"]
+    assert out[1]["fp"] != out[4]["fp"]
+    # local edit: shingle hash multiset mostly shared (only 3 shingles touch the edit)
+    shared = set(out[1]["h"]) & set(out[3]["h"])
+    assert len(shared) >= len(out[1]["h"]) - 4
+    # empty doc: deterministic single zero hash
+    assert out[5]["h"] == [0]
+
+
 def test_multimodal_metadata_and_decode(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="hello world")])
     b = df.select("doc_id", F.encode("text", "utf-8").alias("payload"))
@@ -175,6 +207,22 @@ def test_multimodal_metadata_and_decode(spark):
     # deterministic fake
     feats2 = decode_image_features(b, "payload", ["doc_id"]).first()["features"]
     assert feats == feats2
+
+
+def test_resize_images_plumbing(spark):
+    from gluestick_spark.llm import resize_images
+
+    df = spark.createDataFrame([Row(doc_id=1, text="hello world"), Row(doc_id=2, text="bye")])
+    b = df.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    out = resize_images(b, "payload", ["doc_id"], width=16, height=8).collect()
+    assert len(out) == 2
+    for r in out:
+        assert len(r["resized"]) == 16 * 8
+        assert r["media_meta"]["n_bytes"] == 16 * 8
+        assert r["media_meta"]["modality"] == "image"
+    # deterministic fake
+    again = resize_images(b, "payload", ["doc_id"], width=16, height=8).collect()
+    assert {bytes(r["resized"]) for r in out} == {bytes(r["resized"]) for r in again}
 
 
 def test_sample_frames_requires_extractor(spark):
