@@ -166,7 +166,14 @@ class Reader:
         catalog_types: bool = False,
         **kwargs: Any,
     ) -> DataFrame | None:
-        """Read one stream as a (lazy) DataFrame with optional catalog coercion."""
+        """Read one stream as a (lazy) DataFrame with optional catalog coercion.
+
+        ``chunksize`` (the reference's bounded-memory pandas generator,
+        reader.py:41-47/100-109) is accepted and ignored: Spark execution is
+        already partition-streamed, so the lazy DataFrame IS the chunked
+        read — iterate ``df.toLocalIterator()`` for driver-side batching.
+        """
+        kwargs.pop("chunksize", None)
         path = self.input_files.get(stream)
         if path is None:
             return default

@@ -189,3 +189,16 @@ def test_to_export_singer_pk_fallback(spark, tmp_dir, tmp_path):
     to_export(reader.get("camp"), "camp", str(out_dir), reader=reader)
     lines = [json.loads(l) for l in open(out_dir / "data.singer")]
     assert lines[0]["key_properties"] == ["id"]
+
+
+def test_gen_singer_header_recursive_typing_off(spark, tmp_dir):
+    """recursive_typing=False: array columns get the generic items schema
+    (reference singer.py:169-171)."""
+    df = spark.createDataFrame([Row(a=1, arr=[Row(x=1)])])
+    to_singer(df, "t", tmp_dir, keys=["a"], allow_objects=True,
+              recursive_typing=False, filename="rt.singer")
+    props = [json.loads(l) for l in open(os.path.join(tmp_dir, "rt.singer"))][0]["schema"]["properties"]
+    assert props["arr"] == {"type": ["array", "null"], "items": {"type": ["object", "string", "null"]}}
+    to_singer(df, "t", tmp_dir, keys=["a"], allow_objects=True, filename="rt2.singer")
+    props = [json.loads(l) for l in open(os.path.join(tmp_dir, "rt2.singer"))][0]["schema"]["properties"]
+    assert props["arr"]["items"]["type"][0] == "object"
