@@ -28,6 +28,7 @@ BENCH_QUERIES = [
     "row_hash",
     "dedup_exact",
     "dedup_fingerprint",
+    "winnow_fingerprint",
     "clean_corpus",
     "minhash_dedup",
     "token_stats",
@@ -80,10 +81,14 @@ def main() -> None:
         "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate", "l_linestatus"
     )
     n_rows = li.count()
-    with tempfile.TemporaryDirectory() as d:
-        t0 = time.time()
-        to_singer(li, "lineitem", d, keys=["l_orderkey"])
-        singer_s = time.time() - t0
+    # two runs, best-of — same steady-state methodology as the queries (the
+    # first run pays one-time Python-worker + codegen startup)
+    singer_s = float("inf")
+    for _ in range(2):
+        with tempfile.TemporaryDirectory() as d:
+            t0 = time.time()
+            to_singer(li, "lineitem", d, keys=["l_orderkey"])
+            singer_s = min(singer_s, time.time() - t0)
     singer_rps = round(n_rows / singer_s)
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
