@@ -50,6 +50,8 @@ from .records import (
     get_model_datetime_fields,
     validate_model,
     handle_validation_error,
+    get_row_hash,
+    parse_objs,
 )
 from .operators.union import union_relaxed, keep_last, widest_common_type
 from .operators.snapshot import (
@@ -61,6 +63,13 @@ from .operators.snapshot import (
     finish_snapshot_write,
 )
 from .functions.hashing import row_hash_expr, with_row_hash
+from .functions.cleaning import (
+    remove_nulls_deep,
+    clean_convert,
+    clean_obj_null_values,
+    deep_convert_datetimes,
+)
+from .functions.datetimes import localize_datetime, ns_to_timestamp
 from .functions.casting import cast_expr, cast_df_to_schema
 from .functions.strings import format_str_safely, build_string_format_variables, get_index_safely
 from .sinks.singer import to_singer, write_schema, write_record, write_state, gen_singer_header

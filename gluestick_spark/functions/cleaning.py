@@ -23,7 +23,13 @@ from typing import Any
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["remove_nulls_deep", "clean_convert", "clean_obj_null_values", "nulls_trimmed_expr"]
+__all__ = [
+    "remove_nulls_deep",
+    "clean_convert",
+    "clean_obj_null_values",
+    "deep_convert_datetimes",
+    "nulls_trimmed_expr",
+]
 
 
 def _is_null(v: Any) -> bool:
@@ -62,11 +68,41 @@ def clean_convert(obj: Any) -> Any:
     return obj
 
 
-def clean_obj_null_values(col: Column) -> Column:
+def clean_obj_null_values(col):
     """Replace JSON ``null`` literals with Python ``None`` text inside a
-    stringified-JSON column. Rarely needed on Spark (``from_json`` handles
-    null), kept for drop-in parity (etl_utils.py:404-427)."""
-    return F.regexp_replace(col, r"\bnull\b", "None")
+    stringified-JSON value. Rarely needed on Spark (``from_json`` handles
+    null), kept for drop-in parity (etl_utils.py:404-427).
+
+    Dual-mode like the reference call sites: a Column gets the expression
+    form; a plain value gets the reference's record semantics (plain
+    ``str.replace``, NaN → ``{}``)."""
+    if isinstance(col, Column):
+        return F.regexp_replace(col, r"\bnull\b", "None")
+    try:
+        import pandas as pd
+
+        is_na = not isinstance(col, (list, dict)) and pd.isna(col)
+    except (TypeError, ValueError):
+        is_na = False
+    if is_na:
+        return {}
+    return col.replace("null", "None") if isinstance(col, str) else col
+
+
+def deep_convert_datetimes(value: Any) -> Any:
+    """Recursively render datetimes to the Singer formats
+    (``%Y-%m-%dT%H:%M:%S.%fZ`` / ``%Y-%m-%d``, reference singer.py:280-304).
+    Record-level helper; the distributed sink does this with to_json
+    timestampFormat/dateFormat options instead."""
+    if isinstance(value, list):
+        return [deep_convert_datetimes(v) for v in value]
+    if isinstance(value, dict):
+        return {k: deep_convert_datetimes(v) for k, v in value.items()}
+    if isinstance(value, datetime.datetime):
+        return value.strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+    if isinstance(value, datetime.date):
+        return value.strftime("%Y-%m-%d")
+    return value
 
 
 def nulls_trimmed_expr(col: Column) -> Column:

@@ -34,6 +34,8 @@ __all__ = [
     "get_model_datetime_fields",
     "validate_model",
     "handle_validation_error",
+    "get_row_hash",
+    "parse_objs",
 ]
 
 
@@ -204,6 +206,38 @@ def get_model_datetime_fields(model: Any) -> list[str]:
                 out.append(name)
                 break
     return out
+
+
+def get_row_hash(row: dict[str, Any] | pd.Series, columns: list[str]) -> str:
+    """md5 of the concatenated stringified non-null values in ``columns``
+    order (reference etl_utils.py:272-296). Record form of
+    :func:`gluestick_spark.functions.hashing.row_hash_expr` — note the
+    caller supplies the column order; the expression form sorts column
+    names for stability, matching how ``drop_redundant`` calls this."""
+    import hashlib
+
+    values = []
+    for col in columns:
+        v = row[col]
+        if isinstance(v, list) or not _isna_scalar(v):
+            values.append(str(v))
+    return hashlib.md5("".join(values).encode()).hexdigest()
+
+
+def parse_objs(x: Any) -> Any:
+    """Parse a stringified dict/list: python-literal first, JSON fallback
+    (reference singer.py:306-331). Record form of the ``python_literals``
+    normalization in ``operators/restructure.py``; non-strings pass
+    through."""
+    import ast
+    import json
+
+    if not isinstance(x, str):
+        return x
+    try:
+        return ast.literal_eval(x)
+    except (ValueError, SyntaxError):
+        return json.loads(x)
 
 
 def handle_validation_error(

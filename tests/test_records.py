@@ -401,3 +401,46 @@ def test_snapshot_lock_protocol(tmp_path):
     open(lock, "w").write("v2")
     finish_snapshot_write(lock, canonical)
     assert open(canonical).read() == "v2"
+
+
+def test_get_row_hash_matches_expression_form(tmp_path):
+    """Record form agrees with row_hash_expr given the same (sorted) column
+    order and non-null values."""
+    import hashlib
+
+    from gluestick_spark import get_row_hash
+
+    row = {"b": 2, "a": "x", "c": None}
+    # null skipped entirely (no separator), reference etl_utils.py:289-294
+    assert get_row_hash(row, ["a", "b", "c"]) == hashlib.md5(b"x2").hexdigest()
+    # list values participate stringified
+    assert get_row_hash({"a": [1, 2]}, ["a"]) == hashlib.md5(b"[1, 2]").hexdigest()
+
+
+def test_parse_objs():
+    from gluestick_spark import parse_objs
+
+    assert parse_objs("{'a': 1}") == {"a": 1}          # python literal
+    assert parse_objs('{"a": null}') == {"a": None}     # JSON fallback
+    assert parse_objs([1, 2]) == [1, 2]                 # non-str passthrough
+    assert parse_objs(None) is None
+
+
+def test_deep_convert_datetimes_and_clean_obj_null_values():
+    from gluestick_spark import clean_obj_null_values, deep_convert_datetimes
+
+    v = {
+        "ts": datetime.datetime(2024, 1, 2, 3, 4, 5, 123456),
+        "d": datetime.date(2024, 1, 2),
+        "nested": [{"ts": datetime.datetime(2024, 1, 1)}],
+        "n": 1,
+    }
+    out = deep_convert_datetimes(v)
+    assert out["ts"] == "2024-01-02T03:04:05.123456Z"
+    assert out["d"] == "2024-01-02"
+    assert out["nested"][0]["ts"] == "2024-01-01T00:00:00.000000Z"
+    assert out["n"] == 1
+
+    # record mode: plain str.replace; NaN -> {}
+    assert clean_obj_null_values('{"a": null}') == '{"a": None}'
+    assert clean_obj_null_values(float("nan")) == {}
