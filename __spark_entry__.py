@@ -58,7 +58,6 @@ from gluestick_spark.llm.text import (  # noqa: E402
     quality_score_expr,
     rolling_hashes_expr,
     tokens_expr,
-    winnow_fingerprint_expr,
     word_count_expr,
 )
 from gluestick_spark.operators.snapshot import merge_id_df  # noqa: E402
@@ -685,12 +684,15 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (Karp-Rabin) winnowing fingerprint per document:
     shingle-hash count + mod-p-sampled fingerprint. Pure JVM expressions
     (llm/text.py rolling_hashes_expr / winnow_fingerprint_expr)."""
+    from gluestick_spark.llm.text import winnow_fp_from_hashes
+
     d = _tp(spark, sf_dir, "documents", "doc_id")
-    hashes = rolling_hashes_expr(F.col("text"), 3)
-    return d.select(
+    # materialize the hash array once; count + fingerprint derive from it
+    h = d.select("doc_id", rolling_hashes_expr(F.col("text"), 3).alias("__h__"))
+    return h.select(
         "doc_id",
-        F.size(hashes).alias("n_shingles"),
-        winnow_fingerprint_expr(F.col("text"), 3, 8).alias("winnow_fp"),
+        F.size("__h__").alias("n_shingles"),
+        winnow_fp_from_hashes(F.col("__h__"), 8).alias("winnow_fp"),
     )
 
 
@@ -700,19 +702,25 @@ WITH w AS (
     list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS words
   FROM documents
 ),
-sh AS (
-  SELECT doc_id, CASE WHEN len(words) >= 3
-    THEN [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
-    ELSE [array_to_string(words, ' ')] END AS shingles
+wh AS (
+  SELECT doc_id, list_transform(words,
+    w -> list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+      (acc, c) -> (acc * 31 + c) % 1000000007)) AS whs
   FROM w
 ),
 h AS (
-  SELECT doc_id, list_transform(shingles,
-    s -> list_reduce(
-      list_prepend(CAST(0 AS BIGINT),
-                   list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
-      (acc, c) -> (acc * 31 + c) % 1000000007)) AS hashes
-  FROM sh
+  SELECT doc_id, CASE WHEN len(whs) >= 3
+    THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), whs[i:i+2]),
+                      (acc, x) -> (acc * 1000003 + x) % 1000000007)
+          for i in range(1, len(whs) - 1)]
+    ELSE [list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+                         CASE WHEN len(whs) = 0 THEN [CAST(0 AS BIGINT)] ELSE whs END),
+            (acc, x) -> (acc * 1000003 + x) % 1000000007)]
+    END AS hashes
+  FROM wh
 )
 SELECT doc_id, CAST(len(hashes) AS INT) AS n_shingles,
   -- coalesce: DuckDB array_to_string([]) is NULL, Spark concat_ws is ''

@@ -9,6 +9,7 @@ from .text import (
     shingles_expr,
     rolling_hashes_expr,
     winnow_fingerprint_expr,
+    winnow_fp_from_hashes,
 )
 from .dedup import (
     minhash_signatures,
