@@ -137,13 +137,24 @@ def fingerprint_expr(col: Column) -> Column:
 
 
 def shingles_expr(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array of strings (input to MinHash)."""
+    """Word n-gram shingles as an array of strings (input to MinHash).
+
+    The token array is bound as a lambda variable (``transform`` over a
+    1-element array) before the per-shingle fan-out — lambda bodies get no
+    common-subexpression elimination, so referencing the tokenization
+    directly in the per-shingle lambda would re-split the text once per
+    shingle (O(words²) per document).
+    """
     toks = tokens_expr(F.lower(col))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+    def per_row(tk: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(0)))
+        return F.when(
+            F.size(tk) >= n,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n))),
+        ).otherwise(F.array(F.concat_ws(" ", tk)))
+
+    return F.element_at(F.transform(F.array(toks), per_row), 1)
 
 
 # Karp-Rabin parameters. Char fold: acc*31+ascii stays < 2^35; word-level
