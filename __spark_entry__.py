@@ -612,6 +612,135 @@ FROM orders LEFT JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q_clean_obj_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/F9 ``clean_obj_null_values``: JSON ``null`` literal → ``None``
+    text inside stringified objects (reference etl_utils.py:404-427)."""
+    from gluestick_spark.functions.cleaning import clean_obj_null_values
+
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    blob = F.concat(F.lit('{"a": null, "b": '), k, F.lit(', "c": "nullable"}'))
+    return e.select("event_id", clean_obj_null_values(blob).alias("cleaned"))
+
+
+_Q_CLEAN_OBJ_NULLS_SQL = r"""
+SELECT event_id,
+       regexp_replace('{"a": null, "b": ' || json_extract_string(props, '$.k') || ', "c": "nullable"}',
+                      '\bnull\b', 'None', 'g') AS cleaned
+FROM events
+"""
+
+
+def q_drop_null_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 all-null column drop (reference singer.py:498-499): a synthesized
+    all-null column disappears; partially-null columns survive."""
+    from gluestick_spark.operators.project import drop_all_null_columns
+
+    e = _t(spark, sf_dir, "events")
+    df = e.select(
+        "event_id",
+        "event_type",
+        F.lit(None).cast("string").alias("all_null"),
+        F.when(F.col("event_id") % 2 == 0, F.col("props")).alias("half_null"),
+    )
+    return drop_all_null_columns(df)
+
+
+_Q_DROP_NULL_COLS_SQL = """
+SELECT event_id, event_type,
+       CASE WHEN event_id % 2 = 0 THEN props END AS half_null
+FROM events
+"""
+
+
+def q_enforce_exploded_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 ``enforce_exploded_col_types``: catalog property overrides the
+    inferred type of an exploded child column (pandas_utils.py:115-172)."""
+    from gluestick_spark.operators.restructure import enforce_exploded_col_types
+
+    e = _t(spark, sf_dir, "events")
+    out = explode_json_to_cols(e.select("event_id", "props"), "props")
+    out = enforce_exploded_col_types(out, "props", {"k": {"type": "string"}})
+    return out.select("event_id", F.col("`props.k`").alias("props_k"))
+
+
+_Q_ENFORCE_TYPES_SQL = """
+SELECT event_id, json_extract_string(props, '$.k') AS props_k FROM events
+"""
+
+
+def q_format_str_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 ``format_str_safely`` through the record path (mapInPandas):
+    known keys substituted, unknown keys left as literal placeholders
+    (reference etl_utils.py:528-558)."""
+    from gluestick_spark.functions.strings import format_str_safely
+
+    d = _t(spark, sf_dir, "documents").where(F.col("source").isNotNull())
+    d = d.select("doc_id", "source")
+
+    def apply(batches):
+        for pdf in batches:
+            pdf["path"] = [
+                format_str_safely("{source}/{doc_id}/{missing}", source=s, doc_id=i)
+                for s, i in zip(pdf["source"], pdf["doc_id"])
+            ]
+            yield pdf
+
+    return d.mapInPandas(apply, "doc_id long, source string, path string")
+
+
+_Q_FORMAT_STR_SQL = """
+SELECT doc_id, source, source || '/' || doc_id || '/{missing}' AS path
+FROM documents WHERE source IS NOT NULL
+"""
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 + K1: ``to_export`` csv → ``read_csv_folder`` round-trip through a
+    temp dir (header, RFC-4180 quoting both directions). Casts restore the
+    exact source types (csv inference widens ints)."""
+    import tempfile
+
+    from gluestick_spark.sinks.export import to_export
+    from gluestick_spark.sources.reader import read_csv_folder
+
+    n = _t(spark, sf_dir, "nation")
+    d = tempfile.mkdtemp(prefix="gs_csv_rt_")
+    to_export(n, "nation", d, export_format="csv")
+    back = read_csv_folder(spark, d)["nation"]
+    return back.select(
+        F.col("n_nationkey").cast("long"),
+        "n_name",
+        F.col("n_regionkey").cast("long"),
+    )
+
+
+_Q_CSV_ROUNDTRIP_SQL = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+       CAST(n_regionkey AS BIGINT) AS n_regionkey
+FROM nation
+"""
+
+
+def q_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 + K1: ``to_export`` parquet → ``read_parquet_folder`` round-trip
+    (zstd dataset directory; values bit-identical through the trip)."""
+    import tempfile
+
+    from gluestick_spark.sinks.export import to_export
+    from gluestick_spark.sources.reader import read_parquet_folder
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    d = tempfile.mkdtemp(prefix="gs_pq_rt_")
+    to_export(o, "orders", d, export_format="parquet")
+    return read_parquet_folder(spark, d)["orders"]
+
+
+_Q_PARQUET_ROUNDTRIP_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+"""
+
+
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data pipeline: language filter -> quality gate ->
     exact dedup (keep min doc_id per fingerprint) -> per-language token
@@ -1159,6 +1288,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "localize_datetime": q_localize_datetime,
         "map_fields": q_map_fields,
         "array_to_dict": q_array_to_dict,
+        "clean_obj_nulls": q_clean_obj_nulls,
+        "drop_null_columns": q_drop_null_columns,
+        "enforce_exploded_types": q_enforce_exploded_types,
+        "format_str_records": q_format_str_records,
+        "csv_roundtrip": q_csv_roundtrip,
+        "parquet_roundtrip": q_parquet_roundtrip,
         "clean_corpus": q_clean_corpus,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -1205,6 +1340,12 @@ def oracle_sql() -> dict[str, str]:
         "localize_datetime": _Q_LOCALIZE_SQL,
         "map_fields": _Q_MAP_FIELDS_SQL,
         "array_to_dict": _Q_ARRAY_TO_DICT_SQL,
+        "clean_obj_nulls": _Q_CLEAN_OBJ_NULLS_SQL,
+        "drop_null_columns": _Q_DROP_NULL_COLS_SQL,
+        "enforce_exploded_types": _Q_ENFORCE_TYPES_SQL,
+        "format_str_records": _Q_FORMAT_STR_SQL,
+        "csv_roundtrip": _Q_CSV_ROUNDTRIP_SQL,
+        "parquet_roundtrip": _Q_PARQUET_ROUNDTRIP_SQL,
         "clean_corpus": _clean_corpus_sql(),
         "dedup_exact": _Q_DEDUP_EXACT_SQL,
         "dedup_fingerprint": _Q_DEDUP_FP_SQL,

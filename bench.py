@@ -58,11 +58,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        # two full runs; report the best. The first run pays one-time
+        # three full runs; report the best. The first run pays one-time
         # whole-stage-codegen compilation (janino), which is noise at any
-        # real data scale — steady-state throughput is the signal.
+        # real data scale — steady-state throughput is the signal; min-of-3
+        # also absorbs this box's ±20% CPU-contention noise.
         runs = []
-        for attempt in range(2):
+        for attempt in range(3):
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

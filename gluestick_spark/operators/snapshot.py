@@ -71,7 +71,8 @@ def _write_snapshot(df: DataFrame, stream: str, snapshot_dir: str, use_csv: bool
     lock = f"{final}.hg.partial_written.lock"
     writer = df.write.mode("overwrite")
     if use_csv:
-        writer.option("header", "true").csv(tmp)
+        # RFC 4180 quote-escaping to match read_snapshots' csv reader
+        writer.option("header", "true").option("escape", '"').csv(tmp)
     else:
         writer.option("compression", "zstd").parquet(tmp)
     if os.path.exists(final):

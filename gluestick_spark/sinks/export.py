@@ -101,7 +101,9 @@ def to_export(
         out.write.mode("overwrite").json(os.path.join(output_dir, f"{composed_name}.jsonl"))
     else:
         # reference falls through to csv for any other format (etl_utils.py:667)
-        out.write.mode("overwrite").option("header", "true").csv(
+        # RFC 4180 quote-escaping ("" not \") — matches the reference's
+        # pandas to_csv output and this package's csv readers.
+        out.write.mode("overwrite").option("header", "true").option("escape", '"').csv(
             os.path.join(output_dir, f"{composed_name}.csv")
         )
 

@@ -39,10 +39,13 @@ def _discover(input_dir: str, ignore: list[str] | None = None) -> dict[str, str]
         return results
     for entry in sorted(os.listdir(input_dir)):
         path = os.path.join(input_dir, entry)
-        if not os.path.isfile(path):
-            continue
         base, ext = os.path.splitext(entry)
         if ext.lower() not in _EXTS:
+            continue
+        # Spark writers emit dataset *directories* named `{stream}.{ext}`
+        # (part files inside); accept those alongside plain files so
+        # `to_export` output round-trips through the folder readers.
+        if not os.path.isfile(path) and not os.path.isdir(path):
             continue
         # stream name = filename before the LAST '-' (reader.py:166-171);
         # files without '-' use the whole stem.

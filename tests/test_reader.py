@@ -115,6 +115,20 @@ def test_folder_readers(spark, tmp_dir):
     assert "invoices" in pqs and pqs["invoices"].count() == 2
 
 
+def test_folder_readers_discover_spark_dataset_dirs(spark, tmp_dir):
+    """Spark writers emit dataset *directories* named `{stream}.{ext}`;
+    to_export output must round-trip through the folder readers."""
+    from gluestick_spark.sinks.export import to_export
+
+    df = spark.createDataFrame([(1, "a,b"), (2, 'c"d')], ["id", "txt"])
+    to_export(df, "things", tmp_dir, export_format="csv")
+    to_export(df, "stuff", tmp_dir, export_format="parquet")
+    got_csv = read_csv_folder(spark, tmp_dir)["things"]
+    assert {(r["id"], r["txt"]) for r in got_csv.collect()} == {(1, "a,b"), (2, 'c"d')}
+    got_pq = read_parquet_folder(spark, tmp_dir)["stuff"]
+    assert got_pq.count() == 2
+
+
 def test_cast_df_strict_adds_missing(spark):
     df = spark.createDataFrame([("1",)], ["a"])
     target = T.StructType(
