@@ -695,6 +695,47 @@ FROM documents WHERE source IS NOT NULL
 """
 
 
+def q_deep_convert_datetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 ``deep_convert_datetimes`` through the record path (mapInPandas):
+    nested datetimes → Singer ``%Y-%m-%dT%H:%M:%S.%fZ``, dates → ``%Y-%m-%d``
+    (reference singer.py:280-304)."""
+    import pandas as pd
+
+    from gluestick_spark.functions.cleaning import deep_convert_datetimes
+    from gluestick_spark.functions.datetimes import ns_to_timestamp
+
+    e = _t(spark, sf_dir, "events")
+    df = e.select(
+        "event_id",
+        ns_to_timestamp(F.col("ts")).alias("ts"),
+        F.to_date(ns_to_timestamp(F.col("ts"))).alias("day"),
+    )
+
+    def apply(batches):
+        for pdf in batches:
+            recs = [
+                deep_convert_datetimes({"when": t.to_pydatetime(), "day": d})
+                for t, d in zip(pdf["ts"], pdf["day"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "when_iso": [r["when"] for r in recs],
+                    "day_iso": [r["day"] for r in recs],
+                }
+            )
+
+    return df.mapInPandas(apply, "event_id long, when_iso string, day_iso string")
+
+
+_Q_DEEP_CONVERT_SQL = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS when_iso,
+       strftime(ts, '%Y-%m-%d') AS day_iso
+FROM events
+"""
+
+
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 + K1: ``to_export`` csv → ``read_csv_folder`` round-trip through a
     temp dir (header, RFC-4180 quoting both directions). Casts restore the
@@ -1244,6 +1285,41 @@ FROM hashed
 """
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gluestick_spark.llm.multimodal import decode_audio_features
+
+    d = _tp(spark, sf_dir, "documents", "doc_id")
+    b = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    feats = decode_audio_features(b, "payload", ["doc_id"])
+    return feats.select(
+        "doc_id", "features.sample_rate", "features.n_channels", "features.rms_level"
+    )
+
+
+def _audio_features_sql() -> str:
+    """The fake audio decoder is sha256-byte arithmetic — replicated with a
+    hex-nibble parse of DuckDB's sha256 (same scheme as the image oracle).
+    ``duration_s`` is excluded: its double division invites last-bit rounding
+    hazards; rate/channels/rms pin down the decoder identity."""
+
+    def hexv(pos: int) -> str:  # 1-based position in the hex string
+        return f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+
+    def byte(i: int) -> str:  # 0-based byte of the digest
+        return f"({hexv(2 * i + 1)} * 16 + {hexv(2 * i + 2)})"
+
+    rms_total = " + ".join(byte(i) for i in range(16, 32))
+    return f"""
+WITH hashed AS (SELECT doc_id, sha256(text) AS h FROM documents)
+SELECT doc_id,
+  CASE {byte(0)} % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                     WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
+  1 + {byte(1)} % 2 AS n_channels,
+  round(({rms_total}) / 16.0 / 255.0, 6) AS rms_level
+FROM hashed
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1292,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drop_null_columns": q_drop_null_columns,
         "enforce_exploded_types": q_enforce_exploded_types,
         "format_str_records": q_format_str_records,
+        "deep_convert_datetimes": q_deep_convert_datetimes,
         "csv_roundtrip": q_csv_roundtrip,
         "parquet_roundtrip": q_parquet_roundtrip,
         "clean_corpus": q_clean_corpus,
@@ -1312,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "lsh_ann_topk": q_lsh_ann,
         "image_features": q_image_features,
+        "audio_features": q_audio_features,
     }
 
 
@@ -1344,6 +1422,7 @@ def oracle_sql() -> dict[str, str]:
         "drop_null_columns": _Q_DROP_NULL_COLS_SQL,
         "enforce_exploded_types": _Q_ENFORCE_TYPES_SQL,
         "format_str_records": _Q_FORMAT_STR_SQL,
+        "deep_convert_datetimes": _Q_DEEP_CONVERT_SQL,
         "csv_roundtrip": _Q_CSV_ROUNDTRIP_SQL,
         "parquet_roundtrip": _Q_PARQUET_ROUNDTRIP_SQL,
         "clean_corpus": _clean_corpus_sql(),
@@ -1365,4 +1444,5 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _Q_ANN_TOPK_SQL,
         "lsh_ann_topk": _lsh_ann_sql(),
         "image_features": _image_features_sql(),
+        "audio_features": _audio_features_sql(),
     }

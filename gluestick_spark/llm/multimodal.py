@@ -31,7 +31,9 @@ __all__ = [
     "attach_binary_metadata",
     "fake_image_decoder",
     "fake_image_resizer",
+    "fake_audio_decoder",
     "decode_image_features",
+    "decode_audio_features",
     "resize_images",
     "sample_frames",
 ]
@@ -98,6 +100,57 @@ def decode_image_features(
     """
     id_fields = [df.schema[c] for c in id_cols]
     out_schema = T.StructType(list(id_fields) + [T.StructField("features", IMAGE_FEATURES_TYPE)])
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf[payload_col].map(
+                lambda b: decoder(bytes(b)) if b is not None else None
+            )
+            out = pdf[id_cols].copy()
+            out["features"] = feats
+            yield out
+
+    return df.select(*id_cols, payload_col).mapInPandas(process, out_schema)
+
+
+AUDIO_FEATURES_TYPE = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms_level", T.DoubleType()),
+    ]
+)
+
+
+def fake_audio_decoder(payload: bytes) -> dict[str, Any]:
+    """Deterministic stand-in for a real audio codec (ffmpeg/soundfile are
+    not in this container). Derives stable pseudo-properties from the payload
+    hash. Replace with a real decoder via the ``decoder=`` argument."""
+    h = hashlib.sha256(payload).digest()
+    sample_rate = (8000, 16000, 22050, 44100)[h[0] % 4]
+    n_channels = 1 + h[1] % 2
+    # pretend the payload is 16-bit PCM at the derived rate
+    duration = len(payload) / (sample_rate * n_channels * 2)
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "duration_s": round(duration, 6),
+        "rms_level": round(sum(h[16:32]) / 16 / 255.0, 6),
+    }
+
+
+def decode_audio_features(
+    df: DataFrame,
+    payload_col: str,
+    id_cols: list[str],
+    decoder: Callable[[bytes], dict[str, Any]] = fake_audio_decoder,
+) -> DataFrame:
+    """Decode audio payloads to a feature struct via mapInPandas — same
+    plumbing contract as :func:`decode_image_features` (Arrow-batched,
+    partition-preserving, payload pruned to the one column needed)."""
+    id_fields = [df.schema[c] for c in id_cols]
+    out_schema = T.StructType(list(id_fields) + [T.StructField("features", AUDIO_FEATURES_TYPE)])
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

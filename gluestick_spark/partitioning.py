@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ensure_min_partitions"]
+__all__ = ["ensure_min_partitions", "salted_join"]
 
 
 def ensure_min_partitions(df: DataFrame, *key_cols: str) -> DataFrame:
@@ -31,3 +31,35 @@ def ensure_min_partitions(df: DataFrame, *key_cols: str) -> DataFrame:
     if key_cols:
         return df.repartition(p, *[F.col(f"`{c}`") for c in key_cols])
     return df.repartition(p)
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the skewed side's hot keys spread over ``salt`` shards.
+
+    The skewed side gets a uniform random shard id; the other side is
+    replicated ``salt`` times (one row per shard) so every (key, shard)
+    partition joins locally. Row-for-row equivalent to
+    ``skewed.join(other, on, how)`` for inner/left joins.
+
+    When to use: AQE's skew-join (``spark.sql.adaptive.skewJoin``) already
+    splits oversized *partitions* at runtime and is the default answer —
+    reach for explicit salting only when a single key's rows exceed executor
+    memory in a sort-merge join, or in streaming joins where AQE doesn't
+    apply. Cost: ``salt``× replication of ``other`` — keep it for small-to-
+    medium dimension sides (a broadcast-sized ``other`` needs no salting at
+    all; let the broadcast join handle skew for free).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    salt_col = "__salt__"
+    left = skewed.withColumn(salt_col, (F.rand(seed=0) * salt).cast("int"))
+    right = other.withColumn(
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return left.join(right, on + [salt_col], how).drop(salt_col)

@@ -29,8 +29,28 @@ __all__ = [
     "stream_from_directory",
     "windowed_event_counts",
     "streaming_snapshot_upsert",
+    "streaming_dedup",
     "sessionize",
 ]
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only within the
+    watermark horizon — the state TTL that makes continuous dedup viable at
+    100 TB/day (a bare ``dropDuplicates`` on a stream accumulates state
+    forever). Duplicates arriving later than ``watermark`` pass through:
+    choose the horizon from the source's real redelivery window, and layer
+    the batch :func:`~gluestick_spark.llm.dedup.exact_dedup` over the sink
+    for full-history guarantees.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def stream_from_directory(

@@ -209,6 +209,26 @@ def test_multimodal_metadata_and_decode(spark):
     assert feats == feats2
 
 
+def test_decode_audio_features(spark):
+    from gluestick_spark.llm.multimodal import decode_audio_features, fake_audio_decoder
+
+    df = spark.createDataFrame([Row(doc_id=1, text="hello world"), Row(doc_id=2, text="bye")])
+    b = df.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    rows = {r["doc_id"]: r["features"] for r in decode_audio_features(b, "payload", ["doc_id"]).collect()}
+    assert rows[1]["sample_rate"] in (8000, 16000, 22050, 44100)
+    assert rows[1]["n_channels"] in (1, 2)
+    assert 0.0 <= rows[1]["rms_level"] <= 1.0
+    # distributed result equals the record-level decoder output
+    expected = fake_audio_decoder(b"hello world")
+    assert rows[1].asDict() == expected
+    # injectable decoder
+    custom = decode_audio_features(
+        b, "payload", ["doc_id"],
+        decoder=lambda p: {"sample_rate": 1, "n_channels": 1, "duration_s": 0.0, "rms_level": 0.5},
+    ).first()["features"]
+    assert custom["sample_rate"] == 1
+
+
 def test_resize_images_plumbing(spark):
     from gluestick_spark.llm import resize_images
 

@@ -97,3 +97,26 @@ def test_drop_redundant_snapshot_not_force_broadcast(spark, tmp_path):
     # BroadcastHashJoin chosen by the planner/AQE is fine and not asserted on
     for marker in ("ResolvedHint", "UnresolvedHint", "strategy=broadcast"):
         assert marker not in analyzed and marker not in optimized
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join is row-for-row equivalent to the plain equi-join, and the
+    join actually happens on (key, salt) so hot keys spread across shards."""
+    from pyspark.sql import functions as F
+
+    from gluestick_spark.partitioning import salted_join
+
+    # skewed fact: 900 rows of key=1, a few of others
+    fact = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 10).alias("d"))
+    got = salted_join(fact, dim, ["k"], salt=8).orderBy("v")
+    want = fact.join(dim, ["k"]).orderBy("v")
+    assert [r.asDict() for r in got.collect()] == [r.asDict() for r in want.collect()]
+    assert "__salt__" not in got.columns
+    plan = _plan(salted_join(fact, dim, ["k"], salt=8))
+    assert "__salt__" in plan  # join condition includes the shard id
+    left = salted_join(fact, dim.where("k >= 45"), ["k"], salt=4, how="left")
+    assert left.count() == fact.count()

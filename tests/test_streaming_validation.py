@@ -153,3 +153,36 @@ def test_job_dirs_and_config(tmp_dir, monkeypatch):
     monkeypatch.setenv("API_KEY", "from_env")
     assert get_config_value("api_key", cfg) == "from_env"
     assert get_config_value("missing", cfg, default=42) == 42
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_dir):
+    """Duplicate keys inside one stream are collapsed; state is bounded by
+    the watermark (dropDuplicatesWithinWatermark)."""
+    import datetime
+
+    from gluestick_spark.streaming.pipeline import streaming_dedup
+
+    src = os.path.join(tmp_dir, "in")
+    out = os.path.join(tmp_dir, "out")
+    ckpt = os.path.join(tmp_dir, "ck")
+    os.makedirs(src)
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        Row(id=1, ts=t0, v="a"),
+        Row(id=1, ts=t0 + datetime.timedelta(minutes=1), v="dup"),
+        Row(id=2, ts=t0, v="b"),
+    ]
+    spark.createDataFrame(rows).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = stream_from_directory(spark, src, schema)
+    deduped = streaming_dedup(stream, ["id"], ts_col="ts", watermark="1 hour")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).collect()
+    assert sorted(r["id"] for r in got) == [1, 2]
