@@ -763,6 +763,28 @@ FROM nation
 """
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 + K1: ``to_export`` jsonl → ``Reader.get`` ndjson round-trip
+    (distributed line-JSON writer, schema-inferred read)."""
+    import tempfile
+
+    from gluestick_spark.sinks.export import to_export
+    from gluestick_spark.sources.reader import Reader
+
+    n = _t(spark, sf_dir, "nation")
+    d = tempfile.mkdtemp(prefix="gs_jsonl_rt_")
+    to_export(n, "nation", d, export_format="jsonl")
+    back = Reader(spark, input_dir=d).get("nation")
+    return back.select("n_nationkey", "n_name", "n_regionkey")
+
+
+_Q_JSONL_ROUNDTRIP_SQL = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+       CAST(n_regionkey AS BIGINT) AS n_regionkey
+FROM nation
+"""
+
+
 def q_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 + K1: ``to_export`` parquet → ``read_parquet_folder`` round-trip
     (zstd dataset directory; values bit-identical through the trip)."""
@@ -1370,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_str_records": q_format_str_records,
         "deep_convert_datetimes": q_deep_convert_datetimes,
         "csv_roundtrip": q_csv_roundtrip,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "parquet_roundtrip": q_parquet_roundtrip,
         "clean_corpus": q_clean_corpus,
         "dedup_exact": q_dedup_exact,
@@ -1424,6 +1447,7 @@ def oracle_sql() -> dict[str, str]:
         "format_str_records": _Q_FORMAT_STR_SQL,
         "deep_convert_datetimes": _Q_DEEP_CONVERT_SQL,
         "csv_roundtrip": _Q_CSV_ROUNDTRIP_SQL,
+        "jsonl_roundtrip": _Q_JSONL_ROUNDTRIP_SQL,
         "parquet_roundtrip": _Q_PARQUET_ROUNDTRIP_SQL,
         "clean_corpus": _clean_corpus_sql(),
         "dedup_exact": _Q_DEDUP_EXACT_SQL,
