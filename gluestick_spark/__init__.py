@@ -80,5 +80,13 @@ from .sinks.singer_schema import (
     parse_df_cols,
 )
 from .sinks.export import to_export
+from .compat import (
+    pandas_df_to_export,
+    pandas_df_to_singer,
+    polars_df_to_export,
+    polars_df_to_singer,
+    polars_lf_to_export,
+    polars_lf_to_singer,
+)
 
 __version__ = "0.1.0"

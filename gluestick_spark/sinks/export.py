@@ -62,7 +62,14 @@ def to_export(
     ``reader`` (optional) supplies the ``get_pk`` fallback for singer keys;
     when omitted one is built from env ``ROOT_DIR`` conventions like the
     reference's bare ``Reader()`` (etl_utils.py:646).
+
+    Accepts driver-side pandas/polars frames too (converted via
+    :mod:`..compat`, matching the reference's singledispatch registrations).
     """
+    if not isinstance(df, DataFrame):
+        from ..compat import ensure_spark_df
+
+        df = ensure_spark_df(df)
     export_format = export_format or os.environ.get("DEFAULT_EXPORT_FORMAT", "singer")
     if output_file_prefix is None:
         output_file_prefix = os.environ.get("OUTPUT_FILE_PREFIX")

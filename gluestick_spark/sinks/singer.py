@@ -212,7 +212,14 @@ def to_singer(
     ``trim_nested_nulls`` (``remove_nulls_deep`` per record). Flat frames
     take the single-``to_json`` fast path; only frames with complex columns
     in the keep-nested-nulls mode pay the per-field assembly.
+
+    Accepts driver-side pandas/polars frames too (converted via
+    :mod:`..compat`, matching the reference's singledispatch registrations).
     """
+    if not isinstance(df, DataFrame):
+        from ..compat import ensure_spark_df
+
+        df = ensure_spark_df(df)
     keys = keys or []
     use_catalog = os.environ.get("USE_CATALOG_SCHEMA", "false").lower() == "true"
     include_all_unified = (

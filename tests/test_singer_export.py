@@ -202,3 +202,28 @@ def test_gen_singer_header_recursive_typing_off(spark, tmp_dir):
     to_singer(df, "t", tmp_dir, keys=["a"], allow_objects=True, filename="rt2.singer")
     props = [json.loads(l) for l in open(os.path.join(tmp_dir, "rt2.singer"))][0]["schema"]["properties"]
     assert props["arr"]["items"]["type"][0] == "object"
+
+
+def test_pandas_compat_shims(spark, tmp_dir):
+    """Reference singledispatch call sites (pandas frame straight into
+    to_singer/to_export) run unchanged via the compat conversion."""
+    import pandas as pd
+
+    from gluestick_spark import pandas_df_to_export, pandas_df_to_singer, to_export
+
+    pdf = pd.DataFrame({"id": [1, 2], "name": ["a", "b"]})
+    pandas_df_to_singer(pdf, "t", tmp_dir, keys=["id"], filename="compat.singer")
+    lines = [json.loads(l) for l in open(os.path.join(tmp_dir, "compat.singer"))]
+    assert [l["type"] for l in lines] == ["SCHEMA", "RECORD", "RECORD", "STATE"]
+    assert lines[1]["record"]["name"] == "a"
+
+    out = os.path.join(tmp_dir, "exp")
+    pandas_df_to_export(pdf, "t", out, export_format="csv")
+    assert os.path.exists(os.path.join(out, "t.csv"))
+
+    # the Spark entry points also accept pandas frames directly
+    to_export(pdf, "t2", out, export_format="jsonl")
+    assert os.path.exists(os.path.join(out, "t2.jsonl"))
+
+    with pytest.raises(NotImplementedError, match="not implemented"):
+        pandas_df_to_singer({"not": "a frame"}, "t", tmp_dir)
