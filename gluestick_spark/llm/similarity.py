@@ -38,6 +38,7 @@ __all__ = [
     "lsh_ann_topk",
     "ivf_assign",
     "ivf_topk",
+    "train_ivf_centroids",
 ]
 
 
@@ -226,6 +227,33 @@ def ivf_assign(
         )
         .drop(tmp)
     )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int,
+    max_iter: int = 20,
+    seed: int = 1,
+) -> list[list[float]]:
+    """Distributed k-means (MLlib, cosine distance) → centroid list for
+    :func:`ivf_assign` / :func:`ivf_topk`.
+
+    MLlib KMeans is the idiomatic Spark trainer: each Lloyd iteration is one
+    map-side partial aggregation over the vectors (no driver-side data), so
+    it scales to the full corpus. Train on a ``df.sample(...)`` when an
+    approximate codebook is enough — IVF recall depends far more on
+    ``nprobe`` than on exact centroids. Rule of thumb: ``n_centroids ≈
+    sqrt(N)`` balances list length against probe fan-out.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, distanceMeasure="cosine"
+    ).fit(v)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
 def ivf_topk(

@@ -118,6 +118,20 @@ def test_ivf_topk(spark):
     assert [r["vec_id"] for r in top] == [r["vec_id"] for r in exact]
 
 
+def test_train_ivf_centroids_end_to_end(spark):
+    """MLlib-trained codebook feeds ivf_topk; with nprobe covering every
+    trained centroid the probe equals brute force."""
+    from gluestick_spark.llm.similarity import train_ivf_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = list(emb.where("vec_id = 0").first()["embedding"])
+    cents = train_ivf_centroids(emb, "embedding", n_centroids=4, max_iter=5, seed=3)
+    assert len(cents) == 4 and len(cents[0]) == len(q)
+    top = ivf_topk(emb, "embedding", q, cents, k=3, nprobe=4).collect()
+    exact = cosine_topk(emb, "embedding", q, k=3).collect()
+    assert [r["vec_id"] for r in top] == [r["vec_id"] for r in exact]
+
+
 def test_text_stats_and_lang(spark):
     df = spark.createDataFrame(
         [
