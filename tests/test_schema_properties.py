@@ -137,3 +137,40 @@ def test_scalar_mappings_match_reference_table():
     assert json_schema_to_spark_type({"type": ["string", "null"], "format": "date"}) == T.DateType()
     # multi-type after null-drop → widest safe type
     assert json_schema_to_spark_type({"type": ["integer", "string"]}) == T.StringType()
+
+
+# -- widest_common_type lattice properties ----------------------------------
+# union_relaxed reconciles each column pair with widest_common_type; these
+# properties guarantee reconciliation is order-independent (a multi-file
+# diagonal union gives one schema no matter the fold order) and stable
+# (re-reconciling with an input never changes the result again).
+
+from gluestick_spark import widest_common_type  # noqa: E402
+
+
+@given(_datatypes(), _datatypes())
+@settings(max_examples=300, deadline=None)
+def test_widest_common_type_commutative(a, b):
+    assert widest_common_type(a, b) == widest_common_type(b, a)
+
+
+@given(_datatypes())
+@settings(max_examples=200, deadline=None)
+def test_widest_common_type_idempotent(a):
+    assert widest_common_type(a, a) == a
+
+
+@given(_datatypes(), _datatypes())
+@settings(max_examples=300, deadline=None)
+def test_widest_common_type_is_upper_bound(a, b):
+    w = widest_common_type(a, b)
+    assert widest_common_type(a, w) == w
+    assert widest_common_type(b, w) == w
+
+
+@given(_datatypes(), _datatypes(), _datatypes())
+@settings(max_examples=300, deadline=None)
+def test_widest_common_type_associative(a, b, c):
+    left = widest_common_type(widest_common_type(a, b), c)
+    right = widest_common_type(a, widest_common_type(b, c))
+    assert left == right
