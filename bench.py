@@ -31,10 +31,14 @@ BENCH_QUERIES = [
     "winnow_fingerprint",
     "clean_corpus",
     "minhash_dedup",
+    "simhash_near_dups",
+    "embedding_near_dups",
     "token_stats",
     "quality_score",
     "cosine_similarity",
     "ann_topk",
+    "lsh_ann_topk",
+    "ivf_topk",
 ]
 
 
