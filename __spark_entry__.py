@@ -695,6 +695,58 @@ FROM documents WHERE source IS NOT NULL
 """
 
 
+def q_nulls_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 ``remove_nulls_deep`` column form (``nulls_trimmed_expr``): nested
+    null fields disappear from the JSON rendering (reference
+    singer.py:404-433 record semantics, done JVM-side with ignoreNullFields)."""
+    from gluestick_spark.functions.cleaning import nulls_trimmed_expr
+
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    nested = F.struct(
+        F.lit(None).cast("string").alias("gone"),
+        k.alias("kept"),
+        F.struct(F.lit(None).cast("long").alias("inner_gone"), F.lit("x").alias("s")).alias("sub"),
+    )
+    return e.select("event_id", nulls_trimmed_expr(nested).alias("trimmed"))
+
+
+_Q_NULLS_TRIMMED_SQL = """
+SELECT event_id,
+       CASE WHEN json_extract_string(props, '$.k') IS NULL
+            THEN '{"sub":{"s":"x"}}'
+            ELSE '{"kept":' || json_extract_string(props, '$.k') || ',"sub":{"s":"x"}}'
+       END AS trimmed
+FROM events
+"""
+
+
+def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-N analytics: 3 highest-price orders per customer
+    (rank window over a single shuffle on the partition key)."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+_Q_TOP_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, rk FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
 def q_deep_convert_datetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3 ``deep_convert_datetimes`` through the record path (mapInPandas):
     nested datetimes → Singer ``%Y-%m-%dT%H:%M:%S.%fZ``, dates → ``%Y-%m-%d``
@@ -1391,6 +1443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enforce_exploded_types": q_enforce_exploded_types,
         "format_str_records": q_format_str_records,
         "deep_convert_datetimes": q_deep_convert_datetimes,
+        "nulls_trimmed": q_nulls_trimmed,
+        "top_orders_per_cust": q_top_orders_per_cust,
         "csv_roundtrip": q_csv_roundtrip,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "parquet_roundtrip": q_parquet_roundtrip,
@@ -1446,6 +1500,8 @@ def oracle_sql() -> dict[str, str]:
         "enforce_exploded_types": _Q_ENFORCE_TYPES_SQL,
         "format_str_records": _Q_FORMAT_STR_SQL,
         "deep_convert_datetimes": _Q_DEEP_CONVERT_SQL,
+        "nulls_trimmed": _Q_NULLS_TRIMMED_SQL,
+        "top_orders_per_cust": _Q_TOP_ORDERS_SQL,
         "csv_roundtrip": _Q_CSV_ROUNDTRIP_SQL,
         "jsonl_roundtrip": _Q_JSONL_ROUNDTRIP_SQL,
         "parquet_roundtrip": _Q_PARQUET_ROUNDTRIP_SQL,
