@@ -102,17 +102,35 @@ def _minhash_perms(num_perm: int, seed: int = 1) -> list[tuple[int, int]]:
 
 
 def minhash_signature_expr(shingles: Column, num_perm: int = 64) -> Column:
-    """MinHash signature as a single expression (array<long> of length
-    ``num_perm``). NOTE: prefer ``minhash_signatures`` (DataFrame form) in
-    pipelines — this inline form re-evaluates the hashed-shingle array per
-    permutation."""
-    hs = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_P)))
-    return F.array(
+    """MinHash signature as a single per-row expression (array<long> of
+    length ``num_perm``) — **zero shuffle**.
+
+    The permutation constants live in a literal array and the hashed-shingle
+    array is bound as a lambda variable (evaluated once per row — lambda
+    bodies get no common-subexpression elimination), so the whole signature
+    is one nested loop: ``transform(perms, p -> array_min(transform(hs,
+    h -> (h·pₐ + p_b) mod p)))``. Same O(num_perm · shingles) arithmetic as
+    an explode + groupBy formulation, but with no N×S-row shuffle — at
+    corpus scale that shuffle IS the cost, so the per-row form wins
+    asymptotically (and measures faster locally too).
+    """
+    perm_arr = F.array(
         *[
-            F.array_min(F.transform(hs, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MINHASH_P))))
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
             for a, b in _minhash_perms(num_perm)
         ]
     )
+    hs = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_P)))
+
+    def per_row(hsv: Column) -> Column:
+        return F.transform(
+            perm_arr,
+            lambda p: F.array_min(
+                F.transform(hsv, lambda h: F.pmod(h * p["a"] + p["b"], F.lit(_MINHASH_P)))
+            ),
+        )
+
+    return F.element_at(F.transform(F.array(hs), per_row), 1)
 
 
 def minhash_signatures(
@@ -122,20 +140,15 @@ def minhash_signatures(
     num_perm: int = 64,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, sig array<long>) via explode + ``num_perm`` map-side-combinable
-    ``min`` aggregates. Each shingle is string-hashed once; the permutations
-    are affine transforms of that hash (see ``_minhash_perms``). One shuffle
-    on the id, partial aggregation executor-side."""
-    sh = _parallelize(df, id_col).select(
-        F.col(id_col).alias("__id__"),
-        F.explode_outer(F.array_distinct(shingles_expr(F.col(text_col), shingle_n))).alias("__s__"),
-    ).select("__id__", F.pmod(F.xxhash64("__s__"), F.lit(_MINHASH_P)).alias("__h__"))
-    mins = [
-        F.min(F.pmod(F.col("__h__") * F.lit(a) + F.lit(b), F.lit(_MINHASH_P))).alias(f"m{i}")
-        for i, (a, b) in enumerate(_minhash_perms(num_perm))
-    ]
-    agg = sh.groupBy("__id__").agg(*mins)
-    return agg.select("__id__", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("__sig__"))
+    """(id, sig array<long>) via :func:`minhash_signature_expr` — one
+    narrow projection, no shuffle. Empty docs shingle to ``[""]`` (see
+    ``shingles_expr``), so every row gets a well-defined signature."""
+    sig = minhash_signature_expr(
+        F.array_distinct(shingles_expr(F.col(text_col), shingle_n)), num_perm
+    )
+    return _parallelize(df, id_col).select(
+        F.col(id_col).alias("__id__"), sig.alias("__sig__")
+    )
 
 
 def minhash_lsh_candidates(
