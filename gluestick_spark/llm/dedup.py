@@ -185,6 +185,14 @@ def minhash_lsh_candidates(
     buckets = with_sig.select("__id__", F.explode(band_structs).alias("bb")).select(
         "__id__", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    # Materialization point: the self-join below reads `buckets` twice, and
+    # without an exchange here each branch would recompute the signatures
+    # from the scan (the per-row signature has no shuffle of its own). One
+    # repartition on the join keys makes the signature stage a shared
+    # shuffle both branches reuse — and the join needs exactly this
+    # partitioning anyway, so it adds no extra data movement. Rows are just
+    # (id, band, bucket): ~bands×N tiny rows vs the old N×shingles shuffle.
+    buckets = buckets.repartition("band", "bucket")
     buckets = _cap_buckets(buckets, ["band", "bucket"], max_bucket)
     left = buckets.alias("l")
     right = buckets.alias("r")
@@ -299,6 +307,12 @@ def embedding_near_dups(
     bits_per = num_planes // chunks
     sig = hyperplane_signature_udf(planes)(F.col(vec_col))
     base = _parallelize(df, id_col).select(F.col(id_col).alias("__id__"), sig.alias("__sig__"))
+    # Materialization point: the bucket self-join below reads this twice;
+    # an exchange AFTER the signature UDF makes it a shared shuffle stage
+    # (computed once) instead of re-running the UDF over the corpus per
+    # branch. Keyed by id — high cardinality — so local parallelism is
+    # preserved; the join adds its own tiny (chunk, piece) exchanges.
+    base = base.repartition("__id__")
 
     pieces = F.array(
         *[
@@ -431,6 +445,10 @@ def simhash_near_dups(
         F.col(id_col).alias("__id__"),
         simhash_signature_udf()(token_hashes).alias("__sig__"),
     )
+    # shared materialization for the two self-join branches (see
+    # embedding_near_dups): the exchange sits AFTER the signature UDF so it
+    # runs once, keyed by high-cardinality id to keep parallelism
+    base = base.repartition("__id__")
 
     pieces = F.array(
         *[
