@@ -95,10 +95,13 @@ def _flr6(c):
     return F.floor(c * 1e6) / 1e6
 
 
-def _event_date():
-    """events.ts is long nanos: exact µs division, rendered as ISO date string."""
-    micros = (F.col("ts").cast("decimal(38,0)") / F.lit(1000)).cast("long")
-    return F.date_format(F.timestamp_micros(micros), "yyyy-MM-dd")
+def _event_date(e: DataFrame):
+    """events.ts rendered as an ISO date string — dtype-adaptive: the
+    testdata generator has shipped ts both as TIMESTAMP(NANOS) (read as long
+    nanos under nanosAsLong) and as a plain timestamp."""
+    from gluestick_spark.functions.datetimes import as_timestamp
+
+    return F.date_format(as_timestamp(e, "ts"), "yyyy-MM-dd")
 
 
 # ---------------------------------------------------------------------------
@@ -260,7 +263,7 @@ GROUP BY p_brand
 def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return (
-        e.groupBy(F.col("user_id"), _event_date().alias("event_date"))
+        e.groupBy(F.col("user_id"), _event_date(e).alias("event_date"))
         .agg(
             F.count("*").alias("n_events"),
             F.sum(_dec("value")).cast("double").alias("total_value"),

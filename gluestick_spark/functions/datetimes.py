@@ -17,7 +17,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["localize_datetime", "ns_to_timestamp", "singer_datetime_expr"]
+__all__ = [
+    "as_timestamp",
+    "localize_datetime",
+    "ns_to_timestamp",
+    "singer_datetime_expr",
+]
 
 SINGER_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
 
@@ -49,6 +54,23 @@ def ns_to_timestamp(col: Column) -> Column:
     """
     micros = (col.cast("decimal(38,0)") / F.lit(1000)).cast("long")
     return F.timestamp_micros(micros)
+
+
+def as_timestamp(df: DataFrame, column: str) -> Column:
+    """Normalize an event-time column to TimestampType across source
+    generations.
+
+    Parquet TIMESTAMP(NANOS) surfaces as long nanos under
+    ``spark.sql.legacy.parquet.nanosAsLong`` (older data gens); newer files
+    carry a plain ``timestamp``/``timestamp_ntz`` and need no conversion.
+    Dispatching on the *schema* (not a blind cast) keeps the expression a
+    no-op passthrough — zero plan overhead — when the file is already
+    timestamp-typed.
+    """
+    dt = df.schema[column].dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return F.col(column)
+    return ns_to_timestamp(F.col(column))
 
 
 def singer_datetime_expr(col: Column, dt: T.DataType) -> Column:
