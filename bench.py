@@ -112,15 +112,21 @@ def main() -> None:
         "singer_rows_per_sec": singer_rps,
         "sf": sf_val,
     }
-    prev = _previous_round(sf_val)
-    if prev:
-        deltas = {
-            q: round(timings[q] / prev[q] - 1, 3)
-            for q in timings
-            if prev.get(q)
-        }
-        result["delta_vs_prev"] = deltas
-        result["regressions_gt_10pct"] = sorted(q for q, d in deltas.items() if d > 0.10)
+    # Regression tracking is best-effort: after the queries have run, nothing
+    # (malformed prior BENCH files included) may prevent the JSON line from
+    # printing — rounds 2 and 3 both lost their bench artifact to exactly that.
+    try:
+        prev = _previous_round(sf_val)
+        if prev:
+            deltas = {
+                q: round(timings[q] / prev[q] - 1, 3)
+                for q in timings
+                if prev.get(q)
+            }
+            result["delta_vs_prev"] = deltas
+            result["regressions_gt_10pct"] = sorted(q for q, d in deltas.items() if d > 0.10)
+    except Exception:
+        pass
     print(json.dumps(result))
 
 
@@ -131,13 +137,16 @@ def _previous_round(sf_val) -> dict[str, float]:
 
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+        # A prior round's BENCH file can be arbitrarily malformed (crashed
+        # harness → "parsed": null, truncated JSON, non-dict top level…);
+        # none of that may ever kill the current round's bench.
         try:
             with open(path) as f:
                 rec = json.load(f)
-            parsed = rec.get("parsed", rec)
+            parsed = rec.get("parsed") or rec
             if parsed.get("sf") == sf_val and parsed.get("queries"):
                 return parsed["queries"]
-        except (OSError, ValueError):
+        except Exception:
             continue
     return {}
 

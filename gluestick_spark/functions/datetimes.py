@@ -70,7 +70,14 @@ def as_timestamp(df: DataFrame, column: str) -> Column:
     dt = df.schema[column].dataType
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         return F.col(column)
-    return ns_to_timestamp(F.col(column))
+    if isinstance(dt, T.LongType):
+        return ns_to_timestamp(F.col(column))
+    # Fail loudly on schema drift (string/date/double…) rather than silently
+    # interpreting an unexpected dtype as nanoseconds-since-epoch.
+    raise TypeError(
+        f"as_timestamp: column {column!r} has dtype {dt.simpleString()}; "
+        "expected timestamp, timestamp_ntz, or long (nanos-since-epoch)"
+    )
 
 
 def singer_datetime_expr(col: Column, dt: T.DataType) -> Column:
