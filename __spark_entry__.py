@@ -1241,23 +1241,35 @@ def _planes_values_sql(num_planes: int, dim: int = 64, seed: int = 42) -> str:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive-geometry hyperplane LSH (piece width from corpus size via
+    ``lsh_geometry``; round-3's fixed 16-bucket fan-out went quadratic with
+    N). The oracle SQL mirrors the geometry for the driver's correctness
+    scale (sf0.01, 500 embeddings → 5-bit pieces, 20 planes); at other SFs
+    the Spark side adapts and only local recall/scale checks apply."""
     from gluestick_spark.llm.dedup import embedding_near_dups
 
     e = _t(spark, sf_dir, "embeddings")
-    out = embedding_near_dups(e, "embedding", "vec_id", threshold=0.3, dim=64, num_planes=16)
+    out = embedding_near_dups(e, "embedding", "vec_id", threshold=0.3, dim=64)
     return out.select("a", "b", (F.floor(F.col("cosine") * 1e4) / 1e4).alias("cosine"))
 
 
 def _embedding_near_dups_sql() -> str:
+    from gluestick_spark.llm.dedup import lsh_geometry
+
+    # Mirror q_embedding_near_dups' adaptive geometry at the driver's
+    # correctness scale: 500 embeddings at sf0.01.
+    bits = lsh_geometry(500)
+    planes = 4 * bits
+    mask = (1 << bits) - 1
     return f"""
-WITH planes(pid, p) AS (VALUES {_planes_values_sql(16)}),
+WITH planes(pid, p) AS (VALUES {_planes_values_sql(planes)}),
 vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 sigs AS (
   SELECT vec_id, CAST(SUM(CASE WHEN list_dot_product(v, p) > 0 THEN 1 << pid ELSE 0 END) AS BIGINT) AS sig
   FROM vecs, planes GROUP BY vec_id
 ),
 pieces AS (
-  SELECT vec_id, c.c AS chunk, (sig >> (c.c * 4)) & 15 AS piece
+  SELECT vec_id, c.c AS chunk, (sig >> (c.c * {bits})) & {mask} AS piece
   FROM sigs, (SELECT unnest(range(4)) AS c) c
 ),
 cand AS (

@@ -31,6 +31,7 @@ from .text import shingles_expr, tokens_expr
 
 __all__ = [
     "exact_dedup",
+    "lsh_geometry",
     "minhash_signature_expr",
     "minhash_lsh_candidates",
     "minhash_near_dup_pairs",
@@ -42,6 +43,43 @@ __all__ = [
     "embedding_near_dups",
     "embedding_dedup",
 ]
+
+# Default bucket-width cap for the bucketed self-joins below. A bucket of
+# width w contributes w·(w-1)/2 candidate pairs; 4096 bounds any single
+# bucket at ~8.4M pairs — far above anything a healthy signature
+# distribution produces (expected width is held near ``target_bucket`` by
+# the adaptive geometry), so it only trims degenerate buckets (empty docs,
+# boilerplate) that would otherwise go quadratic at corpus scale. It is
+# deliberately larger than the whole corpus at oracle-test scale
+# (sf≤0.1 ⇒ N≤5000), so correctness oracles never see it bind.
+DEFAULT_MAX_BUCKET = 4096
+
+
+def lsh_geometry(
+    n: int,
+    target_bucket: int = 16,
+    min_bits: int = 4,
+    max_bits: int = 15,
+) -> int:
+    """Piece width (bits) for a bucketed LSH self-join, sized to corpus ``n``.
+
+    Expected bucket width under a uniform signature is n / 2^bits; holding it
+    near ``target_bucket`` keeps the per-bucket self-join constant-cost as the
+    corpus grows: bits ≈ log2(n) − log2(target_bucket). A fixed piece width
+    (the round-3 design) means bucket width — and candidate pairs — grow
+    linearly (quadratically) with n; this is the 100×-scale fix.
+
+    ``max_bits`` defaults to 15 so chunks×bits stays under the 63 sign-safe
+    bits of a long signature with the default 4 chunks. Beyond
+    n ≈ target·2^15 per-bucket width grows again — cap it with
+    ``max_bucket`` (see :data:`DEFAULT_MAX_BUCKET`).
+    """
+    import math
+
+    if n <= target_bucket:
+        return min_bits
+    bits = math.ceil(math.log2(n / target_bucket))
+    return max(min_bits, min(max_bits, bits))
 
 
 def _cap_buckets(buckets: DataFrame, key_cols: list[str], max_bucket: int | None) -> DataFrame:
@@ -279,10 +317,11 @@ def embedding_near_dups(
     id_col: str,
     threshold: float = 0.95,
     dim: int | None = None,
-    num_planes: int = 32,
+    num_planes: int | None = None,
     chunks: int = 4,
     seed: int = 42,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    target_bucket: int = 16,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via hyperplane-LSH banding.
 
@@ -295,14 +334,22 @@ def embedding_near_dups(
 
     Scale: buckets carry only (id, chunk, piece); vectors are joined back
     for the verify step — two hash joins on the id, never an N² cross join.
-    Piece width = num_planes/chunks bits sets bucket fan-out (2^width
-    buckets per chunk): defaults give 8-bit pieces — 256 buckets — so
-    random collisions stay rare and the verify set stays small.
+    Piece width (num_planes/chunks bits) sets bucket fan-out: 2^width
+    buckets per chunk, expected width n/2^width. With ``num_planes=None``
+    (the default) the width adapts to the corpus via :func:`lsh_geometry`
+    (one metadata-cheap ``count()``), holding expected bucket width near
+    ``target_bucket`` so the self-join stays linear as n grows — a fixed
+    geometry makes candidate pairs grow as n²/buckets. Recall per piece is
+    (1−θ/π)^width for angle θ, so wider pieces trade recall for cost; raise
+    ``chunks`` to win it back (overall recall 1−(1−(1−θ/π)^width)^chunks).
     """
     from .similarity import cosine_pairs_udf, hyperplane_signature_udf, random_hyperplanes
 
     if dim is None:
         dim = df.select(F.size(F.col(vec_col))).first()[0]
+    if num_planes is None:
+        bits_per = lsh_geometry(df.count(), target_bucket)
+        num_planes = chunks * bits_per
     planes = random_hyperplanes(dim, num_planes, seed)
     bits_per = num_planes // chunks
     sig = hyperplane_signature_udf(planes)(F.col(vec_col))
@@ -424,19 +471,30 @@ def simhash_near_dups(
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
-    chunks: int = 8,
-    max_bucket: int | None = None,
+    chunks: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into ``chunks``
-    16/8-bit pieces; pairs agreeing on ≥1 piece are candidates (pigeonhole:
-    any pair within hamming ≤ chunks-1 shares a piece); verify by exact
-    hamming distance ≤ ``max_hamming``. Returns (a, b, hamming).
+    pieces; pairs agreeing on ≥1 piece are candidates (pigeonhole: any pair
+    within hamming ≤ chunks-1 shares a piece); verify by exact hamming
+    distance ≤ ``max_hamming``. Returns (a, b, hamming).
 
-    Piece width (64/chunks bits) sets the bucket fan-out: 2^width buckets per
-    chunk. Bucket population grows ~N/2^width, so at corpus scale either
-    lower ``chunks`` (wider pieces, more buckets, less recall slack) or set
-    ``max_bucket`` to cap the per-bucket self-join (see :func:`_cap_buckets`).
+    ``chunks=None`` (default) resolves to ``max_hamming + 1`` — the FEWEST
+    chunks that still guarantee full recall at ``max_hamming``, hence the
+    WIDEST pieces (64//chunks bits) and the largest bucket fan-out
+    2^width per chunk. The round-3 fixed ``chunks=8`` gave 8-bit pieces
+    (256 buckets) even when 16-bit pieces (65536 buckets) were admissible;
+    bucket width — and the self-join — grows as N/2^width, so maximizing
+    width is the 100×-scale fix. The pigeonhole guarantee makes the verified
+    output exactly the all-pairs hamming ≤ ``max_hamming`` set regardless of
+    geometry. For corpora where N/2^width still explodes (64-bit signatures
+    cap width at 16 for d ≤ 3), ``max_bucket`` bounds any one bucket's
+    contribution (see :func:`_cap_buckets` / :data:`DEFAULT_MAX_BUCKET`).
     """
+    if chunks is None:
+        # 64/chunks must be ≥1 bit; chunks beyond 16 gives <4-bit pieces —
+        # at that hamming radius banding stops pruning anyway.
+        chunks = min(16, max_hamming + 1)
     bits_per = 64 // chunks
     token_hashes = F.transform(
         F.array_distinct(tokens_expr(F.lower(F.col(text_col)))), lambda t: F.xxhash64(t)

@@ -354,4 +354,74 @@ def test_simhash_fixture_replica_matches_spark(spark):
         for r in simhash_near_dups(d, "text", "doc_id", max_hamming=8).collect()
     )
     docs = {r["doc_id"]: r["text"] for r in d.select("doc_id", "text").collect()}
-    assert got == simhash_pairs_py(docs, max_hamming=8, chunks=8)
+    assert got == simhash_pairs_py(docs, max_hamming=8)
+
+
+def test_lsh_geometry_scales_with_corpus():
+    """Piece width must grow with corpus size (expected bucket width held
+    near target) — the fixed-fan-out design was the round-3 scale hazard."""
+    from gluestick_spark.llm.dedup import lsh_geometry
+
+    assert lsh_geometry(500) == 5
+    assert lsh_geometry(2_000) == 7
+    assert lsh_geometry(1_000_000) == 16 or lsh_geometry(1_000_000) == 15
+    # monotone non-decreasing in n, clamped
+    widths = [lsh_geometry(n) for n in (10, 100, 10_000, 10**6, 10**9)]
+    assert widths == sorted(widths)
+    assert widths[0] == 4 and widths[-1] == 15
+    # expected bucket width n/2^bits stays within ~2x of target in the
+    # unclamped regime
+    for n in (1_000, 50_000, 400_000):
+        bits = lsh_geometry(n, target_bucket=16)
+        assert n / 2**bits <= 16 < 2 * n / 2**bits + 16
+
+
+def test_simhash_adaptive_chunks_full_recall(spark):
+    """chunks=None resolves to max_hamming+1 — the widest banding that still
+    guarantees full recall: verified output == brute-force all-pairs
+    hamming, independent of geometry."""
+    d = spark.read.parquet(f"{SF}/documents.parquet").where(F.col("doc_id") < 120)
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in simhash_near_dups(d, "text", "doc_id", max_hamming=6).collect()
+    }
+    sigs = d.select("doc_id", simhash_expr(F.col("text")).alias("s"))
+    l, r = sigs.alias("l"), sigs.alias("r")
+    ham = F.bit_count(F.col("l.s").bitwiseXOR(F.col("r.s")))
+    brute = (
+        l.join(r, F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"), ham.alias("hamming")
+        )
+        .where(F.col("hamming") <= 6)
+    )
+    assert got == {(x["a"], x["b"], x["hamming"]) for x in brute.collect()}
+
+
+def test_embedding_near_dups_adaptive_recall(spark):
+    """Adaptive geometry must keep high recall on genuine near-duplicates:
+    plant jittered copies (cos ≈ 0.999) of real sf0.001 embeddings and
+    require ≥95% of the planted pairs back at threshold 0.95."""
+    import numpy as np
+
+    from gluestick_spark.llm.dedup import embedding_near_dups
+
+    base = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    rows = base.collect()
+    rng = np.random.default_rng(7)
+    planted = [
+        Row(
+            vec_id=r["vec_id"] + 100_000,
+            embedding=[
+                float(x) for x in (np.asarray(r["embedding"]) + rng.normal(0, 0.01, 64))
+            ],
+        )
+        for r in rows
+    ]
+    df = spark.createDataFrame(rows + planted, base.schema)
+    pairs = {
+        (r["a"], r["b"])
+        for r in embedding_near_dups(df, "embedding", "vec_id", threshold=0.95).collect()
+    }
+    hits = sum((r["vec_id"], r["vec_id"] + 100_000) in pairs for r in rows)
+    assert hits / len(rows) >= 0.95

@@ -43,11 +43,15 @@ def simhash_sig_py(text: str) -> int:
 
 
 def simhash_pairs_py(
-    docs: dict[int, str], max_hamming: int = 8, chunks: int = 8
+    docs: dict[int, str], max_hamming: int = 8, chunks: int | None = None
 ) -> list[tuple[int, int, int]]:
     """Independent replica of simhash_near_dups: band the 64-bit signature
     into ``chunks`` pieces, candidate pairs share ≥1 (chunk, piece), verify
-    exact hamming ≤ ``max_hamming``. Returns sorted (a, b, hamming)."""
+    exact hamming ≤ ``max_hamming``. Returns sorted (a, b, hamming).
+    ``chunks=None`` mirrors the library's adaptive default (max_hamming+1 —
+    the widest full-recall banding)."""
+    if chunks is None:
+        chunks = min(16, max_hamming + 1)
     bits_per = 64 // chunks
     mask = (1 << bits_per) - 1
     sigs = {i: simhash_sig_py(t) for i, t in docs.items()}
@@ -85,7 +89,7 @@ def main() -> None:
         f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
         "WHERE doc_id < 200"
     ).fetchall()
-    pairs = simhash_pairs_py({i: t for i, t in rows}, max_hamming=8, chunks=8)
+    pairs = simhash_pairs_py({i: t for i, t in rows}, max_hamming=8)
     con.sql("CREATE TABLE p (a BIGINT, b BIGINT, hamming INT)")
     con.executemany("INSERT INTO p VALUES (?, ?, ?)", pairs)
     con.sql(f"COPY p TO '{out}' (FORMAT PARQUET)")
