@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "ann_topk",
     "lsh_ann_topk",
     "ivf_topk",
+    "ivf_probe_indexed",
 ]
 
 

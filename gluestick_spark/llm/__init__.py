@@ -23,6 +23,7 @@ from .dedup import (
     embedding_near_dups,
     embedding_dedup,
 )
+from .dedup import lsh_geometry
 from .similarity import (
     cosine_expr,
     cosine_similarity,
@@ -30,6 +31,9 @@ from .similarity import (
     lsh_ann_topk,
     ivf_assign,
     ivf_topk,
+    materialize_ivf,
+    ivf_topk_indexed,
+    train_ivf_centroids,
     random_hyperplanes,
 )
 from .multimodal import (

@@ -38,6 +38,8 @@ __all__ = [
     "lsh_ann_topk",
     "ivf_assign",
     "ivf_topk",
+    "materialize_ivf",
+    "ivf_topk_indexed",
     "train_ivf_centroids",
 ]
 
@@ -256,6 +258,16 @@ def train_ivf_centroids(
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
+def _probe_centroids(query: list[float], centroids: list[list[float]], nprobe: int) -> list[int]:
+    """Driver-side: ids of the ``nprobe`` centroids nearest the query."""
+    sims = []
+    for i, c in enumerate(centroids):
+        denom = math.sqrt(sum(x * x for x in c)) * math.sqrt(sum(x * x for x in query))
+        s = sum(a * b for a, b in zip(query, c)) / denom if denom else 0.0
+        sims.append((s, i))
+    return [i for _, i in sorted(sims, reverse=True)[:nprobe]]
+
+
 def ivf_topk(
     df: DataFrame,
     vec_col: str,
@@ -265,14 +277,62 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """IVF probe: rank centroids by similarity to the query, brute-force
-    only the ``nprobe`` nearest lists."""
-    sims = []
-    for i, c in enumerate(centroids):
-        denom = math.sqrt(sum(x * x for x in c)) * math.sqrt(sum(x * x for x in query))
-        s = sum(a * b for a, b in zip(query, c)) / denom if denom else 0.0
-        sims.append((s, i))
-    probe = [i for _, i in sorted(sims, reverse=True)[:nprobe]]
+    """IVF probe over an unmaterialized corpus: rank centroids by similarity
+    to the query, brute-force only the ``nprobe`` nearest lists.
+
+    This recomputes the nearest-centroid assignment over the full corpus per
+    query — fine for one-off scans, wrong for a query workload at scale.
+    For repeated probes build the index once with :func:`materialize_ivf`
+    and use :func:`ivf_topk_indexed`, which reads only the probed partitions
+    (partition-pruned scan: ~nprobe/n_centroids of the data).
+    """
+    probe = _probe_centroids(query, centroids, nprobe)
     assigned = ivf_assign(df, vec_col, centroids)
     candidates = assigned.where(F.col("centroid_id").isin(probe)).drop("centroid_id")
     return cosine_topk(candidates, vec_col, query, k, id_col)
+
+
+def materialize_ivf(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Build the IVF index: assign once, write parquet partitioned by
+    ``centroid_id``. One pass over the corpus; the directory layout IS the
+    inverted file — each centroid's list is its own partition, so a probe
+    reads nprobe directories and Spark's partition pruning skips the rest
+    (the FileSourceScan carries ``centroid_id IN (...)`` as a
+    PartitionFilter; see tests/test_plans.py).
+
+    A repartition on ``centroid_id`` before the write coalesces each list
+    into whole files (instead of every task writing a sliver of every
+    partition — the small-files problem at 1000 executors); AQE splits
+    skewed lists back out.
+    """
+    assigned = ivf_assign(df, vec_col, centroids)
+    (
+        assigned.repartition(F.col("centroid_id"))
+        .write.partitionBy("centroid_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k probe against a :func:`materialize_ivf` index — reads ONLY the
+    ``nprobe`` probed partitions (partition-pruned parquet scan), so probe
+    cost is ~nprobe/n_centroids of the corpus instead of a full pass."""
+    probe = _probe_centroids(query, centroids, nprobe)
+    cand = spark.read.parquet(path).where(F.col("centroid_id").isin(probe))
+    return cosine_topk(cand.drop("centroid_id"), vec_col, query, k, id_col)

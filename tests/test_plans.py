@@ -120,3 +120,51 @@ def test_salted_join_matches_plain_join(spark):
     assert "__salt__" in plan  # join condition includes the shard id
     left = salted_join(fact, dim.where("k >= 45"), ["k"], salt=4, how="left")
     assert left.count() == fact.count()
+
+
+def test_ivf_indexed_probe_partition_pruning(spark, tmp_path):
+    """The materialized-IVF probe must read ONLY the nprobe probed lists:
+    the parquet scan carries centroid_id as a PartitionFilter and the
+    pruned file set covers exactly the probed partition directories."""
+    from gluestick_spark.llm.similarity import (
+        ivf_topk_indexed,
+        materialize_ivf,
+        random_hyperplanes,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = list(emb.where("vec_id = 0").first()["embedding"])
+    cents = random_hyperplanes(len(q), 8, seed=7)
+    path = str(tmp_path / "ivf_idx")
+    materialize_ivf(emb, "embedding", cents, path)
+
+    top = ivf_topk_indexed(spark, path, q, cents, k=5, nprobe=2)
+    plan = _plan(top)
+    scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scan_lines, plan
+    assert "PartitionFilters" in scan_lines[0] and "centroid_id" in scan_lines[0]
+
+    # empirical pruning: the executed scan's numPartitions metric must be
+    # exactly nprobe (inputFiles() is relation-level and ignores filters,
+    # so read the FileSourceScan metrics instead)
+    import os
+
+    all_parts = {d for d in os.listdir(path) if d.startswith("centroid_id=")}
+    assert len(all_parts) > 2
+    rows = top.collect()
+    leaves = top._jdf.queryExecution().executedPlan().collectLeaves()
+    scanned = None
+    for i in range(leaves.size()):
+        m = leaves.apply(i).metrics()
+        it = m.iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "numPartitions":
+                scanned = kv._2().value()
+    assert scanned == 2, f"scan read {scanned} partitions, expected nprobe=2"
+
+    # and the probe agrees with assigning-then-filtering (same candidates)
+    from gluestick_spark.llm.similarity import ivf_topk
+
+    direct = ivf_topk(emb, "embedding", q, cents, k=5, nprobe=2).collect()
+    assert [r["vec_id"] for r in rows] == [r["vec_id"] for r in direct]

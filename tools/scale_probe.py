@@ -59,12 +59,16 @@ def replicate_vecs(df: DataFrame, r: int) -> DataFrame:
     )
 
 
-def timed(fn, warm: int = 1) -> float:
+def timed(fn, warm: int = 1) -> tuple[float, int]:
+    """(seconds, result rows). Rows matter for reading the exponent: when
+    the output itself grows linearly with N (near-dup replicas → each doc
+    pairs with its replica siblings), time exponent ≈ 1 is optimal — the
+    operator is output-bound, not blowing up."""
     for _ in range(warm):
         fn()
     t0 = time.time()
-    fn()
-    return round(time.time() - t0, 3)
+    rows = fn()
+    return round(time.time() - t0, 3), int(rows)
 
 
 def main() -> None:
@@ -117,11 +121,18 @@ def main() -> None:
 
     summary = {}
     for name, (small, big) in ops.items():
-        t1 = timed(small)
-        tR = timed(big)
+        t1, rows1 = timed(small)
+        tR, rowsR = timed(big)
         ratio = (nR / n1) if name != "embedding_near_dups" else (vR / v1)
         exponent = round(math.log(max(tR, 1e-3) / max(t1, 1e-3)) / math.log(ratio), 2)
-        rec = {"op": name, "t_1x": t1, f"t_{r}x": tR, "scale_exponent": exponent}
+        rec = {
+            "op": name,
+            "t_1x": t1,
+            f"t_{r}x": tR,
+            "scale_exponent": exponent,
+            "rows_1x": rows1,
+            f"rows_{r}x": rowsR,
+        }
         summary[name] = exponent
         print(json.dumps(rec), flush=True)
 
