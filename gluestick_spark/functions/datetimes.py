@@ -83,8 +83,12 @@ def as_timestamp(df: DataFrame, column: str) -> Column:
 def singer_datetime_expr(col: Column, dt: T.DataType) -> Column:
     """Render a temporal column the way the Singer sink does
     (deep_convert_datetimes): timestamps → ISO-µs ``Z``, dates → yyyy-MM-dd.
+
+    This is the vectorized column form of the sink's per-record strftime —
+    the shape that runs at corpus scale. NTZ timestamps render identically
+    (the session is pinned UTC, so wall time == instant time).
     """
-    if isinstance(dt, T.TimestampType):
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         return F.date_format(col, SINGER_TS_FORMAT)
     if isinstance(dt, T.DateType):
         return F.date_format(col, "yyyy-MM-dd")
