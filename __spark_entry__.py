@@ -826,6 +826,7 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from gluestick_spark.streaming.pipeline import sessionize, stream_from_directory
 
+    _prep(spark)  # reads bypass _t(); the driver session needs the confs
     src = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(src).schema
     # the file source wants a directory (the tap drop-dir pattern); stage

@@ -79,23 +79,43 @@ def normalize_json_literals(col: Column) -> Column:
     return _normalize_json_udf(col)
 
 
+# (plan semanticHash, column) -> sampled verdict. "auto" mode costs one
+# bounded limit(100).collect() job per DISTINCT (frame, column); repeated
+# explodes of the same frame/column (multi-column pipelines re-deriving the
+# same source) hit the cache instead of re-running the sample job.
+_NORMALIZATION_CACHE: dict[tuple[int, str], bool] = {}
+
+
 def _needs_normalization(df: DataFrame, column: str, sample: int = 100) -> bool:
     """Driver-side sample check: does the column contain non-JSON literals?"""
+    try:
+        key = (df._jdf.queryExecution().analyzed().semanticHash(), column)
+    except Exception:  # non-classic DataFrame (e.g. connect) — just sample
+        key = None
+    if key is not None and key in _NORMALIZATION_CACHE:
+        return _NORMALIZATION_CACHE[key]
     rows = (
         df.select(F.col(column).alias("v"))
         .where(F.col("v").isNotNull() & (F.col("v") != ""))
         .limit(sample)
         .collect()
     )
+    verdict = False
     for r in rows:
         v = r["v"]
         if not isinstance(v, str):
-            return False
+            verdict = False
+            break
         try:
             json.loads(v)
         except (ValueError, TypeError):
-            return True
-    return False
+            verdict = True
+            break
+    if key is not None:
+        if len(_NORMALIZATION_CACHE) > 256:
+            _NORMALIZATION_CACHE.clear()
+        _NORMALIZATION_CACHE[key] = verdict
+    return verdict
 
 
 def _maybe_normalize(df: DataFrame, column: str, python_literals: bool | str) -> DataFrame:

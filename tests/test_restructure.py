@@ -171,3 +171,20 @@ def test_explode_order_independence(spark):
     assert cols == sorted(b.columns)
     key = lambda r: tuple(str(r[c]) for c in cols)
     assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+
+def test_needs_normalization_cached_per_plan(spark):
+    """auto-mode sampling runs one driver job per distinct (plan, column);
+    a repeat call is answered from the cache."""
+    from gluestick_spark.operators import restructure as rs
+
+    df = spark.createDataFrame([("{'a': 1}",), ('{"a": 2}',)], ["js"])
+    rs._NORMALIZATION_CACHE.clear()
+    first = rs._needs_normalization(df, "js")
+    assert first is True  # python literal present
+    assert len(rs._NORMALIZATION_CACHE) == 1
+    ((key, cached),) = rs._NORMALIZATION_CACHE.items()
+    assert cached is True and key[1] == "js"
+    # same logical plan -> cache hit (same single entry, same answer)
+    assert rs._needs_normalization(df, "js") is True
+    assert len(rs._NORMALIZATION_CACHE) == 1
