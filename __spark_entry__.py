@@ -885,6 +885,71 @@ WHERE sid < (SELECT max(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
 """
 
 
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11: watermarked tumbling-window aggregation through the REAL
+    streaming path (``windowed_event_counts``), append mode. Only finalized
+    windows are emitted — those whose end the final watermark
+    (max(ts) − 2h) has passed — which the oracle replicates with a
+    time_bucket + cutoff. Decimal-cast value keeps the sum exact for the
+    cross-engine hash."""
+    import tempfile
+
+    from gluestick_spark.streaming.pipeline import (
+        stream_from_directory,
+        windowed_event_counts,
+    )
+
+    _prep(spark)
+    src = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(src).schema
+    stage = tempfile.mkdtemp(prefix="gs_wincnt_src_")
+    os.symlink(os.path.abspath(src), os.path.join(stage, "events.parquet"))
+    stream = stream_from_directory(spark, stage, schema)
+    ev = stream.select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("value"),
+    )
+    win = windowed_event_counts(ev, ts_col="ts", window="1 hour", watermark="2 hours")
+    out_dir = tempfile.mkdtemp(prefix="gs_wincnt_out_")
+    ckpt = tempfile.mkdtemp(prefix="gs_wincnt_ckpt_")
+    q = (
+        win.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(out_dir)
+    iso = "yyyy-MM-dd'T'HH:mm:ss"
+    return out.select(
+        F.date_format("window_start", iso).alias("window_start"),
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+_Q_WINDOWED_COUNTS_SQL = """
+WITH b AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start, event_type,
+         CAST(value AS DECIMAL(18,2)) AS value
+  FROM events
+),
+agg AS (
+  SELECT w_start, event_type, COUNT(*) AS n_events,
+         CAST(SUM(value) AS DOUBLE) AS total_value
+  FROM b GROUP BY w_start, event_type
+)
+SELECT strftime(w_start, '%Y-%m-%dT%H:%M:%S') AS window_start,
+       event_type, n_events, total_value
+FROM agg
+WHERE w_start + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+"""
+
+
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 + K1: ``to_export`` csv → ``read_csv_folder`` round-trip through a
     temp dir (header, RFC-4180 quoting both directions). Casts restore the
@@ -1614,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "minhash_candidates": q_minhash_candidates,
         "ivf_probe_indexed": q_ivf_probe_indexed,
+        "windowed_counts": q_windowed_counts,
     }
 
 
@@ -1676,4 +1742,5 @@ def oracle_sql() -> dict[str, str]:
         "minhash_candidates": _Q_MINHASH_CANDIDATES_SQL,
         # same exact-recall oracle as ivf_topk: nprobe=2 has recall 1 here
         "ivf_probe_indexed": _Q_ANN_TOPK_SQL,
+        "windowed_counts": _Q_WINDOWED_COUNTS_SQL,
     }
