@@ -824,6 +824,7 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (state carries open sessions across micro-batches)."""
     import tempfile
 
+    from gluestick_spark.functions.datetimes import as_timestamp
     from gluestick_spark.streaming.pipeline import sessionize, stream_from_directory
 
     _prep(spark)  # reads bypass _t(); the driver session needs the confs
@@ -834,7 +835,11 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = tempfile.mkdtemp(prefix="gs_sessions_src_")
     os.symlink(os.path.abspath(src), os.path.join(stage, "events.parquet"))
     stream = stream_from_directory(spark, stage, schema)
-    ev = stream.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    # schema-dispatched ts normalization (long nanos vs timestamp[_ntz]),
+    # then a cast to instant-typed timestamp for the watermark
+    ev = stream.select(
+        "user_id", as_timestamp(stream, "ts").cast("timestamp").alias("ts")
+    )
     sessions = sessionize(ev, gap_minutes=30.0, watermark="8760 hours")
     out_dir = tempfile.mkdtemp(prefix="gs_sessions_")
     ckpt = tempfile.mkdtemp(prefix="gs_sessions_ckpt_")
@@ -894,6 +899,7 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine hash."""
     import tempfile
 
+    from gluestick_spark.functions.datetimes import as_timestamp
     from gluestick_spark.streaming.pipeline import (
         stream_from_directory,
         windowed_event_counts,
@@ -906,7 +912,7 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.symlink(os.path.abspath(src), os.path.join(stage, "events.parquet"))
     stream = stream_from_directory(spark, stage, schema)
     ev = stream.select(
-        F.col("ts").cast("timestamp").alias("ts"),
+        as_timestamp(stream, "ts").cast("timestamp").alias("ts"),
         "event_type",
         F.col("value").cast("decimal(18,2)").alias("value"),
     )

@@ -492,8 +492,11 @@ def simhash_near_dups(
     contribution (see :func:`_cap_buckets` / :data:`DEFAULT_MAX_BUCKET`).
     """
     if chunks is None:
-        # 64/chunks must be ≥1 bit; chunks beyond 16 gives <4-bit pieces —
-        # at that hamming radius banding stops pruning anyway.
+        # Clamped at 16 chunks (4-bit pieces): beyond max_hamming=15 the
+        # full-recall guarantee is unattainable with a 64-bit signature
+        # anyway (and at that radius banding barely prunes — candidates
+        # approach all-pairs). So recall is guaranteed for max_hamming ≤ 15
+        # and best-effort above.
         chunks = min(16, max_hamming + 1)
     bits_per = 64 // chunks
     token_hashes = F.transform(
