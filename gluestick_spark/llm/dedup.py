@@ -196,7 +196,7 @@ def minhash_lsh_candidates(
     num_perm: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -262,7 +262,7 @@ def minhash_near_dup_pairs(
     num_perm: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Verified near-dup pairs: LSH candidates → exact-Jaccard verify.
 
@@ -299,7 +299,7 @@ def minhash_dedup(
     num_perm: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-duplicate removal: LSH candidates → exact-Jaccard verify →
     drop the higher id of each confirmed pair (union-find-free greedy,
