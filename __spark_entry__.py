@@ -1393,6 +1393,34 @@ WHERE doc_id NOT IN (SELECT DISTINCT b FROM pairs WHERE j >= 0.8)
 """
 
 
+def q_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure dedup: connected components over verified MinHash
+    near-dup pairs (iterative min-label propagation — the GraphX-style
+    fixpoint loop), keep the min-id representative per cluster. The oracle
+    recomputes components with a recursive CTE over the exact all-pairs
+    Jaccard graph."""
+    from gluestick_spark.llm.dedup import cluster_dedup, minhash_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(d, "text", "doc_id", threshold=0.8)
+    return cluster_dedup(d, pairs, "doc_id").select("doc_id")
+
+
+_Q_CLUSTER_DEDUP_SQL = f"""
+WITH RECURSIVE {_SHINGLE_PAIRS_CTE.strip().lstrip()}
+, edges AS MATERIALIZED (SELECT a, b FROM pairs WHERE j >= 0.8),
+sedges AS (SELECT a AS src, b AS dst FROM edges UNION SELECT b AS src, a AS dst FROM edges),
+reach(node, label) AS (
+  SELECT src, src FROM sedges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN sedges e ON e.src = r.node
+),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE node != component)
+"""
+
+
 def _planes_values_sql(num_planes: int, dim: int = 64, seed: int = 42) -> str:
     """The seeded hyperplanes as a SQL VALUES list (pid, p DOUBLE[])."""
     from gluestick_spark.llm.similarity import random_hyperplanes
@@ -1686,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": q_minhash_candidates,
         "ivf_probe_indexed": q_ivf_probe_indexed,
         "windowed_counts": q_windowed_counts,
+        "cluster_dedup": q_cluster_dedup,
     }
 
 
@@ -1749,4 +1778,5 @@ def oracle_sql() -> dict[str, str]:
         # same exact-recall oracle as ivf_topk: nprobe=2 has recall 1 here
         "ivf_probe_indexed": _Q_ANN_TOPK_SQL,
         "windowed_counts": _Q_WINDOWED_COUNTS_SQL,
+        "cluster_dedup": _Q_CLUSTER_DEDUP_SQL,
     }

@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "winnow_fingerprint",
     "clean_corpus",
     "minhash_dedup",
+    "cluster_dedup",
     "simhash_near_dups",
     "embedding_near_dups",
     "token_stats",

@@ -23,7 +23,7 @@ from .dedup import (
     embedding_near_dups,
     embedding_dedup,
 )
-from .dedup import lsh_geometry
+from .dedup import cluster_dedup, connected_components, lsh_geometry
 from .similarity import (
     cosine_expr,
     cosine_similarity,

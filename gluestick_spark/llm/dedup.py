@@ -36,6 +36,8 @@ __all__ = [
     "minhash_lsh_candidates",
     "minhash_near_dup_pairs",
     "minhash_dedup",
+    "connected_components",
+    "cluster_dedup",
     "simhash_expr",
     "simhash_signature_udf",
     "simhash_near_dups",
@@ -308,6 +310,89 @@ def minhash_dedup(
         df, text_col, id_col, threshold, num_perm, bands, shingle_n, max_bucket
     )
     drop_ids = verified.select(F.col("b").alias(id_col)).distinct()
+    return df.join(drop_ids, on=id_col, how="left_anti")
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over near-dup pairs by iterative min-label
+    propagation: every node's label converges to the smallest id reachable
+    from it. Returns (``id``, ``component``).
+
+    This is the transitive-closure complement to the greedy pair-drop in
+    :func:`minhash_dedup`: real corpus dedup clusters A~B~C even when A and
+    C never collide directly, then keeps one representative per cluster
+    (:func:`cluster_dedup`).
+
+    Scale shape: each iteration is one symmetric edge join + min-aggregate —
+    all shuffles on the id key, GraphX-style label propagation without the
+    GraphX dependency. Iterations needed = component diameter (near-dup
+    clusters are shallow — boilerplate stars, chain edits — so typically
+    2-4). Convergence is checked with a count of changed labels per
+    iteration; ``localCheckpoint`` truncates the join lineage so the plan
+    doesn't grow exponentially across iterations.
+    """
+    # symmetric edge list (a<b on input; propagation needs both directions)
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # candidate label for each node: min over its neighbors' labels
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def cluster_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Keep one representative row (the min id) per near-dup cluster, where
+    clusters are the connected components of ``pairs``. Rows in no pair are
+    kept as-is. The drop set is (nodes) − (component representatives) — an
+    anti-join, never a full-table shuffle of ``df``."""
+    comps = connected_components(pairs, a_col, b_col)
+    drop_ids = comps.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
     return df.join(drop_ids, on=id_col, how="left_anti")
 
 

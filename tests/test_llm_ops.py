@@ -425,3 +425,64 @@ def test_embedding_near_dups_adaptive_recall(spark):
     }
     hits = sum((r["vec_id"], r["vec_id"] + 100_000) in pairs for r in rows)
     assert hits / len(rows) >= 0.95
+
+
+def test_connected_components_transitive(spark):
+    """A~B~C chains to one component even when A,C never pair directly;
+    separate clusters stay separate."""
+    from gluestick_spark.llm.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [Row(a=1, b=2), Row(a=2, b=3), Row(a=3, b=4), Row(a=10, b=11), Row(a=20, b=21)]
+    )
+    comps = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_cluster_dedup_keeps_one_per_component(spark):
+    """Transitive clusters collapse to their min id; the greedy pair-drop
+    would keep nothing of {2,3,4} chained off 1 — cluster_dedup keeps the
+    representative and rows that pair with nobody."""
+    from gluestick_spark.llm.dedup import cluster_dedup
+
+    df = spark.createDataFrame([Row(doc_id=i, text=f"d{i}") for i in [1, 2, 3, 4, 10, 99]])
+    pairs = spark.createDataFrame([Row(a=1, b=2), Row(a=2, b=3), Row(a=3, b=4), Row(a=10, b=4)])
+    kept = sorted(r["doc_id"] for r in cluster_dedup(df, pairs, "doc_id").collect())
+    assert kept == [1, 99]
+
+
+def test_cluster_dedup_matches_bruteforce_components(spark):
+    """End-to-end on real data: components over verified minhash pairs at
+    sf0.001 equal a pure-Python union-find over the same pairs."""
+    from gluestick_spark.llm.dedup import cluster_dedup, minhash_near_dup_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = minhash_near_dup_pairs(docs, "text", "doc_id", threshold=0.8)
+    pair_rows = [(r["a"], r["b"]) for r in pairs.collect()]
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    for a, b in pair_rows:
+        union(a, b)
+    # union-find roots are not guaranteed to be the component min mid-stream;
+    # canonicalize by grouping
+    groups: dict[int, list[int]] = {}
+    for n in parent:
+        groups.setdefault(find(n), []).append(n)
+    expect_drop = sorted(n for g in groups.values() for n in g if n != min(g))
+
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    kept = {r["doc_id"] for r in cluster_dedup(docs, pairs, "doc_id").collect()}
+    assert sorted(all_ids - kept) == expect_drop
