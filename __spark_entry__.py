@@ -817,11 +817,14 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``trigger(availableNow=True)`` — then return the emitted sessions as a
     batch frame.
 
-    Determinism: with a 365-day watermark no event-time timeout can fire,
-    so the emitted (append-mode) set is exactly the sessions closed by a
-    later event = every session except each user's last — which is what the
-    DuckDB gap-window oracle computes. Batch splits don't change the set
-    (state carries open sessions across micro-batches)."""
+    Determinism: the watermark horizon is derived from the table's actual
+    event-time span (span + 1h), so the final watermark ends below min(ts)
+    and no event-time timeout can ever fire — the emitted (append-mode) set
+    is exactly the sessions closed by a later event = every session except
+    each user's last, which is what the DuckDB gap-window oracle computes,
+    at any scale factor or future data span. Batch splits don't change the
+    set (state carries open sessions across micro-batches)."""
+    import math
     import tempfile
 
     from gluestick_spark.functions.datetimes import as_timestamp
@@ -829,7 +832,11 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)  # reads bypass _t(); the driver session needs the confs
     src = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(src).schema
+    batch = spark.read.parquet(src)
+    schema = batch.schema
+    ts_batch = as_timestamp(batch, "ts").cast("timestamp")
+    lo, hi = batch.select(F.min(ts_batch), F.max(ts_batch)).first()
+    horizon_h = math.ceil((hi - lo).total_seconds() / 3600) + 1
     # the file source wants a directory (the tap drop-dir pattern); stage
     # the single testdata file into one via symlink
     stage = tempfile.mkdtemp(prefix="gs_sessions_src_")
@@ -840,7 +847,7 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream.select(
         "user_id", as_timestamp(stream, "ts").cast("timestamp").alias("ts")
     )
-    sessions = sessionize(ev, gap_minutes=30.0, watermark="8760 hours")
+    sessions = sessionize(ev, gap_minutes=30.0, watermark=f"{horizon_h} hours")
     out_dir = tempfile.mkdtemp(prefix="gs_sessions_")
     ckpt = tempfile.mkdtemp(prefix="gs_sessions_ckpt_")
     q = (
@@ -952,6 +959,9 @@ agg AS (
 SELECT strftime(w_start, '%Y-%m-%dT%H:%M:%S') AS window_start,
        event_type, n_events, total_value
 FROM agg
+-- inclusive <=: Spark append mode emits a window once the watermark
+-- REACHES its end (verified empirically: max_ts on an exact boundary
+-- emits the window whose end == watermark)
 WHERE w_start + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
 """
 
@@ -1407,7 +1417,7 @@ def q_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q_CLUSTER_DEDUP_SQL = f"""
-WITH RECURSIVE {_SHINGLE_PAIRS_CTE.strip().lstrip()}
+WITH RECURSIVE {_SHINGLE_PAIRS_CTE.strip()}
 , edges AS MATERIALIZED (SELECT a, b FROM pairs WHERE j >= 0.8),
 sedges AS (SELECT a AS src, b AS dst FROM edges UNION SELECT b AS src, a AS dst FROM edges),
 reach(node, label) AS (

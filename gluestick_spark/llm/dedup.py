@@ -47,14 +47,15 @@ __all__ = [
 ]
 
 # Default bucket-width cap for the bucketed self-joins below. A bucket of
-# width w contributes w·(w-1)/2 candidate pairs; 4096 bounds any single
-# bucket at ~8.4M pairs — far above anything a healthy signature
+# width w contributes w·(w-1)/2 candidate pairs; 8192 bounds any single
+# bucket at ~33M pairs — far above anything a healthy signature
 # distribution produces (expected width is held near ``target_bucket`` by
 # the adaptive geometry), so it only trims degenerate buckets (empty docs,
 # boilerplate) that would otherwise go quadratic at corpus scale. It is
-# deliberately larger than the whole corpus at oracle-test scale
-# (sf≤0.1 ⇒ N≤5000), so correctness oracles never see it bind.
-DEFAULT_MAX_BUCKET = 4096
+# deliberately larger than the whole corpus at every oracle-test scale
+# (sf≤0.1 ⇒ N≤5000 docs < 8192), so the exact-oracle comparisons can never
+# see it bind.
+DEFAULT_MAX_BUCKET = 8192
 
 
 def lsh_geometry(
@@ -375,6 +376,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Fail loudly: returning unconverged labels would silently split
+        # real clusters (under-dedup). Diameter > max_iter means a chain of
+        # successive edits longer than max_iter hops.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({changed} labels still changing); raise max_iter"
+        )
     return labels
 
 
@@ -407,6 +416,7 @@ def embedding_near_dups(
     seed: int = 42,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     target_bucket: int = 16,
+    n: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via hyperplane-LSH banding.
 
@@ -421,10 +431,13 @@ def embedding_near_dups(
     for the verify step — two hash joins on the id, never an N² cross join.
     Piece width (num_planes/chunks bits) sets bucket fan-out: 2^width
     buckets per chunk, expected width n/2^width. With ``num_planes=None``
-    (the default) the width adapts to the corpus via :func:`lsh_geometry`
-    (one metadata-cheap ``count()``), holding expected bucket width near
-    ``target_bucket`` so the self-join stays linear as n grows — a fixed
-    geometry makes candidate pairs grow as n²/buckets. Recall per piece is
+    (the default) the width adapts to the corpus via :func:`lsh_geometry`,
+    sized from ``n`` — pass it when you already know the corpus size
+    (geometry needs only the order of magnitude), else one ``count()`` job
+    runs (cheap for a parquet scan, a full materialization for a derived
+    frame). This holds expected bucket width near ``target_bucket`` so the
+    self-join stays linear as n grows — a fixed geometry makes candidate
+    pairs grow as n²/buckets. Recall per piece is
     (1−θ/π)^width for angle θ, so wider pieces trade recall for cost; raise
     ``chunks`` to win it back (overall recall 1−(1−(1−θ/π)^width)^chunks).
     """
@@ -433,7 +446,7 @@ def embedding_near_dups(
     if dim is None:
         dim = df.select(F.size(F.col(vec_col))).first()[0]
     if num_planes is None:
-        bits_per = lsh_geometry(df.count(), target_bucket)
+        bits_per = lsh_geometry(n if n is not None else df.count(), target_bucket)
         num_planes = chunks * bits_per
     planes = random_hyperplanes(dim, num_planes, seed)
     bits_per = num_planes // chunks
