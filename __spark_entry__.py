@@ -1665,7 +1665,6 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
-        "shipping_priority": q_shipping_priority,
         "events_daily": q_events_daily,
         "explode_json_to_cols": q_explode_json_to_cols,
         "explode_json_to_rows": q_explode_json_to_rows,
@@ -1710,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "audio_features": q_audio_features,
         "minhash_dedup": q_minhash_dedup,
+        "cluster_dedup": q_cluster_dedup,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
         "ivf_topk": q_ivf_topk,
@@ -1718,20 +1718,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # variants of families already driver-green above, plus plain-SQL
         # bench queries that exercise no §2 operator. All remain locally
         # oracle-checked via tools/check_correctness.py.
+        "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "promo_revenue": q_promo_revenue,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "minhash_candidates": q_minhash_candidates,
         "ivf_probe_indexed": q_ivf_probe_indexed,
         "windowed_counts": q_windowed_counts,
-        "cluster_dedup": q_cluster_dedup,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": _Q_PRICING_SQL,
-        "shipping_priority": _Q_SHIPPING_SQL,
         "events_daily": _Q_EVENTS_DAILY_SQL,
         "explode_json_to_cols": _Q_EXPLODE_COLS_SQL,
         "explode_json_to_rows": _Q_EXPLODE_ROWS_SQL,
@@ -1776,11 +1775,13 @@ def oracle_sql() -> dict[str, str]:
         "image_features": _image_features_sql(),
         "audio_features": _audio_features_sql(),
         "minhash_dedup": _Q_MINHASH_DEDUP_SQL,
+        "cluster_dedup": _Q_CLUSTER_DEDUP_SQL,
         "simhash_near_dups": _Q_SIMHASH_SQL,
         "embedding_near_dups": _embedding_near_dups_sql(),
         # nprobe=2 of the 8 fixed centroids has recall 1 here → exact top-k
         "ivf_topk": _Q_ANN_TOPK_SQL,
         "lsh_ann_topk": _lsh_ann_sql(),
+        "shipping_priority": _Q_SHIPPING_SQL,
         "local_supplier_volume": _Q_LOCAL_SUPPLIER_SQL,
         "promo_revenue": _Q_PROMO_SQL,
         "jsonl_roundtrip": _Q_JSONL_ROUNDTRIP_SQL,
@@ -1788,5 +1789,4 @@ def oracle_sql() -> dict[str, str]:
         # same exact-recall oracle as ivf_topk: nprobe=2 has recall 1 here
         "ivf_probe_indexed": _Q_ANN_TOPK_SQL,
         "windowed_counts": _Q_WINDOWED_COUNTS_SQL,
-        "cluster_dedup": _Q_CLUSTER_DEDUP_SQL,
     }
