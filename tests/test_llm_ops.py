@@ -486,3 +486,17 @@ def test_cluster_dedup_matches_bruteforce_components(spark):
     all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
     kept = {r["doc_id"] for r in cluster_dedup(docs, pairs, "doc_id").collect()}
     assert sorted(all_ids - kept) == expect_drop
+
+
+def test_connected_components_deep_chain_and_nonconvergence(spark):
+    """Min-label propagation moves one hop per iteration: a 25-node chain
+    converges within the default budget; an exhausted budget raises instead
+    of silently returning split clusters."""
+    from gluestick_spark.llm.dedup import connected_components
+
+    chain = spark.createDataFrame([Row(a=i, b=i + 1) for i in range(24)])
+    comps = {r["id"]: r["component"] for r in connected_components(chain).collect()}
+    assert set(comps.values()) == {0} and len(comps) == 25
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3)
