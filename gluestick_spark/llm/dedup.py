@@ -154,6 +154,15 @@ def minhash_signature_expr(shingles: Column, num_perm: int = 64) -> Column:
     an explode + groupBy formulation, but with no N×S-row shuffle — at
     corpus scale that shuffle IS the cost, so the per-row form wins
     asymptotically (and measures faster locally too).
+
+    NOTE — do not "optimize" this into an Arrow pandas_udf (the simhash
+    hybrid pattern): in this Spark build, a pandas UDF whose argument is a
+    higher-order-function expression loses its ArrowEvalPython extraction
+    on every query after the first in a session (the raw PythonUDF lands
+    in an interpreted projection → INTERNAL_ERROR "Cannot evaluate
+    expression"); reproduced on a vanilla session, reverted here. The
+    interpreted-lambda fold costs ~1.9s over 5000 docs at sf0.1 — real but
+    not worth a correctness-flaky path.
     """
     perm_arr = F.array(
         *[
