@@ -75,9 +75,11 @@ def main() -> None:
     r = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     from gluestick_spark import get_spark
     from gluestick_spark.llm.dedup import (
+        cluster_dedup,
         exact_dedup,
         embedding_near_dups,
         minhash_dedup,
+        minhash_near_dup_pairs,
         simhash_near_dups,
     )
 
@@ -113,6 +115,22 @@ def main() -> None:
             ).count(),
             lambda: embedding_near_dups(
                 vecsR, "embedding", "vec_id", threshold=0.95, dim=64, max_bucket=cap
+            ).count(),
+        ),
+        # transitive-closure dedup: minhash pairs -> connected components ->
+        # keep representatives. Replica groups are 10-node near-cliques, so
+        # the iterative label propagation converges in ~2 rounds at both
+        # scales; the probe catches any superlinear blowup in the loop.
+        "cluster_dedup": (
+            lambda: cluster_dedup(
+                docs1,
+                minhash_near_dup_pairs(docs1, "text", "doc_id", threshold=0.7, max_bucket=cap),
+                "doc_id",
+            ).count(),
+            lambda: cluster_dedup(
+                docsR,
+                minhash_near_dup_pairs(docsR, "text", "doc_id", threshold=0.7, max_bucket=cap),
+                "doc_id",
             ).count(),
         ),
     }
