@@ -168,3 +168,32 @@ def test_ivf_indexed_probe_partition_pruning(spark, tmp_path):
 
     direct = ivf_topk(emb, "embedding", q, cents, k=5, nprobe=2).collect()
     assert [r["vec_id"] for r in rows] == [r["vec_id"] for r in direct]
+
+
+def test_driver_contract_registry():
+    """queries() and oracle_sql() must stay key-identical and ordered the
+    same — the driver zips them, and the first 50 form the correctness
+    window. Guard the contract so a registration edit can't silently skew
+    the window or orphan an oracle."""
+    import __spark_entry__ as em
+
+    qs = list(em.queries())
+    os_ = list(em.oracle_sql())
+    assert qs == os_
+    assert len(qs) >= 50
+
+
+def test_embedding_oracle_geometry_alignment():
+    """q_embedding_near_dups uses adaptive geometry (lsh_geometry(n)); the
+    DuckDB oracle hardcodes the sf0.01 instantiation (n=500 → 5-bit pieces,
+    20 planes). If lsh_geometry's defaults change, this pins the mismatch
+    loudly instead of as a driver hash-fail."""
+    import __spark_entry__ as em
+    from gluestick_spark.llm.dedup import lsh_geometry
+
+    bits = lsh_geometry(500)
+    assert bits == 5  # sf0.01 embeddings count is 500
+    sql = em.oracle_sql()["embedding_near_dups"]
+    assert f"* {bits})) & {(1 << bits) - 1}" in sql
+    # one VALUES tuple per hyperplane: chunks(4) × bits
+    assert sql.count("]::DOUBLE[])") == 4 * bits
