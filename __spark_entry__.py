@@ -1403,6 +1403,35 @@ WHERE doc_id NOT IN (SELECT DISTINCT b FROM pairs WHERE j >= 0.8)
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (32-token windows, 8-token overlap) — the
+    standard pretraining/embedding preprocessing step, pure Catalyst.
+    Oracle mirrors the windows with DuckDB list slicing over the same
+    ASCII-whitespace split."""
+    from gluestick_spark.llm import chunk_documents
+
+    d = _tp(spark, sf_dir, "documents", "doc_id")
+    return chunk_documents(d, "text", "doc_id", chunk_tokens=32, overlap=8)
+
+
+_Q_CHUNK_DOCS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS t
+  FROM documents
+),
+st AS (
+  SELECT doc_id, t,
+         list_filter(range(0, greatest(len(t), 1), 24), s -> s = 0 OR len(t) - s > 8) AS starts
+  FROM toks
+)
+SELECT doc_id,
+       CAST(s // 24 AS BIGINT) AS chunk_id,
+       array_to_string(t[s+1 : s+32], ' ') AS chunk_text,
+       len(t[s+1 : s+32]) AS n_tokens
+FROM st, UNNEST(starts) AS u(s)
+"""
+
+
 def q_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive-closure dedup: connected components over verified MinHash
     near-dup pairs (iterative min-label propagation — the GraphX-style
@@ -1725,6 +1754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": q_minhash_candidates,
         "ivf_probe_indexed": q_ivf_probe_indexed,
         "windowed_counts": q_windowed_counts,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -1789,4 +1819,5 @@ def oracle_sql() -> dict[str, str]:
         # same exact-recall oracle as ivf_topk: nprobe=2 has recall 1 here
         "ivf_probe_indexed": _Q_ANN_TOPK_SQL,
         "windowed_counts": _Q_WINDOWED_COUNTS_SQL,
+        "chunk_documents": _Q_CHUNK_DOCS_SQL,
     }

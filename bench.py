@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "simhash_near_dups",
     "embedding_near_dups",
     "token_stats",
+    "chunk_documents",
     "quality_score",
     "cosine_similarity",
     "ann_topk",

@@ -1,5 +1,6 @@
 from .text import (
     tokens_expr,
+    chunk_documents,
     word_count_expr,
     bpe_token_count_expr,
     lang_id_expr,

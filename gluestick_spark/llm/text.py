@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "tokens_expr",
+    "chunk_documents",
     "word_count_expr",
     "bpe_token_count_expr",
     "lang_scores_expr",
@@ -58,6 +59,62 @@ def tokens_expr(col: Column) -> Column:
 def word_count_expr(col: Column) -> Column:
     """Whitespace token count."""
     return F.size(tokens_expr(col))
+
+
+def chunk_documents(
+    df,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+):
+    """Split documents into overlapping token-window chunks — the standard
+    pretraining / embedding preprocessing step. Returns one row per chunk:
+    (``id_col``, ``chunk_id``, ``chunk_text``, ``n_tokens``).
+
+    Windows start every ``stride = chunk_tokens − overlap`` tokens; a tail
+    window is emitted only if it reaches beyond the previous window's
+    overlap region (``n − s > overlap``), so no chunk is fully contained in
+    its predecessor. ``chunk_id = s / stride`` is deterministic and stable
+    under repartitioning. Empty documents produce one empty chunk (the doc
+    survives the explode; filter ``n_tokens > 0`` to drop them).
+
+    Scale shape: pure Catalyst — tokenize once per row (lambda-bound, no
+    re-split per window), ``posexplode``-free explode of slice views; no
+    shuffle. The whole operator is a projection + generator, so it pipelines
+    inside the scan stage at any corpus size. SQL-mirrorable (DuckDB oracle:
+    list slicing over the same ASCII-``\\s+`` split).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    toks = tokens_expr(F.col(text_col))
+
+    def windows(tk: Column) -> Column:
+        n = F.size(tk)
+        starts = F.filter(
+            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+            lambda s: (s == 0) | ((n - s) > overlap),
+        )
+        return F.transform(
+            starts,
+            lambda s: F.struct(
+                (s / stride).cast("long").alias("chunk_id"),
+                F.array_join(F.slice(tk, s + 1, chunk_tokens), " ").alias("chunk_text"),
+                F.size(F.slice(tk, s + 1, chunk_tokens)).alias("n_tokens"),
+            ),
+        )
+
+    per_doc = F.element_at(F.transform(F.array(toks), windows), 1)
+    return df.select(
+        F.col(id_col), F.explode(per_doc).alias("__c__")
+    ).select(
+        id_col,
+        F.col("__c__.chunk_id").alias("chunk_id"),
+        F.col("__c__.chunk_text").alias("chunk_text"),
+        F.col("__c__.n_tokens").alias("n_tokens"),
+    )
 
 
 def bpe_token_count_expr(col: Column) -> Column:

@@ -500,3 +500,55 @@ def test_connected_components_deep_chain_and_nonconvergence(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=3)
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    """Token windows: stride = chunk-overlap; consecutive full chunks share
+    exactly `overlap` tokens; a tail fully inside the previous window is
+    suppressed; short and empty docs behave as documented."""
+    from gluestick_spark.llm import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(20))  # 20 tokens
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=words),
+            Row(doc_id=2, text="only four short tokens"),
+            Row(doc_id=3, text=""),
+        ]
+    )
+    out = chunk_documents(df, "text", "doc_id", chunk_tokens=8, overlap=3)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+
+    # doc 1: stride 5, starts 0,5,10,15 (tail 15: 20-15=5 > 3 overlap -> kept)
+    d1 = sorted(k[1] for k in rows if k[0] == 1)
+    assert d1 == [0, 1, 2, 3]
+    c0, c1 = rows[(1, 0)], rows[(1, 1)]
+    assert c0["chunk_text"].split() == [f"w{i}" for i in range(8)]
+    assert c1["chunk_text"].split() == [f"w{i}" for i in range(5, 13)]
+    # consecutive full chunks share exactly `overlap` tokens
+    assert set(c0["chunk_text"].split()) & set(c1["chunk_text"].split()) == {
+        "w5", "w6", "w7"
+    }
+    assert rows[(1, 3)]["n_tokens"] == 5  # tail: w15..w19
+
+    # doc 2: single window covers everything
+    assert [k[1] for k in rows if k[0] == 2] == [0]
+    assert rows[(2, 0)]["n_tokens"] == 4
+
+    # doc 3: empty doc -> one empty chunk
+    assert rows[(3, 0)]["chunk_text"] == "" and rows[(3, 0)]["n_tokens"] == 0
+
+
+def test_chunk_documents_suppresses_contained_tail(spark):
+    """A tail window that adds no tokens beyond the previous window's
+    overlap is not emitted (n - s <= overlap)."""
+    from gluestick_spark.llm import chunk_documents
+
+    # 10 tokens, chunk 8, overlap 6 -> stride 2; starts 0,2,4 kept
+    # (n-s>6 for s in {0,2} plus s=0 rule; s=4: 10-4=6 NOT > 6 -> dropped;
+    # s in {6,8} likewise)
+    words = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([Row(doc_id=1, text=words)])
+    out = chunk_documents(df, "text", "doc_id", chunk_tokens=8, overlap=6)
+    ids = sorted(r["chunk_id"] for r in out.collect())
+    assert ids == [0, 1]
