@@ -1403,6 +1403,55 @@ WHERE doc_id NOT IN (SELECT DISTINCT b FROM pairs WHERE j >= 0.8)
 """
 
 
+def q_event_asof_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union + keyed window, single shuffle — operators/asof.py)
+    checked against DuckDB's NATIVE ``ASOF LEFT JOIN``: each event picks up
+    its user's daily-opening value (first event of the day), i.e. the
+    latest opening at-or-before the event's timestamp. The right side is
+    unique per (user, ts) by construction, so the join is deterministic."""
+    from pyspark.sql.window import Window as W
+
+    from gluestick_spark.operators.asof import asof_join
+
+    from gluestick_spark.functions.datetimes import as_timestamp
+
+    e = _t(spark, sf_dir, "events")
+    ts = as_timestamp(e, "ts").cast("timestamp")
+    ev = e.select(
+        "event_id", "user_id", ts.alias("ts"), _dec("value").alias("v")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("user_id", F.to_date("ts")).orderBy("ts", "event_id")
+    )
+    opens = (
+        ev.withColumn("__rn__", rn)
+        .where(F.col("__rn__") == 1)
+        .select("user_id", "ts", F.col("v").alias("open_v"))
+    )
+    out = asof_join(ev, opens, "user_id", value_cols=["open_v"])
+    return out.select(
+        "event_id", "user_id", F.col("open_v_asof").cast("double").alias("open_value")
+    )
+
+
+_Q_EVENT_ASOF_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, ts, CAST(value AS DECIMAL(18,2)) AS v FROM events
+),
+opens AS (
+  SELECT user_id, ts, v AS open_v FROM (
+    SELECT user_id, ts, v,
+           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts, event_id) AS rn
+    FROM e
+  ) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, CAST(o.open_v AS DOUBLE) AS open_value
+FROM e ASOF LEFT JOIN opens o
+  ON e.user_id = o.user_id AND e.ts >= o.ts
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window chunking (32-token windows, 8-token overlap) — the
     standard pretraining/embedding preprocessing step, pure Catalyst.
@@ -1755,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_probe_indexed": q_ivf_probe_indexed,
         "windowed_counts": q_windowed_counts,
         "chunk_documents": q_chunk_documents,
+        "event_asof_open": q_event_asof_open,
     }
 
 
@@ -1820,4 +1870,5 @@ def oracle_sql() -> dict[str, str]:
         "ivf_probe_indexed": _Q_ANN_TOPK_SQL,
         "windowed_counts": _Q_WINDOWED_COUNTS_SQL,
         "chunk_documents": _Q_CHUNK_DOCS_SQL,
+        "event_asof_open": _Q_EVENT_ASOF_SQL,
     }

@@ -1,0 +1,89 @@
+"""As-of (temporal) join — a custom operator Spark's built-ins lack.
+
+For each left row, attach the latest right row whose timestamp is at or
+before (``inclusive=True``) / strictly before the left row's timestamp,
+within the same join-key group. The classic uses: point-in-time feature
+lookup, slowly-changing-dimension resolution, last-known-price enrichment.
+
+Scale design: the naive formulation is a range join (``l.ts >= r.ts`` →
+O(N·M) per key). This implementation is the single-shuffle union-window
+form instead:
+
+1. tag both sides and union them (right carries its payload in
+   namespaced columns, absent on the left),
+2. one window per key ordered by (ts, side): running
+   ``last(payload, ignorenulls=True)`` fills every row with the most
+   recent right payload at-or-before it,
+3. keep only left rows.
+
+One Exchange on the key (both inputs shuffled once, together), sort within
+partitions, no cross product — the same plan shape at 100 TB as at 1 MB.
+AQE skew-join handling applies to the single shuffle; a hot key degrades to
+a sort, never to a quadratic join.
+
+Determinism: if the right side has duplicate (key, ts) rows, which payload
+wins is unspecified (as in DuckDB's ASOF join) — pre-dedupe the right side
+to unique (key, ts) when exact reproducibility matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+    inclusive: bool = True,
+) -> DataFrame:
+    """Backward as-of join: left rows + the latest right payload at-or-before
+    (or strictly before) each left timestamp, per key.
+
+    Returns all left rows (left-outer semantics: no matching right row →
+    null payload) with one ``{col}{suffix}`` column per right value column.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in set(keys) | {right_ts}]
+
+    l2 = (
+        left.withColumn("__side__", F.lit(1))
+        .withColumn("__ats__", F.col(left_ts))
+    )
+    r2 = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ats__"),
+        *[F.col(c).alias(f"__rv_{c}__") for c in value_cols],
+    ).withColumn("__side__", F.lit(0))
+
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    # At equal timestamps: inclusive ⇒ right rows order BEFORE left rows
+    # (side 0 < 1 asc) so a left row sees an equal-ts right row; strict ⇒
+    # left first, so it doesn't.
+    side_order = F.col("__side__").asc() if inclusive else F.col("__side__").desc()
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ats__").asc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "*",
+        *[
+            F.last(F.col(f"__rv_{c}__"), ignorenulls=True)
+            .over(w)
+            .alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    return filled.where(F.col("__side__") == 1).drop(
+        "__side__", "__ats__", *[f"__rv_{c}__" for c in value_cols]
+    )

@@ -73,3 +73,67 @@ def test_embedding_near_dups_infers_dim(spark):
     df = _vec_df(spark)
     pairs = embedding_near_dups(df, "embedding", "vec_id", threshold=0.99)
     assert pairs.count() == 1
+
+
+def test_asof_join_backward_semantics(spark):
+    """Latest right payload at-or-before each left ts, per key; no-match
+    rows get null; keys never leak across groups."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from gluestick_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2026, 1, 1, 12, m)
+    left = spark.createDataFrame(
+        [
+            Row(k=1, ts=t(5), ev="a"),
+            Row(k=1, ts=t(10), ev="b"),
+            Row(k=1, ts=t(2), ev="early"),   # before any right row
+            Row(k=2, ts=t(30), ev="c"),      # other key
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, ts=t(3), px=100),
+            Row(k=1, ts=t(7), px=200),
+            Row(k=2, ts=t(29), px=999),
+        ]
+    )
+    out = {r["ev"]: r["px_asof"] for r in asof_join(left, right, "k").collect()}
+    assert out == {"a": 100, "b": 200, "early": None, "c": 999}
+
+
+def test_asof_join_inclusive_vs_strict(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from gluestick_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2026, 1, 1, 12, m)
+    left = spark.createDataFrame([Row(k=1, ts=t(5), ev="x")])
+    right = spark.createDataFrame([Row(k=1, ts=t(5), px=7), Row(k=1, ts=t(1), px=3)])
+    inc = asof_join(left, right, "k", inclusive=True).first()["px_asof"]
+    strict = asof_join(left, right, "k", inclusive=False).first()["px_asof"]
+    assert inc == 7 and strict == 3
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union-window form shuffles ONCE on the key — never a range
+    cross-join (no CartesianProduct / BroadcastNestedLoopJoin node)."""
+    from pyspark.sql import functions as F
+
+    from gluestick_spark.operators.asof import asof_join
+
+    left = spark.range(1000).select(
+        (F.col("id") % 10).alias("k"), F.col("id").alias("ts"), F.lit("e").alias("ev")
+    )
+    right = spark.range(100).select(
+        (F.col("id") % 10).alias("k"), (F.col("id") * 7).alias("ts"), F.col("id").alias("px")
+    )
+    out = asof_join(left, right, "k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert out.count() == 1000
