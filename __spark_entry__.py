@@ -1452,6 +1452,51 @@ FROM e ASOF LEFT JOIN opens o
 """
 
 
+def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (bin-rewrite, operators/asof.py:range_join): events ×
+    40 OVERLAPPING 36h promo windows (every 18h from 2024-01-01, the
+    events epoch), aggregated per window. Overlap means a plain tumbling
+    window can't express this; Spark's naive plan for the inequality join
+    would be a nested loop. Oracle: DuckDB BETWEEN join over the same
+    generated windows."""
+    from gluestick_spark.functions.datetimes import as_timestamp
+    from gluestick_spark.operators.asof import range_join
+
+    base = 1704067200  # 2024-01-01 00:00:00 UTC — events table epoch
+    e = _t(spark, sf_dir, "events")
+    ev = e.select(
+        "event_id",
+        as_timestamp(e, "ts").cast("timestamp").alias("t"),
+        _dec("value").alias("v"),
+    )
+    wins = spark.range(40).select(
+        F.col("id").alias("window_id"),
+        F.timestamp_seconds(F.lit(base) + F.col("id") * 64800).alias("ws"),
+        F.timestamp_seconds(F.lit(base) + F.col("id") * 64800 + 129600).alias("we"),
+    )
+    j = range_join(ev, wins, "t", "ws", "we", bucket_width=64800)
+    return j.groupBy("window_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("v").cast("double").alias("total_value"),
+    )
+
+
+_Q_RANGE_JOIN_SQL = """
+WITH w AS (
+  SELECT i AS window_id,
+         TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 18 HOUR AS ws,
+         TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 18 HOUR
+           + INTERVAL 36 HOUR AS we
+  FROM range(40) t(i)
+)
+SELECT w.window_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM w JOIN events e ON e.ts BETWEEN w.ws AND w.we
+GROUP BY w.window_id
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window chunking (32-token windows, 8-token overlap) — the
     standard pretraining/embedding preprocessing step, pure Catalyst.
@@ -1805,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_counts": q_windowed_counts,
         "chunk_documents": q_chunk_documents,
         "event_asof_open": q_event_asof_open,
+        "range_join_windows": q_range_join_windows,
     }
 
 
@@ -1871,4 +1917,5 @@ def oracle_sql() -> dict[str, str]:
         "windowed_counts": _Q_WINDOWED_COUNTS_SQL,
         "chunk_documents": _Q_CHUNK_DOCS_SQL,
         "event_asof_open": _Q_EVENT_ASOF_SQL,
+        "range_join_windows": _Q_RANGE_JOIN_SQL,
     }

@@ -53,7 +53,7 @@ from .records import (
     get_row_hash,
     parse_objs,
 )
-from .operators.asof import asof_join
+from .operators.asof import asof_join, range_join
 from .operators.union import union_relaxed, keep_last, widest_common_type
 from .operators.snapshot import (
     snapshot_records,

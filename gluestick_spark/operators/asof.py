@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "range_join"]
 
 
 def asof_join(
@@ -87,3 +87,55 @@ def asof_join(
     return filled.where(F.col("__side__") == 1).drop(
         "__side__", "__ats__", *[f"__rv_{c}__" for c in value_cols]
     )
+
+
+def _bucket_of(c, width: int):
+    """Exact integral floor-division for non-negative long values (avoids
+    double rounding: c − c mod w is a multiple of w)."""
+    c = c.cast("long")
+    return ((c - F.pmod(c, F.lit(width))) / F.lit(width)).cast("long")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+    key: str | list[str] | None = None,
+) -> DataFrame:
+    """Interval-containment join: each point row × every interval row with
+    ``start ≤ point ≤ end`` (closed bounds), optionally also matching on
+    equality ``key`` columns. Inner-join semantics.
+
+    Scale design: Spark plans a bare inequality join as a nested-loop
+    (O(N·M) — the 100 TB killer). This is the classic **binning**
+    rewrite instead: every interval is exploded to the time buckets it
+    covers (width ``bucket_width``, in the column's native units — seconds
+    for timestamps), each point carries its single bucket, and the join
+    becomes an EQUI-join on (key…, bucket) followed by the exact
+    between-filter. One hash shuffle, no cross product; a point's bucket is
+    unique so no dedupe step is needed. Interval replication factor is
+    len/bucket_width + 1 — pick the width near the typical interval length.
+
+    Timestamps bucket via ``cast(long)`` (epoch seconds); numeric columns
+    must be non-negative and within long range.
+    """
+    keys = [] if key is None else ([key] if isinstance(key, str) else list(key))
+
+    p = points.withColumn("__pb__", _bucket_of(F.col(point_col), bucket_width))
+    cover = F.sequence(
+        _bucket_of(F.col(start_col), bucket_width),
+        _bucket_of(F.col(end_col), bucket_width),
+    )
+    iv = intervals.withColumn("__pb__", F.explode(cover))
+    cond = [p["__pb__"] == iv["__pb__"]] + [p[k] == iv[k] for k in keys]
+    joined = p.join(iv, cond, "inner").where(
+        (p[point_col] >= iv[start_col]) & (p[point_col] <= iv[end_col])
+    )
+    # project away helper + duplicated key columns (keep the points side)
+    drop = [iv["__pb__"], p["__pb__"]] + [iv[k] for k in keys]
+    for c in drop:
+        joined = joined.drop(c)
+    return joined

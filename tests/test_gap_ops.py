@@ -137,3 +137,38 @@ def test_asof_join_single_shuffle(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert out.count() == 1000
+
+
+def test_range_join_containment_and_plan(spark):
+    """Bin-rewritten interval join: exact containment results (vs a naive
+    inequality join) with an EQUI-join plan — no nested-loop node."""
+    from pyspark.sql import functions as F
+
+    from gluestick_spark.operators.asof import range_join
+
+    points = spark.range(200).select(F.col("id").alias("pid"), (F.col("id") * 7).alias("t"))
+    ivs = spark.range(30).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 40).alias("lo"),
+        (F.col("id") * 40 + 100).alias("hi"),  # overlapping windows
+    )
+    got = range_join(points, ivs, "t", "lo", "hi", bucket_width=50)
+    want = points.join(ivs, (F.col("t") >= F.col("lo")) & (F.col("t") <= F.col("hi")))
+    got_set = {(r["pid"], r["iid"]) for r in got.collect()}
+    want_set = {(r["pid"], r["iid"]) for r in want.collect()}
+    assert got_set == want_set and len(got_set) > 200  # overlaps -> multi-match
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_with_key(spark):
+    from pyspark.sql import Row
+
+    from gluestick_spark.operators.asof import range_join
+
+    points = spark.createDataFrame([Row(k=1, t=5), Row(k=2, t=5)])
+    ivs = spark.createDataFrame([Row(k=1, lo=0, hi=10, tag="a"), Row(k=2, lo=6, hi=9, tag="b")])
+    out = range_join(points, ivs, "t", "lo", "hi", bucket_width=4, key="k")
+    rows = [(r["k"], r["tag"]) for r in out.collect()]
+    assert rows == [(1, "a")]  # k=2's interval doesn't contain t=5
