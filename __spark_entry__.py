@@ -1497,6 +1497,45 @@ GROUP BY w.window_id
 """
 
 
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup (operators/rollup.py): hour AND day grains
+    from ONE scan via GROUPING SETS (Expand node — not a per-grain union of
+    aggregates). Oracle: UNION ALL of per-grain DuckDB aggregates."""
+    from gluestick_spark.functions.datetimes import as_timestamp
+    from gluestick_spark.operators.rollup import time_rollup
+
+    e = _t(spark, sf_dir, "events")
+    ev = e.select(
+        as_timestamp(e, "ts").cast("timestamp").alias("t"), _dec("value").alias("v")
+    )
+    out = time_rollup(
+        ev,
+        "t",
+        {"n_events": F.count("*"), "total_value": F.sum("v").cast("double")},
+        grains=("hour", "day"),
+    )
+    return out.select(
+        "grain",
+        F.date_format("bucket", "yyyy-MM-dd'T'HH:mm:ss").alias("bucket"),
+        "n_events",
+        "total_value",
+    )
+
+
+_Q_TIME_ROLLUP_SQL = """
+WITH e AS (SELECT ts, CAST(value AS DECIMAL(18,2)) AS v FROM events)
+SELECT 'hour' AS grain,
+       strftime(date_trunc('hour', ts), '%Y-%m-%dT%H:%M:%S') AS bucket,
+       COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS total_value
+FROM e GROUP BY 2
+UNION ALL
+SELECT 'day' AS grain,
+       strftime(date_trunc('day', ts), '%Y-%m-%dT%H:%M:%S') AS bucket,
+       COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS total_value
+FROM e GROUP BY 2
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window chunking (32-token windows, 8-token overlap) — the
     standard pretraining/embedding preprocessing step, pure Catalyst.
@@ -1851,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "event_asof_open": q_event_asof_open,
         "range_join_windows": q_range_join_windows,
+        "time_rollup": q_time_rollup,
     }
 
 
@@ -1918,4 +1958,5 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _Q_CHUNK_DOCS_SQL,
         "event_asof_open": _Q_EVENT_ASOF_SQL,
         "range_join_windows": _Q_RANGE_JOIN_SQL,
+        "time_rollup": _Q_TIME_ROLLUP_SQL,
     }

@@ -54,6 +54,7 @@ from .records import (
     parse_objs,
 )
 from .operators.asof import asof_join, range_join
+from .operators.rollup import time_rollup
 from .operators.union import union_relaxed, keep_last, widest_common_type
 from .operators.snapshot import (
     snapshot_records,

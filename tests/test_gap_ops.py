@@ -172,3 +172,39 @@ def test_range_join_with_key(spark):
     out = range_join(points, ivs, "t", "lo", "hi", bucket_width=4, key="k")
     rows = [(r["k"], r["tag"]) for r in out.collect()]
     assert rows == [(1, "a")]  # k=2's interval doesn't contain t=5
+
+
+def test_time_rollup_matches_per_grain_groupbys(spark):
+    """One GROUPING-SETS pass must equal the per-grain groupBy results, and
+    the plan must contain a single scan of the fact table (Expand node, not
+    one scan per grain)."""
+    import datetime as dt
+
+    from pyspark.sql import Row, functions as F
+
+    from gluestick_spark.operators.rollup import time_rollup
+
+    rows = [
+        Row(ts=dt.datetime(2026, 1, 1, h, m), v=float(h * 10 + m))
+        for h in (0, 1, 5) for m in (0, 30)
+    ]
+    df = spark.createDataFrame(rows)
+    out = time_rollup(
+        df, "ts", {"n": F.count("*"), "total": F.sum("v")}, grains=("hour", "day")
+    )
+    got = {(r["grain"], r["bucket"], r["n"], r["total"]) for r in out.collect()}
+
+    want = set()
+    for g in ("hour", "day"):
+        for r in (
+            df.groupBy(F.date_trunc(g, "ts").alias("b"))
+            .agg(F.count("*").alias("n"), F.sum("v").alias("total"))
+            .collect()
+        ):
+            want.add((g, r["b"], r["n"], r["total"]))
+    assert got == want
+    assert len({k[0] for k in got}) == 2  # both grains present
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan  # grouping sets over one scan...
+    assert "Union" not in plan  # ...not a per-grain union of aggregates
