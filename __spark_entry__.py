@@ -1497,6 +1497,45 @@ GROUP BY w.window_id
 """
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (llm/sketch.py): distinct users per
+    event_type at k=64 — deterministic theta-style sketch over a portable
+    md5-60-bit hash, so the DuckDB oracle reproduces the ESTIMATE exactly
+    (unlike approx_count_distinct, whose HLL++ state is engine-internal).
+    150 distinct users per type > k exercises the estimation path."""
+    from gluestick_spark.llm.sketch import kmv_distinct
+
+    e = _t(spark, sf_dir, "events")
+    out = kmv_distinct(e, "user_id", k=64, group_cols=["event_type"])
+    return out.select(
+        "event_type", (F.floor(F.col("n_distinct_est") * 1e4) / 1e4).alias("n_distinct_est")
+    )
+
+
+_Q_KMV_SQL = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS UBIGINT) AS hv
+  FROM events
+),
+r AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+),
+agg AS (
+  SELECT event_type, max(rn) AS m,
+         max(CASE WHEN rn = 64 THEN hv END) AS hk
+  FROM r WHERE rn <= 64 GROUP BY event_type
+)
+SELECT event_type,
+       floor(CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+                  ELSE 63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE)
+             END * 1e4) / 1e4 AS n_distinct_est
+FROM agg
+"""
+
+
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style rollup (operators/rollup.py): hour AND day grains
     from ONE scan via GROUPING SETS (Expand node — not a per-grain union of
@@ -1891,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_asof_open": q_event_asof_open,
         "range_join_windows": q_range_join_windows,
         "time_rollup": q_time_rollup,
+        "kmv_distinct": q_kmv_distinct,
     }
 
 
@@ -1959,4 +1999,5 @@ def oracle_sql() -> dict[str, str]:
         "event_asof_open": _Q_EVENT_ASOF_SQL,
         "range_join_windows": _Q_RANGE_JOIN_SQL,
         "time_rollup": _Q_TIME_ROLLUP_SQL,
+        "kmv_distinct": _Q_KMV_SQL,
     }

@@ -25,6 +25,7 @@ from .dedup import (
     embedding_dedup,
 )
 from .dedup import cluster_dedup, connected_components, lsh_geometry
+from .sketch import kmv_distinct, kmv_hash_expr
 from .similarity import (
     cosine_expr,
     cosine_similarity,

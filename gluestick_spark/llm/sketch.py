@@ -1,0 +1,68 @@
+"""Deterministic distinct-count sketching (K-minimum-values).
+
+Spark's built-in ``approx_count_distinct`` (HLL++) is the default answer at
+scale, but its estimates are engine-internal — no other system reproduces
+them, so they can't be oracle-checked and can't be merged with sketches
+built elsewhere. This module implements the classic **KMV (theta-style)
+sketch** over a portable hash instead:
+
+    h(x) = first 60 bits of md5(x)   — identical in Spark
+           (``conv(substr(md5, 1, 15), 16, 10)``) and DuckDB
+           (``CAST('0x' || substr(md5, 1, 15) AS UBIGINT)``)
+
+Per group keep the K smallest distinct hash values. If fewer than K hashes
+exist the distinct count is EXACT; otherwise the K-th smallest hash h_(K)
+estimates the density of a uniform [0, 2⁶⁰) sample:
+
+    estimate = (K − 1) · 2⁶⁰ / h_(K)
+
+Fully deterministic → exactly reproducible by the DuckDB oracle, and
+mergeable (the union of two groups' K-mins, re-truncated to K, is the
+sketch of the union) for incremental/streaming maintenance.
+
+Scale shape: distinct-hash reduction (one keyed shuffle, map-side
+combine) → per-group rank window (sort-based, bounded state) → O(K) rows
+per group. No collect, no unbounded per-group buffers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["kmv_hash_expr", "kmv_distinct"]
+
+_KMV_SPACE = float(1 << 60)
+
+
+def kmv_hash_expr(col):
+    """Portable 60-bit uniform hash (see module docstring)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str,
+    k: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Approximate distinct count of ``col`` per group via a KMV sketch.
+
+    Returns (*group_cols, ``n_distinct_est`` double). Exact when a group
+    has fewer than ``k`` distinct values; standard error ≈ 1/√(k−2)
+    otherwise (~12.7% at k=64; raise k for tighter bounds — cost is O(k)
+    rows per group, not a wider shuffle).
+    """
+    gcols = list(group_cols or [])
+    hs = df.select(*gcols, kmv_hash_expr(F.col(col)).alias("__h__")).distinct()
+    w = Window.partitionBy(*gcols).orderBy(F.col("__h__").asc())
+    ranked = hs.withColumn("__rn__", F.row_number().over(w)).where(F.col("__rn__") <= k)
+    agg = ranked.groupBy(*gcols).agg(
+        F.max("__rn__").alias("__m__"),
+        F.max(F.when(F.col("__rn__") == k, F.col("__h__"))).alias("__hk__"),
+    )
+    est = F.when(
+        F.col("__m__") < k, F.col("__m__").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / F.col("__hk__").cast("double"))
+    return agg.select(*gcols, est.alias("n_distinct_est"))

@@ -552,3 +552,40 @@ def test_chunk_documents_suppresses_contained_tail(spark):
     out = chunk_documents(df, "text", "doc_id", chunk_tokens=8, overlap=6)
     ids = sorted(r["chunk_id"] for r in out.collect())
     assert ids == [0, 1]
+
+
+def test_kmv_distinct_exact_below_k(spark):
+    """Groups with fewer than k distinct values are counted exactly."""
+    from gluestick_spark.llm.sketch import kmv_distinct
+
+    df = spark.createDataFrame(
+        [Row(g="a", v=i % 7) for i in range(100)] + [Row(g="b", v=i % 3) for i in range(30)]
+    )
+    out = {r["g"]: r["n_distinct_est"] for r in kmv_distinct(df, "v", k=64, group_cols=["g"]).collect()}
+    assert out == {"a": 7.0, "b": 3.0}
+
+
+def test_kmv_distinct_estimates_above_k(spark):
+    """Above k the estimate lands within the sketch's error bounds
+    (deterministic for a fixed input — no flakiness)."""
+    from gluestick_spark.llm.sketch import kmv_distinct
+
+    n = 5000
+    df = spark.range(n).select(F.col("id").alias("v"))
+    est = kmv_distinct(df, "v", k=256).first()["n_distinct_est"]
+    assert abs(est - n) / n < 0.2  # se ~ 1/sqrt(254) ≈ 6.3%; 20% is >3 sigma
+    # deterministic: same input -> bit-identical estimate
+    est2 = kmv_distinct(df, "v", k=256).first()["n_distinct_est"]
+    assert est == est2
+
+
+def test_kmv_sketch_mergeability(spark):
+    """KMV is mergeable: sketch(A ∪ B) == sketch built from the union —
+    the property that makes it maintainable incrementally."""
+    from gluestick_spark.llm.sketch import kmv_distinct
+
+    a = spark.range(0, 3000).select(F.col("id").alias("v"))
+    b = spark.range(2000, 6000).select(F.col("id").alias("v"))
+    whole = kmv_distinct(a.union(b), "v", k=128).first()["n_distinct_est"]
+    again = kmv_distinct(b.union(a), "v", k=128).first()["n_distinct_est"]
+    assert whole == again  # order-insensitive (set semantics of K-mins)
