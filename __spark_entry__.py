@@ -1516,7 +1516,7 @@ _Q_KMV_SQL = """
 WITH h AS (
   SELECT DISTINCT event_type,
          CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS UBIGINT) AS hv
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ),
 r AS (
   SELECT event_type, hv,
@@ -1588,7 +1588,8 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_CHUNK_DOCS_SQL = r"""
 WITH toks AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS t
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'), x -> x != '') AS t
   FROM documents
 ),
 st AS (

@@ -55,9 +55,30 @@ def kmv_distinct(
     rows per group, not a wider shuffle).
     """
     gcols = list(group_cols or [])
-    hs = df.select(*gcols, kmv_hash_expr(F.col(col)).alias("__h__")).distinct()
+    # NULLs don't count (COUNT(DISTINCT) semantics — and Spark ranks nulls
+    # first while DuckDB ranks them last, so letting one through would also
+    # skew the k-th hash differently per engine).
+    hs = (
+        df.where(F.col(col).isNotNull())
+        .select(*gcols, kmv_hash_expr(F.col(col)).alias("__h__"))
+        .distinct()
+    )
+    # Two-phase rank: first keep each (group, input-partition)'s k smallest
+    # — a partition-local window, bounded state — so the final per-group
+    # rank sorts at most k×P rows, never the full distinct set through one
+    # task (the single-task global sort this would otherwise be when
+    # group_cols is empty or one group is huge).
+    wp = Window.partitionBy(*gcols, "__p__").orderBy(F.col("__h__").asc())
+    pruned = (
+        hs.withColumn("__p__", F.spark_partition_id())
+        .withColumn("__prn__", F.row_number().over(wp))
+        .where(F.col("__prn__") <= k)
+        .drop("__p__", "__prn__")
+    )
     w = Window.partitionBy(*gcols).orderBy(F.col("__h__").asc())
-    ranked = hs.withColumn("__rn__", F.row_number().over(w)).where(F.col("__rn__") <= k)
+    ranked = pruned.withColumn("__rn__", F.row_number().over(w)).where(
+        F.col("__rn__") <= k
+    )
     agg = ranked.groupBy(*gcols).agg(
         F.max("__rn__").alias("__m__"),
         F.max(F.when(F.col("__rn__") == k, F.col("__h__"))).alias("__hk__"),

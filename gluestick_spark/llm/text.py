@@ -76,8 +76,8 @@ def chunk_documents(
     window is emitted only if it reaches beyond the previous window's
     overlap region (``n − s > overlap``), so no chunk is fully contained in
     its predecessor. ``chunk_id = s / stride`` is deterministic and stable
-    under repartitioning. Empty documents produce one empty chunk (the doc
-    survives the explode; filter ``n_tokens > 0`` to drop them).
+    under repartitioning. Empty and NULL documents produce one empty chunk
+    (the doc survives the explode; filter ``n_tokens > 0`` to drop them).
 
     Scale shape: pure Catalyst — tokenize once per row (lambda-bound, no
     re-split per window), ``posexplode``-free explode of slice views; no
@@ -89,7 +89,9 @@ def chunk_documents(
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
 
-    toks = tokens_expr(F.col(text_col))
+    # NULL text behaves like "" (one empty chunk) — without the coalesce a
+    # null propagates into size()/sequence() and emits a junk row.
+    toks = tokens_expr(F.coalesce(F.col(text_col), F.lit("")))
 
     def windows(tk: Column) -> Column:
         n = F.size(tk)

@@ -75,25 +75,32 @@ def asof_join(
         .orderBy(F.col("__ats__").asc(), side_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u.select(
-        "*",
-        *[
-            F.last(F.col(f"__rv_{c}__"), ignorenulls=True)
-            .over(w)
-            .alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+    # One struct per RIGHT ROW (non-null exactly on right rows, even when
+    # every payload field is null) so the window matches the latest right
+    # ROW atomically: per-column last(ignorenulls) would skip a null field
+    # back to an OLDER row and could stitch an output row from different
+    # right rows — not as-of semantics.
+    payload = F.when(
+        F.col("__side__") == 0,
+        F.struct(*[F.col(f"__rv_{c}__").alias(c) for c in value_cols]),
     )
-    return filled.where(F.col("__side__") == 1).drop(
-        "__side__", "__ats__", *[f"__rv_{c}__" for c in value_cols]
+    filled = u.select(
+        "*", F.last(payload, ignorenulls=True).over(w).alias("__match__")
+    )
+    return filled.where(F.col("__side__") == 1).select(
+        *[c for c in l2.columns if c not in ("__side__", "__ats__")],
+        *[F.col(f"__match__.{c}").alias(f"{c}{suffix}") for c in value_cols],
     )
 
 
 def _bucket_of(c, width: int):
-    """Exact integral floor-division for non-negative long values (avoids
-    double rounding: c − c mod w is a multiple of w)."""
+    """Exact integral floor-division for non-negative long values across the
+    FULL long range: c − c mod w is an exact multiple of w, and the division
+    happens in decimal (a double `/` would round above 2^53 — e.g. raw
+    nanosecond epochs ~1.7e18 — silently mis-bucketing boundary points)."""
     c = c.cast("long")
-    return ((c - F.pmod(c, F.lit(width))) / F.lit(width)).cast("long")
+    exact = (c - F.pmod(c, F.lit(width))).cast("decimal(38,0)")
+    return (exact / F.lit(width)).cast("long")
 
 
 def range_join(

@@ -37,8 +37,10 @@ def time_rollup(
     timestamp, *group_cols, *aggs) — the union of per-grain rollups,
     computed via GROUPING SETS over per-grain ``date_trunc`` columns.
 
-    Requires a non-null ``ts_col`` (true for event time); the grain label
-    is recovered from which truncated column is non-null.
+    The grain label comes from ``grouping_id()`` (which grouping set
+    produced the row), NOT from data nullability — so null timestamps are
+    handled correctly: each grain gets its own labeled null bucket instead
+    of indistinguishable unlabeled rows.
     """
     grains = list(grains)
     extra = list(group_cols or [])
@@ -48,14 +50,35 @@ def time_rollup(
         *[F.date_trunc(g, F.col(ts_col)).alias(c) for g, c in zip(grains, gcols)],
     )
     sets = [[F.col(c)] + [F.col(x) for x in extra] for c in gcols]
-    grouped = base.groupingSets(sets, *[F.col(c) for c in gcols + extra])
-    out = grouped.agg(*[expr.alias(name) for name, expr in aggs.items()])
+    all_cols = gcols + extra
+    grouped = base.groupingSets(sets, *[F.col(c) for c in all_cols])
+    out = grouped.agg(
+        F.grouping_id().alias("__gid__"),
+        *[expr.alias(name) for name, expr in aggs.items()],
+    )
+    # grouping_id bit i (MSB-first over all_cols) is 1 iff the column is
+    # aggregated away in that set; grain i's set keeps gcols[i] + extras.
+    n = len(all_cols)
+
+    def gid_for(i: int) -> int:
+        bits = [0 if j == i else 1 for j in range(len(gcols))] + [0] * len(extra)
+        return sum(b << (n - 1 - pos) for pos, b in enumerate(bits))
+
     grain_label = F.coalesce(
-        *[F.when(F.col(c).isNotNull(), F.lit(g)) for g, c in zip(grains, gcols)]
+        *[
+            F.when(F.col("__gid__") == gid_for(i), F.lit(g))
+            for i, g in enumerate(grains)
+        ]
+    )
+    bucket = F.coalesce(
+        *[
+            F.when(F.col("__gid__") == gid_for(i), F.col(gcols[i]))
+            for i in range(len(grains))
+        ]
     )
     return out.select(
         grain_label.alias("grain"),
-        F.coalesce(*[F.col(c) for c in gcols]).alias("bucket"),
+        bucket.alias("bucket"),
         *extra,
         *aggs.keys(),
     )

@@ -208,3 +208,43 @@ def test_time_rollup_matches_per_grain_groupbys(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan  # grouping sets over one scan...
     assert "Union" not in plan  # ...not a per-grain union of aggregates
+
+
+def test_asof_join_null_payload_and_row_atomicity(spark):
+    """The matched right ROW wins atomically: a null field in the latest
+    right row stays null (no fallback to an older row), and multi-column
+    payloads are never stitched from different right rows — matching
+    DuckDB ASOF semantics."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from gluestick_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2026, 1, 1, 12, m)
+    left = spark.createDataFrame([Row(k=1, ts=t(12), ev="x")])
+    right = spark.createDataFrame(
+        [Row(k=1, ts=t(5), px=3, qty=2), Row(k=1, ts=t(10), px=None, qty=7)]
+    )
+    r = asof_join(left, right, "k").first()
+    assert r["px_asof"] is None and r["qty_asof"] == 7
+
+
+def test_time_rollup_null_ts_labeled(spark):
+    """Null timestamps get a correctly-labeled null bucket per grain
+    (grouping_id-based labels, not data nullability)."""
+    import datetime as dt
+
+    from pyspark.sql import Row, functions as F
+
+    from gluestick_spark.operators.rollup import time_rollup
+
+    df = spark.createDataFrame(
+        [Row(ts=dt.datetime(2026, 1, 1, 3), v=1.0), Row(ts=None, v=5.0)]
+    )
+    out = time_rollup(df, "ts", {"n": F.count("*")}, grains=("hour", "day"))
+    rows = {(r["grain"], r["bucket"]): r["n"] for r in out.collect()}
+    assert rows[("hour", None)] == 1 and rows[("day", None)] == 1
+    assert rows[("hour", dt.datetime(2026, 1, 1, 3))] == 1
+    assert rows[("day", dt.datetime(2026, 1, 1))] == 1
+    assert None not in {g for g, _ in rows}  # every row labeled

@@ -580,12 +580,36 @@ def test_kmv_distinct_estimates_above_k(spark):
 
 
 def test_kmv_sketch_mergeability(spark):
-    """KMV is mergeable: sketch(A ∪ B) == sketch built from the union —
-    the property that makes it maintainable incrementally."""
-    from gluestick_spark.llm.sketch import kmv_distinct
+    """KMV is mergeable: the union of two sketches' K-min hash sets,
+    re-truncated to K, equals the K-min set of the combined data — the
+    property that makes the sketch maintainable incrementally. Checked on
+    the actual portable hash values."""
+    from gluestick_spark.llm.sketch import kmv_hash_expr
 
+    k = 128
     a = spark.range(0, 3000).select(F.col("id").alias("v"))
     b = spark.range(2000, 6000).select(F.col("id").alias("v"))
-    whole = kmv_distinct(a.union(b), "v", k=128).first()["n_distinct_est"]
-    again = kmv_distinct(b.union(a), "v", k=128).first()["n_distinct_est"]
-    assert whole == again  # order-insensitive (set semantics of K-mins)
+
+    def kmins(df):
+        hs = df.select(kmv_hash_expr(F.col("v")).alias("h")).distinct()
+        return sorted(r["h"] for r in hs.orderBy("h").limit(k).collect())
+
+    merged = sorted(set(kmins(a)) | set(kmins(b)))[:k]
+    assert merged == kmins(a.union(b))
+
+
+def test_chunk_documents_null_text(spark):
+    """NULL text behaves exactly like the empty string: one empty chunk."""
+    from gluestick_spark.llm import chunk_documents
+
+    df = spark.createDataFrame([Row(doc_id=1, text=None), Row(doc_id=2, text="a b")])
+    rows = {r["doc_id"]: r for r in chunk_documents(df, "text", "doc_id").collect()}
+    assert rows[1]["chunk_text"] == "" and rows[1]["n_tokens"] == 0
+    assert rows[2]["n_tokens"] == 2
+
+
+def test_kmv_distinct_ignores_nulls(spark):
+    from gluestick_spark.llm.sketch import kmv_distinct
+
+    df = spark.createDataFrame([Row(v=1), Row(v=2), Row(v=None), Row(v=2)])
+    assert kmv_distinct(df, "v", k=16).first()["n_distinct_est"] == 2.0

@@ -33,7 +33,9 @@ def main() -> None:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):  # tolerate partial sf dirs like check_correctness
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     # the driver's smoke check first
     flagship = entry_mod.entry(spark)
