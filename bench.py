@@ -42,6 +42,10 @@ BENCH_QUERIES = [
     "lsh_ann_topk",
     "ivf_topk",
     "ivf_probe_indexed",
+    "event_asof_open",
+    "range_join_windows",
+    "time_rollup",
+    "kmv_distinct",
 ]
 
 
