@@ -248,3 +248,77 @@ def test_time_rollup_null_ts_labeled(spark):
     assert rows[("hour", dt.datetime(2026, 1, 1, 3))] == 1
     assert rows[("day", dt.datetime(2026, 1, 1))] == 1
     assert None not in {g for g, _ in rows}  # every row labeled
+
+
+def test_asof_join_differential_random(spark):
+    """Randomized differential check vs a per-row Python reference
+    (seeded — deterministic): inclusive and strict, multiple keys,
+    duplicate left timestamps, unmatched rows."""
+    import random
+
+    from pyspark.sql import Row
+
+    from gluestick_spark.operators.asof import asof_join
+
+    rng = random.Random(11)
+    for trial in range(4):
+        left_rows = [
+            Row(k=rng.randint(1, 3), ts=rng.randint(0, 50), lid=i)
+            for i in range(30)
+        ]
+        # unique (k, ts) on the right — the documented determinism contract
+        seen = set()
+        right_rows = []
+        for j in range(20):
+            k, ts = rng.randint(1, 3), rng.randint(0, 50)
+            if (k, ts) not in seen:
+                seen.add((k, ts))
+                right_rows.append(Row(k=k, ts=ts, px=j * 10))
+        left = spark.createDataFrame(left_rows)
+        right = spark.createDataFrame(right_rows)
+        for inclusive in (True, False):
+            got = {
+                r["lid"]: r["px_asof"]
+                for r in asof_join(left, right, "k", inclusive=inclusive).collect()
+            }
+            for lr in left_rows:
+                cands = [
+                    rr
+                    for rr in right_rows
+                    if rr.k == lr.k
+                    and (rr.ts <= lr.ts if inclusive else rr.ts < lr.ts)
+                ]
+                want = max(cands, key=lambda rr: rr.ts).px if cands else None
+                assert got[lr.lid] == want, (trial, inclusive, lr)
+
+
+def test_range_join_differential_bucket_widths(spark):
+    """The bucket width is a pure performance knob — results must be
+    identical across widths, including with offsets above 2^53 where a
+    double-divide bucket id would round."""
+    from pyspark.sql import functions as F
+
+    from gluestick_spark.operators.asof import range_join
+
+    big = 1 << 60  # nanosecond-epoch regime
+    points = spark.range(150).select(
+        F.col("id").alias("pid"), (F.col("id") * 13 + big).alias("t")
+    )
+    ivs = spark.range(20).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 90 + big).alias("lo"),
+        (F.col("id") * 90 + 180 + big).alias("hi"),
+    )
+    want = {
+        (r["pid"], r["iid"])
+        for r in points.join(
+            ivs, (F.col("t") >= F.col("lo")) & (F.col("t") <= F.col("hi"))
+        ).collect()
+    }
+    assert want  # non-trivial case
+    for width in (1, 7, 64, 500, 10_000):
+        got = {
+            (r["pid"], r["iid"])
+            for r in range_join(points, ivs, "t", "lo", "hi", bucket_width=width).collect()
+        }
+        assert got == want, width
