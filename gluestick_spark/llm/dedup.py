@@ -323,77 +323,99 @@ def minhash_dedup(
     return df.join(drop_ids, on=id_col, how="left_anti")
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in MapReduce
+    and Beyond"): for every node u, connect each strictly-larger neighbor to
+    min(N(u) ∪ {u}). One groupBy-min + one hash join back on u — no
+    collect_list, so a hot node never materializes its adjacency in one task.
+    """
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(F.col("mn"), F.col("u"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient edges large→small; for every node u,
+    connect u and each smaller neighbor to its minimum smaller neighbor."""
+    dir_ = edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    mins = dir_.groupBy("u").agg(F.min("v").alias("mn"))
+    return (
+        dir_.join(mins, "u")
+        .where(F.col("v") != F.col("mn"))
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        .union(mins.select(F.col("u"), F.col("mn").alias("v")))
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a",
     b_col: str = "b",
-    max_iter: int = 30,
+    max_iter: int = 25,
 ) -> DataFrame:
-    """Connected components over near-dup pairs by iterative min-label
-    propagation: every node's label converges to the smallest id reachable
-    from it. Returns (``id``, ``component``).
+    """Connected components over near-dup pairs via alternating
+    large-star/small-star contraction (Kiveris et al., MR-CC). Every node's
+    label converges to the smallest id in its component. Returns
+    (``id``, ``component``).
 
     This is the transitive-closure complement to the greedy pair-drop in
     :func:`minhash_dedup`: real corpus dedup clusters A~B~C even when A and
     C never collide directly, then keeps one representative per cluster
     (:func:`cluster_dedup`).
 
-    Scale shape: each iteration is one symmetric edge join + min-aggregate —
-    all shuffles on the id key, GraphX-style label propagation without the
-    GraphX dependency. Iterations needed = component diameter (near-dup
-    clusters are shallow — boilerplate stars, chain edits — so typically
-    2-4). Convergence is checked with a count of changed labels per
-    iteration; ``localCheckpoint`` truncates the join lineage so the plan
-    doesn't grow exponentially across iterations.
+    Scale shape: each round is two groupBy-min aggregates + two hash joins,
+    all keyed on node id. Unlike min-label propagation (rounds = component
+    diameter — a chain of k successive near-edits needs k rounds),
+    star contraction halves tree heights every alternation: **O(log n)
+    rounds regardless of diameter**, so a pathological edit-chain corpus
+    can't blow the iteration budget. Convergence = the edge set reaching a
+    fixpoint (a star forest centered on component minima), checked with two
+    cheap count jobs per round over the (shrinking) edge set;
+    ``localCheckpoint`` truncates lineage so plans stay flat across rounds.
     """
-    # symmetric edge list (a<b on input; propagation needs both directions)
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    nodes = (
+        pairs.select(F.col(a_col).alias("id"))
+        .union(pairs.select(F.col(b_col).alias("id")))
+        .distinct()
+    )
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        pairs.where(F.col(a_col) != F.col(b_col))
+        .select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .distinct()
         .localCheckpoint()
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("component"))
-        .localCheckpoint()
-    )
+    n_edges = edges.count()
     for _ in range(max_iter):
-        # candidate label for each node: min over its neighbors' labels
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.id)
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        n_new = new_edges.count()
+        # Sets are distinct-deduped: equal counts + empty (new − old) ⇒ equal.
+        if n_new == n_edges and new_edges.exceptAll(edges).isEmpty():
+            edges = new_edges
             break
+        edges, n_edges = new_edges, n_new
     else:
-        # Fail loudly: returning unconverged labels would silently split
-        # real clusters (under-dedup). Diameter > max_iter means a chain of
-        # successive edits longer than max_iter hops.
+        # Fail loudly: returning an unconverged forest would silently split
+        # real clusters (under-dedup). O(log n) rounds means hitting this
+        # bound indicates a bug or an adversarial graph, not normal data.
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} iterations "
-            f"({changed} labels still changing); raise max_iter"
+            f"connected_components did not converge in {max_iter} rounds; "
+            f"raise max_iter"
         )
-    return labels
+    # Fixpoint is a star forest: non-root nodes have exactly one edge u→min;
+    # roots (component minima, and nodes that arrived in no pair) label
+    # themselves.
+    return nodes.join(edges, nodes.id == edges.u, "left").select(
+        "id", F.coalesce(F.col("v"), F.col("id")).alias("component")
+    )
 
 
 def cluster_dedup(

@@ -322,3 +322,166 @@ def test_range_join_differential_bucket_widths(spark):
             for r in range_join(points, ivs, "t", "lo", "hi", bucket_width=width).collect()
         }
         assert got == want, width
+
+
+def test_asof_join_null_timestamps_never_match(spark):
+    """DuckDB ASOF parity: a NULL right ts is unmatchable (its payload must
+    not leak into any left row), and a NULL left ts yields a NULL payload —
+    in every direction."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from gluestick_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2026, 1, 1, 12, m)
+    left = spark.createDataFrame(
+        [Row(k=1, ts=t(2), ev="a"), Row(k=1, ts=None, ev="null_left")]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, ts=None, px=111), Row(k=1, ts=t(5), px=222)]
+    )
+    for direction, want_a in (("backward", None), ("forward", 222), ("nearest", 222)):
+        out = {
+            r["ev"]: r["px_asof"]
+            for r in asof_join(left, right, "k", direction=direction).collect()
+        }
+        assert out == {"a": want_a, "null_left": None}, direction
+
+
+def test_asof_join_directions_and_tolerance(spark):
+    """forward = earliest right at-or-after; nearest = closer of the two
+    (ties backward, pandas merge_asof parity); tolerance nulls out matches
+    beyond the bound (native units — seconds for timestamps)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from gluestick_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2026, 1, 1, 12, m)
+    left = spark.createDataFrame(
+        [
+            Row(k=1, ts=t(10), ev="mid"),    # right at 7 and 12: bwd 7, fwd 12, nearest 12
+            Row(k=1, ts=t(40), ev="late"),   # after all right rows
+            Row(k=1, ts=t(1), ev="early"),   # before all right rows
+        ]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, ts=t(7), px=70), Row(k=1, ts=t(12), px=120), Row(k=1, ts=t(20), px=200)]
+    )
+
+    fwd = {r["ev"]: r["px_asof"] for r in asof_join(left, right, "k", direction="forward").collect()}
+    assert fwd == {"mid": 120, "late": None, "early": 70}
+
+    near = {r["ev"]: r["px_asof"] for r in asof_join(left, right, "k", direction="nearest").collect()}
+    assert near == {"mid": 120, "late": 200, "early": 70}
+
+    # tie: left at 10, right at 8 and 12 → backward wins (pandas parity)
+    tie_right = spark.createDataFrame([Row(k=1, ts=t(8), px=8), Row(k=1, ts=t(12), px=12)])
+    tie = asof_join(
+        left.where(F.col("ev") == "mid"), tie_right, "k", direction="nearest"
+    ).first()
+    assert tie["px_asof"] == 8
+
+    # tolerance: 300 s = 5 min. mid's bwd match at 7 is 180 s away (kept);
+    # late's bwd match at 20 is 1200 s away (nulled).
+    tol = {
+        r["ev"]: r["px_asof"]
+        for r in asof_join(left, right, "k", tolerance=300).collect()
+    }
+    assert tol == {"mid": 70, "late": None, "early": None}
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, "k", direction="sideways")
+
+
+def test_asof_join_differential_directions(spark):
+    """Randomized differential check of forward/nearest/tolerance vs a
+    per-row Python reference (seeded — deterministic)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from gluestick_spark.operators.asof import asof_join
+
+    rng = random.Random(23)
+    left_rows = [Row(k=rng.randint(1, 3), ts=rng.randint(0, 60), lid=i) for i in range(40)]
+    seen, right_rows = set(), []
+    for j in range(25):
+        k, ts = rng.randint(1, 3), rng.randint(0, 60)
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            right_rows.append(Row(k=k, ts=ts, px=j * 10))
+    left = spark.createDataFrame(left_rows)
+    right = spark.createDataFrame(right_rows)
+
+    def ref(lr, direction, tolerance):
+        bwd = [rr for rr in right_rows if rr.k == lr.k and rr.ts <= lr.ts]
+        fwd = [rr for rr in right_rows if rr.k == lr.k and rr.ts >= lr.ts]
+        b = max(bwd, key=lambda rr: rr.ts) if bwd else None
+        f = min(fwd, key=lambda rr: rr.ts) if fwd else None
+        if direction == "backward":
+            m = b
+        elif direction == "forward":
+            m = f
+        else:
+            if b is None or (f is not None and (lr.ts - b.ts) > (f.ts - lr.ts)):
+                m = f
+            else:
+                m = b
+        if m is not None and tolerance is not None and abs(lr.ts - m.ts) > tolerance:
+            m = None
+        return m.px if m else None
+
+    for direction in ("backward", "forward", "nearest"):
+        for tolerance in (None, 5):
+            got = {
+                r["lid"]: r["px_asof"]
+                for r in asof_join(
+                    left, right, "k", direction=direction, tolerance=tolerance
+                ).collect()
+            }
+            for lr in left_rows:
+                assert got[lr.lid] == ref(lr, direction, tolerance), (direction, tolerance, lr)
+
+
+def test_range_join_auto_bucket_width(spark):
+    """bucket_width=None derives a width from the interval-length
+    distribution; results are identical to any explicit width, and a
+    long-tailed distribution doesn't explode replication (p99 guard)."""
+    from pyspark.sql import functions as F
+
+    from gluestick_spark.operators.asof import range_join
+
+    points = spark.range(200).select(F.col("id").alias("pid"), (F.col("id") * 11).alias("t"))
+    # mostly short intervals + one huge outlier (the replication hazard)
+    ivs = spark.range(30).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 70).alias("lo"),
+        F.when(F.col("id") == 0, F.lit(2_000_000)).otherwise(F.col("id") * 70 + 100).alias("hi"),
+    )
+    want = {
+        (r["pid"], r["iid"])
+        for r in points.join(ivs, (F.col("t") >= F.col("lo")) & (F.col("t") <= F.col("hi"))).collect()
+    }
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(points, ivs, "t", "lo", "hi").collect()
+    }
+    assert got == want and want
+
+
+def test_range_join_collision_suffix(spark):
+    """Interval-side columns sharing a name with point-side columns are
+    suffixed so output columns stay addressable — including when the
+    start/end columns themselves collide."""
+    from pyspark.sql import Row
+
+    from gluestick_spark.operators.asof import range_join
+
+    points = spark.createDataFrame([Row(k=1, t=5, label="p")])
+    ivs = spark.createDataFrame([Row(k=1, t=0, hi=10, label="window")])
+    out = range_join(points, ivs, "t", "t", "hi", bucket_width=10, key="k")
+    row = out.first()
+    assert row["label"] == "p" and row["label_iv"] == "window" and row["t_iv"] == 0

@@ -489,17 +489,21 @@ def test_cluster_dedup_matches_bruteforce_components(spark):
 
 
 def test_connected_components_deep_chain_and_nonconvergence(spark):
-    """Min-label propagation moves one hop per iteration: a 25-node chain
-    converges within the default budget; an exhausted budget raises instead
-    of silently returning split clusters."""
+    """Star contraction halves tree heights per alternation: a 100-node
+    chain (diameter 99 — min-label propagation would need 99 rounds)
+    converges in O(log n) rounds within the default budget. An exhausted
+    budget raises instead of silently returning split clusters, and a
+    non-positive budget is rejected at entry."""
     from gluestick_spark.llm.dedup import connected_components
 
-    chain = spark.createDataFrame([Row(a=i, b=i + 1) for i in range(24)])
+    chain = spark.createDataFrame([Row(a=i, b=i + 1) for i in range(99)])
     comps = {r["id"]: r["component"] for r in connected_components(chain).collect()}
-    assert set(comps.values()) == {0} and len(comps) == 25
+    assert set(comps.values()) == {0} and len(comps) == 100
 
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=3)
+        connected_components(chain, max_iter=1)
+    with pytest.raises(ValueError, match="max_iter"):
+        connected_components(chain, max_iter=0)
 
 
 def test_chunk_documents_windows_and_overlap(spark):
