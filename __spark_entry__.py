@@ -1865,6 +1865,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict order is the driver contract: the FIRST 50 entries form the
+    # correctness window. Round-5 rotation: the temporal/sketch/streaming
+    # family (event_asof_open, range_join_windows, time_rollup,
+    # kmv_distinct, windowed_counts, ivf_probe_indexed, jsonl_roundtrip,
+    # minhash_candidates, chunk_documents) moved INTO the window; demoted to
+    # the tail were family variants and plain-SQL queries that are already
+    # driver-green in CORRECTNESS_r04.json.
     return {
         "pricing_summary": q_pricing_summary,
         "events_daily": q_events_daily,
@@ -1878,7 +1885,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_id_from_snapshot": q_merge_id,
         "rename": q_rename,
         "pluck_fields": q_pluck_fields,
-        "pluck_fields_by_regex": q_pluck_regex,
         "union_relaxed": q_union_relaxed,
         "keep_last_dedup": q_keep_last,
         "custom_fields": q_custom_fields,
@@ -1891,40 +1897,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enforce_exploded_types": q_enforce_exploded_types,
         "format_str_records": q_format_str_records,
         "deep_convert_datetimes": q_deep_convert_datetimes,
-        "deep_convert_expr": q_deep_convert_expr,
         "sessionize_events": q_sessionize_events,
         "nulls_trimmed": q_nulls_trimmed,
-        "top_orders_per_cust": q_top_orders_per_cust,
         "csv_roundtrip": q_csv_roundtrip,
         "parquet_roundtrip": q_parquet_roundtrip,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "clean_corpus": q_clean_corpus,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
-        "winnow_fingerprint": q_winnow_fingerprint,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
-        "cosine_similarity": q_cosine_all,
         "ann_topk": q_ann_topk,
-        "jaccard_vs_query": q_jaccard_vs_query,
         "multimodal_metadata": q_multimodal_meta,
-        "image_features": q_image_features,
-        "audio_features": q_audio_features,
         "minhash_dedup": q_minhash_dedup,
+        "minhash_candidates": q_minhash_candidates,
         "cluster_dedup": q_cluster_dedup,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
         "ivf_topk": q_ivf_topk,
-        "lsh_ann_topk": q_lsh_ann,
-        # --- tail: entries past the driver's 50-query correctness window —
-        # variants of families already driver-green above, plus plain-SQL
-        # bench queries that exercise no §2 operator. All remain locally
-        # oracle-checked via tools/check_correctness.py.
-        "shipping_priority": q_shipping_priority,
-        "local_supplier_volume": q_local_supplier_volume,
-        "promo_revenue": q_promo_revenue,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        "minhash_candidates": q_minhash_candidates,
         "ivf_probe_indexed": q_ivf_probe_indexed,
         "windowed_counts": q_windowed_counts,
         "chunk_documents": q_chunk_documents,
@@ -1932,10 +1923,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_windows": q_range_join_windows,
         "time_rollup": q_time_rollup,
         "kmv_distinct": q_kmv_distinct,
+        # --- tail: entries past the driver's 50-query correctness window —
+        # variants of families already driver-green above (r04 artifact),
+        # plus plain-SQL bench queries that exercise no §2 operator. All
+        # remain locally oracle-checked via tools/check_correctness.py.
+        "deep_convert_expr": q_deep_convert_expr,
+        "pluck_fields_by_regex": q_pluck_regex,
+        "top_orders_per_cust": q_top_orders_per_cust,
+        "winnow_fingerprint": q_winnow_fingerprint,
+        "cosine_similarity": q_cosine_all,
+        "jaccard_vs_query": q_jaccard_vs_query,
+        "lsh_ann_topk": q_lsh_ann,
+        "image_features": q_image_features,
+        "audio_features": q_audio_features,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
+        "promo_revenue": q_promo_revenue,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    # MUST stay key-identical and same-ordered as queries() — the driver
+    # zips them (pinned by tests/test_plans.py::test_driver_contract_registry).
     return {
         "pricing_summary": _Q_PRICING_SQL,
         "events_daily": _Q_EVENTS_DAILY_SQL,
@@ -1949,7 +1958,6 @@ def oracle_sql() -> dict[str, str]:
         "merge_id_from_snapshot": _Q_MERGE_ID_SQL,
         "rename": _Q_RENAME_SQL,
         "pluck_fields": _Q_PLUCK_SQL,
-        "pluck_fields_by_regex": _Q_PLUCK_REGEX_SQL,
         "union_relaxed": _Q_UNION_SQL,
         "keep_last_dedup": _Q_KEEP_LAST_SQL,
         "custom_fields": _Q_CUSTOM_FIELDS_SQL,
@@ -1962,37 +1970,26 @@ def oracle_sql() -> dict[str, str]:
         "enforce_exploded_types": _Q_ENFORCE_TYPES_SQL,
         "format_str_records": _Q_FORMAT_STR_SQL,
         "deep_convert_datetimes": _Q_DEEP_CONVERT_SQL,
-        "deep_convert_expr": _Q_DEEP_CONVERT_SQL,
         "sessionize_events": _Q_SESSIONIZE_SQL,
         "nulls_trimmed": _Q_NULLS_TRIMMED_SQL,
-        "top_orders_per_cust": _Q_TOP_ORDERS_SQL,
         "csv_roundtrip": _Q_CSV_ROUNDTRIP_SQL,
         "parquet_roundtrip": _Q_PARQUET_ROUNDTRIP_SQL,
+        "jsonl_roundtrip": _Q_JSONL_ROUNDTRIP_SQL,
         "clean_corpus": _clean_corpus_sql(),
         "dedup_exact": _Q_DEDUP_EXACT_SQL,
         "dedup_fingerprint": _Q_DEDUP_FP_SQL,
-        "winnow_fingerprint": _Q_WINNOW_FP_SQL,
         "token_stats": _Q_TOKEN_STATS_SQL,
         "lang_id": _lang_id_sql(),
         "quality_score": _quality_sql(),
-        "cosine_similarity": _Q_COSINE_ALL_SQL,
         "ann_topk": _Q_ANN_TOPK_SQL,
-        "jaccard_vs_query": _Q_JACCARD_SQL,
         "multimodal_metadata": _Q_MULTIMODAL_SQL,
-        "image_features": _image_features_sql(),
-        "audio_features": _audio_features_sql(),
         "minhash_dedup": _Q_MINHASH_DEDUP_SQL,
+        "minhash_candidates": _Q_MINHASH_CANDIDATES_SQL,
         "cluster_dedup": _Q_CLUSTER_DEDUP_SQL,
         "simhash_near_dups": _Q_SIMHASH_SQL,
         "embedding_near_dups": _embedding_near_dups_sql(),
         # nprobe=2 of the 8 fixed centroids has recall 1 here → exact top-k
         "ivf_topk": _Q_ANN_TOPK_SQL,
-        "lsh_ann_topk": _lsh_ann_sql(),
-        "shipping_priority": _Q_SHIPPING_SQL,
-        "local_supplier_volume": _Q_LOCAL_SUPPLIER_SQL,
-        "promo_revenue": _Q_PROMO_SQL,
-        "jsonl_roundtrip": _Q_JSONL_ROUNDTRIP_SQL,
-        "minhash_candidates": _Q_MINHASH_CANDIDATES_SQL,
         # same exact-recall oracle as ivf_topk: nprobe=2 has recall 1 here
         "ivf_probe_indexed": _Q_ANN_TOPK_SQL,
         "windowed_counts": _Q_WINDOWED_COUNTS_SQL,
@@ -2001,4 +1998,17 @@ def oracle_sql() -> dict[str, str]:
         "range_join_windows": _Q_RANGE_JOIN_SQL,
         "time_rollup": _Q_TIME_ROLLUP_SQL,
         "kmv_distinct": _Q_KMV_SQL,
+        # --- tail (mirrors queries(); see comment there) ---
+        "deep_convert_expr": _Q_DEEP_CONVERT_SQL,
+        "pluck_fields_by_regex": _Q_PLUCK_REGEX_SQL,
+        "top_orders_per_cust": _Q_TOP_ORDERS_SQL,
+        "winnow_fingerprint": _Q_WINNOW_FP_SQL,
+        "cosine_similarity": _Q_COSINE_ALL_SQL,
+        "jaccard_vs_query": _Q_JACCARD_SQL,
+        "lsh_ann_topk": _lsh_ann_sql(),
+        "image_features": _image_features_sql(),
+        "audio_features": _audio_features_sql(),
+        "shipping_priority": _Q_SHIPPING_SQL,
+        "local_supplier_volume": _Q_LOCAL_SUPPLIER_SQL,
+        "promo_revenue": _Q_PROMO_SQL,
     }

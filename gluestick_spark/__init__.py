@@ -21,6 +21,7 @@ from .operators.restructure import (
     compress_rows_to_col,
     json_tuple_to_cols,
     enforce_exploded_col_types,
+    clear_normalization_cache,
 )
 from .operators.project import (
     rename,

@@ -83,7 +83,20 @@ def normalize_json_literals(col: Column) -> Column:
 # bounded limit(100).collect() job per DISTINCT (frame, column); repeated
 # explodes of the same frame/column (multi-column pipelines re-deriving the
 # same source) hit the cache instead of re-running the sample job.
+#
+# LIFETIME: the key is the ANALYZED PLAN's hash, not the underlying files —
+# re-reading a path whose files changed mid-session produces the same plan
+# hash, so the old verdict is reused. That matches batch-job usage (inputs
+# are immutable for the job's life); a long-lived session that rewrites its
+# inputs should call clear_normalization_cache() (or pass python_literals
+# explicitly instead of "auto").
 _NORMALIZATION_CACHE: dict[tuple[int, str], bool] = {}
+
+
+def clear_normalization_cache() -> None:
+    """Drop all cached "auto" python-literal verdicts (see
+    ``_NORMALIZATION_CACHE`` lifetime note)."""
+    _NORMALIZATION_CACHE.clear()
 
 
 def _needs_normalization(df: DataFrame, column: str, sample: int = 100) -> bool:
