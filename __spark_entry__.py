@@ -1536,6 +1536,172 @@ FROM agg
 """
 
 
+def q_event_asof_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with a tolerance bound (operators/asof.py —
+    direction="forward"): each event picks up its user's daily-CLOSING
+    value (last event of the day) at-or-after it, nulled when the close is
+    more than 6h away. Oracle: DuckDB's native ``ASOF LEFT JOIN`` with the
+    reversed inequality (``e.ts <= c.ts``) + a CASE for the tolerance."""
+    from pyspark.sql.window import Window as W
+
+    from gluestick_spark.functions.datetimes import as_timestamp
+    from gluestick_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    ts = as_timestamp(e, "ts").cast("timestamp")
+    ev = e.select("event_id", "user_id", ts.alias("ts"), _dec("value").alias("v"))
+    rn = F.row_number().over(
+        W.partitionBy("user_id", F.to_date("ts")).orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+    )
+    closes = (
+        ev.withColumn("__rn__", rn)
+        .where(F.col("__rn__") == 1)
+        .select("user_id", "ts", F.col("v").alias("close_v"))
+    )
+    out = asof_join(
+        ev, closes, "user_id", value_cols=["close_v"],
+        direction="forward", tolerance=21600,
+    )
+    return out.select(
+        "event_id", "user_id", F.col("close_v_asof").cast("double").alias("close_value")
+    )
+
+
+_Q_EVENT_ASOF_CLOSE_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, ts, CAST(value AS DECIMAL(18,2)) AS v FROM events
+),
+closes AS (
+  SELECT user_id, ts, v AS close_v FROM (
+    SELECT user_id, ts, v,
+           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM e
+  ) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id,
+       CASE WHEN c.ts IS NOT NULL AND epoch(c.ts) - epoch(e.ts) <= 21600
+            THEN CAST(c.close_v AS DOUBLE) END AS close_value
+FROM e ASOF LEFT JOIN closes c
+  ON e.user_id = c.user_id AND e.ts <= c.ts
+"""
+
+
+def q_event_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (operators/asof.py — direction="nearest", ties
+    backward, pandas merge_asof parity): each event picks up its user's
+    closest hourly mark (first event per user-hour). Both scans share ONE
+    Exchange. Oracle: two DuckDB ASOF joins (backward + forward) + the
+    same closer-of-the-two CASE, written independently."""
+    from pyspark.sql.window import Window as W
+
+    from gluestick_spark.functions.datetimes import as_timestamp
+    from gluestick_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    ts = as_timestamp(e, "ts").cast("timestamp")
+    ev = e.select("event_id", "user_id", ts.alias("ts"), _dec("value").alias("v"))
+    rn = F.row_number().over(
+        W.partitionBy("user_id", F.date_trunc("hour", F.col("ts"))).orderBy(
+            "ts", "event_id"
+        )
+    )
+    marks = (
+        ev.withColumn("__rn__", rn)
+        .where(F.col("__rn__") == 1)
+        .select("user_id", "ts", F.col("v").alias("mark_v"))
+    )
+    out = asof_join(ev, marks, "user_id", value_cols=["mark_v"], direction="nearest")
+    return out.select(
+        "event_id", "user_id", F.col("mark_v_asof").cast("double").alias("mark_value")
+    )
+
+
+_Q_EVENT_ASOF_NEAREST_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, ts, CAST(value AS DECIMAL(18,2)) AS v FROM events
+),
+marks AS (
+  SELECT user_id, ts, v AS mark_v FROM (
+    SELECT user_id, ts, v,
+           row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                              ORDER BY ts, event_id) AS rn
+    FROM e
+  ) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id,
+       CAST(CASE WHEN b.ts IS NOT NULL
+                      AND (f.ts IS NULL
+                           OR epoch(e.ts) - epoch(b.ts) <= epoch(f.ts) - epoch(e.ts))
+                 THEN b.mark_v ELSE f.mark_v END AS DOUBLE) AS mark_value
+FROM e
+ASOF LEFT JOIN marks b ON e.user_id = b.user_id AND e.ts >= b.ts
+ASOF LEFT JOIN marks f ON e.user_id = f.user_id AND e.ts <= f.ts
+"""
+
+
+def q_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KMV (llm/sketch.py kmv_sketch/kmv_merge/kmv_estimate):
+    events are split into two halves, each half is sketched independently,
+    the sketches are merged, and the merged estimate must equal the
+    from-scratch estimate over ALL events — the merge law, checked against
+    the same DuckDB oracle as kmv_distinct (which computes from scratch).
+    This is the incremental path: sketch each increment, persist, merge on
+    read — no history rescan."""
+    from gluestick_spark.llm.sketch import kmv_estimate, kmv_merge, kmv_sketch
+
+    e = _t(spark, sf_dir, "events")
+    half_a = e.where(F.col("event_id") % 2 == 0)
+    half_b = e.where(F.col("event_id") % 2 == 1)
+    sketches = kmv_sketch(half_a, "user_id", 64, ["event_type"]).unionByName(
+        kmv_sketch(half_b, "user_id", 64, ["event_type"])
+    )
+    merged = kmv_merge(sketches, 64, ["event_type"])
+    est = kmv_estimate(merged, 64, ["event_type"])
+    return est.select(
+        "event_type", (F.floor(F.col("n_distinct_est") * 1e4) / 1e4).alias("n_distinct_est")
+    )
+
+
+def q_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 streaming near-dup dedup (streaming/pipeline.py
+    streaming_minhash_dedup): documents arrive in two id-ordered
+    micro-batches; each batch is deduplicated against the persisted LSH
+    band-bucket index + docs state, and survivors are appended. The
+    emitted union must equal batch minhash_dedup over the whole corpus —
+    same oracle SQL."""
+    import tempfile
+
+    from gluestick_spark.streaming.pipeline import (
+        stream_from_directory,
+        streaming_minhash_dedup,
+    )
+
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = d.select(F.percentile_approx("doc_id", 0.5)).first()[0]
+    stage = tempfile.mkdtemp(prefix="gs_smh_src_")
+    out = tempfile.mkdtemp(prefix="gs_smh_out_")
+    state = tempfile.mkdtemp(prefix="gs_smh_state_")
+    ckpt = tempfile.mkdtemp(prefix="gs_smh_ckpt_")
+    schema = d.schema
+    for cond in (F.col("doc_id") <= mid, F.col("doc_id") > mid):
+        d.where(cond).coalesce(1).write.mode("append").parquet(stage)
+        q = streaming_minhash_dedup(
+            stream_from_directory(spark, stage, schema),
+            "text",
+            "doc_id",
+            state,
+            out,
+            ckpt,
+            threshold=0.8,
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out).select("doc_id")
+
+
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style rollup (operators/rollup.py): hour AND day grains
     from ONE scan via GROUPING SETS (Expand node — not a per-grain union of
@@ -1939,6 +2105,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "promo_revenue": q_promo_revenue,
+        # round-5 additions (new operator variants; rotate into the window
+        # next round):
+        "event_asof_close": q_event_asof_close,
+        "event_asof_nearest": q_event_asof_nearest,
+        "kmv_merge": q_kmv_merge,
+        "streaming_minhash_dedup": q_streaming_minhash_dedup,
     }
 
 
@@ -2011,4 +2183,11 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority": _Q_SHIPPING_SQL,
         "local_supplier_volume": _Q_LOCAL_SUPPLIER_SQL,
         "promo_revenue": _Q_PROMO_SQL,
+        "event_asof_close": _Q_EVENT_ASOF_CLOSE_SQL,
+        "event_asof_nearest": _Q_EVENT_ASOF_NEAREST_SQL,
+        # merge law: merged per-half sketches ≡ from-scratch sketch ⇒ same
+        # oracle as kmv_distinct
+        "kmv_merge": _Q_KMV_SQL,
+        # stream-then-batch ≡ batch-over-union ⇒ same oracle as minhash_dedup
+        "streaming_minhash_dedup": _Q_MINHASH_DEDUP_SQL,
     }

@@ -33,6 +33,7 @@ __all__ = [
     "exact_dedup",
     "lsh_geometry",
     "minhash_signature_expr",
+    "minhash_band_buckets",
     "minhash_lsh_candidates",
     "minhash_near_dup_pairs",
     "minhash_dedup",
@@ -201,6 +202,37 @@ def minhash_signatures(
     )
 
 
+def minhash_band_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(``__id__``, ``band``, ``bucket``) LSH band-bucket rows — the
+    persistable half of the LSH index. Two docs are candidates iff they
+    share a (band, bucket). bands × N tiny rows, no shuffle of its own;
+    the streaming dedup stores exactly this frame as its incremental
+    index state."""
+    rows_per_band = num_perm // bands
+    with_sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.element_at("__sig__", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return with_sig.select("__id__", F.explode(band_structs).alias("bb")).select(
+        "__id__", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -218,23 +250,7 @@ def minhash_lsh_candidates(
     ``max_bucket`` caps bucket width (see :func:`_cap_buckets`) — set it at
     corpus scale to keep one hot bucket from going quadratic.
     """
-    rows_per_band = num_perm // bands
-    with_sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
-
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.element_at("__sig__", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
-    buckets = with_sig.select("__id__", F.explode(band_structs).alias("bb")).select(
-        "__id__", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    buckets = minhash_band_buckets(df, text_col, id_col, num_perm, bands, shingle_n)
     # Materialization point: the self-join below reads `buckets` twice, and
     # without an exchange here each branch would recompute the signatures
     # from the scan (the per-row signature has no shuffle of its own). One

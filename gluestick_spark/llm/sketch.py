@@ -31,7 +31,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["kmv_hash_expr", "kmv_distinct"]
+__all__ = [
+    "kmv_hash_expr",
+    "kmv_distinct",
+    "kmv_sketch",
+    "kmv_merge",
+    "kmv_estimate",
+]
 
 _KMV_SPACE = float(1 << 60)
 
@@ -57,28 +63,9 @@ def kmv_distinct(
     gcols = list(group_cols or [])
     # NULLs don't count (COUNT(DISTINCT) semantics — and Spark ranks nulls
     # first while DuckDB ranks them last, so letting one through would also
-    # skew the k-th hash differently per engine).
-    hs = (
-        df.where(F.col(col).isNotNull())
-        .select(*gcols, kmv_hash_expr(F.col(col)).alias("__h__"))
-        .distinct()
-    )
-    # Two-phase rank: first keep each (group, input-partition)'s k smallest
-    # — a partition-local window, bounded state — so the final per-group
-    # rank sorts at most k×P rows, never the full distinct set through one
-    # task (the single-task global sort this would otherwise be when
-    # group_cols is empty or one group is huge).
-    wp = Window.partitionBy(*gcols, "__p__").orderBy(F.col("__h__").asc())
-    pruned = (
-        hs.withColumn("__p__", F.spark_partition_id())
-        .withColumn("__prn__", F.row_number().over(wp))
-        .where(F.col("__prn__") <= k)
-        .drop("__p__", "__prn__")
-    )
-    w = Window.partitionBy(*gcols).orderBy(F.col("__h__").asc())
-    ranked = pruned.withColumn("__rn__", F.row_number().over(w)).where(
-        F.col("__rn__") <= k
-    )
+    # skew the k-th hash differently per engine). Two-phase rank inside
+    # _k_min_hashes bounds every per-group sort.
+    ranked = _k_min_hashes(df, col, k, gcols)
     agg = ranked.groupBy(*gcols).agg(
         F.max("__rn__").alias("__m__"),
         F.max(F.when(F.col("__rn__") == k, F.col("__h__"))).alias("__hk__"),
@@ -87,3 +74,92 @@ def kmv_distinct(
         F.col("__m__") < k, F.col("__m__").cast("double")
     ).otherwise(F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / F.col("__hk__").cast("double"))
     return agg.select(*gcols, est.alias("n_distinct_est"))
+
+
+def _k_min_hashes(df: DataFrame, col: str, k: int, gcols: list[str]) -> DataFrame:
+    """Per-group k smallest distinct hashes, ranked — the shared core of
+    :func:`kmv_distinct` and :func:`kmv_sketch` (same two-phase rank: a
+    partition-local prune bounds the final per-group sort at k×P rows)."""
+    hs = (
+        df.where(F.col(col).isNotNull())
+        .select(*gcols, kmv_hash_expr(F.col(col)).alias("__h__"))
+        .distinct()
+    )
+    wp = Window.partitionBy(*gcols, "__p__").orderBy(F.col("__h__").asc())
+    pruned = (
+        hs.withColumn("__p__", F.spark_partition_id())
+        .withColumn("__prn__", F.row_number().over(wp))
+        .where(F.col("__prn__") <= k)
+        .drop("__p__", "__prn__")
+    )
+    w = Window.partitionBy(*gcols).orderBy(F.col("__h__").asc())
+    return pruned.withColumn("__rn__", F.row_number().over(w)).where(F.col("__rn__") <= k)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    col: str,
+    k: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Materialize the KMV sketch itself: (*group_cols, ``kmv`` —
+    sorted array<long> of the ≤k smallest distinct hashes of ``col``).
+
+    The sketch is a value: persist it with a snapshot, ship it across
+    systems (the hash is portable — see module docstring), and **merge** it
+    with later sketches (:func:`kmv_merge`) instead of rescanning history.
+    The collect_list is bounded at k elements per group by the rank filter,
+    so no unbounded per-group buffer exists."""
+    gcols = list(group_cols or [])
+    ranked = _k_min_hashes(df, col, k, gcols)
+    return ranked.groupBy(*gcols).agg(
+        F.array_sort(F.collect_list("__h__")).alias("kmv")
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame,
+    k: int = 64,
+    group_cols: list[str] | None = None,
+    sketch_col: str = "kmv",
+) -> DataFrame:
+    """Merge any number of KMV sketch rows per group into one sketch.
+
+    Merge law: the k smallest of a union equals the k smallest of the
+    union of each part's k smallest — so ``kmv_merge(kmv_sketch(A) ∪
+    kmv_sketch(B))`` is BIT-IDENTICAL to ``kmv_sketch(A ∪ B)``. This is
+    what makes incremental/streaming distinct counts ride the snapshot
+    machinery: sketch each increment, store, merge on read.
+
+    Plan: explode (≤k rows per input sketch) → distinct → per-group rank
+    ≤ k → sorted collect. All shuffles on the group key."""
+    gcols = list(group_cols or [])
+    hs = (
+        sketches.select(*gcols, F.explode(F.col(sketch_col)).alias("__h__"))
+        .distinct()
+    )
+    w = Window.partitionBy(*gcols).orderBy(F.col("__h__").asc())
+    ranked = hs.withColumn("__rn__", F.row_number().over(w)).where(F.col("__rn__") <= k)
+    return ranked.groupBy(*gcols).agg(
+        F.array_sort(F.collect_list("__h__")).alias(sketch_col)
+    )
+
+
+def kmv_estimate(
+    sketches: DataFrame,
+    k: int = 64,
+    group_cols: list[str] | None = None,
+    sketch_col: str = "kmv",
+) -> DataFrame:
+    """Distinct-count estimate from materialized sketches — pure per-row
+    arithmetic (no shuffle): exact size when the sketch is unsaturated,
+    else (k−1)·2⁶⁰/h₍k₎. Estimates from merged sketches match a
+    from-scratch :func:`kmv_distinct` over the union exactly."""
+    gcols = list(group_cols or [])
+    arr = F.col(sketch_col)
+    est = F.when(
+        F.size(arr) < k, F.size(arr).cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / F.element_at(arr, k).cast("double")
+    )
+    return sketches.select(*gcols, est.alias("n_distinct_est"))

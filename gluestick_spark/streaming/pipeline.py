@@ -30,6 +30,7 @@ __all__ = [
     "windowed_event_counts",
     "streaming_snapshot_upsert",
     "streaming_dedup",
+    "streaming_minhash_dedup",
     "sessionize",
 ]
 
@@ -171,6 +172,130 @@ def sessionize(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_minhash_dedup(
+    stream_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming MinHash near-dup dedup: each micro-batch is deduplicated
+    against everything seen so far, and surviving docs are appended to
+    ``out_dir``.
+
+    **Batch equivalence**: when ids arrive in non-decreasing order across
+    batches (the usual ingest-assigned-id case), the union of the emitted
+    batches equals :func:`~gluestick_spark.llm.dedup.minhash_dedup` run once
+    over the whole corpus — the greedy rule "drop the higher id of each
+    verified pair" is prefix-stable, so deciding each doc when it arrives
+    gives the same keep set. (With out-of-order ids an already-emitted doc
+    can't be recalled; late lower-id near-dups then yield a superset.)
+
+    Incremental index design (the 100 TB/day shape):
+
+    - state ``buckets``: the persisted LSH band-bucket index
+      (:func:`~gluestick_spark.llm.dedup.minhash_band_buckets` rows —
+      bands × N tiny rows). Per batch only the BATCH's signatures are
+      computed; history is read back as buckets, never re-shingled.
+    - candidate join: (all buckets) ⋈ (batch buckets) on (band, bucket)
+      with a < b — new⇆old and new⇆new pairs only; the old⇆old pairs were
+      decided in earlier batches and are never re-derived.
+    - verify: exact Jaccard, with shingles computed ONLY for candidate ids
+      (semi-join into the docs state first) — per-batch cost scales with
+      candidates, not corpus.
+    - state ``docs`` holds every SEEN doc (kept or dropped): a new doc
+      near-duplicating an already-dropped doc must still be dropped for
+      batch parity.
+
+    State appends are made idempotent on read (distinct) so a replayed
+    micro-batch (foreachBatch's at-least-once) can't skew candidates; the
+    ``out_dir`` append itself is at-least-once — resume from the checkpoint
+    only, or key the sink by batch_id, as with any foreachBatch sink.
+    """
+    import os
+
+    from ..llm.dedup import (
+        DEFAULT_MAX_BUCKET,
+        _cap_buckets,
+        jaccard_expr,
+        minhash_band_buckets,
+    )
+    from ..llm.text import shingles_expr
+
+    if max_bucket is None:
+        max_bucket = DEFAULT_MAX_BUCKET
+    buckets_path = os.path.join(state_dir, "minhash_buckets.parquet")
+    docs_path = os.path.join(state_dir, "minhash_docs.parquet")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(
+            F.col(id_col).alias("__id__"), F.col(text_col).alias("__text__")
+        )
+        bb = minhash_band_buckets(batch, "__text__", "__id__", num_perm, bands, shingle_n)
+        if os.path.exists(buckets_path):
+            all_bb = spark.read.parquet(buckets_path).distinct().unionByName(bb)
+            old_docs = spark.read.parquet(docs_path).distinct()
+            docs_all = old_docs.unionByName(batch)
+        else:
+            all_bb = bb
+            docs_all = batch
+        all_bb = _cap_buckets(
+            all_bb.repartition("band", "bucket"), ["band", "bucket"], max_bucket
+        )
+        new_ids = batch.select("__id__").distinct()
+        right = all_bb.join(new_ids, "__id__")
+        cand = (
+            all_bb.alias("l")
+            .join(
+                right.alias("r"),
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l.__id__") < F.col("r.__id__")),
+            )
+            .select(F.col("l.__id__").alias("a"), F.col("r.__id__").alias("b"))
+            .distinct()
+        )
+        cand_ids = cand.select(F.col("a").alias("__id__")).union(
+            cand.select(F.col("b").alias("__id__"))
+        ).distinct()
+        sh = docs_all.join(cand_ids, "__id__").select(
+            "__id__",
+            F.array_distinct(shingles_expr(F.col("__text__"), shingle_n)).alias("__sh__"),
+        )
+        drops = (
+            cand.join(
+                sh.select(F.col("__id__").alias("a"), F.col("__sh__").alias("__sha__")), "a"
+            )
+            .join(
+                sh.select(F.col("__id__").alias("b"), F.col("__sh__").alias("__shb__")), "b"
+            )
+            .where(jaccard_expr(F.col("__sha__"), F.col("__shb__")) >= threshold)
+            .select("b")
+            .distinct()
+        )
+        kept = batch.join(drops, batch["__id__"] == drops["b"], "left_anti")
+        kept.select(
+            F.col("__id__").alias(id_col), F.col("__text__").alias(text_col)
+        ).write.mode("append").parquet(out_dir)
+        bb.write.mode("append").parquet(buckets_path)
+        batch.write.mode("append").parquet(docs_path)
+
+    writer = stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def streaming_snapshot_upsert(

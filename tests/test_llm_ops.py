@@ -617,3 +617,42 @@ def test_kmv_distinct_ignores_nulls(spark):
 
     df = spark.createDataFrame([Row(v=1), Row(v=2), Row(v=None), Row(v=2)])
     assert kmv_distinct(df, "v", k=16).first()["n_distinct_est"] == 2.0
+
+
+def test_kmv_merge_bit_identical_and_estimate(spark):
+    """The materialized-sketch API obeys the merge law end to end:
+    kmv_merge over per-half sketches is BIT-IDENTICAL to a from-scratch
+    sketch of the union, and kmv_estimate of the merged sketch equals
+    kmv_distinct over the union — per group, saturated and unsaturated."""
+    from gluestick_spark.llm.sketch import (
+        kmv_distinct,
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    k = 32
+    # group "big": 500 distinct (saturated); group "small": 10 (exact path)
+    full = spark.range(500).select(
+        F.lit("big").alias("g"), F.col("id").alias("v")
+    ).union(
+        spark.range(10).select(F.lit("small").alias("g"), F.col("id").alias("v"))
+    )
+    half_a = full.where((F.col("v") % 2) == 0)
+    half_b = full.where((F.col("v") % 2) == 1)  # overlap-free split; dupes
+    half_b = half_b.union(half_a.limit(5))      # ...plus overlap rows
+
+    merged = kmv_merge(
+        kmv_sketch(half_a, "v", k, ["g"]).unionByName(kmv_sketch(half_b, "v", k, ["g"])),
+        k,
+        ["g"],
+    )
+    scratch = kmv_sketch(full, "v", k, ["g"])
+    got = {r["g"]: r["kmv"] for r in merged.collect()}
+    want = {r["g"]: r["kmv"] for r in scratch.collect()}
+    assert got == want
+
+    est = {r["g"]: r["n_distinct_est"] for r in kmv_estimate(merged, k, ["g"]).collect()}
+    direct = {r["g"]: r["n_distinct_est"] for r in kmv_distinct(full, "v", k, ["g"]).collect()}
+    assert est == direct
+    assert est["small"] == 10.0

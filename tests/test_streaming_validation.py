@@ -186,3 +186,52 @@ def test_streaming_dedup_within_watermark(spark, tmp_dir):
     q.awaitTermination(120)
     got = spark.read.parquet(out).collect()
     assert sorted(r["id"] for r in got) == [1, 2]
+
+
+def test_streaming_minhash_dedup_equals_batch(spark, tmp_dir):
+    """Stream-then-batch equivalence: docs fed through two micro-batches
+    (monotone ids) emit exactly the keep set of a single batch
+    minhash_dedup over the union — including a batch-2 doc that
+    near-duplicates a batch-1 doc that was ITSELF dropped (the docs state
+    must hold dropped docs too)."""
+    from gluestick_spark.llm.dedup import minhash_dedup
+    from gluestick_spark.streaming.pipeline import (
+        stream_from_directory,
+        streaming_minhash_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base + " ok"),          # near-dup of 1 → dropped
+        Row(doc_id=3, text="completely different content about spark engines"),
+        # batch 2:
+        Row(doc_id=4, text=base + " ok!"),         # near-dup of 2 (dropped) → dropped
+        Row(doc_id=5, text="another unrelated document talking about ducks"),
+        Row(doc_id=6, text=base),                  # exact dup of 1 → dropped
+    ]
+    src = os.path.join(tmp_dir, "docs_src")
+    out = os.path.join(tmp_dir, "kept")
+    state = os.path.join(tmp_dir, "state")
+    ckpt = os.path.join(tmp_dir, "ckpt")
+    os.makedirs(src)
+    os.makedirs(state)
+
+    full = spark.createDataFrame(docs)
+    schema = full.schema
+    for lo, hi in ((1, 3), (4, 6)):
+        spark.createDataFrame([d for d in docs if lo <= d.doc_id <= hi]).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        stream = stream_from_directory(spark, src, schema)
+        q = streaming_minhash_dedup(
+            stream, "text", "doc_id", state, out, ckpt, threshold=0.7
+        )
+        q.awaitTermination(120)
+
+    streamed = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    batch = sorted(
+        r["doc_id"] for r in minhash_dedup(full, "text", "doc_id", threshold=0.7).collect()
+    )
+    assert streamed == batch
+    assert 4 not in streamed  # near-dups a DROPPED doc — still dropped
