@@ -77,6 +77,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _parquet_num_rows(sf_dir: str, name: str) -> int:
+    """Row count from parquet FOOTER metadata — a driver-side O(footer)
+    read, not a Spark count() job. Used to feed exact corpus sizes (``n``)
+    into adaptive-geometry operators without materializing anything."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        return pq.ParquetFile(path).metadata.num_rows
+    return sum(
+        pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+
+
 def _tp(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
     """Table load for CPU-heavy per-row operators (regex/hash/UDF): split an
     under-partitioned scan across all cores first. No-op when the scan
@@ -1665,6 +1681,54 @@ def q_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (llm/sampling.py): keep ~30% of docs by
+    the portable md5-60-bit hash of doc_id — membership is a pure function
+    of the key (partition/run/engine-invariant, unlike df.sample), so
+    DuckDB reproduces the EXACT member set."""
+    from gluestick_spark.llm.sampling import hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_sample(d, "doc_id", 0.3).select("doc_id")
+
+
+_HASH_30PCT = int(0.3 * float(1 << 60))
+
+_Q_HASH_SAMPLE_SQL = f"""
+SELECT doc_id FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31)), 1, 15) AS UBIGINT)
+      < {_HASH_30PCT}
+"""
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (llm/sampling.py hash_split):
+    contiguous hash bands ⇒ same key always lands in the same split, and
+    growing a leading band never evicts its keys. Oracle recomputes the
+    band CASE from the same portable hash."""
+    from gluestick_spark.llm.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    out = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split").agg(F.count("*").alias("n_docs"))
+
+
+_HASH_80PCT = int(0.8 * float(1 << 60))
+_HASH_90PCT = int(0.9 * float(1 << 60))
+
+_Q_HASH_SPLIT_SQL = f"""
+WITH h AS (
+  SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31)), 1, 15) AS UBIGINT) AS hv
+  FROM documents
+)
+SELECT CASE WHEN hv < {_HASH_80PCT} THEN 'train'
+            WHEN hv < {_HASH_90PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM h GROUP BY 1
+"""
+
+
 def q_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 streaming near-dup dedup (streaming/pipeline.py
     streaming_minhash_dedup): documents arrive in two id-ordered
@@ -1819,7 +1883,11 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gluestick_spark.llm.dedup import embedding_near_dups
 
     e = _t(spark, sf_dir, "embeddings")
-    out = embedding_near_dups(e, "embedding", "vec_id", threshold=0.3, dim=64)
+    # n from the parquet footer: no count() job in the hot path (VERDICT r4 #7)
+    out = embedding_near_dups(
+        e, "embedding", "vec_id", threshold=0.3, dim=64,
+        n=_parquet_num_rows(sf_dir, "embeddings"),
+    )
     return out.select("a", "b", (F.floor(F.col("cosine") * 1e4) / 1e4).alias("cosine"))
 
 
@@ -2111,6 +2179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_asof_nearest": q_event_asof_nearest,
         "kmv_merge": q_kmv_merge,
         "streaming_minhash_dedup": q_streaming_minhash_dedup,
+        "hash_sample": q_hash_sample,
+        "hash_split": q_hash_split,
     }
 
 
@@ -2190,4 +2260,6 @@ def oracle_sql() -> dict[str, str]:
         "kmv_merge": _Q_KMV_SQL,
         # stream-then-batch ≡ batch-over-union ⇒ same oracle as minhash_dedup
         "streaming_minhash_dedup": _Q_MINHASH_DEDUP_SQL,
+        "hash_sample": _Q_HASH_SAMPLE_SQL,
+        "hash_split": _Q_HASH_SPLIT_SQL,
     }

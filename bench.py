@@ -43,9 +43,12 @@ BENCH_QUERIES = [
     "ivf_topk",
     "ivf_probe_indexed",
     "event_asof_open",
+    "event_asof_close",
+    "event_asof_nearest",
     "range_join_windows",
     "time_rollup",
     "kmv_distinct",
+    "kmv_merge",
 ]
 
 
@@ -123,7 +126,7 @@ def main() -> None:
     # (malformed prior BENCH files included) may prevent the JSON line from
     # printing — rounds 2 and 3 both lost their bench artifact to exactly that.
     try:
-        prev = _previous_round(sf_val)
+        prev, prev_round = _previous_round(sf_val)
         if prev:
             deltas = {
                 q: round(timings[q] / prev[q] - 1, 3)
@@ -131,15 +134,20 @@ def main() -> None:
                 if prev.get(q)
             }
             result["delta_vs_prev"] = deltas
+            # which artifact the deltas compare against — a skipped/crashed
+            # round must not silently shift the basis unnamed (VERDICT r4 #9)
+            result["prev_round"] = prev_round
             result["regressions_gt_10pct"] = sorted(q for q, d in deltas.items() if d > 0.10)
     except Exception:
         pass
     print(json.dumps(result))
 
 
-def _previous_round(sf_val) -> dict[str, float]:
-    """Per-query seconds from the newest BENCH_r*.json at the same SF
-    (round-over-round regression tracking; VERDICT r1 #10)."""
+def _previous_round(sf_val) -> tuple[dict[str, float], str | None]:
+    """(per-query seconds, round tag) from the newest parseable
+    BENCH_r*.json at the same SF (round-over-round regression tracking;
+    VERDICT r1 #10). The tag names WHICH artifact the basis came from, so
+    a skipped/crashed round can't silently shift the comparison basis."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -152,10 +160,10 @@ def _previous_round(sf_val) -> dict[str, float]:
                 rec = json.load(f)
             parsed = rec.get("parsed") or rec
             if parsed.get("sf") == sf_val and parsed.get("queries"):
-                return parsed["queries"]
+                return parsed["queries"], os.path.basename(path)
         except Exception:
             continue
-    return {}
+    return {}, None
 
 
 if __name__ == "__main__":

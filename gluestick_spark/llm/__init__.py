@@ -25,7 +25,14 @@ from .dedup import (
     embedding_dedup,
 )
 from .dedup import cluster_dedup, connected_components, lsh_geometry
-from .sketch import kmv_distinct, kmv_hash_expr
+from .sketch import (
+    kmv_distinct,
+    kmv_estimate,
+    kmv_hash_expr,
+    kmv_merge,
+    kmv_sketch,
+)
+from .sampling import hash_sample, hash_sample_expr, hash_split
 from .similarity import (
     cosine_expr,
     cosine_similarity,

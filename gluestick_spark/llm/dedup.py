@@ -398,11 +398,6 @@ def connected_components(
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
-    nodes = (
-        pairs.select(F.col(a_col).alias("id"))
-        .union(pairs.select(F.col(b_col).alias("id")))
-        .distinct()
-    )
     edges = (
         pairs.where(F.col(a_col) != F.col(b_col))
         .select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
@@ -410,6 +405,16 @@ def connected_components(
         .localCheckpoint()
     )
     n_edges = edges.count()
+    # Nodes come from the CHECKPOINTED edge set, not from `pairs`: the pairs
+    # frame is typically an expensive un-cached plan (LSH + verify), and
+    # reading it a second time would re-run that whole pipeline when the
+    # result is evaluated. Self-pair-only nodes (a == b) carry no edge and
+    # need no label (cluster_dedup keeps unlabeled rows as-is).
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .union(edges.select(F.col("v").alias("id")))
+        .distinct()
+    )
     for _ in range(max_iter):
         new_edges = _small_star(_large_star(edges)).localCheckpoint()
         n_new = new_edges.count()

@@ -1,0 +1,83 @@
+"""Deterministic hash-based sampling and splitting.
+
+Training-data pipelines need sampling that is (a) reproducible across runs
+and engines, (b) stable under repartitioning, and (c) consistent per KEY —
+every row of a document/user lands on the same side of a split. Spark's
+``df.sample``/``randomSplit`` give none of that (they are seeded per
+partition, so a repartition reshuffles membership). This module samples by
+the same portable 60-bit md5 hash the KMV sketch uses
+(:mod:`gluestick_spark.llm.sketch`): membership is a pure function of the
+key value, identical in Spark and DuckDB — so sampled pipelines stay
+oracle-checkable end to end.
+
+Scale shape: a narrow projection + filter per row — no shuffle, no state,
+trivially pushes through any partitioning. Selectivity benefits flow to
+downstream operators exactly like any other filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .sketch import kmv_hash_expr
+
+__all__ = ["hash_sample_expr", "hash_sample", "hash_split"]
+
+_SPACE = float(1 << 60)
+
+
+def _keyed_hash(col: Column, seed: str) -> Column:
+    # The seed is mixed into the hashed STRING (not xor'd after) so
+    # different seeds give independent (not merely shifted) subsets.
+    return kmv_hash_expr(F.concat_ws("\x1f", col.cast("string"), F.lit(seed)))
+
+
+def hash_sample_expr(col: Column, rate: float, seed: str = "") -> Column:
+    """Boolean membership expression: TRUE for ~``rate`` of distinct key
+    values. Deterministic per value: all rows sharing a key are kept or
+    dropped together (group-consistent sampling)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return _keyed_hash(col, seed) < F.lit(int(rate * _SPACE))
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float, seed: str = "") -> DataFrame:
+    """Keep ~``rate`` of the rows, decided by the hash of ``key_col``.
+
+    Unlike ``df.sample`` the result is invariant to partitioning, cluster
+    size, and run order — and reproducible in any engine with md5."""
+    return df.where(hash_sample_expr(F.col(key_col), rate, seed))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    seed: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split (train/val/test …) by
+    hash range: weight fractions partition [0, 2⁶⁰) into contiguous bands.
+    Rows sharing a key always land in the same split — the leakage guard a
+    random split can't give. Adds ``split_col``; weights must sum to ~1.
+
+    Splits are NESTING-stable: because bands are contiguous and start at 0,
+    growing one split's weight only moves keys across the adjacent
+    boundary — e.g. train 0.8 → 0.9 keeps every existing train key in
+    train (useful when re-cutting a corpus without churning history).
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    h = _keyed_hash(F.col(key_col), seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = h < F.lit(int(acc * _SPACE))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

@@ -656,3 +656,43 @@ def test_kmv_merge_bit_identical_and_estimate(spark):
     direct = {r["g"]: r["n_distinct_est"] for r in kmv_distinct(full, "v", k, ["g"]).collect()}
     assert est == direct
     assert est["small"] == 10.0
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    """Hash sampling is a pure function of the key: identical membership
+    across runs and across repartitioning (df.sample is neither), and the
+    rate lands near the target."""
+    from gluestick_spark.llm.sampling import hash_sample
+
+    df = spark.range(2000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    a = sorted(r["k"] for r in hash_sample(df, "k", 0.3).collect())
+    b = sorted(r["k"] for r in hash_sample(df.repartition(17), "k", 0.3).collect())
+    assert a == b
+    assert 0.25 < len(a) / 2000 < 0.35
+    # different seeds → genuinely different subsets
+    c = sorted(r["k"] for r in hash_sample(df, "k", 0.3, seed="s2").collect())
+    assert c != a
+
+
+def test_hash_split_exhaustive_consistent_nesting(spark):
+    """Every row gets exactly one split; same key ⇒ same split (leakage
+    guard); growing the FIRST split's weight never evicts its keys
+    (nesting stability)."""
+    from gluestick_spark.llm.sampling import hash_split
+
+    df = spark.range(3000).select((F.col("id") % 1000).alias("k"), F.col("id").alias("v"))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = hash_split(df, "k", w)
+    per_key = out.groupBy("k").agg(F.countDistinct("split").alias("n")).collect()
+    assert all(r["n"] == 1 for r in per_key)
+    counts = {r["split"]: r["c"] for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert set(counts) == {"train", "val", "test"} and sum(counts.values()) == 3000
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+    train1 = {r["k"] for r in out.where("split = 'train'").select("k").collect()}
+    out2 = hash_split(df, "k", {"train": 0.9, "val": 0.05, "test": 0.05})
+    train2 = {r["k"] for r in out2.where("split = 'train'").select("k").collect()}
+    assert train1 <= train2
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, "k", {"a": 0.5, "b": 0.4})

@@ -59,6 +59,24 @@ def replicate_vecs(df: DataFrame, r: int) -> DataFrame:
     )
 
 
+def replicate_events(df: DataFrame, r: int) -> DataFrame:
+    """R copies with remapped event ids and DISJOINT per-replica user ids —
+    horizontal growth (more keys, same per-key depth), the realistic shape
+    for a bigger corpus. Keyed-window operators should stay ~linear."""
+    n = df.count()
+    n_users = 1 + df.agg(F.max("user_id")).first()[0]
+    reps = df.crossJoin(F.broadcast(
+        df.sparkSession.range(r).select(F.col("id").alias("__rep__"))
+    ))
+    return reps.select(
+        (F.col("event_id") + F.col("__rep__") * n).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("__rep__") * n_users).alias("user_id"),
+        "event_type",
+        "value",
+    )
+
+
 def timed(fn, warm: int = 1) -> tuple[float, int]:
     """(seconds, result rows). Rows matter for reading the exponent: when
     the output itself grows linearly with N (near-dup replicas → each doc
@@ -135,13 +153,72 @@ def main() -> None:
         ),
     }
 
+    # --- temporal / sketch family (round-4 operators; VERDICT r4 #8) ---
+    from pyspark.sql.window import Window as W
+
+    from gluestick_spark.functions.datetimes import as_timestamp
+    from gluestick_spark.llm.sketch import kmv_distinct
+    from gluestick_spark.operators.asof import asof_join, range_join
+    from gluestick_spark.operators.rollup import time_rollup
+
+    ev_raw = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    ev1 = ev_raw.select(
+        "event_id", as_timestamp(ev_raw, "ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    evR = replicate_events(ev1, r).persist()
+    e1, eR = ev1.count(), evR.count()
+
+    def _asof(ev):
+        rn = F.row_number().over(
+            W.partitionBy("user_id", F.to_date("ts")).orderBy("ts", "event_id")
+        )
+        opens = (
+            ev.withColumn("__rn__", rn).where(F.col("__rn__") == 1)
+            .select("user_id", "ts", F.col("value").alias("open_v"))
+        )
+        return asof_join(ev, opens, "user_id", value_cols=["open_v"]).count()
+
+    def _range(ev):
+        base = 1704067200
+        wins = spark.range(40).select(
+            F.col("id").alias("window_id"),
+            F.timestamp_seconds(F.lit(base) + F.col("id") * 64800).alias("ws"),
+            F.timestamp_seconds(F.lit(base) + F.col("id") * 64800 + 129600).alias("we"),
+        )
+        return range_join(ev, wins, "ts", "ws", "we", bucket_width=64800).count()
+
+    def _rollup(ev):
+        return time_rollup(
+            ev, "ts", {"n": F.count("*"), "tv": F.sum("value")}, grains=("hour", "day")
+        ).count()
+
+    def _kmv(ev):
+        return kmv_distinct(ev, "user_id", k=64, group_cols=["event_type"]).count()
+
+    event_ops = {
+        "asof_join": _asof,
+        "range_join": _range,
+        "time_rollup": _rollup,
+        "kmv_distinct": _kmv,
+    }
+    for name, fn in event_ops.items():
+        ops[name] = (lambda f=fn: f(ev1), lambda f=fn: f(evR))
+
+    event_family = set(event_ops)
+
     import math
 
     summary = {}
     for name, (small, big) in ops.items():
         t1, rows1 = timed(small)
         tR, rowsR = timed(big)
-        ratio = (nR / n1) if name != "embedding_near_dups" else (vR / v1)
+        if name == "embedding_near_dups":
+            ratio = vR / v1
+        elif name in event_family:
+            ratio = eR / e1
+        else:
+            ratio = nR / n1
         exponent = round(math.log(max(tR, 1e-3) / max(t1, 1e-3)) / math.log(ratio), 2)
         rec = {
             "op": name,
