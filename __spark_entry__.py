@@ -1729,6 +1729,46 @@ FROM h GROUP BY 1
 """
 
 
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (llm/packing.py): docs → token-budgeted bins via
+    sharded hash-ordered running sums — one shuffle on the shard id, no
+    global sort, no sequential packer. Oracle: DuckDB reproduces shard,
+    order, exclusive cumsum, and bin ids exactly (portable hash)."""
+    from gluestick_spark.llm.packing import pack_documents
+    from gluestick_spark.llm.text import word_count_expr
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", word_count_expr(F.col("text")).cast("long").alias("n_toks")
+    )
+    out = pack_documents(d, "n_toks", budget=512, key_col="doc_id", n_shards=8)
+    return out.select("doc_id", "pack_id", "pack_pos")
+
+
+_Q_PACK_DOCS_SQL = r"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS BIGINT) AS n_toks,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31)), 1, 15) AS UBIGINT) AS hv
+  FROM documents
+),
+c AS (
+  SELECT doc_id, hv,
+         CAST(hv % 8 AS BIGINT) AS shard,
+         COALESCE(SUM(n_toks) OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM h
+),
+p AS (
+  SELECT doc_id, hv,
+         CAST(shard * 8589934592 + floor(start / 512) AS BIGINT) AS pack_id
+  FROM c
+)
+SELECT doc_id, pack_id,
+       CAST(row_number() OVER (PARTITION BY pack_id ORDER BY hv, doc_id) AS INT) AS pack_pos
+FROM p
+"""
+
+
 def q_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 streaming near-dup dedup (streaming/pipeline.py
     streaming_minhash_dedup): documents arrive in two id-ordered
@@ -2181,6 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_minhash_dedup": q_streaming_minhash_dedup,
         "hash_sample": q_hash_sample,
         "hash_split": q_hash_split,
+        "pack_documents": q_pack_documents,
     }
 
 
@@ -2262,4 +2303,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_minhash_dedup": _Q_MINHASH_DEDUP_SQL,
         "hash_sample": _Q_HASH_SAMPLE_SQL,
         "hash_split": _Q_HASH_SPLIT_SQL,
+        "pack_documents": _Q_PACK_DOCS_SQL,
     }

@@ -33,6 +33,7 @@ from .sketch import (
     kmv_sketch,
 )
 from .sampling import hash_sample, hash_sample_expr, hash_split
+from .packing import pack_documents
 from .similarity import (
     cosine_expr,
     cosine_similarity,

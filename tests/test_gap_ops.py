@@ -485,3 +485,25 @@ def test_range_join_collision_suffix(spark):
     out = range_join(points, ivs, "t", "t", "hi", bucket_width=10, key="k")
     row = out.first()
     assert row["label"] == "p" and row["label_iv"] == "window" and row["t_iv"] == 0
+
+
+def test_asof_join_directions_single_shuffle(spark):
+    """forward and nearest keep the single-Exchange union-window plan —
+    nearest's two scans (asc + desc) re-sort within partitions but share
+    ONE hash exchange; no range cross-join in any direction."""
+    from pyspark.sql import functions as F
+
+    from gluestick_spark.operators.asof import asof_join
+
+    left = spark.range(1000).select(
+        (F.col("id") % 10).alias("k"), F.col("id").alias("ts"), F.lit("e").alias("ev")
+    )
+    right = spark.range(100).select(
+        (F.col("id") % 10).alias("k"), (F.col("id") * 7).alias("ts"), F.col("id").alias("px")
+    )
+    for direction in ("forward", "nearest"):
+        out = asof_join(left, right, "k", direction=direction)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1, direction
+        assert out.count() == 1000

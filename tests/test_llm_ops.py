@@ -696,3 +696,63 @@ def test_hash_split_exhaustive_consistent_nesting(spark):
 
     with pytest.raises(ValueError, match="sum to 1"):
         hash_split(df, "k", {"a": 0.5, "b": 0.4})
+
+
+def test_pack_documents_semantics(spark):
+    """Sharded greedy packing: bins are contiguous hash-ordered runs whose
+    exclusive running sum crosses budget boundaries; per-bin totals never
+    exceed budget + max_doc - 1; pack ids are unique across shards;
+    assignment is partition-invariant; pack_pos is 1..bin_size."""
+    from gluestick_spark.llm.packing import pack_documents
+
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37 + 5).alias("toks")
+    )
+    out = pack_documents(df, "toks", budget=100, key_col="doc_id", n_shards=4)
+    rows = out.collect()
+    assert len(rows) == 400 and len({(r["doc_id"]) for r in rows}) == 400
+
+    import collections
+    bins = collections.defaultdict(list)
+    for r in rows:
+        bins[r["pack_id"]].append(r)
+    max_doc = 41  # 36 + 5
+    for pid, members in bins.items():
+        total = sum(m["toks"] for m in members)
+        assert total <= 100 + max_doc - 1, (pid, total)
+        assert sorted(m["pack_pos"] for m in members) == list(range(1, len(members) + 1))
+    # non-trivial packing: bins hold multiple docs on average
+    assert len(bins) < 150
+
+    out2 = pack_documents(df.repartition(13), "toks", budget=100, key_col="doc_id", n_shards=4)
+    a = {(r["doc_id"], r["pack_id"], r["pack_pos"]) for r in rows}
+    b = {(r["doc_id"], r["pack_id"], r["pack_pos"]) for r in out2.collect()}
+    assert a == b
+
+    with pytest.raises(ValueError, match="budget"):
+        pack_documents(df, "toks", budget=0, key_col="doc_id")
+
+
+def test_pack_documents_python_reference(spark):
+    """Differential check vs a per-shard python reference of the exact
+    documented semantics (hash order, exclusive cumsum, floor(start/budget))."""
+    from gluestick_spark.llm.packing import _BIN_STRIDE, pack_documents
+    from gluestick_spark.llm.sampling import _keyed_hash
+
+    df = spark.range(200).select(F.col("id").alias("k"), (F.col("id") % 23 + 1).alias("t"))
+    hv = {r["k"]: r["h"] for r in df.select("k", _keyed_hash(F.col("k"), "").alias("h")).collect()}
+    toks = {r["k"]: r["t"] for r in df.collect()}
+
+    want = {}
+    shards = {}
+    for k in hv:
+        shards.setdefault(hv[k] % 8, []).append(k)
+    for shard, ks in shards.items():
+        ks.sort(key=lambda k: (hv[k], k))
+        run = 0
+        for k in ks:
+            want[k] = shard * _BIN_STRIDE + run // 50
+            run += toks[k]
+
+    got = {r["k"]: r["pack_id"] for r in pack_documents(df, "t", 50, "k", n_shards=8).collect()}
+    assert got == want
