@@ -1729,6 +1729,42 @@ FROM h GROUP BY 1
 """
 
 
+def q_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted corpus mixing (llm/sampling.py mix_corpora):
+    English docs over-sampled 1.5 epochs, everything else down-sampled to
+    40%. Oracle: DuckDB reproduces each replica's member set from the same
+    portable seeded hash."""
+    from gluestick_spark.llm.sampling import mix_corpora
+
+    d = _t(spark, sf_dir, "documents")
+    out = mix_corpora(
+        {
+            "en": (d.where(F.col("lang") == "en"), 1.5),
+            "rest": (d.where(F.col("lang") != "en"), 0.4),
+        },
+        "doc_id",
+    )
+    return out.select("doc_id", "mix_source", "mix_replica")
+
+
+_MIX_50PCT = int(0.5 * float(1 << 60))
+_MIX_40PCT = int((0.4 - 0) * float(1 << 60))
+
+_Q_MIX_CORPORA_SQL = f"""
+SELECT doc_id, 'en' AS mix_source, 0 AS mix_replica FROM documents WHERE lang = 'en'
+UNION ALL
+SELECT doc_id, 'en', 1 FROM documents
+WHERE lang = 'en'
+  AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || '|en|1'), 1, 15) AS UBIGINT)
+      < {_MIX_50PCT}
+UNION ALL
+SELECT doc_id, 'rest', 0 FROM documents
+WHERE lang <> 'en'
+  AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || '|rest|0'), 1, 15) AS UBIGINT)
+      < {_MIX_40PCT}
+"""
+
+
 def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (llm/packing.py): docs → token-budgeted bins via
     sharded hash-ordered running sums — one shuffle on the shard id, no
@@ -2222,6 +2258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "hash_split": q_hash_split,
         "pack_documents": q_pack_documents,
+        "mix_corpora": q_mix_corpora,
     }
 
 
@@ -2304,4 +2341,5 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": _Q_HASH_SAMPLE_SQL,
         "hash_split": _Q_HASH_SPLIT_SQL,
         "pack_documents": _Q_PACK_DOCS_SQL,
+        "mix_corpora": _Q_MIX_CORPORA_SQL,
     }

@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     "time_rollup",
     "kmv_distinct",
     "kmv_merge",
+    "hash_split",
+    "pack_documents",
+    "mix_corpora",
 ]
 
 

@@ -32,7 +32,7 @@ from .sketch import (
     kmv_merge,
     kmv_sketch,
 )
-from .sampling import hash_sample, hash_sample_expr, hash_split
+from .sampling import hash_sample, hash_sample_expr, hash_split, mix_corpora
 from .packing import pack_documents
 from .similarity import (
     cosine_expr,

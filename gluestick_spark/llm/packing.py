@@ -68,17 +68,32 @@ def pack_documents(
     sharded = df.withColumn("__h__", h).withColumn(
         "__shard__", F.pmod(F.col("__h__"), F.lit(n_shards)).cast("int")
     )
+    # Every window below shares ONE partitioning (__shard__) and ONE
+    # ordering (__h__, key): a single Exchange + sort serves the running
+    # sum, the row numbers, and the bin-start scan. pack_pos is derived
+    # from the same sort (bins are contiguous runs) instead of a second
+    # window partitioned by pack_id — which would be a second full shuffle.
     w = Window.partitionBy("__shard__").orderBy(F.col("__h__"), F.col(key_col))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     start = F.coalesce(
         F.sum(F.col(token_col)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),
     )
     local_bin = F.floor(start / F.lit(budget))
-    packed = sharded.withColumn(
-        "pack_id", F.col("__shard__").cast("long") * _BIN_STRIDE + local_bin
+    packed = (
+        sharded.withColumn("__bin__", local_bin)
+        .withColumn("__rn__", F.row_number().over(w))
+        .withColumn(
+            "__st__",
+            F.when(F.col("__bin__") != F.lag("__bin__", 1, -1).over(w), F.col("__rn__")),
+        )
+        .withColumn("__binstart__", F.max("__st__").over(run))
+        .drop("__st__")
     )
-    pos_w = Window.partitionBy("pack_id").orderBy(F.col("__h__"), F.col(key_col))
     return (
-        packed.withColumn("pack_pos", F.row_number().over(pos_w))
-        .drop("__h__", "__shard__")
+        packed.withColumn(
+            "pack_id", F.col("__shard__").cast("long") * _BIN_STRIDE + F.col("__bin__")
+        )
+        .withColumn("pack_pos", (F.col("__rn__") - F.col("__binstart__") + 1).cast("int"))
+        .drop("__h__", "__shard__", "__bin__", "__rn__", "__binstart__")
     )

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from .sketch import kmv_hash_expr
 
-__all__ = ["hash_sample_expr", "hash_sample", "hash_split"]
+__all__ = ["hash_sample_expr", "hash_sample", "hash_split", "mix_corpora"]
 
 _SPACE = float(1 << 60)
 
@@ -81,3 +81,52 @@ def hash_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def mix_corpora(
+    sources: dict[str, tuple[DataFrame, float]],
+    key_col: str,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic weighted corpus mixing: each named source contributes
+    ``rate`` epochs of itself — the up/down-sampling step of a training-mix
+    recipe (e.g. web 0.3, code 2.5 means 30% of web, code repeated 2½×).
+
+    ``rate`` < 1 down-samples by key hash (group-consistent, reproducible);
+    ``rate`` > 1 emits ⌊rate⌋ full replicas plus a hash-sampled fractional
+    replica, each tagged with ``mix_replica`` (0-based) so downstream
+    shuffling (:func:`pack_documents`' hash order, seeded per replica)
+    interleaves replicas instead of repeating them back-to-back.
+    Fractional membership hashes are seeded per (source, replica), so the
+    fractional subset is independent of any other source's sampling.
+
+    All sources must share a schema (align columns first — e.g.
+    ``union_relaxed``). Output adds ``mix_source`` and ``mix_replica``.
+    Plan: a union of filtered narrow projections — no shuffle of its own.
+    """
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    parts = []
+    for name, (df, rate) in sources.items():
+        if rate < 0:
+            raise ValueError(f"rate must be >= 0, got {rate} for {name!r}")
+        full, frac = int(rate), rate - int(rate)
+        for i in range(full):
+            parts.append(
+                df.withColumn("mix_source", F.lit(name)).withColumn(
+                    "mix_replica", F.lit(i)
+                )
+            )
+        if frac > 1e-12:
+            member = hash_sample_expr(
+                F.col(key_col), frac, seed=f"{seed}|{name}|{full}"
+            )
+            parts.append(
+                df.where(member)
+                .withColumn("mix_source", F.lit(name))
+                .withColumn("mix_replica", F.lit(full))
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

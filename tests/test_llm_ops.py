@@ -756,3 +756,29 @@ def test_pack_documents_python_reference(spark):
 
     got = {r["k"]: r["pack_id"] for r in pack_documents(df, "t", 50, "k", n_shards=8).collect()}
     assert got == want
+
+
+def test_mix_corpora_rates_and_determinism(spark):
+    """rate<1 down-samples by key hash; rate>1 emits full replicas + an
+    independent fractional replica; zero-rate sources vanish; output is
+    identical across runs/partitionings."""
+    from gluestick_spark.llm.sampling import mix_corpora
+
+    web = spark.range(1000).select(F.col("id").alias("k"), F.lit("w").alias("t"))
+    code = spark.range(1000, 1200).select(F.col("id").alias("k"), F.lit("c").alias("t"))
+    out = mix_corpora({"web": (web, 0.4), "code": (code, 2.5)}, "k")
+    rows = out.collect()
+
+    n_web = sum(1 for r in rows if r["mix_source"] == "web")
+    assert 0.3 * 1000 < n_web < 0.5 * 1000
+    code_rows = [r for r in rows if r["mix_source"] == "code"]
+    reps = {r["mix_replica"] for r in code_rows}
+    assert reps == {0, 1, 2}
+    n_by_rep = {i: sum(1 for r in code_rows if r["mix_replica"] == i) for i in reps}
+    assert n_by_rep[0] == 200 and n_by_rep[1] == 200 and 60 < n_by_rep[2] < 140
+
+    again = mix_corpora({"web": (web.repartition(7), 0.4), "code": (code, 2.5)}, "k")
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+    with pytest.raises(ValueError, match="rate"):
+        mix_corpora({"web": (web, -0.1)}, "k")

@@ -197,3 +197,12 @@ def test_embedding_oracle_geometry_alignment():
     assert f"* {bits})) & {(1 << bits) - 1}" in sql
     # one VALUES tuple per hyperplane: chunks(4) × bits
     assert sql.count("]::DOUBLE[])") == 4 * bits
+
+
+def test_pack_documents_single_shuffle(spark):
+    """Packing runs on ONE exchange + ONE sort: pack_pos derives from the
+    shard sort (bins are contiguous runs), never a second window shuffled
+    on pack_id."""
+    plan = _plan(_queries()["pack_documents"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort ") == 1
