@@ -1729,6 +1729,40 @@ FROM h GROUP BY 1
 """
 
 
+def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building (llm/text.py build_vocab): top-200 tokens by
+    exact corpus frequency with contiguous rank ids (count desc, token asc
+    — deterministic ties). One explode + ONE hash aggregate (occurrences +
+    document frequency together, map-side combined), then a top-k — never
+    a global sort of the full vocabulary."""
+    from gluestick_spark.llm.text import build_vocab
+
+    d = _tp(spark, sf_dir, "documents", "doc_id")
+    return build_vocab(d, "text", max_size=200, min_count=2, id_col="doc_id")
+
+
+_Q_BUILD_VOCAB_SQL = r"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS tok
+  FROM documents
+),
+t AS (SELECT doc_id, lower(tok) AS token FROM raw),
+f AS (
+  SELECT token,
+         count(*) AS n_occurrences,
+         count(DISTINCT doc_id) AS n_docs
+  FROM t GROUP BY token HAVING count(*) >= 2
+),
+r AS (
+  SELECT token, n_occurrences, n_docs,
+         CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) - 1 AS INT) AS token_id
+  FROM f
+)
+SELECT token, n_occurrences, n_docs, token_id FROM r WHERE token_id < 200
+"""
+
+
 def q_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted corpus mixing (llm/sampling.py mix_corpora):
     English docs over-sampled 1.5 epochs, everything else down-sampled to
@@ -2259,6 +2293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "pack_documents": q_pack_documents,
         "mix_corpora": q_mix_corpora,
+        "build_vocab": q_build_vocab,
     }
 
 
@@ -2342,4 +2377,5 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": _Q_HASH_SPLIT_SQL,
         "pack_documents": _Q_PACK_DOCS_SQL,
         "mix_corpora": _Q_MIX_CORPORA_SQL,
+        "build_vocab": _Q_BUILD_VOCAB_SQL,
     }

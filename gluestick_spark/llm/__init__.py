@@ -11,6 +11,8 @@ from .text import (
     rolling_hashes_expr,
     winnow_fingerprint_expr,
     winnow_fp_from_hashes,
+    token_frequencies,
+    build_vocab,
 )
 from .dedup import (
     minhash_signatures,

@@ -30,6 +30,8 @@ __all__ = [
     "rolling_hashes_expr",
     "winnow_fingerprint_expr",
     "winnow_fp_from_hashes",
+    "token_frequencies",
+    "build_vocab",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -321,3 +323,62 @@ def winnow_fp_from_hashes(hashes: Column, p: int = 8) -> Column:
     count and the fingerprint from it."""
     selected = F.array_sort(F.array_distinct(F.filter(hashes, lambda h: h % p == 0)))
     return F.md5(F.concat_ws(",", F.transform(selected, lambda h: h.cast("string"))))
+
+
+def token_frequencies(
+    df,
+    text_col: str,
+    id_col: str | None = None,
+    min_count: int = 1,
+    lowercase: bool = True,
+):
+    """Exact corpus-wide token frequencies: (``token``, ``n_occurrences``,
+    ``n_docs``). The vocabulary-building primitive.
+
+    Plan: tokenize (JVM expression) → explode → ONE hash aggregate:
+    ``count(*)`` for occurrences, ``count(distinct doc)`` for document
+    frequency. Both run with map-side partial aggregation, so the shuffle
+    carries one row per distinct (token, doc) — never one per occurrence.
+    ``min_count`` prunes the long tail (most of any corpus vocabulary) at
+    the aggregate, before anything downstream sees it. When ``id_col`` is
+    None a synthetic per-row id feeds the document count (rows ARE docs).
+    """
+    toks = tokens_expr(F.col(text_col))
+    if lowercase:
+        toks = F.transform(toks, F.lower)
+    doc = F.col(id_col) if id_col else F.monotonically_increasing_id()
+    ex = df.select(doc.alias("__doc__"), F.explode(toks).alias("token"))
+    out = ex.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("__doc__").alias("n_docs"),
+    )
+    if min_count > 1:
+        out = out.where(F.col("n_occurrences") >= min_count)
+    return out
+
+
+def build_vocab(
+    df,
+    text_col: str,
+    max_size: int = 50_000,
+    min_count: int = 1,
+    lowercase: bool = True,
+    id_col: str | None = None,
+):
+    """Ranked vocabulary: the ``max_size`` most frequent tokens with
+    contiguous ids 0..n-1 (rank order: count desc, then token asc — fully
+    deterministic, no hash-order ties).
+
+    Scale note: the final ranking is a top-k (TakeOrdered-style limit +
+    one bounded window over ≤ ``max_size`` rows), never a global sort of
+    the whole vocabulary — the long tail was already pruned by the
+    aggregate + limit.
+    """
+    freqs = token_frequencies(df, text_col, id_col, min_count, lowercase)
+    top = freqs.orderBy(F.col("n_occurrences").desc(), F.col("token").asc()).limit(
+        max_size
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return top.withColumn("token_id", F.row_number().over(w) - 1)

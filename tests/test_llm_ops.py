@@ -782,3 +782,31 @@ def test_mix_corpora_rates_and_determinism(spark):
 
     with pytest.raises(ValueError, match="rate"):
         mix_corpora({"web": (web, -0.1)}, "k")
+
+
+def test_token_frequencies_and_vocab(spark):
+    """Exact occurrence + document frequencies; vocabulary ids are
+    contiguous rank-ordered (count desc, token asc) and deterministic."""
+    from gluestick_spark.llm.text import build_vocab, token_frequencies
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat the dog"),
+            Row(doc_id=2, text="The cat sat"),
+            Row(doc_id=3, text="dog runs"),
+        ]
+    )
+    f = {r["token"]: (r["n_occurrences"], r["n_docs"])
+         for r in token_frequencies(df, "text", id_col="doc_id").collect()}
+    assert f["the"] == (3, 2)      # lowercased: "The" folds in
+    assert f["cat"] == (2, 2)
+    assert f["dog"] == (2, 2)
+    assert f["sat"] == (1, 1)
+
+    v = build_vocab(df, "text", max_size=3, id_col="doc_id")
+    rows = sorted(v.collect(), key=lambda r: r["token_id"])
+    assert [r["token"] for r in rows] == ["the", "cat", "dog"]  # tie: cat < dog
+    assert [r["token_id"] for r in rows] == [0, 1, 2]
+
+    cut = token_frequencies(df, "text", id_col="doc_id", min_count=2)
+    assert {r["token"] for r in cut.collect()} == {"the", "cat", "dog"}
