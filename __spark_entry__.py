@@ -1729,6 +1729,48 @@ FROM h GROUP BY 1
 """
 
 
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (llm/decontam.py): every corpus doc
+    sharing ≥4 distinct word 8-grams with a 'benchmark' (every 50th doc).
+    Engine joins on xxhash64 gram hashes (8-byte keys, benchmark side
+    broadcastable); the oracle joins the gram STRINGS — identical results
+    absent a 64-bit collision, so the oracle also witnesses that hashing
+    loses nothing."""
+    from gluestick_spark.llm.decontam import contamination_pairs
+
+    d = _tp(spark, sf_dir, "documents", "doc_id")
+    bench = d.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bid"), F.col("text").alias("q")
+    )
+    return contamination_pairs(
+        d, bench, "text", "doc_id", "q", "bid", n=8, min_overlap=4
+    )
+
+
+_Q_CONTAMINATION_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_transform(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''),
+                        x -> lower(x)) AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 8
+              THEN list_distinct(list_transform(range(1, len(t) - 8 + 2),
+                     i -> array_to_string(list_slice(t, i, i + 7), ' ')))
+              ELSE [] END AS gs
+  FROM tok
+),
+c AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+b AS (SELECT DISTINCT doc_id AS bench_id, unnest(gs) AS g FROM grams WHERE doc_id % 50 = 0)
+SELECT c.doc_id, b.bench_id, count(DISTINCT c.g) AS n_shared
+FROM c JOIN b ON c.g = b.g
+GROUP BY c.doc_id, b.bench_id
+HAVING count(DISTINCT c.g) >= 4
+"""
+
+
 def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary building (llm/text.py build_vocab): top-200 tokens by
     exact corpus frequency with contiguous rank ids (count desc, token asc
@@ -2294,6 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": q_pack_documents,
         "mix_corpora": q_mix_corpora,
         "build_vocab": q_build_vocab,
+        "contamination_check": q_contamination_check,
     }
 
 
@@ -2378,4 +2421,5 @@ def oracle_sql() -> dict[str, str]:
         "pack_documents": _Q_PACK_DOCS_SQL,
         "mix_corpora": _Q_MIX_CORPORA_SQL,
         "build_vocab": _Q_BUILD_VOCAB_SQL,
+        "contamination_check": _Q_CONTAMINATION_SQL,
     }

@@ -810,3 +810,37 @@ def test_token_frequencies_and_vocab(spark):
 
     cut = token_frequencies(df, "text", id_col="doc_id", min_count=2)
     assert {r["token"] for r in cut.collect()} == {"the", "cat", "dog"}
+
+
+def test_contamination_pairs_and_decontaminate(spark):
+    """N-gram overlap flags docs containing benchmark text (≥min_overlap
+    shared distinct n-grams); unrelated docs and too-short docs don't fire;
+    decontaminate drops exactly the flagged ids."""
+    from gluestick_spark.llm.decontam import contamination_pairs, decontaminate
+
+    bench_text = "what is the capital of france paris is the capital of france"
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="intro text " + bench_text + " trailing words here"),
+            Row(doc_id=2, text="The capital OF France Paris is widely known today"),  # partial, case-folded
+            Row(doc_id=3, text="a completely unrelated document about spark shuffles and joins"),
+            Row(doc_id=4, text="too short"),
+        ]
+    )
+    bench = spark.createDataFrame([Row(bid=100, q=bench_text)])
+
+    pairs = {
+        (r["doc_id"], r["bench_id"]): r["n_shared"]
+        for r in contamination_pairs(corpus, bench, "text", "doc_id", "q", "bid", n=5).collect()
+    }
+    # the bench item has 7 DISTINCT 5-grams (one repeats); doc 1 embeds all
+    assert pairs[(1, 100)] == 7
+    assert (2, 100) in pairs                           # shares "the capital of france paris"-ish grams
+    assert (3, 100) not in pairs and (4, 100) not in pairs
+
+    kept = sorted(
+        r["doc_id"]
+        for r in decontaminate(corpus, bench, "text", "doc_id", "q", "bid", n=5, min_overlap=3).collect()
+    )
+    assert kept == [2, 3, 4] or kept == [3, 4]  # doc2 drops iff it clears min_overlap=3
+    assert 1 not in kept
