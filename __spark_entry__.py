@@ -1729,6 +1729,55 @@ FROM h GROUP BY 1
 """
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (llm/pii.py): every 10th doc gets a deterministic
+    synthetic email + IPv4 injected, then the whole corpus is redacted and
+    audited. Pure JVM regexp expressions; the oracle applies the SAME
+    portable regexes in DuckDB (RE2) with the 'g' flag — byte-identical
+    redacted text both sides."""
+    from gluestick_spark.llm.pii import pii_counts_expr, redact_pii_expr
+
+    d = _tp(spark, sf_dir, "documents", "doc_id")
+    injected = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com ip 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1"),
+        ),
+    ).otherwise(F.col("text"))
+    counts = pii_counts_expr(injected)
+    return d.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ip"),
+        F.md5(redact_pii_expr(injected)).alias("redacted_md5"),
+    )
+
+
+_Q_PII_SQL = r"""
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+              ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g')) AS redacted_md5
+FROM inj
+"""
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (llm/decontam.py): every corpus doc
     sharing ≥4 distinct word 8-grams with a 'benchmark' (every 50th doc).
@@ -2337,6 +2386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpora": q_mix_corpora,
         "build_vocab": q_build_vocab,
         "contamination_check": q_contamination_check,
+        "pii_redaction": q_pii_redaction,
     }
 
 
@@ -2422,4 +2472,5 @@ def oracle_sql() -> dict[str, str]:
         "mix_corpora": _Q_MIX_CORPORA_SQL,
         "build_vocab": _Q_BUILD_VOCAB_SQL,
         "contamination_check": _Q_CONTAMINATION_SQL,
+        "pii_redaction": _Q_PII_SQL,
     }

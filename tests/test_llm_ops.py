@@ -844,3 +844,28 @@ def test_contamination_pairs_and_decontaminate(spark):
     )
     assert kept == [2, 3, 4] or kept == [3, 4]  # doc2 drops iff it clears min_overlap=3
     assert 1 not in kept
+
+
+def test_pii_redaction_and_counts(spark):
+    """Emails, IPv4s, and SSN-shaped ids are replaced by placeholder
+    tokens; counts audit per-pattern fire rates; clean text is unchanged."""
+    from gluestick_spark.llm.pii import pii_counts_expr, redact_pii_expr
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, text="mail me at jo.doe+x@corp.example.org or 10.0.0.1 ok"),
+            Row(id=2, text="ssn 123-45-6789 twice 987-65-4321."),
+            Row(id=3, text="nothing sensitive here, just 1.5 and v2.0.1 tags"),
+        ]
+    )
+    counts = pii_counts_expr(F.col("text"))
+    out = {r["id"]: r for r in df.select(
+        "id", redact_pii_expr(F.col("text")).alias("red"),
+        counts["email"].alias("e"), counts["ipv4"].alias("ip"), counts["ssn"].alias("s"),
+    ).collect()}
+    assert out[1]["red"] == "mail me at <EMAIL> or <IP> ok"
+    assert (out[1]["e"], out[1]["ip"]) == (1, 1)
+    assert out[2]["red"] == "ssn <SSN> twice <SSN>."
+    assert out[2]["s"] == 2
+    assert out[3]["red"] == out[3]["red"] and out[3]["e"] == 0 and out[3]["ip"] == 0
+    assert "1.5" in out[3]["red"]  # version-ish tokens survive
