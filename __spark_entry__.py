@@ -1729,6 +1729,49 @@ FROM h GROUP BY 1
 """
 
 
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (llm/retrieval.py): every doc matching the
+    query scored by Okapi BM25, coarse-rounded (floor ×100 — the per-doc
+    sum of 2-4 double contributions is summation-order-sensitive at the
+    ulp level; 0.01 buckets make the cross-engine compare robust). The
+    top-k path itself (TakeOrderedAndProject) is covered by the bm25
+    differential pytest."""
+    from gluestick_spark.llm.retrieval import bm25_topk
+
+    d = _tp(spark, sf_dir, "documents", "doc_id")
+    out = bm25_topk(d, "text", "doc_id", "spark merge join window", k=1_000_000)
+    return out.select(
+        "doc_id", (F.floor(F.col("bm25") * 100) / 100).alias("bm25")
+    )
+
+
+_Q_BM25_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_transform(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''),
+                        x -> lower(x)) AS t
+  FROM documents
+),
+stats AS (SELECT count(*) AS n, avg(len(t)) AS avgdl FROM tok),
+hits AS (
+  SELECT doc_id, len(t) AS dl,
+         unnest(list_filter(t, x -> x IN ('join','merge','spark','window'))) AS term
+  FROM tok
+),
+tf AS (SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl FROM hits GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))) AS s
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, floor(s * 100) / 100 AS bm25 FROM scored
+"""
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (llm/pii.py): every 10th doc gets a deterministic
     synthetic email + IPv4 injected, then the whole corpus is redacted and
@@ -2387,6 +2430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "build_vocab": q_build_vocab,
         "contamination_check": q_contamination_check,
         "pii_redaction": q_pii_redaction,
+        "bm25_scores": q_bm25_scores,
     }
 
 
@@ -2473,4 +2517,5 @@ def oracle_sql() -> dict[str, str]:
         "build_vocab": _Q_BUILD_VOCAB_SQL,
         "contamination_check": _Q_CONTAMINATION_SQL,
         "pii_redaction": _Q_PII_SQL,
+        "bm25_scores": _Q_BM25_SQL,
     }

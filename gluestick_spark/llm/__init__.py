@@ -38,6 +38,7 @@ from .sampling import hash_sample, hash_sample_expr, hash_split, mix_corpora
 from .packing import pack_documents
 from .decontam import ngram_hashes_expr, contamination_pairs, decontaminate
 from .pii import PII_PATTERNS, redact_pii_expr, pii_counts_expr
+from .retrieval import bm25_topk
 from .similarity import (
     cosine_expr,
     cosine_similarity,

@@ -869,3 +869,42 @@ def test_pii_redaction_and_counts(spark):
     assert out[2]["s"] == 2
     assert out[3]["red"] == out[3]["red"] and out[3]["e"] == 0 and out[3]["ip"] == 0
     assert "1.5" in out[3]["red"]  # version-ish tokens survive
+
+
+def test_bm25_topk_reference(spark):
+    """Differential check vs a direct python Okapi BM25 computation: same
+    scores (1e-9), same ranking; docs without any query term excluded."""
+    import math
+
+    from gluestick_spark.llm.retrieval import bm25_topk
+
+    texts = {
+        1: "spark shuffle join optimizer shuffle",
+        2: "spark spark spark streaming watermark",
+        3: "completely unrelated words entirely here now",
+        4: "the shuffle of a deck of cards",
+    }
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in texts.items()])
+    q = "spark shuffle"
+    got = {r["doc_id"]: r["bm25"] for r in bm25_topk(df, "text", "doc_id", q, k=10).collect()}
+
+    k1, b = 1.2, 0.75
+    toks = {i: t.split() for i, t in texts.items()}
+    N = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / N
+    want = {}
+    for term in {"spark", "shuffle"}:
+        dfreq = sum(1 for v in toks.values() if term in v)
+        idf = math.log((N - dfreq + 0.5) / (dfreq + 0.5) + 1)
+        for i, v in toks.items():
+            tf = v.count(term)
+            if tf:
+                want[i] = want.get(i, 0.0) + idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+    assert set(got) == set(want) and 3 not in got
+    for i in want:
+        assert abs(got[i] - want[i]) < 1e-9, i
+    ranked = sorted(got, key=lambda i: (-got[i], i))
+    assert ranked[0] in (1, 2)
+
+    with pytest.raises(ValueError, match="query"):
+        bm25_topk(df, "text", "doc_id", "   ")
