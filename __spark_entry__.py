@@ -1729,6 +1729,48 @@ FROM h GROUP BY 1
 """
 
 
+def q_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (operators/profile.py): all stats for two event
+    columns in ONE aggregate/one scan. Exact sort-based percentiles keep
+    the oracle bit-comparable (DuckDB quantile_cont = same linear
+    interpolation); mean/stddev are floor-rounded (summation-order ulps)."""
+    from gluestick_spark.operators.profile import profile_numeric
+
+    e = _t(spark, sf_dir, "events")
+    out = profile_numeric(e, ["value", "user_id"])
+    r4 = lambda c: (F.floor(F.col(c) * 1e4) / 1e4).alias(c)
+    return out.select(
+        "column", "n", "n_null", "min", "max", r4("mean"), r4("stddev"), "p50", r4("p95")
+    )
+
+
+_Q_PROFILE_SQL = """
+WITH s AS (
+  SELECT 'value' AS "column", count(*) AS n,
+         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         min(CAST(value AS DOUBLE)) AS min, max(CAST(value AS DOUBLE)) AS max,
+         avg(CAST(value AS DOUBLE)) AS mean, stddev_samp(CAST(value AS DOUBLE)) AS stddev,
+         quantile_cont(CAST(value AS DOUBLE), 0.5) AS p50,
+         quantile_cont(CAST(value AS DOUBLE), 0.95) AS p95
+  FROM events
+  UNION ALL
+  SELECT 'user_id', count(*),
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         min(CAST(user_id AS DOUBLE)), max(CAST(user_id AS DOUBLE)),
+         avg(CAST(user_id AS DOUBLE)), stddev_samp(CAST(user_id AS DOUBLE)),
+         quantile_cont(CAST(user_id AS DOUBLE), 0.5),
+         quantile_cont(CAST(user_id AS DOUBLE), 0.95)
+  FROM events
+)
+SELECT "column", n, n_null, min, max,
+       floor(mean * 1e4) / 1e4 AS mean,
+       floor(stddev * 1e4) / 1e4 AS stddev,
+       p50,
+       floor(p95 * 1e4) / 1e4 AS p95
+FROM s
+"""
+
+
 def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 lexical retrieval (llm/retrieval.py): every doc matching the
     query scored by Okapi BM25, coarse-rounded (floor ×100 — the per-doc
@@ -2431,6 +2473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination_check,
         "pii_redaction": q_pii_redaction,
         "bm25_scores": q_bm25_scores,
+        "profile_numeric": q_profile_numeric,
     }
 
 
@@ -2518,4 +2561,5 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": _Q_CONTAMINATION_SQL,
         "pii_redaction": _Q_PII_SQL,
         "bm25_scores": _Q_BM25_SQL,
+        "profile_numeric": _Q_PROFILE_SQL,
     }

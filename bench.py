@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     "hash_split",
     "pack_documents",
     "mix_corpora",
+    "build_vocab",
+    "contamination_check",
+    "pii_redaction",
+    "bm25_scores",
 ]
 
 

@@ -507,3 +507,27 @@ def test_asof_join_directions_single_shuffle(spark):
         assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
         assert plan.count("Exchange hashpartitioning") == 1, direction
         assert out.count() == 1000
+
+
+def test_profile_numeric_one_scan(spark):
+    """Exact per-column stats in ONE aggregate over one scan (single
+    Exchange pair, no per-column jobs); null handling matches SQL
+    aggregate semantics."""
+    from pyspark.sql import Row
+
+    from gluestick_spark.operators.profile import profile_numeric
+
+    df = spark.createDataFrame(
+        [Row(a=1.0, b=10), Row(a=3.0, b=None), Row(a=None, b=30), Row(a=2.0, b=20)]
+    )
+    out = {r["column"]: r for r in profile_numeric(df, ["a", "b"]).collect()}
+    assert out["a"]["n"] == 4 and out["a"]["n_null"] == 1
+    assert out["a"]["min"] == 1.0 and out["a"]["max"] == 3.0 and out["a"]["mean"] == 2.0
+    assert out["a"]["p50"] == 2.0
+    assert out["b"]["n_null"] == 1 and out["b"]["p50"] == 20.0
+    plan = profile_numeric(df, ["a", "b"])._jdf.queryExecution().executedPlan().toString()
+    # one aggregate pipeline: a single shuffle (partial -> final agg)
+    assert plan.count("Exchange") <= 2
+
+    with pytest.raises(ValueError, match="cols"):
+        profile_numeric(df, [])
