@@ -1729,6 +1729,55 @@ FROM h GROUP BY 1
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (llm/repetition.py): duplicate-line
+    fractions + top-2-gram char coverage per doc, all via explode + hash
+    aggregate (linear — no per-doc quadratic scans). Fractions are exact
+    integer ratios, so no rounding is needed for the cross-engine hash."""
+    from gluestick_spark.llm.repetition import repetition_stats
+
+    d = _tp(spark, sf_dir, "documents", "doc_id")
+    return repetition_stats(d, "text", "doc_id")
+
+
+_Q_REPETITION_SQL = r"""
+WITH d AS (SELECT doc_id, text FROM documents),
+ln AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, chr(10)), x -> x != '')) AS line
+  FROM d
+),
+pl AS (SELECT doc_id, line, count(*) AS c FROM ln GROUP BY 1, 2),
+ls AS (
+  SELECT doc_id, sum(c) AS nl,
+         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dl,
+         sum(c * length(line)) AS lc,
+         sum(CASE WHEN c >= 2 THEN c * length(line) ELSE 0 END) AS dlc
+  FROM pl GROUP BY 1
+),
+tok AS (
+  SELECT doc_id, length(text) AS chars,
+         list_transform(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''),
+                        x -> lower(x)) AS t
+  FROM d
+),
+gr AS (
+  SELECT doc_id, chars,
+         unnest(CASE WHEN len(t) >= 2
+                     THEN list_transform(range(1, len(t)),
+                            i -> array_to_string(list_slice(t, i, i + 1), ' '))
+                     ELSE [] END) AS g
+  FROM tok
+),
+pg AS (SELECT doc_id, g, count(*) AS c, any_value(chars) AS chars FROM gr GROUP BY 1, 2),
+gs AS (SELECT doc_id, max(c * length(g)) AS topg, any_value(chars) AS chars FROM pg GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(CAST(ls.dl AS DOUBLE) / ls.nl, 0.0) AS dup_line_frac,
+       COALESCE(CAST(ls.dlc AS DOUBLE) / ls.lc, 0.0) AS dup_line_char_frac,
+       COALESCE(CAST(gs.topg AS DOUBLE) / gs.chars, 0.0) AS top_ngram_char_frac
+FROM d LEFT JOIN ls USING (doc_id) LEFT JOIN gs USING (doc_id)
+"""
+
+
 def q_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (operators/profile.py): all stats for two event
     columns in ONE aggregate/one scan. Exact sort-based percentiles keep
@@ -2474,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "bm25_scores": q_bm25_scores,
         "profile_numeric": q_profile_numeric,
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -2562,4 +2612,5 @@ def oracle_sql() -> dict[str, str]:
         "pii_redaction": _Q_PII_SQL,
         "bm25_scores": _Q_BM25_SQL,
         "profile_numeric": _Q_PROFILE_SQL,
+        "repetition_stats": _Q_REPETITION_SQL,
     }

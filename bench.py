@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "contamination_check",
     "pii_redaction",
     "bm25_scores",
+    "repetition_stats",
+    "profile_numeric",
 ]
 
 

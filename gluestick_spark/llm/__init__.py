@@ -39,6 +39,7 @@ from .packing import pack_documents
 from .decontam import ngram_hashes_expr, contamination_pairs, decontaminate
 from .pii import PII_PATTERNS, redact_pii_expr, pii_counts_expr
 from .retrieval import bm25_topk
+from .repetition import repetition_stats
 from .similarity import (
     cosine_expr,
     cosine_similarity,

@@ -908,3 +908,25 @@ def test_bm25_topk_reference(spark):
 
     with pytest.raises(ValueError, match="query"):
         bm25_topk(df, "text", "doc_id", "   ")
+
+
+def test_repetition_stats_reference(spark):
+    """Gopher-style repetition signals vs hand-computed values: duplicate
+    line fractions (occurrence- and char-weighted) and top-2-gram char
+    coverage; empty docs are all zeros."""
+    from gluestick_spark.llm.repetition import repetition_stats
+
+    doc1 = "spam line\nreal content here\nspam line\nmore text"
+    doc2 = "buy now buy now buy now"
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=doc1), Row(doc_id=2, text=doc2), Row(doc_id=3, text="")]
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, "text", "doc_id").collect()}
+
+    # doc1: 4 lines, "spam line" twice → 2/4 dup; chars: 2*9 dup of (9+17+9+9)=44
+    assert abs(out[1]["dup_line_frac"] - 0.5) < 1e-9
+    assert abs(out[1]["dup_line_char_frac"] - 18 / 44) < 1e-9
+    # doc2: 2-grams of 6 tokens → 5 grams; "buy now" occurs 3x, len 7;
+    # chars = 23 → 21/23
+    assert abs(out[2]["top_ngram_char_frac"] - 21 / 23) < 1e-9
+    assert out[3]["dup_line_frac"] == 0.0 and out[3]["top_ngram_char_frac"] == 0.0
