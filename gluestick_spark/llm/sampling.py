@@ -126,6 +126,8 @@ def mix_corpora(
                 .withColumn("mix_source", F.lit(name))
                 .withColumn("mix_replica", F.lit(full))
             )
+    if not parts:
+        raise ValueError("all rates are 0 — the mix would be empty")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
