@@ -206,3 +206,24 @@ def test_pack_documents_single_shuffle(spark):
     plan = _plan(_queries()["pack_documents"](spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Sort ") == 1
+
+
+def test_bm25_plan_shapes(spark):
+    """BM25 ends in a top-k (TakeOrderedAndProject — no global sort); the
+    1-row stats frame rides a broadcast, and nothing degrades to a
+    CartesianProduct."""
+    plan = _plan(_queries()["bm25_scores"](spark, SF).limit(10))
+    assert "CartesianProduct" not in plan
+    from gluestick_spark.llm.retrieval import bm25_topk
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    topk = bm25_topk(d, "text", "doc_id", "spark join", k=5)
+    p2 = _plan(topk)
+    assert "TakeOrderedAndProject" in p2 and "CartesianProduct" not in p2
+
+
+def test_contamination_plan_no_cartesian(spark):
+    """Decontamination joins on gram hashes — a hash join, never a corpus
+    × benchmark nested loop."""
+    plan = _plan(_queries()["contamination_check"](spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -207,6 +207,44 @@ def main() -> None:
 
     event_family = set(event_ops)
 
+    # --- round-5 text/sampling family (docs-replica inputs) ---
+    from gluestick_spark.llm.decontam import contamination_pairs
+    from gluestick_spark.llm.packing import pack_documents
+    from gluestick_spark.llm.repetition import repetition_stats
+    from gluestick_spark.llm.retrieval import bm25_topk
+    from gluestick_spark.llm.text import build_vocab, word_count_expr
+
+    def _pack(d):
+        toks = d.select("doc_id", word_count_expr(F.col("text")).cast("long").alias("n"))
+        return pack_documents(toks, "n", budget=512, key_col="doc_id").count()
+
+    def _vocab(d):
+        return build_vocab(d, "text", max_size=1000, min_count=2, id_col="doc_id").count()
+
+    def _contam(d):
+        bench = d.where(F.col("doc_id") % 500 == 0).select(
+            F.col("doc_id").alias("bid"), F.col("text").alias("q")
+        )
+        return contamination_pairs(
+            d, bench, "text", "doc_id", "q", "bid", n=8, min_overlap=4
+        ).count()
+
+    def _rep(d):
+        return repetition_stats(d, "text", "doc_id").count()
+
+    def _bm25(d):
+        return bm25_topk(d, "text", "doc_id", "spark merge join window", k=100).count()
+
+    doc_ops = {
+        "pack_documents": _pack,
+        "build_vocab": _vocab,
+        "contamination_pairs": _contam,
+        "repetition_stats": _rep,
+        "bm25_topk": _bm25,
+    }
+    for name, fn in doc_ops.items():
+        ops[name] = (lambda f=fn: f(docs1), lambda f=fn: f(docsR))
+
     import math
 
     summary = {}
