@@ -30,6 +30,10 @@ _SPACE = float(1 << 60)
 def _keyed_hash(col: Column, seed: str) -> Column:
     # The seed is mixed into the hashed STRING (not xor'd after) so
     # different seeds give independent (not merely shifted) subsets.
+    # NULL keys: concat_ws drops nulls, so every NULL key hashes like the
+    # bare seed — all null-keyed rows travel together (one consistent
+    # sample/split/shard), which is the group-consistency contract applied
+    # to the null group.
     return kmv_hash_expr(F.concat_ws("\x1f", col.cast("string"), F.lit(seed)))
 
 

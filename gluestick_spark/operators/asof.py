@@ -61,10 +61,11 @@ def asof_join(
     ``direction``: ``"backward"`` (latest right at-or-before each left ts —
     the default), ``"forward"`` (earliest right at-or-after), or
     ``"nearest"`` (whichever of the two is closer; ties go backward, as in
-    pandas ``merge_asof``). ``inclusive=False`` makes the bound strict
-    (excludes equal timestamps; ignored for ``"nearest"``, which is always
-    inclusive). ``tolerance`` (in the timestamp column's native units —
-    seconds for timestamps) nulls out matches farther than the bound.
+    pandas ``merge_asof``). ``inclusive=False`` makes the bound strict —
+    equal-timestamp right rows are excluded, in every direction (for
+    ``"nearest"`` this is pandas ``allow_exact_matches=False``).
+    ``tolerance`` (in the timestamp column's native units — seconds for
+    timestamps) nulls out matches farther than the bound.
 
     Returns all left rows (left-outer semantics: no matching right row →
     null payload) with one ``{col}{suffix}`` column per right value column.

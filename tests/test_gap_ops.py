@@ -531,3 +531,19 @@ def test_profile_numeric_one_scan(spark):
 
     with pytest.raises(ValueError, match="cols"):
         profile_numeric(df, [])
+
+
+def test_asof_join_nearest_strict(spark):
+    """nearest + inclusive=False = pandas allow_exact_matches=False: an
+    equal-ts right row is skipped and the next-closest row wins."""
+    from pyspark.sql import Row
+
+    from gluestick_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([Row(k=1, ts=10, ev="x")])
+    right = spark.createDataFrame(
+        [Row(k=1, ts=10, px=1), Row(k=1, ts=13, px=2), Row(k=1, ts=4, px=3)]
+    )
+    inc = asof_join(left, right, "k", direction="nearest").first()["px_asof"]
+    strict = asof_join(left, right, "k", direction="nearest", inclusive=False).first()["px_asof"]
+    assert inc == 1 and strict == 2
