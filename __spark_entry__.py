@@ -1729,6 +1729,59 @@ FROM h GROUP BY 1
 """
 
 
+def q_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled per-user daily activity (operators/gapfill.py —
+    TimescaleDB time_bucket_gapfill parity): dense grid between each
+    user's first and last active day, missing days flagged and
+    locf-forward-filled. Oracle: DuckDB generate_series grid + LEFT JOIN +
+    last_value IGNORE NULLS."""
+    from gluestick_spark.functions.datetimes import as_timestamp
+    from gluestick_spark.operators.gapfill import fill_gaps
+
+    e = _t(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id", as_timestamp(e, "ts").cast("timestamp").alias("ts"),
+        _dec("value").alias("v"),
+    )
+    out = fill_gaps(
+        ev, "ts", 86400, ["user_id"],
+        {"n_events": F.count("*"), "total_value": F.sum("v").cast("double")},
+        fill="locf",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("bucket_ts", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "total_value",
+        "is_gap",
+    )
+
+
+_Q_GAPFILL_SQL = """
+WITH obs AS (
+  SELECT user_id,
+         CAST(epoch(ts) AS BIGINT) // 86400 * 86400 AS b,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM obs GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(lo, hi, 86400)) AS b FROM spans),
+j AS (
+  SELECT g.user_id, g.b, o.n_events, o.total_value,
+         o.n_events IS NULL AS is_gap
+  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b
+)
+SELECT user_id,
+       strftime(to_timestamp(b), '%Y-%m-%d') AS day,
+       last_value(n_events IGNORE NULLS) OVER w AS n_events,
+       last_value(total_value IGNORE NULLS) OVER w AS total_value,
+       is_gap
+FROM j
+WINDOW w AS (PARTITION BY user_id ORDER BY b ROWS UNBOUNDED PRECEDING)
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters (llm/repetition.py): duplicate-line
     fractions + top-2-gram char coverage per doc, all via explode + hash
@@ -2524,6 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": q_bm25_scores,
         "profile_numeric": q_profile_numeric,
         "repetition_stats": q_repetition_stats,
+        "gapfill_daily": q_gapfill_daily,
     }
 
 
@@ -2613,4 +2667,5 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores": _Q_BM25_SQL,
         "profile_numeric": _Q_PROFILE_SQL,
         "repetition_stats": _Q_REPETITION_SQL,
+        "gapfill_daily": _Q_GAPFILL_SQL,
     }

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "bm25_scores",
     "repetition_stats",
     "profile_numeric",
+    "gapfill_daily",
 ]
 
 

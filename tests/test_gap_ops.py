@@ -547,3 +547,40 @@ def test_asof_join_nearest_strict(spark):
     inc = asof_join(left, right, "k", direction="nearest").first()["px_asof"]
     strict = asof_join(left, right, "k", direction="nearest", inclusive=False).first()["px_asof"]
     assert inc == 1 and strict == 2
+
+
+def test_fill_gaps_semantics(spark):
+    """Dense grid between each key's first and last bucket; gap rows
+    flagged; locf forward-fills, zero fills with 0, null leaves holes."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from gluestick_spark.operators.gapfill import fill_gaps
+
+    t = lambda h: dt.datetime(2026, 1, 1, h)
+    df = spark.createDataFrame(
+        [
+            Row(k=1, ts=t(0), v=10.0),
+            Row(k=1, ts=t(0), v=5.0),   # same bucket → aggregated
+            Row(k=1, ts=t(3), v=7.0),   # hours 1,2 missing
+            Row(k=2, ts=t(5), v=1.0),   # single-bucket key: no gaps
+        ]
+    )
+    out = fill_gaps(df, "ts", 3600, ["k"], {"v": F.sum("v")}, fill="locf")
+    rows = {(r["k"], r["bucket_ts"].hour): (r["v"], r["is_gap"]) for r in out.collect()}
+    assert rows[(1, 0)] == (15.0, False)
+    assert rows[(1, 1)] == (15.0, True)   # locf from hour 0
+    assert rows[(1, 2)] == (15.0, True)
+    assert rows[(1, 3)] == (7.0, False)
+    assert rows[(2, 5)] == (1.0, False) and len(rows) == 5
+
+    zero = {(r["k"], r["bucket_ts"].hour): r["v"] for r in
+            fill_gaps(df, "ts", 3600, ["k"], {"v": F.sum("v")}, fill="zero").collect()}
+    assert zero[(1, 1)] == 0.0
+    null = {(r["k"], r["bucket_ts"].hour): r["v"] for r in
+            fill_gaps(df, "ts", 3600, ["k"], {"v": F.sum("v")}, fill="null").collect()}
+    assert null[(1, 2)] is None
+
+    with pytest.raises(ValueError, match="fill"):
+        fill_gaps(df, "ts", 3600, ["k"], {"v": F.sum("v")}, fill="interp")
