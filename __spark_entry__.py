@@ -1729,6 +1729,48 @@ FROM h GROUP BY 1
 """
 
 
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-sessionization (operators/sessions.py): same 30-minute
+    gap semantics as the streaming sessionizer, pure window algebra, ALL
+    sessions (batch has no open tail). Oracle: the DuckDB gap-window SQL
+    without the streaming open-session cutoff."""
+    from gluestick_spark.functions.datetimes import as_timestamp
+    from gluestick_spark.operators.sessions import sessionize_batch
+
+    e = _t(spark, sf_dir, "events")
+    ev = e.select("user_id", as_timestamp(e, "ts").cast("timestamp").alias("ts"))
+    out = sessionize_batch(ev, "ts", ["user_id"], gap_minutes=30)
+    iso = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        F.date_format("session_start", iso).alias("session_start"),
+        F.date_format("session_end", iso).alias("session_end"),
+        "n_events",
+    )
+
+
+_Q_SESSIONIZE_BATCH_SQL = """
+WITH marks AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%dT%H:%M:%S.%f') AS session_start,
+       strftime(max(ts), '%Y-%m-%dT%H:%M:%S.%f') AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
 def q_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled per-user daily activity (operators/gapfill.py —
     TimescaleDB time_bucket_gapfill parity): dense grid between each
@@ -2578,6 +2620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_numeric": q_profile_numeric,
         "repetition_stats": q_repetition_stats,
         "gapfill_daily": q_gapfill_daily,
+        "sessionize_batch": q_sessionize_batch,
     }
 
 
@@ -2668,4 +2711,5 @@ def oracle_sql() -> dict[str, str]:
         "profile_numeric": _Q_PROFILE_SQL,
         "repetition_stats": _Q_REPETITION_SQL,
         "gapfill_daily": _Q_GAPFILL_SQL,
+        "sessionize_batch": _Q_SESSIONIZE_BATCH_SQL,
     }

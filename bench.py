@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "repetition_stats",
     "profile_numeric",
     "gapfill_daily",
+    "sessionize_batch",
 ]
 
 

@@ -584,3 +584,65 @@ def test_fill_gaps_semantics(spark):
 
     with pytest.raises(ValueError, match="fill"):
         fill_gaps(df, "ts", 3600, ["k"], {"v": F.sum("v")}, fill="interp")
+
+
+def test_sessionize_batch_matches_streaming_semantics(spark):
+    """Batch sessionization: gap > threshold splits; events within the gap
+    chain; single-event sessions; one Exchange serves both windows."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from gluestick_spark.operators.sessions import sessionize_batch
+
+    t = lambda m: dt.datetime(2026, 1, 1, 12, m)
+    df = spark.createDataFrame(
+        [
+            Row(u=1, ts=t(0)), Row(u=1, ts=t(10)), Row(u=1, ts=t(50)),  # 40min gap → split
+            Row(u=2, ts=t(5)),
+        ]
+    )
+    out = sessionize_batch(df, "ts", ["u"], gap_minutes=30)
+    rows = sorted(
+        ((r["u"], r["session_start"].minute, r["session_end"].minute, r["n_events"]) for r in out.collect())
+    )
+    assert rows == [(1, 0, 10, 2), (1, 50, 50, 1), (2, 5, 5, 1)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + partial-agg reuse
+
+
+def test_write_sorted_disjoint_file_ranges(spark, tmp_dir):
+    """Clustered write: every output file owns a DISJOINT key range
+    (parquet footer min/max don't overlap), so key-predicate scans prune
+    to one file. Also verifies the reader sees pushed filters."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from gluestick_spark.sinks.layout import write_sorted
+
+    df = spark.range(10_000).select(
+        (F.col("id") * 37 % 10_000).alias("k"), F.col("id").alias("v")
+    )
+    path = os.path.join(tmp_dir, "sorted")
+    write_sorted(df, path, ["k"], n_files=8)
+
+    ranges = []
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        mins = [md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups)]
+        maxs = [md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)  # disjoint (boundary may touch)
+
+    back = spark.read.parquet(path).where(F.col("k") == 1234)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "k" in plan
+    assert back.count() == df.where(F.col("k") == 1234).count()
