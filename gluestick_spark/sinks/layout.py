@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["write_sorted"]
+__all__ = ["write_sorted", "write_bucketed"]
 
 
 def write_sorted(
@@ -39,3 +39,35 @@ def write_sorted(
     else:
         part = df.repartitionByRange(*sort_cols)
     part.sortWithinPartitions(*sort_cols).write.mode(mode).format(fmt).save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Persist ``df`` as a BUCKETED table: rows are hash-partitioned on
+    ``bucket_cols`` into ``n_buckets`` files per write task, and the
+    bucketing spec is recorded in the catalog.
+
+    This is the co-located-join primitive: two tables bucketed on the same
+    key with the same bucket count join with **zero Exchange** — at 100 TB
+    the bucketed layout converts every repeated fact⋈fact / fact⋈dim join
+    on that key from a full shuffle into a local zip of bucket files (the
+    single biggest recurring-cost saving a warehouse layout can buy).
+    Optional ``sort_cols`` additionally sorts within buckets, enabling
+    sort-merge joins with no sort step. Requires a session catalog
+    (``saveAsTable``); read back with ``spark.table(table)``.
+    """
+    if not bucket_cols:
+        raise ValueError("bucket_cols must be non-empty")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    w = df.write.mode(mode).format(fmt).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

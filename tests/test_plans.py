@@ -227,3 +227,26 @@ def test_contamination_plan_no_cartesian(spark):
     × benchmark nested loop."""
     plan = _plan(_queries()["contamination_check"](spark, SF))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_no_exchange(spark, tmp_dir):
+    """Two tables bucketed on the same key/count join with ZERO Exchange —
+    the co-located-join layout (the recurring-shuffle eliminator at 100 TB)."""
+    import pyspark.sql.functions as F
+
+    from gluestick_spark.sinks.layout import write_bucketed
+
+    a = spark.range(5000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(5000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    write_bucketed(a, "bkt_a", ["k"], 8, sort_cols=["k"])
+    write_bucketed(b, "bkt_b", ["k"], 8, sort_cols=["k"])
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == 5000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
