@@ -1729,6 +1729,52 @@ FROM h GROUP BY 1
 """
 
 
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection (operators/anomaly.py): each
+    user's daily total vs its own trailing-7-day baseline (current day
+    excluded), cold-start and zero-variance rows NULL. z floor-rounded to
+    0.01 (windowed avg/stddev sum doubles in engine-specific order)."""
+    from gluestick_spark.functions.datetimes import as_timestamp
+    from gluestick_spark.operators.anomaly import rolling_zscore
+
+    e = _t(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id", as_timestamp(e, "ts").cast("timestamp").alias("ts"),
+        _dec("value").alias("v"),
+    )
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.sum("v").cast("double").alias("total")
+    )
+    out = rolling_zscore(daily, "d", "total", ["user_id"], window=7, min_periods=3)
+    return out.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        (F.floor(F.col("zscore") * 100) / 100).alias("zscore"),
+    )
+
+
+_Q_ROLLING_ZSCORE_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+),
+z AS (
+  SELECT user_id, d, v,
+         avg(v) OVER w AS mu,
+         stddev_samp(v) OVER w AS sd,
+         count(v) OVER w AS n
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+       CASE WHEN n >= 3 AND sd IS NOT NULL AND sd > 0
+            THEN floor((v - mu) / sd * 100) / 100 END AS zscore
+FROM z
+"""
+
+
 def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch gap-sessionization (operators/sessions.py): same 30-minute
     gap semantics as the streaming sessionizer, pure window algebra, ALL
@@ -2621,6 +2667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "gapfill_daily": q_gapfill_daily,
         "sessionize_batch": q_sessionize_batch,
+        "rolling_zscore": q_rolling_zscore,
     }
 
 
@@ -2712,4 +2759,5 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _Q_REPETITION_SQL,
         "gapfill_daily": _Q_GAPFILL_SQL,
         "sessionize_batch": _Q_SESSIONIZE_BATCH_SQL,
+        "rolling_zscore": _Q_ROLLING_ZSCORE_SQL,
     }

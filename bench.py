@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "profile_numeric",
     "gapfill_daily",
     "sessionize_batch",
+    "rolling_zscore",
 ]
 
 

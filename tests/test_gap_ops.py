@@ -646,3 +646,29 @@ def test_write_sorted_disjoint_file_ranges(spark, tmp_dir):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "k" in plan
     assert back.count() == df.where(F.col("k") == 1234).count()
+
+
+def test_rolling_zscore_reference(spark):
+    """Trailing-window z-score vs a python reference: current row excluded
+    from its own baseline; cold-start and zero-variance rows yield NULL."""
+    import statistics
+
+    from pyspark.sql import Row
+
+    from gluestick_spark.operators.anomaly import rolling_zscore
+
+    vals = [10.0, 12.0, 11.0, 10.5, 50.0, 11.0]
+    df = spark.createDataFrame([Row(k=1, t=i, v=v) for i, v in enumerate(vals)])
+    out = {r["t"]: r for r in rolling_zscore(df, "t", "v", ["k"], window=4, min_periods=3).collect()}
+
+    assert out[0]["zscore"] is None and out[1]["zscore"] is None and out[2]["zscore"] is None
+    for t in (3, 4, 5):
+        hist = vals[max(0, t - 4):t]
+        mu, sd = statistics.mean(hist), statistics.stdev(hist)
+        assert abs(out[t]["zscore"] - (vals[t] - mu) / sd) < 1e-9, t
+    assert abs(out[4]["zscore"]) > 5  # the spike flags hard
+
+    const = spark.createDataFrame([Row(k=1, t=i, v=5.0) for i in range(5)])
+    rows = rolling_zscore(const, "t", "v", ["k"], window=4, min_periods=3).collect()
+    assert all(r["zscore"] is None for r in rows)
+    assert any(r["baseline_std"] == 0.0 for r in rows)
