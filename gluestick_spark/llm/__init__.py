@@ -51,6 +51,8 @@ from .similarity import (
     ivf_topk_indexed,
     train_ivf_centroids,
     random_hyperplanes,
+    train_pca,
+    pca_project,
 )
 from .multimodal import (
     attach_binary_metadata,

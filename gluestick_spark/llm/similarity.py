@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "train_pca",
+    "pca_project",
     "dot_expr",
     "norm_expr",
     "cosine_expr",
@@ -336,3 +338,44 @@ def ivf_topk_indexed(
     probe = _probe_centroids(query, centroids, nprobe)
     cand = spark.read.parquet(path).where(F.col("centroid_id").isin(probe))
     return cosine_topk(cand.drop("centroid_id"), vec_col, query, k, id_col)
+
+
+def train_pca(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+):
+    """Distributed PCA (MLlib) over an embedding column → fitted model for
+    :func:`pca_project`. Dimensionality reduction is the standard pre-ANN
+    compression (IVF-PQ lineage): a 64→16 projection cuts every downstream
+    distance computation and shuffle payload 4×, at the cost of the
+    variance in the dropped components.
+
+    MLlib computes the covariance spectrum with one distributed pass
+    (RowMatrix Gram aggregation) — no driver-side N×d materialization.
+    """
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    v = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("__v__"))
+    return PCA(k=k, inputCol="__v__", outputCol="__p__").fit(v)
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str,
+    model,
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project the embedding column through a fitted PCA model (JVM-side
+    matrix multiply per row — no Python in the row path). Keeps all other
+    columns; adds ``out_col`` (array<double> of length model.k)."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    tmp = df.withColumn("__v__", array_to_vector(F.col(vec_col).cast("array<double>")))
+    return (
+        model.transform(tmp.withColumnRenamed("__v__", model.getInputCol())
+                        if model.getInputCol() != "__v__" else tmp)
+        .withColumn(out_col, vector_to_array(F.col(model.getOutputCol())))
+        .drop(model.getInputCol(), model.getOutputCol())
+    )

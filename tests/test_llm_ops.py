@@ -930,3 +930,33 @@ def test_repetition_stats_reference(spark):
     # chars = 23 → 21/23
     assert abs(out[2]["top_ngram_char_frac"] - 21 / 23) < 1e-9
     assert out[3]["dup_line_frac"] == 0.0 and out[3]["top_ngram_char_frac"] == 0.0
+
+
+def test_pca_project_variance_and_shape(spark):
+    """PCA: projection has the requested width; the leading component
+    captures a planted dominant direction (projected variance along PC1 ≫
+    PC2); projecting twice with the same model is deterministic."""
+    import random
+
+    from gluestick_spark.llm.similarity import pca_project, train_pca
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(300):
+        t = rng.gauss(0, 10)          # dominant direction (1,1,1,1)/2
+        noise = [rng.gauss(0, 0.1) for _ in range(4)]
+        rows.append(Row(vec_id=i, embedding=[t / 2 + n for n in noise]))
+    df = spark.createDataFrame(rows)
+
+    model = train_pca(df, "embedding", k=2)
+    out = pca_project(df, "embedding", model)
+    sample = out.select("pca").collect()
+    assert all(len(r["pca"]) == 2 for r in sample)
+    import statistics
+
+    v1 = statistics.pvariance([r["pca"][0] for r in sample])
+    v2 = statistics.pvariance([r["pca"][1] for r in sample])
+    assert v1 > 50 * v2
+
+    again = pca_project(df, "embedding", model).select("pca").collect()
+    assert [r["pca"] for r in again] == [r["pca"] for r in sample]
