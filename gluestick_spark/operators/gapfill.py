@@ -57,8 +57,12 @@ def fill_gaps(
     if step < 1:
         raise ValueError(f"step must be >= 1, got {step}")
     names = list(agg)
+    # NULL timestamps carry no position on the grid — excluded explicitly
+    # (they would otherwise form a null bucket that joins nothing and
+    # silently vanishes mid-plan).
     obs = (
-        df.withColumn("__b__", _bucket(F.col(ts_col), step))
+        df.where(F.col(ts_col).isNotNull())
+        .withColumn("__b__", _bucket(F.col(ts_col), step))
         .groupBy(*key_cols, "__b__")
         .agg(*[expr.alias(n) for n, expr in agg.items()])
     )
