@@ -672,3 +672,30 @@ def test_rolling_zscore_reference(spark):
     rows = rolling_zscore(const, "t", "v", ["k"], window=4, min_periods=3).collect()
     assert all(r["zscore"] is None for r in rows)
     assert any(r["baseline_std"] == 0.0 for r in rows)
+
+
+def test_asof_join_composite_string_keys(spark):
+    """Multi-column join keys including strings behave like the single-key
+    path (keys never leak across groups; suffixing intact)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from gluestick_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2026, 1, 1, 12, m)
+    left = spark.createDataFrame(
+        [
+            Row(region="eu", k=1, ts=t(5), ev="a"),
+            Row(region="us", k=1, ts=t(5), ev="b"),   # same k, other region
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(region="eu", k=1, ts=t(3), px=100),
+            Row(region="us", k=1, ts=t(4), px=200),
+            Row(region="us", k=2, ts=t(4), px=999),   # same region, other k
+        ]
+    )
+    out = {r["ev"]: r["px_asof"] for r in asof_join(left, right, ["region", "k"]).collect()}
+    assert out == {"a": 100, "b": 200}
