@@ -1729,6 +1729,52 @@ FROM h GROUP BY 1
 """
 
 
+def q_streaming_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 incremental aggregate maintenance (streaming/pipeline.py
+    streaming_agg_upsert): events arrive in two micro-batches; per-type
+    count+sum partials merge additively into a snapshot, which must equal
+    the one-shot batch aggregate over everything — decimal sums keep the
+    merge bit-exact across engines."""
+    import tempfile
+
+    from gluestick_spark.sources.reader import read_snapshots
+    from gluestick_spark.streaming.pipeline import (
+        stream_from_directory,
+        streaming_agg_upsert,
+    )
+
+    _prep(spark)
+    e = _t(spark, sf_dir, "events")
+    ev = e.select("event_id", "event_type", _dec("value").alias("v"))
+    mid = ev.select(F.percentile_approx("event_id", 0.5)).first()[0]
+    stage = tempfile.mkdtemp(prefix="gs_sagg_src_")
+    snap = tempfile.mkdtemp(prefix="gs_sagg_snap_")
+    ckpt = tempfile.mkdtemp(prefix="gs_sagg_ckpt_")
+    schema = ev.schema
+    for cond in (F.col("event_id") <= mid, F.col("event_id") > mid):
+        ev.where(cond).coalesce(1).write.mode("append").parquet(stage)
+        q = streaming_agg_upsert(
+            stream_from_directory(spark, stage, schema),
+            "sagg",
+            snap,
+            ["event_type"],
+            ["v"],
+            ckpt,
+        )
+        q.awaitTermination()
+    out = read_snapshots(spark, "sagg", snap)
+    return out.select(
+        "event_type", "n_rows", F.col("sum_v").cast("double").alias("total_value")
+    )
+
+
+_Q_STREAMING_AGG_SQL = """
+SELECT event_type, count(*) AS n_rows,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
 def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly detection (operators/anomaly.py): each
     user's daily total vs its own trailing-7-day baseline (current day
@@ -2668,6 +2714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_daily": q_gapfill_daily,
         "sessionize_batch": q_sessionize_batch,
         "rolling_zscore": q_rolling_zscore,
+        "streaming_agg": q_streaming_agg,
     }
 
 
@@ -2760,4 +2807,5 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_daily": _Q_GAPFILL_SQL,
         "sessionize_batch": _Q_SESSIONIZE_BATCH_SQL,
         "rolling_zscore": _Q_ROLLING_ZSCORE_SQL,
+        "streaming_agg": _Q_STREAMING_AGG_SQL,
     }

@@ -31,6 +31,7 @@ __all__ = [
     "streaming_snapshot_upsert",
     "streaming_dedup",
     "streaming_minhash_dedup",
+    "streaming_agg_upsert",
     "sessionize",
 ]
 
@@ -172,6 +173,60 @@ def sessionize(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_agg_upsert(
+    stream_df: DataFrame,
+    stream: str,
+    snapshot_dir: str,
+    key_cols: list[str],
+    sum_cols: list[str],
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incrementally maintained aggregate: each micro-batch's PARTIAL
+    aggregates (per-key count + sums) are merged additively into a
+    persistent snapshot — the materialized-view-maintenance pattern for
+    algebraic aggregates.
+
+    At any point the snapshot equals the batch
+    ``groupBy(keys).agg(count, sums)`` over everything ingested so far
+    (count/sum are mergeable; avg derives as sum/count downstream). This is
+    the general-aggregate sibling of the KMV sketch merge
+    (:mod:`gluestick_spark.llm.sketch`): history is never rescanned — a
+    batch costs its own aggregation plus one merge over the (small,
+    key-cardinality-sized) snapshot.
+
+    Columns in the snapshot: (*key_cols, ``n_rows``, ``sum_{c}``…). The
+    write reuses the crash-safe atomic snapshot swap. Exactly-once: the
+    swap is atomic, but a batch REPLAYED after a crash between swap and
+    checkpoint commit would double-merge — for strict exactly-once store
+    the last merged batch_id inside the snapshot and skip already-merged
+    ids (left as configuration for real deployments; availableNow tests
+    are single-writer)."""
+    from ..operators.snapshot import _write_snapshot
+    from ..sources.reader import read_snapshots
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = batch_df.groupBy(*key_cols).agg(
+            F.count("*").alias("n_rows"),
+            *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+        )
+        prev = read_snapshots(spark, stream, snapshot_dir)
+        if prev is not None:
+            part = prev.unionByName(part).groupBy(*key_cols).agg(
+                F.sum("n_rows").alias("n_rows"),
+                *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+            )
+        _write_snapshot(part, stream, snapshot_dir)
+
+    writer = stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def streaming_minhash_dedup(

@@ -235,3 +235,32 @@ def test_streaming_minhash_dedup_equals_batch(spark, tmp_dir):
     )
     assert streamed == batch
     assert 4 not in streamed  # near-dups a DROPPED doc — still dropped
+
+
+def test_streaming_agg_upsert_equals_batch(spark, tmp_dir):
+    """Incremental aggregate maintenance: after two micro-batches the
+    snapshot equals the batch groupBy over the union (count + sums merge
+    additively; history never rescanned)."""
+    from gluestick_spark.streaming.pipeline import (
+        stream_from_directory,
+        streaming_agg_upsert,
+    )
+    from gluestick_spark.sources.reader import read_snapshots
+
+    rows1 = [Row(k="a", v=1.0), Row(k="a", v=2.0), Row(k="b", v=10.0)]
+    rows2 = [Row(k="a", v=4.0), Row(k="c", v=7.0)]
+    src = os.path.join(tmp_dir, "in")
+    snap = os.path.join(tmp_dir, "snap")
+    ckpt = os.path.join(tmp_dir, "ck")
+    os.makedirs(src)
+
+    schema = spark.createDataFrame(rows1).schema
+    for batch in (rows1, rows2):
+        spark.createDataFrame(batch).coalesce(1).write.mode("append").parquet(src)
+        q = streaming_agg_upsert(
+            stream_from_directory(spark, src, schema), "agg", snap, ["k"], ["v"], ckpt
+        )
+        q.awaitTermination(120)
+
+    got = {r["k"]: (r["n_rows"], r["sum_v"]) for r in read_snapshots(spark, "agg", snap).collect()}
+    assert got == {"a": (3, 7.0), "b": (1, 10.0), "c": (1, 7.0)}
