@@ -17,7 +17,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .decontam import ngram_hashes_expr  # noqa: F401  (re-export neighborhood)
 from .text import tokens_expr
 
 __all__ = ["repetition_stats"]
