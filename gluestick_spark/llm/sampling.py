@@ -22,7 +22,13 @@ from pyspark.sql import functions as F
 
 from .sketch import kmv_hash_expr
 
-__all__ = ["hash_sample_expr", "hash_sample", "hash_split", "mix_corpora"]
+__all__ = [
+    "hash_sample_expr",
+    "hash_sample",
+    "hash_split",
+    "mix_corpora",
+    "shuffle_write",
+]
 
 _SPACE = float(1 << 60)
 
@@ -136,3 +142,35 @@ def mix_corpora(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def shuffle_write(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    seed: str = "",
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a DETERMINISTIC global shuffle of the corpus: rows are
+    written ordered by the seeded portable hash of ``key_col`` — the
+    training-order shuffle, reproducible across runs/engines/cluster sizes
+    (``df.orderBy(rand())`` is none of those).
+
+    A new epoch order is one more ``shuffle_write`` with a new ``seed`` —
+    independent order, same guarantee. Scale shape: delegates to
+    :func:`~gluestick_spark.sinks.layout.write_sorted` (one range Exchange
+    + in-partition sort), so reading the output files in name order streams
+    the corpus in shuffle order with no driver-side ranking; for
+    ``mix_corpora`` output, replicas interleave instead of repeating
+    back-to-back (hash the (key, mix_replica) pair via a per-replica seed
+    upstream, or include ``mix_replica`` in ``key_col``'s derivation).
+
+    The ordering column ``__shuffle_key__`` is persisted with the data
+    (the sort column must exist at write time); readers can use it to
+    resume an epoch mid-stream, or drop it on read.
+    """
+    from ..sinks.layout import write_sorted
+
+    out = df.withColumn("__shuffle_key__", _keyed_hash(F.col(key_col), seed))
+    write_sorted(out, path, ["__shuffle_key__"], n_files=n_files, mode=mode)

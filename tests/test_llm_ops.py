@@ -960,3 +960,37 @@ def test_pca_project_variance_and_shape(spark):
 
     again = pca_project(df, "embedding", model).select("pca").collect()
     assert [r["pca"] for r in again] == [r["pca"] for r in sample]
+
+
+def test_shuffle_write_deterministic_global_order(spark, tmp_dir):
+    """Materialized shuffle: reading files back in sorted-name order
+    streams rows in seeded-hash order; same seed → identical order across
+    partitionings; new seed → a genuinely different permutation."""
+    import os
+
+    from gluestick_spark.llm.sampling import shuffle_write
+
+    df = spark.range(2000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+
+    def read_order(path):
+        order = []
+        for f in sorted(os.listdir(path)):
+            if f.endswith(".parquet"):
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(os.path.join(path, f))
+                order.extend(t.column("k").to_pylist())
+        return order
+
+    p1 = os.path.join(tmp_dir, "s1")
+    shuffle_write(df, p1, "k", seed="e0", n_files=6)
+    o1 = read_order(p1)
+    assert sorted(o1) == list(range(2000)) and o1 != list(range(2000))
+
+    p2 = os.path.join(tmp_dir, "s2")
+    shuffle_write(df.repartition(13), p2, "k", seed="e0", n_files=6)
+    assert read_order(p2) == o1  # partitioning-invariant
+
+    p3 = os.path.join(tmp_dir, "s3")
+    shuffle_write(df, p3, "k", seed="e1", n_files=6)
+    assert read_order(p3) != o1  # new epoch, new permutation
