@@ -1729,6 +1729,42 @@ FROM h GROUP BY 1
 """
 
 
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram NLL quality score (llm/text.py unigram_nll):
+    every doc scored against the corpus's own smoothed unigram LM. One
+    explode feeds the frequency table and the per-doc join; nll
+    floor-rounded to 1e-3 (per-doc avg sums doubles in engine order)."""
+    from gluestick_spark.llm.text import unigram_nll
+
+    d = _tp(spark, sf_dir, "documents", "doc_id")
+    out = unigram_nll(d, "text", "doc_id", alpha=0.5)
+    return out.select(
+        "doc_id", (F.floor(F.col("nll") * 1e3) / 1e3).alias("nll"), "n_tokens"
+    )
+
+
+_Q_UNIGRAM_NLL_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_transform(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''),
+                x -> lower(x))) AS token
+  FROM documents
+),
+freq AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT sum(c) AS T, count(*) AS V FROM freq),
+sc AS (
+  SELECT tok.doc_id,
+         -avg(ln((freq.c + 0.5) / (tot.T + 0.5 * tot.V))) AS nll,
+         count(*) AS n_tokens
+  FROM tok JOIN freq USING (token) CROSS JOIN tot
+  GROUP BY tok.doc_id
+)
+SELECT d.doc_id, floor(sc.nll * 1e3) / 1e3 AS nll,
+       COALESCE(sc.n_tokens, 0) AS n_tokens
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+"""
+
+
 def q_streaming_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 incremental aggregate maintenance (streaming/pipeline.py
     streaming_agg_upsert): events arrive in two micro-batches; per-type
@@ -2715,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_batch": q_sessionize_batch,
         "rolling_zscore": q_rolling_zscore,
         "streaming_agg": q_streaming_agg,
+        "unigram_nll": q_unigram_nll,
     }
 
 
@@ -2808,4 +2845,5 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_batch": _Q_SESSIONIZE_BATCH_SQL,
         "rolling_zscore": _Q_ROLLING_ZSCORE_SQL,
         "streaming_agg": _Q_STREAMING_AGG_SQL,
+        "unigram_nll": _Q_UNIGRAM_NLL_SQL,
     }

@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "gapfill_daily",
     "sessionize_batch",
     "rolling_zscore",
+    "unigram_nll",
 ]
 
 

@@ -13,6 +13,7 @@ from .text import (
     winnow_fp_from_hashes,
     token_frequencies,
     build_vocab,
+    unigram_nll,
 )
 from .dedup import (
     minhash_signatures,

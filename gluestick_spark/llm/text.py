@@ -32,6 +32,7 @@ __all__ = [
     "winnow_fp_from_hashes",
     "token_frequencies",
     "build_vocab",
+    "unigram_nll",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -382,3 +383,52 @@ def build_vocab(
 
     w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
     return top.withColumn("token_id", F.row_number().over(w) - 1)
+
+
+def unigram_nll(
+    df,
+    text_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+):
+    """Per-document unigram negative log-likelihood — the CCNet-style
+    statistical quality score (docs scored against the corpus's OWN
+    unigram distribution; gibberish and rare-token soup score high, plain
+    prose low).
+
+        nll(D) = −(1/|D|) Σ_t ln( (c(t) + α) / (T + α·V) )
+
+    with corpus token count T, vocab size V, and add-α smoothing. Returns
+    (id, ``nll`` double, ``n_tokens``); empty docs get NULL nll.
+
+    Plan: ONE tokenize+explode feeds both the frequency table and the
+    per-doc join (a hash join on the token — the frequency side is
+    vocabulary-sized, broadcastable for most corpora), then one per-doc
+    aggregate. Everything JVM-side; corpus scalars (T, V) ride a 1-row
+    broadcast.
+    """
+    toks = F.transform(tokens_expr(F.col(text_col)), F.lower)
+    ex = df.select(F.col(id_col).alias("__id__"), F.explode(toks).alias("token"))
+    freq = ex.groupBy("token").agg(F.count("*").alias("__c__"))
+    totals = freq.agg(
+        F.sum("__c__").alias("__T__"), F.count("*").alias("__V__")
+    )
+    lnp = F.log(
+        (F.col("__c__") + F.lit(alpha))
+        / (F.col("__T__") + F.lit(alpha) * F.col("__V__"))
+    )
+    scored = (
+        ex.join(freq, "token")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("__id__")
+        .agg((-F.avg(lnp)).alias("nll"), F.count("*").alias("n_tokens"))
+    )
+    return (
+        df.select(F.col(id_col).alias("__id__"))
+        .join(scored, "__id__", "left")
+        .select(
+            F.col("__id__").alias(id_col),
+            "nll",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        )
+    )

@@ -994,3 +994,30 @@ def test_shuffle_write_deterministic_global_order(spark, tmp_dir):
     p3 = os.path.join(tmp_dir, "s3")
     shuffle_write(df, p3, "k", seed="e1", n_files=6)
     assert read_order(p3) != o1  # new epoch, new permutation
+
+
+def test_unigram_nll_reference(spark):
+    """CCNet-style unigram NLL vs a hand computation: common-token docs
+    score lower than rare-token docs; empty docs NULL."""
+    import math
+
+    from gluestick_spark.llm.text import unigram_nll
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the the the cat"),
+            Row(doc_id=2, text="zyx qwv"),
+            Row(doc_id=3, text=""),
+        ]
+    )
+    out = {r["doc_id"]: r for r in unigram_nll(df, "text", "doc_id", alpha=0.5).collect()}
+
+    counts = {"the": 3, "cat": 1, "zyx": 1, "qwv": 1}
+    T, V, a = 6, 4, 0.5
+    lp = {t: math.log((c + a) / (T + a * V)) for t, c in counts.items()}
+    want1 = -(3 * lp["the"] + lp["cat"]) / 4
+    want2 = -(lp["zyx"] + lp["qwv"]) / 2
+    assert abs(out[1]["nll"] - want1) < 1e-9
+    assert abs(out[2]["nll"] - want2) < 1e-9
+    assert out[1]["nll"] < out[2]["nll"]          # common words → lower nll
+    assert out[3]["nll"] is None and out[3]["n_tokens"] == 0
