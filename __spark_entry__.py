@@ -1729,6 +1729,49 @@ FROM h GROUP BY 1
 """
 
 
+def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic top-k-per-group (operators/grouping.py): each user's 2
+    highest-value events, event_id tiebreak — row_number window, exactly
+    one keyed shuffle."""
+    from gluestick_spark.operators.grouping import top_k_per_group
+
+    e = _t(spark, sf_dir, "events")
+    ev = e.select("user_id", "event_id", _dec("value").alias("v"))
+    out = top_k_per_group(
+        ev, ["user_id"], [F.col("v").desc(), F.col("event_id").asc()], 2
+    )
+    return out.select("user_id", "event_id", F.col("v").cast("double").alias("value"))
+
+
+_Q_TOP_EVENTS_SQL = """
+SELECT user_id, event_id, CAST(v AS DOUBLE) AS value FROM (
+  SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY CAST(value AS DECIMAL(18,2)) DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 2
+"""
+
+
+def q_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (operators/grouping.py): value quartiles
+    per event_type — sort-based exact interpolation, DuckDB quantile_cont
+    reproduces it bit-for-bit (no approx sketch in the oracle path)."""
+    from gluestick_spark.operators.grouping import grouped_percentiles
+
+    e = _t(spark, sf_dir, "events")
+    return grouped_percentiles(e, ["event_type"], "value", (0.25, 0.5, 0.75))
+
+
+_Q_GROUPED_PCT_SQL = """
+SELECT event_type, count(value) AS n,
+       quantile_cont(CAST(value AS DOUBLE), 0.25) AS p25,
+       quantile_cont(CAST(value AS DOUBLE), 0.50) AS p50,
+       quantile_cont(CAST(value AS DOUBLE), 0.75) AS p75
+FROM events GROUP BY event_type
+"""
+
+
 def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram NLL quality score (llm/text.py unigram_nll):
     every doc scored against the corpus's own smoothed unigram LM. One
@@ -2752,6 +2795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_zscore": q_rolling_zscore,
         "streaming_agg": q_streaming_agg,
         "unigram_nll": q_unigram_nll,
+        "top_events_per_user": q_top_events_per_user,
+        "grouped_percentiles": q_grouped_percentiles,
     }
 
 
@@ -2846,4 +2891,6 @@ def oracle_sql() -> dict[str, str]:
         "rolling_zscore": _Q_ROLLING_ZSCORE_SQL,
         "streaming_agg": _Q_STREAMING_AGG_SQL,
         "unigram_nll": _Q_UNIGRAM_NLL_SQL,
+        "top_events_per_user": _Q_TOP_EVENTS_SQL,
+        "grouped_percentiles": _Q_GROUPED_PCT_SQL,
     }

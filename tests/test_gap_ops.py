@@ -699,3 +699,29 @@ def test_asof_join_composite_string_keys(spark):
     )
     out = {r["ev"]: r["px_asof"] for r in asof_join(left, right, ["region", "k"]).collect()}
     assert out == {"a": 100, "b": 200}
+
+
+def test_top_k_per_group_and_grouped_percentiles(spark):
+    """top_k honors ordering + exact k under ties (row_number); grouped
+    percentiles interpolate exactly; single shuffle for top_k."""
+    from pyspark.sql import Row
+
+    from gluestick_spark.operators.grouping import grouped_percentiles, top_k_per_group
+
+    df = spark.createDataFrame(
+        [Row(g="a", v=i, t=i % 3) for i in range(10)]
+        + [Row(g="b", v=100, t=0), Row(g="b", v=100, t=1)]
+    )
+    top = top_k_per_group(df, ["g"], [F.col("v").desc(), F.col("t").asc()], 2)
+    got = sorted((r["g"], r["v"], r["t"]) for r in top.collect())
+    assert got == [("a", 8, 2), ("a", 9, 0), ("b", 100, 0), ("b", 100, 1)]
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both sections
+    assert final.count("Exchange hashpartitioning") == 1
+
+    pct = {r["g"]: r for r in grouped_percentiles(df, ["g"], "v", (0.5,)).collect()}
+    assert pct["a"]["p50"] == 4.5 and pct["a"]["n"] == 10
+    assert pct["b"]["p50"] == 100.0
+
+    with pytest.raises(ValueError, match="k must"):
+        top_k_per_group(df, ["g"], [F.col("v")], 0)
