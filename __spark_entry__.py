@@ -1729,6 +1729,31 @@ FROM h GROUP BY 1
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified sampling (llm/sampling.py): 5 docs per
+    source, chosen by seeded-hash rank within each stratum — the
+    deterministic eval-set constructor. Oracle recomputes the rank from
+    the same portable hash."""
+    from gluestick_spark.llm.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample(d, "doc_id", ["source"], 5)
+    return out.select("doc_id", "source")
+
+
+_Q_STRATIFIED_SQL = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31)), 1, 15) AS UBIGINT),
+                    doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 5
+"""
+
+
 def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic top-k-per-group (operators/grouping.py): each user's 2
     highest-value events, event_id tiebreak — row_number window, exactly
@@ -2797,6 +2822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_nll": q_unigram_nll,
         "top_events_per_user": q_top_events_per_user,
         "grouped_percentiles": q_grouped_percentiles,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -2893,4 +2919,5 @@ def oracle_sql() -> dict[str, str]:
         "unigram_nll": _Q_UNIGRAM_NLL_SQL,
         "top_events_per_user": _Q_TOP_EVENTS_SQL,
         "grouped_percentiles": _Q_GROUPED_PCT_SQL,
+        "stratified_sample": _Q_STRATIFIED_SQL,
     }

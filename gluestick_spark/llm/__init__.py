@@ -35,7 +35,14 @@ from .sketch import (
     kmv_merge,
     kmv_sketch,
 )
-from .sampling import hash_sample, hash_sample_expr, hash_split, mix_corpora, shuffle_write
+from .sampling import (
+    hash_sample,
+    hash_sample_expr,
+    hash_split,
+    mix_corpora,
+    shuffle_write,
+    stratified_sample,
+)
 from .packing import pack_documents
 from .decontam import ngram_hashes_expr, contamination_pairs, decontaminate
 from .pii import PII_PATTERNS, redact_pii_expr, pii_counts_expr

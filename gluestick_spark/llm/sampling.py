@@ -28,6 +28,7 @@ __all__ = [
     "hash_split",
     "mix_corpora",
     "shuffle_write",
+    "stratified_sample",
 ]
 
 _SPACE = float(1 << 60)
@@ -142,6 +143,36 @@ def mix_corpora(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    seed: str = "",
+) -> DataFrame:
+    """EXACTLY ``n_per_stratum`` rows from every stratum (fewer if the
+    stratum is smaller), chosen deterministically: rows rank by the seeded
+    portable hash of ``key_col`` within each stratum and the first n win.
+
+    The count-based complement to rate-based :func:`hash_sample` — eval-set
+    construction and per-source corpus caps need exact counts, and
+    ``df.sampleBy`` gives neither exactness nor run-to-run stability.
+    One keyed shuffle (window rank per stratum); re-seeding draws an
+    independent sample.
+    """
+    if n_per_stratum < 1:
+        raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")
+    from pyspark.sql.window import Window
+
+    h = _keyed_hash(F.col(key_col), seed)
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") <= n_per_stratum)
+        .drop("__rn__")
+    )
 
 
 def shuffle_write(

@@ -1021,3 +1021,22 @@ def test_unigram_nll_reference(spark):
     assert abs(out[2]["nll"] - want2) < 1e-9
     assert out[1]["nll"] < out[2]["nll"]          # common words → lower nll
     assert out[3]["nll"] is None and out[3]["n_tokens"] == 0
+
+
+def test_stratified_sample_exact_counts_deterministic(spark):
+    """Exactly n per stratum (all rows when the stratum is smaller),
+    identical across partitionings; a new seed draws a different sample."""
+    from gluestick_spark.llm.sampling import stratified_sample
+
+    df = spark.range(900).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("src")
+    ).union(spark.range(900, 902).select(F.col("id"), F.lit("tiny")))
+    out = stratified_sample(df, "k", ["src"], 50)
+    counts = {r["src"]: r["c"] for r in out.groupBy("src").agg(F.count("*").alias("c")).collect()}
+    assert counts == {"0": 50, "1": 50, "2": 50, "tiny": 2}
+
+    a = sorted(r["k"] for r in out.collect())
+    b = sorted(r["k"] for r in stratified_sample(df.repartition(11), "k", ["src"], 50).collect())
+    assert a == b
+    c = sorted(r["k"] for r in stratified_sample(df, "k", ["src"], 50, seed="2").collect())
+    assert c != a
