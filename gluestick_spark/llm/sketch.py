@@ -1,4 +1,5 @@
-"""Deterministic distinct-count sketching (K-minimum-values).
+"""Deterministic sketching: distinct counts (K-minimum-values) and
+frequent items (Space-Saving candidates + exact verify).
 
 Spark's built-in ``approx_count_distinct`` (HLL++) is the default answer at
 scale, but its estimates are engine-internal — no other system reproduces
@@ -37,6 +38,7 @@ __all__ = [
     "kmv_sketch",
     "kmv_merge",
     "kmv_estimate",
+    "heavy_hitters",
 ]
 
 _KMV_SPACE = float(1 << 60)
@@ -163,3 +165,79 @@ def kmv_estimate(
         F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / F.element_at(arr, k).cast("double")
     )
     return sketches.select(*gcols, est.alias("n_distinct_est"))
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 20,
+    capacity: int = 4096,
+    count_col: str = "n",
+) -> DataFrame:
+    """Global top-``k`` most frequent values of ``col`` with EXACT counts,
+    without ever materializing the full ``value → count`` table — the
+    frequent-items primitive (corpus vocabulary heads, hot URLs/domains,
+    skewed-key discovery before a join).
+
+    Two-pass candidate-generation + exact-verify:
+
+    1. **Candidates** — per Arrow partition, a Space-Saving summary
+       (Metwally et al.) of at most ``capacity`` counters: bounded memory
+       per task regardless of the true cardinality. A value with global
+       frequency > N/``capacity`` is guaranteed to exceed the threshold in
+       at least one partition, so the union of per-partition candidate
+       sets is a superset of every such value; with ``capacity`` sized so
+       that N/``capacity`` is below the k-th frequency, the top-k are all
+       candidates. When a partition sees fewer than ``capacity`` distinct
+       values (the common case for vocabularies), its summary is exact.
+    2. **Verify** — one more scan counts ONLY the candidates exactly:
+       broadcast hash semi-join (the candidate set is ≤ capacity ×
+       partitions rows, deduped) then a hash aggregate with map-side
+       combine.
+
+    Final order is (count desc, value asc) — a total order, so the
+    ``limit(k)`` boundary is deterministic and the result is reproducible
+    by an exact-count oracle. The top-k itself is
+    ``TakeOrderedAndProject`` — no global sort.
+
+    This is the one Python crossing in the sketch family; it's
+    Arrow-batched ``mapInPandas`` over a single projected column (never
+    row-at-a-time), and it exists because a bounded-memory streaming
+    summary is genuinely outside Catalyst's aggregate model — the
+    JVM-side alternative (full groupBy count) shuffles the entire
+    cardinality, which is exactly what this operator avoids at 100 TB.
+    """
+    if k < 1 or capacity < 1:
+        raise ValueError(f"k and capacity must be >= 1, got {k}, {capacity}")
+    terms = df.where(F.col(col).isNotNull()).select(
+        F.col(col).cast("string").alias("__t__")
+    )
+
+    def _space_saving(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for term, cnt in pdf["__t__"].value_counts().items():
+                c = int(cnt)
+                if term in counters:
+                    counters[term] += c
+                elif len(counters) < capacity:
+                    counters[term] = c
+                else:
+                    # Space-Saving eviction: replace the minimum counter;
+                    # the newcomer inherits min + its batch count (an upper
+                    # bound — fine, candidates are exactly recounted).
+                    mk = min(counters, key=counters.get)  # type: ignore[arg-type]
+                    counters[term] = counters.pop(mk) + c
+        yield pd.DataFrame({"__t__": list(counters.keys())})
+
+    candidates = terms.mapInPandas(_space_saving, "__t__ string").distinct()
+    exact = terms.join(F.broadcast(candidates), "__t__").groupBy("__t__").agg(
+        F.count(F.lit(1)).alias(count_col)
+    )
+    return (
+        exact.orderBy(F.col(count_col).desc(), F.col("__t__").asc())
+        .limit(k)
+        .select(F.col("__t__").alias(col), count_col)
+    )

@@ -33,6 +33,7 @@ __all__ = [
     "streaming_minhash_dedup",
     "streaming_agg_upsert",
     "sessionize",
+    "streaming_interval_join",
 ]
 
 
@@ -53,6 +54,50 @@ def streaming_dedup(
     for full-history guarantees.
     """
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with a time bound: each left row matches
+    right rows with the same key whose timestamp falls in
+    ``[left_ts − lookback, left_ts]`` — the attribution shape
+    (purchase ← clicks in the preceding hour, alert ← metrics in the
+    window before it).
+
+    Both sides are watermarked; the interval condition is what makes the
+    join's state BOUNDED: Spark derives from it how long each side's rows
+    can still find a partner (left: ``watermark``; right: ``watermark +
+    lookback``) and evicts state past that horizon. An unconstrained
+    stream-stream join would buffer both streams forever — the 100 TB/day
+    non-starter. Rows later than the watermark are dropped on input, the
+    same contract as :func:`windowed_event_counts`.
+
+    Column names must be disjoint (pre-alias each side — streaming joins
+    have no suffixing). ``how`` may be ``"inner"`` or ``"leftOuter"``
+    (outer results emit only once the watermark passes — with
+    ``availableNow`` over a static directory the final batch flushes them).
+
+    Batch-equivalence: on static frames the same expression compiles to a
+    range-predicate hash join, so the DuckDB oracle is a plain
+    ``BETWEEN`` join — the driver row proves stream == batch.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[left_key] == rw[right_key])
+        & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {lookback}"))
+        & (rw[right_ts] <= lw[left_ts])
+    )
+    return lw.join(rw, cond, how)
 
 
 def stream_from_directory(
