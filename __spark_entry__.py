@@ -2946,6 +2946,213 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 
 
 # ---------------------------------------------------------------------------
+# Round-6 batch 2: expectations, z-order, histogram, negative pairs,
+# streaming SCD2
+# ---------------------------------------------------------------------------
+
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (operators/expectations.py): all
+    row-local rules fold into ONE conditional aggregate over one scan;
+    unique = one keyed aggregate (excess rows); referential integrity =
+    left-anti join against the customer dimension (broadcast-size here).
+    The exact violation counts are the contract — oracle recomputes each
+    rule as plain SQL."""
+    from gluestick_spark.operators.expectations import check_expectations
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return check_expectations(
+        o,
+        [
+            {"rule": "not_null", "col": "o_orderkey"},
+            {"rule": "in_range", "col": "o_totalprice", "min": 0, "max": 1000000},
+            {"rule": "in_set", "col": "o_orderstatus", "values": ["O", "F", "P"]},
+            {"rule": "matches", "col": "o_orderpriority", "pattern": r"^[0-9]-[A-Z ]+$"},
+            {"rule": "unique", "cols": ["o_orderkey"]},
+            {"rule": "ref", "col": "o_custkey", "ref": "customer", "ref_col": "c_custkey"},
+        ],
+        ref_tables={"customer": c},
+    )
+
+
+_Q_EXPECTATIONS_SQL = r"""
+SELECT 'not_null:o_orderkey' AS rule,
+       count(*) FILTER (WHERE o_orderkey IS NULL) AS n_violations FROM orders
+UNION ALL
+SELECT 'in_range:o_totalprice',
+       count(*) FILTER (WHERE o_totalprice IS NOT NULL
+                          AND NOT (o_totalprice >= 0 AND o_totalprice <= 1000000))
+FROM orders
+UNION ALL
+SELECT 'in_set:o_orderstatus',
+       count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('O', 'F', 'P'))
+FROM orders
+UNION ALL
+SELECT 'matches:o_orderpriority',
+       count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                          AND NOT regexp_matches(o_orderpriority, '^[0-9]-[A-Z ]+$'))
+FROM orders
+UNION ALL
+SELECT 'unique:o_orderkey', count(*) - count(DISTINCT o_orderkey) FROM orders
+UNION ALL
+SELECT 'ref:o_custkey',
+       count(*) FILTER (WHERE o_custkey IS NOT NULL
+                          AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+FROM orders
+"""
+
+
+def _zvalue_duck_sql(bits: int = 8) -> str:
+    """DuckDB mirror of sinks/layout.py:zvalue_expr over events
+    (value ∈ [0,600), user_id ∈ [0,1500)): same scale-clamp-interleave
+    arithmetic, bit for bit."""
+    top = (1 << bits) - 1
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((qx >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((qy >> {b}) & 1) << {2 * b + 1})")
+    z = " + ".join(terms)
+    return f"""
+WITH q AS (
+  SELECT event_id,
+    greatest(0, least({top},
+      CAST(floor(((CAST(value   AS DOUBLE) - 0.0) / 600.0)  * {1 << bits}) AS BIGINT))) AS qx,
+    greatest(0, least({top},
+      CAST(floor(((CAST(user_id AS DOUBLE) - 0.0) / 1500.0) * {1 << bits}) AS BIGINT))) AS qy
+  FROM events
+)
+SELECT event_id, CAST({z} AS BIGINT) AS zval FROM q
+"""
+
+
+def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order curve values (sinks/layout.py:zvalue_expr): the clustering
+    key behind `write_zordered` — pure integer shift/mask Catalyst
+    arithmetic (whole-stage codegen), proven here value-exact against the
+    same interleave in DuckDB. Fixed caller-supplied ranges keep the
+    layout deterministic across incremental writes (no sampling scan)."""
+    from gluestick_spark.sinks.layout import zvalue_expr
+
+    e = _t(spark, sf_dir, "events")
+    z = zvalue_expr(
+        [F.col("value"), F.col("user_id")], [(0.0, 600.0), (0.0, 1500.0)], bits=8
+    )
+    return e.select("event_id", z.alias("zval"))
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (operators/profile.py:histogram): one scan +
+    ≤bins-row aggregate + broadcast grid densify; empty bins present,
+    out-of-range values clamp to edge bins."""
+    from gluestick_spark.operators.profile import histogram
+
+    e = _t(spark, sf_dir, "events")
+    return histogram(e, "value", bins=24, lo=0.0, hi=600.0)
+
+
+_Q_HISTOGRAM_SQL = """
+WITH grid AS (SELECT CAST(g.i AS BIGINT) AS bin FROM (SELECT unnest(range(0, 24))) AS g(i)),
+counts AS (
+  SELECT greatest(0, least(23, CAST(floor((CAST(value AS DOUBLE) - 0.0) / 25.0) AS BIGINT))) AS bin,
+         count(*) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+)
+SELECT grid.bin, 0.0 + grid.bin * 25.0 AS bin_lo, 0.0 + (grid.bin + 1) * 25.0 AS bin_hi,
+       coalesce(counts.n, 0) AS n
+FROM grid LEFT JOIN counts USING (bin)
+"""
+
+
+def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling (llm/sampling.py:negative_pairs):
+    2 pseudo-random partners per document via the portable keyed hash —
+    explode + ONE uniform hash join, no rand(), reproducible across
+    engines (the oracle re-derives the exact pair set). doc_id is dense
+    0..n−1 in the testdata; n comes from the parquet footer (no count
+    job)."""
+    from gluestick_spark.llm.sampling import negative_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("doc_id").alias("pid")
+    )
+    n = _parquet_num_rows(sf_dir, "documents")
+    out = negative_pairs(d, "doc_id", n=n, k=2, seed="negs")
+    return out.select("doc_id", "source", "neg_rank", "pid_neg", "source_neg")
+
+
+_Q_NEGATIVE_PAIRS_SQL = """
+WITH pairs AS (
+  SELECT a.doc_id, a.source, CAST(g.r AS INT) AS neg_rank,
+         CAST(CAST('0x' || substr(md5(
+                 CAST(a.doc_id AS VARCHAR) || chr(31) ||
+                 CAST(g.r AS VARCHAR) || chr(31) || 'negs'
+               ), 1, 15) AS UBIGINT)
+              % (SELECT count(*) FROM documents) AS BIGINT) AS p0
+  FROM documents a, (SELECT unnest(range(0, 2))) AS g(r)
+),
+resolved AS (
+  SELECT doc_id, source, neg_rank,
+         CASE WHEN p0 = doc_id
+              THEN (p0 + 1) % (SELECT count(*) FROM documents)
+              ELSE p0 END AS partner
+  FROM pairs
+)
+SELECT r.doc_id, r.source, r.neg_rank,
+       b.doc_id AS pid_neg, b.source AS source_neg
+FROM resolved r JOIN documents b ON b.doc_id = r.partner
+"""
+
+
+def q_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11: INCREMENTAL SCD2 through the real streaming path
+    (streaming/pipeline.py:streaming_scd2). Events are staged as two files
+    split at Jan 15 and streamed with maxFilesPerTrigger=1, so the history
+    is built by TWO foreachBatch merges against the persisted snapshot.
+    The oracle is the one-shot batch SCD2 SQL — proving stream-then-merge
+    equals batch (the merge law that makes incremental history safe)."""
+    import tempfile
+
+    from gluestick_spark.functions.datetimes import as_timestamp
+    from gluestick_spark.sources.reader import read_snapshots
+    from gluestick_spark.streaming.pipeline import (
+        stream_from_directory,
+        streaming_scd2,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    ev = e.select(
+        "event_id", "user_id", "event_type",
+        as_timestamp(e, "ts").cast("timestamp").alias("ts"),
+    )
+    stage = tempfile.mkdtemp(prefix="gs_scd2_src_")
+    for i, half in enumerate(
+        (ev.where(F.col("ts") < "2024-01-15"), ev.where(F.col("ts") >= "2024-01-15"))
+    ):
+        tmp = os.path.join(stage, f"__stage_{i}")
+        half.coalesce(1).write.parquet(tmp)
+        (part,) = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        # rename AFTER both writes keeps dir listing clean; mtime order ==
+        # batch order (sequential writes)
+        os.rename(os.path.join(tmp, part), os.path.join(stage, f"batch_{i}.parquet"))
+    stream = stream_from_directory(spark, stage, ev.schema, max_files_per_trigger=1)
+    snap = tempfile.mkdtemp(prefix="gs_scd2_snap_")
+    ckpt = tempfile.mkdtemp(prefix="gs_scd2_ckpt_")
+    q = streaming_scd2(
+        stream, "events_dim", snap, "user_id", "ts", ["event_type"],
+        checkpoint_dir=ckpt, tiebreak_cols=["event_id"],
+    )
+    q.awaitTermination()
+    hist = read_snapshots(spark, "events_dim.scd2", snap)
+    iso = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    return hist.select(
+        "user_id", "event_type",
+        F.date_format("valid_from", iso).alias("valid_from"),
+        F.date_format("valid_to", iso).alias("valid_to"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -2978,12 +3185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
         "snapshot_upsert": q_snapshot_upsert,
-        "explode_json_to_cols": q_explode_json_to_cols,
         "sessionize_events": q_sessionize_events,
-        "catalog_coercion": q_catalog_coercion,
-        "map_fields": q_map_fields,
-        "dedup_exact": q_dedup_exact,
-        "quality_score": q_quality_score,
         "multimodal_metadata": q_multimodal_meta,
         "ann_topk": q_ann_topk,
         "minhash_dedup": q_minhash_dedup,
@@ -3026,7 +3228,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_merge": q_scd2_merge,
         "salted_join_agg": q_salted_join_agg,
         "stream_interval_join": q_stream_interval_join,
+        "expectations_audit": q_expectations,
+        "zorder_values": q_zorder_values,
+        "value_histogram": q_value_histogram,
+        "negative_pairs": q_negative_pairs,
+        "streaming_scd2": q_streaming_scd2,
         # --- tail: past the driver's 50-query window ---
+        "explode_json_to_cols": q_explode_json_to_cols,
+        "catalog_coercion": q_catalog_coercion,
+        "map_fields": q_map_fields,
+        "dedup_exact": q_dedup_exact,
+        "quality_score": q_quality_score,
         "events_daily": q_events_daily,
         "explode_json_to_rows": q_explode_json_to_rows,
         "compress_rows_to_col": q_compress_rows,
@@ -3079,12 +3291,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": _Q_PRICING_SQL,
         "snapshot_upsert": _Q_SNAPSHOT_SQL,
-        "explode_json_to_cols": _Q_EXPLODE_COLS_SQL,
         "sessionize_events": _Q_SESSIONIZE_SQL,
-        "catalog_coercion": _Q_CATALOG_COERCION_SQL,
-        "map_fields": _Q_MAP_FIELDS_SQL,
-        "dedup_exact": _Q_DEDUP_EXACT_SQL,
-        "quality_score": _quality_sql(),
         "multimodal_metadata": _Q_MULTIMODAL_SQL,
         "ann_topk": _Q_ANN_TOPK_SQL,
         "minhash_dedup": _Q_MINHASH_DEDUP_SQL,
@@ -3127,7 +3334,18 @@ def oracle_sql() -> dict[str, str]:
         "scd2_merge": _Q_SCD2_SQL,
         "salted_join_agg": _Q_SALTED_JOIN_SQL,
         "stream_interval_join": _Q_STREAM_INTERVAL_SQL,
+        "expectations_audit": _Q_EXPECTATIONS_SQL,
+        "zorder_values": _zvalue_duck_sql(),
+        "value_histogram": _Q_HISTOGRAM_SQL,
+        "negative_pairs": _Q_NEGATIVE_PAIRS_SQL,
+        # stream-of-two-batches == one-shot batch SCD2 (merge law)
+        "streaming_scd2": _Q_SCD2_SQL,
         # --- tail (mirrors queries()) ---
+        "explode_json_to_cols": _Q_EXPLODE_COLS_SQL,
+        "catalog_coercion": _Q_CATALOG_COERCION_SQL,
+        "map_fields": _Q_MAP_FIELDS_SQL,
+        "dedup_exact": _Q_DEDUP_EXACT_SQL,
+        "quality_score": _quality_sql(),
         "events_daily": _Q_EVENTS_DAILY_SQL,
         "explode_json_to_rows": _Q_EXPLODE_ROWS_SQL,
         "compress_rows_to_col": _Q_COMPRESS_SQL,

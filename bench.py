@@ -62,6 +62,14 @@ BENCH_QUERIES = [
     "sessionize_batch",
     "rolling_zscore",
     "unigram_nll",
+    "segment_dedup",
+    "heavy_hitters",
+    "scd2_merge",
+    "salted_join_agg",
+    "expectations_audit",
+    "zorder_values",
+    "value_histogram",
+    "negative_pairs",
 ]
 
 

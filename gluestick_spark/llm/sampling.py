@@ -27,6 +27,7 @@ __all__ = [
     "hash_sample",
     "hash_split",
     "mix_corpora",
+    "negative_pairs",
     "shuffle_write",
     "stratified_sample",
 ]
@@ -205,3 +206,54 @@ def shuffle_write(
 
     out = df.withColumn("__shuffle_key__", _keyed_hash(F.col(key_col), seed))
     write_sorted(out, path, ["__shuffle_key__"], n_files=n_files, mode=mode)
+
+
+def negative_pairs(
+    df: DataFrame,
+    idx_col: str,
+    n: int,
+    k: int = 1,
+    seed: str = "",
+    suffix: str = "_neg",
+) -> DataFrame:
+    """Deterministic pseudo-random negative sampling — the contrastive-
+    training pair generator (each anchor row gets ``k`` partners drawn
+    ~uniformly from the corpus, excluding itself). Returns every anchor
+    column plus the partner's columns renamed ``{col}{suffix}`` and the
+    draw number ``neg_rank`` (0..k−1).
+
+    Contract: ``idx_col`` must hold DENSE indices 0..n−1 (build them once
+    with a ranked projection or carry them from ingest) and ``n`` is the
+    corpus size — both caller-supplied so the operator adds NO extra scan
+    or global sort. Partner index = portable-hash(idx, draw, seed) mod n,
+    skipping self by linear probing one step — a pure projection, so the
+    pairing is reproducible across runs/engines/partitionings, and the
+    DuckDB oracle re-derives the exact pair set.
+
+    Scale shape: explode ×k (projection) + ONE hash join on the dense
+    index to fetch partner payloads. The hash's uniformity spreads the
+    join keys evenly — no hot partner, no skew. No randomness at
+    execution time (``rand()`` would be neither reproducible nor
+    resume-safe).
+    """
+    if n < 2:
+        raise ValueError(f"need n >= 2 to sample negatives, got {n}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    anchors = df.withColumn("neg_rank", F.explode(F.array(*[F.lit(i) for i in range(k)])))
+    draw = _keyed_hash(
+        F.concat_ws("\x1f", F.col(idx_col).cast("string"), F.col("neg_rank").cast("string")),
+        seed,
+    )
+    partner = F.pmod(draw, F.lit(n))
+    # self-collision → next index (mod n): keeps the draw a pure function
+    partner = F.when(partner == F.col(idx_col), F.pmod(partner + 1, F.lit(n))).otherwise(
+        partner
+    )
+    anchors = anchors.withColumn("__partner__", partner.cast("long"))
+    right = df.select(
+        F.col(idx_col).cast("long").alias("__partner__"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in df.columns if c != idx_col],
+    )
+    return anchors.join(right, "__partner__").drop("__partner__")
+

@@ -20,7 +20,53 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_numeric"]
+__all__ = ["profile_numeric", "histogram"]
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    bins: int,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Equi-width histogram of ``col`` over ``[lo, hi)``: one row per bin
+    (``bin`` 0-based, ``bin_lo``, ``bin_hi``, ``n``), EVERY bin present
+    (empty bins report 0 — downstream plotting/drift checks need the dense
+    grid). Values outside the range clamp into the edge bins, NULLs are
+    dropped (count them via :func:`profile_numeric` / ``not_null``
+    expectations).
+
+    Scale shape: one scan + one ``bins``-row hash aggregate (map-side
+    combine reduces each task to ≤ ``bins`` rows), then a broadcast-range
+    left join against the generated bin grid to densify. ``lo``/``hi`` are
+    caller-supplied (no extra min/max scan, deterministic output) — get
+    them from a one-time profile.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got ({lo}, {hi})")
+    width = (hi - lo) / bins
+    v = F.col(col).cast("double")
+    b = F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("long")
+    b = F.greatest(F.lit(0), F.least(F.lit(bins - 1), b))
+    counts = (
+        df.where(v.isNotNull())
+        .select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = df.sparkSession.range(bins).select(F.col("id").alias("bin"))
+    return (
+        grid.join(counts, "bin", "left")
+        .select(
+            "bin",
+            (F.lit(float(lo)) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+            (F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(width)).alias("bin_hi"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
 
 
 def profile_numeric(

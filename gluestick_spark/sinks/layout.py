@@ -1,4 +1,5 @@
-"""Write-layout optimization: sorted (clustered) parquet writes.
+"""Write-layout optimization: sorted (clustered), bucketed, and Z-ordered
+parquet writes.
 
 At 100 TB the biggest query-time lever is what the WRITER did: parquet
 row-group min/max statistics only prune scans when values are clustered.
@@ -16,9 +17,10 @@ subsequent scan gets file- and row-group-level pruning for free
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
-__all__ = ["write_sorted", "write_bucketed"]
+__all__ = ["write_sorted", "write_bucketed", "zvalue_expr", "write_zordered"]
 
 
 def write_sorted(
@@ -71,3 +73,77 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def zvalue_expr(
+    cols: list[Column | str],
+    ranges: list[tuple[float, float]],
+    bits: int = 16,
+) -> Column:
+    """Z-order (Morton) curve value: each column is scaled to a
+    ``bits``-bit integer over its ``(lo, hi)`` range (values clamped), and
+    the columns' bits are interleaved into one long — nearby points in
+    N-dimensional space get nearby z-values.
+
+    This is what makes MULTI-column clustering work: ``write_sorted`` on
+    (a, b) prunes only on ``a`` (lexicographic order scatters ``b``);
+    sorting on the z-value keeps files tight in BOTH dimensions, so either
+    predicate prunes. ``ranges`` are caller-supplied, not sampled:
+    deterministic output, no extra scan, and stable file layout across
+    incremental writes (derive them once from domain knowledge or a
+    one-time profile — `operators/profile.py`).
+
+    Pure integer Catalyst arithmetic (shift/mask/multiply), whole-stage
+    codegen, engine-portable for the oracle. ``bits × len(cols)`` must fit
+    in 63 bits (e.g. 2 cols × 16 bits, 4 cols × 8 bits).
+    """
+    if len(cols) != len(ranges):
+        raise ValueError("cols and ranges must align")
+    if not cols or bits * len(cols) > 63:
+        raise ValueError(f"need 1 <= {bits}*{len(cols)} dims*bits <= 63")
+    scaled = []
+    top = (1 << bits) - 1
+    for c, (lo, hi) in zip(cols, ranges):
+        c = F.col(c) if isinstance(c, str) else c
+        if not hi > lo:
+            raise ValueError(f"range must have hi > lo, got ({lo}, {hi})")
+        u = (c.cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo))
+        q = F.floor(u * (1 << bits)).cast("long")
+        scaled.append(F.greatest(F.lit(0), F.least(F.lit(top), q)))
+    n = len(scaled)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            bit = F.shiftright(s, b).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, b * n + i)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    ranges: list[tuple[float, float]],
+    bits: int = 16,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Write ``df`` clustered on the Z-order curve over ``cols`` — the
+    multi-dimensional version of :func:`write_sorted`: one range exchange
+    on the z-value + in-partition sort, then the helper column is dropped
+    at write. Readers filtering on ANY of ``cols`` get file/row-group
+    pruning from parquet min/max stats because each file covers a compact
+    hyper-rectangle-ish region of the key space."""
+    z = df.withColumn("__z__", zvalue_expr(list(cols), ranges, bits))
+    if n_files is not None:
+        part = z.repartitionByRange(n_files, "__z__")
+    else:
+        part = z.repartitionByRange("__z__")
+    (
+        part.sortWithinPartitions("__z__")
+        .drop("__z__")
+        .write.mode(mode)
+        .format(fmt)
+        .save(path)
+    )

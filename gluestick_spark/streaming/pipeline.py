@@ -34,6 +34,7 @@ __all__ = [
     "streaming_agg_upsert",
     "sessionize",
     "streaming_interval_join",
+    "streaming_scd2",
 ]
 
 
@@ -418,6 +419,72 @@ def streaming_snapshot_upsert(
         snapshot_records(batch_df.sparkSession, batch_df, stream, snapshot_dir, pk=pk)
         if on_batch is not None:
             on_batch(batch_df, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_scd2(
+    stream_df: DataFrame,
+    stream: str,
+    snapshot_dir: str,
+    pk: str | list[str],
+    ts_col: str,
+    tracked_cols: list[str],
+    checkpoint_dir: str,
+    available_now: bool = True,
+    tiebreak_cols: list[str] | None = None,
+) -> StreamingQuery:
+    """Maintain an SCD type-2 HISTORY incrementally: every micro-batch is
+    collapsed keep-last per key (latest ``ts_col`` wins, ties broken by
+    ``tiebreak_cols`` desc — pass a unique id for determinism; within-batch
+    history finer than the batch boundary is intentionally dropped — the
+    standard CDC-compaction contract) and merged with
+    :func:`~gluestick_spark.operators.scd2.scd2_merge` into
+    ``{snapshot_dir}/{stream}.scd2.snapshot.parquet``.
+
+    Where :func:`streaming_snapshot_upsert` keeps only the CURRENT row per
+    key (type 1 — history destroyed), this keeps every closed version with
+    its validity interval, feeding point-in-time joins
+    (``operators/asof.py``) directly from the snapshot.
+
+    Per-batch cost is O(current + batch) — scd2_merge never rewrites
+    closed rows, so a year of history costs the same per merge as a day.
+    Exactly-once via checkpoint + the snapshot's atomic temp-dir swap;
+    batches must arrive in event-time order across triggers (the usual
+    SCD2 precondition — see operators/scd2.py).
+    """
+    from ..operators.grouping import top_k_per_group
+    from ..operators.scd2 import scd2_merge
+    from ..operators.snapshot import _write_snapshot
+    from ..sources.reader import read_snapshots
+
+    keys = [pk] if isinstance(pk, str) else list(pk)
+    name = f"{stream}.scd2"
+
+    order = [F.col(ts_col).desc()] + [
+        F.col(c).desc() for c in (tiebreak_cols or [])
+    ]
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        latest = top_k_per_group(batch_df, keys, order, 1).select(
+            *keys, *tracked_cols, ts_col
+        )
+        history = read_snapshots(spark, name, snapshot_dir)
+        if history is None:
+            ts_type = batch_df.schema[ts_col].dataType.simpleString()
+            history = latest.select(
+                *keys, *tracked_cols,
+                F.col(ts_col).alias("valid_from"),
+                F.lit(None).cast(ts_type).alias("valid_to"),
+            ).limit(0)
+        merged = scd2_merge(history, latest, keys, ts_col, tracked_cols)
+        _write_snapshot(merged, name, snapshot_dir)
 
     writer = stream_df.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

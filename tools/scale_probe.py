@@ -235,12 +235,39 @@ def main() -> None:
     def _bm25(d):
         return bm25_topk(d, "text", "doc_id", "spark merge join window", k=100).count()
 
+    # --- round-6 family ---
+    from gluestick_spark.llm.sketch import heavy_hitters
+    from gluestick_spark.llm.spans import segment_dedup
+    from gluestick_spark.operators.skew import salted_join
+
+    def _segdedup(d):
+        out = segment_dedup(d, "doc_id", "text", seg_words=4)
+        # aggregate over the reassembled text: a bare count() would let
+        # Catalyst ELIMINATE the unique-key left join (count-preserving)
+        # and skip the whole operator. Returned "rows" = total clean chars.
+        return int(out.agg(F.sum(F.length("text_clean"))).first()[0])
+
+    def _hh(d):
+        words = d.select(F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
+        return heavy_hitters(words, "w", k=15, capacity=4096).count()
+
+    def _salted(d):
+        # self-join docs to a small per-source dim through the salted path;
+        # 'source' has ~5 values — maximal skew for the probe
+        dim = d.groupBy("source").agg(F.count(F.lit(1)).alias("src_n"))
+        return salted_join(
+            d.select("doc_id", "source"), dim, "source", salt=8
+        ).count()
+
     doc_ops = {
         "pack_documents": _pack,
         "build_vocab": _vocab,
         "contamination_pairs": _contam,
         "repetition_stats": _rep,
         "bm25_topk": _bm25,
+        "segment_dedup": _segdedup,
+        "heavy_hitters": _hh,
+        "salted_join": _salted,
     }
     for name, fn in doc_ops.items():
         ops[name] = (lambda f=fn: f(docs1), lambda f=fn: f(docsR))
