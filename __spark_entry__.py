@@ -3153,6 +3153,229 @@ def q_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-6 batch 3: fuzzy join, CDC diff, quality-aware dedup, BPE pairs,
+# embedding quantization, ORC round-trip
+# ---------------------------------------------------------------------------
+
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance self-join (llm/fuzzy.py): blocking on length buckets
+    (build side replicated to ±1 bucket — qualifying pairs collide exactly
+    once) + threshold Levenshtein verify, never an O(N²) cross join. Run
+    on each document's 6-token title; the oracle IS the O(N²) pairwise
+    check, proving blocking loses nothing."""
+    from gluestick_spark.llm.fuzzy import edit_distance_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    titles = d.select(
+        "doc_id",
+        F.array_join(F.slice(tokens_expr(F.col("text")), 1, 6), " ").alias("title"),
+    )
+    return edit_distance_pairs(titles, "doc_id", "title", max_dist=3)
+
+
+_Q_FUZZY_PAIRS_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         array_to_string(
+           (list_filter(string_split_regex(text, '\s+'), x -> x <> ''))[1:6],
+           ' ') AS title
+  FROM documents
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(levenshtein(a.title, b.title) AS INTEGER) AS dist
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.title, b.title) <= 3
+"""
+
+
+def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC table diff (operators/cdc.py): two deterministic versions of
+    orders (keys %13=0 absent from old → inserts; %11=0 absent from new →
+    deletes; %7=0 price-bumped → updates) through ONE full-outer join;
+    unchanged keys emit nothing, so output ∝ change volume."""
+    from gluestick_spark.operators.cdc import table_diff
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", F.col("o_orderstatus").alias("status"),
+        _dec("o_totalprice").alias("price"),
+    )
+    old = base.where(F.col("o_orderkey") % 13 != 0)
+    new = base.where(F.col("o_orderkey") % 11 != 0).withColumn(
+        "price",
+        F.col("price")
+        + F.when(F.col("o_orderkey") % 7 == 0, F.lit(1.5)).otherwise(F.lit(0.0)).cast(
+            "decimal(18,2)"
+        ),
+    )
+    out = table_diff(old, new, "o_orderkey", ["status", "price"])
+    return out.select(
+        "o_orderkey", "change", "old_status", "new_status",
+        F.col("old_price").cast("double").alias("old_price"),
+        F.col("new_price").cast("double").alias("new_price"),
+    )
+
+
+_Q_CDC_DIFF_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus AS status,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+),
+old AS (SELECT * FROM base WHERE o_orderkey % 13 <> 0),
+new AS (
+  SELECT o_orderkey, status,
+         price + CAST(CASE WHEN o_orderkey % 7 = 0 THEN 1.5 ELSE 0.0 END
+                      AS DECIMAL(18,2)) AS price
+  FROM base WHERE o_orderkey % 11 <> 0
+)
+SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS change,
+       o.status AS old_status, n.status AS new_status,
+       CAST(o.price AS DOUBLE) AS old_price,
+       CAST(n.price AS DOUBLE) AS new_price
+FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.price IS DISTINCT FROM n.price
+   OR o.status IS DISTINCT FROM n.status
+"""
+
+
+def q_cluster_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware transitive-closure dedup
+    (llm/dedup.py:cluster_dedup_by): same components as cluster_dedup, but
+    the survivor is the LONGEST document (n_chars desc, id tiebreak) —
+    dedup that keeps the best copy. Oracle: recursive-CTE components +
+    rank window."""
+    from gluestick_spark.llm.dedup import cluster_dedup_by, minhash_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(d, "text", "doc_id", threshold=0.8)
+    return cluster_dedup_by(d, pairs, "doc_id", "n_chars").select("doc_id")
+
+
+def _cluster_dedup_best_sql() -> str:
+    return f"""
+WITH RECURSIVE {_SHINGLE_PAIRS_CTE.strip()}
+, edges AS MATERIALIZED (SELECT a, b FROM pairs WHERE j >= 0.8),
+sedges AS (SELECT a AS src, b AS dst FROM edges UNION SELECT b AS src, a AS dst FROM edges),
+reach(node, label) AS (
+  SELECT src, src FROM sedges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN sedges e ON e.src = r.node
+),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+survivors AS (
+  SELECT node FROM (
+    SELECT c.node,
+           row_number() OVER (PARTITION BY c.component
+                              ORDER BY d.n_chars DESC, c.node ASC) AS rn
+    FROM comp c JOIN documents d ON d.doc_id = c.node
+  ) WHERE rn = 1
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp)
+   OR doc_id IN (SELECT node FROM survivors)
+"""
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate statistics (llm/text.py:bpe_pair_counts): top-20
+    adjacent-token pairs — tokenize once (lambda-bound), explode pairs, one
+    map-side-combined aggregate, TakeOrderedAndProject top-k."""
+    from gluestick_spark.llm.text import bpe_pair_counts
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_pair_counts(d, "text", k=20)
+
+
+_Q_BPE_PAIRS_SQL = r"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+pairs AS (
+  SELECT t[g.i] AS "left", t[g.i + 1] AS "right"
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t)))) AS g(i)
+  WHERE len(t) >= 2
+)
+SELECT "left", "right", count(*) AS n FROM pairs
+GROUP BY 1, 2 ORDER BY n DESC, "left", "right" LIMIT 20
+"""
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization
+    (llm/similarity.py:quantize_embeddings): per-vector scale + clamped
+    floor(x/scale + 0.5) bytes, pure Catalyst array arithmetic — floor-
+    rounding (not round()) precisely so both engines produce identical
+    bytes. qvec rendered as a CSV string for the cross-engine hash."""
+    from gluestick_spark.llm.similarity import quantize_embeddings
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(e, "embedding", "vec_id")
+    return q.select(
+        "vec_id",
+        _flr6(F.col("scale")).alias("scale"),
+        F.array_join(
+            F.transform(F.col("qvec"), lambda x: x.cast("string")), ","
+        ).alias("qvec_str"),
+    )
+
+
+_Q_QUANTIZE_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS amax FROM v)
+SELECT vec_id,
+       floor((amax / 127.0) * 1e6) / 1e6 AS scale,
+       CASE WHEN amax > 0 THEN
+         array_to_string(list_transform(e, x ->
+           CAST(CAST(greatest(-127, least(127, floor(x / (amax / 127.0) + 0.5)))
+                AS BIGINT) AS VARCHAR)), ',')
+       ELSE array_to_string(list_transform(e, x -> '0'), ',')
+       END AS qvec_str
+FROM s
+"""
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source breadth (sources/reader.py:read_orc_folder + Reader.get
+    dispatch): events projected to ORC, re-read through the Reader; oracle
+    is the same projection off the original parquet."""
+    import tempfile
+
+    from gluestick_spark.sources.reader import Reader
+
+    e = _t(spark, sf_dir, "events")
+    ev = e.select("event_id", "user_id", "event_type", _dec("value").alias("value"))
+    stage = tempfile.mkdtemp(prefix="gs_orc_")
+    tmp = os.path.join(stage, "__w")
+    # single part: the Reader contract is one file per stream drop
+    # (Singer tap convention) — coalesce(1) is the staging cost, not the
+    # operator's (a real pipeline reads the directory form directly)
+    ev.coalesce(1).write.orc(tmp)
+    (part,) = [f for f in os.listdir(tmp) if f.endswith(".orc")]
+    os.rename(os.path.join(tmp, part), os.path.join(stage, "events-20240101.orc"))
+    back = Reader(spark, input_dir=stage).get("events")
+    return back.select(
+        "event_id", "user_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+
+
+_Q_ORC_ROUNDTRIP_SQL = """
+SELECT event_id, user_id, event_type,
+       CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -3185,13 +3408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
         "snapshot_upsert": q_snapshot_upsert,
-        "sessionize_events": q_sessionize_events,
-        "multimodal_metadata": q_multimodal_meta,
-        "ann_topk": q_ann_topk,
-        "minhash_dedup": q_minhash_dedup,
         "cluster_dedup": q_cluster_dedup,
-        "simhash_near_dups": q_simhash_near_dups,
-        "embedding_near_dups": q_embedding_near_dups,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "minhash_candidates": q_minhash_candidates,
         "ivf_probe_indexed": q_ivf_probe_indexed,
@@ -3233,7 +3450,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "negative_pairs": q_negative_pairs,
         "streaming_scd2": q_streaming_scd2,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "cdc_diff": q_cdc_diff,
+        "cluster_dedup_best": q_cluster_dedup_best,
+        "bpe_pairs": q_bpe_pairs,
+        "quantize_embeddings": q_quantize_embeddings,
+        "orc_roundtrip": q_orc_roundtrip,
         # --- tail: past the driver's 50-query window ---
+        "sessionize_events": q_sessionize_events,
+        "multimodal_metadata": q_multimodal_meta,
+        "ann_topk": q_ann_topk,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_near_dups": q_simhash_near_dups,
+        "embedding_near_dups": q_embedding_near_dups,
         "explode_json_to_cols": q_explode_json_to_cols,
         "catalog_coercion": q_catalog_coercion,
         "map_fields": q_map_fields,
@@ -3291,13 +3520,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": _Q_PRICING_SQL,
         "snapshot_upsert": _Q_SNAPSHOT_SQL,
-        "sessionize_events": _Q_SESSIONIZE_SQL,
-        "multimodal_metadata": _Q_MULTIMODAL_SQL,
-        "ann_topk": _Q_ANN_TOPK_SQL,
-        "minhash_dedup": _Q_MINHASH_DEDUP_SQL,
         "cluster_dedup": _Q_CLUSTER_DEDUP_SQL,
-        "simhash_near_dups": _Q_SIMHASH_SQL,
-        "embedding_near_dups": _embedding_near_dups_sql(),
         "jsonl_roundtrip": _Q_JSONL_ROUNDTRIP_SQL,
         "minhash_candidates": _Q_MINHASH_CANDIDATES_SQL,
         "ivf_probe_indexed": _Q_ANN_TOPK_SQL,
@@ -3340,7 +3563,20 @@ def oracle_sql() -> dict[str, str]:
         "negative_pairs": _Q_NEGATIVE_PAIRS_SQL,
         # stream-of-two-batches == one-shot batch SCD2 (merge law)
         "streaming_scd2": _Q_SCD2_SQL,
+        # blocking loses nothing: the oracle is the O(N^2) pairwise check
+        "fuzzy_pairs": _Q_FUZZY_PAIRS_SQL,
+        "cdc_diff": _Q_CDC_DIFF_SQL,
+        "cluster_dedup_best": _cluster_dedup_best_sql(),
+        "bpe_pairs": _Q_BPE_PAIRS_SQL,
+        "quantize_embeddings": _Q_QUANTIZE_SQL,
+        "orc_roundtrip": _Q_ORC_ROUNDTRIP_SQL,
         # --- tail (mirrors queries()) ---
+        "sessionize_events": _Q_SESSIONIZE_SQL,
+        "multimodal_metadata": _Q_MULTIMODAL_SQL,
+        "ann_topk": _Q_ANN_TOPK_SQL,
+        "minhash_dedup": _Q_MINHASH_DEDUP_SQL,
+        "simhash_near_dups": _Q_SIMHASH_SQL,
+        "embedding_near_dups": _embedding_near_dups_sql(),
         "explode_json_to_cols": _Q_EXPLODE_COLS_SQL,
         "catalog_coercion": _Q_CATALOG_COERCION_SQL,
         "map_fields": _Q_MAP_FIELDS_SQL,

@@ -70,6 +70,10 @@ BENCH_QUERIES = [
     "zorder_values",
     "value_histogram",
     "negative_pairs",
+    "fuzzy_pairs",
+    "cdc_diff",
+    "bpe_pairs",
+    "quantize_embeddings",
 ]
 
 
@@ -134,6 +138,20 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     total = round(sum(timings.values()), 3)
+    # Machine calibration: a FIXED synthetic job (range → hash → keyed agg,
+    # no repo code, no input files) whose runtime tracks this box's speed.
+    # Compare calibration_sec across rounds to separate machine drift from
+    # code changes — a verified failure mode: round-6 re-ran the round-4
+    # TREE on the round-6 box and got 1.5-2× the r04 artifact's times for
+    # the SAME code, so raw cross-round deltas without this are ambiguous.
+    calib = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 20_000_000, 1, 32).select(
+            (F.col("id") % 97).alias("k"), F.xxhash64("id").alias("h")
+        ).groupBy("k").agg(F.sum("h")).collect()
+        calib = min(calib, time.time() - t0)
+
     result = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -141,6 +159,7 @@ def main() -> None:
         "queries": timings,
         "cold_total": round(sum(cold.values()), 3),
         "singer_rows_per_sec": singer_rps,
+        "calibration_sec": round(calib, 3),
         "sf": sf_val,
     }
     # Regression tracking is best-effort: after the queries have run, nothing

@@ -39,6 +39,7 @@ __all__ = [
     "minhash_dedup",
     "connected_components",
     "cluster_dedup",
+    "cluster_dedup_by",
     "simhash_expr",
     "simhash_signature_udf",
     "simhash_near_dups",
@@ -453,6 +454,44 @@ def cluster_dedup(
     comps = connected_components(pairs, a_col, b_col)
     drop_ids = comps.where(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
+    )
+    return df.join(drop_ids, on=id_col, how="left_anti")
+
+
+def cluster_dedup_by(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    order_col: str,
+    a_col: str = "a",
+    b_col: str = "b",
+    descending: bool = True,
+) -> DataFrame:
+    """Like :func:`cluster_dedup`, but the survivor of each near-dup
+    cluster is chosen by ``order_col`` (default: highest value wins — e.g.
+    a quality score, so dedup keeps the BEST copy, not the lowest id; ties
+    break on min id for determinism). Rows in no pair are kept as-is.
+
+    This is the real-pipeline form: corpus dedup that drops the
+    higher-quality replica loses data quality for free, and the choice
+    costs nothing extra — one join of the component table (pairs-scale,
+    not corpus-scale) against df's (id, order) projection, one rank window
+    keyed on the component, then the same anti-join as cluster_dedup. df
+    is still never fully shuffled.
+    """
+    from pyspark.sql.window import Window
+
+    comps = connected_components(pairs, a_col, b_col)
+    ranked = comps.join(
+        df.select(F.col(id_col).alias("id"), F.col(order_col).alias("__o__")),
+        "id",
+    )
+    order_val = F.col("__o__").desc() if descending else F.col("__o__").asc()
+    w = Window.partitionBy("component").orderBy(order_val, F.col("id").asc())
+    drop_ids = (
+        ranked.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") > 1)
+        .select(F.col("id").alias(id_col))
     )
     return df.join(drop_ids, on=id_col, how="left_anti")
 

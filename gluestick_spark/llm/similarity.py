@@ -43,6 +43,8 @@ __all__ = [
     "materialize_ivf",
     "ivf_topk_indexed",
     "train_ivf_centroids",
+    "quantize_embeddings",
+    "dequantize_expr",
 ]
 
 
@@ -66,6 +68,46 @@ def norm_expr(a: Column) -> Column:
 def cosine_expr(a: Column, b: Column) -> Column:
     denom = norm_expr(a) * norm_expr(b)
     return F.when(denom > 0, dot_expr(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    out_col: str = "qvec",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column: per-vector
+    ``scale = max(|v|)/127`` and ``q_i = floor(v_i/scale + 0.5)`` clamped
+    to [−127, 127] — the standard 4× index-size compression before ANN
+    serving (dot products on int8 then rescale by ``scale_a·scale_b``).
+
+    Returns (``id_col``, ``scale_col`` double, ``out_col``
+    array<tinyint>). All-zero/NULL vectors get scale 0 and an empty-zero
+    quantization. Pure Catalyst array arithmetic (no UDF, no shuffle);
+    ``floor(x + 0.5)`` rather than ``round`` because half-up-vs-half-even
+    differs across engines while floor is IEEE-identical everywhere —
+    which keeps the quantized bytes oracle-checkable and
+    engine-portable. Reverse with :func:`dequantize_expr`."""
+    v = _as_double(F.col(vec_col))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = (amax / F.lit(127.0)).alias(scale_col)
+    q = F.when(
+        amax > 0,
+        F.transform(
+            v,
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.floor(x / (amax / 127.0) + 0.5)),
+            ).cast("tinyint"),
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    return df.select(F.col(id_col), scale, q.alias(out_col))
+
+
+def dequantize_expr(qvec: Column, scale: Column) -> Column:
+    """Reconstruct approximate doubles from int8 quantization."""
+    return F.transform(qvec, lambda x: x.cast("double") * scale)
 
 
 def cosine_similarity(

@@ -31,6 +31,7 @@ __all__ = [
     "winnow_fingerprint_expr",
     "winnow_fp_from_hashes",
     "token_frequencies",
+    "bpe_pair_counts",
     "build_vocab",
     "unigram_nll",
     "STOPWORDS",
@@ -355,6 +356,51 @@ def token_frequencies(
     )
     if min_count > 1:
         out = out.where(F.col("n_occurrences") >= min_count)
+    return out
+
+
+def bpe_pair_counts(
+    df,
+    text_col: str,
+    k: int | None = None,
+    lowercase: bool = True,
+):
+    """Adjacent-token pair frequencies — the merge-candidate statistic at
+    the heart of BPE/WordPiece tokenizer TRAINING (each BPE iteration
+    merges the most frequent adjacent pair; this operator is that count,
+    distributed). Returns (``left``, ``right``, ``n``), optionally top-k
+    by (n desc, left, right) — a deterministic total order.
+
+    Plan: tokenize once, build the adjacent-pair list with a lambda-bound
+    ``transform`` over a ``sequence`` (pure Catalyst — no re-split, no
+    Python), explode, ONE map-side-combined hash aggregate. The shuffle
+    carries one row per distinct pair per task, not per occurrence —
+    vocabulary-bounded, corpus-size-free. Top-k is TakeOrderedAndProject
+    (no global sort).
+    """
+    toks = tokens_expr(F.coalesce(F.col(text_col), F.lit("")))
+    if lowercase:
+        toks = F.transform(toks, F.lower)
+
+    def adjacent(tk: Column) -> Column:
+        return F.when(
+            F.size(tk) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.struct(
+                    F.element_at(tk, i).alias("left"),
+                    F.element_at(tk, i + 1).alias("right"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+
+    # lambda-bind the token array (chunk_documents pattern) so the split
+    # runs once per row, not once per element reference
+    pairs = F.element_at(F.transform(F.array(toks), adjacent), 1)
+    ex = df.select(F.explode(pairs).alias("p")).select("p.left", "p.right")
+    out = ex.groupBy("left", "right").agg(F.count(F.lit(1)).alias("n"))
+    if k is not None:
+        out = out.orderBy(F.col("n").desc(), "left", "right").limit(k)
     return out
 
 

@@ -57,9 +57,10 @@ def salted_join(
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
-    salt_col = "__salt__"
-    left = skewed.withColumn(salt_col, (F.rand(seed=0) * salt).cast("int"))
-    right = other.withColumn(
-        salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    # canonical implementation lives in operators/skew.py (round-6 home);
+    # this alias keeps the original call shape (list keys, left_outer)
+    from gluestick_spark.operators.skew import salted_join as _impl
+
+    return _impl(
+        skewed, other, on, how="left" if how == "left_outer" else how, salt=salt
     )
-    return left.join(right, on + [salt_col], how).drop(salt_col)

@@ -26,9 +26,9 @@ from pyspark.sql import types as T
 from ..functions.casting import cast_df_to_schema
 from ..schema import json_schema_to_struct
 
-__all__ = ["Reader", "read_csv_folder", "read_parquet_folder", "read_snapshots"]
+__all__ = ["Reader", "read_csv_folder", "read_parquet_folder", "read_orc_folder", "read_snapshots"]
 
-_EXTS = (".parquet", ".csv", ".jsonl", ".json")
+_EXTS = (".parquet", ".csv", ".jsonl", ".json", ".orc")
 
 
 def _discover(input_dir: str, ignore: list[str] | None = None) -> dict[str, str]:
@@ -182,6 +182,8 @@ class Reader:
             return default
         if path.endswith(".parquet"):
             df = self.spark.read.parquet(path)
+        elif path.endswith(".orc"):
+            df = self.spark.read.orc(path)
         elif path.endswith((".jsonl", ".json")):
             # ndjson (the shape to_export's jsonl sink writes); beyond the
             # reference's csv/parquet surface for round-trip read parity
@@ -233,6 +235,20 @@ def read_parquet_folder(
     for stream, p in _discover(path, ignore).items():
         if p.endswith(".parquet"):
             out[stream] = spark.read.parquet(p)
+    return out
+
+
+def read_orc_folder(
+    spark: SparkSession, path: str, ignore: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """All ORC files in folder -> {entity: DataFrame}. Beyond-reference
+    format breadth (the reference reads csv/parquet/json only); ORC is a
+    first-class columnar Spark source with the same pushdown/pruning
+    machinery as parquet, so warehouse dumps land without conversion."""
+    out: dict[str, DataFrame] = {}
+    for stream, p in _discover(path, ignore).items():
+        if p.endswith(".orc"):
+            out[stream] = spark.read.orc(p)
     return out
 
 
