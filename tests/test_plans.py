@@ -250,3 +250,93 @@ def test_bucketed_join_no_exchange(spark, tmp_dir):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_segment_dedup_two_exchanges(spark):
+    """segment_dedup = election shuffle (segment) + reassembly shuffle
+    (doc): exactly the two keyed Exchanges, both with map-side partial
+    aggregation (the skew posture for boilerplate spans)."""
+    from gluestick_spark.llm.spans import segment_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(segment_dedup(docs, "doc_id", "text", 4))
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex == 2, plan
+    assert "partial_" in plan  # map-side combine on the election aggregate
+    assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_broadcast_verify(spark):
+    """heavy_hitters' exact recount joins the candidate set by BROADCAST —
+    the candidate table is capacity-bounded, never shuffled at corpus
+    scale — and the final top-k is TakeOrderedAndProject."""
+    import pyspark.sql.functions as F
+
+    from gluestick_spark.llm.sketch import heavy_hitters
+    from gluestick_spark.llm.text import tokens_expr
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    words = docs.select(F.explode(tokens_expr(F.col("text"))).alias("w"))
+    plan = _plan(heavy_hitters(words, "w", k=10))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_expectations_row_rules_single_scan(spark):
+    """Every row-local rule folds into ONE aggregate over ONE scan: the
+    plan has exactly one FileScan and no Exchange other than the final
+    single-partition gather."""
+    from gluestick_spark.operators.expectations import check_expectations
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    plan = _plan(
+        check_expectations(
+            o,
+            [
+                {"rule": "not_null", "col": "o_orderkey"},
+                {"rule": "in_range", "col": "o_totalprice", "min": 0, "max": 1e9},
+                {"rule": "in_set", "col": "o_orderstatus", "values": ["O", "F", "P"]},
+            ],
+        )
+    )
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_scd2_closed_rows_not_rejoined(spark):
+    """scd2_merge's closed partition must pass through OUTSIDE the
+    full-outer join (one join total): at 100 TB the closed history dwarfs
+    the current set and must never enter a shuffle."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from gluestick_spark.operators.scd2 import scd2_merge
+
+    hist = spark.createDataFrame(
+        [Row(k=1, v="a", valid_from=dt.datetime(2024, 1, 1), valid_to=None)],
+        "k long, v string, valid_from timestamp, valid_to timestamp",
+    )
+    batch = spark.createDataFrame(
+        [Row(k=1, v="b", ts=dt.datetime(2024, 2, 1))], "k long, v string, ts timestamp"
+    )
+    plan = _plan(scd2_merge(hist, batch, "k", "ts", ["v"]))
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) == 1, plan
+
+
+def test_fuzzy_pairs_no_cartesian(spark):
+    """edit_distance_pairs is an equi-join on (length bucket) — never a
+    nested-loop cross join, even though the predicate is a distance."""
+    import pyspark.sql.functions as F
+
+    from gluestick_spark.llm.fuzzy import edit_distance_pairs
+    from gluestick_spark.llm.text import tokens_expr
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    titles = docs.select(
+        "doc_id", F.array_join(F.slice(tokens_expr(F.col("text")), 1, 6), " ").alias("t")
+    )
+    plan = _plan(edit_distance_pairs(titles, "doc_id", "t", 3))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
