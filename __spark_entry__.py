@@ -3376,6 +3376,81 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# Round-6 batch 4: TF-IDF vectors, embedding pooling
+# ---------------------------------------------------------------------------
+
+def q_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF featurization (llm/retrieval.py:tfidf_vectors):
+    one (doc, token) aggregate with map-side combine + a broadcast join of
+    the vocabulary-sized df table; smooth sklearn idf. n_docs from the
+    parquet footer (no count job)."""
+    from gluestick_spark.llm.retrieval import tfidf_vectors
+
+    d = _t(spark, sf_dir, "documents")
+    out = tfidf_vectors(
+        d, "text", "doc_id", min_df=2, n_docs=_parquet_num_rows(sf_dir, "documents")
+    )
+    return out.select("doc_id", "token", "tf", _flr6(F.col("tfidf")).alias("tfidf"))
+
+
+_Q_TFIDF_SQL = r"""
+WITH ex AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM ex GROUP BY 1, 2),
+dfq AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM ex
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT t.doc_id, t.token, t.tf,
+       floor(t.tf * (ln((1.0 + (SELECT count(*) FROM documents))
+                        / (1.0 + d.df)) + 1.0) * 1e6) / 1e6 AS tfidf
+FROM tf t JOIN dfq d USING (token)
+"""
+
+
+def q_pool_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean pooling (llm/similarity.py:pool_embeddings):
+    label → class centroid in ONE keyed shuffle (collect + Catalyst
+    zip_with fold — no posexplode into dim× rows). Components rendered as
+    integer micro-units (floor(x·1e6)) so the cross-engine hash is
+    float-render-free."""
+    from gluestick_spark.llm.similarity import pool_embeddings
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = pool_embeddings(e, "label", "embedding")
+    micro = F.array_join(
+        F.transform(
+            F.col("pooled"), lambda x: F.floor(x * 1e6).cast("long").cast("string")
+        ),
+        ",",
+    )
+    return out.select("label", "n_vecs", micro.alias("centroid_micro"))
+
+
+_Q_POOL_SQL = """
+WITH ex AS (
+  SELECT label, g.i AS pos, CAST(embedding[g.i] AS DOUBLE) AS v
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(1, len(embedding) + 1))) AS g(i)
+),
+agg AS (
+  SELECT label, pos, sum(v) / count(*) AS m FROM ex GROUP BY 1, 2
+),
+cnt AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
+SELECT c.label, c.n_vecs,
+       array_to_string(
+         (SELECT list(CAST(CAST(floor(a.m * 1e6) AS BIGINT) AS VARCHAR)
+                      ORDER BY a.pos)
+          FROM agg a WHERE a.label = c.label), ',') AS centroid_micro
+FROM cnt c
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -3406,8 +3481,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # map). Tail entries remain locally oracle-checked via
     # tools/check_correctness.py.
     return {
-        "pricing_summary": q_pricing_summary,
-        "snapshot_upsert": q_snapshot_upsert,
         "cluster_dedup": q_cluster_dedup,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "minhash_candidates": q_minhash_candidates,
@@ -3456,7 +3529,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "quantize_embeddings": q_quantize_embeddings,
         "orc_roundtrip": q_orc_roundtrip,
+        "tfidf_vectors": q_tfidf_vectors,
+        "pool_embeddings": q_pool_embeddings,
         # --- tail: past the driver's 50-query window ---
+        "pricing_summary": q_pricing_summary,
+        "snapshot_upsert": q_snapshot_upsert,
         "sessionize_events": q_sessionize_events,
         "multimodal_metadata": q_multimodal_meta,
         "ann_topk": q_ann_topk,
@@ -3518,8 +3595,6 @@ def oracle_sql() -> dict[str, str]:
     # (merge law); streaming_minhash_dedup reuses minhash_dedup
     # (stream-then-batch == batch-over-union).
     return {
-        "pricing_summary": _Q_PRICING_SQL,
-        "snapshot_upsert": _Q_SNAPSHOT_SQL,
         "cluster_dedup": _Q_CLUSTER_DEDUP_SQL,
         "jsonl_roundtrip": _Q_JSONL_ROUNDTRIP_SQL,
         "minhash_candidates": _Q_MINHASH_CANDIDATES_SQL,
@@ -3570,7 +3645,11 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pairs": _Q_BPE_PAIRS_SQL,
         "quantize_embeddings": _Q_QUANTIZE_SQL,
         "orc_roundtrip": _Q_ORC_ROUNDTRIP_SQL,
+        "tfidf_vectors": _Q_TFIDF_SQL,
+        "pool_embeddings": _Q_POOL_SQL,
         # --- tail (mirrors queries()) ---
+        "pricing_summary": _Q_PRICING_SQL,
+        "snapshot_upsert": _Q_SNAPSHOT_SQL,
         "sessionize_events": _Q_SESSIONIZE_SQL,
         "multimodal_metadata": _Q_MULTIMODAL_SQL,
         "ann_topk": _Q_ANN_TOPK_SQL,

@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "cdc_diff",
     "bpe_pairs",
     "quantize_embeddings",
+    "tfidf_vectors",
+    "pool_embeddings",
 ]
 
 

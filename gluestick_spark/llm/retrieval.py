@@ -23,7 +23,45 @@ from pyspark.sql import functions as F
 
 from .text import tokens_expr
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "tfidf_vectors"]
+
+
+def tfidf_vectors(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_df: int = 1,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Sparse TF-IDF document vectors: one row per (doc, term) —
+    (``id_col``, ``token``, ``tf``, ``tfidf``) with the sklearn-style
+    smooth idf ``ln((1+N)/(1+df)) + 1``. The classic featurization for
+    linear quality classifiers (fastText-style filtering) and as the
+    lexical side of hybrid retrieval next to :func:`bm25_topk`.
+
+    Scale shape: tokenize once → explode → ONE (doc, token) hash aggregate
+    for tf (map-side combine: shuffle rows ∝ distinct doc-term pairs, not
+    occurrences); document frequencies are a second vocabulary-sized
+    aggregate joined back by BROADCAST (a vocabulary is always tiny next
+    to a corpus). ``n_docs`` comes from the caller (parquet footer /
+    snapshot metadata) to keep the plan job-free; None falls back to one
+    count job. ``min_df`` prunes hapax noise at the df aggregate, before
+    the join fans it back out.
+    """
+    toks = F.transform(tokens_expr(F.col(text_col)), F.lower)
+    ex = df.select(F.col(id_col), F.explode(toks).alias("token"))
+    tf = ex.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = ex.groupBy("token").agg(F.countDistinct(id_col).alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.where(F.col("df") >= min_df)
+    n = df.count() if n_docs is None else n_docs
+    idf = F.log((F.lit(1.0) + F.lit(float(n))) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
+    return tf.join(F.broadcast(dfreq), "token").select(
+        id_col,
+        "token",
+        "tf",
+        (F.col("tf") * idf).alias("tfidf"),
+    )
 
 
 def bm25_topk(

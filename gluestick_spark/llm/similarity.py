@@ -45,6 +45,7 @@ __all__ = [
     "train_ivf_centroids",
     "quantize_embeddings",
     "dequantize_expr",
+    "pool_embeddings",
 ]
 
 
@@ -108,6 +109,42 @@ def quantize_embeddings(
 def dequantize_expr(qvec: Column, scale: Column) -> Column:
     """Reconstruct approximate doubles from int8 quantization."""
     return F.transform(qvec, lambda x: x.cast("double") * scale)
+
+
+def pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    out_col: str = "pooled",
+) -> DataFrame:
+    """Element-wise MEAN of the vectors in each group — chunk-embedding →
+    document-embedding pooling (and label → class-centroid aggregation),
+    the standard reduction between a chunk-level embedder and a doc-level
+    index. Returns (``group_col``, ``n_vecs``, ``out_col`` array<double>).
+
+    Scale shape: ONE keyed shuffle (groupBy + collect_list with map-side
+    size counting), then the element-wise sum is a pure Catalyst
+    ``aggregate``/``zip_with`` fold over the collected list — no
+    posexplode into (group, pos) rows, which would shuffle dim× more rows
+    and need a second regroup. Per-group memory is that group's vectors
+    (chunks-per-doc scale, not corpus scale); all vectors in a group must
+    share one dimension."""
+    vs = F.col("__vs__")
+    zeros = F.transform(F.element_at(vs, 1), lambda _: F.lit(0.0))
+    total = F.aggregate(
+        vs, zeros, lambda acc, v: F.zip_with(acc, _as_double(v), lambda a, x: a + x)
+    )
+    mean = F.transform(total, lambda s: s / F.size(vs))
+    return (
+        df.where(F.col(vec_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.collect_list(vec_col).alias("__vs__"))
+        .select(
+            group_col,
+            F.size(vs).alias("n_vecs"),
+            mean.alias(out_col),
+        )
+    )
 
 
 def cosine_similarity(
