@@ -3451,6 +3451,50 @@ FROM cnt c
 
 
 # ---------------------------------------------------------------------------
+# Round-6 batch 5: table statistics snapshot
+# ---------------------------------------------------------------------------
+
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style stats (operators/profile.py:table_stats): per-column
+    count/nulls/NDV in one stacked scan + one bounded KMV rank; NDV exact
+    under k=64 (event_type), sketch-estimated above it (user_id, props) —
+    the DuckDB oracle reproduces the ESTIMATE bit-exactly via the portable
+    md5-60-bit hash."""
+    from gluestick_spark.operators.profile import table_stats
+
+    e = _t(spark, sf_dir, "events")
+    out = table_stats(e, ["event_type", "user_id", "props"], k=64)
+    return out.select(
+        "column", "n", "n_null",
+        (F.floor(F.col("n_distinct_est") * 1e4) / 1e4).alias("n_distinct_est"),
+    )
+
+
+def _table_stats_sql() -> str:
+    parts = []
+    for c in ("event_type", "user_id", "props"):
+        parts.append(f"""
+SELECT '{c}' AS column,
+       (SELECT count(*) FROM events) AS n,
+       (SELECT count(*) FILTER (WHERE {c} IS NULL) FROM events) AS n_null,
+       coalesce((
+         SELECT floor(CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+                      ELSE 63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE)
+                      END * 1e4) / 1e4
+         FROM (
+           SELECT max(rn) AS m, max(CASE WHEN rn = 64 THEN hv END) AS hk
+           FROM (
+             SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+             FROM (
+               SELECT DISTINCT
+                 CAST('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 15) AS UBIGINT) AS hv
+               FROM events WHERE {c} IS NOT NULL)
+           ) WHERE rn <= 64)
+       ), 0.0) AS n_distinct_est""")
+    return "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -3531,7 +3575,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": q_orc_roundtrip,
         "tfidf_vectors": q_tfidf_vectors,
         "pool_embeddings": q_pool_embeddings,
-        # --- tail: past the driver's 50-query window ---
+        # --- tail: past the driver's 50-query window (round-6 batch-5 ops
+        # first — next in line for the r7 rotation) ---
+        "table_stats": q_table_stats,
         "pricing_summary": q_pricing_summary,
         "snapshot_upsert": q_snapshot_upsert,
         "sessionize_events": q_sessionize_events,
@@ -3648,6 +3694,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_vectors": _Q_TFIDF_SQL,
         "pool_embeddings": _Q_POOL_SQL,
         # --- tail (mirrors queries()) ---
+        "table_stats": _table_stats_sql(),
         "pricing_summary": _Q_PRICING_SQL,
         "snapshot_upsert": _Q_SNAPSHOT_SQL,
         "sessionize_events": _Q_SESSIONIZE_SQL,

@@ -20,7 +20,52 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_numeric", "histogram"]
+__all__ = ["profile_numeric", "histogram", "table_stats"]
+
+
+def table_stats(df: DataFrame, cols: list[str], k: int = 64) -> DataFrame:
+    """ANALYZE-style statistics snapshot: one row per column —
+    (``column``, ``n``, ``n_null``, ``n_distinct_est``). The input a
+    cost-based layer needs (broadcast decisions, bucket counts, salting
+    thresholds) and the shape warehouse catalogs persist.
+
+    NDV uses the portable KMV sketch (:mod:`gluestick_spark.llm.sketch`):
+    exact below ``k`` distinct values, oracle-reproducible, and MERGEABLE —
+    re-ANALYZE of appended data can combine per-increment sketches via
+    ``kmv_merge`` instead of rescanning history.
+
+    Plan: all columns stack into (column, value) pairs in one generator
+    projection (rows × C — a stats job run occasionally, not a hot path);
+    counts/nulls are one map-side-combined aggregate and the KMV ranks are
+    bounded per group, joined on the column name (C rows — broadcast).
+    Values hash via their canonical string form; NULLs don't count toward
+    NDV (COUNT DISTINCT semantics)."""
+    from gluestick_spark.llm.sketch import kmv_distinct
+
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.column", "s.value")
+    counts = stacked.groupBy("column").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null"),
+    )
+    ndv = kmv_distinct(stacked, "value", k=k, group_cols=["column"])
+    return counts.join(F.broadcast(ndv), "column", "left").select(
+        "column", "n", "n_null",
+        F.coalesce("n_distinct_est", F.lit(0.0)).alias("n_distinct_est"),
+    )
 
 
 def histogram(

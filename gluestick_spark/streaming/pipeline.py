@@ -91,6 +91,10 @@ def streaming_interval_join(
     range-predicate hash join, so the DuckDB oracle is a plain
     ``BETWEEN`` join — the driver row proves stream == batch.
     """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(
+            f"streaming_interval_join supports how='inner'/'leftOuter', got {how!r}"
+        )
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     cond = (

@@ -51,3 +51,23 @@ def test_pool_embeddings_single_shuffle(spark):
     df = spark.createDataFrame([(1, [1.0])], "g long, v array<double>")
     plan = pool_embeddings(df, "g", "v")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_table_stats_counts_and_exact_ndv(spark):
+    from gluestick_spark.operators.profile import table_stats
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b")], "id long, s string"
+    )
+    got = {r.column: (r.n, r.n_null, r.n_distinct_est) for r in
+           table_stats(df, ["id", "s"], k=64).collect()}
+    assert got["id"] == (4, 0, 4.0)  # below k -> exact
+    assert got["s"] == (4, 1, 2.0)  # NULL not counted toward NDV
+
+
+def test_table_stats_estimates_above_k(spark):
+    from gluestick_spark.operators.profile import table_stats
+
+    df = spark.range(1000).select(F.col("id"))
+    est = table_stats(df, ["id"], k=64).collect()[0].n_distinct_est
+    assert 700 <= est <= 1400  # ~1/sqrt(62) standard error

@@ -259,6 +259,30 @@ def main() -> None:
             d.select("doc_id", "source"), dim, "source", salt=8
         ).count()
 
+    from gluestick_spark.llm.fuzzy import edit_distance_pairs
+    from gluestick_spark.llm.retrieval import tfidf_vectors
+    from gluestick_spark.operators.cdc import table_diff
+
+    def _fuzzy(d):
+        from gluestick_spark.llm.text import tokens_expr
+
+        titles = d.select(
+            "doc_id",
+            F.array_join(F.slice(tokens_expr(F.col("text")), 1, 6), " ").alias("t"),
+        )
+        return edit_distance_pairs(titles, "doc_id", "t", max_dist=3).count()
+
+    def _tfidf(d, n):
+        return tfidf_vectors(d, "text", "doc_id", min_df=2, n_docs=n).count()
+
+    def _cdc(d):
+        old = d.where(F.col("doc_id") % 13 != 0).select("doc_id", "source", "n_chars")
+        new = d.where(F.col("doc_id") % 11 != 0).select(
+            "doc_id", "source",
+            (F.col("n_chars") + F.when(F.col("doc_id") % 7 == 0, 1).otherwise(0)).alias("n_chars"),
+        )
+        return table_diff(old, new, "doc_id").count()
+
     doc_ops = {
         "pack_documents": _pack,
         "build_vocab": _vocab,
@@ -268,9 +292,15 @@ def main() -> None:
         "segment_dedup": _segdedup,
         "heavy_hitters": _hh,
         "salted_join": _salted,
+        "fuzzy_pairs": _fuzzy,
+        "cdc_diff": _cdc,
     }
     for name, fn in doc_ops.items():
         ops[name] = (lambda f=fn: f(docs1), lambda f=fn: f(docsR))
+    ops["tfidf_vectors"] = (
+        lambda: _tfidf(docs1, n1),
+        lambda: _tfidf(docsR, nR),
+    )
 
     import math
 
