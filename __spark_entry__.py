@@ -3495,6 +3495,124 @@ SELECT '{c}' AS column,
 
 
 # ---------------------------------------------------------------------------
+# Round-6 batch 6: hive-partitioned layout, streaming CDC
+# ---------------------------------------------------------------------------
+
+def q_hive_partition_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write layout (sinks/layout.py:
+    write_hive_partitioned): events written ``event_type=…/`` with one
+    file per partition (writer tasks aligned to directories — no
+    task×partition small-file explosion), read back through a
+    partition-key filter (PartitionFilters prune the listing itself).
+    Oracle: the same filter off the original parquet."""
+    import tempfile
+
+    from gluestick_spark.sinks.layout import write_hive_partitioned
+
+    e = _t(spark, sf_dir, "events")
+    ev = e.select("event_id", "user_id", "event_type", _dec("value").alias("value"))
+    path = os.path.join(tempfile.mkdtemp(prefix="gs_hive_"), "events_part")
+    write_hive_partitioned(ev, path, ["event_type"], sort_cols=["event_id"])
+    back = spark.read.parquet(path).where(F.col("event_type") == "purchase")
+    return back.select(
+        "event_id", "user_id",
+        F.col("event_type").cast("string").alias("event_type"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+_Q_HIVE_PART_SQL = """
+SELECT event_id, user_id, event_type,
+       CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11: periodic-dump feed → change stream
+    (streaming/pipeline.py:streaming_cdc). Two pre-compacted batches
+    (last event per user before/after Jan 15) diffed against the rolling
+    snapshot in foreachBatch; output is batch-stamped change rows — batch
+    0 all inserts, batch 1 only changed/new users (absence ≠ delete).
+    Oracle recomputes both diffs in SQL."""
+    import tempfile
+
+    from gluestick_spark.functions.datetimes import as_timestamp
+    from gluestick_spark.operators.grouping import top_k_per_group
+    from gluestick_spark.streaming.pipeline import (
+        stream_from_directory,
+        streaming_cdc,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    ev = e.select(
+        "event_id", "user_id", "event_type",
+        as_timestamp(e, "ts").cast("timestamp").alias("ts"),
+        _dec("value").alias("v"),
+    )
+    order = [F.col("ts").desc(), F.col("event_id").desc()]
+    stage = tempfile.mkdtemp(prefix="gs_cdc_src_")
+    halves = (
+        ev.where(F.col("ts") < "2024-01-15"),
+        ev.where(F.col("ts") >= "2024-01-15"),
+    )
+    for i, half in enumerate(halves):
+        batch = top_k_per_group(half, ["user_id"], order, 1).select(
+            "user_id", "event_type", "v"
+        )
+        tmp = os.path.join(stage, f"__stage_{i}")
+        batch.coalesce(1).write.parquet(tmp)
+        (part,) = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        os.rename(os.path.join(tmp, part), os.path.join(stage, f"batch_{i}.parquet"))
+    stream = stream_from_directory(
+        spark, stage, "user_id long, event_type string, v decimal(18,2)",
+        max_files_per_trigger=1,
+    )
+    snap = tempfile.mkdtemp(prefix="gs_cdc_snap_")
+    changes = tempfile.mkdtemp(prefix="gs_cdc_changes_")
+    ckpt = tempfile.mkdtemp(prefix="gs_cdc_ckpt_")
+    q = streaming_cdc(stream, "users", snap, "user_id", changes, checkpoint_dir=ckpt)
+    q.awaitTermination()
+    out = spark.read.parquet(changes)
+    return out.select(
+        "batch_id", "user_id", "change",
+        "old_event_type", "new_event_type",
+        F.col("old_v").cast("double").alias("old_v"),
+        F.col("new_v").cast("double").alias("new_v"),
+    )
+
+
+_Q_STREAMING_CDC_SQL = """
+WITH h1 AS (
+  SELECT user_id, event_type, CAST(value AS DECIMAL(18,2)) AS v FROM (
+    SELECT user_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts < TIMESTAMP '2024-01-15') WHERE rn = 1
+),
+h2 AS (
+  SELECT user_id, event_type, CAST(value AS DECIMAL(18,2)) AS v FROM (
+    SELECT user_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts >= TIMESTAMP '2024-01-15') WHERE rn = 1
+)
+SELECT 0 AS batch_id, user_id, 'insert' AS change,
+       CAST(NULL AS VARCHAR) AS old_event_type, event_type AS new_event_type,
+       CAST(NULL AS DOUBLE) AS old_v, CAST(v AS DOUBLE) AS new_v
+FROM h1
+UNION ALL
+SELECT 1, b.user_id, 'insert', NULL, b.event_type, NULL, CAST(b.v AS DOUBLE)
+FROM h2 b LEFT JOIN h1 a USING (user_id) WHERE a.user_id IS NULL
+UNION ALL
+SELECT 1, b.user_id, 'update', a.event_type, b.event_type,
+       CAST(a.v AS DOUBLE), CAST(b.v AS DOUBLE)
+FROM h2 b JOIN h1 a USING (user_id)
+WHERE a.v IS DISTINCT FROM b.v OR a.event_type IS DISTINCT FROM b.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -3578,6 +3696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail: past the driver's 50-query window (round-6 batch-5 ops
         # first — next in line for the r7 rotation) ---
         "table_stats": q_table_stats,
+        "hive_partition_roundtrip": q_hive_partition_roundtrip,
+        "streaming_cdc": q_streaming_cdc,
         "pricing_summary": q_pricing_summary,
         "snapshot_upsert": q_snapshot_upsert,
         "sessionize_events": q_sessionize_events,
@@ -3695,6 +3815,8 @@ def oracle_sql() -> dict[str, str]:
         "pool_embeddings": _Q_POOL_SQL,
         # --- tail (mirrors queries()) ---
         "table_stats": _table_stats_sql(),
+        "hive_partition_roundtrip": _Q_HIVE_PART_SQL,
+        "streaming_cdc": _Q_STREAMING_CDC_SQL,
         "pricing_summary": _Q_PRICING_SQL,
         "snapshot_upsert": _Q_SNAPSHOT_SQL,
         "sessionize_events": _Q_SESSIONIZE_SQL,

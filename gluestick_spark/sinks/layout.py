@@ -20,7 +20,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["write_sorted", "write_bucketed", "zvalue_expr", "write_zordered"]
+__all__ = [
+    "write_sorted",
+    "write_bucketed",
+    "zvalue_expr",
+    "write_zordered",
+    "write_hive_partitioned",
+    "compact_files",
+]
 
 
 def write_sorted(
@@ -147,3 +154,88 @@ def write_zordered(
         .format(fmt)
         .save(path)
     )
+
+
+def write_hive_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+    files_per_partition: int = 1,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Hive-style directory partitioning (``path/col=value/…``) — the
+    layout that turns a partition-key predicate into PartitionFilters:
+    the scan LISTS only matching directories, so a day/tenant/source
+    filter over 100 TB touches exactly its own files, before any
+    row-group statistics are even consulted (the coarse complement to
+    :func:`write_sorted`'s intra-file clustering — compose them: partition
+    by the coarse key, sort by the fine one).
+
+    One repartition on (partition key [+ hash shard]) aligns writer tasks
+    with output directories so each partition directory gets
+    ``files_per_partition`` files — not one file per (task × partition),
+    the accidental small-file explosion of a naive ``partitionBy`` write.
+    Optional ``sort_cols`` sorts within each file for row-group pruning on
+    a second key. Keep partition keys LOW-cardinality (day, source,
+    tenant-bucket — not user id): every distinct value is a directory, and
+    millions of directories break listing long before Spark.
+    """
+    if not partition_cols:
+        raise ValueError("partition_cols must be non-empty")
+    if files_per_partition < 1:
+        raise ValueError(f"files_per_partition must be >= 1, got {files_per_partition}")
+    keys = [F.col(c) for c in partition_cols]
+    if files_per_partition > 1:
+        shard = F.pmod(
+            F.xxhash64(*[F.col(c) for c in (sort_cols or partition_cols)]),
+            F.lit(files_per_partition),
+        )
+        part = df.repartition(*keys, shard)
+    else:
+        part = df.repartition(*keys)
+    if sort_cols:
+        part = part.sortWithinPartitions(*partition_cols, *sort_cols)
+    part.write.mode(mode).format(fmt).partitionBy(*partition_cols).save(path)
+
+
+def compact_files(
+    spark,
+    path: str,
+    target_rows_per_file: int,
+    fmt: str = "parquet",
+) -> int:
+    """Compact a directory of small files into ~``target_rows_per_file``
+    files — the small-file remedy for streaming/incremental sinks (every
+    micro-batch writes a file; a month later the LISTING dominates query
+    time and each task reads a few KB). Returns the new file count.
+
+    Rewrite goes to a temp dir next to ``path`` then an atomic rename swap
+    (the snapshot write protocol — readers never observe a half-compacted
+    directory; crash before the swap leaves the original intact). Row
+    count comes from parquet footers (driver-side metadata, no Spark job);
+    the rewrite itself is one coalesce write — coalesce, not repartition,
+    so compaction never shuffles, it only concatenates partitions."""
+    import math
+    import os
+    import shutil
+
+    if target_rows_per_file < 1:
+        raise ValueError("target_rows_per_file must be >= 1")
+    import pyarrow.parquet as pq
+
+    files = [f for f in os.listdir(path) if f.endswith(f".{fmt}")]
+    n_rows = sum(
+        pq.ParquetFile(os.path.join(path, f)).metadata.num_rows for f in files
+    ) if fmt == "parquet" else spark.read.format(fmt).load(path).count()
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    tmp = path.rstrip("/") + ".__compacting__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.read.format(fmt).load(path).coalesce(n_files).write.format(fmt).save(tmp)
+    old = path.rstrip("/") + ".__old__"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

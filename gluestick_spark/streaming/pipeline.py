@@ -35,6 +35,7 @@ __all__ = [
     "sessionize",
     "streaming_interval_join",
     "streaming_scd2",
+    "streaming_cdc",
 ]
 
 
@@ -489,6 +490,59 @@ def streaming_scd2(
             ).limit(0)
         merged = scd2_merge(history, latest, keys, ts_col, tracked_cols)
         _write_snapshot(merged, name, snapshot_dir)
+
+    writer = stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_cdc(
+    stream_df: DataFrame,
+    stream: str,
+    snapshot_dir: str,
+    pk: str | list[str],
+    changes_dir: str,
+    checkpoint_dir: str,
+    compare_cols: list[str] | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Turn a re-delivered full/partial table feed into a CHANGE stream:
+    each micro-batch is diffed against the persisted snapshot with
+    :func:`~gluestick_spark.operators.cdc.table_diff` (inserts + updates;
+    a batch is treated as an upsert feed, so absent keys are NOT deletes —
+    feed explicit tombstones for that), the change rows are appended to
+    ``changes_dir`` as ``batch_id``-stamped parquet, and the snapshot is
+    upserted for the next batch.
+
+    This is how a pipeline that only gets periodic dumps (the Singer-tap
+    reality) produces an incremental feed for downstream SCD2 / sync
+    consumers: per-batch cost is one hash join against the CURRENT
+    snapshot (O(snapshot + batch)), and downstream reads change volume,
+    not table volume.
+    """
+    from ..operators.cdc import table_diff
+    from ..operators.snapshot import snapshot_records
+    from ..sources.reader import read_snapshots
+
+    keys = [pk] if isinstance(pk, str) else list(pk)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        snap = read_snapshots(spark, stream, snapshot_dir)
+        if snap is None:
+            snap = batch_df.limit(0)
+        diff = table_diff(snap, batch_df, keys, compare_cols).where(
+            F.col("change") != "delete"  # upsert feed: absence != deletion
+        )
+        (
+            diff.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(changes_dir)
+        )
+        snapshot_records(spark, batch_df, stream, snapshot_dir, pk=keys)
 
     writer = stream_df.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
