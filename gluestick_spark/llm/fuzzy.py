@@ -3,24 +3,33 @@ SHORT strings (titles, names, product labels), the record-linkage /
 entity-resolution primitive.
 
 Scale design — the naive formulation is an O(N²) cross join with a
-per-pair Levenshtein; the classic rewrite is **blocking + verify**:
+per-pair Levenshtein; this implementation layers three classic rewrites:
 
-1. Length blocking: edit distance ≤ k implies the lengths differ by ≤ k,
-   so bucketing lengths at width k+1 means qualifying pairs land in the
-   same OR adjacent buckets. The build side is replicated to its bucket
-   and both neighbors (3×), the probe side stays at 1× — every qualifying
-   pair collides exactly once, and the join is a plain equi-join on the
-   bucket id (plus any caller-supplied exact-match ``block_cols``, the
-   usual entity-resolution move: block on country/zip/first-token, then
-   fuzzy within the block).
-2. Verify: JVM ``levenshtein(a, b, k)`` — Spark's threshold form
-   short-circuits to O(k·min(len)) per pair instead of O(len²), and
-   whole-stage codegen keeps it off the Python path entirely.
+1. **Exact-group compression.** Real short-string corpora are duplicate-
+   heavy (the same title appears thousands of times). All pairwise work
+   runs on DISTINCT strings only: one hash aggregate collapses duplicates
+   to a representative + member-id list, and pairs expand back afterwards
+   — identical-string pairs at distance 0 without a single Levenshtein
+   call, and the quadratic candidate stage sees each string once however
+   many copies exist. (A 10× duplicate flood multiplies candidate pairs
+   100× without this; with it, candidates are unchanged and only the
+   OUTPUT — which is genuinely 100× — grows.)
+2. **Length blocking.** Edit distance ≤ k implies lengths differ by ≤ k:
+   bucket lengths at width k+1, replicate the build side to its bucket ±1
+   — every qualifying pair collides exactly once in the probe's own
+   bucket, and the join is a plain equi-join on (bucket [, block_cols…]),
+   the usual entity-resolution move (block on country/zip/first-token,
+   then fuzzy within the block).
+3. **Threshold verify.** JVM ``levenshtein(a, b, k)`` short-circuits to
+   O(k·min(len)) per candidate instead of O(len²), inside whole-stage
+   codegen — no Python anywhere.
 
-Replication is 3× the probe side — constant, independent of N; the
-quadratic term only survives INSIDE a (bucket × block) group, which is
-what ``block_cols`` exists to keep small. Skewed blocks degrade to AQE
-skew-split sort-merge, never a cartesian of the whole table.
+The quadratic term survives only across DISTINCT strings inside one
+(bucket × block) group; supply ``block_cols`` to keep those groups small
+when the length distribution alone is too uniform. Exact-duplicate groups
+necessarily emit C(m, 2) distance-0 pairs — that is the operator's
+contract; run :func:`~gluestick_spark.llm.dedup.exact_dedup` first if you
+don't want them enumerated.
 """
 
 from __future__ import annotations
@@ -49,34 +58,69 @@ def edit_distance_pairs(
     base = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id__"),
         F.col(text_col).alias("__t__"),
-        (F.length(text_col) / w).cast("long").alias("__lb__"),
         *[F.col(c) for c in blocks],
     )
-    probe = base
-    build = base.select(
-        F.col("__id__").alias("__id2__"),
+
+    # 1. exact-group compression: one row per distinct (text, blocks…)
+    groups = base.groupBy("__t__", *blocks).agg(
+        F.min("__id__").alias("__gid__"),
+        F.collect_list("__id__").alias("__ids__"),
+    )
+
+    # distance-0 pairs inside each duplicate group: all member pairs, no
+    # Levenshtein. Output-bound (these rows ARE the result).
+    members = groups.select("__gid__", F.explode("__ids__").alias("__m__"))
+    m2 = members.select(
+        F.col("__gid__").alias("__gid2__"), F.col("__m__").alias("__m2__")
+    )
+    within = (
+        members.join(m2, members["__gid__"] == m2["__gid2__"])
+        .where(F.col("__m__") < F.col("__m2__"))
+        .select(
+            F.col("__m__").alias("a"),
+            F.col("__m2__").alias("b"),
+            F.lit(0).alias("dist"),
+        )
+    )
+
+    # 2. + 3. length blocking + threshold verify over DISTINCT strings
+    reps = groups.select(
+        "__gid__", "__t__", (F.length("__t__") / w).cast("long").alias("__lb__"),
+        *blocks, "__ids__",
+    )
+    probe = reps
+    build = reps.select(
+        F.col("__gid__").alias("__gid2__"),
         F.col("__t__").alias("__t2__"),
         F.explode(
             F.array(F.col("__lb__") - 1, F.col("__lb__"), F.col("__lb__") + 1)
         ).alias("__lb__"),
         *[F.col(c).alias(f"__b_{c}__") for c in blocks],
+        F.col("__ids__").alias("__ids2__"),
     )
     cond = [probe["__lb__"] == build["__lb__"]] + [
         probe[c] == build[f"__b_{c}__"] for c in blocks
     ]
-    # a < b also dedupes the (bucket, neighbor-bucket) double-count: each
-    # unordered pair meets exactly once per colliding bucket, and the
-    # neighbor replication makes each qualifying pair collide exactly once
-    # in the probe row's own bucket.
-    joined = probe.join(build, cond).where(F.col("__id__") < F.col("__id2__"))
+    # __gid__ < __gid2__ visits each unordered rep pair once; the ±1
+    # replication means it collides exactly once (in the probe's bucket).
+    joined = probe.join(build, cond).where(F.col("__gid__") < F.col("__gid2__"))
     dist = F.levenshtein(F.col("__t__"), F.col("__t2__"), max_dist)
-    return (
+    rep_pairs = (
         joined.withColumn("__d__", dist)
-        # threshold form returns -1 when the distance exceeds max_dist
-        .where(F.col("__d__") >= 0)
+        # threshold form returns -1 when the distance exceeds max_dist;
+        # distinct texts ⇒ never 0, so no overlap with `within`
+        .where(F.col("__d__") >= 1)
+        .select("__ids__", "__ids2__", "__d__")
+    )
+    # expand rep pairs to member pairs (output-bound), orienting a < b
+    x = F.explode("__ids__").alias("__x__")
+    cross = (
+        rep_pairs.select(x, "__ids2__", "__d__")
+        .select("__x__", F.explode("__ids2__").alias("__y__"), "__d__")
         .select(
-            F.col("__id__").alias("a"),
-            F.col("__id2__").alias("b"),
+            F.least("__x__", "__y__").alias("a"),
+            F.greatest("__x__", "__y__").alias("b"),
             F.col("__d__").alias("dist"),
         )
     )
+    return within.unionByName(cross)

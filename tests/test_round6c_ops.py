@@ -169,3 +169,31 @@ def test_read_orc_folder_and_reader_get(spark, tmp_dir):
     assert sorted(map(tuple, got["accounts"].collect())) == [(1, "x"), (2, "y")]
     r = Reader(spark, input_dir=tmp_dir)
     assert sorted(map(tuple, r.get("accounts").collect())) == [(1, "x"), (2, "y")]
+
+
+def test_edit_distance_pairs_duplicate_heavy_matches_bruteforce(spark):
+    """Exact-group compression must not change the result set: duplicates
+    produce C(m,2) distance-0 pairs plus cross-group pairs once each."""
+    import itertools
+
+    words = ["alpha", "alpha", "alpha", "alphb", "beta", "beta", "gamma"]
+    df = spark.createDataFrame(list(enumerate(words)), "id long, t string")
+    got = sorted(
+        (r.a, r.b, r.dist)
+        for r in edit_distance_pairs(df, "id", "t", 2).collect()
+    )
+
+    def lev(s, t):
+        d = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            prev, d[0] = d[0], i
+            for j, ct in enumerate(t, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (cs != ct))
+        return d[len(t)]
+
+    want = sorted(
+        (i, j, lev(words[i], words[j]))
+        for i, j in itertools.combinations(range(len(words)), 2)
+        if lev(words[i], words[j]) <= 2
+    )
+    assert got == want
