@@ -3613,6 +3613,92 @@ WHERE a.v IS DISTINCT FROM b.v OR a.event_type IS DISTINCT FROM b.event_type
 
 
 # ---------------------------------------------------------------------------
+# Round-6 batch 7: feature prep (equi-depth bins, scaling, class balance)
+# ---------------------------------------------------------------------------
+
+def q_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) binning (operators/features.py): exact
+    percentile edges in one aggregate, then a branch-free projection — no
+    ntile global sort, ties share a bin. Oracle derives the same edges
+    via quantile_cont (identical interpolation)."""
+    from gluestick_spark.operators.features import equi_depth_bin
+
+    e = _t(spark, sf_dir, "events")
+    binned, _ = equi_depth_bin(e, "value", 8)
+    return binned.select("event_id", "value_bin")
+
+
+_Q_EQUI_DEPTH_SQL = """
+WITH e AS (SELECT event_id, CAST(value AS DOUBLE) AS v FROM events),
+edges AS (
+  SELECT quantile_cont(v, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS es
+  FROM e
+)
+SELECT event_id,
+       CASE WHEN v IS NULL THEN NULL ELSE
+         CAST(v > es[1] AS INT) + CAST(v > es[2] AS INT) +
+         CAST(v > es[3] AS INT) + CAST(v > es[4] AS INT) +
+         CAST(v > es[5] AS INT) + CAST(v > es[6] AS INT) +
+         CAST(v > es[7] AS INT)
+       END AS value_bin
+FROM e, edges
+"""
+
+
+def q_scaled_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column scaling (operators/features.py:scale_features): z-score over
+    one moments aggregate + pure projection; learned params returned for
+    serve-time reuse. Floor-rounded — the mean/stddev sums are
+    order-nondeterministic at the ulp level on both engines."""
+    from gluestick_spark.operators.features import scale_features
+
+    e = _t(spark, sf_dir, "events")
+    out, _ = scale_features(e, ["value"], "zscore")
+    return out.select("event_id", _flr6(F.col("value_scaled")).alias("value_z"))
+
+
+_Q_SCALED_SQL = """
+WITH s AS (
+  SELECT avg(CAST(value AS DOUBLE)) AS m,
+         stddev_pop(CAST(value AS DOUBLE)) AS sd
+  FROM events
+)
+SELECT event_id,
+       floor(((CAST(value AS DOUBLE) - m) / sd) * 1e6) / 1e6 AS value_z
+FROM events, s
+"""
+
+
+def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class balancing (llm/sampling.py:balance_classes): every source
+    downsampled to the minority source's size by seeded-hash rank —
+    deterministic, partition-invariant membership the oracle re-derives
+    exactly."""
+    from gluestick_spark.llm.sampling import balance_classes
+
+    d = _t(spark, sf_dir, "documents")
+    return balance_classes(d, "doc_id", "source").select("doc_id", "source")
+
+
+_Q_BALANCED_SQL = """
+WITH m AS (
+  SELECT min(n) AS mn FROM (SELECT count(*) AS n FROM documents GROUP BY source)
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31)), 1, 15)
+                         AS UBIGINT),
+                    doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM r, m WHERE rn <= mn
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -3698,6 +3784,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_stats": q_table_stats,
         "hive_partition_roundtrip": q_hive_partition_roundtrip,
         "streaming_cdc": q_streaming_cdc,
+        "equi_depth_bins": q_equi_depth_bins,
+        "scaled_features": q_scaled_features,
+        "balanced_sample": q_balanced_sample,
         "pricing_summary": q_pricing_summary,
         "snapshot_upsert": q_snapshot_upsert,
         "sessionize_events": q_sessionize_events,
@@ -3817,6 +3906,9 @@ def oracle_sql() -> dict[str, str]:
         "table_stats": _table_stats_sql(),
         "hive_partition_roundtrip": _Q_HIVE_PART_SQL,
         "streaming_cdc": _Q_STREAMING_CDC_SQL,
+        "equi_depth_bins": _Q_EQUI_DEPTH_SQL,
+        "scaled_features": _Q_SCALED_SQL,
+        "balanced_sample": _Q_BALANCED_SQL,
         "pricing_summary": _Q_PRICING_SQL,
         "snapshot_upsert": _Q_SNAPSHOT_SQL,
         "sessionize_events": _Q_SESSIONIZE_SQL,

@@ -26,6 +26,7 @@ __all__ = [
     "hash_sample_expr",
     "hash_sample",
     "hash_split",
+    "balance_classes",
     "mix_corpora",
     "negative_pairs",
     "shuffle_write",
@@ -174,6 +175,35 @@ def stratified_sample(
         .where(F.col("__rn__") <= n_per_stratum)
         .drop("__rn__")
     )
+
+
+def balance_classes(
+    df: DataFrame,
+    key_col: str,
+    label_col: str,
+    n_per_class: int | None = None,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministically downsample every class to ``n_per_class`` rows
+    (default: the MINORITY class size, i.e. full balancing) — the
+    imbalanced-label remedy for classifier training sets. Delegates to
+    :func:`stratified_sample`, so membership is a pure function of
+    (key, seed): reproducible across runs/engines/partitionings, and
+    re-seeding draws an independent balanced set.
+
+    When ``n_per_class`` is None one count aggregate finds the minority
+    size first (a cheap map-side-combined job over label counts); pass it
+    explicitly to keep the plan job-free."""
+    if n_per_class is None:
+        n_per_class = (
+            df.groupBy(label_col)
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .agg(F.min("__n__"))
+            .first()[0]
+        )
+        if n_per_class is None:
+            raise ValueError("balance_classes on an empty frame")
+    return stratified_sample(df, key_col, [label_col], int(n_per_class), seed)
 
 
 def shuffle_write(

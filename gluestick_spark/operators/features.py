@@ -1,0 +1,96 @@
+"""Feature-engineering operators: equi-depth binning and column scaling.
+
+The preprocessing pair every ML-adjacent pipeline reimplements: quantile
+(equi-depth) bucketing for stratification/curriculum ordering, and
+z-score / min-max scaling before distance-based models (the ANN stack in
+:mod:`gluestick_spark.llm.similarity` assumes comparable feature scales).
+
+Scale design: both are two-phase — ONE statistics aggregate over one scan
+(exact sort-based percentiles / moments), then a pure projection applying
+the learned transform. The statistics are tiny scalars broadcast into the
+second pass's expressions, so the transform itself pipelines inside the
+scan with no shuffle. The learned parameters are also RETURNED so
+serving-time data can apply the identical transform (train/serve skew is
+a parameter-snapshot problem — persist them with the snapshot machinery).
+
+Exact (engine-portable) percentiles keep the bin edges oracle-checkable;
+swap ``percentile`` for ``percentile_approx`` at 100 TB when ±0.1% edge
+error is acceptable — the operator shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["equi_depth_bin", "scale_features"]
+
+
+def equi_depth_bin(
+    df: DataFrame,
+    col: str,
+    n_bins: int,
+    out_col: str | None = None,
+) -> tuple[DataFrame, list[float]]:
+    """Assign each row an equi-depth (quantile) bin 0..n_bins−1 over
+    ``col``: bin edges are the exact 1/n_bins … (n_bins−1)/n_bins
+    percentiles; a value lands in bin i when edge[i−1] < v ≤ edge[i]
+    (right-closed, matching SQL ``width_bucket``-style conventions with
+    quantile edges). NULLs get NULL bins. Returns (binned df, edges).
+
+    Unlike ``ntile`` (a GLOBAL SORT of the whole table — the thing to
+    avoid at 100 TB), this is one percentile aggregate + a branch-free
+    projection; ties at an edge all take the lower bin, so equal values
+    always share a bin (ntile splits them arbitrarily — statistically
+    wrong for stratification)."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    out_col = out_col or f"{col}_bin"
+    v = F.col(col).cast("double")
+    qs = [i / n_bins for i in range(1, n_bins)]
+    row = df.agg(F.percentile(v, F.array(*[F.lit(q) for q in qs])).alias("e")).first()
+    edges = [float(x) for x in row["e"]]
+    bin_expr = F.lit(0)
+    for e in edges:
+        bin_expr = bin_expr + (v > F.lit(e)).cast("int")
+    binned = df.withColumn(out_col, F.when(v.isNotNull(), bin_expr))
+    return binned, edges
+
+
+def scale_features(
+    df: DataFrame,
+    cols: list[str],
+    method: str = "zscore",
+    suffix: str = "_scaled",
+) -> tuple[DataFrame, dict[str, tuple[float, float]]]:
+    """Scale numeric columns: ``"zscore"`` → (x − mean)/stddev (population
+    stddev; constant columns scale to 0.0), ``"minmax"`` → (x − min)/
+    (max − min) (constant columns → 0.0). Adds ``{col}{suffix}`` columns;
+    returns (df, {col: params}) where params is (mean, stddev) or
+    (min, max) — persist them to apply the identical transform at serving
+    time. One moments aggregate over one scan, then a projection."""
+    if method not in ("zscore", "minmax"):
+        raise ValueError(f"method must be 'zscore'/'minmax', got {method!r}")
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        if method == "zscore":
+            aggs += [F.avg(v).alias(f"m_{c}"), F.stddev_pop(v).alias(f"s_{c}")]
+        else:
+            aggs += [F.min(v).alias(f"m_{c}"), F.max(v).alias(f"s_{c}")]
+    row = df.agg(*aggs).first()
+    params: dict[str, tuple[float, float]] = {}
+    out = df
+    for c in cols:
+        a, b = float(row[f"m_{c}"] or 0.0), float(row[f"s_{c}"] or 0.0)
+        params[c] = (a, b)
+        v = F.col(c).cast("double")
+        denom = b if method == "zscore" else (b - a)
+        if denom == 0.0:
+            scaled = F.when(v.isNotNull(), F.lit(0.0))
+        else:
+            scaled = (v - F.lit(a)) / F.lit(denom)
+        out = out.withColumn(f"{c}{suffix}", scaled)
+    return out, params

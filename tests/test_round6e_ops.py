@@ -92,3 +92,58 @@ def test_streaming_cdc_emits_changes_only(spark, tmp_dir):
 
     final = sorted(map(tuple, read_snapshots(spark, "feed", snap).collect()))
     assert final == [(1, "a"), (2, "b2"), (3, "c")]
+
+
+# -------------------------------------------------------- feature prep -----
+
+
+def test_equi_depth_bin_quartiles(spark):
+    from gluestick_spark.operators.features import equi_depth_bin
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 9)], "v double")
+    binned, edges = equi_depth_bin(df, "v", 4)
+    assert edges == [2.75, 4.5, 6.25]
+    got = {r.v: r.v_bin for r in binned.collect()}
+    assert got == {1.0: 0, 2.0: 0, 3.0: 1, 4.0: 1, 5.0: 2, 6.0: 2, 7.0: 3, 8.0: 3}
+
+
+def test_equi_depth_bin_ties_share_bin_and_null(spark):
+    from gluestick_spark.operators.features import equi_depth_bin
+
+    df = spark.createDataFrame(
+        [(5.0,), (5.0,), (5.0,), (5.0,), (None,)], "v double"
+    )
+    binned, _ = equi_depth_bin(df, "v", 2)
+    rows = binned.collect()
+    bins = {r.v_bin for r in rows if r.v is not None}
+    assert len(bins) == 1  # equal values never split across bins
+    assert [r.v_bin for r in rows if r.v is None] == [None]
+
+
+def test_scale_features_zscore_and_minmax(spark):
+    from gluestick_spark.operators.features import scale_features
+
+    df = spark.createDataFrame(
+        [(0.0, 10.0), (10.0, 10.0)], "x double, c double"
+    )
+    z, params = scale_features(df, ["x", "c"], "zscore")
+    got = sorted((r.x, r.x_scaled, r.c_scaled) for r in z.collect())
+    assert got == [(0.0, -1.0, 0.0), (10.0, 1.0, 0.0)]  # constant col -> 0
+    assert params["x"] == (5.0, 5.0)
+    mm, p2 = scale_features(df, ["x"], "minmax")
+    assert sorted(r.x_scaled for r in mm.collect()) == [0.0, 1.0]
+    assert p2["x"] == (0.0, 10.0)
+
+
+def test_balance_classes_downsamples_to_minority(spark):
+    from gluestick_spark.llm.sampling import balance_classes
+
+    rows = [(i, "big") for i in range(50)] + [(100 + i, "small") for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, label string")
+    out = balance_classes(df, "id", "label")
+    counts = {r.label: r.n for r in out.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"big": 5, "small": 5}
+    # deterministic: same seed -> same members
+    a = sorted(r.id for r in balance_classes(df, "id", "label").collect())
+    b = sorted(r.id for r in balance_classes(df.repartition(7), "id", "label").collect())
+    assert a == b
