@@ -76,6 +76,10 @@ BENCH_QUERIES = [
     "quantize_embeddings",
     "tfidf_vectors",
     "pool_embeddings",
+    "table_stats",
+    "equi_depth_bins",
+    "scaled_features",
+    "balanced_sample",
 ]
 
 
@@ -150,7 +154,9 @@ def main() -> None:
     for _ in range(3):
         t0 = time.time()
         spark.range(0, 20_000_000, 1, 32).select(
-            (F.col("id") % 97).alias("k"), F.xxhash64("id").alias("h")
+            (F.col("id") % 97).alias("k"),
+            # pmod keeps the sum inside long range under ANSI mode
+            F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("h"),
         ).groupBy("k").agg(F.sum("h")).collect()
         calib = min(calib, time.time() - t0)
 

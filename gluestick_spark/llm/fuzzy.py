@@ -55,7 +55,13 @@ def edit_distance_pairs(
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
     blocks = list(block_cols or [])
     w = max_dist + 1
-    base = df.where(F.col(text_col).isNotNull()).select(
+    # NULL text or NULL block value ⇒ the row matches nothing (uniform SQL
+    # join semantics in BOTH stages — a NULL block must not pair in the
+    # exact-group stage while vanishing from the candidate join)
+    keep = F.col(text_col).isNotNull()
+    for c in blocks:
+        keep = keep & F.col(c).isNotNull()
+    base = df.where(keep).select(
         F.col(id_col).alias("__id__"),
         F.col(text_col).alias("__t__"),
         *[F.col(c) for c in blocks],

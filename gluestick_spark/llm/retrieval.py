@@ -51,7 +51,10 @@ def tfidf_vectors(
     toks = F.transform(tokens_expr(F.col(text_col)), F.lower)
     ex = df.select(F.col(id_col), F.explode(toks).alias("token"))
     tf = ex.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = ex.groupBy("token").agg(F.countDistinct(id_col).alias("df"))
+    # document frequency DERIVES from tf (one row per distinct doc-term
+    # pair already) — a count, not a second tokenize+explode+countDistinct
+    # over the corpus; the shared subtree reuses tf's exchange
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     if min_df > 1:
         dfreq = dfreq.where(F.col("df") >= min_df)
     n = df.count() if n_docs is None else n_docs

@@ -84,8 +84,10 @@ def quantize_embeddings(
     serving (dot products on int8 then rescale by ``scale_a·scale_b``).
 
     Returns (``id_col``, ``scale_col`` double, ``out_col``
-    array<tinyint>). All-zero/NULL vectors get scale 0 and an empty-zero
-    quantization. Pure Catalyst array arithmetic (no UDF, no shuffle);
+    array<tinyint>). All-zero vectors get scale 0 and an all-zero byte
+    array; NULL vectors propagate NULL scale and NULL bytes (their
+    dimension is unknowable — filter or impute upstream). Pure Catalyst
+    array arithmetic (no UDF, no shuffle);
     ``floor(x + 0.5)`` rather than ``round`` because half-up-vs-half-even
     differs across engines while floor is IEEE-identical everywhere —
     which keeps the quantized bytes oracle-checkable and

@@ -55,6 +55,8 @@ def _row_rule_pred(rule: dict) -> Column:
 
 
 def _rule_label(rule: dict) -> str:
+    if "__label__" in rule:
+        return rule["__label__"]
     kind = rule["rule"]
     col = rule.get("col") or ",".join(rule.get("cols", []))
     return f"{kind}:{col}"
@@ -82,6 +84,16 @@ def check_expectations(
     ``ref`` rules resolve ``name`` in ``ref_tables``. NULL foreign keys
     are not violations (SQL FK semantics).
     """
+    # disambiguate repeated (kind, col) labels — e.g. two `matches` rules
+    # on one column — so aggregate aliases and output rows stay unique
+    seen: dict[str, int] = {}
+    rules = [dict(r) for r in rules]
+    for r in rules:
+        label = _rule_label(r)
+        seen[label] = seen.get(label, 0) + 1
+        if seen[label] > 1:
+            r["__label__"] = f"{label}#{seen[label]}"
+
     row_rules = [r for r in rules if r["rule"] in ("not_null", "in_range", "in_set", "matches")]
     unique_rules = [r for r in rules if r["rule"] == "unique"]
     ref_rules = [r for r in rules if r["rule"] == "ref"]

@@ -49,6 +49,8 @@ def equi_depth_bin(
     v = F.col(col).cast("double")
     qs = [i / n_bins for i in range(1, n_bins)]
     row = df.agg(F.percentile(v, F.array(*[F.lit(q) for q in qs])).alias("e")).first()
+    if row["e"] is None:
+        raise ValueError(f"equi_depth_bin: column {col!r} has no non-null values")
     edges = [float(x) for x in row["e"]]
     bin_expr = F.lit(0)
     for e in edges:

@@ -34,16 +34,35 @@ def table_stats(df: DataFrame, cols: list[str], k: int = 64) -> DataFrame:
     re-ANALYZE of appended data can combine per-increment sketches via
     ``kmv_merge`` instead of rescanning history.
 
-    Plan: all columns stack into (column, value) pairs in one generator
-    projection (rows × C — a stats job run occasionally, not a hot path);
-    counts/nulls are one map-side-combined aggregate and the KMV ranks are
-    bounded per group, joined on the column name (C rows — broadcast).
-    Values hash via their canonical string form; NULLs don't count toward
-    NDV (COUNT DISTINCT semantics)."""
+    Plan: counts/nulls come from ONE conditional aggregate directly over
+    the source scan (no explode — C counter expressions, map-side
+    combined, like :func:`profile_numeric`); only the NDV sketch needs the
+    (column, value) stacked form, so the rows × C generator projection
+    runs exactly once. The per-column results meet in a C-row broadcast
+    join. Values hash via their canonical string form; NULLs don't count
+    toward NDV (COUNT DISTINCT semantics)."""
     from gluestick_spark.llm.sketch import kmv_distinct
 
     if not cols:
         raise ValueError("cols must be non-empty")
+    wide = df.agg(
+        F.count(F.lit(1)).alias("__n__"),
+        *[F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}__") for c in cols],
+    )
+    counts = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col("__n__").alias("n"),
+                        F.coalesce(F.col(f"`__null_{c}__`"), F.lit(0)).alias("n_null"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.column", "s.n", "s.n_null")
     stacked = df.select(
         F.explode(
             F.array(
@@ -57,10 +76,6 @@ def table_stats(df: DataFrame, cols: list[str], k: int = 64) -> DataFrame:
             )
         ).alias("s")
     ).select("s.column", "s.value")
-    counts = stacked.groupBy("column").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").isNull().cast("long")).alias("n_null"),
-    )
     ndv = kmv_distinct(stacked, "value", k=k, group_cols=["column"])
     return counts.join(F.broadcast(ndv), "column", "left").select(
         "column", "n", "n_null",

@@ -175,7 +175,8 @@ def write_hive_partitioned(
 
     One repartition on (partition key [+ hash shard]) aligns writer tasks
     with output directories so each partition directory gets
-    ``files_per_partition`` files — not one file per (task × partition),
+    ~``files_per_partition`` files (approximate: (dir, shard) pairs can
+    hash-collide into one reducer) — not one file per (task × partition),
     the accidental small-file explosion of a naive ``partitionBy`` write.
     Optional ``sort_cols`` sorts within each file for row-group pruning on
     a second key. Keep partition keys LOW-cardinality (day, source,
@@ -188,11 +189,18 @@ def write_hive_partitioned(
         raise ValueError(f"files_per_partition must be >= 1, got {files_per_partition}")
     keys = [F.col(c) for c in partition_cols]
     if files_per_partition > 1:
+        # shard from ALL columns: hashing only the partition key would be
+        # constant within a directory and silently collapse every
+        # partition back to one file. The partition count is EXPLICIT
+        # (distinct-dirs × shards, one small aggregate to learn it):
+        # an expression-only repartition lets AQE coalesce the small
+        # shuffle back together and re-merge the shards.
         shard = F.pmod(
-            F.xxhash64(*[F.col(c) for c in (sort_cols or partition_cols)]),
+            F.xxhash64(*[F.col(c) for c in df.columns]),
             F.lit(files_per_partition),
         )
-        part = df.repartition(*keys, shard)
+        n_dirs = df.select(*partition_cols).distinct().count()
+        part = df.repartition(max(1, n_dirs) * files_per_partition, *keys, shard)
     else:
         part = df.repartition(*keys)
     if sort_cols:
@@ -211,12 +219,17 @@ def compact_files(
     micro-batch writes a file; a month later the LISTING dominates query
     time and each task reads a few KB). Returns the new file count.
 
-    Rewrite goes to a temp dir next to ``path`` then an atomic rename swap
-    (the snapshot write protocol — readers never observe a half-compacted
-    directory; crash before the swap leaves the original intact). Row
-    count comes from parquet footers (driver-side metadata, no Spark job);
-    the rewrite itself is one coalesce write — coalesce, not repartition,
-    so compaction never shuffles, it only concatenates partitions."""
+    Rewrite goes to a temp dir next to ``path``, then a two-rename swap
+    (``path`` → ``.__old__``, temp → ``path``). Readers never see a
+    HALF-compacted directory, but POSIX cannot exchange two directories
+    atomically: there is a sub-millisecond window where ``path`` is
+    absent, and a crash inside it strands the data intact under
+    ``.__old__`` (no loss — manual rename recovers; a table-format layer
+    like the snapshot lock protocol is the fully-atomic alternative).
+    Run compaction when no reader races the swap. Row count comes from
+    parquet footers (driver-side metadata, no Spark job); the rewrite
+    itself is one coalesce write — coalesce, not repartition, so
+    compaction never shuffles, it only concatenates partitions."""
     import math
     import os
     import shutil

@@ -513,9 +513,10 @@ def streaming_cdc(
     each micro-batch is diffed against the persisted snapshot with
     :func:`~gluestick_spark.operators.cdc.table_diff` (inserts + updates;
     a batch is treated as an upsert feed, so absent keys are NOT deletes —
-    feed explicit tombstones for that), the change rows are appended to
-    ``changes_dir`` as ``batch_id``-stamped parquet, and the snapshot is
-    upserted for the next batch.
+    feed explicit tombstones for that), the change rows land in
+    ``changes_dir`` partitioned by ``batch_id`` (dynamic-overwrite per
+    batch — replay-idempotent), and the snapshot is upserted for the next
+    batch.
 
     This is how a pipeline that only gets periodic dumps (the Singer-tap
     reality) produces an incremental feed for downstream SCD2 / sync
@@ -537,9 +538,17 @@ def streaming_cdc(
         diff = table_diff(snap, batch_df, keys, compare_cols).where(
             F.col("change") != "delete"  # upsert feed: absence != deletion
         )
+        # dynamic partition overwrite keyed on batch_id makes the change
+        # write IDEMPOTENT: a crash between this write and the snapshot
+        # commit re-runs the same batch_id against the old snapshot and
+        # REPLACES its partition instead of double-appending. (Changes
+        # must be written before the snapshot: the reverse order loses the
+        # diff entirely on replay — the new snapshot diffs to empty.)
         (
             diff.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(changes_dir)
         )
         snapshot_records(spark, batch_df, stream, snapshot_dir, pk=keys)

@@ -147,3 +147,56 @@ def test_balance_classes_downsamples_to_minority(spark):
     a = sorted(r.id for r in balance_classes(df, "id", "label").collect())
     b = sorted(r.id for r in balance_classes(df.repartition(7), "id", "label").collect())
     assert a == b
+
+
+# ------------------------------------------------- review-fix regressions --
+
+
+def test_expectations_duplicate_labels_disambiguated(spark):
+    from gluestick_spark.operators.expectations import check_expectations
+
+    df = spark.createDataFrame([("abc",), ("zzz",)], "s string")
+    out = {r.rule: r.n_violations for r in check_expectations(
+        df,
+        [
+            {"rule": "matches", "col": "s", "pattern": "^a"},
+            {"rule": "matches", "col": "s", "pattern": "c$"},
+        ],
+    ).collect()}
+    assert out == {"matches:s": 1, "matches:s#2": 1}
+
+
+def test_fuzzy_null_block_rows_never_match(spark):
+    from gluestick_spark.llm.fuzzy import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, "abc", None), (2, "abc", None), (3, "abd", None), (4, "abc", "en"),
+         (5, "abd", "en")],
+        "id long, t string, lang string",
+    )
+    got = sorted((r.a, r.b) for r in
+                 edit_distance_pairs(df, "id", "t", 2, block_cols=["lang"]).collect())
+    assert got == [(4, 5)]  # NULL-block rows match nothing, in EITHER stage
+
+
+def test_hive_partitioned_files_per_partition_actually_splits(spark, tmp_dir):
+    from gluestick_spark.sinks.layout import write_hive_partitioned
+
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(400)], "src string, id long, v double"
+    ).repartition(8)
+    path = os.path.join(tmp_dir, "p4")
+    write_hive_partitioned(df, path, ["src"], files_per_partition=4)
+    files = glob.glob(os.path.join(path, "src=a", "*.parquet"))
+    # ~files_per_partition (hash collisions can merge a shard pair)
+    assert 2 <= len(files) <= 4
+
+
+def test_equi_depth_bin_empty_raises(spark):
+    import pytest as _pytest
+
+    from gluestick_spark.operators.features import equi_depth_bin
+
+    df = spark.createDataFrame([], "v double")
+    with _pytest.raises(ValueError, match="no non-null values"):
+        equi_depth_bin(df, "v", 4)
