@@ -92,4 +92,61 @@ from .compat import (
     polars_lf_to_singer,
 )
 
+# Beyond-reference surface (SURVEY §2.13): warehouse/temporal/state ops …
+from .operators.cdc import table_diff
+from .operators.scd2 import scd2_merge
+from .operators.skew import salted_join
+from .operators.expectations import check_expectations
+from .operators.profile import profile_numeric, histogram, table_stats
+from .operators.grouping import top_k_per_group, grouped_percentiles
+from .operators.features import equi_depth_bin, scale_features
+from .operators.gapfill import fill_gaps
+from .operators.sessions import sessionize_batch
+from .operators.anomaly import rolling_zscore
+from .sinks.layout import (
+    write_sorted,
+    write_bucketed,
+    write_zordered,
+    zvalue_expr,
+    write_hive_partitioned,
+    compact_files,
+)
+
+# … and the LLM-corpus family.
+from .llm.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    simhash_near_dups,
+    embedding_near_dups,
+    connected_components,
+    cluster_dedup,
+    cluster_dedup_by,
+)
+from .llm.spans import segment_dedup
+from .llm.fuzzy import edit_distance_pairs
+from .llm.sketch import kmv_distinct, kmv_sketch, kmv_merge, kmv_estimate, heavy_hitters
+from .llm.similarity import (
+    cosine_topk,
+    lsh_ann_topk,
+    ivf_topk,
+    quantize_embeddings,
+    dequantize_expr,
+    pool_embeddings,
+)
+from .llm.retrieval import bm25_topk, tfidf_vectors
+from .llm.text import chunk_documents, build_vocab, bpe_pair_counts, unigram_nll
+from .llm.sampling import (
+    hash_sample,
+    hash_split,
+    stratified_sample,
+    balance_classes,
+    mix_corpora,
+    negative_pairs,
+    shuffle_write,
+)
+from .llm.pii import redact_pii_expr
+from .llm.repetition import repetition_stats
+from .llm.decontam import contamination_pairs, decontaminate
+from .llm.packing import pack_documents
+
 __version__ = "0.1.0"
