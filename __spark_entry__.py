@@ -3698,6 +3698,35 @@ SELECT doc_id, source FROM r, m WHERE rn <= mn
 """
 
 
+def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup telemetry (llm/dedup.py:cluster_size_histogram): near-dup
+    cluster-size distribution over the verified MinHash pair graph — the
+    pre-delete sanity report (a boilerplate explosion shows up here before
+    cluster_dedup removes half a corpus). Oracle: recursive-CTE components
+    + two group-bys."""
+    from gluestick_spark.llm.dedup import cluster_size_histogram, minhash_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(d, "text", "doc_id", threshold=0.8)
+    return cluster_size_histogram(pairs)
+
+
+def _cluster_sizes_sql() -> str:
+    return f"""
+WITH RECURSIVE {_SHINGLE_PAIRS_CTE.strip()}
+, edges AS MATERIALIZED (SELECT a, b FROM pairs WHERE j >= 0.8),
+sedges AS (SELECT a AS src, b AS dst FROM edges UNION SELECT b AS src, a AS dst FROM edges),
+reach(node, label) AS (
+  SELECT src, src FROM sedges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN sedges e ON e.src = r.node
+),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY cluster_size
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3787,6 +3816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equi_depth_bins": q_equi_depth_bins,
         "scaled_features": q_scaled_features,
         "balanced_sample": q_balanced_sample,
+        "dedup_cluster_sizes": q_cluster_sizes,
         "pricing_summary": q_pricing_summary,
         "snapshot_upsert": q_snapshot_upsert,
         "sessionize_events": q_sessionize_events,
@@ -3909,6 +3939,7 @@ def oracle_sql() -> dict[str, str]:
         "equi_depth_bins": _Q_EQUI_DEPTH_SQL,
         "scaled_features": _Q_SCALED_SQL,
         "balanced_sample": _Q_BALANCED_SQL,
+        "dedup_cluster_sizes": _cluster_sizes_sql(),
         "pricing_summary": _Q_PRICING_SQL,
         "snapshot_upsert": _Q_SNAPSHOT_SQL,
         "sessionize_events": _Q_SESSIONIZE_SQL,

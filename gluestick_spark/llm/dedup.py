@@ -40,6 +40,7 @@ __all__ = [
     "connected_components",
     "cluster_dedup",
     "cluster_dedup_by",
+    "cluster_size_histogram",
     "simhash_expr",
     "simhash_signature_udf",
     "simhash_near_dups",
@@ -494,6 +495,24 @@ def cluster_dedup_by(
         .select(F.col("id").alias(id_col))
     )
     return df.join(drop_ids, on=id_col, how="left_anti")
+
+
+def cluster_size_histogram(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Dedup telemetry: the distribution of near-dup cluster sizes —
+    (``cluster_size``, ``n_clusters``), clusters ≥ 2 only (singletons
+    never enter ``pairs``). The report every dedup run should publish:
+    a sudden mass of giant clusters means a boilerplate explosion or a
+    broken near-dup threshold, caught BEFORE :func:`cluster_dedup` deletes
+    most of a corpus.
+
+    Plan: connected components (O(log n) star-contraction rounds), then
+    two map-side-combined aggregates over the tiny (id, component) table.
+    """
+    comps = connected_components(pairs, a_col, b_col)
+    sizes = comps.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
 
 
 def embedding_near_dups(

@@ -200,3 +200,13 @@ def test_equi_depth_bin_empty_raises(spark):
     df = spark.createDataFrame([], "v double")
     with _pytest.raises(ValueError, match="no non-null values"):
         equi_depth_bin(df, "v", 4)
+
+
+def test_cluster_size_histogram(spark):
+    from gluestick_spark.llm.dedup import cluster_size_histogram
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 8), (8, 7)], "a long, b long"
+    )  # one 3-cluster, two 2-clusters
+    got = {r.cluster_size: r.n_clusters for r in cluster_size_histogram(pairs).collect()}
+    assert got == {3: 1, 2: 2}
