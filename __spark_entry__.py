@@ -3698,6 +3698,61 @@ SELECT doc_id, source FROM r, m WHERE rn <= mn
 """
 
 
+def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General conditional MERGE (operators/merge.py): one full-outer
+    join, all clauses (delete-first, conditional update, insert) in a
+    single CASE projection. Deterministic modular clauses so the oracle
+    replays every branch: target = keys %11≠0, source = keys %3=0 with
+    bumped values; delete matched %5=0, update matched when source key
+    even, insert the rest."""
+    from gluestick_spark.operators.merge import merge_into
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", F.col("o_orderstatus").alias("status"),
+        _dec("o_totalprice").alias("price"),
+    )
+    target = base.where(F.col("o_orderkey") % 11 != 0)
+    source = base.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.concat(F.col("status"), F.lit("U")).alias("status"),
+        (F.col("price") + F.lit(1).cast("decimal(18,2)")).alias("price"),
+    )
+    out = merge_into(
+        target, source, "o_orderkey",
+        when_matched_update={"status": F.col("s.status"), "price": F.col("s.price")},
+        update_condition=F.col("s.o_orderkey") % 2 == 0,
+        when_matched_delete=F.col("t.o_orderkey") % 5 == 0,
+        when_not_matched_insert=True,
+    )
+    return out.select(
+        "o_orderkey", "status", F.col("price").cast("double").alias("price")
+    )
+
+
+_Q_MERGE_INTO_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders
+),
+t AS (SELECT * FROM base WHERE k % 11 <> 0),
+s AS (
+  SELECT k, st || 'U' AS st, p + CAST(1 AS DECIMAL(18,2)) AS p
+  FROM base WHERE k % 3 = 0
+)
+SELECT coalesce(t.k, s.k) AS o_orderkey,
+       CASE WHEN t.k IS NULL THEN s.st
+            WHEN s.k IS NOT NULL AND s.k % 2 = 0 THEN s.st
+            ELSE t.st END AS status,
+       CAST(CASE WHEN t.k IS NULL THEN s.p
+                 WHEN s.k IS NOT NULL AND s.k % 2 = 0 THEN s.p
+                 ELSE t.p END AS DOUBLE) AS price
+FROM t FULL JOIN s ON t.k = s.k
+WHERE NOT (t.k IS NOT NULL AND s.k IS NOT NULL AND t.k % 5 = 0)
+"""
+
+
 def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup telemetry (llm/dedup.py:cluster_size_histogram): near-dup
     cluster-size distribution over the verified MinHash pair graph — the
@@ -3817,6 +3872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scaled_features": q_scaled_features,
         "balanced_sample": q_balanced_sample,
         "dedup_cluster_sizes": q_cluster_sizes,
+        "merge_into_orders": q_merge_into,
         "pricing_summary": q_pricing_summary,
         "snapshot_upsert": q_snapshot_upsert,
         "sessionize_events": q_sessionize_events,
@@ -3940,6 +3996,7 @@ def oracle_sql() -> dict[str, str]:
         "scaled_features": _Q_SCALED_SQL,
         "balanced_sample": _Q_BALANCED_SQL,
         "dedup_cluster_sizes": _cluster_sizes_sql(),
+        "merge_into_orders": _Q_MERGE_INTO_SQL,
         "pricing_summary": _Q_PRICING_SQL,
         "snapshot_upsert": _Q_SNAPSHOT_SQL,
         "sessionize_events": _Q_SESSIONIZE_SQL,

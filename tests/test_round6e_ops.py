@@ -210,3 +210,46 @@ def test_cluster_size_histogram(spark):
     )  # one 3-cluster, two 2-clusters
     got = {r.cluster_size: r.n_clusters for r in cluster_size_histogram(pairs).collect()}
     assert got == {3: 1, 2: 2}
+
+
+# ------------------------------------------------------------ merge_into ---
+
+
+def test_merge_into_all_clauses(spark):
+    from gluestick_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "keep", 10.0), (2, "upd", 20.0), (3, "del", 30.0), (4, "noop", 40.0)],
+        "k long, tag string, v double",
+    )
+    source = spark.createDataFrame(
+        [(2, "src2", 99.0), (3, "src3", 0.0), (5, "new", 50.0)],
+        "k long, tag string, v double",
+    )
+    out = merge_into(
+        target,
+        source,
+        "k",
+        when_matched_update={"v": F.col("t.v") + F.col("s.v")},
+        update_condition=F.col("s.v") > 0,
+        when_matched_delete=F.col("t.tag") == "del",
+        when_not_matched_insert=True,
+    )
+    got = sorted(map(tuple, out.collect()))
+    assert got == [
+        (1, "keep", 10.0),     # unmatched target survives
+        (2, "upd", 119.0),     # update clause: v += s.v, tag NOT in map -> kept
+        (4, "noop", 40.0),
+        (5, "new", 50.0),      # insert takes source values
+    ]  # k=3 deleted; k=3's update never evaluated (delete wins)
+
+
+def test_merge_into_conditional_insert_and_no_update(spark):
+    from gluestick_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    source = spark.createDataFrame([(2, -5.0), (3, 7.0)], "k long, v double")
+    out = merge_into(
+        target, source, "k", when_not_matched_insert=F.col("s.v") > 0
+    )
+    assert sorted(map(tuple, out.collect())) == [(1, 1.0), (3, 7.0)]
