@@ -84,9 +84,13 @@ def streaming_interval_join(
     same contract as :func:`windowed_event_counts`.
 
     Column names must be disjoint (pre-alias each side — streaming joins
-    have no suffixing). ``how`` may be ``"inner"`` or ``"leftOuter"``
-    (outer results emit only once the watermark passes — with
-    ``availableNow`` over a static directory the final batch flushes them).
+    have no suffixing). ``how`` may be ``"inner"`` or ``"leftOuter"``.
+    Outer (null-padded) results for an unmatched left row emit only once
+    the watermark passes ``left_ts`` — i.e. only after LATER data arrives
+    to advance it; Spark does not flush join state at end-of-stream, so a
+    bounded ``availableNow`` run emits outer rows only for left rows
+    whose deadline the final watermark passed (the same
+    only-finalized-results contract as windowed aggregation).
 
     Batch-equivalence: on static frames the same expression compiles to a
     range-predicate hash join, so the DuckDB oracle is a plain

@@ -253,3 +253,55 @@ def test_streaming_interval_join_matches_batch(spark):
     )
     want = sorted((r.purchase_id, r.click_id) for r in batch.collect())
     assert got == want and len(got) > 0
+
+
+def test_streaming_interval_join_left_outer_flushes_unmatched(spark):
+    from gluestick_spark.streaming.pipeline import (
+        stream_from_directory,
+        streaming_interval_join,
+    )
+
+    import datetime as dt
+
+    stage = tempfile.mkdtemp(prefix="gs_sij_lo_")
+    # sentinel rows (keys matching nothing) push the final watermark past
+    # every real row's outer-emit deadline: Spark never flushes join state
+    # at end-of-stream, it only evicts as the watermark advances
+    left_rows = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 12, 0), 100),
+         (2, dt.datetime(2024, 1, 2, 12, 0), 200),
+         (999, dt.datetime(2024, 1, 10), 999)],
+        "k long, ts timestamp, lid long",
+    )
+    right_rows = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 11, 30), 900),
+         (998, dt.datetime(2024, 1, 10), 998)],
+        "k long, ts timestamp, rid long",
+    )
+    lp = os.path.join(stage, "l"); rp = os.path.join(stage, "r")
+    left_rows.coalesce(1).write.parquet(lp)
+    right_rows.coalesce(1).write.parquet(rp)
+    ls = stream_from_directory(spark, lp, "k long, ts timestamp, lid long").select(
+        F.col("k").alias("lk"), F.col("ts").alias("lts"), "lid"
+    )
+    rs = stream_from_directory(spark, rp, "k long, ts timestamp, rid long").select(
+        F.col("k").alias("rk"), F.col("ts").alias("rts"), "rid"
+    )
+    joined = streaming_interval_join(
+        ls, rs, "lk", "rk", "lts", "rts", lookback="1 hour",
+        watermark="1 hour", how="leftOuter",
+    )
+    out_dir = tempfile.mkdtemp(prefix="gs_sij_lo_out_")
+    q = (
+        joined.writeStream.format("parquet").option("path", out_dir)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="gs_sij_lo_ck_"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.lid, r.rid) for r in spark.read.parquet(out_dir).select("lid", "rid").collect()
+    )
+    # lid=100 matched within the hour; lid=200's deadline passed by the
+    # sentinel-advanced watermark -> emitted unmatched; the Jan-10
+    # sentinel itself stays in state (nothing later advances past it)
+    assert got == [(100, 900), (200, None)]
