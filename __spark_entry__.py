@@ -3698,6 +3698,84 @@ SELECT doc_id, source FROM r, m WHERE rn <= mn
 """
 
 
+def q_suppress_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst suppression (operators/sessions.py:suppress_duplicates):
+    keep the first event of every per-user burst (chain-extended 2h
+    window) — alert-dedup semantics, one keyed window + filter."""
+    from gluestick_spark.functions.datetimes import as_timestamp
+    from gluestick_spark.operators.sessions import suppress_duplicates
+
+    e = _t(spark, sf_dir, "events")
+    ev = e.select(
+        "event_id", "user_id", as_timestamp(e, "ts").cast("timestamp").alias("ts")
+    )
+    out = suppress_duplicates(ev, ["user_id"], "ts", 7200.0, tiebreak_cols=["event_id"])
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+    )
+
+
+_Q_SUPPRESS_SQL = """
+WITH o AS (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS ts
+FROM o WHERE prev IS NULL OR epoch(ts) - epoch(prev) > 7200
+"""
+
+
+def q_encoded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary encoding (llm/text.py:encode_tokens): documents encoded
+    to token-id arrays under a 30-entry build_vocab vocabulary (the
+    text → pack_documents bridge); OOV tokens dropped (the rarest word
+    falls outside the vocab, exercising the drop path). Broadcast vocab
+    join + one ordered per-doc regroup."""
+    from gluestick_spark.llm.text import build_vocab, encode_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(d, "text", max_size=30)
+    out = encode_tokens(d, "text", "doc_id", vocab)
+    return out.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("token_ids"), lambda x: x.cast("string")), ","
+        ).alias("ids_str"),
+        "n_tokens",
+    )
+
+
+_Q_ENCODED_SQL = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                     x -> x <> '') AS tks
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, g.i AS pos, tks[g.i] AS token
+  FROM tk, LATERAL (SELECT unnest(range(1, len(tks) + 1))) AS g(i)
+),
+freq AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
+vocab AS (
+  SELECT token, row_number() OVER (ORDER BY n DESC, token) - 1 AS tid
+  FROM (SELECT * FROM freq ORDER BY n DESC, token LIMIT 30)
+),
+enc AS (
+  SELECT t.doc_id,
+         string_agg(CAST(v.tid AS VARCHAR), ',' ORDER BY t.pos) AS s,
+         count(*) AS n
+  FROM toks t JOIN vocab v USING (token) GROUP BY t.doc_id
+)
+SELECT d.doc_id, coalesce(e.s, '') AS ids_str,
+       CAST(coalesce(e.n, 0) AS INT) AS n_tokens
+FROM documents d LEFT JOIN enc e USING (doc_id)
+"""
+
+
 def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General conditional MERGE (operators/merge.py): one full-outer
     join, all clauses (delete-first, conditional update, insert) in a
@@ -3873,6 +3951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_sample": q_balanced_sample,
         "dedup_cluster_sizes": q_cluster_sizes,
         "merge_into_orders": q_merge_into,
+        "suppress_bursts": q_suppress_bursts,
+        "encoded_docs": q_encoded_docs,
         "pricing_summary": q_pricing_summary,
         "snapshot_upsert": q_snapshot_upsert,
         "sessionize_events": q_sessionize_events,
@@ -3997,6 +4077,8 @@ def oracle_sql() -> dict[str, str]:
         "balanced_sample": _Q_BALANCED_SQL,
         "dedup_cluster_sizes": _cluster_sizes_sql(),
         "merge_into_orders": _Q_MERGE_INTO_SQL,
+        "suppress_bursts": _Q_SUPPRESS_SQL,
+        "encoded_docs": _Q_ENCODED_SQL,
         "pricing_summary": _Q_PRICING_SQL,
         "snapshot_upsert": _Q_SNAPSHOT_SQL,
         "sessionize_events": _Q_SESSIONIZE_SQL,

@@ -96,12 +96,13 @@ from .compat import (
 from .operators.cdc import table_diff
 from .operators.scd2 import scd2_merge
 from .operators.skew import salted_join
+from .operators.merge import merge_into
 from .operators.expectations import check_expectations
 from .operators.profile import profile_numeric, histogram, table_stats
 from .operators.grouping import top_k_per_group, grouped_percentiles
 from .operators.features import equi_depth_bin, scale_features
 from .operators.gapfill import fill_gaps
-from .operators.sessions import sessionize_batch
+from .operators.sessions import sessionize_batch, suppress_duplicates
 from .operators.anomaly import rolling_zscore
 from .sinks.layout import (
     write_sorted,
@@ -121,6 +122,7 @@ from .llm.dedup import (
     connected_components,
     cluster_dedup,
     cluster_dedup_by,
+    cluster_size_histogram,
 )
 from .llm.spans import segment_dedup
 from .llm.fuzzy import edit_distance_pairs
@@ -134,7 +136,13 @@ from .llm.similarity import (
     pool_embeddings,
 )
 from .llm.retrieval import bm25_topk, tfidf_vectors
-from .llm.text import chunk_documents, build_vocab, bpe_pair_counts, unigram_nll
+from .llm.text import (
+    chunk_documents,
+    build_vocab,
+    bpe_pair_counts,
+    encode_tokens,
+    unigram_nll,
+)
 from .llm.sampling import (
     hash_sample,
     hash_split,

@@ -33,6 +33,7 @@ __all__ = [
     "token_frequencies",
     "bpe_pair_counts",
     "build_vocab",
+    "encode_tokens",
     "unigram_nll",
     "STOPWORDS",
     "LANG_MARKERS",
@@ -429,6 +430,62 @@ def build_vocab(
 
     w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
     return top.withColumn("token_id", F.row_number().over(w) - 1)
+
+
+def encode_tokens(
+    df,
+    text_col: str,
+    id_col: str,
+    vocab,
+    unk_id: int | None = None,
+    lowercase: bool = True,
+):
+    """Encode documents to token-id arrays under a :func:`build_vocab`
+    vocabulary — the bridge from raw text to the packing/training stage
+    (feed the resulting ``n_tokens`` to
+    :func:`~gluestick_spark.llm.packing.pack_documents` so bins budget
+    REAL model tokens, not whitespace estimates). Returns (``id_col``,
+    ``token_ids`` array<int>, ``n_tokens``).
+
+    OOV handling: ``unk_id`` substitutes unknown tokens (the usual
+    ``<unk>`` id); ``None`` drops them (count vocabulary coverage first —
+    ``token_frequencies`` — if silent drops matter).
+
+    Scale shape: tokenize once → posexplode → BROADCAST hash join against
+    the vocabulary (a vocab is always tiny next to a corpus — never a
+    shuffled join) → ONE keyed regroup per document with an
+    order-restoring sort_array. The explode is the unavoidable cost of a
+    join-based lookup; a map-literal expression would avoid it but puts
+    the whole vocabulary INTO the plan (breaks past ~10k entries).
+    """
+    toks = tokens_expr(F.coalesce(F.col(text_col), F.lit("")))
+    if lowercase:
+        toks = F.transform(toks, F.lower)
+    ex = df.select(F.col(id_col), F.posexplode(toks).alias("__pos__", "token"))
+    v = vocab.select("token", F.col("token_id").cast("int").alias("__tid__"))
+    joined = ex.join(F.broadcast(v), "token", "left")
+    if unk_id is not None:
+        joined = joined.withColumn(
+            "__tid__", F.coalesce("__tid__", F.lit(int(unk_id)).cast("int"))
+        )
+    else:
+        joined = joined.where(F.col("__tid__").isNotNull())
+    per_doc = joined.groupBy(id_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("__pos__", "__tid__"))),
+            lambda s: s["__tid__"],
+        ).alias("token_ids")
+    )
+    # empty/fully-OOV docs survive with an empty array
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("token_ids", F.array().cast("array<int>")).alias("token_ids"),
+            F.coalesce(F.size("token_ids"), F.lit(0)).alias("n_tokens"),
+        )
+    )
 
 
 def unigram_nll(

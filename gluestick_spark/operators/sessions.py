@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["sessionize_batch"]
+__all__ = ["sessionize_batch", "suppress_duplicates"]
 
 
 def sessionize_batch(
@@ -53,3 +53,40 @@ def sessionize_batch(
         )
         .drop("__sn__")
     )
+
+
+def suppress_duplicates(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    window_seconds: float,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Burst suppression: keep only the FIRST row of every burst per key,
+    where a burst is a run of rows each within ``window_seconds`` of its
+    predecessor — the alert-dedup / retry-collapse shape, and the batch
+    twin of streaming ``dropDuplicatesWithinWatermark`` over a full
+    history (the streaming form bounds state by the watermark horizon;
+    batch has the whole timeline, so suppression is exact).
+
+    Chain semantics (deliberate, matching alert dedup): a burst EXTENDS
+    while consecutive gaps stay under the window, however long the burst
+    runs — suppressing relative to the burst's first row instead would
+    re-emit mid-storm. ``tiebreak_cols`` orders equal timestamps
+    deterministically.
+
+    Plan: ONE keyed Exchange + one sort: a row is kept iff it STARTS a
+    burst (its lag-gap exceeds the window, or it has no predecessor) — a
+    single lag window and a filter, no burst-id numbering needed.
+    """
+    if window_seconds <= 0:
+        raise ValueError(f"window_seconds must be > 0, got {window_seconds}")
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    starts_burst = prev.isNull() | (
+        F.col(ts_col).cast("double") - prev.cast("double") > window_seconds
+    )
+    return df.withColumn("__k__", starts_burst).where(F.col("__k__")).drop("__k__")

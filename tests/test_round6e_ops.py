@@ -253,3 +253,63 @@ def test_merge_into_conditional_insert_and_no_update(spark):
         target, source, "k", when_not_matched_insert=F.col("s.v") > 0
     )
     assert sorted(map(tuple, out.collect())) == [(1, 1.0), (3, 7.0)]
+
+
+# ------------------------------------------- burst suppression / encode ----
+
+
+def test_suppress_duplicates_chain_semantics(spark):
+    import datetime as dt
+
+    from gluestick_spark.operators.sessions import suppress_duplicates
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "keep"),                                   # starts burst
+        (1, t0 + dt.timedelta(seconds=30), "drop"),        # within 60s
+        (1, t0 + dt.timedelta(seconds=55), "drop"),        # chain extends
+        (1, t0 + dt.timedelta(seconds=140), "keep"),       # gap 85s > 60
+        (2, t0, "keep"),                                   # other key
+    ]
+    df = spark.createDataFrame(
+        [(k, ts, tag) for k, ts, tag in rows], "k long, ts timestamp, tag string"
+    )
+    got = sorted((r.k, r.tag) for r in
+                 suppress_duplicates(df, ["k"], "ts", 60.0).collect())
+    assert got == [(1, "keep"), (1, "keep"), (2, "keep")]
+
+
+def test_suppress_duplicates_single_exchange(spark):
+    import datetime as dt
+
+    from gluestick_spark.operators.sessions import suppress_duplicates
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1))], "k long, ts timestamp"
+    )
+    plan = (
+        suppress_duplicates(df, ["k"], "ts", 60.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_encode_tokens_roundtrip_and_oov(spark):
+    from gluestick_spark.llm.text import build_vocab, encode_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b zz"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    vocab = build_vocab(docs, "text", max_size=10)  # a:0 b:1 c:2 zz:3 by rank
+    ids = {r.token: r.token_id for r in vocab.collect()}
+    enc = {r.doc_id: (list(r.token_ids), r.n_tokens)
+           for r in encode_tokens(docs, "text", "doc_id", vocab).collect()}
+    assert enc[1] == ([ids["a"], ids["b"], ids["a"], ids["c"]], 4)
+    assert enc[3] == ([], 0) and enc[4] == ([], 0)
+    # OOV drop vs unk substitution
+    small = vocab.where(F.col("token") != "zz")
+    enc_drop = encode_tokens(docs, "text", "doc_id", small)
+    assert enc_drop.where(F.col("doc_id") == 2).collect()[0].n_tokens == 1
+    enc_unk = encode_tokens(docs, "text", "doc_id", small, unk_id=99)
+    assert list(enc_unk.where(F.col("doc_id") == 2).collect()[0].token_ids) == [ids["b"], 99]
