@@ -109,6 +109,9 @@ def edit_distance_pairs(
     ]
     # __gid__ < __gid2__ visits each unordered rep pair once; the ±1
     # replication means it collides exactly once (in the probe's bucket).
+    # No explicit |len diff| ≤ k pre-prune: the threshold levenshtein
+    # already short-circuits on length difference internally (A/B-measured
+    # — an extra predicate only adds plan surface).
     joined = probe.join(build, cond).where(F.col("__gid__") < F.col("__gid2__"))
     dist = F.levenshtein(F.col("__t__"), F.col("__t2__"), max_dist)
     rep_pairs = (
