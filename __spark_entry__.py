@@ -3776,6 +3776,73 @@ FROM documents d LEFT JOIN enc e USING (doc_id)
 """
 
 
+def q_packed_encoded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end encode→pack bridge (VERDICT r6 task 9): pack_documents
+    driven by encode_tokens' REAL ``n_tokens`` (vocab-encoded counts, OOV
+    dropped under a 30-entry vocab) instead of the whitespace estimate —
+    the composition both docstrings advertise (llm/text.py encode_tokens
+    → llm/packing.py pack_documents). The oracle recomputes the vocab,
+    per-doc encoded counts, and the sharded hash-ordered bin assignment
+    in DuckDB."""
+    from gluestick_spark.llm.packing import pack_documents
+    from gluestick_spark.llm.text import build_vocab, encode_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(d, "text", max_size=30)
+    enc = encode_tokens(d, "text", "doc_id", vocab)
+    out = pack_documents(
+        enc.select("doc_id", F.col("n_tokens").cast("long").alias("n_toks")),
+        "n_toks",
+        budget=64,
+        key_col="doc_id",
+        n_shards=8,
+    )
+    return out.select("doc_id", "pack_id", "pack_pos")
+
+
+_Q_PACKED_ENCODED_SQL = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                     x -> x <> '') AS tks
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, tks[g.i] AS token
+  FROM tk, LATERAL (SELECT unnest(range(1, len(tks) + 1))) AS g(i)
+),
+freq AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
+vocab AS (
+  SELECT token FROM (SELECT * FROM freq ORDER BY n DESC, token LIMIT 30)
+),
+enc AS (
+  SELECT t.doc_id, count(*) AS n
+  FROM toks t JOIN vocab v USING (token) GROUP BY t.doc_id
+),
+h AS (
+  SELECT d.doc_id,
+         CAST(coalesce(e.n, 0) AS BIGINT) AS n_toks,
+         CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || chr(31)), 1, 15) AS UBIGINT) AS hv
+  FROM documents d LEFT JOIN enc e USING (doc_id)
+),
+c AS (
+  SELECT doc_id, hv,
+         CAST(hv % 8 AS BIGINT) AS shard,
+         COALESCE(SUM(n_toks) OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM h
+),
+p AS (
+  SELECT doc_id, hv,
+         CAST(shard * 8589934592 + floor(start / 64) AS BIGINT) AS pack_id
+  FROM c
+)
+SELECT doc_id, pack_id,
+       CAST(row_number() OVER (PARTITION BY pack_id ORDER BY hv, doc_id) AS INT) AS pack_pos
+FROM p
+"""
+
+
 def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General conditional MERGE (operators/merge.py): one full-outer
     join, all clauses (delete-first, conditional update, insert) in a
@@ -3881,27 +3948,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is the driver contract: the FIRST 50 entries form the
-    # correctness window. Round-6 rotation: the round-5 operator family
-    # (asof variants, sketch merge, streaming dedup, sampling/packing/
-    # vocab/decontam/pii/bm25/profile/repetition, temporal + grouping)
-    # and the round-6 additions (segment_dedup, heavy_hitters,
-    # scd2_merge, salted_join_agg, stream_interval_join) are IN the
-    # window; demoted to the tail are queries already driver-green in
-    # CORRECTNESS_r04.json (see COVERAGE.md for the query -> artifact
-    # map). Tail entries remain locally oracle-checked via
-    # tools/check_correctness.py.
+    # correctness window. Round-7 rotation (VERDICT r6 task 1): the 10
+    # queries that had never appeared in a driver artifact (table_stats
+    # .. encoded_docs) are promoted into the window, along with this
+    # round's new bridge query (packed_encoded_docs); demoted to the
+    # tail are 11 rows green in CORRECTNESS_r06.json (cluster_dedup,
+    # jsonl_roundtrip, minhash_candidates, ivf_probe_indexed,
+    # windowed_counts, chunk_documents, event_asof_open,
+    # range_join_windows, time_rollup, kmv_distinct, event_asof_close).
+    # See COVERAGE.md for the query -> artifact map. Tail entries
+    # remain locally oracle-checked via tools/check_correctness.py.
     return {
-        "cluster_dedup": q_cluster_dedup,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        "minhash_candidates": q_minhash_candidates,
-        "ivf_probe_indexed": q_ivf_probe_indexed,
-        "windowed_counts": q_windowed_counts,
-        "chunk_documents": q_chunk_documents,
-        "event_asof_open": q_event_asof_open,
-        "range_join_windows": q_range_join_windows,
-        "time_rollup": q_time_rollup,
-        "kmv_distinct": q_kmv_distinct,
-        "event_asof_close": q_event_asof_close,
+        "table_stats": q_table_stats,
+        "hive_partition_roundtrip": q_hive_partition_roundtrip,
+        "streaming_cdc": q_streaming_cdc,
+        "equi_depth_bins": q_equi_depth_bins,
+        "scaled_features": q_scaled_features,
+        "balanced_sample": q_balanced_sample,
+        "dedup_cluster_sizes": q_cluster_sizes,
+        "merge_into_orders": q_merge_into,
+        "suppress_bursts": q_suppress_bursts,
+        "encoded_docs": q_encoded_docs,
+        "packed_encoded_docs": q_packed_encoded_docs,
         "event_asof_nearest": q_event_asof_nearest,
         "kmv_merge": q_kmv_merge,
         "streaming_minhash_dedup": q_streaming_minhash_dedup,
@@ -3941,18 +4009,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": q_orc_roundtrip,
         "tfidf_vectors": q_tfidf_vectors,
         "pool_embeddings": q_pool_embeddings,
-        # --- tail: past the driver's 50-query window (round-6 batch-5 ops
-        # first — next in line for the r7 rotation) ---
-        "table_stats": q_table_stats,
-        "hive_partition_roundtrip": q_hive_partition_roundtrip,
-        "streaming_cdc": q_streaming_cdc,
-        "equi_depth_bins": q_equi_depth_bins,
-        "scaled_features": q_scaled_features,
-        "balanced_sample": q_balanced_sample,
-        "dedup_cluster_sizes": q_cluster_sizes,
-        "merge_into_orders": q_merge_into,
-        "suppress_bursts": q_suppress_bursts,
-        "encoded_docs": q_encoded_docs,
+        # --- tail: past the driver's 50-query window. All tail entries
+        # are driver-green in a prior CORRECTNESS artifact (r01-r06);
+        # the r06-green rows demoted by the r7 rotation come first. ---
+        "cluster_dedup": q_cluster_dedup,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "minhash_candidates": q_minhash_candidates,
+        "ivf_probe_indexed": q_ivf_probe_indexed,
+        "windowed_counts": q_windowed_counts,
+        "chunk_documents": q_chunk_documents,
+        "event_asof_open": q_event_asof_open,
+        "range_join_windows": q_range_join_windows,
+        "time_rollup": q_time_rollup,
+        "kmv_distinct": q_kmv_distinct,
+        "event_asof_close": q_event_asof_close,
         "pricing_summary": q_pricing_summary,
         "snapshot_upsert": q_snapshot_upsert,
         "sessionize_events": q_sessionize_events,
@@ -4016,17 +4086,17 @@ def oracle_sql() -> dict[str, str]:
     # (merge law); streaming_minhash_dedup reuses minhash_dedup
     # (stream-then-batch == batch-over-union).
     return {
-        "cluster_dedup": _Q_CLUSTER_DEDUP_SQL,
-        "jsonl_roundtrip": _Q_JSONL_ROUNDTRIP_SQL,
-        "minhash_candidates": _Q_MINHASH_CANDIDATES_SQL,
-        "ivf_probe_indexed": _Q_ANN_TOPK_SQL,
-        "windowed_counts": _Q_WINDOWED_COUNTS_SQL,
-        "chunk_documents": _Q_CHUNK_DOCS_SQL,
-        "event_asof_open": _Q_EVENT_ASOF_SQL,
-        "range_join_windows": _Q_RANGE_JOIN_SQL,
-        "time_rollup": _Q_TIME_ROLLUP_SQL,
-        "kmv_distinct": _Q_KMV_SQL,
-        "event_asof_close": _Q_EVENT_ASOF_CLOSE_SQL,
+        "table_stats": _table_stats_sql(),
+        "hive_partition_roundtrip": _Q_HIVE_PART_SQL,
+        "streaming_cdc": _Q_STREAMING_CDC_SQL,
+        "equi_depth_bins": _Q_EQUI_DEPTH_SQL,
+        "scaled_features": _Q_SCALED_SQL,
+        "balanced_sample": _Q_BALANCED_SQL,
+        "dedup_cluster_sizes": _cluster_sizes_sql(),
+        "merge_into_orders": _Q_MERGE_INTO_SQL,
+        "suppress_bursts": _Q_SUPPRESS_SQL,
+        "encoded_docs": _Q_ENCODED_SQL,
+        "packed_encoded_docs": _Q_PACKED_ENCODED_SQL,
         "event_asof_nearest": _Q_EVENT_ASOF_NEAREST_SQL,
         "kmv_merge": _Q_KMV_SQL,
         "streaming_minhash_dedup": _Q_MINHASH_DEDUP_SQL,
@@ -4069,16 +4139,17 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_vectors": _Q_TFIDF_SQL,
         "pool_embeddings": _Q_POOL_SQL,
         # --- tail (mirrors queries()) ---
-        "table_stats": _table_stats_sql(),
-        "hive_partition_roundtrip": _Q_HIVE_PART_SQL,
-        "streaming_cdc": _Q_STREAMING_CDC_SQL,
-        "equi_depth_bins": _Q_EQUI_DEPTH_SQL,
-        "scaled_features": _Q_SCALED_SQL,
-        "balanced_sample": _Q_BALANCED_SQL,
-        "dedup_cluster_sizes": _cluster_sizes_sql(),
-        "merge_into_orders": _Q_MERGE_INTO_SQL,
-        "suppress_bursts": _Q_SUPPRESS_SQL,
-        "encoded_docs": _Q_ENCODED_SQL,
+        "cluster_dedup": _Q_CLUSTER_DEDUP_SQL,
+        "jsonl_roundtrip": _Q_JSONL_ROUNDTRIP_SQL,
+        "minhash_candidates": _Q_MINHASH_CANDIDATES_SQL,
+        "ivf_probe_indexed": _Q_ANN_TOPK_SQL,
+        "windowed_counts": _Q_WINDOWED_COUNTS_SQL,
+        "chunk_documents": _Q_CHUNK_DOCS_SQL,
+        "event_asof_open": _Q_EVENT_ASOF_SQL,
+        "range_join_windows": _Q_RANGE_JOIN_SQL,
+        "time_rollup": _Q_TIME_ROLLUP_SQL,
+        "kmv_distinct": _Q_KMV_SQL,
+        "event_asof_close": _Q_EVENT_ASOF_CLOSE_SQL,
         "pricing_summary": _Q_PRICING_SQL,
         "snapshot_upsert": _Q_SNAPSHOT_SQL,
         "sessionize_events": _Q_SESSIONIZE_SQL,
