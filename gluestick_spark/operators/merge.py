@@ -55,15 +55,24 @@ def merge_into(
     t_only = F.col("__has_s__").isNull()
     s_only = F.col("__has_t__").isNull()
 
+    # SQL MERGE treats a NULL clause condition as NOT satisfied (the row
+    # falls through to the next clause / stays unchanged). Without the
+    # coalesce a NULL delete condition poisons `keep` below into NULL and
+    # where() silently DROPS the row — i.e. a NULL would delete.
+    def _cond(c: Column) -> Column:
+        return F.coalesce(c, F.lit(False))
+
     delete_pred = matched & (
-        when_matched_delete if when_matched_delete is not None else F.lit(False)
+        _cond(when_matched_delete) if when_matched_delete is not None else F.lit(False)
     )
-    upd_cond = update_condition if update_condition is not None else F.lit(True)
+    upd_cond = (
+        _cond(update_condition) if update_condition is not None else F.lit(True)
+    )
     update_pred = matched & ~delete_pred & (
         upd_cond if when_matched_update is not None else F.lit(False)
     )
     ins_cond = (
-        when_not_matched_insert
+        _cond(when_not_matched_insert)
         if isinstance(when_not_matched_insert, Column)
         else F.lit(bool(when_not_matched_insert))
     )

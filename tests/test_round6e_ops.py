@@ -255,6 +255,41 @@ def test_merge_into_conditional_insert_and_no_update(spark):
     assert sorted(map(tuple, out.collect())) == [(1, 1.0), (3, 7.0)]
 
 
+def test_merge_into_null_clause_conditions_keep_rows(spark):
+    """SQL MERGE semantics: a clause condition evaluating to NULL is NOT
+    satisfied — the row falls through unchanged. Regression test for the
+    NULL-poisoning bug where a NULL delete condition made `keep` NULL and
+    where() silently dropped (i.e. deleted) the matched row."""
+    from gluestick_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame([(1, "a", 1.0)], "k long, tag string, v double")
+    # source flag is NULL -> delete condition s.flag is NULL, not true
+    source = spark.createDataFrame(
+        [(1, None, 9.0)], "k long, flag string, v double"
+    )
+    out = merge_into(
+        target, source, "k",
+        when_matched_delete=F.col("s.flag") == "x",
+    )
+    assert sorted(map(tuple, out.collect())) == [(1, "a", 1.0)]
+
+    # NULL update condition -> no update, row unchanged (not dropped)
+    out2 = merge_into(
+        target, source, "k",
+        when_matched_update={"v": F.col("s.v")},
+        update_condition=F.col("s.flag") == "x",
+    )
+    assert sorted(map(tuple, out2.collect())) == [(1, "a", 1.0)]
+
+    # NULL insert condition -> unmatched source row is NOT inserted
+    src2 = spark.createDataFrame([(2, None, 9.0)], "k long, flag string, v double")
+    out3 = merge_into(
+        target, src2, "k",
+        when_not_matched_insert=F.col("s.flag") == "x",
+    )
+    assert sorted(map(tuple, out3.collect())) == [(1, "a", 1.0)]
+
+
 # ------------------------------------------- burst suppression / encode ----
 
 
