@@ -200,12 +200,29 @@ def heavy_hitters(
     by an exact-count oracle. The top-k itself is
     ``TakeOrderedAndProject`` — no global sort.
 
+    **Completeness guarantee, checked at runtime.** Space-Saving's error
+    contract: any value absent from a partition's summary has a true
+    count in that partition of at most the summary's minimum counter
+    value (≤ N_p/``capacity``). Each partition therefore emits its
+    post-scan minimum counter (0 when it never evicted — then the
+    summary is exact); the SUM of those minima is a hard upper bound on
+    the global count of ANY non-candidate value. The returned plan
+    verifies ``k-th verified count > bound`` (or bound == 0) and RAISES
+    at materialization when the guarantee fails — a too-small
+    ``capacity`` can no longer silently drop a true top-k member; the
+    error message says what capacity to retry with. The check is free:
+    the bound is a one-row aggregate over the (tiny, capacity-bounded)
+    candidate summary, broadcast onto the ≤ k result rows.
+
     This is the one Python crossing in the sketch family; it's
     Arrow-batched ``mapInPandas`` over a single projected column (never
     row-at-a-time), and it exists because a bounded-memory streaming
     summary is genuinely outside Catalyst's aggregate model — the
     JVM-side alternative (full groupBy count) shuffles the entire
     cardinality, which is exactly what this operator avoids at 100 TB.
+    The summary is ``localCheckpoint``-ed (capacity × partitions rows,
+    tiny) so its two consumers — the candidate join and the error-bound
+    aggregate — cost ONE corpus scan, not two.
     """
     if k < 1 or capacity < 1:
         raise ValueError(f"k and capacity must be >= 1, got {k}, {capacity}")
@@ -214,30 +231,85 @@ def heavy_hitters(
     )
 
     def _space_saving(batches):
+        import heapq
+
         import pandas as pd
 
+        # counters holds the live summary; heap is a lazy min-index over
+        # it ((count, term) entries go stale when a counter is bumped —
+        # stale tops are popped on demand, and the heap is rebuilt from
+        # the live dict when it outgrows 4×capacity). Eviction is
+        # O(log capacity) amortized; the naive min(counters, key=...)
+        # scan was O(capacity) per eviction — quadratic-ish on
+        # high-cardinality columns where nearly every new value evicts.
         counters: dict[str, int] = {}
+        heap: list[tuple[int, str]] = []
+        evicted = False
         for pdf in batches:
             for term, cnt in pdf["__t__"].value_counts().items():
                 c = int(cnt)
                 if term in counters:
                     counters[term] += c
+                    heapq.heappush(heap, (counters[term], term))
                 elif len(counters) < capacity:
                     counters[term] = c
+                    heapq.heappush(heap, (c, term))
                 else:
                     # Space-Saving eviction: replace the minimum counter;
                     # the newcomer inherits min + its batch count (an upper
                     # bound — fine, candidates are exactly recounted).
-                    mk = min(counters, key=counters.get)  # type: ignore[arg-type]
-                    counters[term] = counters.pop(mk) + c
-        yield pd.DataFrame({"__t__": list(counters.keys())})
+                    evicted = True
+                    while heap[0][1] not in counters or counters[heap[0][1]] != heap[0][0]:
+                        heapq.heappop(heap)
+                    mv, mk = heapq.heappop(heap)
+                    del counters[mk]
+                    counters[term] = mv + c
+                    heapq.heappush(heap, (mv + c, term))
+                if len(heap) > 4 * capacity:
+                    heap = [(v, t) for t, v in counters.items()]
+                    heapq.heapify(heap)
+        # Counter rows (__err__ NULL) + one sentinel row (__t__ NULL)
+        # carrying this partition's non-candidate count bound.
+        err = min(counters.values()) if evicted and counters else 0
+        yield pd.DataFrame(
+            {
+                "__t__": list(counters.keys()) + [None],
+                "__err__": [None] * len(counters) + [err],
+            }
+        )
 
-    candidates = terms.mapInPandas(_space_saving, "__t__ string").distinct()
+    summary = terms.mapInPandas(
+        _space_saving, "__t__ string, __err__ long"
+    ).localCheckpoint()
+    candidates = summary.where(F.col("__t__").isNotNull()).select("__t__").distinct()
+    bound_df = summary.agg(
+        F.coalesce(F.sum("__err__"), F.lit(0)).alias("__bound__")
+    )
     exact = terms.join(F.broadcast(candidates), "__t__").groupBy("__t__").agg(
         F.count(F.lit(1)).alias(count_col)
     )
-    return (
-        exact.orderBy(F.col(count_col).desc(), F.col("__t__").asc())
-        .limit(k)
-        .select(F.col("__t__").alias(col), count_col)
+    topk = exact.orderBy(F.col(count_col).desc(), F.col("__t__").asc()).limit(k)
+    w = Window.partitionBy()
+    checked = (
+        topk.join(F.broadcast(bound_df))
+        .withColumn("__minc__", F.min(count_col).over(w))
+        .withColumn("__nres__", F.count(F.lit(1)).over(w))
     )
+    complete = (F.col("__bound__") == 0) | (
+        (F.col("__nres__") == k) & (F.col("__minc__") > F.col("__bound__"))
+    )
+    guard = F.when(complete, F.col("__t__")).otherwise(
+        F.raise_error(
+            F.concat_ws(
+                " ",
+                F.lit("heavy_hitters: top-k completeness not guaranteed —"),
+                F.lit("k-th verified count"),
+                F.col("__minc__").cast("string"),
+                F.lit("<= non-candidate bound"),
+                F.col("__bound__").cast("string"),
+                F.lit(f"(or fewer than k={k} candidates);"),
+                F.lit(f"retry with capacity > {2 * capacity}"),
+            )
+        )
+    )
+    return checked.select(guard.alias(col), count_col)

@@ -85,6 +85,29 @@ def test_heavy_hitters_small_capacity_still_finds_heavy_item(spark):
     assert [(r.term, r.n) for r in got] == [("hot", 60)]
 
 
+def test_heavy_hitters_raises_when_capacity_cannot_guarantee_topk(spark):
+    """Adversarial: near-uniform corpus with capacity far too small. Every
+    Space-Saving summary churns, the non-candidate bound exceeds the k-th
+    verified count, and the completeness guard must RAISE at
+    materialization instead of silently returning an incomplete top-k
+    (the pre-guard behavior)."""
+    import pytest
+
+    vals = [f"v{i:03d}" for i in range(200) for _ in range(5)]
+    df = spark.createDataFrame([(v,) for v in vals], "term string").repartition(1)
+    with pytest.raises(Exception, match="completeness not guaranteed"):
+        heavy_hitters(df, "term", k=3, capacity=4).collect()
+
+
+def test_heavy_hitters_guard_passes_when_summaries_exact(spark):
+    # Same shape but capacity >= cardinality: no eviction, bound == 0,
+    # result complete even though counts tie (fewer than k rows is fine).
+    vals = [f"v{i}" for i in range(10) for _ in range(2)]
+    df = spark.createDataFrame([(v,) for v in vals], "term string")
+    got = heavy_hitters(df, "term", k=3, capacity=64).collect()
+    assert [(r.term, r.n) for r in got] == [("v0", 2), ("v1", 2), ("v2", 2)]
+
+
 def test_heavy_hitters_ignores_nulls(spark):
     df = spark.createDataFrame(
         [("x",), (None,), ("x",), (None,), ("y",)], "term string"
