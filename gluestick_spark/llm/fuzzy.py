@@ -16,20 +16,31 @@ per-pair Levenshtein; this implementation layers three classic rewrites:
    OUTPUT — which is genuinely 100× — grows.)
 2. **Length blocking.** Edit distance ≤ k implies lengths differ by ≤ k:
    bucket lengths at width k+1, replicate the build side to its bucket ±1
-   — every qualifying pair collides exactly once in the probe's own
-   bucket, and the join is a plain equi-join on (bucket [, block_cols…]),
-   the usual entity-resolution move (block on country/zip/first-token,
-   then fuzzy within the block).
-3. **Threshold verify.** JVM ``levenshtein(a, b, k)`` short-circuits to
+   — every qualifying pair collides in an equi-join on
+   (bucket, prefix gram [, block_cols…]), the usual entity-resolution
+   move (block first, fuzzy within the block).
+3. **Positional q-gram prefix filtering** (ED-Join, Xiao et al. 2008).
+   k edit operations destroy at most q·k of a string's positional
+   q-grams, and preserved grams shift position by at most k — so two
+   strings within distance k must share a gram, at positions differing
+   by ≤ k, among the FIRST q·k+1 grams of each when both gram lists are
+   sorted by ascending global gram frequency (rarest first). Candidates
+   are therefore an equi-join on (length bucket, prefix gram) with a
+   |Δpos| ≤ k filter — a uniform-length low-duplicate corpus (names,
+   titles) no longer goes quadratic inside its length bucket: random
+   distinct strings almost never share a rare prefix gram. The gram
+   frequency table is alphabet^q-bounded (tiny) and broadcast.
+4. **Threshold verify.** JVM ``levenshtein(a, b, k)`` short-circuits to
    O(k·min(len)) per candidate instead of O(len²), inside whole-stage
    codegen — no Python anywhere.
 
-The quadratic term survives only across DISTINCT strings inside one
-(bucket × block) group; supply ``block_cols`` to keep those groups small
-when the length distribution alone is too uniform. Exact-duplicate groups
-necessarily emit C(m, 2) distance-0 pairs — that is the operator's
-contract; run :func:`~gluestick_spark.llm.dedup.exact_dedup` first if you
-don't want them enumerated.
+The quadratic term survives only across DISTINCT strings sharing a
+prefix gram inside one (bucket × block) group; supply ``block_cols``
+to shrink groups further when the corpus is pathologically self-similar.
+Exact-duplicate groups necessarily emit C(m, 2) distance-0 pairs — that
+is the operator's contract; run
+:func:`~gluestick_spark.llm.dedup.exact_dedup` first if you don't want
+them enumerated.
 """
 
 from __future__ import annotations
@@ -89,30 +100,112 @@ def edit_distance_pairs(
         )
     )
 
-    # 2. + 3. length blocking + threshold verify over DISTINCT strings
+    # distance > 0 requires the candidate stage; at max_dist=0 the exact
+    # groups above ARE the complete answer
+    if max_dist == 0:
+        return within
+
+    # 2.+3. length blocking × q-gram prefix blocking over DISTINCT strings.
+    q = 2
     reps = groups.select(
         "__gid__", "__t__", (F.length("__t__") / w).cast("long").alias("__lb__"),
         *blocks, "__ids__",
     )
-    probe = reps
-    build = reps.select(
+    # Positional q-grams over the NUL-padded string (padding guarantees
+    # ≥ 1 gram for every non-null string, the empty string included).
+    pad = "\x00" * (q - 1)
+    grams = (
+        reps.withColumn("__p__", F.concat(F.lit(pad), F.col("__t__"), F.lit(pad)))
+        .select(
+            "__gid__", "__lb__", *blocks,
+            F.expr(
+                f"explode(transform(sequence(1, length(__p__) - {q - 1}),"
+                f" i -> struct(substring(__p__, i, {q}) AS gram, i AS pos)))"
+            ).alias("__g__"),
+        )
+        .select(
+            "__gid__", "__lb__", *blocks,
+            F.col("__g__.gram").alias("__gram__"),
+            F.col("__g__.pos").alias("__pos__"),
+        )
+    )
+    # Global gram frequencies: at most |alphabet|^q distinct grams — a
+    # broadcast-sized table however large the corpus. Rarest-first prefixes
+    # minimize candidate collisions (the ED-Join ordering).
+    freq = grams.groupBy("__gram__").agg(F.count(F.lit(1)).alias("__gf__"))
+    from pyspark.sql.window import Window
+
+    wrank = Window.partitionBy("__gid__").orderBy(
+        F.col("__gf__").asc(), F.col("__gram__").asc(), F.col("__pos__").asc()
+    )
+    prefix = (
+        grams.join(F.broadcast(freq), "__gram__")
+        .withColumn("__rn__", F.row_number().over(wrank))
+        .where(F.col("__rn__") <= q * max_dist + 1)
+        .select("__gid__", "__lb__", *blocks, "__gram__", "__pos__")
+    )
+    probe = prefix
+    build = prefix.select(
         F.col("__gid__").alias("__gid2__"),
-        F.col("__t__").alias("__t2__"),
+        F.col("__gram__").alias("__gram2__"),
+        F.col("__pos__").alias("__pos2__"),
         F.explode(
             F.array(F.col("__lb__") - 1, F.col("__lb__"), F.col("__lb__") + 1)
         ).alias("__lb__"),
         *[F.col(c).alias(f"__b_{c}__") for c in blocks],
+    )
+    cond = [
+        probe["__lb__"] == build["__lb__"],
+        probe["__gram__"] == build["__gram2__"],
+    ] + [probe[c] == build[f"__b_{c}__"] for c in blocks]
+    # __gid__ < __gid2__ visits each unordered rep pair once per shared
+    # prefix gram; |Δpos| ≤ k is the ED-Join location filter. distinct()
+    # collapses multi-gram collisions before the (more expensive) verify.
+    cand_long = (
+        probe.join(build, cond)
+        .where(
+            (F.col("__gid__") < F.col("__gid2__"))
+            & (F.abs(F.col("__pos__") - F.col("__pos2__")) <= max_dist)
+        )
+        .select("__gid__", "__gid2__")
+    )
+    # Prefix-filter blind spot: the shared-gram guarantee needs the LONGER
+    # string to carry > q·k grams (k edits destroy ≤ q·k, pigeonhole on
+    # the rarest-first order). A pair where BOTH strings have ≤ q·k grams
+    # (length ≤ q·(k−1)+1 — e.g. ed("", "a")) can share nothing, so the
+    # short×short class falls back to the plain length-bucket join. Short
+    # strings are ≤ a handful of characters: the class is alphabet-bounded
+    # and its within-bucket quadratic is tiny.
+    short_len = q * max_dist - q + 1
+    shorts = reps.where(F.length("__t__") <= short_len).select(
+        "__gid__", "__lb__", *blocks
+    )
+    shorts2 = shorts.select(
+        F.col("__gid__").alias("__gid2__"),
+        F.explode(
+            F.array(F.col("__lb__") - 1, F.col("__lb__"), F.col("__lb__") + 1)
+        ).alias("__lb__"),
+        *[F.col(c).alias(f"__b_{c}__") for c in blocks],
+    )
+    scond = [shorts["__lb__"] == shorts2["__lb__"]] + [
+        shorts[c] == shorts2[f"__b_{c}__"] for c in blocks
+    ]
+    cand_short = (
+        shorts.join(shorts2, scond)
+        .where(F.col("__gid__") < F.col("__gid2__"))
+        .select("__gid__", "__gid2__")
+    )
+    cand = cand_long.unionByName(cand_short).distinct()
+    # Fetch texts + member lists by id — hash joins at candidate scale
+    # (carrying member-id arrays through the gram explode would duplicate
+    # them q·k+1 times).
+    left = reps.select("__gid__", "__t__", "__ids__")
+    right = reps.select(
+        F.col("__gid__").alias("__gid2__"),
+        F.col("__t__").alias("__t2__"),
         F.col("__ids__").alias("__ids2__"),
     )
-    cond = [probe["__lb__"] == build["__lb__"]] + [
-        probe[c] == build[f"__b_{c}__"] for c in blocks
-    ]
-    # __gid__ < __gid2__ visits each unordered rep pair once; the ±1
-    # replication means it collides exactly once (in the probe's bucket).
-    # No explicit |len diff| ≤ k pre-prune: the threshold levenshtein
-    # already short-circuits on length difference internally (A/B-measured
-    # — an extra predicate only adds plan surface).
-    joined = probe.join(build, cond).where(F.col("__gid__") < F.col("__gid2__"))
+    joined = cand.join(left, "__gid__").join(right, "__gid2__")
     dist = F.levenshtein(F.col("__t__"), F.col("__t2__"), max_dist)
     rep_pairs = (
         joined.withColumn("__d__", dist)

@@ -61,6 +61,58 @@ def test_edit_distance_pairs_matches_bruteforce(spark):
     assert got == want
 
 
+def test_edit_distance_pairs_uniform_length_bruteforce(spark):
+    """Adversarial for the q-gram prefix filter: 120 DISTINCT strings of
+    IDENTICAL length over a 3-letter alphabet (length blocking alone is
+    useless — one bucket). Seeded deterministic corpus; any pair the
+    prefix filter loses fails the brute-force comparison."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    words = list({"".join(rng.choice("abc") for _ in range(8)) for _ in range(150)})[:120]
+    df = spark.createDataFrame(list(enumerate(words)), "id long, t string")
+    got = sorted(
+        (r.a, r.b, r.dist) for r in edit_distance_pairs(df, "id", "t", 2).collect()
+    )
+
+    def lev(s, t):
+        d = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            prev, d[0] = d[0], i
+            for j, ct in enumerate(t, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (cs != ct))
+        return d[len(t)]
+
+    want = sorted(
+        (i, j, lev(words[i], words[j]))
+        for i, j in itertools.combinations(range(len(words)), 2)
+        if lev(words[i], words[j]) <= 2
+    )
+    assert got == want
+    assert len(want) > 0  # the corpus actually exercises the verify stage
+
+
+def test_edit_distance_pairs_short_and_empty_strings(spark):
+    # padding guarantees every string (the empty one included) carries a
+    # prefix gram; ed("", "a") = 1 must be found
+    df = spark.createDataFrame(
+        [(1, ""), (2, "a"), (3, "ab"), (4, "xy")], "id long, t string"
+    )
+    got = sorted(
+        (r.a, r.b, r.dist) for r in edit_distance_pairs(df, "id", "t", 2).collect()
+    )
+    assert got == [(1, 2, 1), (1, 3, 2), (1, 4, 2), (2, 3, 1), (2, 4, 2), (3, 4, 2)]
+
+
+def test_edit_distance_pairs_max_dist_zero_is_exact_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "off")], "id long, t string"
+    )
+    got = [(r.a, r.b, r.dist) for r in edit_distance_pairs(df, "id", "t", 0).collect()]
+    assert got == [(1, 2, 0)]
+
+
 def test_edit_distance_pairs_block_cols(spark):
     df = spark.createDataFrame(
         [(1, "same", "en"), (2, "same", "de")], "id long, t string, lang string"

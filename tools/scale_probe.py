@@ -242,10 +242,13 @@ def main() -> None:
 
     def _segdedup(d):
         out = segment_dedup(d, "doc_id", "text", seg_words=4)
-        # aggregate over the reassembled text: a bare count() would let
-        # Catalyst ELIMINATE the unique-key left join (count-preserving)
-        # and skip the whole operator. Returned "rows" = total clean chars.
-        return int(out.agg(F.sum(F.length("text_clean"))).first()[0])
+        # aggregate over the reassembled text IN THE SAME PASS as the row
+        # count: a bare count() would let Catalyst ELIMINATE the
+        # unique-key left join (count-preserving) and skip the operator.
+        row = out.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.length("text_clean")).alias("c")
+        ).first()
+        return int(row["n"]) if row["c"] is not None else int(row["n"])
 
     def _hh(d):
         words = d.select(F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
@@ -302,6 +305,22 @@ def main() -> None:
         lambda: _tfidf(docsR, nR),
     )
 
+    # Synthetic worst case for fuzzy blocking: DISTINCT strings of ONE
+    # uniform length (length bucketing alone is useless — everything lands
+    # in one bucket). Base64 of the id's md5 → 24-char strings over a
+    # 64-char alphabet. Before the q-gram prefix filter this probe ran
+    # >15 min at 10×; the filter makes candidates gram-collision-bound.
+    def _fuzzy_distinct(n):
+        strs = spark.range(n).select(
+            "id", F.base64(F.unhex(F.md5(F.col("id").cast("string")))).alias("t")
+        )
+        return edit_distance_pairs(strs, "id", "t", max_dist=2).count()
+
+    ops["fuzzy_distinct"] = (
+        lambda: _fuzzy_distinct(5000),
+        lambda: _fuzzy_distinct(5000 * r),
+    )
+
     import math
 
     summary = {}
@@ -322,6 +341,9 @@ def main() -> None:
             "scale_exponent": exponent,
             "rows_1x": rows1,
             f"rows_{r}x": rowsR,
+            # per-output-row cost at RX: distinguishes output-bound growth
+            # (flat us/row as output scales) from candidate blowup
+            "us_per_row": round(tR * 1e6 / max(rowsR, 1), 2),
         }
         summary[name] = exponent
         print(json.dumps(rec), flush=True)
