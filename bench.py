@@ -80,6 +80,10 @@ BENCH_QUERIES = [
     "equi_depth_bins",
     "scaled_features",
     "balanced_sample",
+    "merge_into_orders",
+    "suppress_bursts",
+    "encoded_docs",
+    "packed_encoded_docs",
 ]
 
 
@@ -174,10 +178,16 @@ def main() -> None:
     # (malformed prior BENCH files included) may prevent the JSON line from
     # printing — rounds 2 and 3 both lost their bench artifact to exactly that.
     try:
-        prev, prev_round = _previous_round(sf_val)
+        prev, prev_round, prev_calib = _previous_round(sf_val)
         if prev:
+            # Calibration-normalize (VERDICT r6 #4): scale the prior round's
+            # times by calib_now/calib_prev so machine drift between rounds
+            # (verified 1.5-2× on identical code) doesn't read as code
+            # regressions. Falls back to raw times when the prior artifact
+            # predates calibration_sec.
+            ratio = (calib / prev_calib) if prev_calib else 1.0
             deltas = {
-                q: round(timings[q] / prev[q] - 1, 3)
+                q: round(timings[q] / (prev[q] * ratio) - 1, 3)
                 for q in timings
                 if prev.get(q)
             }
@@ -185,17 +195,19 @@ def main() -> None:
             # which artifact the deltas compare against — a skipped/crashed
             # round must not silently shift the basis unnamed (VERDICT r4 #9)
             result["prev_round"] = prev_round
+            result["calibration_ratio_vs_prev"] = round(ratio, 3) if prev_calib else None
             result["regressions_gt_10pct"] = sorted(q for q, d in deltas.items() if d > 0.10)
     except Exception:
         pass
     print(json.dumps(result))
 
 
-def _previous_round(sf_val) -> tuple[dict[str, float], str | None]:
-    """(per-query seconds, round tag) from the newest parseable
-    BENCH_r*.json at the same SF (round-over-round regression tracking;
-    VERDICT r1 #10). The tag names WHICH artifact the basis came from, so
-    a skipped/crashed round can't silently shift the comparison basis."""
+def _previous_round(sf_val) -> tuple[dict[str, float], str | None, float | None]:
+    """(per-query seconds, round tag, calibration_sec) from the newest
+    parseable BENCH_r*.json at the same SF (round-over-round regression
+    tracking; VERDICT r1 #10). The tag names WHICH artifact the basis came
+    from, so a skipped/crashed round can't silently shift the comparison
+    basis; the calibration lets the caller normalize away machine drift."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -208,10 +220,12 @@ def _previous_round(sf_val) -> tuple[dict[str, float], str | None]:
                 rec = json.load(f)
             parsed = rec.get("parsed") or rec
             if parsed.get("sf") == sf_val and parsed.get("queries"):
-                return parsed["queries"], os.path.basename(path)
+                calib = parsed.get("calibration_sec")
+                calib = float(calib) if calib else None
+                return parsed["queries"], os.path.basename(path), calib
         except Exception:
             continue
-    return {}, None
+    return {}, None, None
 
 
 if __name__ == "__main__":

@@ -208,28 +208,59 @@ def write_hive_partitioned(
     part.write.mode(mode).format(fmt).partitionBy(*partition_cols).save(path)
 
 
+def _exchange_dirs(a: str, b: str) -> bool:
+    """Atomically swap two directories with Linux ``renameat2(…,
+    RENAME_EXCHANGE)`` — readers see the old tree or the new tree, never
+    an absent path. Returns False when the libc/filesystem doesn't
+    support the exchange (caller falls back to the two-rename swap)."""
+    import ctypes
+    import os
+
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        renameat2 = libc.renameat2
+    except (OSError, AttributeError):
+        return False
+    AT_FDCWD = -100
+    RENAME_EXCHANGE = 2
+    r = renameat2(
+        AT_FDCWD, os.fsencode(a), AT_FDCWD, os.fsencode(b), RENAME_EXCHANGE
+    )
+    return r == 0
+
+
 def compact_files(
     spark,
     path: str,
     target_rows_per_file: int,
     fmt: str = "parquet",
 ) -> int:
-    """Compact a directory of small files into ~``target_rows_per_file``
-    files — the small-file remedy for streaming/incremental sinks (every
-    micro-batch writes a file; a month later the LISTING dominates query
-    time and each task reads a few KB). Returns the new file count.
+    """Compact a FLAT local-filesystem directory of small files into
+    ~``target_rows_per_file`` files — the small-file remedy for
+    streaming/incremental sinks (every micro-batch writes a file; a month
+    later the LISTING dominates query time and each task reads a few KB).
+    Returns the new file count.
 
-    Rewrite goes to a temp dir next to ``path``, then a two-rename swap
-    (``path`` → ``.__old__``, temp → ``path``). Readers never see a
-    HALF-compacted directory, but POSIX cannot exchange two directories
-    atomically: there is a sub-millisecond window where ``path`` is
-    absent, and a crash inside it strands the data intact under
-    ``.__old__`` (no loss — manual rename recovers; a table-format layer
-    like the snapshot lock protocol is the fully-atomic alternative).
-    Run compaction when no reader races the swap. Row count comes from
-    parquet footers (driver-side metadata, no Spark job); the rewrite
-    itself is one coalesce write — coalesce, not repartition, so
-    compaction never shuffles, it only concatenates partitions."""
+    Commit protocol: the rewrite goes to a temp dir next to ``path``,
+    then an ATOMIC directory exchange (``renameat2(RENAME_EXCHANGE)``) —
+    readers always see the old tree or the new tree, and a crash leaves
+    one of them at ``path``. On filesystems without RENAME_EXCHANGE it
+    falls back to the two-rename swap (``path`` → ``.__old__``, temp →
+    ``path``), whose sub-millisecond absent-path window is self-healing:
+    the next ``compact_files`` call rolls a crashed swap back from
+    ``.__old__`` before doing anything else.
+
+    Scope guards (not silent): raises on a hive-partitioned layout (no
+    top-level data files but partition subdirectories — compacting that
+    through one coalesce would DESTROY the partition layout; compact each
+    leaf directory instead) and on an empty/non-matching directory. The
+    directory must be on a local filesystem — object-store/HDFS paths
+    need a table format's commit protocol, not POSIX renames.
+
+    Row count comes from parquet footers (driver-side metadata, no Spark
+    job); the rewrite itself is one coalesce write — coalesce, not
+    repartition, so compaction never shuffles, it only concatenates
+    partitions."""
     import math
     import os
     import shutil
@@ -238,17 +269,41 @@ def compact_files(
         raise ValueError("target_rows_per_file must be >= 1")
     import pyarrow.parquet as pq
 
-    files = [f for f in os.listdir(path) if f.endswith(f".{fmt}")]
+    norm = path.rstrip("/")
+    old = norm + ".__old__"
+    # self-heal a crashed fallback swap: the data is intact under
+    # .__old__, only the canonical name was lost
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+
+    entries = os.listdir(path)
+    files = [f for f in entries if f.endswith(f".{fmt}")]
+    subdirs = [
+        d
+        for d in entries
+        if os.path.isdir(os.path.join(path, d)) and not d.startswith((".", "_"))
+    ]
+    if not files:
+        if subdirs:
+            raise ValueError(
+                f"compact_files: no top-level *.{fmt} files in {path} but "
+                f"partition subdirectories exist ({subdirs[:3]}…) — this looks "
+                "hive-partitioned; compacting it flat would destroy the "
+                "partition layout. Compact each leaf directory instead."
+            )
+        raise ValueError(f"compact_files: no *.{fmt} data files in {path}")
     n_rows = sum(
         pq.ParquetFile(os.path.join(path, f)).metadata.num_rows for f in files
     ) if fmt == "parquet" else spark.read.format(fmt).load(path).count()
     n_files = max(1, math.ceil(n_rows / target_rows_per_file))
-    tmp = path.rstrip("/") + ".__compacting__"
+    tmp = norm + ".__compacting__"
     shutil.rmtree(tmp, ignore_errors=True)
     spark.read.format(fmt).load(path).coalesce(n_files).write.format(fmt).save(tmp)
-    old = path.rstrip("/") + ".__old__"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    if _exchange_dirs(tmp, path):
+        shutil.rmtree(tmp)  # old data now lives at tmp
+    else:
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
     return n_files

@@ -46,6 +46,63 @@ def test_compact_files_preserves_rows_atomically(spark, tmp_dir):
     got = sorted(r.id for r in spark.read.parquet(path).collect())
     assert got == list(range(100))
     assert not os.path.exists(path + ".__old__")
+    assert not os.path.exists(path + ".__compacting__")
+
+
+def test_exchange_dirs_atomic_swap(tmp_dir):
+    """renameat2(RENAME_EXCHANGE) works on this filesystem: both trees
+    swap in one syscall — the path is never absent."""
+    from gluestick_spark.sinks.layout import _exchange_dirs
+
+    a, b = os.path.join(tmp_dir, "a"), os.path.join(tmp_dir, "b")
+    os.makedirs(a), os.makedirs(b)
+    open(os.path.join(a, "ina"), "w").close()
+    open(os.path.join(b, "inb"), "w").close()
+    assert _exchange_dirs(a, b)
+    assert os.path.exists(os.path.join(a, "inb"))
+    assert os.path.exists(os.path.join(b, "ina"))
+
+
+def test_compact_files_recovers_crashed_fallback_swap(spark, tmp_dir):
+    """Crash injection: a fallback swap killed between the two renames
+    leaves the data under .__old__ and the canonical path absent. The
+    next compact_files call must roll it back and complete normally."""
+    path = os.path.join(tmp_dir, "small")
+    for i in range(4):
+        spark.range(i * 10, (i + 1) * 10).coalesce(1).write.mode("append").parquet(path)
+    # simulate the mid-swap crash state
+    os.rename(path, path + ".__old__")
+    assert not os.path.exists(path)
+    n_files = compact_files(spark, path, target_rows_per_file=40)
+    assert n_files == 1
+    got = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert got == list(range(40))
+    assert not os.path.exists(path + ".__old__")
+
+
+def test_compact_files_refuses_hive_partitioned_dir(spark, tmp_dir):
+    """Running compaction on a hive-partitioned dataset must raise, not
+    silently rewrite it as one unpartitioned file."""
+    import pytest
+
+    path = os.path.join(tmp_dir, "hive")
+    df = spark.range(20).select("id", (F.col("id") % 2).cast("string").alias("src"))
+    df.write.partitionBy("src").parquet(path)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact_files(spark, path, target_rows_per_file=10)
+    # layout untouched
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("src=")
+    ) == ["src=0", "src=1"]
+
+
+def test_compact_files_empty_dir_raises(spark, tmp_dir):
+    import pytest
+
+    path = os.path.join(tmp_dir, "empty")
+    os.makedirs(path)
+    with pytest.raises(ValueError, match="no .*data files"):
+        compact_files(spark, path, target_rows_per_file=10)
 
 
 def test_streaming_cdc_emits_changes_only(spark, tmp_dir):
