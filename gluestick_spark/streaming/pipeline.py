@@ -512,15 +512,23 @@ def streaming_cdc(
     checkpoint_dir: str,
     compare_cols: list[str] | None = None,
     available_now: bool = True,
+    order_col: str | None = None,
 ) -> StreamingQuery:
     """Turn a re-delivered full/partial table feed into a CHANGE stream:
-    each micro-batch is diffed against the persisted snapshot with
+    each micro-batch is collapsed keep-last per key (``table_diff``'s
+    contract requires key-unique inputs — one trigger can pick up SEVERAL
+    dump files, and duplicate keys would multiply through the full-outer
+    join into contradictory change rows), then diffed against the
+    persisted snapshot with
     :func:`~gluestick_spark.operators.cdc.table_diff` (inserts + updates;
     a batch is treated as an upsert feed, so absent keys are NOT deletes —
     feed explicit tombstones for that), the change rows land in
     ``changes_dir`` partitioned by ``batch_id`` (dynamic-overwrite per
     batch — replay-idempotent), and the snapshot is upserted for the next
-    batch.
+    batch. ``order_col`` picks the within-batch winner (highest wins,
+    like :func:`streaming_scd2`'s ``ts_col``); without it the collapse
+    falls back to an arbitrary-but-deterministic keep-one (max over the
+    remaining columns), so supply one whenever a trigger can span dumps.
 
     This is how a pipeline that only gets periodic dumps (the Singer-tap
     reality) produces an incremental feed for downstream SCD2 / sync
@@ -529,6 +537,7 @@ def streaming_cdc(
     not table volume.
     """
     from ..operators.cdc import table_diff
+    from ..operators.grouping import top_k_per_group
     from ..operators.snapshot import snapshot_records
     from ..sources.reader import read_snapshots
 
@@ -536,6 +545,17 @@ def streaming_cdc(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # collapse keep-last per key BEFORE the diff: table_diff requires
+        # key-unique inputs, and one trigger may contain multiple dumps
+        order_cols = (
+            [order_col] if order_col else [c for c in batch_df.columns if c not in keys]
+        )
+        if order_cols:
+            batch_df = top_k_per_group(
+                batch_df, keys, [F.col(c).desc() for c in order_cols], 1
+            )
+        else:  # key-only schema: any duplicate row is identical
+            batch_df = batch_df.dropDuplicates(keys)
         snap = read_snapshots(spark, stream, snapshot_dir)
         if snap is None:
             snap = batch_df.limit(0)

@@ -151,6 +151,45 @@ def test_streaming_cdc_emits_changes_only(spark, tmp_dir):
     assert final == [(1, "a"), (2, "b2"), (3, "c")]
 
 
+def test_streaming_cdc_collapses_multi_dump_trigger(spark, tmp_dir):
+    """One trigger picking up TWO dump files with overlapping keys: the
+    batch is collapsed keep-last per key (order_col highest wins) before
+    table_diff — no duplicate-key multiplication through the full-outer
+    join, one change row per key."""
+    from gluestick_spark.sources.reader import read_snapshots
+    from gluestick_spark.streaming.pipeline import streaming_cdc
+
+    flat = os.path.join(tmp_dir, "feed2")
+    os.makedirs(flat)
+    d1 = spark.createDataFrame([(1, 10, "a"), (2, 10, "b")], "k long, seq long, v string")
+    d2 = spark.createDataFrame([(1, 20, "a2"), (3, 20, "c")], "k long, seq long, v string")
+    for i, b in enumerate((d1, d2)):
+        tmp = os.path.join(tmp_dir, f"x{i}")
+        b.coalesce(1).write.parquet(tmp)
+        (part,) = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        os.rename(os.path.join(tmp, part), os.path.join(flat, f"dump_{i}.parquet"))
+
+    # NO maxFilesPerTrigger: availableNow sweeps both dumps into one batch
+    stream = spark.readStream.schema("k long, seq long, v string").parquet(flat)
+    snap = os.path.join(tmp_dir, "snap2")
+    changes = os.path.join(tmp_dir, "changes2")
+    os.makedirs(snap)
+    q = streaming_cdc(
+        stream, "feed2", snap, "k", changes,
+        checkpoint_dir=os.path.join(tmp_dir, "ck2"),
+        order_col="seq",
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        (r.k, r.change, r.new_v) for r in spark.read.parquet(changes).collect()
+    )
+    # key 1 appears in both dumps: exactly ONE insert with the seq=20 value
+    assert got == [(1, "insert", "a2"), (2, "insert", "b"), (3, "insert", "c")]
+    final = sorted((r.k, r.v) for r in read_snapshots(spark, "feed2", snap).collect())
+    assert final == [(1, "a2"), (2, "b"), (3, "c")]
+
+
 # -------------------------------------------------------- feature prep -----
 
 
