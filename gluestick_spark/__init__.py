@@ -90,6 +90,12 @@ from .compat import (
     polars_df_to_singer,
     polars_lf_to_export,
     polars_lf_to_singer,
+    PolarsReader,
+    PLLazyFrameReader,
+    map_pd_type_to_polars,
+    cast_df_from_schema,
+    cast_lf_from_schema,
+    gen_singer_header_from_polars_schema,
 )
 
 # Beyond-reference surface (SURVEY §2.13): warehouse/temporal/state ops …

@@ -163,3 +163,117 @@ def test_reader_jsonl_roundtrip(spark, tmp_dir):
     assert "things" in r
     got = {row["id"]: row["name"] for row in r.get("things").collect()}
     assert got == {1: "a", 2: "b"}
+
+
+# ---------------------------------------------------------------- polars ---
+# Import-parity aliases for the reference's polars surface (VERDICT r6 #8;
+# reference readers/pl_reader.py:12, utils/polars_utils.py:3-59,
+# singer.py:552). polars is not an engine dependency: functional paths are
+# exercised when it's importable, and the no-polars error contract is pinned
+# otherwise.
+
+
+def _has_polars() -> bool:
+    try:
+        import polars  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_polars_alias_imports_resolve():
+    # a reference script's imports must resolve from the package root
+    from gluestick_spark import (  # noqa: F401
+        PLLazyFrameReader,
+        PolarsReader,
+        cast_df_from_schema,
+        cast_lf_from_schema,
+        gen_singer_header_from_polars_schema,
+        map_pd_type_to_polars,
+    )
+
+
+def test_polars_reader_discovery_and_get(spark, tmp_dir):
+    from gluestick_spark import PLLazyFrameReader, PolarsReader
+
+    root = _setup_dir(tmp_dir)
+    r = PolarsReader(spark, root_dir=root)
+    # discovery/catalog run engine-side regardless of polars
+    assert sorted(r.keys()) == ["invoices", "orders"]
+    assert r.get("missing", default="sentinel") == "sentinel"
+    if _has_polars():
+        import polars as pl
+
+        out = r.get("orders")
+        assert isinstance(out, pl.DataFrame)
+        assert out["order_id"].to_list() == [1, 2]  # catalog coercion applied
+        lf = PLLazyFrameReader(spark, root_dir=root).get("orders")
+        assert isinstance(lf, pl.LazyFrame)
+    else:
+        import pytest
+
+        with pytest.raises(NotImplementedError, match="polars is not installed"):
+            r.get("orders")
+
+
+def test_cast_df_from_schema_spark_dispatch(spark):
+    """The reference's polars cast entrypoints accept a Spark DataFrame and
+    cast engine-side — including the boolean string matrix (true/false only,
+    junk -> null), never a blind cast."""
+    from gluestick_spark import cast_df_from_schema, cast_lf_from_schema
+
+    df = spark.createDataFrame(
+        [("1", "5.5", "true"), ("2", "6.25", "nope")], "id string, amt string, ok string"
+    )
+    out = cast_df_from_schema(df, {"id": "Int64", "amt": "Float64", "ok": "Boolean"})
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint", "double", "boolean",
+    ]
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == [(1, 5.5, True), (2, 6.25, None)]
+    # lf variant: a Spark frame is already lazy; same result
+    rows2 = sorted(map(tuple, cast_lf_from_schema(df, {"id": "Int64"}).collect()))
+    assert [r[0] for r in rows2] == [1, 2]
+
+
+def test_map_pd_type_to_polars_contract():
+    import pytest
+
+    from gluestick_spark import map_pd_type_to_polars
+
+    if _has_polars():
+        import polars as pl
+
+        assert map_pd_type_to_polars("Int64") == pl.Int64
+        assert map_pd_type_to_polars("object") == pl.String
+        with pytest.raises(ValueError, match="Unknown type"):
+            map_pd_type_to_polars("Complex128")
+    else:
+        with pytest.raises(NotImplementedError, match="polars is not installed"):
+            map_pd_type_to_polars("Int64")
+
+
+def test_gen_singer_header_from_polars_schema_no_polars():
+    # operates on str(dtype): plain name strings work without polars
+    from gluestick_spark import gen_singer_header_from_polars_schema
+
+    hdr = gen_singer_header_from_polars_schema(
+        {
+            "id": "Int64",
+            "amt": "Float64",
+            "ok": "Boolean",
+            "ts": "Datetime(time_unit='us', time_zone=None)",
+            "tags": "List(String)",
+            "meta": "Struct({'a': Int64})",
+            "weird": "Decimal128",
+        }
+    )
+    p = hdr["properties"]
+    assert p["id"] == {"type": ["integer", "null"]}
+    assert p["amt"] == {"type": ["number", "null"]}
+    assert p["ok"] == {"type": ["boolean", "null"]}
+    assert p["ts"] == {"type": ["string", "null"], "format": "date-time"}
+    assert p["tags"]["type"] == ["array", "null"]
+    assert p["meta"] == {"type": ["object", "null"]}
+    assert p["weird"] == {"type": ["string", "null"]}  # non-primitive stringified
