@@ -15,7 +15,7 @@ import os
 import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -3843,6 +3843,82 @@ FROM p
 """
 
 
+def _doc_url() -> Column:
+    """Deterministic URL synthesis over documents (the testdata carries no
+    URL column): five shapes — www-prefixed .com, multi-label .co.uk,
+    userinfo+port .org, a non-URL string, and a bare IP — exercising every
+    branch of llm/web.py's parser."""
+    m = F.col("doc_id") % 5
+    k = (F.col("doc_id") % 7).cast("string")
+    i = F.col("doc_id").cast("string")
+    src = F.col("source")
+    return (
+        F.when(m == 0, F.concat(F.lit("https://www."), src, k, F.lit(".example.com/a/"), i))
+        .when(m == 1, F.concat(F.lit("https://news."), src, k, F.lit(".co.uk/p?id="), i))
+        .when(m == 2, F.concat(F.lit("http://u@"), src, k, F.lit(".org:8080/x/"), i))
+        .when(m == 3, F.concat(F.lit("not a url "), i))
+        .otherwise(F.concat(F.lit("https://192.168.0.1/raw/"), i))
+    )
+
+
+# The oracle derives each URL's registered domain INDEPENDENTLY (from the
+# construction rule, not a regex) — ground truth for the parser pipeline.
+_DUCK_DOC_DOMAIN = """
+  CASE doc_id % 5
+    WHEN 0 THEN 'example.com'
+    WHEN 1 THEN source || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
+    WHEN 2 THEN source || CAST(doc_id % 7 AS VARCHAR) || '.org'
+    WHEN 3 THEN NULL
+    ELSE '192.168.0.1'
+  END
+"""
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus domain audit (llm/web.py:domain_stats): registered-domain
+    extraction (pure-regexp parse incl. www-strip, second-level public
+    suffixes, IP/non-URL handling) → per-domain counts + corpus share. The
+    oracle recomputes domains from the synthesis rule itself, so any parser
+    defect mismatches."""
+    from gluestick_spark.llm.web import domain_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", _doc_url().alias("url"))
+    return domain_stats(d, "url").select("domain", "n_docs", "share")
+
+
+_Q_DOMAIN_STATS_SQL = f"""
+WITH doms AS (SELECT {_DUCK_DOC_DOMAIN} AS domain FROM documents),
+c AS (SELECT domain, count(*) AS n_docs FROM doms GROUP BY domain)
+SELECT domain, n_docs,
+       CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS share
+FROM c
+"""
+
+
+def q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain volume cap (llm/web.py:cap_per_domain): keep ≤ 40 docs
+    per registered domain by seeded portable-hash rank — the crawl-skew
+    remedy. Oracle reproduces the EXACT member set (same md5-60-bit rank,
+    domains re-derived from the synthesis rule)."""
+    from gluestick_spark.llm.web import cap_per_domain
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", _doc_url().alias("url"))
+    return cap_per_domain(d, "url", "doc_id", max_per_domain=40).select("doc_id")
+
+
+_Q_CAP_DOMAIN_SQL = f"""
+SELECT doc_id FROM (
+  SELECT doc_id,
+         row_number() OVER (
+           PARTITION BY {_DUCK_DOC_DOMAIN}
+           ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31)), 1, 15) AS UBIGINT),
+                    doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 40
+"""
+
+
 def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General conditional MERGE (operators/merge.py): one full-outer
     join, all clauses (delete-first, conditional update, insert) in a
@@ -3970,8 +4046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suppress_bursts": q_suppress_bursts,
         "encoded_docs": q_encoded_docs,
         "packed_encoded_docs": q_packed_encoded_docs,
-        "event_asof_nearest": q_event_asof_nearest,
-        "kmv_merge": q_kmv_merge,
+        "domain_stats": q_domain_stats,
+        "cap_per_domain": q_cap_per_domain,
         "streaming_minhash_dedup": q_streaming_minhash_dedup,
         "hash_sample": q_hash_sample,
         "hash_split": q_hash_split,
@@ -4023,6 +4099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup": q_time_rollup,
         "kmv_distinct": q_kmv_distinct,
         "event_asof_close": q_event_asof_close,
+        "event_asof_nearest": q_event_asof_nearest,
+        "kmv_merge": q_kmv_merge,
         "pricing_summary": q_pricing_summary,
         "snapshot_upsert": q_snapshot_upsert,
         "sessionize_events": q_sessionize_events,
@@ -4097,8 +4175,8 @@ def oracle_sql() -> dict[str, str]:
         "suppress_bursts": _Q_SUPPRESS_SQL,
         "encoded_docs": _Q_ENCODED_SQL,
         "packed_encoded_docs": _Q_PACKED_ENCODED_SQL,
-        "event_asof_nearest": _Q_EVENT_ASOF_NEAREST_SQL,
-        "kmv_merge": _Q_KMV_SQL,
+        "domain_stats": _Q_DOMAIN_STATS_SQL,
+        "cap_per_domain": _Q_CAP_DOMAIN_SQL,
         "streaming_minhash_dedup": _Q_MINHASH_DEDUP_SQL,
         "hash_sample": _Q_HASH_SAMPLE_SQL,
         "hash_split": _Q_HASH_SPLIT_SQL,
@@ -4150,6 +4228,8 @@ def oracle_sql() -> dict[str, str]:
         "time_rollup": _Q_TIME_ROLLUP_SQL,
         "kmv_distinct": _Q_KMV_SQL,
         "event_asof_close": _Q_EVENT_ASOF_CLOSE_SQL,
+        "event_asof_nearest": _Q_EVENT_ASOF_NEAREST_SQL,
+        "kmv_merge": _Q_KMV_SQL,
         "pricing_summary": _Q_PRICING_SQL,
         "snapshot_upsert": _Q_SNAPSHOT_SQL,
         "sessionize_events": _Q_SESSIONIZE_SQL,

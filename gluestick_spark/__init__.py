@@ -159,6 +159,13 @@ from .llm.sampling import (
     shuffle_write,
 )
 from .llm.pii import redact_pii_expr
+from .llm.web import (
+    parse_url_expr,
+    host_expr,
+    registered_domain_expr,
+    domain_stats,
+    cap_per_domain,
+)
 from .llm.repetition import repetition_stats
 from .llm.decontam import contamination_pairs, decontaminate
 from .llm.packing import pack_documents

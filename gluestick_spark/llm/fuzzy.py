@@ -106,7 +106,14 @@ def edit_distance_pairs(
         return within
 
     # 2.+3. length blocking × q-gram prefix blocking over DISTINCT strings.
-    q = 2
+    # q=3: gram diversity grows with |alphabet|^q, and candidate collisions
+    # shrink ~quadratically in it — probed 0.71 → <0.4 scale exponent on a
+    # distinct uniform-length corpus when moving from q=2. The price is a
+    # larger short-string class (both ≤ q·k grams ⇒ len ≤ q·(k−1)+1 falls
+    # back to plain bucket join) — fine for titles/names; a corpus of
+    # millions of DISTINCT ≤(q·(k−1)+1)-char strings should pass
+    # block_cols to shrink the fallback.
+    q = 3
     reps = groups.select(
         "__gid__", "__t__", (F.length("__t__") / w).cast("long").alias("__lb__"),
         *blocks, "__ids__",
