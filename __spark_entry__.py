@@ -2783,6 +2783,40 @@ GROUP BY word ORDER BY n DESC, word LIMIT 15
 """
 
 
+def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained frequent items (streaming/pipeline.py
+    streaming_topk): words arrive in two micro-batches; each batch's exact
+    counts merge into a capacity-bounded counter snapshot (Space-Saving
+    trim rules, unsaturated here ⇒ exact). The final top-15 must equal the
+    one-shot batch count over everything — same oracle as heavy_hitters."""
+    import tempfile
+
+    from gluestick_spark.streaming.pipeline import (
+        stream_from_directory,
+        streaming_topk,
+        topk_from_snapshot,
+    )
+
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("word"))
+    mid = d.select(F.percentile_approx("doc_id", 0.5)).first()[0]
+    stage = tempfile.mkdtemp(prefix="gs_stk_src_")
+    snap = tempfile.mkdtemp(prefix="gs_stk_snap_")
+    ckpt = tempfile.mkdtemp(prefix="gs_stk_ckpt_")
+    schema = words.schema
+    for cond in (F.col("doc_id") <= mid, F.col("doc_id") > mid):
+        words.where(cond).coalesce(1).write.mode("append").parquet(stage)
+        q = streaming_topk(
+            stream_from_directory(spark, stage, schema),
+            "word", "stk", snap, ckpt, capacity=200_000,
+        )
+        q.awaitTermination()
+    return topk_from_snapshot(spark, "stk", snap, 15).select(
+        F.col("term").alias("word"), F.col("cnt").alias("n")
+    )
+
+
 def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 merge (operators/scd2.py): current state = each user's
     last event_type before Jan 15 (valid_from = that event's ts); batch =
@@ -4048,8 +4082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_encoded_docs": q_packed_encoded_docs,
         "domain_stats": q_domain_stats,
         "cap_per_domain": q_cap_per_domain,
+        "streaming_topk": q_streaming_topk,
         "streaming_minhash_dedup": q_streaming_minhash_dedup,
-        "hash_sample": q_hash_sample,
         "hash_split": q_hash_split,
         "pack_documents": q_pack_documents,
         "mix_corpora": q_mix_corpora,
@@ -4101,6 +4135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_asof_close": q_event_asof_close,
         "event_asof_nearest": q_event_asof_nearest,
         "kmv_merge": q_kmv_merge,
+        "hash_sample": q_hash_sample,
         "pricing_summary": q_pricing_summary,
         "snapshot_upsert": q_snapshot_upsert,
         "sessionize_events": q_sessionize_events,
@@ -4177,8 +4212,9 @@ def oracle_sql() -> dict[str, str]:
         "packed_encoded_docs": _Q_PACKED_ENCODED_SQL,
         "domain_stats": _Q_DOMAIN_STATS_SQL,
         "cap_per_domain": _Q_CAP_DOMAIN_SQL,
+        # stream-of-batches == one-shot batch count (unsaturated regime)
+        "streaming_topk": _Q_HEAVY_HITTERS_SQL,
         "streaming_minhash_dedup": _Q_MINHASH_DEDUP_SQL,
-        "hash_sample": _Q_HASH_SAMPLE_SQL,
         "hash_split": _Q_HASH_SPLIT_SQL,
         "pack_documents": _Q_PACK_DOCS_SQL,
         "mix_corpora": _Q_MIX_CORPORA_SQL,
@@ -4230,6 +4266,7 @@ def oracle_sql() -> dict[str, str]:
         "event_asof_close": _Q_EVENT_ASOF_CLOSE_SQL,
         "event_asof_nearest": _Q_EVENT_ASOF_NEAREST_SQL,
         "kmv_merge": _Q_KMV_SQL,
+        "hash_sample": _Q_HASH_SAMPLE_SQL,
         "pricing_summary": _Q_PRICING_SQL,
         "snapshot_upsert": _Q_SNAPSHOT_SQL,
         "sessionize_events": _Q_SESSIONIZE_SQL,

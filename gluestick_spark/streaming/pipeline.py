@@ -284,6 +284,118 @@ def streaming_agg_upsert(
     return writer.start()
 
 
+def streaming_topk(
+    stream_df: DataFrame,
+    col: str,
+    stream: str,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    capacity: int = 4096,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incrementally maintained frequent-items state — the streaming
+    sibling of :func:`~gluestick_spark.llm.sketch.heavy_hitters`: each
+    micro-batch contributes its EXACT per-term counts (one batch-local
+    aggregate), merged into a persistent counter snapshot that is trimmed
+    to ``capacity`` rows Space-Saving-style. History is never rescanned;
+    a batch costs its own aggregate plus one merge over the
+    capacity-bounded snapshot.
+
+    Error contract (Metwally et al. merge rules): the snapshot keeps a
+    FLOOR — the largest counter value ever trimmed away. A term absent
+    from the snapshot has true count ≤ floor; a re-appearing term
+    re-enters at ``floor + batch count`` (upper bound) with ``err =
+    floor``, so every counter satisfies ``cnt − err ≤ true ≤ cnt``.
+    While ``capacity`` exceeds the running distinct-term count nothing is
+    ever trimmed, floor stays 0, every ``err`` is 0, and the snapshot is
+    EXACT — the oracle-checked regime (stream-of-batches ≡ one batch
+    groupBy count). Read results with :func:`topk_from_snapshot`.
+
+    Snapshot rows: (``term``, ``cnt``, ``err``) plus one sentinel row
+    (``term`` NULL, ``cnt`` = floor) — the same ride-along-bound pattern
+    as batch ``heavy_hitters``' error sentinels. The trim decisions run
+    driver-side windows/aggregates over ≤ capacity + batch-vocabulary
+    rows, never over the stream's history.
+    """
+    from ..operators.snapshot import _write_snapshot
+    from ..sources.reader import read_snapshots
+    from pyspark.sql.window import Window
+
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    name = f"{stream}.topk"
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bc = (
+            batch_df.where(F.col(col).isNotNull())
+            .select(F.col(col).cast("string").alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("__bn__"))
+        )
+        prev = read_snapshots(spark, name, snapshot_dir)
+        if prev is None:
+            floor = 0
+            counters = None
+        else:
+            row = prev.where(F.col("term").isNull()).agg(F.max("cnt")).first()
+            floor = int(row[0] or 0)
+            counters = prev.where(F.col("term").isNotNull())
+        if counters is None:
+            merged = bc.select(
+                "term",
+                (F.col("__bn__") + F.lit(floor)).alias("cnt"),
+                F.lit(floor).cast("long").alias("err"),
+            )
+        else:
+            merged = counters.join(bc, "term", "full_outer").select(
+                "term",
+                (
+                    F.coalesce(F.col("cnt"), F.lit(floor))
+                    + F.coalesce(F.col("__bn__"), F.lit(0))
+                ).alias("cnt"),
+                F.coalesce(F.col("err"), F.lit(floor)).cast("long").alias("err"),
+            )
+        # trim to capacity (snapshot-scale data: one small global window)
+        w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+        ranked = merged.withColumn("__rn__", F.row_number().over(w))
+        kept = ranked.where(F.col("__rn__") <= capacity).drop("__rn__")
+        dropped_max = ranked.where(F.col("__rn__") > capacity).agg(
+            F.max("cnt")
+        ).first()[0]
+        new_floor = max(floor, int(dropped_max or 0))
+        sentinel = spark.createDataFrame(
+            [(None, new_floor, None)], "term string, cnt long, err long"
+        )
+        _write_snapshot(kept.unionByName(sentinel), name, snapshot_dir)
+
+    writer = stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def topk_from_snapshot(
+    spark, stream: str, snapshot_dir: str, k: int
+) -> DataFrame:
+    """Top-``k`` (``term``, ``cnt``, ``err``) from a
+    :func:`streaming_topk` snapshot — ``cnt`` is an upper bound with
+    ``cnt − err ≤ true ≤ cnt`` (err == 0 everywhere ⇒ exact). Order
+    (cnt desc, term asc) keeps the limit boundary deterministic."""
+    from ..sources.reader import read_snapshots
+
+    snap = read_snapshots(spark, f"{stream}.topk", snapshot_dir)
+    if snap is None:
+        raise ValueError(f"no streaming_topk snapshot for {stream} in {snapshot_dir}")
+    return (
+        snap.where(F.col("term").isNotNull())
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
 def streaming_minhash_dedup(
     stream_df: DataFrame,
     text_col: str,

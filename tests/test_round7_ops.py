@@ -95,3 +95,71 @@ def test_cap_per_domain_keeps_schema(spark):
     df = spark.createDataFrame([(1, "https://x.com/1", "p")], "id long, url string, x string")
     out = cap_per_domain(df, "url", "id", 5)
     assert out.columns == ["id", "url", "x"]
+
+
+# ------------------------------------------------- streaming top-k --------
+
+
+def test_streaming_topk_exact_path_matches_batch(spark, tmp_dir):
+    import os
+
+    from gluestick_spark.streaming.pipeline import (
+        stream_from_directory,
+        streaming_topk,
+        topk_from_snapshot,
+    )
+
+    b1 = [("a",)] * 5 + [("b",)] * 2 + [("c",)] * 1
+    b2 = [("b",)] * 4 + [("c",)] * 1 + [("d",)] * 3
+    stage = os.path.join(tmp_dir, "stage")
+    os.makedirs(stage)
+    snap, ckpt = os.path.join(tmp_dir, "snap"), os.path.join(tmp_dir, "ck")
+    os.makedirs(snap)
+    for b in (b1, b2):
+        spark.createDataFrame(b, "t string").coalesce(1).write.mode("append").parquet(stage)
+        q = streaming_topk(
+            stream_from_directory(spark, stage, "t string"),
+            "t", "s1", snap, ckpt, capacity=100,
+        )
+        q.awaitTermination()
+    got = [(r.term, r.cnt, r.err) for r in topk_from_snapshot(spark, "s1", snap, 10).collect()]
+    # exact regime: counts equal the batch aggregate over both batches
+    assert got == [("b", 6, 0), ("a", 5, 0), ("d", 3, 0), ("c", 2, 0)]
+
+
+def test_streaming_topk_trims_with_error_bounds(spark, tmp_dir):
+    import os
+
+    from gluestick_spark.sources.reader import read_snapshots
+    from gluestick_spark.streaming.pipeline import (
+        stream_from_directory,
+        streaming_topk,
+        topk_from_snapshot,
+    )
+
+    true = {"hot": 60, "warm": 12}
+    b1 = [("hot",)] * 30 + [(f"x{i}",) for i in range(6)] + [("warm",)] * 6
+    b2 = [("hot",)] * 30 + [(f"y{i}",) for i in range(6)] + [("warm",)] * 6
+    stage = os.path.join(tmp_dir, "stage")
+    os.makedirs(stage)
+    snap, ckpt = os.path.join(tmp_dir, "snap"), os.path.join(tmp_dir, "ck")
+    os.makedirs(snap)
+    for b in (b1, b2):
+        spark.createDataFrame(b, "t string").coalesce(1).write.mode("append").parquet(stage)
+        q = streaming_topk(
+            stream_from_directory(spark, stage, "t string"),
+            "t", "s2", snap, ckpt, capacity=3,
+        )
+        q.awaitTermination()
+    full = read_snapshots(spark, "s2.topk", snap)
+    counters = [(r.term, r.cnt, r.err) for r in full.where(F.col("term").isNotNull()).collect()]
+    assert len(counters) <= 3  # state bounded by capacity
+    floor = full.where(F.col("term").isNull()).agg(F.max("cnt")).first()[0]
+    assert floor >= 1  # trimming actually happened
+    # every surviving counter brackets its true count: cnt-err <= true <= cnt
+    for term, cnt, err in counters:
+        t = true.get(term, 1)
+        assert cnt - err <= t <= cnt, (term, cnt, err, t)
+    # the heavy term survives with its exact-or-overcounted tally on top
+    top = topk_from_snapshot(spark, "s2", snap, 1).collect()[0]
+    assert top.term == "hot" and top.cnt >= 60
