@@ -1833,6 +1833,65 @@ FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
 """
 
 
+def q_nll_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing END-TO-END: every doc scored by
+    unigram NLL (llm/text.py), equi-depth-split into tertiles
+    (operators/features.py — exact percentile edges, no global sort),
+    then per-bucket volume + mean score — the composition CCNet uses to
+    mix 'head' (low-perplexity) data more heavily. Binning runs on the
+    1e-3-floored score with edges snapped to the same grid
+    (edge_decimals=3 — DuckDB's quantile interpolation form a·(1−t)+b·t
+    is a last-bit off Spark's a+(b−a)·t when t isn't dyadic, and an
+    unsnapped edge landing on a tie group flips the whole group); the
+    bucket mean floors at 1e-2 (per-group double-sum order)."""
+    from gluestick_spark.llm.text import unigram_nll
+    from gluestick_spark.operators.features import equi_depth_bin
+
+    d = _tp(spark, sf_dir, "documents", "doc_id")
+    s = (
+        unigram_nll(d, "text", "doc_id", alpha=0.5)
+        .where(F.col("n_tokens") > 0)
+        .select("doc_id", (F.floor(F.col("nll") * 1e3) / 1e3).alias("nll"))
+    )
+    binned, _edges = equi_depth_bin(s, "nll", 3, edge_decimals=3)
+    return binned.groupBy(F.col("nll_bin").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.floor(F.avg("nll") * 1e2) / 1e2).alias("avg_nll"),
+    )
+
+
+_Q_NLL_MIX_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_transform(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''),
+                x -> lower(x))) AS token
+  FROM documents
+),
+freq AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT sum(c) AS T, count(*) AS V FROM freq),
+sc AS (
+  SELECT tok.doc_id,
+         floor(-avg(ln((freq.c + 0.5) / (tot.T + 0.5 * tot.V))) * 1e3) / 1e3 AS nll
+  FROM tok JOIN freq USING (token) CROSS JOIN tot
+  GROUP BY tok.doc_id
+),
+edges AS (
+  SELECT quantile_cont(nll, [0.3333333333333333, 0.6666666666666666]) AS es FROM sc
+),
+snapped AS (
+  SELECT floor(es[1] * 1e3 + 0.01) / 1e3 AS e1,
+         floor(es[2] * 1e3 + 0.01) / 1e3 AS e2
+  FROM edges
+),
+b AS (
+  SELECT CAST(nll > e1 AS INT) + CAST(nll > e2 AS INT) AS bucket, nll
+  FROM sc, snapped
+)
+SELECT bucket, count(*) AS n_docs, floor(avg(nll) * 1e2) / 1e2 AS avg_nll
+FROM b GROUP BY bucket
+"""
+
+
 def q_streaming_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 incremental aggregate maintenance (streaming/pipeline.py
     streaming_agg_upsert): events arrive in two micro-batches; per-type
@@ -4083,8 +4142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "cap_per_domain": q_cap_per_domain,
         "streaming_topk": q_streaming_topk,
+        "nll_mix": q_nll_mix,
         "streaming_minhash_dedup": q_streaming_minhash_dedup,
-        "hash_split": q_hash_split,
         "pack_documents": q_pack_documents,
         "mix_corpora": q_mix_corpora,
         "build_vocab": q_build_vocab,
@@ -4136,6 +4195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_asof_nearest": q_event_asof_nearest,
         "kmv_merge": q_kmv_merge,
         "hash_sample": q_hash_sample,
+        "hash_split": q_hash_split,
         "pricing_summary": q_pricing_summary,
         "snapshot_upsert": q_snapshot_upsert,
         "sessionize_events": q_sessionize_events,
@@ -4214,8 +4274,8 @@ def oracle_sql() -> dict[str, str]:
         "cap_per_domain": _Q_CAP_DOMAIN_SQL,
         # stream-of-batches == one-shot batch count (unsaturated regime)
         "streaming_topk": _Q_HEAVY_HITTERS_SQL,
+        "nll_mix": _Q_NLL_MIX_SQL,
         "streaming_minhash_dedup": _Q_MINHASH_DEDUP_SQL,
-        "hash_split": _Q_HASH_SPLIT_SQL,
         "pack_documents": _Q_PACK_DOCS_SQL,
         "mix_corpora": _Q_MIX_CORPORA_SQL,
         "build_vocab": _Q_BUILD_VOCAB_SQL,
@@ -4267,6 +4327,7 @@ def oracle_sql() -> dict[str, str]:
         "event_asof_nearest": _Q_EVENT_ASOF_NEAREST_SQL,
         "kmv_merge": _Q_KMV_SQL,
         "hash_sample": _Q_HASH_SAMPLE_SQL,
+        "hash_split": _Q_HASH_SPLIT_SQL,
         "pricing_summary": _Q_PRICING_SQL,
         "snapshot_upsert": _Q_SNAPSHOT_SQL,
         "sessionize_events": _Q_SESSIONIZE_SQL,

@@ -31,6 +31,7 @@ def equi_depth_bin(
     col: str,
     n_bins: int,
     out_col: str | None = None,
+    edge_decimals: int | None = None,
 ) -> tuple[DataFrame, list[float]]:
     """Assign each row an equi-depth (quantile) bin 0..n_bins−1 over
     ``col``: bin edges are the exact 1/n_bins … (n_bins−1)/n_bins
@@ -42,7 +43,15 @@ def equi_depth_bin(
     avoid at 100 TB), this is one percentile aggregate + a branch-free
     projection; ties at an edge all take the lower bin, so equal values
     always share a bin (ntile splits them arbitrarily — statistically
-    wrong for stratification)."""
+    wrong for stratification).
+
+    ``edge_decimals``: for inputs quantized to a 10^-d decimal grid, snap
+    each interpolated edge DOWN to that grid (with a 1%-of-step tolerance
+    absorbing the ±ulp the interpolation formula itself contributes —
+    ``a·(1−t)+b·t`` vs ``a+(b−a)·t`` differ in the last bit when t isn't
+    dyadic). Snapped edges make bin assignment a pure grid comparison:
+    bit-reproducible across engines, Spark versions, and serve-time
+    re-implementations. No-op for continuous inputs left at ``None``."""
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
     out_col = out_col or f"{col}_bin"
@@ -52,6 +61,11 @@ def equi_depth_bin(
     if row["e"] is None:
         raise ValueError(f"equi_depth_bin: column {col!r} has no non-null values")
     edges = [float(x) for x in row["e"]]
+    if edge_decimals is not None:
+        import math
+
+        scale = 10.0 ** edge_decimals
+        edges = [math.floor(e * scale + 0.01) / scale for e in edges]
     bin_expr = F.lit(0)
     for e in edges:
         bin_expr = bin_expr + (v > F.lit(e)).cast("int")

@@ -163,3 +163,22 @@ def test_streaming_topk_trims_with_error_bounds(spark, tmp_dir):
     # the heavy term survives with its exact-or-overcounted tally on top
     top = topk_from_snapshot(spark, "s2", snap, 1).collect()[0]
     assert top.term == "hot" and top.cnt >= 60
+
+
+# ------------------------------------------- equi-depth edge snapping -----
+
+
+def test_equi_depth_bin_edge_decimals_snaps_to_grid(spark):
+    from gluestick_spark.operators.features import equi_depth_bin
+
+    # grid-quantized values with a heavy tie group straddling the 2/3 edge
+    vals = [1.001] * 4 + [2.003] * 8 + [3.005] * 4
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    binned, edges = equi_depth_bin(df, "v", 3, edge_decimals=3)
+    # snapped edges sit exactly on the 1e-3 grid
+    for e in edges:
+        assert abs(e * 1000 - round(e * 1000)) < 1e-9, edges
+    # the tie group shares one bin (never split by an off-grid edge)
+    bins = {r.v: r.v_bin for r in binned.distinct().collect()}
+    assert bins[1.001] == 0 and bins[3.005] == 2
+    assert len({r.v_bin for r in binned.where(F.col("v") == 2.003).collect()}) == 1
