@@ -4012,6 +4012,41 @@ SELECT doc_id FROM (
 """
 
 
+def q_domain_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-FREE train/val/test split: hash_split keyed on the
+    REGISTERED DOMAIN (llm/web.py + llm/sampling.py) — all documents from
+    one site land in one split, the contamination guard a per-document
+    split can't give (near-duplicate pages from the same site straddling
+    train/test). Oracle reproduces the exact per-doc assignment (portable
+    md5-60-bit bands; NULL domains hash as the bare seed — one consistent
+    split for the parse-failure bucket)."""
+    from gluestick_spark.llm.sampling import hash_split
+    from gluestick_spark.llm.web import registered_domain_expr
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", _doc_url().alias("url"))
+    d = d.withColumn("domain", registered_domain_expr(F.col("url")))
+    out = hash_split(d, "domain", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select("doc_id", "split")
+
+
+_Q_DOMAIN_SPLIT_SQL = f"""
+WITH doms AS (SELECT doc_id, {_DUCK_DOC_DOMAIN} AS domain FROM documents),
+h AS (
+  SELECT doc_id,
+         CASE WHEN domain IS NULL
+              THEN CAST('0x' || substr(md5(''), 1, 15) AS UBIGINT)
+              ELSE CAST('0x' || substr(md5(domain || chr(31)), 1, 15) AS UBIGINT)
+         END AS hv
+  FROM doms
+)
+SELECT doc_id,
+       CASE WHEN hv < {_HASH_80PCT} THEN 'train'
+            WHEN hv < {_HASH_90PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+
 def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General conditional MERGE (operators/merge.py): one full-outer
     join, all clauses (delete-first, conditional update, insert) in a
@@ -4141,10 +4176,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_encoded_docs": q_packed_encoded_docs,
         "domain_stats": q_domain_stats,
         "cap_per_domain": q_cap_per_domain,
+        "domain_split": q_domain_split,
         "streaming_topk": q_streaming_topk,
         "nll_mix": q_nll_mix,
         "streaming_minhash_dedup": q_streaming_minhash_dedup,
-        "pack_documents": q_pack_documents,
         "mix_corpora": q_mix_corpora,
         "build_vocab": q_build_vocab,
         "contamination_check": q_contamination_check,
@@ -4196,6 +4231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_merge": q_kmv_merge,
         "hash_sample": q_hash_sample,
         "hash_split": q_hash_split,
+        "pack_documents": q_pack_documents,
         "pricing_summary": q_pricing_summary,
         "snapshot_upsert": q_snapshot_upsert,
         "sessionize_events": q_sessionize_events,
@@ -4272,11 +4308,11 @@ def oracle_sql() -> dict[str, str]:
         "packed_encoded_docs": _Q_PACKED_ENCODED_SQL,
         "domain_stats": _Q_DOMAIN_STATS_SQL,
         "cap_per_domain": _Q_CAP_DOMAIN_SQL,
+        "domain_split": _Q_DOMAIN_SPLIT_SQL,
         # stream-of-batches == one-shot batch count (unsaturated regime)
         "streaming_topk": _Q_HEAVY_HITTERS_SQL,
         "nll_mix": _Q_NLL_MIX_SQL,
         "streaming_minhash_dedup": _Q_MINHASH_DEDUP_SQL,
-        "pack_documents": _Q_PACK_DOCS_SQL,
         "mix_corpora": _Q_MIX_CORPORA_SQL,
         "build_vocab": _Q_BUILD_VOCAB_SQL,
         "contamination_check": _Q_CONTAMINATION_SQL,
@@ -4328,6 +4364,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_merge": _Q_KMV_SQL,
         "hash_sample": _Q_HASH_SAMPLE_SQL,
         "hash_split": _Q_HASH_SPLIT_SQL,
+        "pack_documents": _Q_PACK_DOCS_SQL,
         "pricing_summary": _Q_PRICING_SQL,
         "snapshot_upsert": _Q_SNAPSHOT_SQL,
         "sessionize_events": _Q_SESSIONIZE_SQL,
