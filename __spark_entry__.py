@@ -2667,6 +2667,35 @@ def q_ivf_probe_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", (F.floor(F.col("similarity") * 1e4) / 1e4).alias("similarity"))
 
 
+def q_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance (llm/similarity.py:ivf_append): index
+    HALF the corpus, append the other half batch-wise (existing index
+    never read or rewritten — O(batch) ingest), probe the result. Must
+    equal the from-scratch index over everything: same frozen codebook ⇒
+    same list per vector — hence the same recall-1 brute-force oracle as
+    ivf_topk."""
+    import tempfile
+
+    from gluestick_spark.llm.similarity import (
+        ivf_append,
+        ivf_topk_indexed,
+        materialize_ivf,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    cents = [
+        list(r["embedding"])
+        for r in e.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    mid = e.select(F.percentile_approx("vec_id", 0.5)).first()[0]
+    path = tempfile.mkdtemp(prefix="gs_ivf_app_")
+    materialize_ivf(e.where(F.col("vec_id") <= mid), "embedding", cents, path)
+    ivf_append(e.where(F.col("vec_id") > mid), "embedding", cents, path)
+    top = ivf_topk_indexed(spark, path, q, cents, k=10, nprobe=2)
+    return top.select("vec_id", (F.floor(F.col("similarity") * 1e4) / 1e4).alias("similarity"))
+
+
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
@@ -4179,8 +4208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_split": q_domain_split,
         "streaming_topk": q_streaming_topk,
         "nll_mix": q_nll_mix,
+        "ivf_append_topk": q_ivf_append,
         "streaming_minhash_dedup": q_streaming_minhash_dedup,
-        "mix_corpora": q_mix_corpora,
         "build_vocab": q_build_vocab,
         "contamination_check": q_contamination_check,
         "pii_redaction": q_pii_redaction,
@@ -4232,6 +4261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "hash_split": q_hash_split,
         "pack_documents": q_pack_documents,
+        "mix_corpora": q_mix_corpora,
         "pricing_summary": q_pricing_summary,
         "snapshot_upsert": q_snapshot_upsert,
         "sessionize_events": q_sessionize_events,
@@ -4312,8 +4342,9 @@ def oracle_sql() -> dict[str, str]:
         # stream-of-batches == one-shot batch count (unsaturated regime)
         "streaming_topk": _Q_HEAVY_HITTERS_SQL,
         "nll_mix": _Q_NLL_MIX_SQL,
+        # appended index == from-scratch index (frozen codebook)
+        "ivf_append_topk": _Q_ANN_TOPK_SQL,
         "streaming_minhash_dedup": _Q_MINHASH_DEDUP_SQL,
-        "mix_corpora": _Q_MIX_CORPORA_SQL,
         "build_vocab": _Q_BUILD_VOCAB_SQL,
         "contamination_check": _Q_CONTAMINATION_SQL,
         "pii_redaction": _Q_PII_SQL,
@@ -4365,6 +4396,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": _Q_HASH_SAMPLE_SQL,
         "hash_split": _Q_HASH_SPLIT_SQL,
         "pack_documents": _Q_PACK_DOCS_SQL,
+        "mix_corpora": _Q_MIX_CORPORA_SQL,
         "pricing_summary": _Q_PRICING_SQL,
         "snapshot_upsert": _Q_SNAPSHOT_SQL,
         "sessionize_events": _Q_SESSIONIZE_SQL,

@@ -180,23 +180,40 @@ def main() -> None:
     try:
         prev, prev_round, prev_calib = _previous_round(sf_val)
         if prev:
-            # Calibration-normalize (VERDICT r6 #4): scale the prior round's
-            # times by calib_now/calib_prev so machine drift between rounds
-            # (verified 1.5-2× on identical code) doesn't read as code
-            # regressions. Falls back to raw times when the prior artifact
-            # predates calibration_sec.
-            ratio = (calib / prev_calib) if prev_calib else 1.0
+            # Drift-normalize (VERDICT r6 #4). The synthetic calibration
+            # tracks CPU throughput, but the sub-second queries are
+            # scheduler/latency-bound and drift on a DIFFERENT axis
+            # (measured: calibration said 0.75× while the median query ran
+            # 1.34× — opposite directions). The robust estimate is the
+            # MEDIAN per-query ratio over the common set: whatever moved
+            # the whole fleet is drift; a genuine code regression moves one
+            # query far off that median. Calibration ratio is kept as a
+            # reported diagnostic and as the fallback when too few queries
+            # overlap. Flagging needs BOTH >10% above drift AND >0.2s
+            # absolute — sub-second queries jitter past 10% on pure noise.
+            common = sorted(q for q in timings if prev.get(q))
+            ratios = sorted(timings[q] / prev[q] for q in common)
+            calib_ratio = (calib / prev_calib) if prev_calib else None
+            if len(ratios) >= 5:
+                drift = ratios[len(ratios) // 2]
+            else:
+                drift = calib_ratio or 1.0
             deltas = {
-                q: round(timings[q] / (prev[q] * ratio) - 1, 3)
-                for q in timings
-                if prev.get(q)
+                q: round(timings[q] / (prev[q] * drift) - 1, 3) for q in common
             }
             result["delta_vs_prev"] = deltas
             # which artifact the deltas compare against — a skipped/crashed
             # round must not silently shift the basis unnamed (VERDICT r4 #9)
             result["prev_round"] = prev_round
-            result["calibration_ratio_vs_prev"] = round(ratio, 3) if prev_calib else None
-            result["regressions_gt_10pct"] = sorted(q for q, d in deltas.items() if d > 0.10)
+            result["drift_ratio_vs_prev"] = round(drift, 3)
+            result["calibration_ratio_vs_prev"] = (
+                round(calib_ratio, 3) if calib_ratio else None
+            )
+            result["regressions_gt_10pct"] = sorted(
+                q
+                for q, d in deltas.items()
+                if d > 0.10 and timings[q] - prev[q] * drift > 0.2
+            )
     except Exception:
         pass
     print(json.dumps(result))
@@ -223,6 +240,25 @@ def _previous_round(sf_val) -> tuple[dict[str, float], str | None, float | None]
                 calib = parsed.get("calibration_sec")
                 calib = float(calib) if calib else None
                 return parsed["queries"], os.path.basename(path), calib
+            # Front-truncated driver capture ("parsed": null, last-2000-chars
+            # "tail"): recover what survives — the timing pairs before
+            # "cold_total" and the calibration scalar — so one corrupt
+            # artifact doesn't silently shift the comparison basis a round
+            # further back (it did in r06→r04).
+            tail = rec.get("tail")
+            if tail and rec.get("sf") == sf_val:
+                import re
+
+                cut = tail.find('"cold_total"')
+                if cut > 0:
+                    pairs = re.findall(r'"([a-z0-9_]+)": ([0-9.]+)[,}]', tail[:cut])
+                    m = re.search(r'"calibration_sec": ([0-9.]+)', tail)
+                    if len(pairs) >= 5:
+                        return (
+                            {k: float(v) for k, v in pairs},
+                            os.path.basename(path) + " (tail-recovered, partial)",
+                            float(m.group(1)) if m else None,
+                        )
         except Exception:
             continue
     return {}, None, None

@@ -137,6 +137,7 @@ from .llm.similarity import (
     cosine_topk,
     lsh_ann_topk,
     ivf_topk,
+    ivf_append,
     quantize_embeddings,
     dequantize_expr,
     pool_embeddings,

@@ -403,6 +403,36 @@ def materialize_ivf(
     )
 
 
+def ivf_append(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Incrementally GROW a :func:`materialize_ivf` index: assign only the
+    new batch to the existing codebook and append its rows into the
+    partition directories in place — the existing index is never read or
+    rewritten, so ingesting a batch costs O(batch), not O(corpus). The
+    resulting index answers probes identically to a from-scratch
+    ``materialize_ivf`` over the union (same codebook ⇒ same partition for
+    every vector; parquet partition dirs just gain files).
+
+    The codebook is frozen by design — assignment must stay consistent
+    with what :func:`ivf_topk_indexed` probes. Under distribution drift
+    the lists skew over time; monitor list sizes (``table_stats`` over the
+    index path) and rebuild with retrained centroids when imbalance hurts
+    probe cost. Id uniqueness is the caller's contract (pre-dedupe
+    against the index for upsert semantics)."""
+    assigned = ivf_assign(df, vec_col, centroids)
+    (
+        assigned.repartition(F.col("centroid_id"))
+        .write.partitionBy("centroid_id")
+        .mode("append")
+        .parquet(path)
+    )
+
+
 def ivf_topk_indexed(
     spark,
     path: str,

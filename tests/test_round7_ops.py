@@ -182,3 +182,58 @@ def test_equi_depth_bin_edge_decimals_snaps_to_grid(spark):
     bins = {r.v: r.v_bin for r in binned.distinct().collect()}
     assert bins[1.001] == 0 and bins[3.005] == 2
     assert len({r.v_bin for r in binned.where(F.col("v") == 2.003).collect()}) == 1
+
+
+# --------------------------------------------- incremental IVF append -----
+
+
+def test_ivf_append_equals_rebuild(spark, tmp_dir):
+    import os
+
+    from gluestick_spark.llm.similarity import (
+        ivf_append,
+        ivf_topk_indexed,
+        materialize_ivf,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    e = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    cents = [
+        list(r["embedding"])
+        for r in e.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    q = list(e.orderBy("vec_id").first()["embedding"])
+
+    full = os.path.join(tmp_dir, "full")
+    incr = os.path.join(tmp_dir, "incr")
+    materialize_ivf(e, "embedding", cents, full)
+    mid = e.agg(F.percentile_approx("vec_id", 0.5)).first()[0]
+    materialize_ivf(e.where(F.col("vec_id") <= mid), "embedding", cents, incr)
+    # two appends (batch-wise growth), never touching existing files
+    before = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(incr) for f in fs if f.endswith(".parquet")
+    )
+    ivf_append(
+        e.where((F.col("vec_id") > mid) & (F.col("vec_id") % 2 == 0)),
+        "embedding", cents, incr,
+    )
+    ivf_append(
+        e.where((F.col("vec_id") > mid) & (F.col("vec_id") % 2 == 1)),
+        "embedding", cents, incr,
+    )
+    after = set(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(incr) for f in fs if f.endswith(".parquet")
+    )
+    assert set(before) <= after  # strictly additive: old files untouched
+
+    def probe(path):
+        return sorted(
+            (r.vec_id, round(r.similarity, 6))
+            for r in ivf_topk_indexed(spark, path, q, cents, k=10, nprobe=2).collect()
+        )
+
+    assert probe(incr) == probe(full)
+    # row parity: every vector landed in exactly one list
+    assert spark.read.parquet(incr).count() == e.count()
