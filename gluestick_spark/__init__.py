@@ -150,6 +150,7 @@ from .llm.text import (
     encode_tokens,
     unigram_nll,
 )
+from .llm.bpe import train_bpe, apply_bpe
 from .llm.sampling import (
     hash_sample,
     hash_split,

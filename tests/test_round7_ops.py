@@ -237,3 +237,86 @@ def test_ivf_append_equals_rebuild(spark, tmp_dir):
     assert probe(incr) == probe(full)
     # row parity: every vector landed in exactly one list
     assert spark.read.parquet(incr).count() == e.count()
+
+
+# ---------------------------------------------------------------- BPE -----
+
+
+def _bpe_corpus(spark):
+    # Sennrich et al. (2016) reference corpus: low*5 lower*2 newest*6 widest*3
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    rows = [(i, " ".join(words[i::4])) for i in range(4)]  # spread over 4 docs
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_train_bpe_matches_reference_merges(spark):
+    """First merges on the classic Sennrich corpus, verified against the
+    textbook hand trace: es(9) -> est(9) -> est▁(9) -> lo(7) -> low(7)."""
+    from gluestick_spark.llm.bpe import train_bpe
+
+    merges = train_bpe(_bpe_corpus(spark), "text", n_merges=5)
+    assert merges == [
+        ("e", "s"),
+        ("es", "t"),
+        ("est", "▁"),
+        ("l", "o"),
+        ("lo", "w"),
+    ]
+
+
+def test_train_bpe_deterministic_and_partition_invariant(spark):
+    from gluestick_spark.llm.bpe import train_bpe
+
+    df = _bpe_corpus(spark)
+    assert train_bpe(df, "text", 8) == train_bpe(df.repartition(7), "text", 8)
+
+
+def test_train_bpe_stops_below_min_pair_count(spark):
+    from gluestick_spark.llm.bpe import train_bpe
+
+    df = spark.createDataFrame([(1, "ab ab cd")], "id long, text string")
+    # "a b": 2, "b ▁": 2, "ab" appears twice ... eventually all pairs < 2
+    merges = train_bpe(df, "text", n_merges=50, min_pair_count=2)
+    assert 0 < len(merges) < 50  # early stop, not the full budget
+
+
+def test_apply_bpe_segments_and_preserves_order(spark):
+    from gluestick_spark.llm.bpe import apply_bpe, train_bpe
+
+    corpus = _bpe_corpus(spark)
+    merges = train_bpe(corpus, "text", n_merges=10)
+    df = spark.createDataFrame(
+        [(1, "newest low"), (2, "unseen"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (list(r.subwords), r.n_subwords)
+           for r in apply_bpe(df, "text", "doc_id", merges).collect()}
+    subs1, n1 = got[1]
+    # document order preserved: "newest" subwords before "low" subwords
+    joined = "".join(subs1)
+    assert joined == "newest▁low▁"
+    assert n1 == len(subs1)
+    # every learned merge is respected greedily: "est▁" must appear fused
+    assert any(s == "est▁" or s.endswith("est▁") for s in subs1)
+    # unseen word degrades to finer symbols but round-trips its characters
+    subs2, _ = got[2]
+    assert "".join(subs2) == "unseen▁"
+    assert got[3] == ([], 0)  # NULL text -> empty encoding
+
+
+def test_apply_bpe_counts_conserve_characters(spark):
+    from gluestick_spark.llm.bpe import apply_bpe, train_bpe
+
+    corpus = _bpe_corpus(spark)
+    merges = train_bpe(corpus, "text", n_merges=6)
+    out = apply_bpe(corpus, "text", "doc_id", merges)
+    # concatenated subwords == concatenated words + one marker per word
+    joined = corpus.select(
+        "doc_id",
+        F.concat_ws("", F.transform(F.split(F.lower("text"), r"\s+"),
+                                    lambda w: F.concat(w, F.lit("▁")))).alias("want"),
+    )
+    chk = out.select("doc_id", F.concat_ws("", "subwords").alias("got")).join(
+        joined, "doc_id"
+    )
+    assert chk.where(F.col("got") != F.col("want")).count() == 0
