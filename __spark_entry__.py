@@ -3767,6 +3767,76 @@ FROM e, edges
 """
 
 
+def q_clipped_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (operators/features.py:clip_outliers): event values
+    clamped into their [p05, p95] band — one percentile aggregate + a
+    pure projection. Values sit on the 1e-2 decimal grid, so
+    edge_decimals=2 snaps the interpolated bounds onto the same grid
+    (cross-engine reproducible; see nll_mix for why) and every output is
+    an exact grid double. NULL values stay NULL (explicit guard —
+    greatest/least SKIP nulls)."""
+    from gluestick_spark.operators.features import clip_outliers
+
+    e = _t(spark, sf_dir, "events")
+    d = e.select("event_id", _dec("value").cast("double").alias("v"))
+    out, _bounds = clip_outliers(d, ["v"], 0.05, 0.95, edge_decimals=2)
+    return out.select("event_id", "v_clip")
+
+
+_Q_CLIPPED_SQL = """
+WITH e AS (
+  SELECT event_id, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v FROM events
+),
+q AS (SELECT quantile_cont(v, [0.05, 0.95]) AS qs FROM e),
+s AS (
+  SELECT floor(qs[1] * 1e2 + 0.01) / 1e2 AS lo,
+         floor(qs[2] * 1e2 + 0.01) / 1e2 AS hi
+  FROM q
+)
+SELECT event_id,
+       CASE WHEN v IS NULL THEN NULL ELSE greatest(least(v, hi), lo) END AS v_clip
+FROM e, s
+"""
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-redundancy audit (operators/profile.py:correlation_matrix):
+    all C(4,2) pairwise Pearson correlations of lineitem's numeric columns
+    in ONE aggregate over ONE scan. corr floor-rounds at 1e-3 — the
+    5-moment accumulators sum doubles in engine order."""
+    from gluestick_spark.operators.profile import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_discount").cast("double").alias("disc"),
+        F.col("l_tax").cast("double").alias("tax"),
+    )
+    out = correlation_matrix(li, ["qty", "price", "disc", "tax"])
+    return out.select(
+        "col_a", "col_b", (F.floor(F.col("corr") * 1e3) / 1e3).alias("corr")
+    )
+
+
+_Q_CORR_SQL = """
+WITH li AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS qty,
+         CAST(l_extendedprice AS DOUBLE) AS price,
+         CAST(l_discount AS DOUBLE) AS disc,
+         CAST(l_tax AS DOUBLE) AS tax
+  FROM lineitem
+)
+SELECT * FROM (
+  SELECT 'qty' AS col_a, 'price' AS col_b, floor(corr(qty, price) * 1e3) / 1e3 AS corr FROM li
+  UNION ALL SELECT 'qty', 'disc', floor(corr(qty, disc) * 1e3) / 1e3 FROM li
+  UNION ALL SELECT 'qty', 'tax', floor(corr(qty, tax) * 1e3) / 1e3 FROM li
+  UNION ALL SELECT 'price', 'disc', floor(corr(price, disc) * 1e3) / 1e3 FROM li
+  UNION ALL SELECT 'price', 'tax', floor(corr(price, tax) * 1e3) / 1e3 FROM li
+  UNION ALL SELECT 'disc', 'tax', floor(corr(disc, tax) * 1e3) / 1e3 FROM li
+)
+"""
+
+
 def q_scaled_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column scaling (operators/features.py:scale_features): z-score over
     one moments aggregate + pure projection; learned params returned for
@@ -4209,9 +4279,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_topk": q_streaming_topk,
         "nll_mix": q_nll_mix,
         "ivf_append_topk": q_ivf_append,
+        "clipped_values": q_clipped_values,
+        "corr_matrix": q_corr_matrix,
         "streaming_minhash_dedup": q_streaming_minhash_dedup,
-        "build_vocab": q_build_vocab,
-        "contamination_check": q_contamination_check,
         "pii_redaction": q_pii_redaction,
         "bm25_scores": q_bm25_scores,
         "profile_numeric": q_profile_numeric,
@@ -4262,6 +4332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "pack_documents": q_pack_documents,
         "mix_corpora": q_mix_corpora,
+        "build_vocab": q_build_vocab,
+        "contamination_check": q_contamination_check,
         "pricing_summary": q_pricing_summary,
         "snapshot_upsert": q_snapshot_upsert,
         "sessionize_events": q_sessionize_events,
@@ -4344,9 +4416,9 @@ def oracle_sql() -> dict[str, str]:
         "nll_mix": _Q_NLL_MIX_SQL,
         # appended index == from-scratch index (frozen codebook)
         "ivf_append_topk": _Q_ANN_TOPK_SQL,
+        "clipped_values": _Q_CLIPPED_SQL,
+        "corr_matrix": _Q_CORR_SQL,
         "streaming_minhash_dedup": _Q_MINHASH_DEDUP_SQL,
-        "build_vocab": _Q_BUILD_VOCAB_SQL,
-        "contamination_check": _Q_CONTAMINATION_SQL,
         "pii_redaction": _Q_PII_SQL,
         "bm25_scores": _Q_BM25_SQL,
         "profile_numeric": _Q_PROFILE_SQL,
@@ -4397,6 +4469,8 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": _Q_HASH_SPLIT_SQL,
         "pack_documents": _Q_PACK_DOCS_SQL,
         "mix_corpora": _Q_MIX_CORPORA_SQL,
+        "build_vocab": _Q_BUILD_VOCAB_SQL,
+        "contamination_check": _Q_CONTAMINATION_SQL,
         "pricing_summary": _Q_PRICING_SQL,
         "snapshot_upsert": _Q_SNAPSHOT_SQL,
         "sessionize_events": _Q_SESSIONIZE_SQL,

@@ -104,9 +104,9 @@ from .operators.scd2 import scd2_merge
 from .operators.skew import salted_join
 from .operators.merge import merge_into
 from .operators.expectations import check_expectations
-from .operators.profile import profile_numeric, histogram, table_stats
+from .operators.profile import profile_numeric, histogram, table_stats, correlation_matrix
 from .operators.grouping import top_k_per_group, grouped_percentiles
-from .operators.features import equi_depth_bin, scale_features
+from .operators.features import equi_depth_bin, scale_features, clip_outliers
 from .operators.gapfill import fill_gaps
 from .operators.sessions import sessionize_batch, suppress_duplicates
 from .operators.anomaly import rolling_zscore

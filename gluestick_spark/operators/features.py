@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["equi_depth_bin", "scale_features"]
+__all__ = ["equi_depth_bin", "scale_features", "clip_outliers"]
 
 
 def equi_depth_bin(
@@ -109,4 +109,61 @@ def scale_features(
         else:
             scaled = (v - F.lit(a)) / F.lit(denom)
         out = out.withColumn(f"{c}{suffix}", scaled)
+    return out, params
+
+
+def clip_outliers(
+    df: DataFrame,
+    cols: list[str],
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+    suffix: str = "_clip",
+    edge_decimals: int | None = None,
+) -> tuple[DataFrame, dict[str, tuple[float, float]]]:
+    """Winsorize: clamp each column into its [``lower_q``, ``upper_q``]
+    quantile band — the standard heavy-tail remedy before scaling or
+    distance-based models (one corrupt sensor reading otherwise owns the
+    z-score denominator). Adds ``{col}{suffix}``; returns (df, {col:
+    (lo, hi)}) — persist the bounds to clip identically at serving time.
+
+    ONE percentile aggregate over one scan for ALL columns, then a pure
+    ``greatest(least(...))`` projection that pipelines inside the scan —
+    the same two-phase shape as :func:`scale_features`, no shuffle beyond
+    the aggregate. ``edge_decimals`` snaps bounds to a decimal grid
+    exactly as in :func:`equi_depth_bin` (cross-engine/serve-time
+    reproducible clipping of grid-quantized inputs)."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if not (0.0 <= lower_q < upper_q <= 1.0):
+        raise ValueError(f"need 0 <= lower_q < upper_q <= 1, got {lower_q}, {upper_q}")
+    aggs = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        aggs.append(
+            F.percentile(
+                v, F.array(F.lit(lower_q), F.lit(upper_q))
+            ).alias(f"q_{c}")
+        )
+    row = df.agg(*aggs).first()
+    params: dict[str, tuple[float, float]] = {}
+    out = df
+    for c in cols:
+        qs = row[f"q_{c}"]
+        if qs is None:
+            raise ValueError(f"clip_outliers: column {c!r} has no non-null values")
+        lo, hi = float(qs[0]), float(qs[1])
+        if edge_decimals is not None:
+            import math
+
+            scale = 10.0 ** edge_decimals
+            lo = math.floor(lo * scale + 0.01) / scale
+            hi = math.floor(hi * scale + 0.01) / scale
+        params[c] = (lo, hi)
+        v = F.col(c).cast("double")
+        # explicit NULL guard: greatest/least SKIP nulls (SQL semantics),
+        # so an unguarded NULL would "clip" to the lower bound
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(v.isNotNull(), F.greatest(F.least(v, F.lit(hi)), F.lit(lo))),
+        )
     return out, params

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_numeric", "histogram", "table_stats"]
+__all__ = ["profile_numeric", "histogram", "table_stats", "correlation_matrix"]
 
 
 def table_stats(df: DataFrame, cols: list[str], k: int = 64) -> DataFrame:
@@ -173,3 +173,43 @@ def profile_numeric(
         for c in cols
     ]
     return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations for ``cols`` — the feature-redundancy
+    audit before model training (drop one of every highly-correlated
+    pair). ALL C(p,2) correlations fold into ONE aggregate over ONE scan
+    (each ``corr`` is a 5-moment accumulator; p columns cost ~5p²/2
+    doubles of aggregation state, trivial for profiling-sized p — the
+    corpus is read once however many pairs there are).
+
+    Output is the long form (``col_a``, ``col_b``, ``corr``) with
+    ``col_a < col_b``, built driver-side from the single aggregate row
+    (p²-bounded, never data-bounded). NULL-heavy or constant columns give
+    NULL corr (SQL semantics)."""
+    if len(cols) < 2:
+        raise ValueError(f"need >= 2 cols, got {cols}")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    # p stddevs + C(p,2) covariances in the aggregate; the final division
+    # happens driver-side — ANSI mode makes JVM `corr` RAISE on a
+    # zero-variance column, where the profiling contract wants NULL
+    aggs = [
+        F.stddev_pop(F.col(c).cast("double")).alias(f"s\x1f{c}") for c in cols
+    ] + [
+        F.covar_pop(F.col(a).cast("double"), F.col(b).cast("double")).alias(
+            f"c\x1f{a}\x1f{b}"
+        )
+        for a, b in pairs
+    ]
+    row = df.agg(*aggs).first()
+
+    def _corr(a: str, b: str) -> float | None:
+        sa, sb, cov = row[f"s\x1f{a}"], row[f"s\x1f{b}"], row[f"c\x1f{a}\x1f{b}"]
+        if sa is None or sb is None or cov is None or sa == 0.0 or sb == 0.0:
+            return None
+        return float(cov) / (float(sa) * float(sb))
+
+    data = [(a, b, _corr(a, b)) for a, b in pairs]
+    return df.sparkSession.createDataFrame(
+        data, "col_a string, col_b string, corr double"
+    )

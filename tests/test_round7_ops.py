@@ -320,3 +320,57 @@ def test_apply_bpe_counts_conserve_characters(spark):
         joined, "doc_id"
     )
     assert chk.where(F.col("got") != F.col("want")).count() == 0
+
+
+# ---------------------------------------------- winsorize / correlation ---
+
+
+def test_clip_outliers_clamps_and_keeps_nulls(spark):
+    from gluestick_spark.operators.features import clip_outliers
+
+    vals = [float(i) for i in range(1, 100)] + [1e9, None]  # one wild outlier
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out, bounds = clip_outliers(df, ["v"], 0.01, 0.95)
+    lo, hi = bounds["v"]
+    assert lo < hi < 1e9  # outlier did not own the band
+    got = [r.v_clip for r in out.collect()]
+    assert max(x for x in got if x is not None) == hi
+    assert min(x for x in got if x is not None) == lo
+    assert got[-1] is None  # NULL stays NULL, never clipped to a bound
+    # interior values untouched
+    mid = out.where(F.col("v") == 50.0).first()
+    assert mid.v_clip == 50.0
+
+
+def test_clip_outliers_serving_parity(spark):
+    from gluestick_spark.operators.features import clip_outliers
+
+    df = spark.createDataFrame([(float(i),) for i in range(200)], "v double")
+    _, bounds = clip_outliers(df, ["v"], 0.1, 0.9, edge_decimals=2)
+    lo, hi = bounds["v"]
+    # returned params reproduce the transform exactly (serve-time contract)
+    out, _ = clip_outliers(df, ["v"], 0.1, 0.9, edge_decimals=2)
+    manual = df.select(
+        F.when(F.col("v").isNotNull(),
+               F.greatest(F.least(F.col("v"), F.lit(hi)), F.lit(lo))).alias("m")
+    )
+    assert [r.v_clip for r in out.collect()] == [r.m for r in manual.collect()]
+
+
+def test_correlation_matrix_values_and_single_scan(spark):
+    import math
+
+    from gluestick_spark.operators.profile import correlation_matrix
+
+    rows = [(float(i), 2.0 * i + 1, float(-i), float(i % 3)) for i in range(50)]
+    df = spark.createDataFrame(rows, "a double, b double, c double, d double")
+    got = {(r.col_a, r.col_b): r.corr for r in correlation_matrix(df, ["a", "b", "c"]).collect()}
+    assert math.isclose(got[("a", "b")], 1.0, abs_tol=1e-9)   # perfect positive
+    assert math.isclose(got[("a", "c")], -1.0, abs_tol=1e-9)  # perfect negative
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}   # a<b long form
+
+    # constant column -> NULL corr, not an error
+    const = df.withColumn("k", F.lit(5.0))
+    got2 = {(r.col_a, r.col_b): r.corr
+            for r in correlation_matrix(const, ["a", "k"]).collect()}
+    assert got2[("a", "k")] is None
