@@ -84,6 +84,12 @@ BENCH_QUERIES = [
     "suppress_bursts",
     "encoded_docs",
     "packed_encoded_docs",
+    "domain_stats",
+    "cap_per_domain",
+    "domain_split",
+    "nll_mix",
+    "clipped_values",
+    "corr_matrix",
 ]
 
 

@@ -340,3 +340,59 @@ def test_fuzzy_pairs_no_cartesian(spark):
     )
     plan = _plan(edit_distance_pairs(titles, "doc_id", "t", 3))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cap_per_domain_single_exchange(spark):
+    """Per-domain capping is ONE keyed shuffle (the rank window on the
+    extracted domain) — domain extraction itself is pure codegen in the
+    same stage as the scan."""
+    import pyspark.sql.functions as F
+
+    from gluestick_spark.llm.web import cap_per_domain
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.concat(F.lit("https://"), F.col("source"), F.lit(".com/x")).alias("url")
+    )
+    plan = _plan(cap_per_domain(docs, "url", "doc_id", 10))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_clip_outliers_projection_stays_in_scan_stage(spark):
+    """After the (separate) percentile aggregate, the clip itself is a pure
+    projection: the returned frame's plan has NO Exchange — it pipelines
+    inside the scan."""
+    from gluestick_spark.operators.features import clip_outliers
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "value")
+    out, _ = clip_outliers(ev, ["value"], 0.05, 0.95)
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+
+
+def test_correlation_matrix_runs_one_aggregate_job(spark):
+    """All pairwise correlations come from ONE driver-side aggregate row;
+    the returned long-form frame is a local relation (p²-bounded), never a
+    corpus-shaped plan."""
+    from gluestick_spark.operators.profile import correlation_matrix
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    out = correlation_matrix(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    plan = _plan(out)
+    assert "FileScan" not in plan, plan  # result detached from the corpus
+
+
+def test_fuzzy_prefix_gram_frequency_is_broadcast(spark):
+    """The gram-frequency table (alphabet^q-bounded) joins by BROADCAST —
+    never a shuffled join against the gram stream."""
+    import pyspark.sql.functions as F
+
+    from gluestick_spark.llm.fuzzy import edit_distance_pairs
+    from gluestick_spark.llm.text import tokens_expr
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    titles = docs.select(
+        "doc_id", F.array_join(F.slice(tokens_expr(F.col("text")), 1, 6), " ").alias("t")
+    )
+    plan = _plan(edit_distance_pairs(titles, "doc_id", "t", 2))
+    assert "BroadcastHashJoin" in plan, plan
