@@ -3837,6 +3837,37 @@ SELECT * FROM (
 """
 
 
+def q_versioned_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned table writes + time travel (operators/versioned.py):
+    publish v1 (open orders) then v2 (all orders, bumped prices) and read
+    v1 BACK — the reproduce-last-week's-corpus contract. The oracle
+    recomputes v1's content from the source table; any pointer or layout
+    mixup (reading v2, a torn write) mismatches."""
+    import tempfile
+
+    from gluestick_spark.operators.versioned import read_versioned, write_versioned
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_orderstatus", _dec("o_totalprice").alias("price"))
+    path = tempfile.mkdtemp(prefix="gs_ver_")
+    write_versioned(base.where(F.col("o_orderstatus") == "O"), path)
+    write_versioned(
+        base.withColumn("price", F.col("price") + F.lit(1).cast("decimal(18,2)")),
+        path,
+    )
+    out = read_versioned(spark, path, 1)
+    return out.select(
+        "o_orderkey", "o_orderstatus", F.col("price").cast("double").alias("price")
+    )
+
+
+_Q_VERSIONED_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
 def q_scaled_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column scaling (operators/features.py:scale_features): z-score over
     one moments aggregate + pure projection; learned params returned for
@@ -4281,8 +4312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_append_topk": q_ivf_append,
         "clipped_values": q_clipped_values,
         "corr_matrix": q_corr_matrix,
+        "versioned_time_travel": q_versioned_travel,
         "streaming_minhash_dedup": q_streaming_minhash_dedup,
-        "pii_redaction": q_pii_redaction,
         "bm25_scores": q_bm25_scores,
         "profile_numeric": q_profile_numeric,
         "repetition_stats": q_repetition_stats,
@@ -4334,6 +4365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpora": q_mix_corpora,
         "build_vocab": q_build_vocab,
         "contamination_check": q_contamination_check,
+        "pii_redaction": q_pii_redaction,
         "pricing_summary": q_pricing_summary,
         "snapshot_upsert": q_snapshot_upsert,
         "sessionize_events": q_sessionize_events,
@@ -4418,8 +4450,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_append_topk": _Q_ANN_TOPK_SQL,
         "clipped_values": _Q_CLIPPED_SQL,
         "corr_matrix": _Q_CORR_SQL,
+        "versioned_time_travel": _Q_VERSIONED_SQL,
         "streaming_minhash_dedup": _Q_MINHASH_DEDUP_SQL,
-        "pii_redaction": _Q_PII_SQL,
         "bm25_scores": _Q_BM25_SQL,
         "profile_numeric": _Q_PROFILE_SQL,
         "repetition_stats": _Q_REPETITION_SQL,
@@ -4471,6 +4503,7 @@ def oracle_sql() -> dict[str, str]:
         "mix_corpora": _Q_MIX_CORPORA_SQL,
         "build_vocab": _Q_BUILD_VOCAB_SQL,
         "contamination_check": _Q_CONTAMINATION_SQL,
+        "pii_redaction": _Q_PII_SQL,
         "pricing_summary": _Q_PRICING_SQL,
         "snapshot_upsert": _Q_SNAPSHOT_SQL,
         "sessionize_events": _Q_SESSIONIZE_SQL,

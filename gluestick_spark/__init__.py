@@ -110,6 +110,13 @@ from .operators.features import equi_depth_bin, scale_features, clip_outliers
 from .operators.gapfill import fill_gaps
 from .operators.sessions import sessionize_batch, suppress_duplicates
 from .operators.anomaly import rolling_zscore
+from .operators.versioned import (
+    write_versioned,
+    read_versioned,
+    list_versions,
+    latest_version,
+    vacuum_versions,
+)
 from .sinks.layout import (
     write_sorted,
     write_bucketed,
