@@ -1419,6 +1419,33 @@ WHERE doc_id NOT IN (SELECT DISTINCT b FROM pairs WHERE j >= 0.8)
 """
 
 
+def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup dedup (llm/dedup.py:dedup_against): odd
+    doc_ids are the incoming crawl, even the existing corpus; drop every
+    incoming doc with a ≥0.8-Jaccard partner in the existing side. The
+    oracle is the brute-force cross-half pairwise check (both pair
+    orientations), so LSH bucketing provably loses nothing; within-side
+    duplicates must be KEPT — the operator's contract."""
+    from gluestick_spark.llm.dedup import dedup_against
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = d.where(F.col("doc_id") % 2 == 1)
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    return dedup_against(new, ref, "text", "doc_id", threshold=0.8).select("doc_id")
+
+
+_Q_DEDUP_AGAINST_SQL = f"""
+WITH {_SHINGLE_PAIRS_CTE}
+SELECT doc_id FROM documents
+WHERE doc_id % 2 = 1
+  AND doc_id NOT IN (
+    SELECT b FROM pairs WHERE j >= 0.8 AND b % 2 = 1 AND a % 2 = 0
+    UNION
+    SELECT a FROM pairs WHERE j >= 0.8 AND a % 2 = 1 AND b % 2 = 0
+  )
+"""
+
+
 def q_event_asof_open(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (union + keyed window, single shuffle — operators/asof.py)
     checked against DuckDB's NATIVE ``ASOF LEFT JOIN``: each event picks up
@@ -4313,6 +4340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clipped_values": q_clipped_values,
         "corr_matrix": q_corr_matrix,
         "versioned_time_travel": q_versioned_travel,
+        "dedup_against_ref": q_dedup_against,
         "streaming_minhash_dedup": q_streaming_minhash_dedup,
         "bm25_scores": q_bm25_scores,
         "profile_numeric": q_profile_numeric,
@@ -4366,6 +4394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "build_vocab": q_build_vocab,
         "contamination_check": q_contamination_check,
         "pii_redaction": q_pii_redaction,
+        "bm25_scores": q_bm25_scores,
         "pricing_summary": q_pricing_summary,
         "snapshot_upsert": q_snapshot_upsert,
         "sessionize_events": q_sessionize_events,
@@ -4451,6 +4480,7 @@ def oracle_sql() -> dict[str, str]:
         "clipped_values": _Q_CLIPPED_SQL,
         "corr_matrix": _Q_CORR_SQL,
         "versioned_time_travel": _Q_VERSIONED_SQL,
+        "dedup_against_ref": _Q_DEDUP_AGAINST_SQL,
         "streaming_minhash_dedup": _Q_MINHASH_DEDUP_SQL,
         "bm25_scores": _Q_BM25_SQL,
         "profile_numeric": _Q_PROFILE_SQL,
@@ -4504,6 +4534,7 @@ def oracle_sql() -> dict[str, str]:
         "build_vocab": _Q_BUILD_VOCAB_SQL,
         "contamination_check": _Q_CONTAMINATION_SQL,
         "pii_redaction": _Q_PII_SQL,
+        "bm25_scores": _Q_BM25_SQL,
         "pricing_summary": _Q_PRICING_SQL,
         "snapshot_upsert": _Q_SNAPSHOT_SQL,
         "sessionize_events": _Q_SESSIONIZE_SQL,

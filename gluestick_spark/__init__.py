@@ -130,6 +130,8 @@ from .sinks.layout import (
 from .llm.dedup import (
     exact_dedup,
     minhash_dedup,
+    cross_corpus_near_dup_pairs,
+    dedup_against,
     simhash_near_dups,
     embedding_near_dups,
     connected_components,

@@ -37,6 +37,8 @@ __all__ = [
     "minhash_lsh_candidates",
     "minhash_near_dup_pairs",
     "minhash_dedup",
+    "cross_corpus_near_dup_pairs",
+    "dedup_against",
     "connected_components",
     "cluster_dedup",
     "cluster_dedup_by",
@@ -747,3 +749,79 @@ def simhash_near_dups(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def cross_corpus_near_dup_pairs(
+    df_new: DataFrame,
+    df_ref: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Verified near-dup pairs BETWEEN two corpora — (``new_id``,
+    ``ref_id``, ``jaccard``) with jaccard ≥ ``threshold`` — the batch form
+    of "does this new crawl overlap the corpus I already have". Unlike the
+    self-join family, within-corpus duplicates on either side are NOT
+    reported: the join is strictly new × ref, so candidate volume scales
+    with cross-corpus bucket collisions only.
+
+    Scale shape mirrors :func:`minhash_lsh_candidates`: each side shuffles
+    its (id, band, bucket) rows once (bands × N tiny rows, capped hot
+    buckets per side), the candidate join is an equi-join on
+    (band, bucket), and the exact-Jaccard verify joins shingles back by
+    id. Id spaces may overlap between the corpora — pairs are oriented
+    (new, ref), never compared by id order."""
+    bn = minhash_band_buckets(df_new, text_col, id_col, num_perm, bands, shingle_n)
+    br = minhash_band_buckets(df_ref, text_col, id_col, num_perm, bands, shingle_n)
+    bn = _cap_buckets(bn.repartition("band", "bucket"), ["band", "bucket"], max_bucket)
+    br = _cap_buckets(br.repartition("band", "bucket"), ["band", "bucket"], max_bucket)
+    cand = (
+        bn.select(F.col("__id__").alias("new_id"), "band", "bucket")
+        .join(br.select(F.col("__id__").alias("ref_id"), "band", "bucket"),
+              ["band", "bucket"])
+        .select("new_id", "ref_id")
+        .distinct()
+    )
+
+    def _sh(df: DataFrame, out: str) -> DataFrame:
+        return _parallelize(df, id_col).select(
+            F.col(id_col).alias(out),
+            F.array_distinct(shingles_expr(F.col(text_col), shingle_n)).alias(f"__sh_{out}__"),
+        )
+
+    return (
+        cand.join(_sh(df_new, "new_id"), "new_id")
+        .join(_sh(df_ref, "ref_id"), "ref_id")
+        .withColumn("jaccard", jaccard_expr(F.col("__sh_new_id__"), F.col("__sh_ref_id__")))
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "ref_id", "jaccard")
+    )
+
+
+def dedup_against(
+    df_new: DataFrame,
+    df_ref: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Drop every ``df_new`` document with a near-duplicate in ``df_ref``
+    (the incoming-crawl-vs-existing-corpus filter; the batch sibling of
+    ``streaming_minhash_dedup``'s per-batch step). Returns the surviving
+    ``df_new`` rows; ``df_ref`` is never modified and within-``df_new``
+    duplicates are deliberately kept — run :func:`minhash_dedup` on the
+    survivors for that."""
+    pairs = cross_corpus_near_dup_pairs(
+        df_new, df_ref, text_col, id_col, threshold,
+        num_perm, bands, shingle_n, max_bucket,
+    )
+    doomed = pairs.select(F.col("new_id").alias(id_col)).distinct()
+    return df_new.join(doomed, id_col, "left_anti")
