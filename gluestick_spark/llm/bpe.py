@@ -88,11 +88,6 @@ def train_bpe(
     merges: list[tuple[str, str]] = []
     for i in range(n_merges):
         arr = F.split(F.col("__s__"), " ")
-        pair = F.concat_ws(
-            "\x1f",
-            F.element_at(arr, F.col("__i__") + 1),
-            F.element_at(arr, F.col("__i__") + 2),
-        )
         top = (
             words.where(F.size(arr) >= 2)
             .select(
@@ -100,16 +95,22 @@ def train_bpe(
                 "__s__",
                 "__n__",
             )
-            .select(pair.alias("__p__"), "__n__")
-            .groupBy("__p__")
+            .select(
+                F.element_at(arr, F.col("__i__") + 1).alias("__a__"),
+                F.element_at(arr, F.col("__i__") + 2).alias("__b__"),
+                "__n__",
+            )
+            .groupBy("__a__", "__b__")
             .agg(F.sum("__n__").alias("__c__"))
-            .orderBy(F.col("__c__").desc(), F.col("__p__").asc())
+            .orderBy(
+                F.col("__c__").desc(), F.col("__a__").asc(), F.col("__b__").asc()
+            )
             .limit(1)
             .first()
         )
         if top is None or top["__c__"] < min_pair_count:
             break
-        a, b = top["__p__"].split("\x1f")
+        a, b = top["__a__"], top["__b__"]
         merges.append((a, b))
         # merge all non-overlapping left-to-right occurrences of "a b";
         # zero-width lookarounds keep adjacent occurrences mergeable in
