@@ -3919,6 +3919,31 @@ FROM events, s
 """
 
 
+def q_robust_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust scaling (operators/features.py:scale_features method=robust):
+    (x − median)/IQR — sklearn RobustScaler semantics, outlier-resistant.
+    One percentile aggregate + pure projection; floored at 1e-4 (quantile
+    interpolation is a last bit apart across engines — see nll_mix)."""
+    from gluestick_spark.operators.features import scale_features
+
+    e = _t(spark, sf_dir, "events")
+    out, _ = scale_features(e, ["value"], "robust")
+    return out.select(
+        "event_id",
+        (F.floor(F.col("value_scaled") * 1e4) / 1e4).alias("value_r"),
+    )
+
+
+_Q_ROBUST_SCALED_SQL = """
+WITH s AS (
+  SELECT quantile_cont(CAST(value AS DOUBLE), [0.25, 0.5, 0.75]) AS q FROM events
+)
+SELECT event_id,
+       floor(((CAST(value AS DOUBLE) - q[2]) / (q[3] - q[1])) * 1e4) / 1e4 AS value_r
+FROM events, s
+"""
+
+
 def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class balancing (llm/sampling.py:balance_classes): every source
     downsampled to the minority source's size by seeded-hash rank —
@@ -4341,6 +4366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "versioned_time_travel": q_versioned_travel,
         "dedup_against_ref": q_dedup_against,
+        "robust_scaled": q_robust_scaled,
         "streaming_minhash_dedup": q_streaming_minhash_dedup,
         "bm25_scores": q_bm25_scores,
         "profile_numeric": q_profile_numeric,
@@ -4481,6 +4507,7 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix": _Q_CORR_SQL,
         "versioned_time_travel": _Q_VERSIONED_SQL,
         "dedup_against_ref": _Q_DEDUP_AGAINST_SQL,
+        "robust_scaled": _Q_ROBUST_SCALED_SQL,
         "streaming_minhash_dedup": _Q_MINHASH_DEDUP_SQL,
         "bm25_scores": _Q_BM25_SQL,
         "profile_numeric": _Q_PROFILE_SQL,

@@ -81,12 +81,17 @@ def scale_features(
 ) -> tuple[DataFrame, dict[str, tuple[float, float]]]:
     """Scale numeric columns: ``"zscore"`` → (x − mean)/stddev (population
     stddev; constant columns scale to 0.0), ``"minmax"`` → (x − min)/
-    (max − min) (constant columns → 0.0). Adds ``{col}{suffix}`` columns;
-    returns (df, {col: params}) where params is (mean, stddev) or
-    (min, max) — persist them to apply the identical transform at serving
-    time. One moments aggregate over one scan, then a projection."""
-    if method not in ("zscore", "minmax"):
-        raise ValueError(f"method must be 'zscore'/'minmax', got {method!r}")
+    (max − min), ``"robust"`` → (x − median)/IQR (sklearn RobustScaler
+    semantics — outlier-resistant center/spread: one corrupt reading
+    moves a mean and stddev arbitrarily far but barely moves the
+    quartiles; pair with :func:`clip_outliers` for heavy-tailed
+    features). Constant/zero-spread columns scale to 0.0 in every mode.
+    Adds ``{col}{suffix}`` columns; returns (df, {col: params}) where
+    params is (mean, stddev), (min, max), or (median, iqr) — persist
+    them to apply the identical transform at serving time. One
+    statistics aggregate over one scan, then a projection."""
+    if method not in ("zscore", "minmax", "robust"):
+        raise ValueError(f"method must be 'zscore'/'minmax'/'robust', got {method!r}")
     if not cols:
         raise ValueError("cols must be non-empty")
     aggs = []
@@ -94,16 +99,30 @@ def scale_features(
         v = F.col(c).cast("double")
         if method == "zscore":
             aggs += [F.avg(v).alias(f"m_{c}"), F.stddev_pop(v).alias(f"s_{c}")]
+        elif method == "robust":
+            aggs += [
+                F.percentile(
+                    v, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+                ).alias(f"q_{c}")
+            ]
         else:
             aggs += [F.min(v).alias(f"m_{c}"), F.max(v).alias(f"s_{c}")]
     row = df.agg(*aggs).first()
     params: dict[str, tuple[float, float]] = {}
     out = df
     for c in cols:
-        a, b = float(row[f"m_{c}"] or 0.0), float(row[f"s_{c}"] or 0.0)
+        if method == "robust":
+            qs = row[f"q_{c}"]
+            if qs is None:
+                a, b = 0.0, 0.0
+            else:
+                a, b = float(qs[1]), float(qs[2]) - float(qs[0])
+            denom = b
+        else:
+            a, b = float(row[f"m_{c}"] or 0.0), float(row[f"s_{c}"] or 0.0)
+            denom = b if method == "zscore" else (b - a)
         params[c] = (a, b)
         v = F.col(c).cast("double")
-        denom = b if method == "zscore" else (b - a)
         if denom == 0.0:
             scaled = F.when(v.isNotNull(), F.lit(0.0))
         else:

