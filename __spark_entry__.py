@@ -3944,6 +3944,39 @@ FROM events, s
 """
 
 
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (operators/cohorts.py): users bucketed by
+    first-active WEEK, counted per week-offset of later activity — one
+    first-period aggregate + a user-keyed join + a matrix-sized aggregate,
+    no windows or event self-joins. Exact integer counts, oracle-trivial."""
+    from gluestick_spark.functions.datetimes import as_timestamp
+    from gluestick_spark.operators.cohorts import retention_matrix
+
+    e = _t(spark, sf_dir, "events")
+    ev = e.select("user_id", as_timestamp(e, "ts").cast("timestamp").alias("ts"))
+    out = retention_matrix(ev, "user_id", "ts", grain="week")
+    # render the date as a string: DuckDB's DATE surfaces as a pandas
+    # Timestamp (midnight) while Spark's stays datetime.date
+    return out.select(
+        F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_date"),
+        "period_offset",
+        "n_users",
+    )
+
+
+_Q_RETENTION_SQL = """
+WITH acts AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS p FROM events
+),
+firsts AS (SELECT user_id, min(p) AS c FROM acts GROUP BY user_id)
+SELECT strftime(c, '%Y-%m-%d') AS cohort_date,
+       CAST(date_diff('day', c, p) / 7 AS INT) AS period_offset,
+       count(*) AS n_users
+FROM acts JOIN firsts USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class balancing (llm/sampling.py:balance_classes): every source
     downsampled to the minority source's size by seeded-hash rank —
@@ -4367,6 +4400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_time_travel": q_versioned_travel,
         "dedup_against_ref": q_dedup_against,
         "robust_scaled": q_robust_scaled,
+        "weekly_retention": q_retention,
         "streaming_minhash_dedup": q_streaming_minhash_dedup,
         "bm25_scores": q_bm25_scores,
         "profile_numeric": q_profile_numeric,
@@ -4508,6 +4542,7 @@ def oracle_sql() -> dict[str, str]:
         "versioned_time_travel": _Q_VERSIONED_SQL,
         "dedup_against_ref": _Q_DEDUP_AGAINST_SQL,
         "robust_scaled": _Q_ROBUST_SCALED_SQL,
+        "weekly_retention": _Q_RETENTION_SQL,
         "streaming_minhash_dedup": _Q_MINHASH_DEDUP_SQL,
         "bm25_scores": _Q_BM25_SQL,
         "profile_numeric": _Q_PROFILE_SQL,

@@ -110,6 +110,7 @@ from .operators.features import equi_depth_bin, scale_features, clip_outliers
 from .operators.gapfill import fill_gaps
 from .operators.sessions import sessionize_batch, suppress_duplicates
 from .operators.anomaly import rolling_zscore
+from .operators.cohorts import retention_matrix
 from .operators.versioned import (
     write_versioned,
     read_versioned,

@@ -495,3 +495,46 @@ def test_scale_features_robust_mode(spark):
     cout, cparams = scale_features(cdf, ["v"], "robust")
     assert cparams["v"][1] == 0.0
     assert [r.v_scaled for r in cout.collect()] == [0.0, 0.0]
+
+
+# ------------------------------------------------------ cohort retention ---
+
+
+def test_retention_matrix_week_grain(spark):
+    import datetime as dt
+
+    from gluestick_spark.operators.cohorts import retention_matrix
+
+    def t(day):
+        return dt.datetime(2024, 1, day, 12, 0)
+
+    rows = [
+        (1, t(1)), (1, t(3)),   # same week as first -> offset 0 only (distinct)
+        (1, t(8)),              # next week -> offset 1
+        (2, t(2)), (2, t(15)),  # cohort wk of Jan 1; offsets 0 and 2
+        (3, t(10)),             # cohort wk of Jan 8; offset 0
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (str(r.cohort_date), r.period_offset): r.n_users
+        for r in retention_matrix(df, "user_id", "ts", grain="week").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,   # users 1 and 2
+        ("2024-01-01", 1): 1,   # user 1
+        ("2024-01-01", 2): 1,   # user 2
+        ("2024-01-08", 0): 1,   # user 3
+    }
+
+
+def test_retention_matrix_max_offset_and_day_grain(spark):
+    import datetime as dt
+
+    from gluestick_spark.operators.cohorts import retention_matrix
+
+    rows = [(1, dt.datetime(2024, 1, 1)), (1, dt.datetime(2024, 1, 2)),
+            (1, dt.datetime(2024, 3, 1))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r.period_offset): r.n_users
+           for r in retention_matrix(df, "user_id", "ts", "day", max_offset=7).collect()}
+    assert got == {0: 1, 1: 1}  # the March event pruned by max_offset
