@@ -90,6 +90,9 @@ BENCH_QUERIES = [
     "nll_mix",
     "clipped_values",
     "corr_matrix",
+    "robust_scaled",
+    "weekly_retention",
+    "dedup_against_ref",
 ]
 
 
