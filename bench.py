@@ -218,14 +218,69 @@ def main() -> None:
             result["calibration_ratio_vs_prev"] = (
                 round(calib_ratio, 3) if calib_ratio else None
             )
+            # absolute-gap guard is INCLUSIVE: a gap of exactly 0.2s must
+            # not silence the flag (it did for scd2_merge in round 7)
             result["regressions_gt_10pct"] = sorted(
                 q
                 for q, d in deltas.items()
-                if d > 0.10 and timings[q] - prev[q] * drift > 0.2
+                if d > 0.10 and timings[q] - prev[q] * drift >= 0.2
             )
+            # A uniform fleet-wide code regression would be normalized
+            # away by the median-ratio drift estimate. Cross-check: when
+            # the fleet median moved >10% but the machine calibration
+            # did NOT move correspondingly, that disagreement is itself
+            # the signal — flag it instead of silently absorbing it.
+            if calib_ratio and drift / calib_ratio >= 1.10:
+                result["global_slowdown_suspect"] = round(
+                    drift / calib_ratio, 3
+                )
+    except Exception:
+        pass
+    # Sidecar artifacts (VERDICT r7 #4): the driver's capture of stdout
+    # front-truncates to 2000 chars, losing half the per-query dict each
+    # round. Persist the FULL result repo-locally so the next round's
+    # comparison basis never degrades to a tail-recovered partial.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        bdir = os.path.join(here, ".bench")
+        os.makedirs(bdir, exist_ok=True)
+        blob = json.dumps(result, indent=1)
+        with open(os.path.join(bdir, f"last_sf{sf}.json"), "w") as f:
+            f.write(blob)
+        with open(
+            os.path.join(bdir, f"run_{int(time.time() * 1000)}_sf{sf}.json"), "w"
+        ) as f:
+            f.write(blob)
+        runs_on_disk = sorted(
+            p for p in os.listdir(bdir) if p.startswith("run_")
+        )
+        for stale in runs_on_disk[:-30]:
+            os.remove(os.path.join(bdir, stale))
     except Exception:
         pass
     print(json.dumps(result))
+
+
+def _match_sidecar(here: str, recovered: dict[str, float]) -> dict | None:
+    """The newest full sidecar run (.bench/run_*.json) whose per-query
+    values agree with EVERY tail-recovered pair — i.e. the same run the
+    truncated driver artifact captured. None when no sidecar matches."""
+    import glob
+
+    for path in sorted(
+        glob.glob(os.path.join(here, ".bench", "run_*.json")), reverse=True
+    ):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            qs = rec.get("queries") or {}
+            if all(
+                abs(qs.get(k, float("nan")) - v) < 1e-9 for k, v in recovered.items()
+            ):
+                return rec
+        except Exception:
+            continue
+    return None
 
 
 def _previous_round(sf_val) -> tuple[dict[str, float], str | None, float | None]:
@@ -263,8 +318,20 @@ def _previous_round(sf_val) -> tuple[dict[str, float], str | None, float | None]
                     pairs = re.findall(r'"([a-z0-9_]+)": ([0-9.]+)[,}]', tail[:cut])
                     m = re.search(r'"calibration_sec": ([0-9.]+)', tail)
                     if len(pairs) >= 5:
+                        recovered = {k: float(v) for k, v in pairs}
+                        # Prefer a FULL sidecar run whose values agree
+                        # with every recovered pair — that identifies the
+                        # exact run the truncated artifact captured, so
+                        # the basis covers the whole query set again.
+                        full = _match_sidecar(here, recovered)
+                        if full:
+                            return (
+                                full["queries"],
+                                os.path.basename(path) + " (sidecar-matched)",
+                                float(full.get("calibration_sec") or 0) or None,
+                            )
                         return (
-                            {k: float(v) for k, v in pairs},
+                            recovered,
                             os.path.basename(path) + " (tail-recovered, partial)",
                             float(m.group(1)) if m else None,
                         )

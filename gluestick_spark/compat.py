@@ -217,6 +217,14 @@ def cast_df_from_schema(df, types_params: dict):
             if c in types_params:
                 name = types_params[c]
                 name = name if isinstance(name, str) else str(name)
+                # parametrized polars dtypes stringify with arguments —
+                # "Datetime(time_unit='ns', time_zone='UTC')" — strip to
+                # the base name when THAT is a known polars/pandas name
+                # (parametrized Spark strings like "decimal(10,2)" still
+                # pass through to the parser intact)
+                base = name.split("(", 1)[0].strip()
+                if base in _SPARK_TYPE_NAMES:
+                    name = base
                 spark_t = _parse_datatype_string(
                     _SPARK_TYPE_NAMES.get(name, name.lower())
                 )

@@ -312,4 +312,9 @@ def heavy_hitters(
             )
         )
     )
-    return checked.select(guard.alias(col), count_col)
+    # the broadcast-join + window pass above makes the earlier topk
+    # ordering plan-incidental — re-assert the documented deterministic
+    # order (count desc, term asc) as the final operator
+    return checked.select(guard.alias(col), count_col).orderBy(
+        F.col(count_col).desc(), F.col(col).asc()
+    )

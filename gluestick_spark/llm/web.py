@@ -23,14 +23,16 @@ monotone rank needs no global sort.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 __all__ = [
     "parse_url_expr",
     "host_expr",
     "registered_domain_expr",
+    "with_registered_domain",
     "domain_stats",
     "cap_per_domain",
 ]
@@ -103,19 +105,91 @@ def registered_domain_expr(url: Column) -> Column:
     )
 
 
+def with_registered_domain(
+    df: DataFrame,
+    url_col: str,
+    out_col: str = "domain",
+    suffixes: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Append the registrable-domain column. With ``suffixes=None`` this is
+    :func:`registered_domain_expr` (pure codegen, 20-suffix approximation).
+    Passing a ``suffixes`` DataFrame (single string column ``suffix``,
+    e.g. the full Mozilla Public Suffix List — a data file, so it arrives
+    as data) switches to exact-PSL semantics: the host's 3-label and
+    2-label tails are matched against the table with two broadcast hash
+    joins (longest match wins) and the registrable domain is one label
+    longer than the matched public suffix. The PSL is ~10k rows — always
+    broadcastable; no shuffle is added to the scan side.
+
+    Matching depth covers 1–3-label public suffixes, which is the entire
+    PSL ICANN section in practice (wildcard ``*.ck``-style rules are not
+    modeled; documented limitation)."""
+    if suffixes is None:
+        return df.withColumn(out_col, registered_domain_expr(F.col(url_col)))
+
+    sfx = F.broadcast(
+        suffixes.select(F.lower(F.col("suffix")).alias("suffix")).distinct()
+    )
+    h = host_expr(F.col(url_col))
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    is_ip = h.rlike(r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$")
+
+    def tail(k: int) -> Column:
+        return F.when(
+            n >= k, F.concat_ws(".", F.slice(parts, n - k + 1, k))
+        )
+
+    base = df.withColumn("__host__", h).withColumn(
+        "__t1__", tail(1)
+    ).withColumn("__t2__", tail(2)).withColumn("__t3__", tail(3))
+    # longest-match: try the 3-label tail, then 2-label, then 1-label
+    j3 = sfx.withColumnRenamed("suffix", "__s3__")
+    j2 = sfx.withColumnRenamed("suffix", "__s2__")
+    j1 = sfx.withColumnRenamed("suffix", "__s1__")
+    joined = (
+        base.join(j3, base["__t3__"] == j3["__s3__"], "left")
+        .join(j2, base["__t2__"] == j2["__s2__"], "left")
+        .join(j1, base["__t1__"] == j1["__s1__"], "left")
+    )
+    plen = (
+        F.when(F.col("__s3__").isNotNull(), 3)
+        .when(F.col("__s2__").isNotNull(), 2)
+        .when(F.col("__s1__").isNotNull(), 1)
+    )
+    # registrable = suffix + one more label; hosts that ARE a bare public
+    # suffix, IPs, and single-label hosts pass through unchanged
+    reg = F.when(
+        F.col("__host__").isNull() | is_ip | plen.isNull(), F.col("__host__")
+    ).otherwise(
+        F.when(
+            n > plen,
+            F.concat_ws(".", F.slice(parts, n - plen, plen + 1)),
+        ).otherwise(F.col("__host__"))
+    )
+    return joined.withColumn(out_col, reg).drop(
+        "__host__", "__t1__", "__t2__", "__t3__", "__s1__", "__s2__", "__s3__"
+    )
+
+
 def domain_stats(df: DataFrame, url_col: str) -> DataFrame:
     """Per-registered-domain document counts and corpus share — the skew
     audit run before capping. One map-side-combined aggregate; output is
     domain-cardinality-bounded. NULL domains (non-URL strings) group
-    together as the parse-failure bucket."""
+    together as the parse-failure bucket.
+
+    The corpus total rides a separate 1-row aggregate joined back with
+    ``crossJoin(broadcast(...))`` — NOT an unpartitioned window, which
+    would funnel the whole domain aggregate (tens of millions of rows on
+    a real crawl) through a single task (same pattern as
+    ``llm/text.py`` unigram NLL totals)."""
     dom = registered_domain_expr(F.col(url_col)).alias("domain")
     counts = df.select(dom).groupBy("domain").agg(F.count(F.lit(1)).alias("n_docs"))
-    # single-partition window over the domain-bounded aggregate only
-    total = F.sum("n_docs").over(Window.partitionBy())
-    return counts.select(
+    totals = counts.agg(F.sum("n_docs").alias("__total__"))
+    return counts.crossJoin(F.broadcast(totals)).select(
         "domain",
         "n_docs",
-        (F.col("n_docs") / total).alias("share"),
+        (F.col("n_docs") / F.col("__total__")).alias("share"),
     )
 
 

@@ -11,23 +11,28 @@ table format at its simplest: reproduce last week's corpus exactly
 Where :mod:`gluestick_spark.operators.snapshot` keeps ONE current state
 per stream (type-1), this keeps every published state until vacuumed.
 
-Commit protocol: the version directory ``v=N`` is written completely
-first; publishing is ONE ``os.replace`` of a one-line pointer file
-(``_LATEST``) — atomic on POSIX, so readers see the old version or the
-new one, never a torn table. A crash mid-write leaves an unpublished
-``v=N`` directory that the next write simply supersedes (and vacuum
-removes). Version numbering is monotone (max existing + 1), so
-concurrent readers of older versions are never disturbed — their
-directories are immutable until vacuumed.
+Commit protocol: the writer CLAIMS its version number with an exclusive
+``os.mkdir`` of ``v=N`` (two concurrent writers can never claim the same
+N — the loser's mkdir raises and it retries with N+1), writes the
+directory completely, appends N to the ``_COMMITS`` log (atomic
+``os.replace`` rewrite), then flips the one-line ``_LATEST`` pointer
+(also ``os.replace``) — atomic on POSIX, so readers see the old version
+or the new one, never a torn table. Publication is recorded EXPLICITLY:
+a version is published iff it appears in ``_COMMITS`` (with a
+``_SUCCESS``-marker fallback for tables written before the log existed).
+A crash mid-write leaves an unpublished ``v=N`` directory that is
+invisible to ``read_versioned``/``published_versions`` — even after
+later writes publish higher numbers — and that vacuum removes.
 
 Layout::
 
     path/
       _LATEST            one line: the published version number
+      _COMMITS           one published version number per line (the log)
       v=1/ ... v=N/      immutable Spark parquet directories
 
 Local/posix-rename filesystems only (same contract as ``compact_files``);
-object stores need a real table format's commit log.
+object stores need a real table format's conditional-put commit log.
 """
 
 from __future__ import annotations
@@ -41,11 +46,13 @@ __all__ = [
     "write_versioned",
     "read_versioned",
     "list_versions",
+    "published_versions",
     "latest_version",
     "vacuum_versions",
 ]
 
 _POINTER = "_LATEST"
+_COMMITS = "_COMMITS"
 
 
 def _vdir(path: str, v: int) -> str:
@@ -53,7 +60,9 @@ def _vdir(path: str, v: int) -> str:
 
 
 def list_versions(path: str) -> list[int]:
-    """All version numbers present on disk (published or not), ascending."""
+    """All version numbers present on disk (published or not), ascending.
+    For anything that READS data use :func:`published_versions` — an
+    on-disk directory may be a crash leftover."""
     if not os.path.isdir(path):
         return []
     out = []
@@ -63,6 +72,55 @@ def list_versions(path: str) -> list[int]:
                 out.append(int(name[2:]))
             except ValueError:
                 continue
+    return sorted(out)
+
+
+def _commit_log(path: str) -> set[int]:
+    p = os.path.join(path, _COMMITS)
+    if not os.path.isfile(p):
+        return set()
+    out: set[int] = set()
+    with open(p) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                try:
+                    out.add(int(line))
+                except ValueError:
+                    continue
+    return out
+
+
+def _append_commit(path: str, v: int) -> None:
+    # atomic rewrite (read + append + replace): a reader never sees a
+    # torn log, and the final os.replace is the durability point
+    existing = sorted(_commit_log(path) | {v})
+    tmp = os.path.join(path, f".{_COMMITS}.tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(str(x) for x in existing) + "\n")
+    os.replace(tmp, os.path.join(path, _COMMITS))
+
+
+def published_versions(path: str) -> list[int]:
+    """Versions that completed a publish, ascending — the only ones
+    ``read_versioned`` will open. Source of truth is the ``_COMMITS``
+    log; ONLY for legacy tables with no log at all, a version <= the
+    pointer counts as published iff its directory holds Spark's
+    ``_SUCCESS`` marker (a torn parquet directory never does). Once a
+    log exists it is authoritative — a complete-looking directory that
+    never reached the log (crash between data write and commit) stays
+    unpublished forever, even after later writes bury it under the
+    pointer."""
+    cur = latest_version(path)
+    if os.path.isfile(os.path.join(path, _COMMITS)):
+        return sorted(_commit_log(path))
+    out: set[int] = set()
+    if cur is not None:
+        for v in list_versions(path):
+            if v <= cur and os.path.isfile(
+                os.path.join(_vdir(path, v), "_SUCCESS")
+            ):
+                out.add(v)
     return sorted(out)
 
 
@@ -79,11 +137,22 @@ def latest_version(path: str) -> int | None:
 def write_versioned(df: DataFrame, path: str) -> int:
     """Write ``df`` as the next version and publish it atomically.
     Returns the new version number. The data write is a plain Spark
-    parquet write (fully parallel); only the one-line pointer flip is
-    driver-side."""
+    parquet write (fully parallel); only the version claim, commit-log
+    append, and pointer flip are driver-side. The version number is
+    CLAIMED with an exclusive ``os.mkdir`` before the write, so two
+    concurrent writers get distinct version numbers (each publishes its
+    own complete directory; last pointer flip wins the "latest" title,
+    both remain readable via time travel)."""
     os.makedirs(path, exist_ok=True)
     v = (max(list_versions(path), default=0)) + 1
-    df.write.parquet(_vdir(path, v))
+    while True:
+        try:
+            os.mkdir(_vdir(path, v))  # exclusive claim
+            break
+        except FileExistsError:
+            v += 1
+    df.write.mode("append").parquet(_vdir(path, v))
+    _append_commit(path, v)
     tmp = os.path.join(path, f".{_POINTER}.tmp")
     with open(tmp, "w") as f:
         f.write(str(v))
@@ -96,32 +165,46 @@ def read_versioned(
 ) -> DataFrame:
     """Open the published version (default) or a specific retained one —
     time travel. Raises on an unpublished/unknown version so a typo can't
-    silently read a crash leftover."""
+    silently read a crash leftover — including a torn ``v=N`` that later
+    writes have since buried under the pointer (publication is tracked in
+    the ``_COMMITS`` log, not inferred from directory listings)."""
     if version is None:
         version = latest_version(path)
         if version is None:
             raise ValueError(f"no published version at {path}")
-    cur = latest_version(path)
-    if version not in list_versions(path) or (cur is not None and version > cur):
+    pub = published_versions(path)
+    if version not in pub:
         raise ValueError(
-            f"version {version} not available at {path} "
-            f"(published: {cur}, on disk: {list_versions(path)})"
+            f"version {version} not published at {path} "
+            f"(published: {pub}, on disk: {list_versions(path)})"
         )
     return spark.read.parquet(_vdir(path, version))
 
 
 def vacuum_versions(path: str, keep: int) -> list[int]:
-    """Delete all but the newest ``keep`` PUBLISHED-or-older versions
-    (the published version itself is always retained, as is anything
-    newer — an in-flight unpublished write is never vacuumed from under
-    its writer). Returns the deleted version numbers."""
+    """Delete all but the newest ``keep`` published versions, plus any
+    unpublished crash leftovers OLDER than the pointer (a leftover below
+    the published pointer can never be completed — version numbers are
+    claimed monotonically — so it is garbage by construction). Anything
+    newer than the pointer is never touched: it may be an in-flight
+    writer's claim. Returns the deleted version numbers."""
     if keep < 1:
         raise ValueError(f"keep must be >= 1, got {keep}")
     cur = latest_version(path)
     if cur is None:
         return []
-    eligible = [v for v in list_versions(path) if v <= cur]
-    doomed = eligible[:-keep] if len(eligible) > keep else []
+    pub = published_versions(path)
+    doomed = pub[:-keep] if len(pub) > keep else []
+    doomed += [v for v in list_versions(path) if v < cur and v not in pub]
+    doomed = sorted(set(doomed))
     for v in doomed:
         shutil.rmtree(_vdir(path, v), ignore_errors=True)
+    # keep the commit log consistent with what's actually readable
+    log = _commit_log(path)
+    if log & set(doomed):
+        remaining = sorted(log - set(doomed))
+        tmp = os.path.join(path, f".{_COMMITS}.tmp")
+        with open(tmp, "w") as f:
+            f.write("\n".join(str(x) for x in remaining) + "\n")
+        os.replace(tmp, os.path.join(path, _COMMITS))
     return doomed

@@ -81,6 +81,15 @@ class Reader:
     def keys(self) -> list[str]:
         return list(self.input_files)
 
+    # -- discovery -------------------------------------------------------
+    def read_directories(self, ignore: list[str] | None = None) -> dict[str, str]:
+        """Public re-discovery hook, reference signature
+        (/root/reference/gluestick/reader.py:154-190): list the input dir
+        again and return ``{stream: path}`` honoring ``ignore``. The
+        constructor calls the same logic; this alias exists for scripts
+        that call it directly on a live Reader."""
+        return _discover(self.input_dir, ignore)
+
     # -- catalog ---------------------------------------------------------
     def read_catalog(self) -> dict[str, Any] | None:
         path = os.path.join(self.root_dir, "catalog.json")
@@ -122,6 +131,92 @@ class Reader:
                 props = {k: v for k, v in props.items() if k in headers}
             return json_schema_to_struct({"properties": props})
         return None
+
+    def get_types_from_catalog(
+        self,
+        catalog: dict[str, Any],
+        stream: str,
+        headers: list[str] | None = None,
+    ) -> dict[str, Any]:
+        """Pandas-style read arguments derived from the catalog, reference
+        signature and semantics (/root/reference/gluestick/reader.py:232-279):
+        ``{"dtype": {col: pandas_type}, "parse_dates": [cols]}``. The Spark
+        path uses :meth:`stream_schema` (StructType) instead; this alias
+        serves scripts that feed the dict to pandas/polars readers.
+
+        anyOf columns prefer the member carrying a ``format``; date-time
+        formatted columns go to ``parse_dates``; single-typed columns map
+        integer→Int64, number→float, boolean→boolean; everything else
+        (and multi-typed) is ``object``."""
+        if headers is None:
+            df = self.get(stream)
+            headers = df.columns if df is not None else []
+        entry = next(
+            (
+                c
+                for c in catalog.get("streams", [])
+                if c.get("stream") == stream or c.get("tap_stream_id") == stream
+            ),
+            None,
+        )
+        if not entry:
+            return {}
+        props = entry.get("schema", {}).get("properties", {})
+        type_mapper = {"integer": "Int64", "number": float, "boolean": "boolean"}
+        dtype: dict[str, Any] = {}
+        parse_dates: list[str] = []
+        for col in headers:
+            col_type = props.get(col)
+            if col_type:
+                any_of = col_type.get("anyOf", [])
+                if any_of:
+                    col_type = next(
+                        (t for t in any_of if "format" in t), {"type": "object"}
+                    )
+                if col_type.get("format") == "date-time":
+                    parse_dates.append(col)
+                    continue
+                if col_type.get("type"):
+                    declared = [t for t in col_type["type"] if t != "null"]
+                    if len(declared) == 1:
+                        dtype[col] = type_mapper.get(declared[0], "object")
+                        continue
+            dtype[col] = "object"
+        return dict(dtype=dtype, parse_dates=parse_dates)
+
+    def get_csv(
+        self, stream: str, filepath: str | None = None, catalog_types: bool = True
+    ) -> DataFrame:
+        """Reference readers' ``get_csv`` name
+        (/root/reference/gluestick/readers/pl_reader.py:36-45): read one CSV
+        stream (path override honored) with catalog coercion by default."""
+        path = filepath or self.input_files.get(stream)
+        if path is None:
+            raise FileNotFoundError(f"no CSV for stream {stream!r}")
+        df = (
+            self.spark.read.option("header", "true").option("escape", '"').csv(path)
+        )
+        return self._coerce(stream, df) if catalog_types else df
+
+    def get_parquet(
+        self, stream: str, filepath: str | None = None, catalog_types: bool = True
+    ) -> DataFrame:
+        """Reference readers' ``get_parquet`` name
+        (/root/reference/gluestick/readers/pl_reader.py:47-56)."""
+        path = filepath or self.input_files.get(stream)
+        if path is None:
+            raise FileNotFoundError(f"no parquet for stream {stream!r}")
+        df = self.spark.read.parquet(path)
+        return self._coerce(stream, df) if catalog_types else df
+
+    def _coerce(self, stream: str, df: DataFrame) -> DataFrame:
+        target = self.stream_schema(stream, headers=df.columns)
+        if target is not None:
+            try:
+                return cast_df_to_schema(df, target)
+            except Exception as exc:  # silent fallback (reader.py:95-98)
+                print(f"catalog coercion failed for {stream}: {exc}")
+        return df
 
     # -- metadata --------------------------------------------------------
     def get_metadata(self, stream: str) -> dict[str, str]:
@@ -193,12 +288,7 @@ class Reader:
             # reference write); Spark's default is backslash
             df = self.spark.read.option("header", "true").option("escape", '"').csv(path, **kwargs)
         if catalog_types:
-            target = self.stream_schema(stream, headers=df.columns)
-            if target is not None:
-                try:
-                    df = cast_df_to_schema(df, target)
-                except Exception as exc:  # silent fallback (reader.py:95-98)
-                    print(f"catalog coercion failed for {stream}: {exc}")
+            df = self._coerce(stream, df)
         return df
 
 

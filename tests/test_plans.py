@@ -182,6 +182,29 @@ def test_driver_contract_registry():
     assert qs == os_
     assert len(qs) >= 50
 
+    # No duplicate keys in the SOURCE literals: dicts silently dedupe, so
+    # a re-registered name misstates the tail listing and invites count
+    # drift (bm25_scores did exactly this in round 7). Parse the source.
+    import ast
+    import inspect
+
+    src = inspect.getsource(em)
+    tree = ast.parse(src)
+    for fn in ("queries", "oracle_sql"):
+        node = next(
+            n for n in tree.body
+            if isinstance(n, ast.FunctionDef) and n.name == fn
+        )
+        dicts = [n for n in ast.walk(node) if isinstance(n, ast.Dict)]
+        keys = [
+            k.value
+            for d in dicts
+            for k in d.keys
+            if isinstance(k, ast.Constant)
+        ]
+        dupes = {k for k in keys if keys.count(k) > 1}
+        assert not dupes, f"duplicate literal keys in {fn}(): {sorted(dupes)}"
+
 
 def test_embedding_oracle_geometry_alignment():
     """q_embedding_near_dups uses adaptive geometry (lsh_geometry(n)); the
@@ -396,3 +419,13 @@ def test_fuzzy_prefix_gram_frequency_is_broadcast(spark):
     )
     plan = _plan(edit_distance_pairs(titles, "doc_id", "t", 2))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_domain_stats_no_unpartitioned_window(spark):
+    """The corpus-share total must ride a 1-row broadcast (crossJoin over
+    a separate aggregate), never an unpartitioned window — Window
+    partitionBy() funnels the whole domain aggregate through ONE task at
+    crawl scale (VERDICT r7 #1)."""
+    plan = _plan(_queries()["domain_stats"](spark, SF))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -277,3 +277,67 @@ def test_gen_singer_header_from_polars_schema_no_polars():
     assert p["tags"]["type"] == ["array", "null"]
     assert p["meta"] == {"type": ["object", "null"]}
     assert p["weird"] == {"type": ["string", "null"]}  # non-primitive stringified
+
+
+def test_reader_alias_read_directories(spark, tmp_dir):
+    """Reference-name alias (reader.py:154): public re-discovery honoring
+    an ignore list, on a live Reader."""
+    root = _setup_dir(tmp_dir)
+    r = Reader(spark, root_dir=root)
+    assert set(r.read_directories()) == {"orders", "invoices"}
+    assert set(r.read_directories(ignore=["orders"])) == {"invoices"}
+
+
+def test_reader_alias_get_types_from_catalog(spark, tmp_dir):
+    """Reference-name alias (reader.py:232-279): pandas-style dtype dict +
+    parse_dates from the catalog, including anyOf/format handling."""
+    root = _setup_dir(tmp_dir)
+    r = Reader(spark, root_dir=root)
+    got = r.get_types_from_catalog(r.catalog, "orders")
+    assert got["parse_dates"] == ["created_at"]
+    assert got["dtype"] == {
+        "order_id": "Int64",
+        "amount": float,
+        "is_active": "boolean",
+    }
+    # unknown stream -> {}
+    assert r.get_types_from_catalog(r.catalog, "nope") == {}
+    # anyOf: the member with a format wins; multi-typed -> object
+    cat = {
+        "streams": [
+            {
+                "stream": "s",
+                "schema": {
+                    "properties": {
+                        "a": {
+                            "anyOf": [
+                                {"type": ["string", "null"]},
+                                {"type": ["string", "null"], "format": "date-time"},
+                            ]
+                        },
+                        "b": {"type": ["string", "integer", "null"]},
+                    }
+                },
+            }
+        ]
+    }
+    got = r.get_types_from_catalog(cat, "s", headers=["a", "b"])
+    assert got == {"dtype": {"b": "object"}, "parse_dates": ["a"]}
+
+
+def test_reader_alias_get_csv_get_parquet(spark, tmp_dir):
+    """Reference readers' get_csv/get_parquet names (pl_reader.py:36-56):
+    read one stream with catalog coercion by default."""
+    root = _setup_dir(tmp_dir)
+    r = Reader(spark, root_dir=root)
+    df = r.get_csv("orders")
+    assert dict(df.dtypes)["amount"] == "double"       # catalog-coerced
+    assert dict(df.dtypes)["created_at"] == "timestamp"
+    raw = r.get_csv("orders", catalog_types=False)
+    assert dict(raw.dtypes)["amount"] == "string"
+    pq_df = r.get_parquet("invoices", catalog_types=False)
+    assert pq_df.count() == 2
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        r.get_csv("missing_stream")

@@ -403,7 +403,7 @@ def test_versioned_write_read_time_travel(spark, tmp_dir):
     assert read_versioned(spark, path, 2).count() == 10       # survivor intact
     import pytest
 
-    with pytest.raises(ValueError, match="not available"):
+    with pytest.raises(ValueError, match="not published"):
         read_versioned(spark, path, 1)
 
 
@@ -426,7 +426,7 @@ def test_versioned_crash_leftover_not_published(spark, tmp_dir):
     spark.range(99).write.parquet(os.path.join(path, "v=2"))
     assert latest_version(path) == 1
     assert read_versioned(spark, path).count() == 4           # old state visible
-    with pytest.raises(ValueError, match="not available"):
+    with pytest.raises(ValueError, match="not published"):
         read_versioned(spark, path, 2)                        # typo can't read it
     assert vacuum_versions(path, keep=1) == []                # never vacuumed
     # the next write supersedes the leftover and publishes cleanly
