@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "robust_scaled",
     "weekly_retention",
     "dedup_against_ref",
+    "dedup_against_indexed",
+    "bpe_encode",
 ]
 
 

@@ -39,6 +39,9 @@ __all__ = [
     "minhash_dedup",
     "cross_corpus_near_dup_pairs",
     "dedup_against",
+    "materialize_band_index",
+    "dedup_against_indexed",
+    "cross_corpus_near_dup_pairs_indexed",
     "connected_components",
     "cluster_dedup",
     "cluster_dedup_by",
@@ -777,6 +780,32 @@ def cross_corpus_near_dup_pairs(
     (new, ref), never compared by id order."""
     bn = minhash_band_buckets(df_new, text_col, id_col, num_perm, bands, shingle_n)
     br = minhash_band_buckets(df_ref, text_col, id_col, num_perm, bands, shingle_n)
+    sh_new = _shingle_sets(df_new, text_col, id_col, shingle_n, "new_id")
+    sh_ref = _shingle_sets(df_ref, text_col, id_col, shingle_n, "ref_id")
+    return _cross_pairs_core(bn, br, sh_new, sh_ref, threshold, max_bucket)
+
+
+def _shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int, out: str
+) -> DataFrame:
+    return _parallelize(df, id_col).select(
+        F.col(id_col).alias(out),
+        F.array_distinct(shingles_expr(F.col(text_col), shingle_n)).alias(f"__sh_{out}__"),
+    )
+
+
+def _cross_pairs_core(
+    bn: DataFrame,
+    br: DataFrame,
+    sh_new: DataFrame,
+    sh_ref: DataFrame,
+    threshold: float,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Shared tail of the cross-corpus candidate+verify plan: capped
+    bucket equi-join (cost ∝ cross collisions) then exact-Jaccard verify
+    via the two shingle frames. Both the direct and index-backed paths
+    end here, so indexed ≡ direct by construction."""
     bn = _cap_buckets(bn.repartition("band", "bucket"), ["band", "bucket"], max_bucket)
     br = _cap_buckets(br.repartition("band", "bucket"), ["band", "bucket"], max_bucket)
     cand = (
@@ -786,16 +815,9 @@ def cross_corpus_near_dup_pairs(
         .select("new_id", "ref_id")
         .distinct()
     )
-
-    def _sh(df: DataFrame, out: str) -> DataFrame:
-        return _parallelize(df, id_col).select(
-            F.col(id_col).alias(out),
-            F.array_distinct(shingles_expr(F.col(text_col), shingle_n)).alias(f"__sh_{out}__"),
-        )
-
     return (
-        cand.join(_sh(df_new, "new_id"), "new_id")
-        .join(_sh(df_ref, "ref_id"), "ref_id")
+        cand.join(sh_new, "new_id")
+        .join(sh_ref, "ref_id")
         .withColumn("jaccard", jaccard_expr(F.col("__sh_new_id__"), F.col("__sh_ref_id__")))
         .where(F.col("jaccard") >= threshold)
         .select("new_id", "ref_id", "jaccard")
@@ -822,6 +844,108 @@ def dedup_against(
     pairs = cross_corpus_near_dup_pairs(
         df_new, df_ref, text_col, id_col, threshold,
         num_perm, bands, shingle_n, max_bucket,
+    )
+    doomed = pairs.select(F.col("new_id").alias(id_col)).distinct()
+    return df_new.join(doomed, id_col, "left_anti")
+
+
+# ------------------------------------------------------------------------
+# Persisted LSH band index: sign the reference corpus ONCE, reuse it for
+# every incoming crawl. materialize writes (band, bucket) rows plus the
+# verify-stage shingle sets as parquet; the indexed dedup path reads them
+# back instead of re-signing the reference — recurring-crawl ingest cost
+# is O(new batch), the reference side untouched (same shape as
+# ``similarity.materialize_ivf`` / ``ivf_topk_indexed``).
+# ------------------------------------------------------------------------
+
+
+def materialize_band_index(
+    df_ref: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df_ref``'s LSH index at ``path``: ``bands/`` holds the
+    (``__id__``, band, bucket) rows, ``shingles/`` the per-doc distinct
+    shingle sets, ``_META.json`` the geometry. ``mode="append"`` adds a
+    NEW reference batch to an existing index (O(batch) — nothing is
+    re-signed; geometry must match the stored meta)."""
+    import json as _json
+    import os as _os
+
+    meta = {"num_perm": num_perm, "bands": bands, "shingle_n": shingle_n}
+    meta_path = _os.path.join(path, "_META.json")
+    if mode == "append" and _os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            stored = _json.load(f)
+        if stored != meta:
+            raise ValueError(
+                f"band-index geometry mismatch: stored {stored}, got {meta}"
+            )
+    bb = minhash_band_buckets(df_ref, text_col, id_col, num_perm, bands, shingle_n)
+    bb.write.mode(mode).parquet(_os.path.join(path, "bands"))
+    _shingle_sets(df_ref, text_col, id_col, shingle_n, "__id__").withColumnRenamed(
+        "__sh___id____", "__sh__"
+    ).write.mode(mode).parquet(_os.path.join(path, "shingles"))
+    _os.makedirs(path, exist_ok=True)
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
+
+
+def _read_band_index(spark, path: str):
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_META.json")) as f:
+        meta = _json.load(f)
+    bands_df = spark.read.parquet(_os.path.join(path, "bands"))
+    sh_ref = spark.read.parquet(_os.path.join(path, "shingles")).select(
+        F.col("__id__").alias("ref_id"), F.col("__sh__").alias("__sh_ref_id__")
+    )
+    return bands_df, sh_ref, meta
+
+
+def cross_corpus_near_dup_pairs_indexed(
+    spark,
+    df_new: DataFrame,
+    index_path: str,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """:func:`cross_corpus_near_dup_pairs` against a materialized
+    reference index — identical result (the candidate+verify tail is the
+    same code path); only the new side is signed this run. Geometry comes
+    from the index's ``_META.json``, so a drifted caller can't silently
+    compare incompatible signatures."""
+    br, sh_ref, meta = _read_band_index(spark, index_path)
+    bn = minhash_band_buckets(
+        df_new, text_col, id_col, meta["num_perm"], meta["bands"], meta["shingle_n"]
+    )
+    sh_new = _shingle_sets(df_new, text_col, id_col, meta["shingle_n"], "new_id")
+    return _cross_pairs_core(bn, br, sh_new, sh_ref, threshold, max_bucket)
+
+
+def dedup_against_indexed(
+    spark,
+    df_new: DataFrame,
+    index_path: str,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """:func:`dedup_against` backed by a materialized reference index —
+    the recurring-crawl fast path. Result is identical to the direct
+    form; the reference corpus is read as its persisted (band, bucket)
+    and shingle-set parquet, never re-signed."""
+    pairs = cross_corpus_near_dup_pairs_indexed(
+        spark, df_new, index_path, text_col, id_col, threshold, max_bucket
     )
     doomed = pairs.select(F.col("new_id").alias(id_col)).distinct()
     return df_new.join(doomed, id_col, "left_anti")

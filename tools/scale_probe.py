@@ -339,6 +339,90 @@ def main() -> None:
         lambda: _dedup_against(docsR),
     )
 
+    # Index-backed variant (VERDICT r7 #9): the reference half is signed
+    # ONCE into a persisted band index (outside the timing — that's the
+    # point), so the per-crawl cost is sign-new + bucket-join + verify.
+    # Compare with dedup_against above: same exponent shape, lower
+    # absolute time, reference side untouched at probe time.
+    import tempfile
+
+    from gluestick_spark.llm.dedup import (
+        dedup_against_indexed,
+        materialize_band_index,
+    )
+
+    idx1 = tempfile.mkdtemp(prefix="probe_idx1_")
+    idxR = tempfile.mkdtemp(prefix="probe_idxR_")
+    t0 = time.time()
+    materialize_band_index(docs1.where(F.col("doc_id") % 2 == 0), "text", "doc_id", idx1)
+    m1 = round(time.time() - t0, 3)
+    t0 = time.time()
+    materialize_band_index(docsR.where(F.col("doc_id") % 2 == 0), "text", "doc_id", idxR)
+    mR = round(time.time() - t0, 3)
+    print(json.dumps({"op": "materialize_band_index", "t_1x": m1, f"t_{r}x": mR}), flush=True)
+
+    def _dedup_against_idx(d, idx):
+        new = d.where(F.col("doc_id") % 2 == 1)
+        return dedup_against_indexed(
+            spark, new, idx, "text", "doc_id", threshold=0.7, max_bucket=cap
+        ).count()
+
+    ops["dedup_against_indexed"] = (
+        lambda: _dedup_against_idx(docs1, idx1),
+        lambda: _dedup_against_idx(docsR, idxR),
+    )
+
+    # --- round-8 probes (VERDICT r7 #8) ---
+    from gluestick_spark.llm.web import cap_per_domain
+    from gluestick_spark.operators.cohorts import retention_matrix
+    from gluestick_spark.operators.profile import correlation_matrix
+
+    # cohort retention over the replica flood: disjoint per-replica users
+    # → more cohort members, same date span; output is (dates × offsets)-
+    # bounded, so time should be ~linear in events and us/row will GROW
+    # with r (fixed output rows) — read t, not us/row, for this one.
+    def _retention(ev):
+        return retention_matrix(ev, "user_id", "ts", grain="week").count()
+
+    ops["retention_matrix"] = (lambda: _retention(ev1), lambda: _retention(evR))
+    event_family.add("retention_matrix")
+
+    # per-domain capping under the flood: replicas multiply docs per
+    # domain (domain cardinality fixed at source×7), so the keyed-window
+    # shuffle sees exactly the skew the cap removes; output is capped
+    # (≤ 40/domain) — time should track the scan, not the skew.
+    def _cap(d):
+        u = F.concat(
+            F.lit("https://www."), F.col("source"),
+            (F.col("doc_id") % 7).cast("string"), F.lit(".example.com/x"),
+        )
+        return cap_per_domain(
+            d.select("doc_id", u.alias("url")), "url", "doc_id", max_per_domain=40
+        ).count()
+
+    ops["cap_per_domain"] = (lambda: _cap(docs1), lambda: _cap(docsR))
+
+    # correlation matrix at p=8 and p=32 (C(p,2) covariance terms grow
+    # quadratically in WIDTH): both must stay one-scan/one-aggregate and
+    # codegen-safe; rows scale with r so the exponent reads row-linearity.
+    def _corr(n_rows, p):
+        base = spark.range(n_rows)
+        cols = [
+            (F.pmod(F.xxhash64(F.col("id") + F.lit(i)), F.lit(10_000)) / 100.0).alias(f"c{i}")
+            for i in range(p)
+        ]
+        return correlation_matrix(base.select(*cols), [f"c{i}" for i in range(p)]).count()
+
+    corr_n = 200_000
+    ops["corr_matrix_p8"] = (
+        lambda: _corr(corr_n, 8),
+        lambda: _corr(corr_n * r, 8),
+    )
+    ops["corr_matrix_p32"] = (
+        lambda: _corr(corr_n, 32),
+        lambda: _corr(corr_n * r, 32),
+    )
+
     import math
 
     summary = {}
