@@ -1538,6 +1538,56 @@ FROM rendered
 """
 
 
+def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (operators/funnels.py): view → click → purchase,
+    chained strict-order earliest completion inside a 7-day window
+    anchored at the user's first view. One keyed shuffle (sorted struct
+    array + Catalyst aggregate state machine — no per-step self-joins);
+    oracle is the k-chained-min CTE formulation, which the greedy scan
+    provably equals."""
+    from gluestick_spark.functions.datetimes import as_timestamp
+    from gluestick_spark.operators.funnels import funnel_counts
+
+    e = _t(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id", "event_type",
+        as_timestamp(e, "ts").cast("timestamp").alias("ts"),
+    )
+    return funnel_counts(
+        ev, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], within_seconds=7 * 86400,
+    )
+
+
+_Q_FUNNEL_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_type FROM events WHERE ts IS NOT NULL
+),
+s0 AS (
+  SELECT user_id, min(ts) AS t0 FROM e WHERE event_type = 'view' GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM e JOIN s0 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s0.t0
+    AND e.ts <= s0.t0 + INTERVAL 7 DAY
+  GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM e JOIN s1 USING (user_id) JOIN s0 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+    AND e.ts <= s0.t0 + INTERVAL 7 DAY
+  GROUP BY e.user_id
+)
+SELECT 0::BIGINT AS step_index, 'view' AS step, count(*)::BIGINT AS n_users FROM s0
+UNION ALL
+SELECT 1::BIGINT, 'click', count(*)::BIGINT FROM s1
+UNION ALL
+SELECT 2::BIGINT, 'purchase', count(*)::BIGINT FROM s2
+"""
+
+
 def q_event_asof_open(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (union + keyed window, single shuffle — operators/asof.py)
     checked against DuckDB's NATIVE ``ASOF LEFT JOIN``: each event picks up
@@ -4471,9 +4521,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remain locally oracle-checked via tools/check_correctness.py.
     return {
         # ---- correctness window: first 50 = driver-checked (r8 rotation:
-        # 2 new round-8 queries + the 48 oldest-evidence r04-era rows) ----
+        # 3 new round-8 queries + the 47 oldest-evidence r04-era rows) ----
         "dedup_against_indexed": q_dedup_against_indexed,
         "bpe_encode": q_bpe_encode,
+        "funnel_counts": q_funnel_counts,
         "explode_json_to_cols": q_explode_json_to_cols,
         "catalog_coercion": q_catalog_coercion,
         "map_fields": q_map_fields,
@@ -4521,8 +4572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "minhash_dedup": q_minhash_dedup,
         "simhash_near_dups": q_simhash_near_dups,
-        "embedding_near_dups": q_embedding_near_dups,
         # ---- tail: rows with recent (r6/r7) driver evidence ----
+        "embedding_near_dups": q_embedding_near_dups,
         "table_stats": q_table_stats,
         "hive_partition_roundtrip": q_hive_partition_roundtrip,
         "streaming_cdc": q_streaming_cdc,
@@ -4612,9 +4663,10 @@ def oracle_sql() -> dict[str, str]:
     # (stream-then-batch == batch-over-union).
     return {
         # ---- correctness window: first 50 = driver-checked (r8 rotation:
-        # 2 new round-8 queries + the 48 oldest-evidence r04-era rows) ----
+        # 3 new round-8 queries + the 47 oldest-evidence r04-era rows) ----
         "dedup_against_indexed": _Q_DEDUP_AGAINST_SQL,
         "bpe_encode": _Q_BPE_ENCODE_SQL,
+        "funnel_counts": _Q_FUNNEL_SQL,
         "explode_json_to_cols": _Q_EXPLODE_COLS_SQL,
         "catalog_coercion": _Q_CATALOG_COERCION_SQL,
         "map_fields": _Q_MAP_FIELDS_SQL,
@@ -4662,8 +4714,8 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": _Q_PRICING_SQL,
         "minhash_dedup": _Q_MINHASH_DEDUP_SQL,
         "simhash_near_dups": _Q_SIMHASH_SQL,
-        "embedding_near_dups": _embedding_near_dups_sql(),
         # ---- tail: rows with recent (r6/r7) driver evidence ----
+        "embedding_near_dups": _embedding_near_dups_sql(),
         "table_stats": _table_stats_sql(),
         "hive_partition_roundtrip": _Q_HIVE_PART_SQL,
         "streaming_cdc": _Q_STREAMING_CDC_SQL,

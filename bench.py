@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "dedup_against_ref",
     "dedup_against_indexed",
     "bpe_encode",
+    "funnel_counts",
 ]
 
 

@@ -111,10 +111,12 @@ from .operators.gapfill import fill_gaps
 from .operators.sessions import sessionize_batch, suppress_duplicates
 from .operators.anomaly import rolling_zscore
 from .operators.cohorts import retention_matrix
+from .operators.funnels import funnel_counts, funnel_times
 from .operators.versioned import (
     write_versioned,
     read_versioned,
     list_versions,
+    published_versions,
     latest_version,
     vacuum_versions,
 )
@@ -133,6 +135,9 @@ from .llm.dedup import (
     minhash_dedup,
     cross_corpus_near_dup_pairs,
     dedup_against,
+    materialize_band_index,
+    dedup_against_indexed,
+    cross_corpus_near_dup_pairs_indexed,
     simhash_near_dups,
     embedding_near_dups,
     connected_components,
@@ -175,6 +180,7 @@ from .llm.web import (
     parse_url_expr,
     host_expr,
     registered_domain_expr,
+    with_registered_domain,
     domain_stats,
     cap_per_domain,
 )

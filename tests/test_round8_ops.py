@@ -293,3 +293,76 @@ def test_band_index_append_and_geometry_guard(spark, tmp_dir):
     # geometry drift is refused, never silently compared
     with pytest.raises(ValueError, match="geometry mismatch"):
         materialize_band_index(ref2, "text", "doc_id", idx, num_perm=32, mode="append")
+
+
+# --------------------------------------------------- funnel analysis ------
+
+
+def test_funnel_strict_order_and_window(spark):
+    from datetime import datetime
+
+    from gluestick_spark.operators.funnels import funnel_counts, funnel_times
+
+    T = datetime
+    rows = [
+        # u1 completes in order
+        (1, T(2024, 1, 1, 10), "A"), (1, T(2024, 1, 1, 11), "B"),
+        (1, T(2024, 1, 1, 12), "C"),
+        # u2: B before A -> only A counts (strict order)
+        (2, T(2024, 1, 1, 9), "B"), (2, T(2024, 1, 1, 10), "A"),
+        # u3: tie timestamps never chain
+        (3, T(2024, 1, 1, 10), "A"), (3, T(2024, 1, 1, 10), "B"),
+        # u4: B outside the 2-hour window anchored at first A
+        (4, T(2024, 1, 1, 10), "A"), (4, T(2024, 1, 1, 13), "B"),
+        # u5: B after the SECOND A, within (t0, t0+2h] of the FIRST -> counts
+        (5, T(2024, 1, 1, 10), "A"), (5, T(2024, 1, 1, 10, 20), "A"),
+        (5, T(2024, 1, 1, 10, 30), "B"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, ev string")
+    got = {
+        r.step: r.n_users
+        for r in funnel_counts(
+            df, "u", "ts", "ev", ["A", "B", "C"], within_seconds=7200
+        ).collect()
+    }
+    assert got == {"A": 5, "B": 2, "C": 1}
+
+    t = {r.u: (r.t_0, r.t_1, r.t_2) for r in funnel_times(
+        df, "u", "ts", "ev", ["A", "B", "C"], within_seconds=7200
+    ).collect()}
+    assert t[1] == (T(2024, 1, 1, 10), T(2024, 1, 1, 11), T(2024, 1, 1, 12))
+    assert t[2][0] is not None and t[2][1] is None
+    assert t[3][1] is None            # tie does not chain
+    assert t[4][1] is None            # outside window
+    assert t[5][1] == T(2024, 1, 1, 10, 30)  # anchored at EARLIEST A
+
+
+def test_funnel_counts_non_increasing_and_one_shuffle(spark):
+    from gluestick_spark.functions.datetimes import as_timestamp
+    from gluestick_spark.operators.funnels import funnel_counts, funnel_times
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev = e.select(
+        "user_id", "event_type", as_timestamp(e, "ts").cast("timestamp").alias("ts")
+    )
+    out = funnel_counts(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+    rows = sorted((r.step_index, r.n_users) for r in out.collect())
+    counts = [n for _, n in rows]
+    assert counts == sorted(counts, reverse=True) and counts[0] > 0
+    # plan shape: exactly one keyed exchange, no window, no Python
+    plan = funnel_times(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_funnel_rejects_bad_steps(spark):
+    from gluestick_spark.operators.funnels import funnel_counts
+
+    df = spark.createDataFrame([(1, None, "A")], "u long, ts timestamp, ev string")
+    with pytest.raises(ValueError, match=">= 2 steps"):
+        funnel_counts(df, "u", "ts", "ev", ["A"])
+    with pytest.raises(ValueError, match="distinct"):
+        funnel_counts(df, "u", "ts", "ev", ["A", "A"])
