@@ -1588,6 +1588,41 @@ SELECT 2::BIGINT, 'purchase', count(*)::BIGINT FROM s2
 """
 
 
+def q_resample_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-ratio class resampling (llm/sampling.py:resample_to_ratio):
+    sources src0:src1:src2 at weights 5:3:2, max achievable volume, seeded
+    hash-rank membership. Integer arithmetic end-to-end, so the oracle
+    reproduces the exact member set."""
+    from gluestick_spark.llm.sampling import resample_to_ratio
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return resample_to_ratio(
+        d, "doc_id", "source", {"src0": 5, "src1": 3, "src2": 2}
+    ).select("doc_id", "source")
+
+
+_Q_RESAMPLE_RATIO_SQL = """
+WITH w(source, wt) AS (VALUES ('src0', 5), ('src1', 3), ('src2', 2)),
+n AS (
+  SELECT d.source, count(*) AS n
+  FROM documents d JOIN w ON d.source = w.source
+  GROUP BY d.source
+),
+u AS (SELECT min(n // wt) AS u FROM n JOIN w ON n.source = w.source),
+k AS (SELECT w.source, u.u * w.wt AS k FROM w, u),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31)), 1, 15) AS UBIGINT),
+                    doc_id
+         ) AS rn
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+)
+SELECT doc_id, source FROM r JOIN k USING (source) WHERE rn <= k
+"""
+
+
 def q_event_asof_open(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (union + keyed window, single shuffle — operators/asof.py)
     checked against DuckDB's NATIVE ``ASOF LEFT JOIN``: each event picks up
@@ -4521,10 +4556,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remain locally oracle-checked via tools/check_correctness.py.
     return {
         # ---- correctness window: first 50 = driver-checked (r8 rotation:
-        # 3 new round-8 queries + the 47 oldest-evidence r04-era rows) ----
+        # 4 new round-8 queries + the 46 oldest-evidence r04-era rows) ----
         "dedup_against_indexed": q_dedup_against_indexed,
         "bpe_encode": q_bpe_encode,
         "funnel_counts": q_funnel_counts,
+        "resample_ratio": q_resample_ratio,
         "explode_json_to_cols": q_explode_json_to_cols,
         "catalog_coercion": q_catalog_coercion,
         "map_fields": q_map_fields,
@@ -4571,8 +4607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": q_promo_revenue,
         "pricing_summary": q_pricing_summary,
         "minhash_dedup": q_minhash_dedup,
-        "simhash_near_dups": q_simhash_near_dups,
         # ---- tail: rows with recent (r6/r7) driver evidence ----
+        "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
         "table_stats": q_table_stats,
         "hive_partition_roundtrip": q_hive_partition_roundtrip,
@@ -4663,10 +4699,11 @@ def oracle_sql() -> dict[str, str]:
     # (stream-then-batch == batch-over-union).
     return {
         # ---- correctness window: first 50 = driver-checked (r8 rotation:
-        # 3 new round-8 queries + the 47 oldest-evidence r04-era rows) ----
+        # 4 new round-8 queries + the 46 oldest-evidence r04-era rows) ----
         "dedup_against_indexed": _Q_DEDUP_AGAINST_SQL,
         "bpe_encode": _Q_BPE_ENCODE_SQL,
         "funnel_counts": _Q_FUNNEL_SQL,
+        "resample_ratio": _Q_RESAMPLE_RATIO_SQL,
         "explode_json_to_cols": _Q_EXPLODE_COLS_SQL,
         "catalog_coercion": _Q_CATALOG_COERCION_SQL,
         "map_fields": _Q_MAP_FIELDS_SQL,
@@ -4713,8 +4750,8 @@ def oracle_sql() -> dict[str, str]:
         "promo_revenue": _Q_PROMO_SQL,
         "pricing_summary": _Q_PRICING_SQL,
         "minhash_dedup": _Q_MINHASH_DEDUP_SQL,
-        "simhash_near_dups": _Q_SIMHASH_SQL,
         # ---- tail: rows with recent (r6/r7) driver evidence ----
+        "simhash_near_dups": _Q_SIMHASH_SQL,
         "embedding_near_dups": _embedding_near_dups_sql(),
         "table_stats": _table_stats_sql(),
         "hive_partition_roundtrip": _Q_HIVE_PART_SQL,

@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "dedup_against_indexed",
     "bpe_encode",
     "funnel_counts",
+    "resample_ratio",
 ]
 
 

@@ -171,6 +171,7 @@ from .llm.sampling import (
     hash_split,
     stratified_sample,
     balance_classes,
+    resample_to_ratio,
     mix_corpora,
     negative_pairs,
     shuffle_write,

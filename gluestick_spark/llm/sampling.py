@@ -29,6 +29,7 @@ __all__ = [
     "balance_classes",
     "mix_corpora",
     "negative_pairs",
+    "resample_to_ratio",
     "shuffle_write",
     "stratified_sample",
 ]
@@ -204,6 +205,59 @@ def balance_classes(
         if n_per_class is None:
             raise ValueError("balance_classes on an empty frame")
     return stratified_sample(df, key_col, [label_col], int(n_per_class), seed)
+
+
+def resample_to_ratio(
+    df: DataFrame,
+    key_col: str,
+    class_col: str,
+    weights: dict[str, int],
+    seed: str = "",
+) -> DataFrame:
+    """Downsample classes so output counts follow integer ``weights``
+    EXACTLY at the maximum achievable volume — the mixing-recipe step
+    ("web:code:math = 5:3:2") that :func:`balance_classes` (uniform
+    target) and rate-based :func:`mix_corpora` (approximate, per-source
+    rates chosen by hand) can't give. With ``u = min_c ⌊n_c / w_c⌋``,
+    class ``c`` keeps exactly ``u·w_c`` rows — the seeded-hash-rank
+    smallest, so membership is a pure function of (key, seed):
+    reproducible across runs, engines, and partitionings. Classes absent
+    from ``weights`` are dropped. Integer arithmetic throughout — no
+    float boundary can flip a membership cross-engine.
+
+    Plan: one tiny class-count aggregate → broadcast of the k_c row per
+    class → ONE keyed window shuffle (rank within class). The count
+    aggregate is map-side combined; nothing driver-side."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for c, w in weights.items():
+        if not isinstance(w, int) or w < 1:
+            raise ValueError(f"weights must be positive ints, got {w!r} for {c!r}")
+    from pyspark.sql.window import Window
+
+    wmap = F.create_map(*[x for c, w in weights.items() for x in (F.lit(c), F.lit(w))])
+    tagged = df.where(F.col(class_col).isin(list(weights)))
+    counts = tagged.groupBy(class_col).agg(F.count(F.lit(1)).alias("__n__"))
+    unit = counts.select(
+        F.min(F.floor(F.col("__n__") / F.element_at(wmap, F.col(class_col))))
+        .cast("long")
+        .alias("__u__")
+    )
+    caps = (
+        counts.crossJoin(F.broadcast(unit))
+        .select(
+            class_col,
+            (F.col("__u__") * F.element_at(wmap, F.col(class_col))).alias("__k__"),
+        )
+    )
+    h = _keyed_hash(F.col(key_col), seed)
+    w = Window.partitionBy(class_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        tagged.join(F.broadcast(caps), class_col)
+        .withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") <= F.col("__k__"))
+        .drop("__rn__", "__k__")
+    )
 
 
 def shuffle_write(

@@ -366,3 +366,49 @@ def test_funnel_rejects_bad_steps(spark):
         funnel_counts(df, "u", "ts", "ev", ["A"])
     with pytest.raises(ValueError, match="distinct"):
         funnel_counts(df, "u", "ts", "ev", ["A", "A"])
+
+
+# ------------------------------------------- exact-ratio resampling -------
+
+
+def test_resample_to_ratio_exact_counts(spark):
+    from gluestick_spark.llm.sampling import resample_to_ratio
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source"
+    )
+    out = resample_to_ratio(d, "doc_id", "source", {"src0": 3, "src1": 1})
+    counts = {r.source: r.n for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # exact 3:1 at max volume; classes outside the weights dropped
+    assert set(counts) == {"src0", "src1"}
+    assert counts["src0"] == 3 * counts["src1"] and counts["src1"] > 0
+    # deterministic + partition-invariant membership
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in resample_to_ratio(
+            d.repartition(7), "doc_id", "source", {"src0": 3, "src1": 1}
+        ).collect()
+    )
+    assert a == b
+    # different seed -> different draw (same counts)
+    c = sorted(
+        r.doc_id
+        for r in resample_to_ratio(
+            d, "doc_id", "source", {"src0": 3, "src1": 1}, seed="s2"
+        ).collect()
+    )
+    assert c != a and len(c) == len(a)
+
+
+def test_resample_to_ratio_rejects_bad_weights(spark):
+    from gluestick_spark.llm.sampling import resample_to_ratio
+
+    d = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="non-empty"):
+        resample_to_ratio(d, "doc_id", "source", {})
+    with pytest.raises(ValueError, match="positive ints"):
+        resample_to_ratio(d, "doc_id", "source", {"a": 0})
+    with pytest.raises(ValueError, match="positive ints"):
+        resample_to_ratio(d, "doc_id", "source", {"a": 1.5})
