@@ -209,6 +209,17 @@ class Reader:
         df = self.spark.read.parquet(path)
         return self._coerce(stream, df) if catalog_types else df
 
+    def read_parquet_with_chunks(self, filepath: str, chunksize: int):
+        """Reference-name generator (reader.py:41-47): driver-side pandas
+        batches of ``chunksize`` rows. Spark-native callers should use the
+        lazy DataFrame instead — Spark execution is already partition-
+        streamed and distributed; this alias serves reference scripts that
+        literally iterate pandas chunks on the driver."""
+        import pyarrow.parquet as pq
+
+        for batch in pq.ParquetFile(filepath).iter_batches(batch_size=chunksize):
+            yield batch.to_pandas()
+
     def _coerce(self, stream: str, df: DataFrame) -> DataFrame:
         target = self.stream_schema(stream, headers=df.columns)
         if target is not None:

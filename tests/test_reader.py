@@ -341,3 +341,14 @@ def test_reader_alias_get_csv_get_parquet(spark, tmp_dir):
 
     with pytest.raises(FileNotFoundError):
         r.get_csv("missing_stream")
+
+
+def test_reader_alias_read_parquet_with_chunks(spark, tmp_dir):
+    """Reference-name generator alias (reader.py:41-47): driver-side
+    pandas batches; the last name in the AST public-name diff."""
+    root = _setup_dir(tmp_dir)
+    r = Reader(spark, root_dir=root)
+    path = r.input_files["invoices"]
+    chunks = list(r.read_parquet_with_chunks(path, chunksize=1))
+    assert len(chunks) == 2 and all(len(c) == 1 for c in chunks)
+    assert list(chunks[0].columns)[:2] == ["order_id", "amount"]
