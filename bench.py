@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "bpe_encode",
     "funnel_counts",
     "resample_ratio",
+    "kmeans_clusters",
+    "semdedup_keep",
 ]
 
 

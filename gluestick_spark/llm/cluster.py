@@ -1,0 +1,244 @@
+"""Embedding clustering (Lloyd's k-means) and SemDeDup-style semantic
+deduplication — deterministic, exactly replayable across engines.
+
+Beyond-reference LLM-pipeline operators (the reference at
+/root/reference/gluestick is a pandas ETL toolkit with no vector ops):
+a 100 TB training-data pipeline clusters its embedding space both to
+prune semantic duplicates (SemDeDup, Abbas et al. 2023: cluster with
+k-means, then drop all-but-one of each within-cluster near-duplicate
+group) and to train ANN index geometry (our IVF index in
+``llm/similarity.py`` is the consumer of these centroids).
+
+Determinism contract (the honest-oracle device, same spirit as the
+grid-snapped quantile edges in ``operators/features.py``):
+
+* Vectors are **quantized to integers** first: ``q_i = floor(x_i *
+  scale + 0.5)`` (default scale 1000 — three decimals). All distance
+  and cosine decisions are then **exact 64-bit integer arithmetic**;
+  the only floating-point steps are IEEE-754 double divisions of
+  exactly-representable integers, which every engine rounds
+  identically. A DuckDB oracle can therefore replay the FULL Lloyd
+  iteration — including every boundary assignment — bit-for-bit.
+* Centroids are kept as **(sum-vector, count)** integer pairs, never
+  divided into float means. Squared distance to centroid c is
+  ``d_c = (n_c² · x·x − 2 n_c · x·s_c + s_c·s_c) / n_c²`` — the
+  numerator is exact int64; ties broken by smallest cluster id.
+* Seeds are the ``k`` rows with the smallest portable 60-bit md5 hash
+  of the id (``llm/sketch.py:kmv_hash_expr``) — deterministic and
+  partition-invariant, no RNG.
+
+Exactness bounds (documented, not checked per-row): with ``scale``
+S and dimension d, int64 stays exact while ``|x_i| ≤ 2`` at S=1000,
+d ≤ 512, n ≤ 10⁶ — far beyond unit-norm embeddings. The numerator
+bound (< 2^53) also keeps the double conversion exact.
+
+Scale posture (100 TB): the classic MLlib shape — points are
+quantized once and persisted; each iteration is ONE map-side-combined
+aggregate (k·(d+1) output values collected to the driver, the
+iterative-algorithm state, like any MLlib driver loop) and the
+assignment is a pure narrow map against centroid LITERALS (no join, no
+shuffle, no crossJoin row expansion). SemDeDup's pairwise stage is
+blocked by cluster id — cost ∝ Σ_c |c|², the point of clustering
+first; pick k ∝ N/target_cluster_size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gluestick_spark.llm.sketch import kmv_hash_expr
+
+__all__ = [
+    "quantize_vec_expr",
+    "int_dot_expr",
+    "kmeans",
+    "semdedup",
+]
+
+
+def quantize_vec_expr(col: Column, scale: int = 1000) -> Column:
+    """``array<long>`` quantization: q_i = floor(x_i·scale + 0.5).
+
+    floor(+0.5) instead of round() because engines disagree on
+    banker's-vs-half-up rounding; floor is floor everywhere.
+    """
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * F.lit(float(scale)) + F.lit(0.5))
+    )
+
+
+def int_dot_expr(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two ``array<long>`` columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign_expr(cents: list[tuple[list[int], int]]) -> Column:
+    """argmin-distance expression against centroid literals.
+
+    Builds ``array_min`` over k (d, cid) structs — struct comparison is
+    lexicographic, so exact distance ties break to the smallest cluster
+    id. Pure narrow map: no join, no shuffle.
+    """
+    structs = []
+    for cid, (s, n) in enumerate(cents):
+        s_arr = F.array(*[F.lit(int(v)).cast("long") for v in s])
+        xs = int_dot_expr(F.col("__q__"), s_arr)
+        ss = int(sum(v * v for v in s))
+        num = (
+            F.lit(int(n * n)).cast("long") * F.col("__xx__")
+            - F.lit(int(2 * n)).cast("long") * xs
+            + F.lit(ss).cast("long")
+        )
+        d = num.cast("double") / F.lit(float(n * n))
+        structs.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
+    return F.array_min(F.array(*structs))["cid"]
+
+
+def _prepare(df: DataFrame, vec_col: str, id_col: str, scale: int) -> DataFrame:
+    q = quantize_vec_expr(F.col(vec_col), scale)
+    return df.select(
+        F.col(id_col).alias("__id__"),
+        q.alias("__q__"),
+    ).withColumn("__xx__", int_dot_expr(F.col("__q__"), F.col("__q__")))
+
+
+def kmeans(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1000,
+    return_state: bool = False,
+):
+    """Lloyd's k-means over an embedding column; returns (id, ``cid``).
+
+    ``iters`` = number of centroid-update steps; the returned assignment
+    is computed against the final centroids (so the points are assigned
+    ``iters + 1`` times in total). Empty clusters keep their previous
+    (sum, count) state. With ``return_state=True`` also returns the
+    centroid state ``[(sum_vector, count), ...]`` indexed by cid.
+
+    Each iteration runs ONE Spark job: a map-side-combined
+    ``groupBy(cid)`` aggregate producing k rows of (count, d column
+    sums) — the k·(d+1) integers collected per step are the driver-side
+    algorithm state (MLlib pattern), not a data collect.
+    """
+    if k < 1 or iters < 0:
+        raise ValueError("k >= 1 and iters >= 0 required")
+    pts = _prepare(df, vec_col, id_col, scale).persist()
+    try:
+        seed_rows = (
+            pts.withColumn("__h__", kmv_hash_expr(F.col("__id__")))
+            .orderBy("__h__", "__id__")
+            .limit(k)
+            .collect()
+        )
+        if not seed_rows:
+            out = pts.select(
+                F.col("__id__").alias(id_col), F.lit(0).alias("cid")
+            ).where(F.lit(False))
+            return (out, []) if return_state else out
+        cents = [(list(r["__q__"]), 1) for r in seed_rows]
+        dim = len(cents[0][0])
+
+        for _ in range(iters):
+            assigned = pts.withColumn("cid", _assign_expr(cents))
+            agg = [F.count("*").alias("__n__")] + [
+                F.sum(F.element_at("__q__", i + 1)).alias(f"__s{i}__")
+                for i in range(dim)
+            ]
+            rows = assigned.groupBy("cid").agg(*agg).collect()
+            state = {
+                int(r["cid"]): (
+                    [int(r[f"__s{i}__"]) for i in range(dim)],
+                    int(r["__n__"]),
+                )
+                for r in rows
+            }
+            cents = [state.get(c, cents[c]) for c in range(len(cents))]
+
+        out = pts.select(
+            F.col("__id__").alias(id_col), _assign_expr(cents).alias("cid")
+        )
+        return (out, cents) if return_state else out
+    finally:
+        # lazy unpersist: blocking=False keeps the returned plan usable
+        pts.unpersist(False)
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1000,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """SemDeDup: k-means-blocked semantic near-duplicate pruning.
+
+    Returns (id, ``cid``, ``keep`` boolean). A row is dropped when an
+    earlier id (smallest-id leader rule — the deterministic variant of
+    the paper's keep-one-per-group) in the SAME cluster has quantized
+    cosine > ``threshold``:
+
+        dot(q_a, q_b) > 0  AND  den·dot² > num·(q_a·q_a)(q_b·q_b)
+
+    where num/den is threshold² as an exact rational (threshold read at
+    2-decimal precision), so the decision is pure int64 arithmetic —
+    no float cosine anywhere. Pairwise work is blocked by cluster id:
+    cost ∝ Σ_c |c|², never N².
+    """
+    from math import gcd
+
+    t = round(threshold * 100)
+    if not 0 <= t <= 100:
+        raise ValueError("threshold must be in [0, 1]")
+    num, den = t * t, 100 * 100
+    g = gcd(num, den) or 1
+    num, den = num // g, den // g
+
+    assign = kmeans(df, vec_col, id_col, k=k, iters=iters, scale=scale)
+    pts = _prepare(df, vec_col, id_col, scale).join(
+        assign.select(F.col(id_col).alias("__id__"), "cid"), "__id__"
+    )
+    a = pts.select(
+        F.col("__id__").alias("__ida__"),
+        F.col("__q__").alias("__qa__"),
+        F.col("__xx__").alias("__xxa__"),
+        "cid",
+    )
+    b = pts.select(
+        F.col("__id__").alias("__idb__"),
+        F.col("__q__").alias("__qb__"),
+        F.col("__xx__").alias("__xxb__"),
+        "cid",
+    )
+    dot = int_dot_expr(F.col("__qa__"), F.col("__qb__"))
+    dropped = (
+        a.join(b, ["cid"])
+        .where(F.col("__ida__") < F.col("__idb__"))
+        .where(dot > 0)
+        .where(
+            F.lit(den).cast("long") * dot * dot
+            > F.lit(num).cast("long") * F.col("__xxa__") * F.col("__xxb__")
+        )
+        .select(F.col("__idb__").alias("__id__"))
+        .distinct()
+        .withColumn("__dropped__", F.lit(True))
+    )
+    return (
+        assign.withColumnRenamed(id_col, "__id__")
+        .join(dropped, "__id__", "left")
+        .select(
+            F.col("__id__").alias(id_col),
+            "cid",
+            F.coalesce(~F.col("__dropped__"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -1,0 +1,147 @@
+"""llm/cluster.py — deterministic k-means + SemDeDup unit tests.
+
+Beyond-reference operators (the pandas reference has no vector ops);
+the determinism contract (integer quantization, exact int64 distance
+algebra, hash-seeded init) is what makes the DuckDB oracle in
+__spark_entry__.py able to replay the full Lloyd iteration bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gluestick_spark.llm.cluster import (
+    int_dot_expr,
+    kmeans,
+    quantize_vec_expr,
+    semdedup,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "id long, v array<double>")
+
+
+def test_quantize_floor_half_up(spark):
+    df = _vecs(spark, [(1, [0.0014, -0.0015, 1.9996])])
+    got = df.select(quantize_vec_expr(F.col("v")).alias("q")).first()["q"]
+    # floor(x*1000 + 0.5): 1.9 -> 1, -1.0 -> -1 (floor, not trunc), 2000.1 -> 2000
+    assert got == [1, -1, 2000]
+
+
+def test_int_dot_exact(spark):
+    df = spark.createDataFrame(
+        [(1, [3, -2, 1000000], [4, 5, 1000000])], "id long, a array<long>, b array<long>"
+    )
+    got = df.select(int_dot_expr(F.col("a"), F.col("b")).alias("d")).first()["d"]
+    assert got == 3 * 4 - 2 * 5 + 1000000 * 1000000
+
+
+def test_kmeans_partition_invariance(spark):
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = kmeans(e, "embedding", "vec_id", k=4, iters=1)
+    b = kmeans(e.repartition(7, "label"), "embedding", "vec_id", k=4, iters=1)
+    rows_a = sorted((r["vec_id"], r["cid"]) for r in a.collect())
+    rows_b = sorted((r["vec_id"], r["cid"]) for r in b.collect())
+    assert rows_a == rows_b
+    assert len(rows_a) == e.count()
+
+
+def test_kmeans_k_ge_n(spark):
+    # k larger than the row count: every row seeds its own cluster and
+    # (with 0 iters) each point is its own nearest centroid.
+    df = _vecs(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])])
+    out = kmeans(df, "v", "id", k=10, iters=0)
+    got = {r["id"]: r["cid"] for r in out.collect()}
+    assert len(got) == 3 and len(set(got.values())) == 3
+
+
+def test_kmeans_empty_input(spark):
+    df = _vecs(spark, []).where(F.lit(False))
+    out = kmeans(df, "v", "id", k=3, iters=1)
+    assert out.count() == 0
+    assert out.columns == ["id", "cid"]
+
+
+def test_kmeans_tie_breaks_to_smallest_cid(spark):
+    # Point [0,0] is exactly equidistant from the two seeds; the struct
+    # array_min tie-break must pick the smaller cluster id.
+    df = _vecs(spark, [(1, [1.0, 0.0]), (2, [-1.0, 0.0]), (3, [0.0, 0.0])])
+    out, state = kmeans(df, "v", "id", k=2, iters=0, return_state=True)
+    got = {r["id"]: r["cid"] for r in out.collect()}
+    assert got[3] == 0
+    assert len(state) == 2 and all(n == 1 for _, n in state)
+
+
+def test_kmeans_empty_cluster_keeps_state(spark):
+    # All points identical: after one update, one cluster holds everything
+    # and the other keeps its seed state instead of dividing by zero.
+    df = _vecs(spark, [(i, [1.0, 1.0]) for i in range(1, 6)])
+    out, state = kmeans(df, "v", "id", k=2, iters=1, return_state=True)
+    assert out.count() == 5
+    counts = sorted(n for _, n in state)
+    assert counts == [1, 5]  # untouched seed keeps n=1
+
+
+def test_kmeans_validates_args(spark):
+    df = _vecs(spark, [(1, [1.0])])
+    with pytest.raises(ValueError):
+        kmeans(df, "v", "id", k=0)
+    with pytest.raises(ValueError):
+        kmeans(df, "v", "id", k=1, iters=-1)
+
+
+def test_kmeans_assignment_plan_is_narrow(spark):
+    # The returned assignment is a pure map over the persisted points —
+    # no join/exchange (the 100 TB contract: k·(d+1) ints of driver state,
+    # never a shuffle per assignment).
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = kmeans(e, "embedding", "vec_id", k=4, iters=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_semdedup_known_geometry(spark):
+    # id=2 is a near-duplicate of id=1 (cos ~ 1); id=3 orthogonal, id=4
+    # antipodal. k=1 -> single cluster, pure pairwise semantics.
+    df = _vecs(
+        spark,
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.999, 0.01]),
+            (3, [0.0, 1.0]),
+            (4, [-1.0, 0.0]),
+        ],
+    )
+    out = semdedup(df, "v", "id", k=1, iters=1, threshold=0.9)
+    keep = {r["id"]: r["keep"] for r in out.collect()}
+    assert keep == {1: True, 2: False, 3: True, 4: True}
+
+
+def test_semdedup_leader_is_smallest_id(spark):
+    # Three mutual near-dups: only the smallest id survives.
+    df = _vecs(
+        spark,
+        [(7, [1.0, 0.0]), (9, [0.998, 0.002]), (5, [0.997, 0.001]), (2, [0.0, 1.0])],
+    )
+    out = semdedup(df, "v", "id", k=1, iters=1, threshold=0.9)
+    keep = {r["id"]: r["keep"] for r in out.collect()}
+    assert keep == {5: True, 7: False, 9: False, 2: True}
+
+
+def test_semdedup_threshold_validated(spark):
+    df = _vecs(spark, [(1, [1.0])])
+    with pytest.raises(ValueError):
+        semdedup(df, "v", "id", threshold=1.5)
+
+
+def test_semdedup_negative_cosine_never_drops(spark):
+    # dot <= 0 short-circuits: antipodal vectors are NOT near-dups even
+    # at threshold 0 (cos must be strictly positive to drop).
+    df = _vecs(spark, [(1, [1.0, 0.0]), (2, [-1.0, 0.0])])
+    out = semdedup(df, "v", "id", k=1, iters=0, threshold=0.0)
+    assert all(r["keep"] for r in out.collect())
