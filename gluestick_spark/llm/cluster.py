@@ -27,19 +27,37 @@ grid-snapped quantile edges in ``operators/features.py``):
   of the id (``llm/sketch.py:kmv_hash_expr``) — deterministic and
   partition-invariant, no RNG.
 
-Exactness bounds (documented, not checked per-row): with ``scale``
-S and dimension d, int64 stays exact while ``|x_i| ≤ 2`` at S=1000,
-d ≤ 512, n ≤ 10⁶ — far beyond unit-norm embeddings. The numerator
-bound (< 2^53) also keeps the double conversion exact.
+Exactness bounds (documented, not checked per-row): with quantized
+magnitude Q = S·max|x_i| and per-cluster count n_c, the distance
+numerator is bounded by ``4·d·n_c²·Q²``, so int64 never overflows
+while ``n_c ≤ √(2⁶³ / (4·d·Q²))`` — about **1.9·10⁵ points per
+cluster** at d=64, S=1000, unit-norm inputs (pick k ∝ N/n_c to stay
+inside it; Spark runs ANSI mode and DuckDB both RAISE on int64
+overflow, so a violation is loud, never silent corruption). Beyond
+2⁵³ the int→double cast rounds, but both engines round the same
+int64 to the same IEEE double, so replay determinism holds all the
+way to the overflow bound. SemDeDup's pairwise products are bounded
+by Cauchy-Schwarz (``dot² ≤ xx_a·xx_b``), giving
+``den·Q⁴·r⁴ < 2⁶³`` with r = max vector norm — safe for ≈unit-norm
+embeddings at S=1000 (margin ~900×), loud overflow otherwise.
 
 Scale posture (100 TB): the classic MLlib shape — points are
 quantized once and persisted; each iteration is ONE map-side-combined
 aggregate (k·(d+1) output values collected to the driver, the
-iterative-algorithm state, like any MLlib driver loop) and the
-assignment is a pure narrow map against centroid LITERALS (no join, no
-shuffle, no crossJoin row expansion). SemDeDup's pairwise stage is
-blocked by cluster id — cost ∝ Σ_c |c|², the point of clustering
-first; pick k ∝ N/target_cluster_size.
+iterative-algorithm state, like any MLlib driver loop). Assignment
+has two physical strategies (``assign=`` / auto by k·d):
+
+* ``literal`` — a pure narrow map against centroid LITERALS (no
+  join, no shuffle). Ideal until the expression itself is the
+  bottleneck: codegen size grows O(k·d).
+* ``join`` — centroids as a **broadcast** DataFrame; the k-way
+  expansion is collapsed by partial aggregation (min_by struct)
+  before the single exchange, so shuffle volume stays N rows, never
+  N·k. The large-k path (IVF codebooks, SemDeDup at k ∝ N).
+
+SemDeDup's pairwise stage is blocked by cluster id — cost ∝
+Σ_c |c|², the point of clustering first; pick k ∝
+N/target_cluster_size.
 """
 
 from __future__ import annotations
@@ -107,6 +125,58 @@ def _prepare(df: DataFrame, vec_col: str, id_col: str, scale: int) -> DataFrame:
     ).withColumn("__xx__", int_dot_expr(F.col("__q__"), F.col("__q__")))
 
 
+# literal-assignment ceiling: past this many expression terms the codegen
+# cost of k structs × d literals outweighs one extra exchange
+_LITERAL_ASSIGN_MAX_TERMS = 4096
+
+
+def _assign_df(
+    pts: DataFrame, cents: list[tuple[list[int], int]], assign: str
+) -> DataFrame:
+    """pts + ``cid`` column under the chosen physical strategy.
+
+    ``join`` broadcasts the centroid table and collapses the k-way
+    expansion with a partial-aggregated ``min(struct(d, cid))`` — the
+    grouping keys include ``__q__``/``__xx__`` (functionally dependent
+    on ``__id__``) so the update aggregate still sees the vector without
+    a second join. Exactly one exchange of N rows; the argmin semantics
+    (struct lexicographic min → smallest distance, ties to smallest cid)
+    are identical to the literal expression.
+    """
+    if assign == "auto":
+        dim = len(cents[0][0]) if cents else 0
+        assign = (
+            "literal"
+            if len(cents) * max(dim, 1) <= _LITERAL_ASSIGN_MAX_TERMS
+            else "join"
+        )
+    if assign == "literal":
+        return pts.withColumn("cid", _assign_expr(cents))
+    if assign != "join":
+        raise ValueError("assign must be 'literal', 'join', or 'auto'")
+    spark = pts.sparkSession
+    cdf = spark.createDataFrame(
+        [
+            (cid, [int(v) for v in s], int(n), int(sum(v * v for v in s)))
+            for cid, (s, n) in enumerate(cents)
+        ],
+        "cid int, s array<long>, n long, ss long",
+    )
+    xs = int_dot_expr(F.col("__q__"), F.col("s"))
+    num = (
+        F.col("n") * F.col("n") * F.col("__xx__")
+        - F.lit(2).cast("long") * F.col("n") * xs
+        + F.col("ss")
+    )
+    d = num.cast("double") / (F.col("n") * F.col("n")).cast("double")
+    return (
+        pts.crossJoin(F.broadcast(cdf))
+        .groupBy("__id__", "__q__", "__xx__")
+        .agg(F.min(F.struct(d.alias("d"), F.col("cid").alias("cid"))).alias("__m__"))
+        .select("__id__", "__q__", "__xx__", F.col("__m__.cid").alias("cid"))
+    )
+
+
 def kmeans(
     df: DataFrame,
     vec_col: str,
@@ -115,6 +185,7 @@ def kmeans(
     iters: int = 2,
     scale: int = 1000,
     return_state: bool = False,
+    assign: str = "auto",
 ):
     """Lloyd's k-means over an embedding column; returns (id, ``cid``).
 
@@ -127,7 +198,10 @@ def kmeans(
     Each iteration runs ONE Spark job: a map-side-combined
     ``groupBy(cid)`` aggregate producing k rows of (count, d column
     sums) — the k·(d+1) integers collected per step are the driver-side
-    algorithm state (MLlib pattern), not a data collect.
+    algorithm state (MLlib pattern), not a data collect. ``assign``
+    picks the assignment strategy (module docstring): ``literal`` /
+    ``join`` / ``auto`` (by k·d); both produce IDENTICAL assignments —
+    the choice is purely physical.
     """
     if k < 1 or iters < 0:
         raise ValueError("k >= 1 and iters >= 0 required")
@@ -148,7 +222,7 @@ def kmeans(
         dim = len(cents[0][0])
 
         for _ in range(iters):
-            assigned = pts.withColumn("cid", _assign_expr(cents))
+            assigned = _assign_df(pts, cents, assign)
             agg = [F.count("*").alias("__n__")] + [
                 F.sum(F.element_at("__q__", i + 1)).alias(f"__s{i}__")
                 for i in range(dim)
@@ -163,8 +237,8 @@ def kmeans(
             }
             cents = [state.get(c, cents[c]) for c in range(len(cents))]
 
-        out = pts.select(
-            F.col("__id__").alias(id_col), _assign_expr(cents).alias("cid")
+        out = _assign_df(pts, cents, assign).select(
+            F.col("__id__").alias(id_col), "cid"
         )
         return (out, cents) if return_state else out
     finally:
@@ -180,6 +254,7 @@ def semdedup(
     iters: int = 2,
     scale: int = 1000,
     threshold: float = 0.7,
+    assign: str = "auto",
 ) -> DataFrame:
     """SemDeDup: k-means-blocked semantic near-duplicate pruning.
 
@@ -204,9 +279,11 @@ def semdedup(
     g = gcd(num, den) or 1
     num, den = num // g, den // g
 
-    assign = kmeans(df, vec_col, id_col, k=k, iters=iters, scale=scale)
+    assigned = kmeans(
+        df, vec_col, id_col, k=k, iters=iters, scale=scale, assign=assign
+    )
     pts = _prepare(df, vec_col, id_col, scale).join(
-        assign.select(F.col(id_col).alias("__id__"), "cid"), "__id__"
+        assigned.select(F.col(id_col).alias("__id__"), "cid"), "__id__"
     )
     a = pts.select(
         F.col("__id__").alias("__ida__"),
@@ -234,7 +311,7 @@ def semdedup(
         .withColumn("__dropped__", F.lit(True))
     )
     return (
-        assign.withColumnRenamed(id_col, "__id__")
+        assigned.withColumnRenamed(id_col, "__id__")
         .join(dropped, "__id__", "left")
         .select(
             F.col("__id__").alias(id_col),

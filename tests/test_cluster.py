@@ -105,6 +105,43 @@ def test_kmeans_assignment_plan_is_narrow(spark):
     assert "Join" not in plan
 
 
+def test_kmeans_join_assign_equivalent(spark):
+    # The broadcast-join assignment (large-k physical strategy) must
+    # produce bit-identical assignments to the literal expression,
+    # including the exact-tie -> smallest-cid rule.
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    lit_rows = sorted(
+        (r["vec_id"], r["cid"])
+        for r in kmeans(e, "embedding", "vec_id", k=5, iters=2, assign="literal").collect()
+    )
+    join_rows = sorted(
+        (r["vec_id"], r["cid"])
+        for r in kmeans(e, "embedding", "vec_id", k=5, iters=2, assign="join").collect()
+    )
+    assert lit_rows == join_rows
+
+    tie = _vecs(spark, [(1, [1.0, 0.0]), (2, [-1.0, 0.0]), (3, [0.0, 0.0])])
+    got = {r["id"]: r["cid"] for r in kmeans(tie, "v", "id", k=2, iters=0, assign="join").collect()}
+    assert got[3] == 0  # equidistant tie still breaks to smallest cid
+
+
+def test_kmeans_join_assign_plan_shape(spark):
+    # join mode: centroid side is BROADCAST and the argmin collapse is
+    # partially aggregated — exactly one exchange of N rows, never N·k.
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = kmeans(e, "embedding", "vec_id", k=4, iters=0, assign="join")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in plan  # map-side combine before the exchange
+
+
+def test_kmeans_assign_validated(spark):
+    df = _vecs(spark, [(1, [1.0])])
+    with pytest.raises(ValueError):
+        kmeans(df, "v", "id", k=1, iters=0, assign="bogus").collect()
+
+
 def test_semdedup_known_geometry(spark):
     # id=2 is a near-duplicate of id=1 (cos ~ 1); id=3 orthogonal, id=4
     # antipodal. k=1 -> single cluster, pure pairwise semantics.

@@ -423,13 +423,37 @@ def main() -> None:
         lambda: _corr(corr_n * r, 32),
     )
 
+    # k-means: each Lloyd iteration is one map-side-combined aggregate →
+    # expect ~linear. The timing deliberately includes the driver loop
+    # (the iteration aggregates run inside kmeans() itself).
+    from gluestick_spark.llm.cluster import kmeans, semdedup
+
+    ops["kmeans_lloyd"] = (
+        lambda: kmeans(vecs1, "embedding", "vec_id", k=8, iters=1).count(),
+        lambda: kmeans(vecsR, "embedding", "vec_id", k=8, iters=1).count(),
+    )
+
+    # SemDeDup in its documented regime: k ∝ N keeps per-cluster size
+    # constant, so pairwise cost Σ|c|² grows linearly. k·d at RX exceeds
+    # the literal-assignment ceiling → exercises the broadcast-join
+    # assignment path. Counting the DROPPED rows forces the pairwise join
+    # (output ≈ N·(r−1)/r: replicas collapse to their leader).
+    def _semdd(vv, kk):
+        out = semdedup(vv, "embedding", "vec_id", k=kk, iters=1, threshold=0.95)
+        return out.where(~F.col("keep")).count()
+
+    ops["semdedup_scaled_k"] = (
+        lambda: _semdd(vecs1, 8),
+        lambda: _semdd(vecsR, 8 * r),
+    )
+
     import math
 
     summary = {}
     for name, (small, big) in ops.items():
         t1, rows1 = timed(small)
         tR, rowsR = timed(big)
-        if name == "embedding_near_dups":
+        if name in ("embedding_near_dups", "kmeans_lloyd", "semdedup_scaled_k"):
             ratio = vR / v1
         elif name in event_family:
             ratio = eR / e1
