@@ -4635,6 +4635,127 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                   scale=_KM_SCALE)
 
 
+def _lloyd_ctes(
+    tag: str, lo: int, hi: int, k: int, iters: int, scale: int, ds: int
+) -> tuple[str, str, str]:
+    """Unrolled Lloyd iteration over ``embedding[lo:hi]`` as suffixed CTEs.
+
+    Returns (cte_sql, final_assign_cte, final_centroid_cte). The PQ oracle
+    instantiates one chain per subspace; the tag keeps names disjoint."""
+    parts = [f"""qx_{tag} AS (
+  SELECT vec_id AS id,
+         list_transform(embedding[{lo}:{hi}],
+           x -> CAST(floor(CAST(x AS DOUBLE) * {scale}.0 + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+),
+qxx_{tag} AS (
+  SELECT id, q, CAST(list_dot_product(q, q) AS BIGINT) AS xx FROM qx_{tag}
+),
+cent0_{tag} AS (
+  SELECT row_number() OVER (ORDER BY {_KM_HASH}, id) - 1 AS cid,
+         q AS s, CAST(1 AS BIGINT) AS n
+  FROM qxx_{tag} ORDER BY {_KM_HASH}, id LIMIT {k}
+)"""]
+    prev = f"cent0_{tag}"
+    for t in range(1, iters + 2):
+        parts.append(f""",
+assign{t}_{tag} AS (
+  SELECT id, cid FROM (
+    SELECT x.id, c.cid,
+           row_number() OVER (
+             PARTITION BY x.id
+             ORDER BY CAST(c.n*c.n*x.xx
+                           - 2*c.n*CAST(list_dot_product(x.q, c.s) AS BIGINT)
+                           + CAST(list_dot_product(c.s, c.s) AS BIGINT) AS DOUBLE)
+                      / CAST(c.n*c.n AS DOUBLE),
+                      c.cid
+           ) AS rn
+    FROM qxx_{tag} x CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)""")
+        if t <= iters:
+            parts.append(f""",
+sums{t}_{tag} AS (
+  SELECT a.cid, t.i AS i, SUM(x.q[t.i]) AS sv
+  FROM assign{t}_{tag} a JOIN qxx_{tag} x USING (id)
+  CROSS JOIN (SELECT unnest(range(1, {ds + 1})) AS i) t
+  GROUP BY a.cid, t.i
+),
+cnts{t}_{tag} AS (SELECT cid, count(*) AS n FROM assign{t}_{tag} GROUP BY cid),
+cent{t}_{tag} AS (
+  SELECT s.cid, list(s.sv ORDER BY s.i) AS s, c.n
+  FROM sums{t}_{tag} s JOIN cnts{t}_{tag} c USING (cid) GROUP BY s.cid, c.n
+  UNION ALL
+  SELECT c0.cid, c0.s, c0.n FROM {prev} c0
+  WHERE c0.cid NOT IN (SELECT cid FROM cnts{t}_{tag})
+)""")
+            prev = f"cent{t}_{tag}"
+    return "".join(parts), f"assign{iters + 1}_{tag}", prev
+
+
+# PQ geometry for the registry row: 4 subspaces × 16 dims, 8 centroids
+# each, 1 Lloyd update — 64 floats compress to 4 codes (m·log2(k) = 12
+# bits), and the oracle replays training+encode+ADC search end-to-end.
+_PQ_M, _PQ_K, _PQ_ITERS, _PQ_DS, _PQ_TOPK = 4, 8, 1, 16, 20
+
+
+def _pq_oracle_sql() -> str:
+    blocks, finals = [], []
+    for j in range(_PQ_M):
+        lo, hi = j * _PQ_DS + 1, (j + 1) * _PQ_DS
+        ctes, assign_name, cent_name = _lloyd_ctes(
+            str(j), lo, hi, _PQ_K, _PQ_ITERS, _KM_SCALE, _PQ_DS
+        )
+        qv = f"""qv_{j} AS (
+  SELECT list_transform(embedding[{lo}:{hi}],
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_SCALE}.0 + 0.5) AS BIGINT)) AS q
+  FROM embeddings WHERE vec_id = 0
+),
+dt_{j} AS (
+  SELECT c.cid,
+         CAST(floor(1000000.0 *
+           (CAST(c.n*c.n*CAST(list_dot_product(v.q, v.q) AS BIGINT)
+                 - 2*c.n*CAST(list_dot_product(v.q, c.s) AS BIGINT)
+                 + CAST(list_dot_product(c.s, c.s) AS BIGINT) AS DOUBLE)
+            / CAST(c.n*c.n AS DOUBLE))) AS BIGINT) AS dv
+  FROM {cent_name} c, qv_{j} v
+)"""
+        blocks.append(ctes + ",\n" + qv)
+        finals.append((assign_name, f"dt_{j}"))
+    joins = f"FROM {finals[0][0]} a0 JOIN {finals[0][1]} d0 ON d0.cid = a0.cid"
+    for j in range(1, _PQ_M):
+        joins += (
+            f"\n  JOIN {finals[j][0]} a{j} ON a{j}.id = a0.id"
+            f" JOIN {finals[j][1]} d{j} ON d{j}.cid = a{j}.cid"
+        )
+    dist = " + ".join(f"d{j}.dv" for j in range(_PQ_M))
+    return (
+        "WITH " + ",\n".join(blocks)
+        + f"\nSELECT a0.id AS vec_id, ({dist}) AS pq_dist\n{joins}\n"
+        + f"ORDER BY pq_dist, vec_id LIMIT {_PQ_TOPK}"
+    )
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (llm/pq.py): train 4×16-dim codebooks
+    (deterministic Lloyd), encode the corpus to 4-code arrays (ONE
+    narrow projection), ADC top-20 vs the vec_id=0 query (driver-side
+    m×k int table; scan + TakeOrderedAndProject — no shuffle). The
+    oracle replays training, encoding, AND the search bit-for-bit."""
+    from gluestick_spark.llm.pq import pq_topk, train_pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = train_pq(
+        e, "embedding", "vec_id", m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS,
+        scale=_KM_SCALE,
+    )
+    qrow = e.where(F.col("vec_id") == 0).select("embedding").first()
+    return pq_topk(
+        e, "embedding", "vec_id", list(qrow["embedding"]), books,
+        k=_PQ_TOPK, scale=_KM_SCALE,
+    )
+
+
 def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) semantic near-dup pruning
     (llm/cluster.py:semdedup): k-means-blocked pairwise cosine, drop
@@ -4681,22 +4802,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remain locally oracle-checked via tools/check_correctness.py.
     return {
         # ---- correctness window: first 50 = driver-checked (r8 rotation:
-        # 6 new round-8 queries + 44 oldest-evidence r04-era rows;
-        # map_fields/token_stats demoted to the tail — both were re-run
-        # ALL-MATCH by the judge's local session in round 7, the freshest
-        # evidence among the r04 cohort) ----
+        # 7 new round-8 queries + 43 oldest-evidence r04-era rows;
+        # map_fields/token_stats/explode_json_to_rows demoted to the
+        # tail — all three were re-run ALL-MATCH by the judge's local
+        # session in round 7, the freshest evidence in the r04 cohort) ----
         "dedup_against_indexed": q_dedup_against_indexed,
         "bpe_encode": q_bpe_encode,
         "funnel_counts": q_funnel_counts,
         "resample_ratio": q_resample_ratio,
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup_keep": q_semdedup_keep,
+        "pq_topk": q_pq_topk,
         "explode_json_to_cols": q_explode_json_to_cols,
         "catalog_coercion": q_catalog_coercion,
         "dedup_exact": q_dedup_exact,
         "quality_score": q_quality_score,
         "events_daily": q_events_daily,
-        "explode_json_to_rows": q_explode_json_to_rows,
         "compress_rows_to_col": q_compress_rows,
         "json_tuple_to_cols": q_json_tuple_to_cols,
         "row_hash": q_row_hash,
@@ -4738,6 +4859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: rows with recent (r6/r7) driver evidence ----
         "map_fields": q_map_fields,
         "token_stats": q_token_stats,
+        "explode_json_to_rows": q_explode_json_to_rows,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
         "table_stats": q_table_stats,
@@ -4836,12 +4958,12 @@ def oracle_sql() -> dict[str, str]:
         "resample_ratio": _Q_RESAMPLE_RATIO_SQL,
         "kmeans_clusters": _kmeans_oracle_sql(),
         "semdedup_keep": _semdedup_oracle_sql(),
+        "pq_topk": _pq_oracle_sql(),
         "explode_json_to_cols": _Q_EXPLODE_COLS_SQL,
         "catalog_coercion": _Q_CATALOG_COERCION_SQL,
         "dedup_exact": _Q_DEDUP_EXACT_SQL,
         "quality_score": _quality_sql(),
         "events_daily": _Q_EVENTS_DAILY_SQL,
-        "explode_json_to_rows": _Q_EXPLODE_ROWS_SQL,
         "compress_rows_to_col": _Q_COMPRESS_SQL,
         "json_tuple_to_cols": _Q_JSON_TUPLE_SQL,
         "row_hash": _Q_ROW_HASH_SQL,
@@ -4883,6 +5005,7 @@ def oracle_sql() -> dict[str, str]:
         # ---- tail: rows with recent (r6/r7) driver evidence ----
         "map_fields": _Q_MAP_FIELDS_SQL,
         "token_stats": _Q_TOKEN_STATS_SQL,
+        "explode_json_to_rows": _Q_EXPLODE_ROWS_SQL,
         "simhash_near_dups": _Q_SIMHASH_SQL,
         "embedding_near_dups": _embedding_near_dups_sql(),
         "table_stats": _table_stats_sql(),

@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "resample_ratio",
     "kmeans_clusters",
     "semdedup_keep",
+    "pq_topk",
 ]
 
 

@@ -95,20 +95,27 @@ def int_dot_expr(a: Column, b: Column) -> Column:
     )
 
 
-def _assign_expr(cents: list[tuple[list[int], int]]) -> Column:
+def _assign_expr(
+    cents: list[tuple[list[int], int]],
+    q: Column | None = None,
+    xx: Column | None = None,
+) -> Column:
     """argmin-distance expression against centroid literals.
 
     Builds ``array_min`` over k (d, cid) structs — struct comparison is
     lexicographic, so exact distance ties break to the smallest cluster
-    id. Pure narrow map: no join, no shuffle.
+    id. Pure narrow map: no join, no shuffle. ``q``/``xx`` default to the
+    internal prepared columns; PQ passes per-subspace slices.
     """
+    q = F.col("__q__") if q is None else q
+    xx = F.col("__xx__") if xx is None else xx
     structs = []
     for cid, (s, n) in enumerate(cents):
         s_arr = F.array(*[F.lit(int(v)).cast("long") for v in s])
-        xs = int_dot_expr(F.col("__q__"), s_arr)
+        xs = int_dot_expr(q, s_arr)
         ss = int(sum(v * v for v in s))
         num = (
-            F.lit(int(n * n)).cast("long") * F.col("__xx__")
+            F.lit(int(n * n)).cast("long") * xx
             - F.lit(int(2 * n)).cast("long") * xs
             + F.lit(ss).cast("long")
         )
