@@ -4756,6 +4756,70 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PageRank over the frequency-thresholded user↔event_type bipartite
+# click graph (threshold 14 keeps degrees non-uniform — the complete
+# graph would be degenerate). Integer micro-mass ranks replay exactly.
+_PR_ITERS, _PR_PCT, _PR_R0, _PR_MINCNT = 3, 85, 10**9, 14
+
+
+def _pagerank_oracle_sql() -> str:
+    base = (100 - _PR_PCT) * _PR_R0 // 100
+    parts = [f"""WITH raw AS (
+  SELECT 'u:' || CAST(user_id AS VARCHAR) AS src, 't:' || event_type AS dst
+  FROM events GROUP BY user_id, event_type HAVING count(*) >= {_PR_MINCNT}
+),
+edges AS (
+  SELECT src, dst FROM raw UNION SELECT dst AS src, src AS dst FROM raw
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges),
+outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST({_PR_R0} AS BIGINT) AS rank FROM nodes)"""]
+    prev = "r0"
+    for t in range(1, _PR_ITERS + 1):
+        parts.append(f""",
+c{t} AS (
+  SELECT e.dst AS node,
+         SUM(CAST(floor(CAST({_PR_PCT} * r.rank AS DOUBLE)
+                        / CAST(100 * o.deg AS DOUBLE)) AS BIGINT)) AS inflow
+  FROM edges e JOIN outdeg o ON o.src = e.src JOIN {prev} r ON r.node = e.src
+  GROUP BY e.dst
+),
+r{t} AS (
+  SELECT n.node, CAST({base} AS BIGINT) + COALESCE(c.inflow, 0) AS rank
+  FROM nodes n LEFT JOIN c{t} c ON c.node = n.node
+)""")
+        prev = f"r{t}"
+    # final CAST: DuckDB's SUM(BIGINT) is HUGEINT, which lands in pandas
+    # as float — cast back so the value-hash sees exact integers
+    parts.append(f"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM {prev}")
+    return "".join(parts)
+
+
+def q_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration integer PageRank (operators/graph.py:pagerank)
+    over the thresholded user↔event_type click graph — link-graph
+    centrality as a corpus quality prior. int64 micro-mass ranks; the
+    oracle unrolls all 3 damped updates and matches every rank."""
+    from gluestick_spark.operators.graph import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    raw = (
+        ev.groupBy("user_id", "event_type")
+        .count()
+        .where(F.col("count") >= _PR_MINCNT)
+        .select(
+            F.concat(F.lit("u:"), F.col("user_id")).alias("src"),
+            F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+        )
+    )
+    edges = raw.unionAll(
+        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(
+        edges, iters=_PR_ITERS, damping_pct=_PR_PCT, r0=_PR_R0
+    )
+
+
 def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) semantic near-dup pruning
     (llm/cluster.py:semdedup): k-means-blocked pairwise cosine, drop
@@ -4813,6 +4877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup_keep": q_semdedup_keep,
         "pq_topk": q_pq_topk,
+        "pagerank_events": q_pagerank_events,
         "explode_json_to_cols": q_explode_json_to_cols,
         "catalog_coercion": q_catalog_coercion,
         "dedup_exact": q_dedup_exact,
@@ -4855,8 +4920,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "promo_revenue": q_promo_revenue,
         "pricing_summary": q_pricing_summary,
-        "minhash_dedup": q_minhash_dedup,
         # ---- tail: rows with recent (r6/r7) driver evidence ----
+        # (minhash_dedup demoted: its oracle SQL is the one
+        # streaming_minhash_dedup shares, driver-green in r7)
+        "minhash_dedup": q_minhash_dedup,
         "map_fields": q_map_fields,
         "token_stats": q_token_stats,
         "explode_json_to_rows": q_explode_json_to_rows,
@@ -4959,6 +5026,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_oracle_sql(),
         "semdedup_keep": _semdedup_oracle_sql(),
         "pq_topk": _pq_oracle_sql(),
+        "pagerank_events": _pagerank_oracle_sql(),
         "explode_json_to_cols": _Q_EXPLODE_COLS_SQL,
         "catalog_coercion": _Q_CATALOG_COERCION_SQL,
         "dedup_exact": _Q_DEDUP_EXACT_SQL,
@@ -5001,7 +5069,7 @@ def oracle_sql() -> dict[str, str]:
         "local_supplier_volume": _Q_LOCAL_SUPPLIER_SQL,
         "promo_revenue": _Q_PROMO_SQL,
         "pricing_summary": _Q_PRICING_SQL,
-        "minhash_dedup": _Q_MINHASH_DEDUP_SQL,
+        "minhash_dedup": _Q_MINHASH_DEDUP_SQL,  # tail (shared oracle r7-green)
         # ---- tail: rows with recent (r6/r7) driver evidence ----
         "map_fields": _Q_MAP_FIELDS_SQL,
         "token_stats": _Q_TOKEN_STATS_SQL,

@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "kmeans_clusters",
     "semdedup_keep",
     "pq_topk",
+    "pagerank_events",
 ]
 
 

@@ -1,0 +1,90 @@
+"""operators/graph.py — deterministic PageRank unit tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gluestick_spark.operators.graph import pagerank
+
+R0 = 10**9
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_zero_iters_uniform(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c")])
+    got = {r["node"]: r["rank"] for r in pagerank(e, iters=0).collect()}
+    assert got == {"a": R0, "b": R0, "c": R0}
+
+
+def test_one_iter_hand_computed(spark):
+    # a -> b, a -> c, b -> c.  outdeg: a=2, b=1.
+    # flow(a each) = floor(85e9 / 200) = 425_000_000
+    # flow(b)      = floor(85e9 / 100) = 850_000_000
+    # base = 150_000_000
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c")])
+    got = {r["node"]: r["rank"] for r in pagerank(e, iters=1).collect()}
+    assert got == {
+        "a": 150_000_000,  # no in-edges: base only (dangling mass dropped)
+        "b": 150_000_000 + 425_000_000,
+        "c": 150_000_000 + 425_000_000 + 850_000_000,
+    }
+
+
+def test_duplicate_edges_collapse(spark):
+    e = _edges(spark, [("a", "b"), ("a", "b"), ("a", "b")])
+    got = {r["node"]: r["rank"] for r in pagerank(e, iters=1).collect()}
+    # simple graph: one edge a->b, outdeg(a)=1
+    assert got["b"] == 150_000_000 + 850_000_000
+
+
+def test_symmetric_pair_converges_symmetric(spark):
+    e = _edges(spark, [("a", "b"), ("b", "a")])
+    got = {r["node"]: r["rank"] for r in pagerank(e, iters=4).collect()}
+    assert got["a"] == got["b"]
+
+
+def test_null_edges_dropped(spark):
+    e = _edges(spark, [("a", "b"), (None, "z"), ("z", None)])
+    nodes = {r["node"] for r in pagerank(e, iters=1).collect()}
+    assert nodes == {"a", "b"}
+
+
+def test_validates_args(spark):
+    e = _edges(spark, [("a", "b")])
+    with pytest.raises(ValueError):
+        pagerank(e, iters=-1)
+    with pytest.raises(ValueError):
+        pagerank(e, damping_pct=101)
+
+
+def test_partition_invariance(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    raw = (
+        ev.groupBy("user_id", "event_type")
+        .count()
+        .where(F.col("count") >= 2)
+        .select(
+            F.concat(F.lit("u:"), F.col("user_id")).alias("src"),
+            F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+        )
+    )
+    edges = raw.unionAll(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    a = sorted((r["node"], r["rank"]) for r in pagerank(edges, iters=2).collect())
+    b = sorted(
+        (r["node"], r["rank"])
+        for r in pagerank(edges.repartition(11, "dst"), iters=2).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_total_mass_bounded(spark):
+    # With damping 85 and no dangling redistribution, total mass can only
+    # shrink or hold: sum(rank) <= N*r0 at every step.
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")])
+    out = pagerank(e, iters=3)
+    total = out.agg(F.sum("rank")).first()[0]
+    assert total <= 3 * R0
