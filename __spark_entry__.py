@@ -4820,6 +4820,42 @@ def q_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-lift collocations (llm/text.py:collocations) — top-50
+    statistically-associated adjacent word pairs. lift = exp(PMI) as an
+    IEEE-identical division of exact integer casts (no ln — its last
+    bit differs between engines); margins from the unfiltered bigram
+    table; the 1-row total rides a broadcast crossJoin."""
+    from gluestick_spark.llm.text import collocations
+
+    d = _t(spark, sf_dir, "documents")
+    return collocations(d, "text", min_count=5, k=50)
+
+
+_Q_COLLOCATIONS_SQL = r"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS t
+  FROM documents
+),
+pairs AS (
+  SELECT t[u.i] AS "left", t[u.i + 1] AS "right", count(*) AS n
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  GROUP BY 1, 2
+),
+lt AS (SELECT "left", CAST(SUM(n) AS BIGINT) AS lt FROM pairs GROUP BY 1),
+rt AS (SELECT "right", CAST(SUM(n) AS BIGINT) AS rt FROM pairs GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS N FROM pairs)
+SELECT p."left", p."right", p.n AS n_pair,
+       (CAST(p.n AS DOUBLE) * CAST(t.N AS DOUBLE))
+       / (CAST(l.lt AS DOUBLE) * CAST(r.rt AS DOUBLE)) AS lift
+FROM pairs p JOIN lt l ON l."left" = p."left"
+             JOIN rt r ON r."right" = p."right"
+             CROSS JOIN tot t
+WHERE p.n >= 5
+ORDER BY n_pair DESC, p."left", p."right" LIMIT 50
+"""
+
+
 def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) semantic near-dup pruning
     (llm/cluster.py:semdedup): k-means-blocked pairwise cosine, drop
@@ -4878,6 +4914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_keep": q_semdedup_keep,
         "pq_topk": q_pq_topk,
         "pagerank_events": q_pagerank_events,
+        "collocations": q_collocations,
         "explode_json_to_cols": q_explode_json_to_cols,
         "catalog_coercion": q_catalog_coercion,
         "dedup_exact": q_dedup_exact,
@@ -4906,7 +4943,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "dedup_fingerprint": q_dedup_fingerprint,
         "lang_id": q_lang_id,
-        "ivf_topk": q_ivf_topk,
         "deep_convert_expr": q_deep_convert_expr,
         "pluck_fields_by_regex": q_pluck_regex,
         "top_orders_per_cust": q_top_orders_per_cust,
@@ -4924,6 +4960,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (minhash_dedup demoted: its oracle SQL is the one
         # streaming_minhash_dedup shares, driver-green in r7)
         "minhash_dedup": q_minhash_dedup,
+        # (ivf_topk demoted: shares _Q_ANN_TOPK_SQL with ivf_probe_indexed,
+        # driver-green in r6)
+        "ivf_topk": q_ivf_topk,
         "map_fields": q_map_fields,
         "token_stats": q_token_stats,
         "explode_json_to_rows": q_explode_json_to_rows,
@@ -5027,6 +5066,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_keep": _semdedup_oracle_sql(),
         "pq_topk": _pq_oracle_sql(),
         "pagerank_events": _pagerank_oracle_sql(),
+        "collocations": _Q_COLLOCATIONS_SQL,
         "explode_json_to_cols": _Q_EXPLODE_COLS_SQL,
         "catalog_coercion": _Q_CATALOG_COERCION_SQL,
         "dedup_exact": _Q_DEDUP_EXACT_SQL,
@@ -5055,7 +5095,6 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus": _clean_corpus_sql(),
         "dedup_fingerprint": _Q_DEDUP_FP_SQL,
         "lang_id": _lang_id_sql(),
-        "ivf_topk": _Q_ANN_TOPK_SQL,
         "deep_convert_expr": _Q_DEEP_CONVERT_SQL,
         "pluck_fields_by_regex": _Q_PLUCK_REGEX_SQL,
         "top_orders_per_cust": _Q_TOP_ORDERS_SQL,
@@ -5070,6 +5109,7 @@ def oracle_sql() -> dict[str, str]:
         "promo_revenue": _Q_PROMO_SQL,
         "pricing_summary": _Q_PRICING_SQL,
         "minhash_dedup": _Q_MINHASH_DEDUP_SQL,  # tail (shared oracle r7-green)
+        "ivf_topk": _Q_ANN_TOPK_SQL,
         # ---- tail: rows with recent (r6/r7) driver evidence ----
         "map_fields": _Q_MAP_FIELDS_SQL,
         "token_stats": _Q_TOKEN_STATS_SQL,

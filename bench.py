@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "semdedup_keep",
     "pq_topk",
     "pagerank_events",
+    "collocations",
 ]
 
 

@@ -405,6 +405,57 @@ def bpe_pair_counts(
     return out
 
 
+def collocations(
+    df,
+    text_col: str,
+    min_count: int = 5,
+    k: int | None = None,
+    lowercase: bool = True,
+):
+    """PMI-lift collocation extraction — statistically-associated adjacent
+    word pairs ("new york", "machine learning"), the classic corpus-
+    analysis signal for phrase mining and tokenizer vocabulary seeding.
+
+    Returns (``left``, ``right``, ``n_pair``, ``lift``) where ``lift =
+    (n_pair·N) / (n_left·n_right)`` over the bigram contingency table
+    (N = total bigrams; margins from the UNFILTERED table — min_count
+    prunes the output only). lift is the exp of PMI, so ordering and
+    thresholds agree with PMI without a ``ln`` whose last bit differs
+    between engines; the division of exactly-representable integer casts
+    is IEEE-identical everywhere.
+
+    Plan: one tokenize+explode+hash-aggregate builds the pair table
+    (shuffle rows ∝ distinct pairs, never occurrences — persisted: it is
+    vocabulary-bounded and read three times for the margins), two
+    vocabulary-sized margin aggregates join back, the 1-row total rides
+    a broadcast crossJoin (never a global window). Top-k is
+    TakeOrderedAndProject.
+    """
+    pairs = bpe_pair_counts(df, text_col, lowercase=lowercase).persist()
+    left_tot = pairs.groupBy("left").agg(F.sum("n").alias("__lt__"))
+    right_tot = pairs.groupBy("right").agg(F.sum("n").alias("__rt__"))
+    total = pairs.agg(F.sum("n").alias("__N__"))
+    lift = (F.col("n").cast("double") * F.col("__N__").cast("double")) / (
+        F.col("__lt__").cast("double") * F.col("__rt__").cast("double")
+    )
+    out = (
+        pairs.where(F.col("n") >= min_count)
+        .join(left_tot, "left")
+        .join(right_tot, "right")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "left",
+            "right",
+            F.col("n").alias("n_pair"),
+            lift.alias("lift"),
+        )
+    )
+    pairs.unpersist(False)
+    if k is not None:
+        out = out.orderBy(F.col("n_pair").desc(), "left", "right").limit(k)
+    return out
+
+
 def build_vocab(
     df,
     text_col: str,

@@ -412,3 +412,42 @@ def test_resample_to_ratio_rejects_bad_weights(spark):
         resample_to_ratio(d, "doc_id", "source", {"a": 0})
     with pytest.raises(ValueError, match="positive ints"):
         resample_to_ratio(d, "doc_id", "source", {"a": 1.5})
+
+
+# ---------------------------------------------------------------------------
+# collocations (llm/text.py)
+# ---------------------------------------------------------------------------
+
+def test_collocations_hand_computed(spark):
+    from gluestick_spark.llm.text import collocations
+
+    # "a b" ×3, "b c" ×1 → bigrams: (a,b)=3, (b,c)=1, N=4
+    # margins: left a=3, b=1; right b=3, c=1
+    d = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b c")], "doc_id long, text string"
+    )
+    rows = {(r["left"], r["right"]): r for r in collocations(d, "text", min_count=1).collect()}
+    assert rows[("a", "b")]["n_pair"] == 3
+    assert rows[("a", "b")]["lift"] == (3.0 * 4.0) / (3.0 * 3.0)
+    assert rows[("b", "c")]["lift"] == (1.0 * 4.0) / (1.0 * 1.0)
+
+
+def test_collocations_min_count_prunes_output_not_margins(spark):
+    from gluestick_spark.llm.text import collocations
+
+    d = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    out = collocations(d, "text", min_count=2).collect()
+    assert [(r["left"], r["right"]) for r in out] == [("a", "b")]
+    # margin for left 'a' counts the pruned (a,c) too: lt=3, not 2
+    assert out[0]["lift"] == (2.0 * 3.0) / (3.0 * 2.0)
+
+
+def test_collocations_no_global_window(spark):
+    from gluestick_spark.llm.text import collocations
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = collocations(d, "text", k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # total rides broadcast crossJoin
+    assert "TakeOrderedAndProject" in plan
