@@ -4856,6 +4856,37 @@ ORDER BY n_pair DESC, p."left", p."right" LIMIT 50
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (operators/sessions.py:transition_matrix). The order_by
+    includes event_id so the sequence is a TOTAL order — lead() is
+    deterministic and both engines replay the same pairs; p divides
+    exact int64 casts (IEEE-identical)."""
+    from gluestick_spark.functions.datetimes import as_timestamp
+    from gluestick_spark.operators.sessions import transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts", as_timestamp(ev, "ts"))
+    return transition_matrix(ev, "user_id", "event_type", ["ts", "event_id"])
+
+
+_Q_EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT event_type AS s,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+pairs AS (
+  SELECT s AS from_state, nxt AS to_state, count(*) AS n
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS t FROM pairs GROUP BY 1)
+SELECT p.from_state, p.to_state, p.n,
+       CAST(p.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS p
+FROM pairs p JOIN tot t USING (from_state)
+"""
+
+
 def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) semantic near-dup pruning
     (llm/cluster.py:semdedup): k-means-blocked pairwise cosine, drop
@@ -4915,6 +4946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "pagerank_events": q_pagerank_events,
         "collocations": q_collocations,
+        "event_transitions": q_event_transitions,
         "explode_json_to_cols": q_explode_json_to_cols,
         "catalog_coercion": q_catalog_coercion,
         "dedup_exact": q_dedup_exact,
@@ -4951,7 +4983,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_vs_query": q_jaccard_vs_query,
         "lsh_ann_topk": q_lsh_ann,
         "image_features": q_image_features,
-        "audio_features": q_audio_features,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "promo_revenue": q_promo_revenue,
@@ -4961,8 +4992,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming_minhash_dedup shares, driver-green in r7)
         "minhash_dedup": q_minhash_dedup,
         # (ivf_topk demoted: shares _Q_ANN_TOPK_SQL with ivf_probe_indexed,
-        # driver-green in r6)
+        # driver-green in r6; audio_features demoted: same multimodal
+        # family/pipeline as image_features, which stays in the window)
         "ivf_topk": q_ivf_topk,
+        "audio_features": q_audio_features,
         "map_fields": q_map_fields,
         "token_stats": q_token_stats,
         "explode_json_to_rows": q_explode_json_to_rows,
@@ -5067,6 +5100,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk": _pq_oracle_sql(),
         "pagerank_events": _pagerank_oracle_sql(),
         "collocations": _Q_COLLOCATIONS_SQL,
+        "event_transitions": _Q_EVENT_TRANSITIONS_SQL,
         "explode_json_to_cols": _Q_EXPLODE_COLS_SQL,
         "catalog_coercion": _Q_CATALOG_COERCION_SQL,
         "dedup_exact": _Q_DEDUP_EXACT_SQL,
@@ -5103,13 +5137,13 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_vs_query": _Q_JACCARD_SQL,
         "lsh_ann_topk": _lsh_ann_sql(),
         "image_features": _image_features_sql(),
-        "audio_features": _audio_features_sql(),
         "shipping_priority": _Q_SHIPPING_SQL,
         "local_supplier_volume": _Q_LOCAL_SUPPLIER_SQL,
         "promo_revenue": _Q_PROMO_SQL,
         "pricing_summary": _Q_PRICING_SQL,
         "minhash_dedup": _Q_MINHASH_DEDUP_SQL,  # tail (shared oracle r7-green)
         "ivf_topk": _Q_ANN_TOPK_SQL,
+        "audio_features": _audio_features_sql(),
         # ---- tail: rows with recent (r6/r7) driver evidence ----
         "map_fields": _Q_MAP_FIELDS_SQL,
         "token_stats": _Q_TOKEN_STATS_SQL,

@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "pq_topk",
     "pagerank_events",
     "collocations",
+    "event_transitions",
 ]
 
 

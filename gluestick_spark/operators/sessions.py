@@ -90,3 +90,47 @@ def suppress_duplicates(
         F.col(ts_col).cast("double") - prev.cast("double") > window_seconds
     )
     return df.withColumn("__k__", starts_burst).where(F.col("__k__")).drop("__k__")
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    order_by: list[str],
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key state sequences
+    — (``from_state``, ``to_state``, ``n``, ``p``): the user-behavior /
+    clickstream model behind next-event prediction and funnel priors.
+
+    Beyond-reference operator (the pandas reference has no sequence
+    analytics). ``order_by`` must be a TOTAL order within each key
+    (include a unique id as the last column — ties would otherwise make
+    ``lead`` nondeterministic and the result engine-dependent).
+
+    ``p = n / n_from`` divides two exactly-representable int64 casts —
+    IEEE-identical in every engine, no rounding fudge needed.
+
+    Plan: ONE keyed window (partition by key, order by ``order_by``)
+    over the raw events builds the adjacent pairs, one map-side-combined
+    aggregate counts them; the row totals are a ``from_state``-keyed
+    window over the AGGREGATED pair frame (state²-bounded — tiny), so
+    the corpus is scanned exactly once — a totals join would re-derive
+    the whole event pipeline a second time.
+    """
+    if not order_by:
+        raise ValueError("order_by must name at least one column")
+    w = Window.partitionBy(key_col).orderBy(*order_by)
+    nxt = F.lead(F.col(state_col)).over(w)
+    pairs = (
+        df.select(F.col(state_col).alias("from_state"), nxt.alias("to_state"))
+        .where(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = F.sum("n").over(Window.partitionBy("from_state"))
+    return pairs.select(
+        "from_state",
+        "to_state",
+        "n",
+        (F.col("n").cast("double") / tot.cast("double")).alias("p"),
+    )

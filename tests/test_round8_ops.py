@@ -451,3 +451,56 @@ def test_collocations_no_global_window(spark):
     plan = collocations(d, "text", k=10)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan  # total rides broadcast crossJoin
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# transition_matrix (operators/sessions.py)
+# ---------------------------------------------------------------------------
+
+def test_transition_matrix_hand_computed(spark):
+    from gluestick_spark.operators.sessions import transition_matrix
+
+    d = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (2, 1, "a"), (2, 2, "b")],
+        "k long, t long, s string",
+    )
+    rows = {(r["from_state"], r["to_state"]): (r["n"], r["p"])
+            for r in transition_matrix(d, "k", "s", ["t"]).collect()}
+    # a->b twice (both keys), b->a once; totals: from a = 2, from b = 1
+    assert rows == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+
+def test_transition_matrix_probs_sum_to_one(spark):
+    from pyspark.sql import functions as F
+    from gluestick_spark.functions.datetimes import as_timestamp
+    from gluestick_spark.operators.sessions import transition_matrix
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev = ev.withColumn("ts", as_timestamp(ev, "ts"))
+    out = transition_matrix(ev, "user_id", "event_type", ["ts", "event_id"])
+    sums = out.groupBy("from_state").agg(F.sum("p").alias("sp")).collect()
+    assert sums and all(abs(r["sp"] - 1.0) < 1e-9 for r in sums)
+
+
+def test_transition_matrix_requires_order(spark):
+    from gluestick_spark.operators.sessions import transition_matrix
+
+    d = spark.createDataFrame([(1, 1, "a")], "k long, t long, s string")
+    with pytest.raises(ValueError, match="order_by"):
+        transition_matrix(d, "k", "s", [])
+
+
+def test_transition_matrix_single_keyed_window(spark):
+    from gluestick_spark.operators.sessions import transition_matrix
+
+    d = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b")], "k long, t long, s string"
+    )
+    plan = (
+        transition_matrix(d, "k", "s", ["t"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the corpus is scanned exactly once (a totals JOIN would re-derive
+    # the whole event pipeline a second time)
+    assert plan.count("Scan ExistingRDD") == 1
+    assert "partial_count" in plan  # map-side combine on the pair agg
