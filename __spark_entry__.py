@@ -4887,6 +4887,43 @@ FROM pairs p JOIN tot t USING (from_state)
 """
 
 
+def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.py:triangle_count) over
+    the part co-order graph (parts appearing in the same order) —
+    market-basket clique density. Degree-oriented wedge join: each
+    triangle generated exactly once at its lowest-degree apex, cost
+    O(|E|^1.5) instead of the naive hub-squared blowup."""
+    from gluestick_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "ok").where(F.col("src") < F.col("dst")).select("src", "dst")
+    return triangle_count(edges)
+
+
+_Q_PART_TRIANGLES_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM pairs e1
+  JOIN pairs e2 ON e2.a = e1.b
+  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nodes AS (SELECT a AS node FROM pairs UNION SELECT b FROM pairs),
+roles AS (
+  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+),
+cnt AS (SELECT node, count(*) AS n_triangles FROM roles GROUP BY node)
+SELECT n.node, CAST(COALESCE(c.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM nodes n LEFT JOIN cnt c ON c.node = n.node
+"""
+
+
 def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) semantic near-dup pruning
     (llm/cluster.py:semdedup): k-means-blocked pairwise cosine, drop
@@ -4996,6 +5033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family/pipeline as image_features, which stays in the window)
         "ivf_topk": q_ivf_topk,
         "audio_features": q_audio_features,
+        # new round-8 tail entries (locally ALL-MATCH; promote in r9)
+        "part_triangles": q_part_triangles,
         "map_fields": q_map_fields,
         "token_stats": q_token_stats,
         "explode_json_to_rows": q_explode_json_to_rows,
@@ -5144,6 +5183,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _Q_MINHASH_DEDUP_SQL,  # tail (shared oracle r7-green)
         "ivf_topk": _Q_ANN_TOPK_SQL,
         "audio_features": _audio_features_sql(),
+        "part_triangles": _Q_PART_TRIANGLES_SQL,
         # ---- tail: rows with recent (r6/r7) driver evidence ----
         "map_fields": _Q_MAP_FIELDS_SQL,
         "token_stats": _Q_TOKEN_STATS_SQL,

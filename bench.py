@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "pagerank_events",
     "collocations",
     "event_transitions",
+    "part_triangles",
 ]
 
 

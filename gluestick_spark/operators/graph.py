@@ -40,7 +40,77 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_count"]
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED simple graph —
+    (``node``, ``n_triangles``). Triangles are the local-clustering /
+    community-density signal (market-basket co-occurrence cliques,
+    link-farm detection in crawl graphs).
+
+    Input edges may be directed/duplicated — they are canonicalized
+    (min, max) and deduped first; self-loops are dropped.
+
+    Scale posture: the **degree-orientation** algorithm — every edge is
+    oriented from its lower-(degree, node) endpoint to the higher one,
+    a total order, so each triangle is generated EXACTLY ONCE at its
+    lowest-degree apex. The wedge join then costs Σ_u outdeg(u)² with
+    outdeg ≤ O(√|E|) by construction — O(|E|^1.5) worst case instead of
+    the Σ deg(u)² hub blowup a naive adjacency join hits on power-law
+    graphs (one celebrity node would otherwise square). Three shuffles
+    total: degree aggregate, wedge self-join on the apex, closing-edge
+    semi-join.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("__deg__"))
+    )
+    # orient by (degree, node) — a total order, so orientation is acyclic
+    da = deg.select(F.col("node").alias("a"), F.col("__deg__").alias("__da__"))
+    db = deg.select(F.col("node").alias("b"), F.col("__deg__").alias("__db__"))
+    ranked = e.join(da, "a").join(db, "b")
+    lower_first = (F.col("__da__") < F.col("__db__")) | (
+        (F.col("__da__") == F.col("__db__")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).persist()
+    # wedges at apex u: (v, w) with v < w; the triangle closes iff the
+    # canonical edge (v, w) exists
+    w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges = w1.join(w2, "u").where(F.col("x") < F.col("y"))
+    closing = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tris = wedges.join(closing, ["x", "y"]).select(
+        F.col("u").alias("n1"), F.col("x").alias("n2"), F.col("y").alias("n3")
+    )
+    oriented.unpersist(False)
+    per_node = (
+        tris.select(F.col("n1").alias("node"))
+        .unionAll(tris.select(F.col("n2").alias("node")))
+        .unionAll(tris.select(F.col("n3").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    # nodes in no triangle still appear, with 0
+    return deg.select("node").join(per_node, "node", "left").select(
+        "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    )
 
 
 def pagerank(

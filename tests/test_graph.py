@@ -88,3 +88,57 @@ def test_total_mass_bounded(spark):
     out = pagerank(e, iters=3)
     total = out.agg(F.sum("rank")).first()[0]
     assert total <= 3 * R0
+
+
+# ---------------------------------------------------------------------------
+# triangle_count
+# ---------------------------------------------------------------------------
+
+def test_triangle_hand_computed(spark):
+    from gluestick_spark.operators.graph import triangle_count
+
+    # K4 minus one edge: triangles {a,b,c} and {a,b,d}; edge c-d missing.
+    e = _edges(
+        spark,
+        [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d")],
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(e).collect()}
+    assert got == {"a": 2, "b": 2, "c": 1, "d": 1}
+
+
+def test_triangle_dedup_and_direction_invariance(spark):
+    from gluestick_spark.operators.graph import triangle_count
+
+    # duplicated and reversed edges, plus a self-loop — same one triangle
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "c"), ("a", "a")],
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(e).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_free_graph_all_zero(spark):
+    from gluestick_spark.operators.graph import triangle_count
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])  # path: no triangles
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(e).collect()}
+    assert got == {"a": 0, "b": 0, "c": 0, "d": 0}
+
+
+def test_triangle_partition_invariance(spark):
+    from pyspark.sql import functions as F
+    from gluestick_spark.operators.graph import triangle_count
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "ok").where(F.col("src") < F.col("dst")).select("src", "dst")
+    x = sorted((r["node"], r["n_triangles"]) for r in triangle_count(edges).collect())
+    y = sorted(
+        (r["node"], r["n_triangles"])
+        for r in triangle_count(edges.repartition(9, "dst")).collect()
+    )
+    assert x == y and len(x) > 0
