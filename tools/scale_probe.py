@@ -447,14 +447,88 @@ def main() -> None:
         lambda: _semdd(vecsR, 8 * r),
     )
 
+    # --- round-8 additions -------------------------------------------------
+    from gluestick_spark.llm.pq import pq_topk, train_pq
+    from gluestick_spark.llm.text import collocations
+    from gluestick_spark.operators.graph import pagerank, triangle_count
+    from gluestick_spark.operators.sessions import transition_matrix
+    from gluestick_spark.functions.datetimes import as_timestamp
+
+    # PQ: codebooks are a statistic — train ONCE on the 1x corpus, then
+    # probe encode+ADC-search (scan + TakeOrdered → expect ~linear).
+    _books = train_pq(vecs1, "embedding", "vec_id", m=4, k=16, iters=1)
+    _qv = [0.01 * (i % 7) for i in range(64)]
+
+    ops["pq_encode_search"] = (
+        lambda: pq_topk(vecs1, "embedding", "vec_id", _qv, _books, k=10).count(),
+        lambda: pq_topk(vecsR, "embedding", "vec_id", _qv, _books, k=10).count(),
+    )
+
+    # collocations: pair table is vocabulary-bounded; corpus scan dominates.
+    ops["collocations"] = (
+        lambda: collocations(docs1, "text", min_count=5, k=100).count(),
+        lambda: collocations(docsR, "text", min_count=5, k=100).count(),
+    )
+
+    # pagerank: replicated events have DISJOINT per-replica users → |E|
+    # grows ~linearly; per-iteration cost ∝ |E|.
+    def _pr(ev):
+        raw = (
+            ev.groupBy("user_id", "event_type").count()
+            .where(F.col("count") >= 3)
+            .select(
+                F.concat(F.lit("u:"), F.col("user_id")).alias("src"),
+                F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+            )
+        )
+        edges = raw.unionAll(
+            raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        return pagerank(edges, iters=2).count()
+
+    ops["pagerank"] = (lambda: _pr(ev1), lambda: _pr(evR))
+    event_family.add("pagerank")
+
+    # transition matrix: one keyed window + vocab²-bounded aggregate.
+    def _tm(ev):
+        e2 = ev.withColumn("ts", as_timestamp(ev, "ts"))
+        return transition_matrix(e2, "user_id", "event_type", ["ts", "event_id"]).count()
+
+    ops["transition_matrix"] = (lambda: _tm(ev1), lambda: _tm(evR))
+    event_family.add("transition_matrix")
+
+    # triangles: banded synthetic graph (node i — i+1..i+8), constant
+    # degree, so N scales rows AND edges linearly; degree-oriented wedge
+    # join should track ~linearly (wedges/node constant).
+    def _tri(n_nodes):
+        base = spark.range(n_nodes)
+        d = base.crossJoin(
+            F.broadcast(spark.range(1, 9).select(F.col("id").alias("__o__")))
+        )
+        edges = d.select(
+            F.col("id").alias("src"), (F.col("id") + F.col("__o__")).alias("dst")
+        ).where(F.col("dst") < n_nodes)
+        out = triangle_count(edges)
+        return out.agg(F.sum("n_triangles")).first()[0] or 0
+
+    tri_n = 60_000
+    ops["triangle_count"] = (lambda: _tri(tri_n), lambda: _tri(tri_n * r))
+
     import math
 
     summary = {}
     for name, (small, big) in ops.items():
         t1, rows1 = timed(small)
         tR, rowsR = timed(big)
-        if name in ("embedding_near_dups", "kmeans_lloyd", "semdedup_scaled_k"):
+        if name in (
+            "embedding_near_dups",
+            "kmeans_lloyd",
+            "semdedup_scaled_k",
+            "pq_encode_search",
+        ):
             ratio = vR / v1
+        elif name == "triangle_count":
+            ratio = float(r)
         elif name in event_family:
             ratio = eR / e1
         else:
