@@ -4924,6 +4924,72 @@ FROM nodes n LEFT JOIN cnt c ON c.node = n.node
 """
 
 
+_HITS_ITERS, _HITS_SCALE, _HITS_MINCNT = 2, 10**6, 10
+
+
+def _hits_oracle_sql() -> str:
+    parts = [f"""WITH e AS (
+  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src, 't:' || event_type AS dst
+  FROM events GROUP BY user_id, event_type HAVING count(*) >= {_HITS_MINCNT}
+),
+nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+h0 AS (SELECT node, CAST({_HITS_SCALE} AS BIGINT) AS hub FROM nodes)"""]
+    ph = "h0"
+    for t in range(1, _HITS_ITERS + 1):
+        parts.append(f""",
+ar{t} AS (
+  SELECT n.node, COALESCE(s.v, 0) AS v
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(h.hub) AS BIGINT) AS v
+    FROM e JOIN {ph} h ON h.node = e.src GROUP BY e.dst
+  ) s ON s.node = n.node
+),
+a{t} AS (
+  SELECT r.node,
+         CAST(floor(CAST(r.v * {_HITS_SCALE} AS DOUBLE)
+                    / CAST(m.mx AS DOUBLE)) AS BIGINT) AS authority
+  FROM ar{t} r CROSS JOIN (SELECT MAX(v) AS mx FROM ar{t}) m
+),
+hr{t} AS (
+  SELECT n.node, COALESCE(s.v, 0) AS v
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS node, CAST(SUM(a.authority) AS BIGINT) AS v
+    FROM e JOIN a{t} a ON a.node = e.dst GROUP BY e.src
+  ) s ON s.node = n.node
+),
+h{t} AS (
+  SELECT r.node,
+         CAST(floor(CAST(r.v * {_HITS_SCALE} AS DOUBLE)
+                    / CAST(m.mx AS DOUBLE)) AS BIGINT) AS hub
+  FROM hr{t} r CROSS JOIN (SELECT MAX(v) AS mx FROM hr{t}) m
+)""")
+        ph = f"h{t}"
+    parts.append(f"""
+SELECT h.node, h.hub, a.authority
+FROM h{_HITS_ITERS} h JOIN a{_HITS_ITERS} a ON a.node = h.node""")
+    return "".join(parts)
+
+
+def q_hits_click_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (operators/graph.py:hits) over the
+    thresholded user→event_type bipartite click graph — int64 scores
+    with max-normalization per half-step; the oracle unrolls both
+    iterations and matches every score."""
+    from gluestick_spark.operators.graph import hits
+
+    ev = _t(spark, sf_dir, "events")
+    edges = (
+        ev.groupBy("user_id", "event_type")
+        .count()
+        .where(F.col("count") >= _HITS_MINCNT)
+        .select(
+            F.concat(F.lit("u:"), F.col("user_id")).alias("src"),
+            F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+        )
+    )
+    return hits(edges, iters=_HITS_ITERS, scale=_HITS_SCALE)
+
+
 def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) semantic near-dup pruning
     (llm/cluster.py:semdedup): k-means-blocked pairwise cosine, drop
@@ -5035,6 +5101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         # new round-8 tail entries (locally ALL-MATCH; promote in r9)
         "part_triangles": q_part_triangles,
+        "hits_click_graph": q_hits_click_graph,
         "map_fields": q_map_fields,
         "token_stats": q_token_stats,
         "explode_json_to_rows": q_explode_json_to_rows,
@@ -5184,6 +5251,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _Q_ANN_TOPK_SQL,
         "audio_features": _audio_features_sql(),
         "part_triangles": _Q_PART_TRIANGLES_SQL,
+        "hits_click_graph": _hits_oracle_sql(),
         # ---- tail: rows with recent (r6/r7) driver evidence ----
         "map_fields": _Q_MAP_FIELDS_SQL,
         "token_stats": _Q_TOKEN_STATS_SQL,

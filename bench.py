@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "collocations",
     "event_transitions",
     "part_triangles",
+    "hits_click_graph",
 ]
 
 

@@ -191,7 +191,7 @@ from .llm.packing import pack_documents
 from .llm.cluster import kmeans, semdedup, quantize_vec_expr, int_dot_expr
 from .llm.pq import train_pq, encode_pq, pq_topk, adc_table
 from .llm.text import collocations
-from .operators.graph import pagerank, triangle_count
+from .operators.graph import pagerank, triangle_count, hits
 from .operators.sessions import transition_matrix
 
 __version__ = "0.1.0"

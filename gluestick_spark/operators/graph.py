@@ -40,7 +40,96 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_count"]
+__all__ = ["pagerank", "triangle_count", "hits"]
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+    scale: int = 10**6,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) — (``node``, ``hub``,
+    ``authority`` as int64 in [0, ``scale``]). The canonical centrality
+    for BIPARTITE interaction graphs (users ↔ content): a good hub
+    points at good authorities and vice versa.
+
+    Determinism contract (same integer device as :func:`pagerank`):
+    scores are int64; each half-step is an exact integer sum over
+    in/out-neighbors followed by **max-normalization** ``x ← floor(x ·
+    scale / max(x))`` — the floor of an IEEE division of two exact
+    int64s, identical in every engine (identical even past 2⁵³: both
+    engines round the same int64 to the same IEEE double first), and it
+    caps the magnitude so a fixed iteration count can never overflow.
+    Bound: the normalization multiplies raw sums (≤ maxdeg·scale) by
+    ``scale``, so int64 holds while **maxdeg ≤ 2⁶³/scale² ≈ 9.2·10⁶ at
+    scale=10⁶** — shrink ``scale`` for hub degrees beyond that; ANSI
+    mode errors loudly, never corrupts.
+
+    Plan shape per iteration: two edge-keyed joins + two map-side-
+    combined aggregates (shuffle ∝ |E|), and each normalization's 1-row
+    max rides a ``crossJoin(broadcast(...))`` — never a global window,
+    never a driver collect.
+    """
+    if iters < 0:
+        raise ValueError("iters >= 0 required")
+    e = (
+        edges.select(F.col(src).alias("__src__"), F.col(dst).alias("__dst__"))
+        .where(F.col("__src__").isNotNull() & F.col("__dst__").isNotNull())
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("__src__").alias("node"))
+        .unionAll(e.select(F.col("__dst__").alias("node")))
+        .distinct()
+        .persist()
+    )
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        mx = df.agg(F.max(col).alias("__mx__"))
+        return df.crossJoin(F.broadcast(mx)).select(
+            "node",
+            F.floor(
+                (F.col(col) * F.lit(int(scale))).cast("double")
+                / F.col("__mx__").cast("double")
+            )
+            .cast("long")
+            .alias(col),
+        )
+
+    hub = nodes.withColumn("hub", F.lit(int(scale)).cast("long"))
+    auth = nodes.withColumn("authority", F.lit(int(scale)).cast("long"))
+    for _ in range(iters):
+        # authority(v) = Σ hub(u) over u→v, then max-normalize
+        a_raw = (
+            e.join(hub.withColumnRenamed("node", "__src__"), "__src__")
+            .groupBy(F.col("__dst__").alias("node"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        auth = _norm(
+            nodes.join(a_raw, "node", "left").select(
+                "node", F.coalesce("authority", F.lit(0)).alias("authority")
+            ),
+            "authority",
+        )
+        # hub(u) = Σ authority(v) over u→v, then max-normalize
+        h_raw = (
+            e.join(auth.withColumnRenamed("node", "__dst__"), "__dst__")
+            .groupBy(F.col("__src__").alias("node"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        hub = _norm(
+            nodes.join(h_raw, "node", "left").select(
+                "node", F.coalesce("hub", F.lit(0)).alias("hub")
+            ),
+            "hub",
+        )
+    out = hub.join(auth, "node").select("node", "hub", "authority")
+    e.unpersist(False)
+    nodes.unpersist(False)
+    return out
 
 
 def triangle_count(

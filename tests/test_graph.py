@@ -142,3 +142,65 @@ def test_triangle_partition_invariance(spark):
         for r in triangle_count(edges.repartition(9, "dst")).collect()
     )
     assert x == y and len(x) > 0
+
+
+# ---------------------------------------------------------------------------
+# hits
+# ---------------------------------------------------------------------------
+
+def test_hits_hand_computed_one_iter(spark):
+    from gluestick_spark.operators.graph import hits
+
+    # u1 -> {a, b}, u2 -> {a}. After one iteration:
+    #   raw authority: a = 2e6, b = 1e6 -> normalized a = 1e6, b = 5e5
+    #   raw hub: u1 = 1e6 + 5e5, u2 = 1e6 -> normalized u1 = 1e6,
+    #   u2 = floor(1e6*1e6/1.5e6) = 666_666
+    e = _edges(spark, [("u1", "a"), ("u1", "b"), ("u2", "a")])
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(e, iters=1).collect()}
+    assert got["a"] == (0, 10**6)
+    assert got["b"] == (0, 500_000)
+    assert got["u1"] == (10**6, 0)
+    assert got["u2"] == (666_666, 0)
+
+
+def test_hits_zero_iters_uniform(spark):
+    from gluestick_spark.operators.graph import hits
+
+    e = _edges(spark, [("a", "b")])
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(e, iters=0).collect()}
+    assert got == {"a": (10**6, 10**6), "b": (10**6, 10**6)}
+
+
+def test_hits_partition_invariance_and_range(spark):
+    from pyspark.sql import functions as F
+    from gluestick_spark.operators.graph import hits
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    edges = (
+        ev.groupBy("user_id", "event_type").count().where(F.col("count") >= 2)
+        .select(
+            F.concat(F.lit("u:"), F.col("user_id")).alias("src"),
+            F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+        )
+    )
+    a = sorted(tuple(r) for r in hits(edges, iters=2).collect())
+    b = sorted(tuple(r) for r in hits(edges.repartition(7, "src"), iters=2).collect())
+    assert a == b and len(a) > 0
+    assert all(0 <= h <= 10**6 and 0 <= au <= 10**6 for _, h, au in a)
+    assert max(h for _, h, _au in a) == 10**6  # max-normalized
+
+
+def test_hits_validates(spark):
+    from gluestick_spark.operators.graph import hits
+
+    e = _edges(spark, [("a", "b")])
+    with pytest.raises(ValueError):
+        hits(e, iters=-1)
+
+
+def test_hits_no_global_window(spark):
+    from gluestick_spark.operators.graph import hits
+
+    e = _edges(spark, [("a", "b"), ("a", "c")])
+    plan = hits(e, iters=1)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # normalizations ride broadcast crossJoins
