@@ -4990,6 +4990,53 @@ def q_hits_click_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(edges, iters=_HITS_ITERS, scale=_HITS_SCALE)
 
 
+_IVFX_NC, _IVFX_NPROBE, _IVFX_ITERS, _IVFX_K = 8, 2, 1, 15
+
+
+def _ivf_exact_oracle_sql() -> str:
+    """Replays coarse-quantizer training, probe selection, AND the
+    pruned scan — a green row verifies the IVF pruning semantics
+    themselves, not recall luck (contrast _Q_ANN_TOPK_SQL)."""
+    ctes, assign_name, cent_name = _lloyd_ctes(
+        "ivf", 1, _KM_DIM, _IVFX_NC, _IVFX_ITERS, _KM_SCALE, _KM_DIM
+    )
+    qexpr = (
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * "
+        f"{_KM_SCALE}.0 + 0.5) AS BIGINT))"
+    )
+    return f"""WITH {ctes},
+qv_ivf AS (
+  SELECT {qexpr} AS q, CAST(list_dot_product({qexpr}, {qexpr}) AS BIGINT) AS xx
+  FROM embeddings WHERE vec_id = 0
+),
+probes_ivf AS (
+  SELECT c.cid FROM {cent_name} c, qv_ivf v
+  ORDER BY CAST(c.n*c.n*v.xx - 2*c.n*CAST(list_dot_product(v.q, c.s) AS BIGINT)
+                + CAST(list_dot_product(c.s, c.s) AS BIGINT) AS DOUBLE)
+           / CAST(c.n*c.n AS DOUBLE), c.cid
+  LIMIT {_IVFX_NPROBE}
+)
+SELECT x.id AS vec_id,
+       v.xx - 2*CAST(list_dot_product(x.q, v.q) AS BIGINT) + x.xx AS ivf_dist
+FROM qxx_ivf x JOIN {assign_name} a ON a.id = x.id, qv_ivf v
+WHERE a.cid IN (SELECT cid FROM probes_ivf)
+ORDER BY ivf_dist, vec_id LIMIT {_IVFX_K}"""
+
+
+def q_ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a replayable coarse quantizer
+    (llm/cluster.py:ivf_topk_exact): integer-Lloyd codebook, driver-side
+    probe selection (same exact algebra), pruned scan + TakeOrdered."""
+    from gluestick_spark.llm.cluster import ivf_topk_exact
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = list(e.where(F.col("vec_id") == 0).first()["embedding"])
+    return ivf_topk_exact(
+        e, "embedding", "vec_id", q, k=_IVFX_K, n_clusters=_IVFX_NC,
+        nprobe=_IVFX_NPROBE, iters=_IVFX_ITERS, scale=_KM_SCALE,
+    )
+
+
 def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) semantic near-dup pruning
     (llm/cluster.py:semdedup): k-means-blocked pairwise cosine, drop
@@ -5102,6 +5149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new round-8 tail entries (locally ALL-MATCH; promote in r9)
         "part_triangles": q_part_triangles,
         "hits_click_graph": q_hits_click_graph,
+        "ivf_exact_topk": q_ivf_exact_topk,
         "map_fields": q_map_fields,
         "token_stats": q_token_stats,
         "explode_json_to_rows": q_explode_json_to_rows,
@@ -5252,6 +5300,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": _audio_features_sql(),
         "part_triangles": _Q_PART_TRIANGLES_SQL,
         "hits_click_graph": _hits_oracle_sql(),
+        "ivf_exact_topk": _ivf_exact_oracle_sql(),
         # ---- tail: rows with recent (r6/r7) driver evidence ----
         "map_fields": _Q_MAP_FIELDS_SQL,
         "token_stats": _Q_TOKEN_STATS_SQL,

@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "event_transitions",
     "part_triangles",
     "hits_click_graph",
+    "ivf_exact_topk",
 ]
 
 

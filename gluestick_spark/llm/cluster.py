@@ -72,6 +72,7 @@ __all__ = [
     "int_dot_expr",
     "kmeans",
     "semdedup",
+    "ivf_topk_exact",
 ]
 
 
@@ -325,4 +326,75 @@ def semdedup(
             "cid",
             F.coalesce(~F.col("__dropped__"), F.lit(True)).alias("keep"),
         )
+    )
+
+
+def ivf_topk_exact(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    iters: int = 1,
+    scale: int = 1000,
+    assign: str = "auto",
+) -> DataFrame:
+    """IVF top-k with a fully replayable coarse quantizer — (id,
+    ``ivf_dist`` long), ordered by (dist, id).
+
+    The engine's other IVF (``llm/similarity.py``) takes its codebook
+    from MLlib k-means (seeded RNG — Spark-deterministic but not
+    replayable in SQL), so its oracle can only check against recall-1
+    brute force. THIS variant trains the coarse quantizer with the
+    integer Lloyd loop above, so a DuckDB oracle replays training,
+    probe selection, AND the pruned scan — a green row verifies the
+    PRUNING SEMANTICS, not a lucky recall.
+
+    Probe selection: the ``nprobe`` centroids nearest the query under
+    the same exact algebra (round-then-divide double of the int64
+    numerator, ties to smallest cid), chosen driver-side from the
+    k·(d+1)-int state. Row distances are exact int64 squared L2 between
+    quantized vectors.
+
+    Plan: narrow assignment map (or broadcast join at large k·d) → a
+    ``cid IN probes`` filter — with a materialized index this is
+    partition pruning; inline it prunes at the scan filter — →
+    ``TakeOrderedAndProject``. No shuffle of the corpus.
+    """
+    if nprobe < 1 or k < 1:
+        raise ValueError("nprobe >= 1 and k >= 1 required")
+    assigned_src, state = kmeans(
+        df, vec_col, id_col, k=n_clusters, iters=iters, scale=scale,
+        return_state=True, assign=assign,
+    )
+    if not state:
+        return assigned_src.select(
+            F.col(id_col), F.lit(0).cast("long").alias("ivf_dist")
+        )
+    from math import floor as _floor
+
+    qq = [_floor(x * scale + 0.5) for x in query]
+    qxx = sum(v * v for v in qq)
+    scored = []
+    for cid, (s, n) in enumerate(state):
+        num = n * n * qxx - 2 * n * sum(a * b for a, b in zip(qq, s)) + sum(
+            v * v for v in s
+        )
+        scored.append((float(num) / float(n * n), cid))
+    probes = [cid for _, cid in sorted(scored)[: min(nprobe, len(scored))]]
+
+    pts = _prepare(df, vec_col, id_col, scale)
+    pts = _assign_df(pts, state, assign).where(F.col("cid").isin(probes))
+    q_arr = F.array(*[F.lit(int(v)).cast("long") for v in qq])
+    dist = (
+        F.lit(int(qxx)).cast("long")
+        - F.lit(2).cast("long") * int_dot_expr(F.col("__q__"), q_arr)
+        + F.col("__xx__")
+    )
+    return (
+        pts.select(F.col("__id__").alias(id_col), dist.alias("ivf_dist"))
+        .orderBy(F.col("ivf_dist").asc(), F.col(id_col).asc())
+        .limit(k)
     )

@@ -182,3 +182,60 @@ def test_semdedup_negative_cosine_never_drops(spark):
     df = _vecs(spark, [(1, [1.0, 0.0]), (2, [-1.0, 0.0])])
     out = semdedup(df, "v", "id", k=1, iters=0, threshold=0.0)
     assert all(r["keep"] for r in out.collect())
+
+
+# ---------------------------------------------------------------------------
+# ivf_topk_exact
+# ---------------------------------------------------------------------------
+
+def test_ivf_exact_full_probe_equals_brute_force(spark):
+    from gluestick_spark.llm.cluster import ivf_topk_exact
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = list(e.where("vec_id = 0").first()["embedding"])
+    # nprobe = n_clusters: nothing pruned -> exact quantized top-k
+    full = ivf_topk_exact(e, "embedding", "vec_id", q, k=5, n_clusters=4, nprobe=4).collect()
+    rows = e.select("vec_id", "embedding").collect()
+
+    def qz(v):
+        from math import floor
+        return [floor(x * 1000 + 0.5) for x in v]
+
+    qq = qz(q)
+    brute = sorted(
+        (sum((a - b) ** 2 for a, b in zip(qz(r["embedding"]), qq)), r["vec_id"])
+        for r in rows
+    )[:5]
+    assert [(r["ivf_dist"], r["vec_id"]) for r in full] == brute
+
+
+def test_ivf_exact_probe_subset_of_full(spark):
+    from gluestick_spark.llm.cluster import ivf_topk_exact
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = list(e.where("vec_id = 1").first()["embedding"])
+    pruned = ivf_topk_exact(e, "embedding", "vec_id", q, k=50, n_clusters=4, nprobe=1).collect()
+    full = ivf_topk_exact(e, "embedding", "vec_id", q, k=500, n_clusters=4, nprobe=4).collect()
+    full_d = {r["vec_id"]: r["ivf_dist"] for r in full}
+    # every pruned result is a true distance (pruning never fabricates)
+    assert all(full_d[r["vec_id"]] == r["ivf_dist"] for r in pruned)
+    # the query's own cluster is always probed -> query itself found
+    assert pruned[0]["vec_id"] == 1 and pruned[0]["ivf_dist"] == 0
+
+
+def test_ivf_exact_validates(spark):
+    from gluestick_spark.llm.cluster import ivf_topk_exact
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    with pytest.raises(ValueError):
+        ivf_topk_exact(e, "embedding", "vec_id", [0.0] * 64, nprobe=0)
+
+
+def test_ivf_exact_plan_take_ordered_no_shuffle(spark):
+    from gluestick_spark.llm.cluster import ivf_topk_exact
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = ivf_topk_exact(e, "embedding", "vec_id", [0.1] * 64, k=3, n_clusters=4, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan  # literal assign: narrow scan
