@@ -5120,8 +5120,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_str_records": q_format_str_records,
         "deep_convert_datetimes": q_deep_convert_datetimes,
         "nulls_trimmed": q_nulls_trimmed,
-        "csv_roundtrip": q_csv_roundtrip,
-        "parquet_roundtrip": q_parquet_roundtrip,
+        # (csv_roundtrip / parquet_roundtrip demoted late-r8: both are
+        # byte-verified against the reference's committed golden outputs
+        # on every pytest run — the freshest evidence in the window;
+        # shipping_priority demoted: plain spark.sql passthrough timed in
+        # bench every round. Their slots go to the three round-8 ops that
+        # had only local evidence: part_triangles, hits_click_graph,
+        # ivf_exact_topk.)
+        "part_triangles": q_part_triangles,
+        "hits_click_graph": q_hits_click_graph,
+        "ivf_exact_topk": q_ivf_exact_topk,
         "clean_corpus": q_clean_corpus,
         "dedup_fingerprint": q_dedup_fingerprint,
         "lang_id": q_lang_id,
@@ -5133,7 +5141,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_vs_query": q_jaccard_vs_query,
         "lsh_ann_topk": q_lsh_ann,
         "image_features": q_image_features,
-        "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "promo_revenue": q_promo_revenue,
         "pricing_summary": q_pricing_summary,
@@ -5146,10 +5153,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family/pipeline as image_features, which stays in the window)
         "ivf_topk": q_ivf_topk,
         "audio_features": q_audio_features,
-        # new round-8 tail entries (locally ALL-MATCH; promote in r9)
-        "part_triangles": q_part_triangles,
-        "hits_click_graph": q_hits_click_graph,
-        "ivf_exact_topk": q_ivf_exact_topk,
+        # (demoted late-r8 in favor of the graph/ivf trio — see window note)
+        "csv_roundtrip": q_csv_roundtrip,
+        "parquet_roundtrip": q_parquet_roundtrip,
+        "shipping_priority": q_shipping_priority,
         "map_fields": q_map_fields,
         "token_stats": q_token_stats,
         "explode_json_to_rows": q_explode_json_to_rows,
@@ -5278,8 +5285,9 @@ def oracle_sql() -> dict[str, str]:
         "format_str_records": _Q_FORMAT_STR_SQL,
         "deep_convert_datetimes": _Q_DEEP_CONVERT_SQL,
         "nulls_trimmed": _Q_NULLS_TRIMMED_SQL,
-        "csv_roundtrip": _Q_CSV_ROUNDTRIP_SQL,
-        "parquet_roundtrip": _Q_PARQUET_ROUNDTRIP_SQL,
+        "part_triangles": _Q_PART_TRIANGLES_SQL,
+        "hits_click_graph": _hits_oracle_sql(),
+        "ivf_exact_topk": _ivf_exact_oracle_sql(),
         "clean_corpus": _clean_corpus_sql(),
         "dedup_fingerprint": _Q_DEDUP_FP_SQL,
         "lang_id": _lang_id_sql(),
@@ -5291,16 +5299,15 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_vs_query": _Q_JACCARD_SQL,
         "lsh_ann_topk": _lsh_ann_sql(),
         "image_features": _image_features_sql(),
-        "shipping_priority": _Q_SHIPPING_SQL,
         "local_supplier_volume": _Q_LOCAL_SUPPLIER_SQL,
         "promo_revenue": _Q_PROMO_SQL,
         "pricing_summary": _Q_PRICING_SQL,
         "minhash_dedup": _Q_MINHASH_DEDUP_SQL,  # tail (shared oracle r7-green)
         "ivf_topk": _Q_ANN_TOPK_SQL,
         "audio_features": _audio_features_sql(),
-        "part_triangles": _Q_PART_TRIANGLES_SQL,
-        "hits_click_graph": _hits_oracle_sql(),
-        "ivf_exact_topk": _ivf_exact_oracle_sql(),
+        "csv_roundtrip": _Q_CSV_ROUNDTRIP_SQL,
+        "parquet_roundtrip": _Q_PARQUET_ROUNDTRIP_SQL,
+        "shipping_priority": _Q_SHIPPING_SQL,
         # ---- tail: rows with recent (r6/r7) driver evidence ----
         "map_fields": _Q_MAP_FIELDS_SQL,
         "token_stats": _Q_TOKEN_STATS_SQL,
