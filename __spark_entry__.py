@@ -4887,6 +4887,186 @@ FROM pairs p JOIN tot t USING (from_state)
 """
 
 
+# Label propagation runs on the same thresholded click graph as
+# PageRank/HITS; 3 synchronous rounds (odd on a bipartite graph —
+# exercises the oscillation-aware fixed-iteration contract).
+_LPA_ITERS = 3
+
+
+def _lpa_oracle_sql() -> str:
+    parts = [f"""WITH raw AS (
+  SELECT 'u:' || CAST(user_id AS VARCHAR) AS src, 't:' || event_type AS dst
+  FROM events GROUP BY user_id, event_type HAVING count(*) >= {_PR_MINCNT}
+),
+edges AS (
+  SELECT src, dst FROM raw UNION SELECT dst AS src, src AS dst FROM raw
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges),
+l0 AS (SELECT node, node AS label FROM nodes)"""]
+    prev = "l0"
+    for t in range(1, _LPA_ITERS + 1):
+        parts.append(f""",
+c{t} AS (
+  SELECT e.dst AS node, l.label, count(*) AS n
+  FROM edges e JOIN {prev} l ON l.node = e.src
+  GROUP BY e.dst, l.label
+),
+t{t} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY n DESC, label ASC) AS rn
+    FROM c{t}
+  ) WHERE rn = 1
+),
+l{t} AS (
+  SELECT n.node, COALESCE(t.label, l.label) AS label
+  FROM nodes n LEFT JOIN t{t} t ON t.node = n.node
+  JOIN {prev} l ON l.node = n.node
+)""")
+        prev = f"l{t}"
+    parts.append(f"\nSELECT node, label FROM {prev}")
+    return "".join(parts)
+
+
+def q_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (operators/graph.py:
+    label_propagation) over the thresholded user↔event_type click
+    graph — community assignment as a cohort/dedup-grouping prior.
+    All-integer frequencies, ties to the smallest label; the oracle
+    unrolls all 3 rounds and matches every (node, label)."""
+    from gluestick_spark.operators.graph import label_propagation
+
+    ev = _t(spark, sf_dir, "events")
+    raw = (
+        ev.groupBy("user_id", "event_type")
+        .count()
+        .where(F.col("count") >= _PR_MINCNT)
+        .select(
+            F.concat(F.lit("u:"), F.col("user_id")).alias("src"),
+            F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+        )
+    )
+    edges = raw.unionAll(
+        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return label_propagation(edges, iters=_LPA_ITERS)
+
+
+_SQ_TOPK_K = 10
+
+
+def q_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-scalar-quantized ANN (llm/similarity.py:sq_topk): quantize
+    the corpus AND the vec_id=0 query with the replayable floor/clamp
+    quantizer, score by exact int64 code dot × the two scales, top-10.
+    One scan over 4×-compressed codes, zero shuffles
+    (TakeOrderedAndProject); the oracle replays quantization, scoring,
+    and the ordering bit-for-bit."""
+    from gluestick_spark.llm.similarity import sq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    top = sq_topk(e, "embedding", "vec_id", q, k=_SQ_TOPK_K)
+    return top.select(
+        "vec_id", (F.floor(F.col("score") * 1e4) / 1e4).alias("score")
+    )
+
+
+_Q_SQ_TOPK_SQL = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+a AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM v
+),
+enc AS (
+  SELECT vec_id,
+    CASE WHEN amax > 0 THEN amax / 127.0 ELSE 0.0 END AS sc,
+    CASE WHEN amax > 0
+         THEN list_transform(v, x -> greatest(-127.0, least(127.0, floor(x / (amax / 127.0) + 0.5))))
+         ELSE list_transform(v, x -> 0.0) END AS qc
+  FROM a
+),
+q AS (SELECT sc AS qsc, qc AS qqc FROM enc WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+         CAST(list_dot_product(e.qc, q.qqc) AS BIGINT) AS idot,
+         e.sc, q.qsc
+  FROM enc e, q
+)
+SELECT vec_id,
+       floor((CAST(idot AS DOUBLE) * sc * qsc) * 1e4) / 1e4 AS score
+FROM s
+ORDER BY CAST(idot AS DOUBLE) * sc * qsc DESC, vec_id ASC
+LIMIT {_SQ_TOPK_K}
+"""
+
+
+def q_alpha_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual rebalancing (llm/sampling.py:
+    alpha_sample, α = 0.5): per-language keep rates sqrt(n_min/n_lang)
+    derived from the data (broadcast-total pattern, no unpartitioned
+    window), membership by the portable 60-bit keyed hash. sqrt is
+    IEEE-correctly-rounded in every engine, so the member set replays
+    exactly."""
+    from gluestick_spark.llm.sampling import alpha_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return alpha_sample(d, "lang", "doc_id", alpha=0.5).select("doc_id", "lang")
+
+
+_Q_ALPHA_SAMPLE_SQL = """
+WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+mn AS (SELECT min(n) AS nmin FROM cnt),
+rates AS (
+  SELECT lang,
+         CAST(floor(sqrt(CAST(mn.nmin AS DOUBLE) / CAST(n AS DOUBLE))
+                    * 1152921504606846976.0) AS BIGINT) AS thr
+  FROM cnt, mn
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r ON r.lang = d.lang
+WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || chr(31)), 1, 15) AS UBIGINT)
+      < r.thr
+"""
+
+
+_OUTLIER_TOPN = 50
+
+
+def _centroid_outliers_oracle_sql() -> str:
+    body, last = _kmeans_sql_body(_KM_K, _KM_ITERS, _KM_SCALE, _KM_DIM)
+    return f"""WITH {body},
+dist AS (
+  SELECT x.id, a.cid,
+         CAST(floor(
+           CAST(c.n*c.n*x.xx
+                - 2*c.n*CAST(list_dot_product(x.q, c.s) AS BIGINT)
+                + CAST(list_dot_product(c.s, c.s) AS BIGINT) AS DOUBLE)
+           / CAST(c.n*c.n AS DOUBLE)) AS BIGINT) AS dist_q
+  FROM qxx x
+  JOIN assign{last} a ON a.id = x.id
+  JOIN cent{_KM_ITERS} c ON c.cid = a.cid
+)
+SELECT id AS vec_id, cid, dist_q FROM dist
+ORDER BY dist_q DESC, id ASC LIMIT {_OUTLIER_TOPN}"""
+
+
+def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier audit (llm/cluster.py:centroid_outliers):
+    top-50 points farthest from their assigned k-means centroid — the
+    prune-the-fringe complement of SemDeDup. Same deterministic Lloyd
+    device as kmeans_clusters; dist_q = floor of the exact rational
+    squared distance, so the oracle replays training AND ranking."""
+    from gluestick_spark.llm.cluster import centroid_outliers
+
+    e = _t(spark, sf_dir, "embeddings")
+    return centroid_outliers(
+        e, "embedding", "vec_id", k=_KM_K, iters=_KM_ITERS,
+        scale=_KM_SCALE, top_n=_OUTLIER_TOPN,
+    )
+
+
 def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts (operators/graph.py:triangle_count) over
     the part co-order graph (parts appearing in the same order) —
@@ -5088,6 +5268,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail — all three were re-run ALL-MATCH by the judge's local
         # session in round 7, the freshest evidence in the r04 cohort) ----
         "dedup_against_indexed": q_dedup_against_indexed,
+        # (late-r8 heads; slots freed by demoting local_supplier_volume /
+        # promo_revenue / pricing_summary — plain spark.sql passthroughs
+        # timed in bench every round, same rationale as shipping_priority —
+        # and cosine_similarity, whose floored-cosine device is the same
+        # one the driver-green ann_topk/ivf rows exercise.)
+        "label_communities": q_label_communities,
+        "sq_topk": q_sq_topk,
+        "alpha_sample": q_alpha_sample,
+        "centroid_outliers": q_centroid_outliers,
         "bpe_encode": q_bpe_encode,
         "funnel_counts": q_funnel_counts,
         "resample_ratio": q_resample_ratio,
@@ -5137,13 +5326,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pluck_fields_by_regex": q_pluck_regex,
         "top_orders_per_cust": q_top_orders_per_cust,
         "winnow_fingerprint": q_winnow_fingerprint,
-        "cosine_similarity": q_cosine_all,
         "jaccard_vs_query": q_jaccard_vs_query,
         "lsh_ann_topk": q_lsh_ann,
         "image_features": q_image_features,
-        "local_supplier_volume": q_local_supplier_volume,
-        "promo_revenue": q_promo_revenue,
-        "pricing_summary": q_pricing_summary,
         # ---- tail: rows with recent (r6/r7) driver evidence ----
         # (minhash_dedup demoted: its oracle SQL is the one
         # streaming_minhash_dedup shares, driver-green in r7)
@@ -5153,10 +5338,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family/pipeline as image_features, which stays in the window)
         "ivf_topk": q_ivf_topk,
         "audio_features": q_audio_features,
-        # (demoted late-r8 in favor of the graph/ivf trio — see window note)
+        # (demoted late-r8 in favor of the graph/ivf trio and the four
+        # newest heads — see window note)
         "csv_roundtrip": q_csv_roundtrip,
         "parquet_roundtrip": q_parquet_roundtrip,
         "shipping_priority": q_shipping_priority,
+        "cosine_similarity": q_cosine_all,
+        "local_supplier_volume": q_local_supplier_volume,
+        "promo_revenue": q_promo_revenue,
+        "pricing_summary": q_pricing_summary,
         "map_fields": q_map_fields,
         "token_stats": q_token_stats,
         "explode_json_to_rows": q_explode_json_to_rows,
@@ -5253,6 +5443,10 @@ def oracle_sql() -> dict[str, str]:
         # ---- correctness window: first 50 = driver-checked (r8 rotation:
         # 6 new round-8 queries + 44 oldest-evidence r04-era rows) ----
         "dedup_against_indexed": _Q_DEDUP_AGAINST_SQL,
+        "label_communities": _lpa_oracle_sql(),
+        "sq_topk": _Q_SQ_TOPK_SQL,
+        "alpha_sample": _Q_ALPHA_SAMPLE_SQL,
+        "centroid_outliers": _centroid_outliers_oracle_sql(),
         "bpe_encode": _Q_BPE_ENCODE_SQL,
         "funnel_counts": _Q_FUNNEL_SQL,
         "resample_ratio": _Q_RESAMPLE_RATIO_SQL,
@@ -5295,19 +5489,19 @@ def oracle_sql() -> dict[str, str]:
         "pluck_fields_by_regex": _Q_PLUCK_REGEX_SQL,
         "top_orders_per_cust": _Q_TOP_ORDERS_SQL,
         "winnow_fingerprint": _Q_WINNOW_FP_SQL,
-        "cosine_similarity": _Q_COSINE_ALL_SQL,
         "jaccard_vs_query": _Q_JACCARD_SQL,
         "lsh_ann_topk": _lsh_ann_sql(),
         "image_features": _image_features_sql(),
-        "local_supplier_volume": _Q_LOCAL_SUPPLIER_SQL,
-        "promo_revenue": _Q_PROMO_SQL,
-        "pricing_summary": _Q_PRICING_SQL,
         "minhash_dedup": _Q_MINHASH_DEDUP_SQL,  # tail (shared oracle r7-green)
         "ivf_topk": _Q_ANN_TOPK_SQL,
         "audio_features": _audio_features_sql(),
         "csv_roundtrip": _Q_CSV_ROUNDTRIP_SQL,
         "parquet_roundtrip": _Q_PARQUET_ROUNDTRIP_SQL,
         "shipping_priority": _Q_SHIPPING_SQL,
+        "cosine_similarity": _Q_COSINE_ALL_SQL,
+        "local_supplier_volume": _Q_LOCAL_SUPPLIER_SQL,
+        "promo_revenue": _Q_PROMO_SQL,
+        "pricing_summary": _Q_PRICING_SQL,
         # ---- tail: rows with recent (r6/r7) driver evidence ----
         "map_fields": _Q_MAP_FIELDS_SQL,
         "token_stats": _Q_TOKEN_STATS_SQL,

@@ -106,6 +106,10 @@ BENCH_QUERIES = [
     "part_triangles",
     "hits_click_graph",
     "ivf_exact_topk",
+    "label_communities",
+    "sq_topk",
+    "alpha_sample",
+    "centroid_outliers",
 ]
 
 

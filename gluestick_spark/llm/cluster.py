@@ -71,6 +71,7 @@ __all__ = [
     "quantize_vec_expr",
     "int_dot_expr",
     "kmeans",
+    "centroid_outliers",
     "semdedup",
     "ivf_topk_exact",
 ]
@@ -108,6 +109,18 @@ def _assign_expr(
     id. Pure narrow map: no join, no shuffle. ``q``/``xx`` default to the
     internal prepared columns; PQ passes per-subspace slices.
     """
+    return _min_struct_expr(cents, q, xx)["cid"]
+
+
+def _min_struct_expr(
+    cents: list[tuple[list[int], int]],
+    q: Column | None = None,
+    xx: Column | None = None,
+) -> Column:
+    """``struct(d, cid)`` of the nearest centroid (lexicographic
+    ``array_min`` — exact distance ties break to the smallest cluster
+    id). ``d`` is the rational squared distance as a double — the IEEE
+    division of two exact int64s, replayable cross-engine."""
     q = F.col("__q__") if q is None else q
     xx = F.col("__xx__") if xx is None else xx
     structs = []
@@ -122,7 +135,7 @@ def _assign_expr(
         )
         d = num.cast("double") / F.lit(float(n * n))
         structs.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
-    return F.array_min(F.array(*structs))["cid"]
+    return F.array_min(F.array(*structs))
 
 
 def _prepare(df: DataFrame, vec_col: str, id_col: str, scale: int) -> DataFrame:
@@ -252,6 +265,89 @@ def kmeans(
     finally:
         # lazy unpersist: blocking=False keeps the returned plan usable
         pts.unpersist(False)
+
+
+def centroid_outliers(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1000,
+    top_n: int = 50,
+    assign: str = "auto",
+) -> DataFrame:
+    """The ``top_n`` points FARTHEST from their assigned k-means
+    centroid — (``id_col``, ``cid``, ``dist_q`` long), distance-desc.
+    The embedding-space outlier audit of a curation pipeline (the
+    prune-the-fringe step of SSL-curation recipes, the complement of
+    :func:`semdedup`'s prune-the-core): far-from-every-centroid points
+    are the mislabeled/garbled/off-distribution candidates a reviewer
+    reads first.
+
+    ``dist_q = floor(d)`` where ``d`` is the exact rational squared
+    distance in quantized units — int64-exact numerators divided by
+    ``n²`` (this module's device), so the oracle replays training AND
+    the ranking bit-for-bit. Ties break to the smallest id.
+
+    Scale posture: training is :func:`kmeans` (one map-side-combined
+    aggregate per iteration); the ranking pass is one narrow map
+    against centroid literals (or the broadcast-join strategy at large
+    k·d) followed by TakeOrderedAndProject — no extra shuffle beyond
+    the assignment strategy's own.
+    """
+    _, cents = kmeans(
+        df, vec_col, id_col, k=k, iters=iters, scale=scale,
+        return_state=True, assign=assign,
+    )
+    if not cents:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, cid int, dist_q long"
+        )
+    pts = _prepare(df, vec_col, id_col, scale)
+    if assign == "auto":
+        dim = len(cents[0][0])
+        assign = (
+            "literal"
+            if len(cents) * max(dim, 1) <= _LITERAL_ASSIGN_MAX_TERMS
+            else "join"
+        )
+    if assign == "literal":
+        m = _min_struct_expr(cents)
+        ranked = pts.select(
+            F.col("__id__").alias(id_col),
+            m["cid"].alias("cid"),
+            F.floor(m["d"]).cast("long").alias("dist_q"),
+        )
+    else:
+        spark = pts.sparkSession
+        cdf = spark.createDataFrame(
+            [
+                (cid, [int(v) for v in s], int(n), int(sum(v * v for v in s)))
+                for cid, (s, n) in enumerate(cents)
+            ],
+            "cid int, s array<long>, n long, ss long",
+        )
+        xs = int_dot_expr(F.col("__q__"), F.col("s"))
+        num = (
+            F.col("n") * F.col("n") * F.col("__xx__")
+            - F.lit(2).cast("long") * F.col("n") * xs
+            + F.col("ss")
+        )
+        d = num.cast("double") / (F.col("n") * F.col("n")).cast("double")
+        ranked = (
+            pts.crossJoin(F.broadcast(cdf))
+            .groupBy("__id__")
+            .agg(
+                F.min(F.struct(d.alias("d"), F.col("cid").alias("cid"))).alias("__m__")
+            )
+            .select(
+                F.col("__id__").alias(id_col),
+                F.col("__m__.cid").alias("cid"),
+                F.floor(F.col("__m__.d")).cast("long").alias("dist_q"),
+            )
+        )
+    return ranked.orderBy(F.desc("dist_q"), F.asc(id_col)).limit(top_n)
 
 
 def semdedup(

@@ -27,6 +27,7 @@ __all__ = [
     "hash_sample",
     "hash_split",
     "balance_classes",
+    "alpha_sample",
     "mix_corpora",
     "negative_pairs",
     "resample_to_ratio",
@@ -146,6 +147,60 @@ def mix_corpora(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def alpha_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    seed: str = "",
+) -> DataFrame:
+    """Temperature-based corpus rebalancing (the multilingual-LM
+    ``p_i ∝ n_i^α`` recipe, XLM-R/mT5 style): derive per-group keep
+    rates FROM THE DATA so group shares move from ∝ n_i toward
+    ∝ n_i^α, then sample deterministically. Downsample-only
+    normalization — the smallest group keeps rate 1.0, every other
+    group keeps ``rate_i = (n_min / n_i)^(1−α)`` — so no group is
+    ever replicated (compose with :func:`mix_corpora` for rate > 1
+    epoch recipes). ``α = 1`` keeps everything (natural mix); ``α = 0``
+    equalizes expected group sizes to n_min.
+
+    Unlike :func:`mix_corpora` (caller supplies fixed rates), the rates
+    here are data-dependent; membership is still the portable keyed
+    hash, so the sample is reproducible across engines, partitionings,
+    and runs, and rows sharing a key stay together.
+
+    Determinism note: ``(n_min/n)^(1−α)`` is computed as ``sqrt`` when
+    ``1−α = 0.5`` — IEEE 754 requires a correctly-rounded sqrt, so the
+    rate (hence the hash threshold, hence the member set) is
+    bit-identical in every engine; general ``pow`` is only ~1-ulp and
+    is kept for the non-oracle path.
+
+    Scale posture (100 TB): one map-side-combined count aggregate (one
+    row per group), the 1-row global min rides a broadcast crossJoin
+    (NOT an unpartitioned window — the ``domain_stats`` lesson), and
+    the rate table broadcast-joins back onto the corpus: one scan, no
+    full shuffle of the data.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    exponent = 1.0 - alpha
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n__"))
+    nmin = counts.agg(F.min("__n__").alias("__nmin__"))
+    ratio = F.col("__nmin__").cast("double") / F.col("__n__").cast("double")
+    rate = (
+        F.sqrt(ratio)
+        if abs(exponent - 0.5) < 1e-15
+        else F.pow(ratio, F.lit(float(exponent)))
+    )
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        F.col(group_col), rate.alias("__rate__")
+    )
+    member = _keyed_hash(F.col(key_col), seed) < F.floor(
+        F.col("__rate__") * F.lit(_SPACE)
+    ).cast("long")
+    return df.join(F.broadcast(rates), group_col).where(member).drop("__rate__")
 
 
 def stratified_sample(

@@ -113,6 +113,66 @@ def dequantize_expr(qvec: Column, scale: Column) -> Column:
     return F.transform(qvec, lambda x: x.cast("double") * scale)
 
 
+def quantize_query(query: list[float]) -> tuple[float, list[int]]:
+    """Driver-side mirror of :func:`quantize_embeddings` for one vector:
+    ``(scale, int8_codes)`` with bit-identical arithmetic (Python floats
+    ARE IEEE doubles, so ``amax / 127.0`` and ``x / scale + 0.5`` round
+    exactly as the JVM/Catalyst path does)."""
+    amax = max((abs(float(x)) for x in query), default=0.0)
+    if amax <= 0:
+        return 0.0, [0] * len(query)
+    scale = amax / 127.0
+    import math
+
+    codes = [
+        max(-127, min(127, int(math.floor(float(x) / scale + 0.5))))
+        for x in query
+    ]
+    return scale, codes
+
+
+def sq_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` by dot product over the int8-quantized index — the
+    serving-side counterpart of :func:`quantize_embeddings`: score =
+    ``int_dot(q_codes, v_codes) · scale_q · scale_v``, i.e. the dot
+    product a quantized ANN index actually computes (4× less memory
+    traffic than float64; int8 SIMD on real hardware). Returns
+    (``id_col``, ``score`` double) ordered score-desc, id-asc.
+
+    Determinism: codes and scales replay exactly in any engine (the
+    quantizer is all floor/clamp on IEEE doubles), the integer dot is
+    exact int64 (|code| ≤ 127 → no overflow below ~5·10¹⁴ dims), and
+    the final score is two IEEE multiplies of identical doubles — so
+    cross-engine ordering is bit-stable.
+
+    Scale posture: quantization is a narrow projection; scoring is a
+    pure Catalyst ``zip_with``/``aggregate`` fold against a literal
+    code array (no UDF, no join); top-k is TakeOrderedAndProject — one
+    scan over the (4× smaller) codes, zero shuffles. Composes with the
+    IVF router (:func:`ivf_topk`) for cluster-pruned quantized search.
+    """
+    qscale, qcodes = quantize_query(query)
+    enc = quantize_embeddings(df, vec_col, id_col, out_col="__qv__", scale_col="__sc__")
+    lit_codes = F.array(*[F.lit(int(c)).cast("long") for c in qcodes])
+    idot = F.aggregate(
+        F.zip_with(F.col("__qv__"), lit_codes, lambda a, b: a.cast("long") * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    score = idot.cast("double") * F.col("__sc__") * F.lit(float(qscale))
+    return (
+        enc.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def pool_embeddings(
     df: DataFrame,
     group_col: str,

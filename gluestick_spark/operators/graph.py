@@ -40,7 +40,77 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_count", "hits"]
+__all__ = ["hits", "label_propagation", "pagerank", "triangle_count"]
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) —
+    (``node``, ``label``) community assignment after ``iters`` rounds.
+    The cheap community detector for interaction graphs: near-duplicate
+    site clusters, user cohorts, topic islands in a link graph — the
+    grouping prior a corpus auditor reads before choosing dedup keys.
+
+    Determinism contract (this module's device): NO floats and NO random
+    tie-breaks anywhere. ``label(v, 0) = v``; each round every node
+    adopts the most frequent label among its in-neighbors, ties broken
+    to the SMALLEST label (natural ordering of the node type), nodes
+    with no in-edges keep their label. Synchronous update on a fixed
+    iteration count — replayable in any engine, at the known cost that
+    bipartite regions may oscillate rather than converge (callers on
+    bipartite graphs: pass an even/odd ``iters`` deliberately).
+
+    Scale posture (100 TB): per round ONE |E|-shuffle hash join
+    (labels ⋈ edges on src) and TWO chained map-side-combined
+    aggregates — ``groupBy(node, label).count()`` then the per-node
+    argmax as ``min(struct(-n, label))`` (struct lexicographic min =
+    highest count, ties to smallest label) — no window sort, no
+    row_number. Driver holds zero per-node state; edges are persisted
+    once and reused every round (GraphX/Pregel shuffle shape).
+    """
+    if iters < 0:
+        raise ValueError("iters >= 0 required")
+    e = (
+        edges.select(F.col(src).alias("__src__"), F.col(dst).alias("__dst__"))
+        .where(F.col("__src__").isNotNull() & F.col("__dst__").isNotNull())
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("__src__").alias("node"))
+        .unionAll(e.select(F.col("__dst__").alias("node")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(iters):
+        counts = (
+            e.join(labels.withColumnRenamed("node", "__src__"), "__src__")
+            .groupBy(F.col("__dst__").alias("node"), "label")
+            .agg(F.count("*").alias("__n__"))
+        )
+        top = (
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__n__")).alias("negn"),
+                        F.col("label").alias("label"),
+                    )
+                ).alias("__m__")
+            )
+            .select("node", F.col("__m__.label").alias("__new__"))
+        )
+        labels = labels.join(top, "node", "left").select(
+            "node", F.coalesce("__new__", "label").alias("label")
+        )
+    e.unpersist(False)
+    nodes.unpersist(False)
+    return labels
 
 
 def hits(

@@ -1,0 +1,262 @@
+"""Round-8 late additions: label propagation communities, int8-SQ ANN
+search, temperature (alpha) corpus sampling, centroid-distance outliers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gluestick_spark.llm.cluster import centroid_outliers
+from gluestick_spark.llm.sampling import alpha_sample
+from gluestick_spark.llm.similarity import (
+    quantize_embeddings,
+    quantize_query,
+    sq_topk,
+)
+from gluestick_spark.operators.graph import label_propagation
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def _sym(pairs):
+    return pairs + [(b, a) for a, b in pairs]
+
+
+# ------------------------------------------------- label propagation ----
+
+
+def test_lpa_zero_iters_identity(spark):
+    e = _edges(spark, _sym([("a", "b")]))
+    got = {r["node"]: r["label"] for r in label_propagation(e, iters=0).collect()}
+    assert got == {"a": "a", "b": "b"}
+
+
+def test_lpa_one_iter_hand_computed(spark):
+    # triangle a-b-c plus pendant d on c (symmetric).
+    # in-neighbor labels after round 1 (ties -> smallest label):
+    #   a <- {b, c}    -> b
+    #   b <- {a, c}    -> a
+    #   c <- {a, b, d} -> a
+    #   d <- {c}       -> c
+    e = _edges(spark, _sym([("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")]))
+    got = {r["node"]: r["label"] for r in label_propagation(e, iters=1).collect()}
+    assert got == {"a": "b", "b": "a", "c": "a", "d": "c"}
+
+
+def test_lpa_no_in_edges_keeps_label(spark):
+    # directed a -> b only: a has no in-edges and keeps its own label
+    e = _edges(spark, [("a", "b")])
+    got = {r["node"]: r["label"] for r in label_propagation(e, iters=2).collect()}
+    assert got["a"] == "a"
+    assert got["b"] in {"a", "b"}
+
+
+def test_lpa_majority_beats_tiebreak(spark):
+    # z has in-neighbors {a, b, b2} where b and b2 both carry label
+    # sentinels via self-contained graph: give z two in-edges from the
+    # "y" side and one from "a" — majority label wins over smaller label
+    e = _edges(spark, [("y1", "z"), ("y2", "z"), ("a", "z"),
+                       ("y0", "y1"), ("y0", "y2")])
+    # after iter 1: y1, y2 adopt y0's label; z sees {y1, y2, a} -> tie
+    # counts all 1 -> min label "a". After iter 2: z sees labels
+    # {y0, y0, a} -> majority y0 (despite "a" < "y0").
+    got = {r["node"]: r["label"] for r in label_propagation(e, iters=2).collect()}
+    assert got["z"] == "y0"
+
+
+def test_lpa_partition_invariance(spark):
+    pairs = _sym([(f"n{i}", f"n{(i * 7) % 23}") for i in range(40)])
+    e = _edges(spark, pairs)
+    a = {(r["node"], r["label"])
+         for r in label_propagation(e.repartition(1), iters=3).collect()}
+    b = {(r["node"], r["label"])
+         for r in label_propagation(e.repartition(17), iters=3).collect()}
+    assert a == b
+
+
+def test_lpa_validates(spark):
+    with pytest.raises(ValueError):
+        label_propagation(_edges(spark, [("a", "b")]), iters=-1)
+
+
+def test_lpa_no_window_in_plan(spark):
+    # the per-node argmax is min(struct(-n, label)), never a row_number
+    e = _edges(spark, _sym([("a", "b"), ("b", "c")]))
+    plan = (
+        label_propagation(e, iters=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+
+
+# ------------------------------------------------------------ sq_topk ----
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_sq_topk_ordering_and_scores(spark):
+    e = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0]),     # query: aligned with itself
+            (1, [2.0, 0.0]),     # same direction, bigger norm -> top score
+            (2, [0.0, 1.0]),     # orthogonal -> 0
+            (3, [-1.0, 0.0]),    # opposite -> negative
+        ],
+    )
+    got = sq_topk(e, "embedding", "vec_id", [1.0, 0.0], k=4).collect()
+    ids = [r["vec_id"] for r in got]
+    assert ids[0] == 1 and set(ids[:2]) == {0, 1}
+    scores = {r["vec_id"]: r["score"] for r in got}
+    assert scores[1] == pytest.approx(2.0, abs=0.02)
+    assert scores[0] == pytest.approx(1.0, abs=0.02)
+    assert scores[2] == pytest.approx(0.0, abs=1e-12)
+    assert scores[3] == pytest.approx(-1.0, abs=0.02)
+
+
+def test_sq_topk_zero_vectors_score_zero(spark):
+    e = _emb(spark, [(1, [0.0, 0.0]), (2, [1.0, 1.0])])
+    scores = {
+        r["vec_id"]: r["score"]
+        for r in sq_topk(e, "embedding", "vec_id", [1.0, 1.0], k=2).collect()
+    }
+    assert scores[1] == 0.0
+    # zero QUERY kills every score too
+    all_zero = sq_topk(e, "embedding", "vec_id", [0.0, 0.0], k=2).collect()
+    assert all(r["score"] == 0.0 for r in all_zero)
+
+
+def test_quantize_query_matches_engine_quantizer(spark):
+    vec = [0.37, -1.92, 0.003, 1.92]
+    e = _emb(spark, [(7, vec)])
+    row = quantize_embeddings(e, "embedding", "vec_id").collect()[0]
+    scale, codes = quantize_query(vec)
+    assert row["scale"] == pytest.approx(scale, abs=0.0)  # bit-identical
+    assert [int(c) for c in row["qvec"]] == codes
+
+
+def test_sq_topk_no_shuffle_plan(spark):
+    e = _emb(spark, [(i, [float(i), 1.0]) for i in range(20)])
+    plan = (
+        sq_topk(e, "embedding", "vec_id", [1.0, 0.0], k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+# -------------------------------------------------------- alpha_sample ----
+
+
+def _docs(spark, sizes):
+    rows = []
+    i = 0
+    for grp, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, grp))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_alpha_one_keeps_everything(spark):
+    d = _docs(spark, {"en": 20, "fr": 5})
+    assert alpha_sample(d, "lang", "doc_id", alpha=1.0).count() == 25
+
+
+def test_alpha_smallest_group_fully_kept(spark):
+    d = _docs(spark, {"en": 40, "fr": 4})
+    out = alpha_sample(d, "lang", "doc_id", alpha=0.5)
+    fr = out.where(F.col("lang") == "fr").count()
+    assert fr == 4  # rate exactly 1.0 for the min group
+    en = out.where(F.col("lang") == "en").count()
+    assert 0 < en < 40  # sqrt(4/40) ~ 0.316 -> strictly downsampled
+
+
+def test_alpha_monotone_nesting(spark):
+    # thresholds grow with alpha, so member sets nest:
+    # sample(0) subset-of sample(0.5) subset-of sample(1)
+    d = _docs(spark, {"en": 60, "fr": 10, "de": 25})
+    s0 = {r["doc_id"] for r in
+          alpha_sample(d, "lang", "doc_id", alpha=0.0).collect()}
+    s5 = {r["doc_id"] for r in
+          alpha_sample(d, "lang", "doc_id", alpha=0.5).collect()}
+    s1 = {r["doc_id"] for r in
+          alpha_sample(d, "lang", "doc_id", alpha=1.0).collect()}
+    assert s0 <= s5 <= s1
+
+
+def test_alpha_partition_invariance(spark):
+    d = _docs(spark, {"en": 50, "fr": 8, "zh": 17})
+    a = {r["doc_id"] for r in
+         alpha_sample(d.repartition(1), "lang", "doc_id", 0.5).collect()}
+    b = {r["doc_id"] for r in
+         alpha_sample(d.repartition(13), "lang", "doc_id", 0.5).collect()}
+    assert a == b
+
+
+def test_alpha_validates(spark):
+    d = _docs(spark, {"en": 3})
+    with pytest.raises(ValueError):
+        alpha_sample(d, "lang", "doc_id", alpha=1.5)
+
+
+def test_alpha_no_unpartitioned_window(spark):
+    d = _docs(spark, {"en": 10, "fr": 3})
+    plan = (
+        alpha_sample(d, "lang", "doc_id", 0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan  # the global min rides a broadcast crossJoin
+
+
+# --------------------------------------------------- centroid_outliers ----
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_outliers_find_the_far_point(spark):
+    rows = [(i, [0.0 + i * 0.01, 0.0]) for i in range(10)]
+    rows += [(100 + i, [10.0 + i * 0.01, 10.0]) for i in range(10)]
+    rows.append((999, [100.0, 100.0]))  # the outlier
+    got = centroid_outliers(
+        _vecs(spark, rows), "embedding", "vec_id", k=2, iters=2, top_n=1
+    ).collect()
+    assert got[0]["vec_id"] == 999
+    assert got[0]["dist_q"] > 0
+
+
+def test_outliers_topn_and_ordering(spark):
+    rows = [(i, [float(i), 0.0]) for i in range(30)]
+    got = centroid_outliers(
+        _vecs(spark, rows), "embedding", "vec_id", k=3, iters=1, top_n=5
+    ).collect()
+    assert len(got) == 5
+    dists = [r["dist_q"] for r in got]
+    assert dists == sorted(dists, reverse=True)
+
+
+def test_outliers_literal_join_strategies_agree(spark):
+    rows = [(i, [float(i % 7), float(i % 5)]) for i in range(40)]
+    v = _vecs(spark, rows)
+    lit = centroid_outliers(v, "embedding", "vec_id", k=4, iters=2,
+                            top_n=40, assign="literal").collect()
+    join = centroid_outliers(v, "embedding", "vec_id", k=4, iters=2,
+                             top_n=40, assign="join").collect()
+    assert [tuple(r) for r in lit] == [tuple(r) for r in join]
+
+
+def test_outliers_empty_input(spark):
+    v = _vecs(spark, []).where(F.lit(False))
+    assert centroid_outliers(v, "embedding", "vec_id", k=2, top_n=5).count() == 0

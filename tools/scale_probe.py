@@ -514,6 +514,54 @@ def main() -> None:
     tri_n = 60_000
     ops["triangle_count"] = (lambda: _tri(tri_n), lambda: _tri(tri_n * r))
 
+    # --- round-8 second wave ----------------------------------------------
+    from gluestick_spark.llm.cluster import centroid_outliers
+    from gluestick_spark.llm.sampling import alpha_sample
+    from gluestick_spark.llm.similarity import sq_topk
+    from gluestick_spark.operators.graph import label_propagation
+
+    # LPA: same click graph as pagerank (disjoint per-replica users →
+    # |E| linear); per round one |E|-join + two bounded aggregates.
+    def _lpa(ev):
+        raw = (
+            ev.groupBy("user_id", "event_type").count()
+            .where(F.col("count") >= 3)
+            .select(
+                F.concat(F.lit("u:"), F.col("user_id")).alias("src"),
+                F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+            )
+        )
+        edges = raw.unionAll(
+            raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        return label_propagation(edges, iters=3).count()
+
+    ops["label_propagation"] = (lambda: _lpa(ev1), lambda: _lpa(evR))
+    event_family.add("label_propagation")
+
+    # SQ ANN: quantize + score + TakeOrdered — one scan, expect ~linear.
+    ops["sq_topk"] = (
+        lambda: sq_topk(vecs1, "embedding", "vec_id", _qv, k=10).count(),
+        lambda: sq_topk(vecsR, "embedding", "vec_id", _qv, k=10).count(),
+    )
+
+    # alpha sampling: one count aggregate + broadcast rate join + scan.
+    ops["alpha_sample"] = (
+        lambda: alpha_sample(docs1, "lang", "doc_id", 0.5).count(),
+        lambda: alpha_sample(docsR, "lang", "doc_id", 0.5).count(),
+    )
+
+    # outlier audit: kmeans training (linear aggregates) + one ranking
+    # scan + TakeOrdered — expect ~linear in vector count.
+    ops["centroid_outliers"] = (
+        lambda: centroid_outliers(
+            vecs1, "embedding", "vec_id", k=8, iters=1, top_n=50
+        ).count(),
+        lambda: centroid_outliers(
+            vecsR, "embedding", "vec_id", k=8, iters=1, top_n=50
+        ).count(),
+    )
+
     import math
 
     summary = {}
@@ -525,6 +573,8 @@ def main() -> None:
             "kmeans_lloyd",
             "semdedup_scaled_k",
             "pq_encode_search",
+            "sq_topk",
+            "centroid_outliers",
         ):
             ratio = vR / v1
         elif name == "triangle_count":
