@@ -5067,6 +5067,58 @@ def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide reshape (operators/pivot.py:pivot_table): daily
+    event-type count matrix with an EXPLICIT value list — one
+    map-side-combined aggregate, bounded width, no eager distinct job
+    (the unbounded-width pivot anti-pattern documented in the module).
+    fill=0 pins the empty-cell contract across engines."""
+    from gluestick_spark.operators.pivot import pivot_table
+
+    e = _t(spark, sf_dir, "events")
+    e = e.withColumn("day", _event_date(e))
+    return pivot_table(
+        e, ["day"], "event_type", "value", _PIVOT_TYPES, agg="count", fill=0
+    )
+
+
+_Q_EVENTS_PIVOT_SQL = (
+    "SELECT strftime(ts, '%Y-%m-%d') AS day,\n"
+    + ",\n".join(
+        f"  count(CASE WHEN event_type = '{t}' THEN value END) AS {t}"
+        for t in _PIVOT_TYPES
+    )
+    + "\nFROM events GROUP BY 1"
+)
+
+
+def q_melt_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (operators/pivot.py:melt): stack two numeric
+    part columns into (variable, value) rows — a pure narrow
+    projection (Spark native unpivot), NULL cells kept (contract
+    pinned in tests). Values pass through exactly (int→double cast is
+    exact), so no rounding is needed."""
+    from gluestick_spark.operators.pivot import melt
+
+    p = _t(spark, sf_dir, "part")
+    w = p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    )
+    return melt(w, ["p_partkey"], ["p_size", "p_retailprice"])
+
+
+_Q_MELT_PART_SQL = """
+SELECT p_partkey, 'p_size' AS variable, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS variable, p_retailprice AS value FROM part
+"""
+
+
 def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts (operators/graph.py:triangle_count) over
     the part co-order graph (parts appearing in the same order) —
@@ -5277,6 +5329,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_topk": q_sq_topk,
         "alpha_sample": q_alpha_sample,
         "centroid_outliers": q_centroid_outliers,
+        # (events_pivot/melt_part slots: deep_convert_expr demoted — its
+        # oracle SQL is shared VERBATIM with deep_convert_datetimes which
+        # stays in the window, and the row/expr path equivalence is
+        # pytest-pinned; pluck_fields_by_regex demoted — same projection
+        # core as pluck_fields which stays, regex dispatch pytest-pinned.)
+        "events_pivot": q_events_pivot,
+        "melt_part": q_melt_part,
         "bpe_encode": q_bpe_encode,
         "funnel_counts": q_funnel_counts,
         "resample_ratio": q_resample_ratio,
@@ -5322,8 +5381,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "dedup_fingerprint": q_dedup_fingerprint,
         "lang_id": q_lang_id,
-        "deep_convert_expr": q_deep_convert_expr,
-        "pluck_fields_by_regex": q_pluck_regex,
         "top_orders_per_cust": q_top_orders_per_cust,
         "winnow_fingerprint": q_winnow_fingerprint,
         "jaccard_vs_query": q_jaccard_vs_query,
@@ -5347,6 +5404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "promo_revenue": q_promo_revenue,
         "pricing_summary": q_pricing_summary,
+        "deep_convert_expr": q_deep_convert_expr,
+        "pluck_fields_by_regex": q_pluck_regex,
         "map_fields": q_map_fields,
         "token_stats": q_token_stats,
         "explode_json_to_rows": q_explode_json_to_rows,
@@ -5447,6 +5506,8 @@ def oracle_sql() -> dict[str, str]:
         "sq_topk": _Q_SQ_TOPK_SQL,
         "alpha_sample": _Q_ALPHA_SAMPLE_SQL,
         "centroid_outliers": _centroid_outliers_oracle_sql(),
+        "events_pivot": _Q_EVENTS_PIVOT_SQL,
+        "melt_part": _Q_MELT_PART_SQL,
         "bpe_encode": _Q_BPE_ENCODE_SQL,
         "funnel_counts": _Q_FUNNEL_SQL,
         "resample_ratio": _Q_RESAMPLE_RATIO_SQL,
@@ -5485,8 +5546,6 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus": _clean_corpus_sql(),
         "dedup_fingerprint": _Q_DEDUP_FP_SQL,
         "lang_id": _lang_id_sql(),
-        "deep_convert_expr": _Q_DEEP_CONVERT_SQL,
-        "pluck_fields_by_regex": _Q_PLUCK_REGEX_SQL,
         "top_orders_per_cust": _Q_TOP_ORDERS_SQL,
         "winnow_fingerprint": _Q_WINNOW_FP_SQL,
         "jaccard_vs_query": _Q_JACCARD_SQL,
@@ -5502,6 +5561,8 @@ def oracle_sql() -> dict[str, str]:
         "local_supplier_volume": _Q_LOCAL_SUPPLIER_SQL,
         "promo_revenue": _Q_PROMO_SQL,
         "pricing_summary": _Q_PRICING_SQL,
+        "deep_convert_expr": _Q_DEEP_CONVERT_SQL,
+        "pluck_fields_by_regex": _Q_PLUCK_REGEX_SQL,
         # ---- tail: rows with recent (r6/r7) driver evidence ----
         "map_fields": _Q_MAP_FIELDS_SQL,
         "token_stats": _Q_TOKEN_STATS_SQL,

@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "sq_topk",
     "alpha_sample",
     "centroid_outliers",
+    "events_pivot",
+    "melt_part",
 ]
 
 

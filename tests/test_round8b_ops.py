@@ -260,3 +260,81 @@ def test_outliers_literal_join_strategies_agree(spark):
 def test_outliers_empty_input(spark):
     v = _vecs(spark, []).where(F.lit(False))
     assert centroid_outliers(v, "embedding", "vec_id", k=2, top_n=5).count() == 0
+
+
+# ------------------------------------------------------- pivot / melt ----
+
+
+def test_pivot_hand_computed(spark):
+    from gluestick_spark.operators.pivot import pivot_table
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "x", 2.0), ("a", "y", 5.0), ("b", "y", 7.0)],
+        "k string, t string, v double",
+    )
+    got = {
+        r["k"]: (r["x"], r["y"])
+        for r in pivot_table(df, ["k"], "t", "v", ["x", "y"], agg="sum").collect()
+    }
+    assert got == {"a": (3.0, 5.0), "b": (None, 7.0)}
+
+
+def test_pivot_fill_and_unlisted_values_ignored(spark):
+    from gluestick_spark.operators.pivot import pivot_table
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "zzz", 9.0)], "k string, t string, v double"
+    )
+    got = pivot_table(df, ["k"], "t", "v", ["x", "y"], agg="count", fill=0).collect()
+    assert len(got) == 1
+    assert (got[0]["x"], got[0]["y"]) == (1, 0)  # zzz ignored, empty cell -> 0
+
+
+def test_pivot_validates(spark):
+    from gluestick_spark.operators.pivot import pivot_table
+
+    df = spark.createDataFrame([("a", "x", 1.0)], "k string, t string, v double")
+    with pytest.raises(ValueError):
+        pivot_table(df, ["k"], "t", "v", [])
+    with pytest.raises(ValueError):
+        pivot_table(df, ["k"], "t", "v", ["x"], agg="median")
+    with pytest.raises(ValueError):
+        pivot_table(df, [], "t", "v", ["x"])
+
+
+def test_pivot_single_scan_plan(spark):
+    # explicit values -> NO eager distinct job, one scan, one aggregate
+    from gluestick_spark.operators.pivot import pivot_table
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0)], "k string, t string, v double"
+    )
+    plan = (
+        pivot_table(df, ["k"], "t", "v", ["x", "y"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan ") <= 1
+
+
+def test_melt_keeps_nulls_and_is_narrow(spark):
+    from gluestick_spark.operators.pivot import melt
+
+    df = spark.createDataFrame(
+        [(1, 2.0, None), (2, None, 3.0)], "id long, a double, b double"
+    )
+    out = melt(df, ["id"], ["a", "b"])
+    rows = {(r["id"], r["variable"]): r["value"] for r in out.collect()}
+    assert len(rows) == 4  # NULL cells kept (pandas contract)
+    assert rows[(1, "b")] is None and rows[(2, "a")] is None
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure narrow projection
+
+
+def test_melt_validates(spark):
+    from gluestick_spark.operators.pivot import melt
+
+    df = spark.createDataFrame([(1, 2.0)], "id long, a double")
+    with pytest.raises(ValueError):
+        melt(df, ["id"], [])
