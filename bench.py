@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "centroid_outliers",
     "events_pivot",
     "melt_part",
+    "containment_pairs",
 ]
 
 

@@ -50,6 +50,7 @@ __all__ = [
     "simhash_signature_udf",
     "simhash_near_dups",
     "jaccard_expr",
+    "containment_pairs",
     "embedding_near_dups",
     "embedding_dedup",
 ]
@@ -287,6 +288,92 @@ def jaccard_expr(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    tau_pct: int = 80,
+    max_doc_freq: int = 20,
+) -> DataFrame:
+    """Directed near-CONTAINMENT pairs: (``src``, ``dst``, ``n_common``,
+    ``n_src``, ``containment``) where ≥ ``tau_pct``% of src's rare
+    shingles also appear in dst. The asymmetric dedup case Jaccard
+    misses entirely: a short document quoted whole inside a long one
+    has tiny Jaccard (|A∩B|/|A∪B| is diluted by B's size) but
+    containment |A∩B|/|A| ≈ 1 — quote inclusion, boilerplate wrapping,
+    article-plus-comments pages.
+
+    Semantics note (the honest part): both the numerator and |A| are
+    counted over the RARE-shingle subset — shingles appearing in more
+    than ``max_doc_freq`` documents are dropped FIRST (stop-shingle
+    suppression). That is what makes the inverted-index join bounded —
+    per-gram join cost ≤ df² ≤ cap·df, so total cost ≤ cap·|grams|,
+    linear in the corpus at fixed cap — and the oracle replays the
+    same cap, so the filter is part of the contract, not a hidden
+    approximation. Documents with ZERO rare shingles (pure boilerplate)
+    cannot be judged and emit no pairs.
+
+    Determinism: the threshold test is exact integer arithmetic
+    (``100·n_common ≥ tau_pct·n_src``); ``containment`` is the IEEE
+    division of two exact int64s. No floats anywhere else.
+
+    Scale posture (100 TB): explode → ONE doc-frequency aggregate
+    (map-side combined) → frequency-capped inverted-index self-join
+    keyed by shingle → two keyed aggregates. The gram frame is
+    persisted once (reused by the DF count and the join); no all-pairs
+    stage exists at any step.
+    """
+    if not 0 < tau_pct <= 100:
+        raise ValueError(f"tau_pct must be in (0, 100], got {tau_pct}")
+    if max_doc_freq < 2:
+        raise ValueError(f"max_doc_freq must be >= 2, got {max_doc_freq}")
+    grams = (
+        _parallelize(df, id_col)
+        .select(
+            F.col(id_col).alias("src"),
+            F.explode(
+                F.array_distinct(shingles_expr(F.col(text_col), shingle_n))
+            ).alias("__g__"),
+        )
+        .persist()
+    )
+    gdf = grams.groupBy("__g__").agg(F.count("*").alias("__df__"))
+    rare = (
+        grams.join(gdf.where(F.col("__df__") <= max_doc_freq), "__g__")
+        .select("src", "__g__")
+        .persist()
+    )
+    sizes = rare.groupBy("src").agg(F.count("*").alias("n_src"))
+    common = (
+        rare.join(
+            rare.select(F.col("src").alias("dst"), "__g__"), "__g__"
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        common.join(sizes, "src")
+        .where(
+            F.lit(100).cast("long") * F.col("n_common")
+            >= F.lit(int(tau_pct)).cast("long") * F.col("n_src")
+        )
+        .select(
+            "src",
+            "dst",
+            "n_common",
+            "n_src",
+            (
+                F.col("n_common").cast("double") / F.col("n_src").cast("double")
+            ).alias("containment"),
+        )
+    )
+    grams.unpersist(False)
+    rare.unpersist(False)
+    return out
 
 
 def minhash_near_dup_pairs(

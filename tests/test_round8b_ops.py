@@ -338,3 +338,96 @@ def test_melt_validates(spark):
     df = spark.createDataFrame([(1, 2.0)], "id long, a double")
     with pytest.raises(ValueError):
         melt(df, ["id"], [])
+
+
+# ------------------------------------------------- containment_pairs ----
+
+
+def _cdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_containment_directional(spark):
+    from gluestick_spark.llm.dedup import containment_pairs
+
+    d = _cdocs(spark, [(1, "x y"), (2, "x y z")])
+    # shingle_n=1 -> token sets. C(1->2) = 2/2 = 1.0; C(2->1) = 2/3.
+    got = containment_pairs(d, "text", "doc_id", shingle_n=1,
+                            tau_pct=80, max_doc_freq=10).collect()
+    assert [(r["src"], r["dst"], r["containment"]) for r in got] == [(1, 2, 1.0)]
+    both = containment_pairs(d, "text", "doc_id", shingle_n=1,
+                             tau_pct=60, max_doc_freq=10).collect()
+    assert {(r["src"], r["dst"]) for r in both} == {(1, 2), (2, 1)}
+
+
+def test_containment_threshold_inclusive(spark):
+    from gluestick_spark.llm.dedup import containment_pairs
+
+    # C(1->2) = 2/4 = exactly 50%
+    d = _cdocs(spark, [(1, "a b c d"), (2, "a b e f")])
+    got = containment_pairs(d, "text", "doc_id", shingle_n=1,
+                            tau_pct=50, max_doc_freq=10).collect()
+    assert {(r["src"], r["dst"]) for r in got} == {(1, 2), (2, 1)}
+    assert all(r["containment"] == 0.5 for r in got)
+
+
+def test_containment_stop_shingle_suppression(spark):
+    from gluestick_spark.llm.dedup import containment_pairs
+
+    # "common" appears in all 4 docs -> df=4 > cap=3 -> dropped from BOTH
+    # numerator and denominator; docs 1/2 then share their only rare gram
+    d = _cdocs(spark, [
+        (1, "common unique1"),
+        (2, "common unique1"),
+        (3, "common other3"),
+        (4, "common other4"),
+    ])
+    got = containment_pairs(d, "text", "doc_id", shingle_n=1,
+                            tau_pct=80, max_doc_freq=3).collect()
+    assert {(r["src"], r["dst"]) for r in got} == {(1, 2), (2, 1)}
+    assert all(r["n_src"] == 1 and r["n_common"] == 1 for r in got)
+
+
+def test_containment_all_stop_shingles_unjudgeable(spark):
+    from gluestick_spark.llm.dedup import containment_pairs
+
+    d = _cdocs(spark, [(i, "same text") for i in range(5)])
+    got = containment_pairs(d, "text", "doc_id", shingle_n=1,
+                            tau_pct=80, max_doc_freq=3).collect()
+    assert got == []  # every gram is frequent -> no doc can be judged
+
+
+def test_containment_partition_invariance(spark):
+    from gluestick_spark.llm.dedup import containment_pairs
+
+    rows = [(i, f"w{i % 5} w{(i + 1) % 7} w{(i + 2) % 3} tail{i % 4}")
+            for i in range(40)]
+    d = _cdocs(spark, rows)
+    a = {(r["src"], r["dst"]) for r in containment_pairs(
+        d.repartition(1), "text", "doc_id", 1, 60, 30).collect()}
+    b = {(r["src"], r["dst"]) for r in containment_pairs(
+        d.repartition(13), "text", "doc_id", 1, 60, 30).collect()}
+    assert a == b
+
+
+def test_containment_validates(spark):
+    from gluestick_spark.llm.dedup import containment_pairs
+
+    d = _cdocs(spark, [(1, "a")])
+    with pytest.raises(ValueError):
+        containment_pairs(d, "text", "doc_id", tau_pct=0)
+    with pytest.raises(ValueError):
+        containment_pairs(d, "text", "doc_id", max_doc_freq=1)
+
+
+def test_containment_no_cartesian(spark):
+    from gluestick_spark.llm.dedup import containment_pairs
+
+    d = _cdocs(spark, [(1, "a b"), (2, "b c")])
+    plan = (
+        containment_pairs(d, "text", "doc_id", shingle_n=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan

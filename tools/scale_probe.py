@@ -551,6 +551,20 @@ def main() -> None:
         lambda: alpha_sample(docsR, "lang", "doc_id", 0.5).count(),
     )
 
+    # containment: replica flood RAISES gram doc-frequencies, so with a
+    # FIXED cap more shingles become stop-shingles — join cost stays
+    # <= cap·|grams| (linear); output is the surviving pair set.
+    from gluestick_spark.llm.dedup import containment_pairs
+
+    ops["containment_pairs"] = (
+        lambda: containment_pairs(
+            docs1, "text", "doc_id", shingle_n=3, tau_pct=80, max_doc_freq=20
+        ).count(),
+        lambda: containment_pairs(
+            docsR, "text", "doc_id", shingle_n=3, tau_pct=80, max_doc_freq=20
+        ).count(),
+    )
+
     # outlier audit: kmeans training (linear aggregates) + one ranking
     # scan + TakeOrdered — expect ~linear in vector count.
     ops["centroid_outliers"] = (
