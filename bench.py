@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "events_pivot",
     "melt_part",
     "containment_pairs",
+    "url_dedup",
 ]
 
 

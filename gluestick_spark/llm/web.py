@@ -35,6 +35,8 @@ __all__ = [
     "with_registered_domain",
     "domain_stats",
     "cap_per_domain",
+    "canonical_url_expr",
+    "url_dedup",
 ]
 
 # authority = [userinfo@]host[:port]; host stops at /, :, ?, #
@@ -213,3 +215,94 @@ def cap_per_domain(
     return stratified_sample(
         tagged, key_col, ["__domain__"], max_per_domain, seed=seed
     ).drop("__domain__")
+
+
+# Tracking-parameter patterns dropped by canonicalization (matched against
+# the full "name=value" token, anchored): the ubiquitous analytics/click
+# identifiers that create spurious URL diversity in a crawl frontier.
+_TRACKING_PARAM_RE = r"^(?:utm_[^=]*|gclid|fbclid|igshid|mc_[^=]*|ref)(=|$)"
+
+_PORT_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)"
+
+
+def canonical_url_expr(url: Column) -> Column:
+    """Canonical form of an absolute URL — the dedup key that makes
+    ``https://WWW.Site.com:443/p/1/?utm_source=x&id=1#top`` and
+    ``https://www.site.com/p/1?id=1`` the same page. Rules (each a
+    documented choice, all pure regexp/array codegen — no UDF, portable
+    to any RE2/PCRE engine):
+
+    * scheme and host lowercased; userinfo (``u@``) dropped;
+    * default ports stripped (``:80`` for http, ``:443`` for https) —
+      other ports kept;
+    * fragment dropped;
+    * tracking parameters dropped (:data:`_TRACKING_PARAM_RE` — utm_*,
+      gclid, fbclid, igshid, mc_*, ref), remaining query params SORTED
+      (param order never changes the resource);
+    * trailing slashes stripped from the path (``/p/`` ≡ ``/p``; the
+      bare-root ``/`` collapses into the empty path);
+    * ``www.`` is KEPT — unlike :func:`host_expr`, canonicalization
+      preserves host identity (www vs apex CAN serve different content;
+      registered-domain grouping is the coarser tool for that).
+
+    Non-URL strings canonicalize to NULL (same parse-failure contract as
+    :func:`parse_url_expr`) — callers decide whether NULL rows pass
+    through (see :func:`url_dedup`).
+    """
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    port = F.regexp_extract(url, _PORT_RE, 1)
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    query = F.regexp_extract(url, _QUERY_RE, 1)
+
+    path_n = F.regexp_replace(path, "/+$", "")
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    qs = F.concat_ws("&", F.array_sort(params))
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    port_part = F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit(""))
+    q_part = F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit(""))
+    return F.when(
+        host != "",
+        F.concat(scheme, F.lit("://"), host, port_part, path_n, q_part),
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    canon_col: str = "canonical_url",
+) -> DataFrame:
+    """Keep exactly ONE row per canonical URL — the crawl-frontier /
+    corpus dedup that collapses tracking-parameter, fragment, port, case
+    and slash variants of the same page. The winner is the row with the
+    SMALLEST ``id_col`` (deterministic, partition-invariant). Rows whose
+    URL cannot be parsed (NULL canonical) are all KEPT — a parse failure
+    is not evidence of duplication (same unjudgeable-row contract as
+    ``containment_pairs``).
+
+    Output: the surviving rows plus ``canon_col``. Scale shape: one
+    narrow canonicalization projection, ONE keyed aggregate on the
+    canonical URL, and one keyed join back — no windows, no skew trap
+    (the canonical-URL key is near-unique by construction; the NULL
+    group never enters the join).
+    """
+    tagged = df.withColumn(canon_col, canonical_url_expr(F.col(url_col)))
+    winners = (
+        tagged.where(F.col(canon_col).isNotNull())
+        .groupBy(canon_col)
+        .agg(F.min(id_col).alias("__w__"))
+    )
+    kept = tagged.join(
+        winners,
+        (tagged[canon_col] == winners[canon_col])
+        & (tagged[id_col] == winners["__w__"]),
+        "left_semi",
+    )
+    return kept.unionByName(tagged.where(F.col(canon_col).isNull()))

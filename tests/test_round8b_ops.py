@@ -431,3 +431,73 @@ def test_containment_no_cartesian(spark):
         .toString()
     )
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# -------------------------------------------- canonical URLs / dedup ----
+
+
+def _canon(spark, urls):
+    from gluestick_spark.llm.web import canonical_url_expr
+
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "id long, url string")
+    rows = df.select(canonical_url_expr(F.col("url")).alias("c")).collect()
+    return [r["c"] for r in rows]
+
+
+def test_canonical_url_rules(spark):
+    got = _canon(spark, [
+        "https://WWW.Site.com:443/p/1/?utm_source=x&id=1#top",  # all noise
+        "http://site.com:80/a",                                  # default port
+        "http://site.com:8080/a",                                # real port kept
+        "https://u:pw@site.com/a",                               # userinfo drop
+        "https://site.com/p?b=2&a=1",                            # param sort
+        "https://site.com/",                                     # bare root
+        "not a url",                                             # parse failure
+        "https://site.com/x?utm_campaign=1&gclid=2&fbclid=3&ref=4",  # all tracked
+    ])
+    assert got[0] == "https://www.site.com/p/1?id=1"
+    assert got[1] == "http://site.com/a"
+    assert got[2] == "http://site.com:8080/a"
+    assert got[3] == "https://site.com/a"
+    assert got[4] == "https://site.com/p?a=1&b=2"
+    assert got[5] == "https://site.com"
+    assert got[6] is None
+    assert got[7] == "https://site.com/x"
+
+
+def test_canonical_url_keeps_www_and_case_path(spark):
+    # host case-folds, path case does NOT (paths are case-sensitive)
+    got = _canon(spark, ["HTTPS://WWW.SITE.COM/Path/A"])
+    assert got[0] == "https://www.site.com/Path/A"
+
+
+def test_url_dedup_min_id_wins_and_nulls_kept(spark):
+    from gluestick_spark.llm.web import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (5, "https://site.com/p?id=1&utm_source=a"),
+            (3, "https://site.com/p/?id=1#x"),
+            (9, "https://site.com/other"),
+            (7, "junk one"),
+            (8, "junk two"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {r["doc_id"]: r["canonical_url"]
+           for r in url_dedup(df, "url", "doc_id").collect()}
+    assert set(got) == {3, 9, 7, 8}  # 5 collapsed into 3; junk all kept
+    assert got[3] == "https://site.com/p?id=1"
+    assert got[7] is None
+
+
+def test_url_dedup_partition_invariance(spark):
+    from gluestick_spark.llm.web import url_dedup
+
+    rows = [(i, f"https://s{i % 3}.com/p/{i % 10}?utm_source={i}&id={i % 10}")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    a = {r["doc_id"] for r in url_dedup(df.repartition(1), "url", "doc_id").collect()}
+    b = {r["doc_id"] for r in url_dedup(df.repartition(17), "url", "doc_id").collect()}
+    assert a == b and len(a) == 30  # 3 hosts x 10 pages
