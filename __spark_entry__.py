@@ -5168,6 +5168,30 @@ WHERE 100 * n_common >= {_CONT_TAU_PCT} * n_src
 """
 
 
+def q_docs_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-subtotals corpus audit (operators/pivot.py:cube_agg): counts
+    and char volume by CUBE(lang, source) — per-lang, per-source, cross,
+    and grand total in ONE pass. grouping() flags (not nullability)
+    distinguish subtotal rows from NULL data values; exact integer
+    aggregates need no rounding."""
+    from gluestick_spark.operators.pivot import cube_agg
+
+    d = _t(spark, sf_dir, "documents")
+    return cube_agg(
+        d, ["lang", "source"],
+        {"n": F.count("*"), "chars": F.sum("n_chars")},
+    )
+
+
+_Q_DOCS_CUBE_SQL = """
+SELECT lang, source,
+       CAST(GROUPING(lang) AS INT) AS g_lang,
+       CAST(GROUPING(source) AS INT) AS g_source,
+       count(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM documents GROUP BY CUBE (lang, source)
+"""
+
+
 def _noisy_url() -> Column:
     """URL synthesis with canonicalization noise: four shapes of the SAME
     page (default port + trailing slash + utm + fragment; upper-case
@@ -5448,6 +5472,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # row_number-window device as top_events_per_user, driver-green
         # in r6/r7, and the inline SQL shape is timed in bench.)
         "url_dedup": q_url_dedup,
+        # (docs_cube slot: rename demoted — thin projection byte-verified
+        # by the reference golden-parity tests on every pytest run. This
+        # is the LAST late-r8 swap; anything further lands in the tail
+        # for the r9 rotation.)
+        "docs_cube": q_docs_cube,
         "bpe_encode": q_bpe_encode,
         "funnel_counts": q_funnel_counts,
         "resample_ratio": q_resample_ratio,
@@ -5466,7 +5495,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_hash": q_row_hash,
         "drop_redundant": q_drop_redundant,
         "merge_id_from_snapshot": q_merge_id,
-        "rename": q_rename,
         "pluck_fields": q_pluck_fields,
         "union_relaxed": q_union_relaxed,
         "keep_last_dedup": q_keep_last,
@@ -5518,6 +5546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pluck_fields_by_regex": q_pluck_regex,
         "events_daily": q_events_daily,
         "top_orders_per_cust": q_top_orders_per_cust,
+        "rename": q_rename,
         "map_fields": q_map_fields,
         "token_stats": q_token_stats,
         "explode_json_to_rows": q_explode_json_to_rows,
@@ -5622,6 +5651,7 @@ def oracle_sql() -> dict[str, str]:
         "melt_part": _Q_MELT_PART_SQL,
         "containment_pairs": _Q_CONTAINMENT_SQL,
         "url_dedup": _Q_URL_DEDUP_SQL,
+        "docs_cube": _Q_DOCS_CUBE_SQL,
         "bpe_encode": _Q_BPE_ENCODE_SQL,
         "funnel_counts": _Q_FUNNEL_SQL,
         "resample_ratio": _Q_RESAMPLE_RATIO_SQL,
@@ -5640,7 +5670,6 @@ def oracle_sql() -> dict[str, str]:
         "row_hash": _Q_ROW_HASH_SQL,
         "drop_redundant": _Q_DROP_REDUNDANT_SQL,
         "merge_id_from_snapshot": _Q_MERGE_ID_SQL,
-        "rename": _Q_RENAME_SQL,
         "pluck_fields": _Q_PLUCK_SQL,
         "union_relaxed": _Q_UNION_SQL,
         "keep_last_dedup": _Q_KEEP_LAST_SQL,
@@ -5677,6 +5706,7 @@ def oracle_sql() -> dict[str, str]:
         "pluck_fields_by_regex": _Q_PLUCK_REGEX_SQL,
         "events_daily": _Q_EVENTS_DAILY_SQL,
         "top_orders_per_cust": _Q_TOP_ORDERS_SQL,
+        "rename": _Q_RENAME_SQL,
         # ---- tail: rows with recent (r6/r7) driver evidence ----
         "map_fields": _Q_MAP_FIELDS_SQL,
         "token_stats": _Q_TOKEN_STATS_SQL,

@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "melt_part",
     "containment_pairs",
     "url_dedup",
+    "docs_cube",
 ]
 
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["melt", "pivot_table"]
+__all__ = ["cube_agg", "melt", "pivot_table"]
 
 _AGGS = {
     "count": F.count,
@@ -80,6 +80,44 @@ def pivot_table(
             ],
         )
     return out
+
+
+def cube_agg(
+    df: DataFrame,
+    dims: list[str],
+    aggs: dict,
+) -> DataFrame:
+    """All-subtotals aggregation (SQL ``GROUP BY CUBE``): one row per
+    cell of every dimension subset — the roll-up report a corpus audit
+    reads (per-lang, per-source, per-lang×source, and the grand total in
+    ONE pass). ``aggs`` maps output name → aggregate Column.
+
+    Output: (*dims, per-dim ``g_<dim>`` grouping flags, *aggs). The
+    flags come from ``grouping()`` (1 = dimension aggregated away), NOT
+    from output nullability — so a NULL data value in a dimension stays
+    distinguishable from that dimension's subtotal row (the classic
+    CUBE footgun; same device as ``operators/rollup.py:time_rollup``).
+
+    Scale posture: Spark expands CUBE before the aggregate (2^d
+    replicas of each input row, partially aggregated map-side before
+    ONE shuffle) — cost 2^d per row, so ``dims`` is capped at 5 (32×
+    expansion) to keep the anti-pattern loud rather than silent; use
+    explicit grouping-set lists (``time_rollup``'s shape) when only a
+    few subsets are needed.
+    """
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    if len(dims) > 5:
+        raise ValueError(
+            f"cube over {len(dims)} dims expands every row 2^{len(dims)}x; "
+            "use explicit grouping sets instead"
+        )
+    if not aggs:
+        raise ValueError("aggs must be non-empty")
+    return df.cube(*[F.col(d) for d in dims]).agg(
+        *[F.grouping(d).cast("int").alias(f"g_{d}") for d in dims],
+        *[expr.alias(name) for name, expr in aggs.items()],
+    )
 
 
 def melt(

@@ -501,3 +501,37 @@ def test_url_dedup_partition_invariance(spark):
     a = {r["doc_id"] for r in url_dedup(df.repartition(1), "url", "doc_id").collect()}
     b = {r["doc_id"] for r in url_dedup(df.repartition(17), "url", "doc_id").collect()}
     assert a == b and len(a) == 30  # 3 hosts x 10 pages
+
+
+# ------------------------------------------------------------ cube_agg ----
+
+
+def test_cube_hand_computed_with_null_dim_value(spark):
+    from gluestick_spark.operators.pivot import cube_agg
+
+    df = spark.createDataFrame(
+        [("en", "web", 1), ("en", "book", 2), (None, "web", 4)],
+        "lang string, src string, v int",
+    )
+    out = cube_agg(df, ["lang", "src"], {"s": F.sum("v")}).collect()
+    by_key = {(r["lang"], r["src"], r["g_lang"], r["g_src"]): r["s"] for r in out}
+    # 3 cells + 2 lang-subtotals (en, NULL) + 2 src-subtotals + 1 grand
+    assert len(out) == 8
+    assert by_key[("en", "web", 0, 0)] == 1
+    assert by_key[(None, None, 1, 1)] == 7          # grand total
+    assert by_key[("en", None, 0, 1)] == 3          # en subtotal
+    # NULL DATA value stays distinguishable from the subtotal rows:
+    assert by_key[(None, None, 0, 1)] == 4          # lang=NULL data subtotal
+    assert by_key[(None, "web", 1, 0)] == 5         # src=web subtotal (en+NULL)
+
+
+def test_cube_validates(spark):
+    from gluestick_spark.operators.pivot import cube_agg
+
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    with pytest.raises(ValueError):
+        cube_agg(df, [], {"n": F.count("*")})
+    with pytest.raises(ValueError):
+        cube_agg(df, ["k"], {})
+    with pytest.raises(ValueError):
+        cube_agg(df, ["k"] * 6, {"n": F.count("*")})
