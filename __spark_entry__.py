@@ -5192,6 +5192,58 @@ FROM documents GROUP BY CUBE (lang, source)
 """
 
 
+_DRIFT_LO, _DRIFT_HI, _DRIFT_BINS = 0.0, 600.0, 20
+
+
+def q_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift audit (operators/profile.py:distribution_drift):
+    English vs non-English length distributions over a fixed 20-bin grid.
+    Per-bin output only — every value is ONE IEEE op on exact integer
+    ratios (no ln, no cross-bin float sums), so the oracle needs no
+    rounding at all."""
+    from gluestick_spark.operators.profile import distribution_drift
+
+    d = _t(spark, sf_dir, "documents")
+    return distribution_drift(
+        d.where(F.col("lang") == "en"),
+        d.where(F.col("lang") != "en"),
+        "n_chars", lo=_DRIFT_LO, hi=_DRIFT_HI, n_bins=_DRIFT_BINS,
+    )
+
+
+_Q_LENGTH_DRIFT_SQL = f"""
+WITH r AS (
+  SELECT CASE WHEN n_chars IS NULL THEN -1
+    ELSE greatest(0, least({_DRIFT_BINS - 1},
+      CAST(floor((CAST(n_chars AS DOUBLE) - {_DRIFT_LO}) * {float(_DRIFT_BINS)}
+                 / {_DRIFT_HI - _DRIFT_LO}) AS INT))) END AS bin,
+    count(*) AS n_ref
+  FROM documents WHERE lang = 'en' GROUP BY 1
+),
+c AS (
+  SELECT CASE WHEN n_chars IS NULL THEN -1
+    ELSE greatest(0, least({_DRIFT_BINS - 1},
+      CAST(floor((CAST(n_chars AS DOUBLE) - {_DRIFT_LO}) * {float(_DRIFT_BINS)}
+                 / {_DRIFT_HI - _DRIFT_LO}) AS INT))) END AS bin,
+    count(*) AS n_cur
+  FROM documents WHERE lang != 'en' GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(r.bin, c.bin) AS bin,
+         COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+  FROM r FULL JOIN c ON r.bin = c.bin
+),
+rt AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t FROM r),
+ct AS (SELECT CAST(SUM(n_cur) AS BIGINT) AS t FROM c)
+SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       CAST(n_ref AS DOUBLE) / CAST(rt.t AS DOUBLE) AS p,
+       CAST(n_cur AS DOUBLE) / CAST(ct.t AS DOUBLE) AS q,
+       abs(CAST(n_ref AS DOUBLE) / CAST(rt.t AS DOUBLE)
+           - CAST(n_cur AS DOUBLE) / CAST(ct.t AS DOUBLE)) AS tv_contrib
+FROM j, rt, ct
+"""
+
+
 def _noisy_url() -> Column:
     """URL synthesis with canonicalization noise: four shapes of the SAME
     page (default port + trailing slash + utm + fragment; upper-case
@@ -5629,6 +5681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "multimodal_metadata": q_multimodal_meta,
         "ann_topk": q_ann_topk,
+        # ---- late-r8 tail additions (locally ALL-MATCH; promote in r9) ----
+        "length_drift": q_length_drift,
     }
 
 
@@ -5790,4 +5844,5 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": _Q_SESSIONIZE_SQL,
         "multimodal_metadata": _Q_MULTIMODAL_SQL,
         "ann_topk": _Q_ANN_TOPK_SQL,
+        "length_drift": _Q_LENGTH_DRIFT_SQL,
     }

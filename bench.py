@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "containment_pairs",
     "url_dedup",
     "docs_cube",
+    "length_drift",
 ]
 
 

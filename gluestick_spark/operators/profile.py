@@ -20,7 +20,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_numeric", "histogram", "table_stats", "correlation_matrix"]
+__all__ = [
+    "profile_numeric",
+    "histogram",
+    "table_stats",
+    "correlation_matrix",
+    "distribution_drift",
+]
 
 
 def table_stats(df: DataFrame, cols: list[str], k: int = 64) -> DataFrame:
@@ -212,4 +218,87 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     data = [(a, b, _corr(a, b)) for a, b in pairs]
     return df.sparkSession.createDataFrame(
         data, "col_a string, col_b string, corr double"
+    )
+
+
+def distribution_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Per-bin distribution-shift audit between a reference corpus and a
+    candidate refresh — the drift check run before swapping a training
+    mix (did the new crawl's length/quality/score distribution move?).
+    Output: one row per occupied bin — (``bin``, ``n_ref``, ``n_cur``,
+    ``p``, ``q``, ``tv_contrib``) where p/q are the bin's probability
+    mass on each side and ``tv_contrib = |p − q|`` (half its sum is the
+    total-variation distance).
+
+    Design choice (determinism): the result is PER-BIN, never a summed
+    scalar — every output value is a single IEEE operation on exact
+    integer-ratio doubles (no ln as in PSI/KL, whose last bit differs
+    across engines; no cross-bin float sum, whose order is
+    nondeterministic). Callers wanting one number sum tv_contrib/2
+    driver-side over the ≤ n_bins+1 rows. Fixed equi-width grid on
+    [lo, hi) with clamped edge bins; NULLs get bin −1.
+
+    Scale posture: two map-side-combined aggregates (one per side,
+    output ≤ n_bins+1 rows each), a full outer join on the tiny bin
+    table, and the two 1-row totals ride broadcast crossJoins — no
+    unpartitioned windows, no data-sized shuffle.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins >= 1 required")
+    if not hi > lo:
+        raise ValueError(f"hi must exceed lo, got [{lo}, {hi})")
+
+    def binned(df: DataFrame, name: str) -> DataFrame:
+        x = F.col(col).cast("double")
+        b = (
+            F.when(x.isNull(), F.lit(-1))
+            .otherwise(
+                F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.lit(n_bins - 1),
+                        F.floor(
+                            (x - F.lit(float(lo))) * F.lit(float(n_bins))
+                            / F.lit(float(hi - lo))
+                        ).cast("int"),
+                    ),
+                )
+            )
+        )
+        return df.select(b.alias("bin")).groupBy("bin").agg(
+            F.count("*").alias(name)
+        )
+
+    r = binned(ref, "n_ref")
+    c = binned(cur, "n_cur")
+    joined = (
+        r.join(c, "bin", "full")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    rt = r.agg(F.sum("n_ref").alias("__rt__"))
+    ct = c.agg(F.sum("n_cur").alias("__ct__"))
+    p = F.col("n_ref").cast("double") / F.col("__rt__").cast("double")
+    q = F.col("n_cur").cast("double") / F.col("__ct__").cast("double")
+    return (
+        joined.crossJoin(F.broadcast(rt))
+        .crossJoin(F.broadcast(ct))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            p.alias("p"),
+            q.alias("q"),
+            F.abs(p - q).alias("tv_contrib"),
+        )
     )

@@ -535,3 +535,60 @@ def test_cube_validates(spark):
         cube_agg(df, ["k"], {})
     with pytest.raises(ValueError):
         cube_agg(df, ["k"] * 6, {"n": F.count("*")})
+
+
+# -------------------------------------------------- distribution_drift ----
+
+
+def test_drift_hand_computed(spark):
+    from gluestick_spark.operators.profile import distribution_drift
+
+    ref = spark.createDataFrame([(i,) for i in [1, 1, 5, 9]], "x long")
+    cur = spark.createDataFrame([(i,) for i in [1, 9, 9, 9]], "x long")
+    out = {r["bin"]: r for r in distribution_drift(
+        ref, cur, "x", lo=0, hi=10, n_bins=2).collect()}
+    # bins: [0,5) and [5,10]; ref = 2/2 split, cur = 1/3
+    assert (out[0]["n_ref"], out[0]["n_cur"]) == (2, 1)
+    assert (out[1]["n_ref"], out[1]["n_cur"]) == (2, 3)
+    assert out[0]["p"] == 0.5 and out[0]["q"] == 0.25
+    assert out[0]["tv_contrib"] == 0.25
+    # total variation = half the sum of contribs
+    assert sum(r["tv_contrib"] for r in out.values()) / 2 == 0.25
+
+
+def test_drift_null_bin_and_clamping(spark):
+    from gluestick_spark.operators.profile import distribution_drift
+
+    ref = spark.createDataFrame([(None,), (-50,), (999,)], "x long")
+    cur = spark.createDataFrame([(5,)], "x long")
+    out = {r["bin"]: r for r in distribution_drift(
+        ref, cur, "x", lo=0, hi=10, n_bins=2).collect()}
+    assert out[-1]["n_ref"] == 1          # NULL bin
+    assert out[0]["n_ref"] == 1           # -50 clamps into bin 0
+    assert out[1]["n_ref"] == 1           # 999 clamps into the top bin
+    assert out[1]["n_cur"] == 1
+
+
+def test_drift_identical_sides_zero_tv(spark):
+    from gluestick_spark.operators.profile import distribution_drift
+
+    d = spark.createDataFrame([(i % 10,) for i in range(100)], "x long")
+    out = distribution_drift(d, d, "x", lo=0, hi=10, n_bins=5).collect()
+    assert all(r["tv_contrib"] == 0.0 for r in out)
+
+
+def test_drift_validates_and_no_window(spark):
+    from gluestick_spark.operators.profile import distribution_drift
+
+    d = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError):
+        distribution_drift(d, d, "x", lo=5, hi=5)
+    with pytest.raises(ValueError):
+        distribution_drift(d, d, "x", lo=0, hi=1, n_bins=0)
+    plan = (
+        distribution_drift(d, d, "x", lo=0, hi=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan  # totals ride broadcast crossJoins
