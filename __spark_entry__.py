@@ -5300,6 +5300,43 @@ WHERE c.canonical_url IS NULL OR c.doc_id = w.wid
 """
 
 
+def q_streaming_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 streaming canonical-URL dedup (streaming/pipeline.py:
+    streaming_url_dedup): noisy URLs arrive in two id-ordered
+    micro-batches; each batch is canonicalized, deduped within-batch,
+    and anti-joined against the persisted canonical-URL state. The
+    emitted union must equal batch url_dedup over the whole corpus —
+    same oracle SQL (keep-first-arrival ≡ keep-min-id under ordered
+    ids)."""
+    import tempfile
+
+    from gluestick_spark.streaming.pipeline import (
+        stream_from_directory,
+        streaming_url_dedup,
+    )
+
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id", _noisy_url().alias("url"))
+    mid = d.select(F.percentile_approx("doc_id", 0.5)).first()[0]
+    stage = tempfile.mkdtemp(prefix="gs_surl_src_")
+    out = tempfile.mkdtemp(prefix="gs_surl_out_")
+    state = tempfile.mkdtemp(prefix="gs_surl_state_")
+    ckpt = tempfile.mkdtemp(prefix="gs_surl_ckpt_")
+    schema = d.schema
+    for cond in (F.col("doc_id") <= mid, F.col("doc_id") > mid):
+        d.where(cond).coalesce(1).write.mode("append").parquet(stage)
+        q = streaming_url_dedup(
+            stream_from_directory(spark, stage, schema),
+            "url",
+            "doc_id",
+            state,
+            out,
+            ckpt,
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out).select("doc_id", "canonical_url")
+
+
 def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts (operators/graph.py:triangle_count) over
     the part co-order graph (parts appearing in the same order) —
@@ -5683,6 +5720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         # ---- late-r8 tail additions (locally ALL-MATCH; promote in r9) ----
         "length_drift": q_length_drift,
+        # (shares the batch url_dedup oracle — the stream≡batch device)
+        "streaming_url_dedup": q_streaming_url_dedup,
     }
 
 
@@ -5845,4 +5884,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_metadata": _Q_MULTIMODAL_SQL,
         "ann_topk": _Q_ANN_TOPK_SQL,
         "length_drift": _Q_LENGTH_DRIFT_SQL,
+        "streaming_url_dedup": _Q_URL_DEDUP_SQL,
     }

@@ -592,3 +592,43 @@ def test_drift_validates_and_no_window(spark):
         .toString()
     )
     assert "Window" not in plan  # totals ride broadcast crossJoins
+
+
+# ---------------------------------------------- streaming url dedup ----
+
+
+def test_streaming_url_dedup_state_and_nulls(spark, tmp_dir):
+    import os
+
+    from gluestick_spark.streaming.pipeline import (
+        stream_from_directory,
+        streaming_url_dedup,
+    )
+
+    stage = os.path.join(tmp_dir, "src")
+    out = os.path.join(tmp_dir, "out")
+    state = os.path.join(tmp_dir, "state")
+    ckpt = os.path.join(tmp_dir, "ckpt")
+    df1 = spark.createDataFrame(
+        [(1, "https://s.com/p?id=1&utm_source=a"), (2, "junk a")],
+        "doc_id long, url string",
+    )
+    # batch 2: doc 3 duplicates doc 1's page (tracking noise), doc 4 new
+    df2 = spark.createDataFrame(
+        [(3, "https://s.com/p/?id=1#f"), (4, "https://s.com/q"), (5, "junk b")],
+        "doc_id long, url string",
+    )
+    schema = df1.schema
+    for d in (df1, df2):
+        d.coalesce(1).write.mode("append").parquet(stage)
+        q = streaming_url_dedup(
+            stream_from_directory(spark, stage, schema),
+            "url", "doc_id", state, out, ckpt,
+        )
+        q.awaitTermination()
+    got = {r["doc_id"]: r["canonical_url"]
+           for r in spark.read.parquet(out).collect()}
+    # 3 dropped (same canonical page as 1, seen in batch 1's state);
+    # junk rows (NULL canonical) always pass
+    assert set(got) == {1, 2, 4, 5}
+    assert got[1] == "https://s.com/p?id=1" and got[2] is None
