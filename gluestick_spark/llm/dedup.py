@@ -330,21 +330,23 @@ def containment_pairs(
         raise ValueError(f"tau_pct must be in (0, 100], got {tau_pct}")
     if max_doc_freq < 2:
         raise ValueError(f"max_doc_freq must be >= 2, got {max_doc_freq}")
-    grams = (
-        _parallelize(df, id_col)
-        .select(
-            F.col(id_col).alias("src"),
-            F.explode(
-                F.array_distinct(shingles_expr(F.col(text_col), shingle_n))
-            ).alias("__g__"),
-        )
-        .persist()
+    # grams is deliberately NOT materialized: it is evaluated twice (the
+    # DF aggregate and the rare join) — at corpus scale recomputing the
+    # shingle explosion twice is cheaper than storing it (several× the
+    # corpus in exploded strings). rare IS lazily localCheckpointed: it
+    # is post-cap (bounded), feeds three downstream uses, and a plain
+    # persist would be voided by any unpersist-before-return.
+    grams = _parallelize(df, id_col).select(
+        F.col(id_col).alias("src"),
+        F.explode(
+            F.array_distinct(shingles_expr(F.col(text_col), shingle_n))
+        ).alias("__g__"),
     )
     gdf = grams.groupBy("__g__").agg(F.count("*").alias("__df__"))
     rare = (
         grams.join(gdf.where(F.col("__df__") <= max_doc_freq), "__g__")
         .select("src", "__g__")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     sizes = rare.groupBy("src").agg(F.count("*").alias("n_src"))
     common = (
@@ -371,8 +373,6 @@ def containment_pairs(
             ).alias("containment"),
         )
     )
-    grams.unpersist(False)
-    rare.unpersist(False)
     return out
 
 

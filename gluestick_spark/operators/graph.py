@@ -74,17 +74,23 @@ def label_propagation(
     """
     if iters < 0:
         raise ValueError("iters >= 0 required")
+    # lazy localCheckpoint, not persist/unpersist: the returned plan is
+    # LAZY, so an unpersist-before-return would silently void the cache
+    # and every iteration would re-derive the edge frame from source
+    # (observed: 46 parquet scans in the 3-iter plan). A lazy local
+    # checkpoint materializes once at first action and is reused by all
+    # rounds; cleanup rides the RDD's GC.
     e = (
         edges.select(F.col(src).alias("__src__"), F.col(dst).alias("__dst__"))
         .where(F.col("__src__").isNotNull() & F.col("__dst__").isNotNull())
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("__src__").alias("node"))
         .unionAll(e.select(F.col("__dst__").alias("node")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     labels = nodes.withColumn("label", F.col("node"))
     for _ in range(iters):
@@ -108,8 +114,6 @@ def label_propagation(
         labels = labels.join(top, "node", "left").select(
             "node", F.coalesce("__new__", "label").alias("label")
         )
-    e.unpersist(False)
-    nodes.unpersist(False)
     return labels
 
 
