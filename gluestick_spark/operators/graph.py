@@ -30,7 +30,12 @@ Scale posture (100 TB): the GraphX/Pregel shuffle pattern — each
 iteration is one hash join (ranks ⋈ edges on src, both sides keyed the
 same so AQE reuses the exchange) and one map-side-combined groupBy on
 dst; shuffle volume ∝ |E| per iteration, never |V|·|E|. Edges are
-read once and persisted; iterations is a FIXED small constant (the
+derived once and lazily localCheckpointed — a plain persist would be
+voided by the unpersist needed before returning the (lazy) result
+plan, silently re-deriving the graph every round; the trade-off is
+that localCheckpoint is not fault-tolerant (an executor loss forces a
+job restart) — swap for a reliable checkpoint dir on long multi-hour
+runs. Iterations is a FIXED small constant (the
 driver holds no per-node state, unlike kmeans — state stays
 distributed in the ranks frame).
 """
@@ -148,17 +153,19 @@ def hits(
     """
     if iters < 0:
         raise ValueError("iters >= 0 required")
+    # lazy localCheckpoint (see label_propagation): a persist voided by
+    # unpersist-before-return would re-derive these frames every round
     e = (
         edges.select(F.col(src).alias("__src__"), F.col(dst).alias("__dst__"))
         .where(F.col("__src__").isNotNull() & F.col("__dst__").isNotNull())
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("__src__").alias("node"))
         .unionAll(e.select(F.col("__dst__").alias("node")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
 
     def _norm(df: DataFrame, col: str) -> DataFrame:
@@ -227,6 +234,8 @@ def triangle_count(
     total: degree aggregate, wedge self-join on the apex, closing-edge
     semi-join.
     """
+    # canonical edges feed three consumers (degrees, orientation join,
+    # closing-edge join) — materialize once (lazy localCheckpoint)
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -235,6 +244,7 @@ def triangle_count(
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("node"))
@@ -252,7 +262,7 @@ def triangle_count(
     oriented = ranked.select(
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     # wedges at apex u: (v, w) with v < w; the triangle closes iff the
     # canonical edge (v, w) exists
     w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
@@ -262,7 +272,6 @@ def triangle_count(
     tris = wedges.join(closing, ["x", "y"]).select(
         F.col("u").alias("n1"), F.col("x").alias("n2"), F.col("y").alias("n3")
     )
-    oriented.unpersist(False)
     per_node = (
         tris.select(F.col("n1").alias("node"))
         .unionAll(tris.select(F.col("n2").alias("node")))
@@ -296,17 +305,19 @@ def pagerank(
         raise ValueError("damping_pct must be in [0, 100]")
     base = (100 - damping_pct) * r0 // 100
 
+    # lazy localCheckpoint (see label_propagation): a persist voided by
+    # unpersist-before-return would re-derive these frames every round
     e = (
         edges.select(F.col(src).alias("__src__"), F.col(dst).alias("__dst__"))
         .where(F.col("__src__").isNotNull() & F.col("__dst__").isNotNull())
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("__src__").alias("node"))
         .unionAll(e.select(F.col("__dst__").alias("node")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     outdeg = e.groupBy("__src__").agg(F.count("*").alias("__deg__"))
 
@@ -328,8 +339,4 @@ def pagerank(
                 "rank"
             ),
         )
-    # lazy unpersist keeps the returned plan usable; the persisted edge
-    # frame was reused by every iteration
-    e.unpersist(False)
-    nodes.unpersist(False)
     return ranks
