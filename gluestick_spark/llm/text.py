@@ -431,7 +431,13 @@ def collocations(
     a broadcast crossJoin (never a global window). Top-k is
     TakeOrderedAndProject.
     """
-    pairs = bpe_pair_counts(df, text_col, lowercase=lowercase).persist()
+    # lazy localCheckpoint: pairs feeds FOUR consumers (both margins, the
+    # total, and the output row set); a persist followed by the
+    # unpersist-before-return would be voided on the lazy plan and the
+    # corpus-scan pair aggregation would run four times
+    pairs = bpe_pair_counts(df, text_col, lowercase=lowercase).localCheckpoint(
+        eager=False
+    )
     left_tot = pairs.groupBy("left").agg(F.sum("n").alias("__lt__"))
     right_tot = pairs.groupBy("right").agg(F.sum("n").alias("__rt__"))
     total = pairs.agg(F.sum("n").alias("__N__"))
@@ -450,7 +456,6 @@ def collocations(
             lift.alias("lift"),
         )
     )
-    pairs.unpersist(False)
     if k is not None:
         out = out.orderBy(F.col("n_pair").desc(), "left", "right").limit(k)
     return out

@@ -207,10 +207,7 @@ def hits(
             ),
             "hub",
         )
-    out = hub.join(auth, "node").select("node", "hub", "authority")
-    e.unpersist(False)
-    nodes.unpersist(False)
-    return out
+    return hub.join(auth, "node").select("node", "hub", "authority")
 
 
 def triangle_count(
