@@ -5002,6 +5002,26 @@ LIMIT {_SQ_TOPK_K}
 """
 
 
+def q_sq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ serving index (llm/similarity.py:materialize_sq +
+    sq_topk_indexed): quantize once to a persisted int8 codes table
+    (~4× smaller than the float64 embeddings), then search the index
+    only. indexed ≡ direct — the quantizer is deterministic — so this
+    row shares the sq_topk oracle verbatim."""
+    import tempfile
+
+    from gluestick_spark.llm.similarity import materialize_sq, sq_topk_indexed
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="gs_sqidx_")
+    materialize_sq(e, "embedding", path, id_col="vec_id")
+    top = sq_topk_indexed(spark, path, q, k=_SQ_TOPK_K)
+    return top.select(
+        "vec_id", (F.floor(F.col("score") * 1e4) / 1e4).alias("score")
+    )
+
+
 def q_alpha_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based multilingual rebalancing (llm/sampling.py:
     alpha_sample, α = 0.5): per-language keep rates sqrt(n_min/n_lang)
@@ -5722,6 +5742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_drift": q_length_drift,
         # (shares the batch url_dedup oracle — the stream≡batch device)
         "streaming_url_dedup": q_streaming_url_dedup,
+        # (shares the sq_topk oracle — the indexed≡direct device)
+        "sq_topk_indexed": q_sq_topk_indexed,
     }
 
 
@@ -5885,4 +5907,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _Q_ANN_TOPK_SQL,
         "length_drift": _Q_LENGTH_DRIFT_SQL,
         "streaming_url_dedup": _Q_URL_DEDUP_SQL,
+        "sq_topk_indexed": _Q_SQ_TOPK_SQL,
     }

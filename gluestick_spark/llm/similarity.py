@@ -45,6 +45,10 @@ __all__ = [
     "train_ivf_centroids",
     "quantize_embeddings",
     "dequantize_expr",
+    "quantize_query",
+    "sq_topk",
+    "materialize_sq",
+    "sq_topk_indexed",
     "pool_embeddings",
 ]
 
@@ -159,6 +163,13 @@ def sq_topk(
     """
     qscale, qcodes = quantize_query(query)
     enc = quantize_embeddings(df, vec_col, id_col, out_col="__qv__", scale_col="__sc__")
+    return _sq_score_topk(enc, id_col, qscale, qcodes, k)
+
+
+def _sq_score_topk(
+    enc: DataFrame, id_col: str, qscale: float, qcodes: list[int], k: int
+) -> DataFrame:
+    """Shared SQ scoring tail: int64 code dot × the two scales, top-k."""
     lit_codes = F.array(*[F.lit(int(c)).cast("long") for c in qcodes])
     idot = F.aggregate(
         F.zip_with(F.col("__qv__"), lit_codes, lambda a, b: a.cast("long") * b),
@@ -171,6 +182,45 @@ def sq_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def materialize_sq(
+    df: DataFrame,
+    vec_col: str,
+    path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Build the SQ serving index: quantize once, write (id, ``scale``,
+    ``qvec`` int8) parquet. This is where scalar quantization actually
+    pays at scale — the persisted codes table is ~4× smaller than the
+    float64 embeddings (8× vs float64 bytes, before parquet encoding),
+    so every subsequent query scans a fraction of the I/O and the raw
+    corpus is never re-read. Same store-once/probe-many contract as
+    :func:`materialize_ivf`; compose with it (partition the codes by
+    IVF centroid) for pruned quantized serving."""
+    quantize_embeddings(
+        df, vec_col, id_col, out_col="qvec", scale_col="scale"
+    ).write.mode("overwrite").parquet(path)
+
+
+def sq_topk_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k against a :func:`materialize_sq` index — identical results
+    to :func:`sq_topk` over the original vectors (the quantizer is
+    deterministic, so indexed ≡ direct; oracle-checked), reading ONLY
+    the compact codes table. One scan + TakeOrderedAndProject."""
+    enc = spark.read.parquet(path).select(
+        F.col(id_col),
+        F.col("scale").alias("__sc__"),
+        F.col("qvec").alias("__qv__"),
+    )
+    qscale, qcodes = quantize_query(query)
+    return _sq_score_topk(enc, id_col, qscale, qcodes, k)
 
 
 def pool_embeddings(

@@ -632,3 +632,21 @@ def test_streaming_url_dedup_state_and_nulls(spark, tmp_dir):
     # junk rows (NULL canonical) always pass
     assert set(got) == {1, 2, 4, 5}
     assert got[1] == "https://s.com/p?id=1" and got[2] is None
+
+
+def test_sq_indexed_equals_direct(spark, tmp_dir):
+    import os
+
+    from gluestick_spark.llm.similarity import materialize_sq, sq_topk_indexed
+
+    e = _emb(spark, [(i, [float((i * 7) % 13), float((i * 3) % 5), 1.0])
+                     for i in range(40)])
+    q = [1.0, 2.0, 0.5]
+    direct = sq_topk(e, "embedding", "vec_id", q, k=8).collect()
+    path = os.path.join(tmp_dir, "sqidx")
+    materialize_sq(e, "embedding", path)
+    indexed = sq_topk_indexed(spark, path, q, k=8).collect()
+    assert [tuple(r) for r in direct] == [tuple(r) for r in indexed]
+    # the index stores int8 codes + one scale, never the float vectors
+    cols = set(spark.read.parquet(path).columns)
+    assert cols == {"vec_id", "scale", "qvec"}
