@@ -5264,6 +5264,45 @@ FROM j, rt, ct
 """
 
 
+def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 streaming drift monitor (streaming/pipeline.py:
+    streaming_bin_counts): the non-English docs stream in as two
+    micro-batches maintaining additive histogram state; the final
+    cumulative histogram vs the batch English reference must equal the
+    all-batch length_drift result — bin counts are additive, so the
+    stream≡batch device is EXACT here (same oracle SQL)."""
+    import tempfile
+
+    from gluestick_spark.operators.profile import bin_counts, drift_from_counts
+    from gluestick_spark.streaming.pipeline import (
+        bin_counts_from_state,
+        stream_from_directory,
+        streaming_bin_counts,
+    )
+
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    cur = d.where(F.col("lang") != "en").select("doc_id", "n_chars")
+    mid = cur.select(F.percentile_approx("doc_id", 0.5)).first()[0]
+    stage = tempfile.mkdtemp(prefix="gs_drift_src_")
+    state = tempfile.mkdtemp(prefix="gs_drift_state_")
+    ckpt = tempfile.mkdtemp(prefix="gs_drift_ckpt_")
+    schema = cur.schema
+    for cond in (F.col("doc_id") <= mid, F.col("doc_id") > mid):
+        cur.where(cond).coalesce(1).write.mode("append").parquet(stage)
+        q = streaming_bin_counts(
+            stream_from_directory(spark, stage, schema),
+            "n_chars", _DRIFT_LO, _DRIFT_HI, _DRIFT_BINS, state, ckpt,
+        )
+        q.awaitTermination()
+    ref = bin_counts(
+        d.where(F.col("lang") == "en"), "n_chars",
+        _DRIFT_LO, _DRIFT_HI, _DRIFT_BINS, "n_ref",
+    )
+    cur_counts = bin_counts_from_state(spark, state, "n_cur")
+    return drift_from_counts(ref, cur_counts)
+
+
 def _noisy_url() -> Column:
     """URL synthesis with canonicalization noise: four shapes of the SAME
     page (default port + trailing slash + utm + fragment; upper-case
@@ -5744,6 +5783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_url_dedup": q_streaming_url_dedup,
         # (shares the sq_topk oracle — the indexed≡direct device)
         "sq_topk_indexed": q_sq_topk_indexed,
+        # (shares the length_drift oracle — additive-histogram stream≡batch)
+        "streaming_drift": q_streaming_drift,
     }
 
 
@@ -5908,4 +5949,5 @@ def oracle_sql() -> dict[str, str]:
         "length_drift": _Q_LENGTH_DRIFT_SQL,
         "streaming_url_dedup": _Q_URL_DEDUP_SQL,
         "sq_topk_indexed": _Q_SQ_TOPK_SQL,
+        "streaming_drift": _Q_LENGTH_DRIFT_SQL,
     }

@@ -26,6 +26,9 @@ __all__ = [
     "table_stats",
     "correlation_matrix",
     "distribution_drift",
+    "bin_expr",
+    "bin_counts",
+    "drift_from_counts",
 ]
 
 
@@ -254,30 +257,50 @@ def distribution_drift(
         raise ValueError("n_bins >= 1 required")
     if not hi > lo:
         raise ValueError(f"hi must exceed lo, got [{lo}, {hi})")
+    r = bin_counts(ref, col, lo, hi, n_bins, "n_ref")
+    c = bin_counts(cur, col, lo, hi, n_bins, "n_cur")
+    return drift_from_counts(r, c)
 
-    def binned(df: DataFrame, name: str) -> DataFrame:
-        x = F.col(col).cast("double")
-        b = (
-            F.when(x.isNull(), F.lit(-1))
-            .otherwise(
-                F.greatest(
-                    F.lit(0),
-                    F.least(
-                        F.lit(n_bins - 1),
-                        F.floor(
-                            (x - F.lit(float(lo))) * F.lit(float(n_bins))
-                            / F.lit(float(hi - lo))
-                        ).cast("int"),
-                    ),
-                )
-            )
-        )
-        return df.select(b.alias("bin")).groupBy("bin").agg(
-            F.count("*").alias(name)
-        )
 
-    r = binned(ref, "n_ref")
-    c = binned(cur, "n_cur")
+def bin_expr(col: str, lo: float, hi: float, n_bins: int):
+    """Fixed equi-width bin id for one value: clamped edge bins, NULLs
+    → −1. Pure floor arithmetic on IEEE doubles — replayable in any
+    engine (shared by the batch and streaming drift paths)."""
+    x = F.col(col).cast("double")
+    return F.when(x.isNull(), F.lit(-1)).otherwise(
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor(
+                    (x - F.lit(float(lo))) * F.lit(float(n_bins))
+                    / F.lit(float(hi - lo))
+                ).cast("int"),
+            ),
+        )
+    )
+
+
+def bin_counts(
+    df: DataFrame, col: str, lo: float, hi: float, n_bins: int,
+    name: str = "n",
+) -> DataFrame:
+    """(bin, ``name``) histogram — one map-side-combined aggregate.
+    Bin counts are ADDITIVE, which is what makes the streaming monitor
+    (:func:`~gluestick_spark.streaming.pipeline.streaming_bin_counts`)
+    exactly equal to the batch histogram: summing per-batch counts IS
+    the full-corpus count."""
+    return (
+        df.select(bin_expr(col, lo, hi, n_bins).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias(name))
+    )
+
+
+def drift_from_counts(r: DataFrame, c: DataFrame) -> DataFrame:
+    """The drift tail over two (bin, count) frames — see
+    :func:`distribution_drift` for the output contract. ``r`` must have
+    column ``n_ref``, ``c`` column ``n_cur``."""
     joined = (
         r.join(c, "bin", "full")
         .select(

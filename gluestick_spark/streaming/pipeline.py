@@ -32,6 +32,8 @@ __all__ = [
     "streaming_dedup",
     "streaming_minhash_dedup",
     "streaming_url_dedup",
+    "streaming_bin_counts",
+    "bin_counts_from_state",
     "streaming_agg_upsert",
     "sessionize",
     "streaming_interval_join",
@@ -587,6 +589,63 @@ def streaming_url_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_bin_counts(
+    stream_df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    state_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously maintained histogram of a streaming column — the
+    state side of a drift monitor: each micro-batch appends its own
+    (bin, n, batch_id) counts; because bin counts are ADDITIVE, the
+    summed state is EXACTLY the batch histogram of everything seen (no
+    approximation, no merge error — the stream≡batch device applied to
+    histograms). Read it back with :func:`bin_counts_from_state` and
+    feed :func:`~gluestick_spark.operators.profile.drift_from_counts`
+    against a reference histogram for a live distribution-shift audit.
+
+    Scale shape: per batch ONE map-side-combined aggregate producing
+    ≤ n_bins+1 rows — the state grows by bins×batches tiny rows, never
+    by data volume; the batch_id column keeps appends idempotent-ish
+    for audit (a replayed batch is visible as a duplicate id — drop the
+    later one on read if exactly-once matters end-to-end).
+    """
+    import os
+
+    from ..operators.profile import bin_counts
+
+    path = os.path.join(state_dir, "bin_counts.parquet")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        bin_counts(batch_df, col, lo, hi, n_bins, "n").withColumn(
+            "batch_id", F.lit(int(batch_id))
+        ).write.mode("append").parquet(path)
+
+    writer = stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def bin_counts_from_state(
+    spark, state_dir: str, name: str = "n"
+) -> DataFrame:
+    """Collapse the per-batch histogram state to the cumulative
+    (bin, ``name``) histogram (duplicate batch_ids dropped first, so an
+    at-least-once replay can't double-count)."""
+    import os
+
+    path = os.path.join(state_dir, "bin_counts.parquet")
+    raw = spark.read.parquet(path).dropDuplicates(["bin", "batch_id"])
+    return raw.groupBy("bin").agg(F.sum("n").alias(name))
 
 
 def streaming_snapshot_upsert(
