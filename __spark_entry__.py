@@ -5303,6 +5303,70 @@ def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_from_counts(ref, cur_counts)
 
 
+def _doc_html() -> Column:
+    """Deterministic HTML synthesis around each document: title, style
+    block, comment, the body text, one double- and one single-quoted
+    link, and a script block — every branch of llm/html.py's cleaner."""
+    i = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 3).cast("string")
+    return F.concat(
+        F.lit("<html><head><title>D"), i,
+        F.lit("</title><style>p{color:red}</style></head><body><p>"),
+        F.col("text"),
+        F.lit("</p><!-- hidden --><a href=\"https://s"), k,
+        F.lit(".com/p\">x</a><a href='/rel/"), i,
+        F.lit("'>y</a><script>var i=1;</script></body></html>"),
+    )
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text + links (llm/html.py): script/style/comment blocks
+    dropped, tags stripped, entities unescaped, whitespace collapsed;
+    href targets collected from both quote styles. Pure regexp codegen
+    in the RE2-portable subset — the oracle replays the identical
+    pattern chain (with DuckDB's explicit 'g' flag) byte-for-byte."""
+    from gluestick_spark.llm.html import html_to_text
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", _doc_html().alias("html"))
+    out = html_to_text(d, "html", text_col="clean_text", links_col="links")
+    return out.select(
+        "doc_id", "clean_text", F.size("links").alias("n_links")
+    )
+
+
+_Q_HTML_EXTRACT_SQL = r"""
+WITH h AS (
+  SELECT doc_id,
+    '<html><head><title>D' || CAST(doc_id AS VARCHAR)
+    || '</title><style>p{color:red}</style></head><body><p>' || text
+    || '</p><!-- hidden --><a href="https://s' || CAST(doc_id % 3 AS VARCHAR)
+    || '.com/p">x</a><a href=''/rel/' || CAST(doc_id AS VARCHAR)
+    || '''>y</a><script>var i=1;</script></body></html>' AS html
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id, html,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(html, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+              '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+            '(?s)<!--.*?-->', ' ', 'g'),
+          '(?s)<[^>]*>', ' ', 'g'),
+        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        '&#39;', ''''), '&amp;', '&'),
+      '\s+', ' ', 'g')) AS clean_text
+  FROM h
+)
+SELECT doc_id, clean_text,
+  CAST(len(regexp_extract_all(html, '(?i)href="([^"]*)"', 1))
+       + len(regexp_extract_all(html, '(?i)href=''([^'']*)''', 1)) AS INT) AS n_links
+FROM stripped
+"""
+
+
 def _noisy_url() -> Column:
     """URL synthesis with canonicalization noise: four shapes of the SAME
     page (default port + trailing slash + utm + fragment; upper-case
@@ -5785,6 +5849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_topk_indexed": q_sq_topk_indexed,
         # (shares the length_drift oracle — additive-histogram stream≡batch)
         "streaming_drift": q_streaming_drift,
+        "html_extract": q_html_extract,
     }
 
 
@@ -5950,4 +6015,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_url_dedup": _Q_URL_DEDUP_SQL,
         "sq_topk_indexed": _Q_SQ_TOPK_SQL,
         "streaming_drift": _Q_LENGTH_DRIFT_SQL,
+        "html_extract": _Q_HTML_EXTRACT_SQL,
     }

@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "url_dedup",
     "docs_cube",
     "length_drift",
+    "html_extract",
 ]
 
 

@@ -689,3 +689,51 @@ def test_streaming_bin_counts_additivity_and_replay_guard(spark, tmp_dir):
     again = {r["bin"]: r["n"]
              for r in bin_counts_from_state(spark, state).collect()}
     assert again == want
+
+
+# --------------------------------------------------------- html clean ----
+
+
+def test_strip_html_rules(spark):
+    from gluestick_spark.llm.html import strip_html_expr
+
+    df = spark.createDataFrame(
+        [
+            ("<p>Hello <b>world</b></p>",),
+            ("<script>var x = '<p>not text</p>';</script>Visible",),
+            ("<style>p { color: red }</style>Styled",),
+            ("<!-- secret -->Shown",),
+            ("A &amp;amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;end",),
+            ("a\n\n  b\t\tc",),
+        ],
+        "h string",
+    )
+    got = [r["t"] for r in df.select(strip_html_expr(F.col("h")).alias("t")).collect()]
+    assert got[0] == "Hello world"
+    assert got[1] == "Visible"          # script CONTENT dropped, not just tags
+    assert got[2] == "Styled"
+    assert got[3] == "Shown"
+    # &amp; unescaped LAST: "&amp;amp;" -> "&amp;", never "&"
+    assert got[4] == 'A &amp; B <tag> "q" \'s\' end'
+    assert got[5] == "a b c"
+
+
+def test_extract_links_both_quote_styles(spark):
+    from gluestick_spark.llm.html import extract_links_expr
+
+    df = spark.createDataFrame(
+        [('<a href="https://a.com/x">1</a><a HREF=\'/rel/2\'>2</a><img src="i.png">',)],
+        "h string",
+    )
+    got = df.select(extract_links_expr(F.col("h")).alias("l")).collect()[0]["l"]
+    assert got == ["https://a.com/x", "/rel/2"]
+
+
+def test_html_to_text_narrow_plan(spark):
+    from gluestick_spark.llm.html import html_to_text
+
+    df = spark.createDataFrame([(1, "<p>x</p>")], "id long, html string")
+    out = html_to_text(df, "html")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure narrow projection
+    assert set(out.columns) == {"id", "html", "text", "links"}
