@@ -5367,6 +5367,38 @@ FROM stripped
 """
 
 
+def q_outlink_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end web composition: HTML (llm/html.py) → href extraction
+    → registered-domain resolution (llm/web.py) → per-domain in-link
+    counts — the crawl-frontier priority signal. Relative links resolve
+    to the NULL parse-failure bucket. The oracle derives every count
+    from the synthesis rule itself (doc_id % 3 picks the target site;
+    every doc contributes exactly one relative link), so a defect in
+    ANY stage of the chain mismatches."""
+    from gluestick_spark.llm.html import extract_links_expr
+    from gluestick_spark.llm.web import registered_domain_expr
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", _doc_html().alias("html"))
+    links = d.select(
+        F.explode(extract_links_expr(F.col("html"))).alias("href")
+    )
+    return (
+        links.select(registered_domain_expr(F.col("href")).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
+_Q_OUTLINK_DOMAINS_SQL = """
+WITH per_doc AS (
+  SELECT 's' || CAST(doc_id % 3 AS VARCHAR) || '.com' AS domain FROM documents
+  UNION ALL
+  SELECT NULL AS domain FROM documents
+)
+SELECT domain, count(*) AS n_links FROM per_doc GROUP BY domain
+"""
+
+
 def _noisy_url() -> Column:
     """URL synthesis with canonicalization noise: four shapes of the SAME
     page (default port + trailing slash + utm + fragment; upper-case
@@ -5850,6 +5882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (shares the length_drift oracle — additive-histogram stream≡batch)
         "streaming_drift": q_streaming_drift,
         "html_extract": q_html_extract,
+        "outlink_domains": q_outlink_domains,
     }
 
 
@@ -6016,4 +6049,5 @@ def oracle_sql() -> dict[str, str]:
         "sq_topk_indexed": _Q_SQ_TOPK_SQL,
         "streaming_drift": _Q_LENGTH_DRIFT_SQL,
         "html_extract": _Q_HTML_EXTRACT_SQL,
+        "outlink_domains": _Q_OUTLINK_DOMAINS_SQL,
     }

@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "docs_cube",
     "length_drift",
     "html_extract",
+    "outlink_domains",
 ]
 
 
