@@ -5399,6 +5399,76 @@ SELECT domain, count(*) AS n_links FROM per_doc GROUP BY domain
 """
 
 
+def q_customer_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution (operators/linkage.py:entity_matches): match a
+    typo-perturbed incoming customer feed against the master table —
+    nation-blocked candidates, weighted name+balance similarity, exact
+    integer decision rule, deterministic best-match. The balance field
+    is integer-stringified (cents) because double→string formatting is
+    NOT cross-engine stable; levenshtein and the floor arithmetic are."""
+    from gluestick_spark.operators.linkage import entity_matches
+
+    c = _t(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100).cast("long").cast("string")
+    master = c.select(
+        "c_custkey", "c_name", "c_nationkey", cents.alias("bal")
+    )
+    incoming = c.select(
+        (F.col("c_custkey") + 1000000).alias("in_id"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cstomer")).alias(
+            "name"
+        ),
+        "c_nationkey",
+        cents.alias("bal"),
+    )
+    return entity_matches(
+        master, incoming, "c_custkey", "in_id",
+        [("c_name", "name", 6), ("bal", "bal", 4)],
+        F.col("c_nationkey"), F.col("c_nationkey"),
+        threshold_pct=65,
+    )
+
+
+_Q_CUSTOMER_MATCHES_SQL = """
+WITH master AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CAST(CAST(floor(c_acctbal * 100) AS BIGINT) AS VARCHAR) AS bal
+  FROM customer
+),
+inc AS (
+  SELECT c_custkey + 1000000 AS in_id,
+         replace(c_name, 'Customer', 'Cstomer') AS name, c_nationkey,
+         CAST(CAST(floor(c_acctbal * 100) AS BIGINT) AS VARCHAR) AS bal
+  FROM customer
+),
+pairs AS (
+  SELECT i.in_id, m.c_custkey,
+    6 * (CASE WHEN greatest(length(m.c_name), length(i.name)) = 0 THEN 10000
+         ELSE CAST(floor(
+           CAST((greatest(length(m.c_name), length(i.name))
+                 - levenshtein(m.c_name, i.name)) * 10000 AS DOUBLE)
+           / CAST(greatest(length(m.c_name), length(i.name)) AS DOUBLE))
+           AS BIGINT) END)
+    + 4 * (CASE WHEN greatest(length(m.bal), length(i.bal)) = 0 THEN 10000
+         ELSE CAST(floor(
+           CAST((greatest(length(m.bal), length(i.bal))
+                 - levenshtein(m.bal, i.bal)) * 10000 AS DOUBLE)
+           / CAST(greatest(length(m.bal), length(i.bal)) AS DOUBLE))
+           AS BIGINT) END) AS s
+  FROM master m JOIN inc i USING (c_nationkey)
+),
+matched AS (SELECT * FROM pairs WHERE s >= 65 * 100 * 10),
+best AS (
+  SELECT in_id, c_custkey, s,
+         row_number() OVER (PARTITION BY in_id ORDER BY s DESC, c_custkey ASC) AS rn
+  FROM matched
+)
+SELECT in_id, c_custkey,
+       CAST(floor(CAST(s AS DOUBLE) / 10.0) AS BIGINT) AS score_bp
+FROM best WHERE rn = 1
+"""
+
+
 def _noisy_url() -> Column:
     """URL synthesis with canonicalization noise: four shapes of the SAME
     page (default port + trailing slash + utm + fragment; upper-case
@@ -5883,6 +5953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_drift": q_streaming_drift,
         "html_extract": q_html_extract,
         "outlink_domains": q_outlink_domains,
+        "customer_matches": q_customer_matches,
     }
 
 
@@ -6050,4 +6121,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_drift": _Q_LENGTH_DRIFT_SQL,
         "html_extract": _Q_HTML_EXTRACT_SQL,
         "outlink_domains": _Q_OUTLINK_DOMAINS_SQL,
+        "customer_matches": _Q_CUSTOMER_MATCHES_SQL,
     }

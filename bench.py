@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "length_drift",
     "html_extract",
     "outlink_domains",
+    "customer_matches",
 ]
 
 

@@ -737,3 +737,73 @@ def test_html_to_text_narrow_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure narrow projection
     assert set(out.columns) == {"id", "html", "text", "links"}
+
+
+# ------------------------------------------------------ entity linkage ----
+
+
+def test_entity_matches_hand_computed(spark):
+    from gluestick_spark.operators.linkage import entity_matches
+
+    master = spark.createDataFrame(
+        [(1, "alice smith", "NY"), (2, "bob jones", "NY"), (3, "carol", "CA")],
+        "mid long, name string, state string",
+    )
+    incoming = spark.createDataFrame(
+        [(10, "alice smyth", "NY"),   # 1 edit from master 1
+         (11, "zzzz qqqq", "NY"),     # matches nobody
+         (12, "carol", "CA")],        # exact
+        "iid long, name string, state string",
+    )
+    got = {r["iid"]: (r["mid"], r["score_bp"]) for r in entity_matches(
+        master, incoming, "mid", "iid", [("name", "name", 1)],
+        F.col("state"), F.col("state"), threshold_pct=80,
+    ).collect()}
+    assert got[10][0] == 1
+    assert got[10][1] == 9090  # floor((11-1)*10000/11)
+    assert got[12] == (3, 10000)
+    assert 11 not in got
+
+
+def test_entity_matches_blocking_prevents_cross_block(spark):
+    from gluestick_spark.operators.linkage import entity_matches
+
+    master = spark.createDataFrame([(1, "same name", "A")],
+                                   "mid long, name string, blk string")
+    incoming = spark.createDataFrame([(9, "same name", "B")],
+                                     "iid long, name string, blk string")
+    out = entity_matches(master, incoming, "mid", "iid",
+                         [("name", "name", 1)], F.col("blk"), F.col("blk"))
+    assert out.count() == 0  # identical names, different blocks
+
+
+def test_entity_matches_best_ties_to_smallest_master(spark):
+    from gluestick_spark.operators.linkage import entity_matches
+
+    master = spark.createDataFrame([(7, "x", "A"), (3, "x", "A")],
+                                   "mid long, name string, blk string")
+    incoming = spark.createDataFrame([(1, "x", "A")],
+                                     "iid long, name string, blk string")
+    got = entity_matches(master, incoming, "mid", "iid",
+                         [("name", "name", 1)], F.col("blk"),
+                         F.col("blk")).collect()
+    assert len(got) == 1 and got[0]["mid"] == 3
+
+
+def test_entity_matches_null_fields_and_validation(spark):
+    from gluestick_spark.operators.linkage import entity_matches
+
+    master = spark.createDataFrame([(1, None, "A")],
+                                   "mid long, name string, blk string")
+    incoming = spark.createDataFrame([(9, None, "A"), (8, "ab", "A")],
+                                     "iid long, name string, blk string")
+    got = {r["iid"]: r["score_bp"] for r in entity_matches(
+        master, incoming, "mid", "iid", [("name", "name", 2)],
+        F.col("blk"), F.col("blk"), threshold_pct=90).collect()}
+    assert got == {9: 10000}  # both-NULL compares identical; "ab" vs "" is 0
+    with pytest.raises(ValueError):
+        entity_matches(master, incoming, "mid", "iid", [],
+                       F.col("blk"), F.col("blk"))
+    with pytest.raises(ValueError):
+        entity_matches(master, incoming, "mid", "iid",
+                       [("name", "name", 0)], F.col("blk"), F.col("blk"))
