@@ -50,6 +50,7 @@ __all__ = [
     "simhash_signature_udf",
     "simhash_near_dups",
     "jaccard_expr",
+    "lsh_recall_audit",
     "containment_pairs",
     "embedding_near_dups",
     "embedding_dedup",
@@ -288,6 +289,83 @@ def jaccard_expr(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def lsh_recall_audit(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    sample_rate: float = 0.1,
+    seed: str = "",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Production guardrail for the LSH candidate generator: on a
+    deterministic hash sample of the corpus, compute the EXACT
+    ≥-threshold pair set (brute force — affordable because it is the
+    sample) and the LSH candidate set, and report how many true pairs
+    the banding actually surfaced. One row:
+    (``n_sampled``, ``n_exact``, ``n_candidates``, ``n_hit``,
+    ``recall_bp``) with ``recall_bp = floor(10000·n_hit / n_exact)``
+    (10000 when the sample holds no true pairs — vacuous recall).
+
+    Run this on every corpus refresh: banding geometry tuned for one
+    shingle distribution silently loses recall when the distribution
+    shifts (shorter docs → fewer shingles → noisier signatures), and
+    nothing else in a dedup pipeline will tell you.
+
+    Determinism: the sample is the portable keyed hash (re-runs audit
+    the SAME sample); counts are exact integers. No SQL oracle — the
+    candidate set depends on xxhash64 signatures DuckDB cannot replay
+    (same evidence class as PCA/BPE training: pytest-pinned).
+
+    Scale: brute force costs |sample|² pairwise Jaccards — pick
+    ``sample_rate ∝ 1/√N`` (or cap the sampled count upstream) for a
+    constant-cost audit; the LSH side is the normal banding cost on the
+    sample.
+    """
+    from .sampling import hash_sample
+
+    s = hash_sample(df, id_col, sample_rate, seed)
+    sh = _shingle_sets(s, text_col, id_col, shingle_n, "a").localCheckpoint(
+        eager=False
+    )
+    shb = sh.select(
+        F.col("a").alias("b"), F.col("__sh_a__").alias("__sh_b__")
+    )
+    exact = (
+        sh.crossJoin(shb)
+        .where(F.col("a") < F.col("b"))
+        .where(
+            jaccard_expr(F.col("__sh_a__"), F.col("__sh_b__"))
+            >= F.lit(float(threshold))
+        )
+        .select("a", "b")
+        .localCheckpoint(eager=False)
+    )
+    cand = minhash_lsh_candidates(
+        s, text_col, id_col, num_perm, bands, shingle_n, max_bucket
+    )
+    hit = exact.join(cand, ["a", "b"], "left_semi")
+    counts = (
+        s.agg(F.count("*").alias("n_sampled"))
+        .crossJoin(F.broadcast(exact.agg(F.count("*").alias("n_exact"))))
+        .crossJoin(F.broadcast(cand.agg(F.count("*").alias("n_candidates"))))
+        .crossJoin(F.broadcast(hit.agg(F.count("*").alias("n_hit"))))
+    )
+    recall = F.when(F.col("n_exact") == 0, F.lit(10000).cast("long")).otherwise(
+        F.floor(
+            (F.col("n_hit") * F.lit(10000)).cast("long").cast("double")
+            / F.col("n_exact").cast("double")
+        )
+    )
+    return counts.select(
+        "n_sampled", "n_exact", "n_candidates", "n_hit",
+        recall.alias("recall_bp"),
+    )
 
 
 def containment_pairs(

@@ -807,3 +807,55 @@ def test_entity_matches_null_fields_and_validation(spark):
     with pytest.raises(ValueError):
         entity_matches(master, incoming, "mid", "iid",
                        [("name", "name", 0)], F.col("blk"), F.col("blk"))
+
+
+# ---------------------------------------------------- lsh recall audit ----
+
+
+def test_lsh_recall_audit_perfect_on_near_dups(spark):
+    from gluestick_spark.llm.dedup import lsh_recall_audit
+
+    # 10 clusters of 3 near-identical docs; each group's body is built
+    # from its own disjoint vocabulary so cross-group Jaccard ~ 0 and
+    # within-group ~ 0.9 — every true pair should be surfaced by the
+    # default banding (j >> the j>=0.5 target)
+    rows = []
+    for g in range(10):
+        base = " ".join(f"g{g}w{k}" for k in range(14))
+        for v in range(3):
+            rows.append((g * 10 + v, f"{base} tail{v}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = lsh_recall_audit(
+        df, "text", "doc_id", threshold=0.6, sample_rate=1.0
+    ).collect()[0]
+    assert got["n_sampled"] == 30
+    assert got["n_exact"] == 30       # 10 groups x C(3,2)
+    assert got["n_hit"] == got["n_exact"]
+    assert got["recall_bp"] == 10000
+    assert got["n_candidates"] >= got["n_hit"]
+
+
+def test_lsh_recall_audit_vacuous_and_consistency(spark):
+    from gluestick_spark.llm.dedup import lsh_recall_audit
+
+    # all-distinct corpus: no true pairs -> vacuous recall 10000
+    rows = [(i, f"totally unique document number {i} about topic {i * i}")
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = lsh_recall_audit(
+        df, "text", "doc_id", threshold=0.9, sample_rate=1.0
+    ).collect()[0]
+    assert got["n_exact"] == 0 and got["recall_bp"] == 10000
+    assert got["n_hit"] <= got["n_exact"] or got["n_exact"] == 0
+
+
+def test_lsh_recall_audit_sample_determinism(spark):
+    from gluestick_spark.llm.dedup import lsh_recall_audit
+
+    rows = [(i, f"doc {i % 6} body shared tail words here") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = lsh_recall_audit(df.repartition(1), "text", "doc_id",
+                         sample_rate=0.5, seed="s").collect()[0]
+    b = lsh_recall_audit(df.repartition(13), "text", "doc_id",
+                         sample_rate=0.5, seed="s").collect()[0]
+    assert tuple(a) == tuple(b)  # same sample, same counts, any partitioning
