@@ -5401,11 +5401,16 @@ SELECT domain, count(*) AS n_links FROM per_doc GROUP BY domain
 
 def q_customer_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution (operators/linkage.py:entity_matches): match a
-    typo-perturbed incoming customer feed against the master table —
-    nation-blocked candidates, weighted name+balance similarity, exact
-    integer decision rule, deterministic best-match. The balance field
-    is integer-stringified (cents) because double→string formatting is
-    NOT cross-engine stable; levenshtein and the floor arithmetic are."""
+    typo-perturbed incoming customer feed against the master table.
+    Blocking demonstrates the trade the operator documents: nation PLUS
+    a perturbation-stable name fragment (the last 4 chars — the typo
+    hits the prefix) keeps blocks near-singleton, so candidates stay
+    ~linear in the corpus instead of Σ|nation|² (nation-only blocking
+    measured 26s at sf0.1; this shape is ~1s). Weighted name+balance
+    similarity, exact integer decision rule, deterministic best-match.
+    The balance field is integer-stringified (cents) because
+    double→string formatting is NOT cross-engine stable; levenshtein
+    and the floor arithmetic are."""
     from gluestick_spark.operators.linkage import entity_matches
 
     c = _t(spark, sf_dir, "customer")
@@ -5421,10 +5426,18 @@ def q_customer_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         cents.alias("bal"),
     )
+
+    def block(name_col: str):
+        return F.concat(
+            F.col("c_nationkey").cast("string"),
+            F.lit("|"),
+            F.right(F.col(name_col), F.lit(4)),
+        )
+
     return entity_matches(
         master, incoming, "c_custkey", "in_id",
         [("c_name", "name", 6), ("bal", "bal", 4)],
-        F.col("c_nationkey"), F.col("c_nationkey"),
+        block("c_name"), block("name"),
         threshold_pct=65,
     )
 
@@ -5455,7 +5468,9 @@ pairs AS (
                  - levenshtein(m.bal, i.bal)) * 10000 AS DOUBLE)
            / CAST(greatest(length(m.bal), length(i.bal)) AS DOUBLE))
            AS BIGINT) END) AS s
-  FROM master m JOIN inc i USING (c_nationkey)
+  FROM master m JOIN inc i
+    ON m.c_nationkey = i.c_nationkey
+   AND right(m.c_name, 4) = right(i.name, 4)
 ),
 matched AS (SELECT * FROM pairs WHERE s >= 65 * 100 * 10),
 best AS (
