@@ -5484,6 +5484,65 @@ FROM best WHERE rn = 1
 """
 
 
+def q_contact_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRM contact cleaning (functions/contacts.py): canonical emails
+    (case/trim, +tag stripping, gmail dot-insensitivity + googlemail
+    fold, off-gmail dots kept, parse failures → NULL) and E.164-shaped
+    phones (formatting stripped, 00→+, national numbers get the default
+    country code, junk → NULL). The oracle constructs every expected
+    canonical string from the synthesis rule itself — no regex replay —
+    so any rule defect mismatches."""
+    from gluestick_spark.functions.contacts import (
+        normalize_email_expr,
+        normalize_phone_expr,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    i = F.col("c_custkey").cast("string")
+    m = F.col("c_custkey") % 5
+    email = (
+        F.when(m == 0, F.concat(F.lit("  J.Doe+tag"), i, F.lit("@GMAIL.com ")))
+        .when(m == 1, F.concat(F.lit("USER."), i, F.lit("@googlemail.com")))
+        .when(m == 2, F.concat(F.lit("u"), i, F.lit("+x@company.org")))
+        .when(m == 3, F.concat(F.lit("not an email "), i))
+        .otherwise(F.concat(F.lit("a.b."), i, F.lit("@corp.co.uk")))
+    )
+    last4 = F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0")
+    phone = (
+        F.when(m == 0, F.concat(F.lit("(415) 555-"), last4))
+        .when(m == 1, F.concat(F.lit("+44 20 7946 "), last4))
+        .when(m == 2, F.concat(F.lit("0044 20 7946 "), last4))
+        .when(m == 3, F.concat(F.lit("CALL-"), last4))
+        .otherwise(F.concat(F.lit("55501"), last4))  # 9 digits -> reject
+    )
+    d = c.select("c_custkey", email.alias("email"), phone.alias("phone"))
+    return d.select(
+        "c_custkey",
+        normalize_email_expr(F.col("email")).alias("email_norm"),
+        normalize_phone_expr(F.col("phone")).alias("phone_norm"),
+    )
+
+
+_Q_CONTACT_NORM_SQL = """
+SELECT c_custkey,
+  CASE c_custkey % 5
+    WHEN 0 THEN 'jdoe@gmail.com'
+    WHEN 1 THEN 'user' || CAST(c_custkey AS VARCHAR) || '@gmail.com'
+    WHEN 2 THEN 'u' || CAST(c_custkey AS VARCHAR) || '@company.org'
+    WHEN 3 THEN NULL
+    ELSE 'a.b.' || CAST(c_custkey AS VARCHAR) || '@corp.co.uk'
+  END AS email_norm,
+  CASE c_custkey % 5
+    WHEN 0 THEN '+1415555' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+    WHEN 1 THEN '+44207946' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+    WHEN 2 THEN '+44207946' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+    WHEN 3 THEN NULL
+    ELSE NULL
+  END AS phone_norm
+FROM customer
+"""
+
+
 def _noisy_url() -> Column:
     """URL synthesis with canonicalization noise: four shapes of the SAME
     page (default port + trailing slash + utm + fragment; upper-case
@@ -5969,6 +6028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "outlink_domains": q_outlink_domains,
         "customer_matches": q_customer_matches,
+        "contact_normalize": q_contact_normalize,
     }
 
 
@@ -6137,4 +6197,5 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": _Q_HTML_EXTRACT_SQL,
         "outlink_domains": _Q_OUTLINK_DOMAINS_SQL,
         "customer_matches": _Q_CUSTOMER_MATCHES_SQL,
+        "contact_normalize": _Q_CONTACT_NORM_SQL,
     }

@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "html_extract",
     "outlink_domains",
     "customer_matches",
+    "contact_normalize",
 ]
 
 

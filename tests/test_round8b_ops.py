@@ -859,3 +859,64 @@ def test_lsh_recall_audit_sample_determinism(spark):
     b = lsh_recall_audit(df.repartition(13), "text", "doc_id",
                          sample_rate=0.5, seed="s").collect()[0]
     assert tuple(a) == tuple(b)  # same sample, same counts, any partitioning
+
+
+# ------------------------------------------------- contact normalization ----
+
+
+def _norm_emails(spark, vals):
+    from gluestick_spark.functions.contacts import normalize_email_expr
+
+    df = spark.createDataFrame([(v,) for v in vals], "e string")
+    return [r["n"] for r in
+            df.select(normalize_email_expr(F.col("e")).alias("n")).collect()]
+
+
+def test_normalize_email_rules(spark):
+    got = _norm_emails(spark, [
+        "  J.Doe+crm@GMAIL.com ",       # trim+case+tag+gmail dots
+        "j.doe@googlemail.com",          # googlemail fold + dots
+        "j.doe@company.com",             # dots SIGNIFICANT off-gmail
+        "a+b+c@x.co.uk",                 # multi-+ strips from first +
+        "not-an-email",                  # reject
+        "+tag@gmail.com",                # local strips to empty -> reject
+        "UPPER@EXAMPLE.ORG",
+    ])
+    assert got[0] == "jdoe@gmail.com"
+    assert got[1] == "jdoe@gmail.com"
+    assert got[2] == "j.doe@company.com"
+    assert got[3] == "a@x.co.uk"
+    assert got[4] is None
+    assert got[5] is None
+    assert got[6] == "upper@example.org"
+
+
+def _norm_phones(spark, vals, **kw):
+    from gluestick_spark.functions.contacts import normalize_phone_expr
+
+    df = spark.createDataFrame([(v,) for v in vals], "p string")
+    return [r["n"] for r in
+            df.select(normalize_phone_expr(F.col("p"), **kw).alias("n")).collect()]
+
+
+def test_normalize_phone_rules(spark):
+    got = _norm_phones(spark, [
+        "(415) 555-0123",        # national 10 -> +1
+        "+44 20 7946 0958",      # keeps its cc
+        "0044 20 7946 0958",     # 00 prefix == +
+        "415-555-012",           # 9 digits, no cc -> reject
+        "CALL-NOW",              # letters -> reject
+        "+1 (415) 555.0123",
+    ])
+    assert got[0] == "+14155550123"
+    assert got[1] == "+442079460958"
+    assert got[2] == "+442079460958"
+    assert got[3] is None
+    assert got[4] is None
+    assert got[5] == "+14155550123"
+
+
+def test_normalize_phone_default_cc_param(spark):
+    got = _norm_phones(spark, ["040 1234567"], default_cc="49",
+                       national_len=10)
+    assert got == ["+490401234567"]
