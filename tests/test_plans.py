@@ -429,3 +429,25 @@ def test_domain_stats_no_unpartitioned_window(spark):
     plan = _plan(_queries()["domain_stats"](spark, SF))
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_second_wave_column_pruning_exact(spark):
+    """Every second-wave scan reads ONLY the columns its query needs —
+    a scan that drags full rows through a 2-column projection wastes
+    the dominant cost at 100 TB (pushed projection = free I/O savings)."""
+    import re
+
+    want = {
+        "events_pivot": {"event_type", "ts", "value"},
+        "docs_cube": {"lang", "n_chars", "source"},
+        "alpha_sample": {"doc_id", "lang"},
+        "length_drift": {"lang", "n_chars"},
+        "melt_part": {"p_partkey", "p_retailprice", "p_size"},
+        "contact_normalize": {"c_custkey"},
+    }
+    qs = _queries()
+    for name, expect in want.items():
+        plan = _plan(qs[name](spark, SF))
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        cols = {c.split(":")[0] for s in schemas for c in s.split(",") if c}
+        assert cols == expect, f"{name}: scan reads {sorted(cols)}"
