@@ -5484,6 +5484,80 @@ FROM best WHERE rn = 1
 """
 
 
+_SIVF_NC, _SIVF_NPROBE, _SIVF_ITERS, _SIVF_K = 8, 3, 1, 10
+
+
+def _sq_ivf_oracle_sql() -> str:
+    """Replays BOTH halves of the cluster-pruned quantized search: the
+    integer-Lloyd router (training + probe selection + pruning) AND the
+    int8-SQ scoring of the survivors — the full production ANN path."""
+    ctes, assign_name, cent_name = _lloyd_ctes(
+        "sivf", 1, _KM_DIM, _SIVF_NC, _SIVF_ITERS, _KM_SCALE, _KM_DIM
+    )
+    qexpr = (
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * "
+        f"{_KM_SCALE}.0 + 0.5) AS BIGINT))"
+    )
+    return f"""WITH {ctes},
+qv_sivf AS (
+  SELECT {qexpr} AS q, CAST(list_dot_product({qexpr}, {qexpr}) AS BIGINT) AS xx
+  FROM embeddings WHERE vec_id = 0
+),
+probes_sivf AS (
+  SELECT c.cid FROM {cent_name} c, qv_sivf v
+  ORDER BY CAST(c.n*c.n*v.xx - 2*c.n*CAST(list_dot_product(v.q, c.s) AS BIGINT)
+                + CAST(list_dot_product(c.s, c.s) AS BIGINT) AS DOUBLE)
+           / CAST(c.n*c.n AS DOUBLE), c.cid
+  LIMIT {_SIVF_NPROBE}
+),
+ve AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+ae AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM ve
+),
+enc_sq AS (
+  SELECT vec_id,
+    CASE WHEN amax > 0 THEN amax / 127.0 ELSE 0.0 END AS sc,
+    CASE WHEN amax > 0
+         THEN list_transform(v, x -> greatest(-127.0, least(127.0, floor(x / (amax / 127.0) + 0.5))))
+         ELSE list_transform(v, x -> 0.0) END AS qc
+  FROM ae
+),
+qsq AS (SELECT sc AS qsc, qc AS qqc FROM enc_sq WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         CAST(list_dot_product(e.qc, qsq.qqc) AS BIGINT) AS idot,
+         e.sc, qsq.qsc
+  FROM enc_sq e JOIN {assign_name} a ON a.id = e.vec_id, qsq
+  WHERE a.cid IN (SELECT cid FROM probes_sivf)
+)
+SELECT vec_id,
+       floor((CAST(idot AS DOUBLE) * sc * qsc) * 1e4) / 1e4 AS score
+FROM scored
+ORDER BY CAST(idot AS DOUBLE) * sc * qsc DESC, vec_id ASC
+LIMIT {_SIVF_K}"""
+
+
+def q_sq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-pruned quantized ANN (llm/cluster.py:sq_ivf_topk): the
+    integer-Lloyd IVF router prunes to 3 of 8 cells, int8-SQ scoring
+    ranks the survivors — the production serving composition, and the
+    oracle replays router training, probe selection, pruning, AND
+    quantized scoring end-to-end."""
+    from gluestick_spark.llm.cluster import sq_ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    top = sq_ivf_topk(
+        e, "embedding", "vec_id", q, k=_SIVF_K, n_clusters=_SIVF_NC,
+        nprobe=_SIVF_NPROBE, iters=_SIVF_ITERS, scale=_KM_SCALE,
+    )
+    return top.select(
+        "vec_id", (F.floor(F.col("score") * 1e4) / 1e4).alias("score")
+    )
+
+
 def q_contact_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CRM contact cleaning (functions/contacts.py): canonical emails
     (case/trim, +tag stripping, gmail dot-insensitivity + googlemail
@@ -6029,6 +6103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_domains": q_outlink_domains,
         "customer_matches": q_customer_matches,
         "contact_normalize": q_contact_normalize,
+        "sq_ivf_topk": q_sq_ivf_topk,
     }
 
 
@@ -6198,4 +6273,5 @@ def oracle_sql() -> dict[str, str]:
         "outlink_domains": _Q_OUTLINK_DOMAINS_SQL,
         "customer_matches": _Q_CUSTOMER_MATCHES_SQL,
         "contact_normalize": _Q_CONTACT_NORM_SQL,
+        "sq_ivf_topk": _sq_ivf_oracle_sql(),
     }

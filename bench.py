@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "outlink_domains",
     "customer_matches",
     "contact_normalize",
+    "sq_ivf_topk",
 ]
 
 

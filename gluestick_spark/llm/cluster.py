@@ -74,6 +74,7 @@ __all__ = [
     "centroid_outliers",
     "semdedup",
     "ivf_topk_exact",
+    "sq_ivf_topk",
 ]
 
 
@@ -494,3 +495,74 @@ def ivf_topk_exact(
         .orderBy(F.col("ivf_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def sq_ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    iters: int = 1,
+    scale: int = 1000,
+) -> DataFrame:
+    """Cluster-pruned QUANTIZED search — the production ANN serving
+    shape both halves promise: the replayable integer-Lloyd IVF router
+    (:func:`ivf_topk_exact`'s coarse quantizer and probe selection)
+    prunes the corpus to ``nprobe`` cells, and int8 scalar quantization
+    (:func:`~gluestick_spark.llm.similarity.sq_topk`'s scoring) ranks
+    only the survivors. Returns (``id_col``, ``score`` double raw dot),
+    score-desc, id-asc.
+
+    Both stages keep their oracle contracts, so the COMPOSITION is
+    replayable end-to-end: a DuckDB oracle re-trains the router,
+    re-selects the probes, re-quantizes the pruned cells, and re-ranks —
+    a green row verifies pruning semantics AND quantized scoring
+    together, not recall luck.
+
+    Plan shape: one narrow assignment map against the coarse-codebook
+    LITERALS (the router k·d is small by design — this path deliberately
+    uses the literal strategy so the original vector column rides along
+    without a join-back), a ``cid IN probes`` filter (partition pruning
+    against a :func:`~gluestick_spark.llm.similarity.materialize_ivf`
+    layout), SQ encoding of the survivors, TakeOrderedAndProject. No
+    corpus shuffle.
+    """
+    if nprobe < 1 or k < 1:
+        raise ValueError("nprobe >= 1 and k >= 1 required")
+    from math import floor as _floor
+
+    from .similarity import _sq_score_topk, quantize_embeddings, quantize_query
+
+    _, state = kmeans(
+        df, vec_col, id_col, k=n_clusters, iters=iters, scale=scale,
+        return_state=True,
+    )
+    if not state:
+        return df.sparkSession.createDataFrame([], f"{id_col} long, score double")
+    qq = [_floor(x * scale + 0.5) for x in query]
+    qxx = sum(v * v for v in qq)
+    scored = []
+    for cid, (s, n) in enumerate(state):
+        num = n * n * qxx - 2 * n * sum(a * b for a, b in zip(qq, s)) + sum(
+            v * v for v in s
+        )
+        scored.append((float(num) / float(n * n), cid))
+    probes = [cid for _, cid in sorted(scored)[: min(nprobe, len(scored))]]
+
+    pre = df.select(
+        F.col(id_col).alias("__id__"), F.col(vec_col).alias("__v__")
+    ).withColumn(
+        "__q__", quantize_vec_expr(F.col("__v__"), scale)
+    ).withColumn("__xx__", int_dot_expr(F.col("__q__"), F.col("__q__")))
+    pruned = pre.withColumn("cid", _assign_expr(state)).where(
+        F.col("cid").isin(probes)
+    )
+    enc = quantize_embeddings(
+        pruned, "__v__", "__id__", out_col="__qv__", scale_col="__sc__"
+    )
+    qscale, qcodes = quantize_query(query)
+    out = _sq_score_topk(enc, "__id__", qscale, qcodes, k)
+    return out.withColumnRenamed("__id__", id_col)

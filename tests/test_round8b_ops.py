@@ -920,3 +920,45 @@ def test_normalize_phone_default_cc_param(spark):
     got = _norm_phones(spark, ["040 1234567"], default_cc="49",
                        national_len=10)
     assert got == ["+490401234567"]
+
+
+# ---------------------------------------------------------- sq_ivf_topk ----
+
+
+def test_sq_ivf_subset_of_full_sq(spark):
+    from gluestick_spark.llm.cluster import sq_ivf_topk
+
+    # two well-separated clusters; query sits in cluster A — with
+    # nprobe=1 the pruned ranking must be a prefix-consistent subset of
+    # the full SQ ranking restricted to cluster A
+    rows = [(i, [10.0 + (i % 5) * 0.1, 10.0]) for i in range(10)]
+    rows += [(100 + i, [-10.0 - (i % 5) * 0.1, -10.0]) for i in range(10)]
+    e = _emb(spark, rows)
+    q = [10.0, 10.0]
+    pruned = sq_ivf_topk(e, "embedding", "vec_id", q, k=5,
+                         n_clusters=2, nprobe=1, iters=2)
+    ids = [r["vec_id"] for r in pruned.collect()]
+    assert len(ids) == 5 and all(i < 100 for i in ids)  # far cluster pruned
+    full = sq_topk(e.where(F.col("vec_id") < 100), "embedding", "vec_id", q, k=5)
+    assert ids == [r["vec_id"] for r in full.collect()]  # identical ranking
+
+
+def test_sq_ivf_nprobe_all_equals_sq_topk(spark):
+    from gluestick_spark.llm.cluster import sq_ivf_topk
+
+    rows = [(i, [float((i * 7) % 13), float((i * 3) % 5), 1.0])
+            for i in range(30)]
+    e = _emb(spark, rows)
+    q = [1.0, 2.0, 0.5]
+    ivf = sq_ivf_topk(e, "embedding", "vec_id", q, k=8,
+                      n_clusters=4, nprobe=4, iters=1)
+    full = sq_topk(e, "embedding", "vec_id", q, k=8)
+    assert [tuple(r) for r in ivf.collect()] == [tuple(r) for r in full.collect()]
+
+
+def test_sq_ivf_validates(spark):
+    from gluestick_spark.llm.cluster import sq_ivf_topk
+
+    e = _emb(spark, [(1, [1.0, 0.0])])
+    with pytest.raises(ValueError):
+        sq_ivf_topk(e, "embedding", "vec_id", [1.0, 0.0], nprobe=0)
