@@ -71,7 +71,10 @@ def entity_matches(
     ``best_match=True`` keeps each incoming row's single best master
     (ties to the smallest master id); ``False`` emits every pair above
     the threshold. ``score_bp`` is the weighted mean similarity in
-    basis points (floored)."""
+    basis points (floored). Rows whose blocking key is NULL never
+    enter the candidate join (SQL equality semantics) — route
+    unkeyable rows to a fallback block explicitly if they must be
+    matched."""
     if not fields:
         raise ValueError("fields must be non-empty")
     if not 0 < threshold_pct <= 100:

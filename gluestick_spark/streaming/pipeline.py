@@ -612,9 +612,12 @@ def streaming_bin_counts(
 
     Scale shape: per batch ONE map-side-combined aggregate producing
     ≤ n_bins+1 rows — the state grows by bins×batches tiny rows, never
-    by data volume; the batch_id column keeps appends idempotent-ish
-    for audit (a replayed batch is visible as a duplicate id — drop the
-    later one on read if exactly-once matters end-to-end).
+    by data volume. :func:`bin_counts_from_state` drops duplicate
+    (bin, batch_id) rows on read, so a fully-replayed batch cannot
+    double-count; a batch that crashed MID-append and then replayed can
+    leave one partial row pair per bin (foreachBatch's at-least-once
+    append limitation, shared with every append-state operator here) —
+    resume from the checkpoint rather than re-feeding input to avoid it.
     """
     import os
 
