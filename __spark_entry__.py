@@ -1604,9 +1604,12 @@ def q_resample_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q_RESAMPLE_RATIO_SQL = """
 WITH w(source, wt) AS (VALUES ('src0', 5), ('src1', 3), ('src2', 2)),
 n AS (
-  SELECT d.source, count(*) AS n
-  FROM documents d JOIN w ON d.source = w.source
-  GROUP BY d.source
+  -- LEFT JOIN from the weights: a weighted class with zero rows counts
+  -- as n=0, forcing u=0 (empty output) — mirrors resample_to_ratio's
+  -- zero-class contract (ADVICE r8)
+  SELECT w.source, count(d.source) AS n
+  FROM w LEFT JOIN documents d ON d.source = w.source
+  GROUP BY w.source
 ),
 u AS (SELECT min(n // wt) AS u FROM n JOIN w ON n.source = w.source),
 k AS (SELECT w.source, u.u * w.wt AS k FROM w, u),
@@ -5684,6 +5687,7 @@ def q_streaming_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from gluestick_spark.streaming.pipeline import (
+        read_streaming_dedup_output,
         stream_from_directory,
         streaming_url_dedup,
     )
@@ -5707,7 +5711,11 @@ def q_streaming_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ckpt,
         )
         q.awaitTermination()
-    return spark.read.parquet(out).select("doc_id", "canonical_url")
+    # read through the replay-window-closing helper (ADVICE r8: rows are
+    # __batch_id__-tagged; distinct-on-read collapses replayed appends)
+    return read_streaming_dedup_output(spark, out).select(
+        "doc_id", "canonical_url"
+    )
 
 
 def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1038,12 +1038,20 @@ def materialize_band_index(
     (``__id__``, band, bucket) rows, ``shingles/`` the per-doc distinct
     shingle sets, ``_META.json`` the geometry. ``mode="append"`` adds a
     NEW reference batch to an existing index (O(batch) — nothing is
-    re-signed; geometry must match the stored meta)."""
+    re-signed; geometry must match the stored meta).
+
+    Crash safety (ADVICE r8): the multi-step rewrite (bands, then
+    shingles, then meta) is bracketed by a ``_INDEX_COMMIT`` marker —
+    removed FIRST, re-written (atomic ``os.replace``) only after every
+    component landed. A crash mid-rebuild leaves no marker, and
+    ``_read_band_index`` refuses to serve the torn index loudly instead
+    of silently mixing band and shingle tables from different corpora."""
     import json as _json
     import os as _os
 
     meta = {"num_perm": num_perm, "bands": bands, "shingle_n": shingle_n}
     meta_path = _os.path.join(path, "_META.json")
+    commit_path = _os.path.join(path, "_INDEX_COMMIT")
     if mode == "append" and _os.path.isfile(meta_path):
         with open(meta_path) as f:
             stored = _json.load(f)
@@ -1051,20 +1059,33 @@ def materialize_band_index(
             raise ValueError(
                 f"band-index geometry mismatch: stored {stored}, got {meta}"
             )
+    _os.makedirs(path, exist_ok=True)
+    # invalidate BEFORE touching any component: readers fail loudly on a
+    # mid-rebuild index rather than joining mismatched halves
+    if _os.path.isfile(commit_path):
+        _os.remove(commit_path)
     bb = minhash_band_buckets(df_ref, text_col, id_col, num_perm, bands, shingle_n)
     bb.write.mode(mode).parquet(_os.path.join(path, "bands"))
     _shingle_sets(df_ref, text_col, id_col, shingle_n, "__id__").withColumnRenamed(
         "__sh___id____", "__sh__"
     ).write.mode(mode).parquet(_os.path.join(path, "shingles"))
-    _os.makedirs(path, exist_ok=True)
     with open(meta_path, "w") as f:
         _json.dump(meta, f)
+    tmp = commit_path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    _os.replace(tmp, commit_path)
 
 
 def _read_band_index(spark, path: str):
     import json as _json
     import os as _os
 
+    if not _os.path.isfile(_os.path.join(path, "_INDEX_COMMIT")):
+        raise ValueError(
+            f"band index at {path} is uncommitted (torn write or "
+            "mid-rebuild) — re-run materialize_band_index"
+        )
     with open(_os.path.join(path, "_META.json")) as f:
         meta = _json.load(f)
     bands_df = spark.read.parquet(_os.path.join(path, "bands"))

@@ -280,9 +280,17 @@ def resample_to_ratio(
     from ``weights`` are dropped. Integer arithmetic throughout — no
     float boundary can flip a membership cross-engine.
 
-    Plan: one tiny class-count aggregate → broadcast of the k_c row per
-    class → ONE keyed window shuffle (rank within class). The count
-    aggregate is map-side combined; nothing driver-side."""
+    A WEIGHTED class with zero rows in the data makes the exact ratio
+    unachievable at any volume, so it is treated as ``n_c = 0`` → u = 0
+    → EMPTY output (never a silently wrong "5:3:0" mix — ADVICE r8).
+    ``key_col`` must be unique per row: duplicate keys tie in the rank
+    ordering and membership would then depend on partitioning, not just
+    (key, seed).
+
+    Plan: one tiny class-count aggregate (left-joined against the
+    weights literal so absent classes count as zero) → broadcast of the
+    k_c row per class → ONE keyed window shuffle (rank within class).
+    The count aggregate is map-side combined; nothing driver-side."""
     if not weights:
         raise ValueError("weights must be non-empty")
     for c, w in weights.items():
@@ -292,7 +300,16 @@ def resample_to_ratio(
 
     wmap = F.create_map(*[x for c, w in weights.items() for x in (F.lit(c), F.lit(w))])
     tagged = df.where(F.col(class_col).isin(list(weights)))
-    counts = tagged.groupBy(class_col).agg(F.count(F.lit(1)).alias("__n__"))
+    # left join FROM the weights literal: a weighted class absent from the
+    # data contributes n_c = 0, forcing u = 0 (empty output) instead of
+    # being silently ignored by a data-side-only groupBy
+    wdf = df.sparkSession.createDataFrame(
+        [(c,) for c in weights], f"{class_col} string"
+    )
+    observed = tagged.groupBy(class_col).agg(F.count(F.lit(1)).alias("__obs__"))
+    counts = wdf.join(observed, class_col, "left").select(
+        class_col, F.coalesce(F.col("__obs__"), F.lit(0)).alias("__n__")
+    )
     unit = counts.select(
         F.min(F.floor(F.col("__n__") / F.element_at(wmap, F.col(class_col))))
         .cast("long")

@@ -14,22 +14,30 @@ per stream (type-1), this keeps every published state until vacuumed.
 Commit protocol: the writer CLAIMS its version number with an exclusive
 ``os.mkdir`` of ``v=N`` (two concurrent writers can never claim the same
 N — the loser's mkdir raises and it retries with N+1), writes the
-directory completely, appends N to the ``_COMMITS`` log (atomic
-``os.replace`` rewrite), then flips the one-line ``_LATEST`` pointer
-(also ``os.replace``) — atomic on POSIX, so readers see the old version
-or the new one, never a torn table. Publication is recorded EXPLICITLY:
-a version is published iff it appears in ``_COMMITS`` (with a
-``_SUCCESS``-marker fallback for tables written before the log existed).
-A crash mid-write leaves an unpublished ``v=N`` directory that is
+directory completely, records publication PER-VERSION with a
+``v=N/_COMMITTED`` marker (created inside the directory the writer
+exclusively owns — concurrent commits cannot lose each other's record,
+unlike a shared-log rewrite), appends one line to the informational
+``_COMMITS`` log via a single ``O_APPEND`` write (kernel-serialized —
+never read-modify-rewrite), then flips the one-line ``_LATEST`` pointer
+(``os.replace``) — atomic on POSIX, so readers see the old version
+or the new one, never a torn table. A version is published iff its
+``_COMMITTED`` marker exists or it appears in ``_COMMITS`` (pre-marker
+tables), with a ``_SUCCESS``-marker fallback for tables older than the
+log. A crash mid-write leaves an unpublished ``v=N`` directory that is
 invisible to ``read_versioned``/``published_versions`` — even after
-later writes publish higher numbers — and that vacuum removes.
+later writes publish higher numbers — and that vacuum removes once it
+has sat unmodified past a grace period (an in-flight writer keeps its
+directory's mtime fresh with every task file it lands, so vacuum can't
+rmtree under a slow writer that merely lost the pointer race).
 
 Layout::
 
     path/
       _LATEST            one line: the published version number
-      _COMMITS           one published version number per line (the log)
+      _COMMITS           one published version per line (append-only log)
       v=1/ ... v=N/      immutable Spark parquet directories
+        _COMMITTED       per-version publication marker
 
 Local/posix-rename filesystems only (same contract as ``compact_files``);
 object stores need a real table format's conditional-put commit log.
@@ -39,6 +47,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -53,6 +62,7 @@ __all__ = [
 
 _POINTER = "_LATEST"
 _COMMITS = "_COMMITS"
+_MARKER = "_COMMITTED"
 
 
 def _vdir(path: str, v: int) -> str:
@@ -91,32 +101,52 @@ def _commit_log(path: str) -> set[int]:
     return out
 
 
-def _append_commit(path: str, v: int) -> None:
-    # atomic rewrite (read + append + replace): a reader never sees a
-    # torn log, and the final os.replace is the durability point
-    existing = sorted(_commit_log(path) | {v})
-    tmp = os.path.join(path, f".{_COMMITS}.tmp")
-    with open(tmp, "w") as f:
-        f.write("\n".join(str(x) for x in existing) + "\n")
-    os.replace(tmp, os.path.join(path, _COMMITS))
+def _record_commit(path: str, v: int) -> None:
+    # Publication record is PER-VERSION: a marker file inside v=N/, a
+    # directory this writer owns exclusively (mkdir claim) — two
+    # concurrent commits can never lose each other's record. The shared
+    # _COMMITS log is kept as an informational/legacy index via a single
+    # O_APPEND write (kernel-serialized append, never read-modify-
+    # rewrite — the round-8 race: two near-simultaneous rewrites could
+    # drop each other's version, orphaning a fully-written table).
+    with open(os.path.join(_vdir(path, v), _MARKER), "w") as f:
+        f.write(str(v))
+    fd = os.open(
+        os.path.join(path, _COMMITS),
+        os.O_WRONLY | os.O_CREAT | os.O_APPEND,
+        0o644,
+    )
+    try:
+        os.write(fd, f"{v}\n".encode())
+    finally:
+        os.close(fd)
 
 
 def published_versions(path: str) -> list[int]:
     """Versions that completed a publish, ascending — the only ones
-    ``read_versioned`` will open. Source of truth is the ``_COMMITS``
-    log; ONLY for legacy tables with no log at all, a version <= the
-    pointer counts as published iff its directory holds Spark's
-    ``_SUCCESS`` marker (a torn parquet directory never does). Once a
-    log exists it is authoritative — a complete-looking directory that
-    never reached the log (crash between data write and commit) stays
-    unpublished forever, even after later writes bury it under the
-    pointer."""
+    ``read_versioned`` will open. Source of truth is the per-version
+    ``_COMMITTED`` marker (crash-between-data-and-commit leaves no
+    marker, so a complete-looking directory stays unpublished forever,
+    even after later writes bury it under the pointer); versions listed
+    in the ``_COMMITS`` log also count (tables written before the marker
+    existed), intersected with what is actually on disk so a vacuumed or
+    externally-removed version drops out without a log rewrite. ONLY for
+    legacy tables with no markers and no log, a version <= the pointer
+    counts as published iff its directory holds Spark's ``_SUCCESS``
+    marker (a torn parquet directory never does)."""
+    on_disk = list_versions(path)
+    marked = {
+        v
+        for v in on_disk
+        if os.path.isfile(os.path.join(_vdir(path, v), _MARKER))
+    }
+    logged = _commit_log(path)
+    if marked or logged:
+        return sorted(v for v in on_disk if v in marked or v in logged)
     cur = latest_version(path)
-    if os.path.isfile(os.path.join(path, _COMMITS)):
-        return sorted(_commit_log(path))
     out: set[int] = set()
     if cur is not None:
-        for v in list_versions(path):
+        for v in on_disk:
             if v <= cur and os.path.isfile(
                 os.path.join(_vdir(path, v), "_SUCCESS")
             ):
@@ -152,7 +182,7 @@ def write_versioned(df: DataFrame, path: str) -> int:
         except FileExistsError:
             v += 1
     df.write.mode("append").parquet(_vdir(path, v))
-    _append_commit(path, v)
+    _record_commit(path, v)
     tmp = os.path.join(path, f".{_POINTER}.tmp")
     with open(tmp, "w") as f:
         f.write(str(v))
@@ -181,30 +211,42 @@ def read_versioned(
     return spark.read.parquet(_vdir(path, version))
 
 
-def vacuum_versions(path: str, keep: int) -> list[int]:
-    """Delete all but the newest ``keep`` published versions, plus any
-    unpublished crash leftovers OLDER than the pointer (a leftover below
-    the published pointer can never be completed — version numbers are
-    claimed monotonically — so it is garbage by construction). Anything
-    newer than the pointer is never touched: it may be an in-flight
-    writer's claim. Returns the deleted version numbers."""
+def vacuum_versions(
+    path: str, keep: int, unpublished_grace_seconds: float = 900.0
+) -> list[int]:
+    """Delete all but the newest ``keep`` published versions, plus
+    unpublished crash leftovers OLDER than the pointer that have sat
+    unmodified for at least ``unpublished_grace_seconds``. The grace
+    period exists because a buried claim is NOT garbage by construction:
+    a slow writer's lower-numbered claim can still be mid-write when a
+    faster writer publishes a higher version, and an rmtree under it
+    would let it commit a torn/deleted version. An actively-writing
+    claim keeps its directory mtime fresh (every task file landed
+    touches it), so only genuinely abandoned leftovers age past the
+    grace window. Anything newer than the pointer is never touched
+    regardless of age. Returns the deleted version numbers.
+
+    The ``_COMMITS`` log is never rewritten (that would race a
+    concurrent writer's append): ``published_versions`` intersects the
+    log with what is on disk, so stale lines for vacuumed versions are
+    inert."""
     if keep < 1:
         raise ValueError(f"keep must be >= 1, got {keep}")
     cur = latest_version(path)
     if cur is None:
         return []
     pub = published_versions(path)
-    doomed = pub[:-keep] if len(pub) > keep else []
-    doomed += [v for v in list_versions(path) if v < cur and v not in pub]
-    doomed = sorted(set(doomed))
-    for v in doomed:
+    doomed = set(pub[:-keep] if len(pub) > keep else [])
+    now = time.time()
+    for v in list_versions(path):
+        if v < cur and v not in pub:
+            try:
+                mtime = os.path.getmtime(_vdir(path, v))
+            except OSError:
+                continue
+            if now - mtime >= unpublished_grace_seconds:
+                doomed.add(v)
+    out = sorted(doomed)
+    for v in out:
         shutil.rmtree(_vdir(path, v), ignore_errors=True)
-    # keep the commit log consistent with what's actually readable
-    log = _commit_log(path)
-    if log & set(doomed):
-        remaining = sorted(log - set(doomed))
-        tmp = os.path.join(path, f".{_COMMITS}.tmp")
-        with open(tmp, "w") as f:
-            f.write("\n".join(str(x) for x in remaining) + "\n")
-        os.replace(tmp, os.path.join(path, _COMMITS))
-    return doomed
+    return out

@@ -32,6 +32,7 @@ __all__ = [
     "streaming_dedup",
     "streaming_minhash_dedup",
     "streaming_url_dedup",
+    "read_streaming_dedup_output",
     "streaming_bin_counts",
     "bin_counts_from_state",
     "streaming_agg_upsert",
@@ -549,6 +550,17 @@ def streaming_url_dedup(
     lower id then yields a superset — same caveat as
     :func:`streaming_minhash_dedup`.)
 
+    **At-least-once replay window** (ADVICE r8): a crash between the
+    ``out_dir`` append and the state append replays the micro-batch
+    against unchanged state, appending the SAME survivor rows a second
+    time. Every emitted row therefore carries ``__batch_id__``; the
+    replayed duplicates are byte-identical (same batch id, same rows),
+    so :func:`read_streaming_dedup_output` collapses them with one
+    distinct on read — the same device ``bin_counts_from_state`` uses.
+    The write order (output before state) is deliberate: the opposite
+    order would LOSE rows on the same crash (state says seen, output
+    never written), and at-least-once + dedup-on-read beats at-most-once.
+
     Scale shape (continuous crawl-frontier dedup): per-batch cost is one
     narrow canonicalization, one batch-sized keyed aggregate, and ONE
     anti-join against the state — the state is a canonical-URL SET (one
@@ -578,7 +590,9 @@ def streaming_url_dedup(
         # the same path the anti-join reads, and the second action would
         # otherwise re-evaluate the join against the just-updated state
         survivors = survivors.localCheckpoint()
-        survivors.write.mode("append").parquet(out_dir)
+        survivors.withColumn(
+            "__batch_id__", F.lit(batch_id).cast("long")
+        ).write.mode("append").parquet(out_dir)
         survivors.where(F.col("canonical_url").isNotNull()).select(
             F.col("canonical_url").alias("__canon__")
         ).write.mode("append").parquet(canon_path)
@@ -589,6 +603,18 @@ def streaming_url_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_streaming_dedup_output(spark, out_dir: str) -> DataFrame:
+    """Read :func:`streaming_url_dedup` output with the at-least-once
+    replay window closed: duplicate rows from a replayed micro-batch are
+    byte-identical (same ``__batch_id__``), so one distinct collapses
+    them; the tag is then dropped. The distinct is keyed on the full row
+    including the batch id, so two DIFFERENT batches legitimately
+    emitting the same id (out-of-order-id superset caveat) are NOT
+    collapsed — only replays are."""
+    raw = spark.read.parquet(out_dir)
+    return raw.distinct().drop("__batch_id__")
 
 
 def streaming_bin_counts(

@@ -35,8 +35,12 @@ def test_versioned_buried_torn_version_stays_unreadable(spark, tmp_dir):
     assert read_versioned(spark, path).count() == 7
     with pytest.raises(ValueError, match="not published"):
         read_versioned(spark, path, 2)
-    # vacuum removes the buried leftover (it can never be completed)
-    deleted = vacuum_versions(path, keep=2)
+    # vacuum never touches a FRESH buried leftover (it may be a slow
+    # in-flight writer that merely lost the pointer race — ADVICE r8)...
+    assert 2 not in vacuum_versions(path, keep=2)
+    assert os.path.isdir(os.path.join(path, "v=2"))
+    # ...but removes it once it has aged past the grace period
+    deleted = vacuum_versions(path, keep=2, unpublished_grace_seconds=0.0)
     assert 2 in deleted
     assert not os.path.isdir(os.path.join(path, "v=2"))
     assert read_versioned(spark, path, 1).count() == 4  # survivors intact

@@ -1,0 +1,192 @@
+"""Round-9 fixes and additions: versioned-table per-version commit
+markers (ADVICE r8 medium x2), resample_to_ratio zero-class contract,
+band-index commit marker, streaming url-dedup replay tagging."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+# ----------------------------------- versioned per-version publication ----
+
+
+def test_versioned_commit_log_is_append_only(spark, tmp_dir):
+    """ADVICE r8 (medium): publication is recorded per-version, and the
+    shared _COMMITS log is append-only — a concurrent writer's line can
+    never be lost to a read-modify-rewrite, and a stale/foreign line is
+    inert (intersected with on-disk versions)."""
+    from gluestick_spark.operators.versioned import (
+        published_versions,
+        read_versioned,
+        write_versioned,
+    )
+
+    path = os.path.join(tmp_dir, "tbl")
+    write_versioned(spark.range(3), path)  # v=1
+    # a concurrent writer's append lands between this writer's commits
+    with open(os.path.join(path, "_COMMITS"), "a") as f:
+        f.write("999\n")
+    write_versioned(spark.range(5), path)  # v=2
+    log = open(os.path.join(path, "_COMMITS")).read()
+    assert "999" in log and "1" in log and "2" in log  # nothing rewritten
+    assert published_versions(path) == [1, 2]  # phantom 999 inert
+    assert read_versioned(spark, path).count() == 5
+
+
+def test_versioned_marker_is_authoritative_without_log(spark, tmp_dir):
+    """The per-version _COMMITTED marker alone proves publication: even
+    with the _COMMITS log gone (e.g. lost in a copy), every properly
+    committed version stays readable."""
+    from gluestick_spark.operators.versioned import (
+        published_versions,
+        read_versioned,
+        write_versioned,
+    )
+
+    path = os.path.join(tmp_dir, "tbl")
+    write_versioned(spark.range(3), path)
+    write_versioned(spark.range(7), path)
+    os.remove(os.path.join(path, "_COMMITS"))
+    assert published_versions(path) == [1, 2]
+    assert read_versioned(spark, path, 1).count() == 3
+    assert read_versioned(spark, path, 2).count() == 7
+
+
+def test_versioned_vacuum_spares_inflight_claim(spark, tmp_dir):
+    """ADVICE r8 (medium): a buried unpublished claim inside the grace
+    window is an in-flight writer, not garbage — vacuum must not rmtree
+    under it; after it ages out, it goes."""
+    from gluestick_spark.operators.versioned import (
+        vacuum_versions,
+        write_versioned,
+    )
+
+    path = os.path.join(tmp_dir, "tbl")
+    write_versioned(spark.range(2), path)  # v=1 published
+    os.mkdir(os.path.join(path, "v=2"))  # slow writer's claim, mid-write
+    write_versioned(spark.range(4), path)  # fast writer publishes v=3
+    assert vacuum_versions(path, keep=10) == []  # claim spared
+    assert os.path.isdir(os.path.join(path, "v=2"))
+    # age the claim past the grace window
+    old = 1.0
+    os.utime(os.path.join(path, "v=2"), (old, old))
+    assert vacuum_versions(path, keep=10) == [2]
+
+
+# ----------------------------------------- resample_to_ratio contract -----
+
+
+def test_resample_to_ratio_zero_class_yields_empty(spark):
+    """ADVICE r8 (low): a weighted class with zero rows means the exact
+    ratio is unachievable at any volume — u=0, empty output, not a
+    silently wrong 5:3:0 mix."""
+    from gluestick_spark.llm.sampling import resample_to_ratio
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(40)], "id long, c string"
+    )
+    out = resample_to_ratio(df, "id", "c", {"a": 2, "b": 1, "ghost": 1})
+    assert out.count() == 0
+
+
+def test_resample_to_ratio_still_exact_on_present_classes(spark):
+    from gluestick_spark.llm.sampling import resample_to_ratio
+
+    df = spark.createDataFrame(
+        [(i, ["a", "a", "a", "b", "b", "c"][i % 6]) for i in range(120)],
+        "id long, c string",
+    )
+    out = resample_to_ratio(df, "id", "c", {"a": 3, "b": 2, "c": 1})
+    counts = {r["c"]: r["n"] for r in out.groupBy("c").agg(F.count("*").alias("n")).collect()}
+    # n_a=60,w=3 -> 20; n_b=40,w=2 -> 20; n_c=20,w=1 -> 20; u=20
+    assert counts == {"a": 60, "b": 40, "c": 20}
+
+
+# -------------------------------------------- band-index commit marker ----
+
+
+def test_band_index_requires_commit_marker(spark, tmp_dir):
+    """ADVICE r8 (low): a torn rebuild (crash between the bands and
+    shingles overwrites) must fail LOUDLY on read, not silently serve a
+    mixed-corpora index."""
+    from gluestick_spark.llm.dedup import (
+        dedup_against_indexed,
+        materialize_band_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"unique document body number {i} " * 3) for i in range(8)],
+        "doc_id long, text string",
+    )
+    path = os.path.join(tmp_dir, "bidx")
+    materialize_band_index(docs, "text", "doc_id", path)
+    marker = os.path.join(path, "_INDEX_COMMIT")
+    assert os.path.isfile(marker)
+    # sanity: committed index serves
+    assert dedup_against_indexed(spark, docs, path, "text", "doc_id").count() == 0
+    # torn rebuild: marker gone, read must raise
+    os.remove(marker)
+    with pytest.raises(ValueError, match="uncommitted"):
+        dedup_against_indexed(spark, docs, path, "text", "doc_id")
+
+
+def test_band_index_append_recommits(spark, tmp_dir):
+    from gluestick_spark.llm.dedup import (
+        dedup_against_indexed,
+        materialize_band_index,
+    )
+
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, f"unique document body number {i} " * 3) for i in range(lo, hi)],
+        "doc_id long, text string",
+    )
+    path = os.path.join(tmp_dir, "bidx")
+    materialize_band_index(mk(0, 6), "text", "doc_id", path)
+    materialize_band_index(mk(6, 12), "text", "doc_id", path, mode="append")
+    assert os.path.isfile(os.path.join(path, "_INDEX_COMMIT"))
+    # a doc duplicated from the appended half is caught
+    dup = mk(6, 7)
+    assert dedup_against_indexed(spark, dup, path, "text", "doc_id").count() == 0
+
+
+# ------------------------------------- streaming url-dedup replay tag -----
+
+
+def test_streaming_url_dedup_output_tagged_and_replay_dedupable(spark, tmp_dir):
+    """ADVICE r8 (low): emitted rows carry __batch_id__, so an
+    at-least-once replay (crash between the out_dir append and the state
+    append) produces byte-identical duplicate rows that a distinct-on-
+    read collapses — read_streaming_dedup_output is that read."""
+    from gluestick_spark.streaming.pipeline import (
+        read_streaming_dedup_output,
+        stream_from_directory,
+        streaming_url_dedup,
+    )
+
+    d = spark.createDataFrame(
+        [(i, f"https://ex{i % 5}.com/p?utm_source=x&id={i % 5}") for i in range(20)],
+        "doc_id long, url string",
+    )
+    stage = os.path.join(tmp_dir, "src")
+    out = os.path.join(tmp_dir, "out")
+    state = os.path.join(tmp_dir, "state")
+    ckpt = os.path.join(tmp_dir, "ckpt")
+    d.coalesce(1).write.mode("append").parquet(stage)
+    q = streaming_url_dedup(
+        stream_from_directory(spark, stage, d.schema),
+        "url", "doc_id", state, out, ckpt,
+    )
+    q.awaitTermination()
+    raw = spark.read.parquet(out)
+    assert "__batch_id__" in raw.columns
+    n = raw.count()
+    assert n == 5
+    # simulate the replay-duplicate window: the same batch's emitted rows
+    # appended a second time with the SAME batch id
+    raw.write.mode("append").parquet(out)
+    assert spark.read.parquet(out).count() == 2 * n
+    clean = read_streaming_dedup_output(spark, out)
+    assert clean.count() == n
+    assert "__batch_id__" not in clean.columns
