@@ -5561,6 +5561,33 @@ def q_sq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sq_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED IVF×SQ serving index (llm/cluster.py:materialize_sq_ivf
+    + sq_ivf_topk_indexed): the router trains once and the int8 codes
+    land partitioned by cell; the probe reads only nprobe pruned
+    directories (plan-gated in tests/test_plans.py). Same geometry as
+    sq_ivf_topk, so it SHARES _sq_ivf_oracle_sql — the indexed ≡ direct
+    device: a green row proves the store/serve split changes nothing."""
+    import tempfile
+
+    from gluestick_spark.llm.cluster import (
+        materialize_sq_ivf,
+        sq_ivf_topk_indexed,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="gs_sqivf_idx_")
+    materialize_sq_ivf(
+        e, "embedding", "vec_id", path, n_clusters=_SIVF_NC,
+        iters=_SIVF_ITERS, scale=_KM_SCALE,
+    )
+    top = sq_ivf_topk_indexed(spark, path, q, k=_SIVF_K, nprobe=_SIVF_NPROBE)
+    return top.select(
+        "vec_id", (F.floor(F.col("score") * 1e4) / 1e4).alias("score")
+    )
+
+
 def q_contact_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CRM contact cleaning (functions/contacts.py): canonical emails
     (case/trim, +tag stripping, gmail dot-insensitivity + googlemail
@@ -5933,6 +5960,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_matches": q_customer_matches,
         "contact_normalize": q_contact_normalize,
         "sq_ivf_topk": q_sq_ivf_topk,
+        # (round-9 addition: the persisted IVF×SQ composed index — VERDICT
+        # r8 task 2; shares the sq_ivf oracle, indexed ≡ direct. Displaces
+        # windowed_counts to the tail top — first in line for r10.)
+        "sq_ivf_topk_indexed": q_sq_ivf_topk_indexed,
         "local_supplier_volume": q_local_supplier_volume,
         "promo_revenue": q_promo_revenue,
         "shipping_priority": q_shipping_priority,
@@ -5973,11 +6004,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_windows": q_range_join_windows,
         "tfidf_vectors": q_tfidf_vectors,
         "time_rollup": q_time_rollup,
-        "windowed_counts": q_windowed_counts,
         # ---- tail: r06-deferred rows (rationales above), then the r07
         # cohort, then the 100% -green r8 window (freshest evidence). All
         # tail rows remain locally oracle-checked every round via
         # tools/check_correctness.py / driver_sim.py. ----
+        "windowed_counts": q_windowed_counts,
         "kmv_merge": q_kmv_merge,
         "event_asof_close": q_event_asof_close,
         "event_asof_nearest": q_event_asof_nearest,
@@ -6106,6 +6137,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_matches": _Q_CUSTOMER_MATCHES_SQL,
         "contact_normalize": _Q_CONTACT_NORM_SQL,
         "sq_ivf_topk": _sq_ivf_oracle_sql(),
+        "sq_ivf_topk_indexed": _sq_ivf_oracle_sql(),
         "local_supplier_volume": _Q_LOCAL_SUPPLIER_SQL,
         "promo_revenue": _Q_PROMO_SQL,
         "shipping_priority": _Q_SHIPPING_SQL,
@@ -6146,8 +6178,8 @@ def oracle_sql() -> dict[str, str]:
         "range_join_windows": _Q_RANGE_JOIN_SQL,
         "tfidf_vectors": _Q_TFIDF_SQL,
         "time_rollup": _Q_TIME_ROLLUP_SQL,
-        "windowed_counts": _Q_WINDOWED_COUNTS_SQL,
         # ---- tail ----
+        "windowed_counts": _Q_WINDOWED_COUNTS_SQL,
         "kmv_merge": _Q_KMV_SQL,
         "event_asof_close": _Q_EVENT_ASOF_CLOSE_SQL,
         "event_asof_nearest": _Q_EVENT_ASOF_NEAREST_SQL,

@@ -75,6 +75,8 @@ __all__ = [
     "semdedup",
     "ivf_topk_exact",
     "sq_ivf_topk",
+    "materialize_sq_ivf",
+    "sq_ivf_topk_indexed",
 ]
 
 
@@ -470,17 +472,7 @@ def ivf_topk_exact(
         return assigned_src.select(
             F.col(id_col), F.lit(0).cast("long").alias("ivf_dist")
         )
-    from math import floor as _floor
-
-    qq = [_floor(x * scale + 0.5) for x in query]
-    qxx = sum(v * v for v in qq)
-    scored = []
-    for cid, (s, n) in enumerate(state):
-        num = n * n * qxx - 2 * n * sum(a * b for a, b in zip(qq, s)) + sum(
-            v * v for v in s
-        )
-        scored.append((float(num) / float(n * n), cid))
-    probes = [cid for _, cid in sorted(scored)[: min(nprobe, len(scored))]]
+    probes, qq, qxx = _select_probes(state, query, scale, nprobe)
 
     pts = _prepare(df, vec_col, id_col, scale)
     pts = _assign_df(pts, state, assign).where(F.col("cid").isin(probes))
@@ -532,8 +524,6 @@ def sq_ivf_topk(
     """
     if nprobe < 1 or k < 1:
         raise ValueError("nprobe >= 1 and k >= 1 required")
-    from math import floor as _floor
-
     from .similarity import _sq_score_topk, quantize_embeddings, quantize_query
 
     _, state = kmeans(
@@ -542,15 +532,7 @@ def sq_ivf_topk(
     )
     if not state:
         return df.sparkSession.createDataFrame([], f"{id_col} long, score double")
-    qq = [_floor(x * scale + 0.5) for x in query]
-    qxx = sum(v * v for v in qq)
-    scored = []
-    for cid, (s, n) in enumerate(state):
-        num = n * n * qxx - 2 * n * sum(a * b for a, b in zip(qq, s)) + sum(
-            v * v for v in s
-        )
-        scored.append((float(num) / float(n * n), cid))
-    probes = [cid for _, cid in sorted(scored)[: min(nprobe, len(scored))]]
+    probes, _, _ = _select_probes(state, query, scale, nprobe)
 
     pre = df.select(
         F.col(id_col).alias("__id__"), F.col(vec_col).alias("__v__")
@@ -566,3 +548,160 @@ def sq_ivf_topk(
     qscale, qcodes = quantize_query(query)
     out = _sq_score_topk(enc, "__id__", qscale, qcodes, k)
     return out.withColumnRenamed("__id__", id_col)
+
+
+def _select_probes(
+    state: list[tuple[list[int], int]],
+    query: list[float],
+    scale: int,
+    nprobe: int,
+) -> tuple[list[int], list[int], int]:
+    """Driver-side IVF probe selection against the k·(d+1)-int router
+    state: the ``nprobe`` centroids nearest the quantized query under
+    the exact rational algebra (int64 numerator, round-then-divide
+    double, ties to smallest cid) — shared by the in-query paths and
+    the persisted-index serving path so indexed ≡ direct is structural,
+    not coincidental. Returns (probe cids, quantized query, its squared
+    norm)."""
+    from math import floor as _floor
+
+    qq = [_floor(x * scale + 0.5) for x in query]
+    qxx = sum(v * v for v in qq)
+    scored = []
+    for cid, (s, n) in enumerate(state):
+        num = n * n * qxx - 2 * n * sum(a * b for a, b in zip(qq, s)) + sum(
+            v * v for v in s
+        )
+        scored.append((float(num) / float(n * n), cid))
+    probes = [cid for _, cid in sorted(scored)[: min(nprobe, len(scored))]]
+    return probes, qq, qxx
+
+
+def materialize_sq_ivf(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    n_clusters: int = 8,
+    iters: int = 1,
+    scale: int = 1000,
+) -> None:
+    """Build the PERSISTED IVF×SQ serving index — the store-once/
+    serve-many form of :func:`sq_ivf_topk` (which trains the router and
+    quantizes in-query, fine for one-off audits, wasteful for an ANN
+    service answering millions of queries). One pass over the corpus:
+
+    1. Train the replayable integer-Lloyd router (:func:`kmeans`).
+    2. ONE narrow projection computes, per row, the router assignment
+       (``cid``) AND the int8 SQ codes
+       (:func:`~gluestick_spark.llm.similarity.sq_quantize_exprs`) —
+       the original vector is read once and never joined back.
+    3. Write (id, ``scale``, ``qvec`` int8) parquet **partitioned by
+       cid** — the directory layout IS the inverted file (the
+       :func:`~gluestick_spark.llm.similarity.materialize_ivf` device),
+       holding the 4×-smaller codes instead of raw floats. A
+       ``repartition(cid)`` coalesces each cell into whole files.
+    4. Publish the router state (centroid sums/counts + scale) as
+       ``_ROUTER.json``, written LAST via temp + atomic ``os.replace``
+       — it is the commit marker: a crash mid-build leaves no router
+       and :func:`sq_ivf_topk_indexed` refuses the torn index loudly
+       (the band-index lesson, ADVICE r8).
+
+    Serving cost is then ∝ probed cells × codes size: partition pruning
+    skips the unprobed directories entirely and the probed bytes are
+    quantized. At 100 TB this is the difference between scanning the
+    corpus per query and scanning ~nprobe/k of a 4×-compressed index."""
+    import json as _json
+    import os as _os
+
+    _, state = kmeans(
+        df, vec_col, id_col, k=n_clusters, iters=iters, scale=scale,
+        return_state=True,
+    )
+    from .similarity import sq_quantize_exprs
+
+    _os.makedirs(path, exist_ok=True)
+    router_path = _os.path.join(path, "_ROUTER.json")
+    if _os.path.isfile(router_path):
+        _os.remove(router_path)  # invalidate before the rewrite
+    if state:
+        sc_expr, q_expr = sq_quantize_exprs(F.col(vec_col))
+        enc = df.select(
+            F.col(id_col),
+            sc_expr.alias("scale"),
+            q_expr.alias("qvec"),
+            quantize_vec_expr(F.col(vec_col), scale).alias("__q__"),
+        ).withColumn(
+            "__xx__", int_dot_expr(F.col("__q__"), F.col("__q__"))
+        ).withColumn("cid", _assign_expr(state)).select(
+            id_col, "scale", "qvec", "cid"
+        )
+        (
+            enc.repartition(F.col("cid"))
+            .write.partitionBy("cid")
+            .mode("overwrite")
+            .parquet(_os.path.join(path, "cells"))
+        )
+    router = {
+        "scale": int(scale),
+        "n_clusters": int(n_clusters),
+        "iters": int(iters),
+        "id_col": id_col,
+        "state": [[list(map(int, s)), int(n)] for s, n in state],
+    }
+    tmp = router_path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(router, f)
+    _os.replace(tmp, router_path)
+
+
+def sq_ivf_topk_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Serve top-k from a :func:`materialize_sq_ivf` index — identical
+    results to in-query :func:`sq_ivf_topk` with the same geometry (the
+    router state is persisted verbatim and :func:`_select_probes` is the
+    same code, so indexed ≡ direct is structural; oracle-checked).
+
+    Plan: probe selection is driver-side arithmetic on the persisted
+    k·(d+1)-int router; the scan reads ONLY the ``nprobe`` probed cell
+    directories (``cid IN (...)`` rides the scan as a PartitionFilter —
+    plan-gated) and only the int8 codes; then one
+    TakeOrderedAndProject. Query cost ∝ probed cells, independent of
+    corpus size — the 100 TB serving shape."""
+    import json as _json
+    import os as _os
+
+    if nprobe < 1 or k < 1:
+        raise ValueError("nprobe >= 1 and k >= 1 required")
+    router_path = _os.path.join(path, "_ROUTER.json")
+    if not _os.path.isfile(router_path):
+        raise ValueError(
+            f"sq-ivf index at {path} is uncommitted (torn build or "
+            "mid-rebuild) — re-run materialize_sq_ivf"
+        )
+    with open(router_path) as f:
+        router = _json.load(f)
+    state = [(list(map(int, s)), int(n)) for s, n in router["state"]]
+    out_id = id_col or router["id_col"]
+    from .similarity import _sq_score_topk, quantize_query
+
+    if not state:
+        return spark.createDataFrame([], f"{out_id} long, score double")
+    probes, _, _ = _select_probes(state, query, router["scale"], nprobe)
+    enc = (
+        spark.read.parquet(_os.path.join(path, "cells"))
+        .where(F.col("cid").isin(probes))
+        .select(
+            F.col(router["id_col"]).alias(out_id),
+            F.col("scale").alias("__sc__"),
+            F.col("qvec").alias("__qv__"),
+        )
+    )
+    qscale, qcodes = quantize_query(query)
+    return _sq_score_topk(enc, out_id, qscale, qcodes, k)

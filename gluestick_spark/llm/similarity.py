@@ -44,6 +44,7 @@ __all__ = [
     "ivf_topk_indexed",
     "train_ivf_centroids",
     "quantize_embeddings",
+    "sq_quantize_exprs",
     "dequantize_expr",
     "quantize_query",
     "sq_topk",
@@ -96,9 +97,18 @@ def quantize_embeddings(
     differs across engines while floor is IEEE-identical everywhere —
     which keeps the quantized bytes oracle-checkable and
     engine-portable. Reverse with :func:`dequantize_expr`."""
-    v = _as_double(F.col(vec_col))
+    scale, q = sq_quantize_exprs(F.col(vec_col))
+    return df.select(F.col(id_col), scale.alias(scale_col), q.alias(out_col))
+
+
+def sq_quantize_exprs(vec: Column) -> tuple[Column, Column]:
+    """The (scale, int8-codes) expression pair behind
+    :func:`quantize_embeddings`, exposed so composers (the IVF×SQ index
+    build) can ride the quantization alongside other columns in ONE
+    narrow projection instead of a join-back."""
+    v = _as_double(vec)
     amax = F.array_max(F.transform(v, F.abs))
-    scale = (amax / F.lit(127.0)).alias(scale_col)
+    scale = amax / F.lit(127.0)
     q = F.when(
         amax > 0,
         F.transform(
@@ -109,7 +119,7 @@ def quantize_embeddings(
             ).cast("tinyint"),
         ),
     ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
-    return df.select(F.col(id_col), scale, q.alias(out_col))
+    return scale, q
 
 
 def dequantize_expr(qvec: Column, scale: Column) -> Column:

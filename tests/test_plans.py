@@ -170,6 +170,58 @@ def test_ivf_indexed_probe_partition_pruning(spark, tmp_path):
     assert [r["vec_id"] for r in rows] == [r["vec_id"] for r in direct]
 
 
+def test_sq_ivf_indexed_probe_partition_pruning(spark, tmp_path):
+    """The persisted IVF×SQ index must serve a probe by reading ONLY the
+    nprobe probed cell directories (cid rides the scan as a
+    PartitionFilter; executed numPartitions == nprobe) and ONLY the
+    code columns — and the served top-k must equal the in-query
+    sq_ivf_topk with the same geometry (indexed ≡ direct)."""
+    import os
+
+    from gluestick_spark.llm.cluster import (
+        materialize_sq_ivf,
+        sq_ivf_topk,
+        sq_ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = list(emb.where("vec_id = 0").first()["embedding"])
+    path = str(tmp_path / "sq_ivf_idx")
+    materialize_sq_ivf(emb, "embedding", "vec_id", path, n_clusters=8, iters=1)
+
+    all_parts = {
+        d for d in os.listdir(os.path.join(path, "cells")) if d.startswith("cid=")
+    }
+    assert len(all_parts) > 3
+
+    top = sq_ivf_topk_indexed(spark, path, q, k=5, nprobe=3)
+    plan = _plan(top)
+    scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scan_lines, plan
+    assert "PartitionFilters" in scan_lines[0] and "cid" in scan_lines[0]
+    # codes-only read: the raw float embedding never enters the plan
+    assert "embedding" not in plan and "qvec" in plan
+
+    rows = top.collect()
+    leaves = top._jdf.queryExecution().executedPlan().collectLeaves()
+    scanned = None
+    for i in range(leaves.size()):
+        m = leaves.apply(i).metrics()
+        it = m.iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "numPartitions":
+                scanned = kv._2().value()
+    assert scanned == 3, f"scan read {scanned} partitions, expected nprobe=3"
+
+    direct = sq_ivf_topk(
+        emb, "embedding", "vec_id", q, k=5, n_clusters=8, nprobe=3, iters=1
+    ).collect()
+    assert [(r["vec_id"], r["score"]) for r in rows] == [
+        (r["vec_id"], r["score"]) for r in direct
+    ]
+
+
 def test_driver_contract_registry():
     """queries() and oracle_sql() must stay key-identical and ordered the
     same — the driver zips them, and the first 50 form the correctness

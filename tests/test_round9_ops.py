@@ -151,6 +151,44 @@ def test_band_index_append_recommits(spark, tmp_dir):
     assert dedup_against_indexed(spark, dup, path, "text", "doc_id").count() == 0
 
 
+# --------------------------------------------- persisted IVF x SQ index ---
+
+
+def test_sq_ivf_index_requires_router_commit(spark, tmp_dir):
+    """_ROUTER.json is written LAST (atomic replace) — a torn build has
+    no router and serving refuses loudly instead of probing a
+    half-written index (the band-index lesson applied)."""
+    from gluestick_spark.llm.cluster import (
+        materialize_sq_ivf,
+        sq_ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = list(emb.first()["embedding"])
+    path = os.path.join(tmp_dir, "idx")
+    materialize_sq_ivf(emb, "embedding", "vec_id", path, n_clusters=4)
+    assert sq_ivf_topk_indexed(spark, path, q, k=3, nprobe=2).count() == 3
+    os.remove(os.path.join(path, "_ROUTER.json"))
+    with pytest.raises(ValueError, match="uncommitted"):
+        sq_ivf_topk_indexed(spark, path, q, k=3, nprobe=2)
+
+
+def test_sq_ivf_index_empty_corpus(spark, tmp_dir):
+    from gluestick_spark.llm.cluster import (
+        materialize_sq_ivf,
+        sq_ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).where(F.lit(False))
+    path = os.path.join(tmp_dir, "idx")
+    materialize_sq_ivf(emb, "embedding", "vec_id", path, n_clusters=4)
+    out = sq_ivf_topk_indexed(spark, path, [0.1, 0.2], k=3, nprobe=2)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "score"]
+
+
 # ------------------------------------- streaming url-dedup replay tag -----
 
 
