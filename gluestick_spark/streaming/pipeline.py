@@ -413,6 +413,7 @@ def streaming_minhash_dedup(
     shingle_n: int = 3,
     max_bucket: int | None = None,
     available_now: bool = True,
+    state_buckets: int | None = None,
 ) -> StreamingQuery:
     """Streaming MinHash near-dup dedup: each micro-batch is deduplicated
     against everything seen so far, and surviving docs are appended to
@@ -446,7 +447,19 @@ def streaming_minhash_dedup(
     micro-batch (foreachBatch's at-least-once) can't skew candidates; the
     ``out_dir`` append itself is at-least-once — resume from the checkpoint
     only, or key the sink by batch_id, as with any foreachBatch sink.
-    """
+
+    **Bucketed state** (``state_buckets=N``, VERDICT r8 task 3): the band
+    index and the docs state become catalog tables bucketed on
+    (band, bucket) and ``__id__`` respectively, and the per-batch plan is
+    restructured so the STATE side never exchanges: the replay-guard
+    ``distinct``, the per-bucket width counts, the width filter join, the
+    state×batch candidate join, and the docs semi-join all run
+    bucket-locally (the union-then-repartition of the default path — a
+    full O(state) shuffle per trigger — is replaced by width arithmetic
+    ``total = state_width + batch_width`` and a split candidate join
+    ``state×batch ∪ batch×batch``, both provably emitting the same pairs).
+    Only batch-sized frames shuffle. Emitted rows are identical to the
+    default path (pytest-pinned equivalence)."""
     import os
 
     from ..llm.dedup import (
@@ -461,6 +474,8 @@ def streaming_minhash_dedup(
         max_bucket = DEFAULT_MAX_BUCKET
     buckets_path = os.path.join(state_dir, "minhash_buckets.parquet")
     docs_path = os.path.join(state_dir, "minhash_docs.parquet")
+    buckets_tbl = _state_table_name(state_dir, "mh_buckets")
+    docs_tbl = _state_table_name(state_dir, "mh_docs")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -468,36 +483,95 @@ def streaming_minhash_dedup(
             F.col(id_col).alias("__id__"), F.col(text_col).alias("__text__")
         )
         bb = minhash_band_buckets(batch, "__text__", "__id__", num_perm, bands, shingle_n)
-        if os.path.exists(buckets_path):
-            all_bb = spark.read.parquet(buckets_path).distinct().unionByName(bb)
-            old_docs = spark.read.parquet(docs_path).distinct()
-            docs_all = old_docs.unionByName(batch)
-        else:
-            all_bb = bb
-            docs_all = batch
-        all_bb = _cap_buckets(
-            all_bb.repartition("band", "bucket"), ["band", "bucket"], max_bucket
+        have_state = (
+            spark.catalog.tableExists(buckets_tbl)
+            if state_buckets
+            else os.path.exists(buckets_path)
         )
-        new_ids = batch.select("__id__").distinct()
-        right = all_bb.join(new_ids, "__id__")
-        cand = (
-            all_bb.alias("l")
-            .join(
-                right.alias("r"),
-                (F.col("l.band") == F.col("r.band"))
-                & (F.col("l.bucket") == F.col("r.bucket"))
-                & (F.col("l.__id__") < F.col("r.__id__")),
+        if state_buckets and have_state:
+            # state side stays on its bucket layout end-to-end: distinct,
+            # width count, width-filter join, and the candidate join all
+            # cluster on (band, bucket) with no Exchange
+            bb_state = spark.table(buckets_tbl).distinct()
+            docs_state = spark.table(docs_tbl).distinct()
+            ws = bb_state.groupBy("band", "bucket").agg(
+                F.count(F.lit(1)).alias("__ws__")
             )
-            .select(F.col("l.__id__").alias("a"), F.col("r.__id__").alias("b"))
-            .distinct()
-        )
-        cand_ids = cand.select(F.col("a").alias("__id__")).union(
-            cand.select(F.col("b").alias("__id__"))
-        ).distinct()
-        sh = docs_all.join(cand_ids, "__id__").select(
-            "__id__",
-            F.array_distinct(shingles_expr(F.col("__text__"), shingle_n)).alias("__sh__"),
-        )
+            wb = bb.groupBy("band", "bucket").agg(
+                F.count(F.lit(1)).alias("__wb__")
+            )
+            ok = (
+                ws.join(wb, ["band", "bucket"], "full_outer")
+                .where(
+                    F.coalesce(F.col("__ws__"), F.lit(0))
+                    + F.coalesce(F.col("__wb__"), F.lit(0))
+                    <= F.lit(max_bucket)
+                )
+                .select("band", "bucket")
+            )
+            state_ok = bb_state.join(ok, ["band", "bucket"])
+            batch_ok = bb.join(ok, ["band", "bucket"])
+
+            def _pairs(left):
+                return (
+                    left.alias("l")
+                    .join(
+                        batch_ok.alias("r"),
+                        (F.col("l.band") == F.col("r.band"))
+                        & (F.col("l.bucket") == F.col("r.bucket"))
+                        & (F.col("l.__id__") < F.col("r.__id__")),
+                    )
+                    .select(
+                        F.col("l.__id__").alias("a"), F.col("r.__id__").alias("b")
+                    )
+                )
+
+            cand = _pairs(state_ok).unionByName(_pairs(batch_ok)).distinct()
+            cand_ids = cand.select(F.col("a").alias("__id__")).union(
+                cand.select(F.col("b").alias("__id__"))
+            ).distinct()
+            shingled = F.array_distinct(
+                shingles_expr(F.col("__text__"), shingle_n)
+            ).alias("__sh__")
+            sh = (
+                docs_state.join(cand_ids, "__id__")
+                .select("__id__", shingled)
+                .unionByName(
+                    batch.join(cand_ids, "__id__").select("__id__", shingled)
+                )
+            )
+        else:
+            if have_state and not state_buckets:
+                all_bb = spark.read.parquet(buckets_path).distinct().unionByName(bb)
+                old_docs = spark.read.parquet(docs_path).distinct()
+                docs_all = old_docs.unionByName(batch)
+            else:
+                all_bb = bb
+                docs_all = batch
+            all_bb = _cap_buckets(
+                all_bb.repartition("band", "bucket"), ["band", "bucket"], max_bucket
+            )
+            new_ids = batch.select("__id__").distinct()
+            right = all_bb.join(new_ids, "__id__")
+            cand = (
+                all_bb.alias("l")
+                .join(
+                    right.alias("r"),
+                    (F.col("l.band") == F.col("r.band"))
+                    & (F.col("l.bucket") == F.col("r.bucket"))
+                    & (F.col("l.__id__") < F.col("r.__id__")),
+                )
+                .select(F.col("l.__id__").alias("a"), F.col("r.__id__").alias("b"))
+                .distinct()
+            )
+            cand_ids = cand.select(F.col("a").alias("__id__")).union(
+                cand.select(F.col("b").alias("__id__"))
+            ).distinct()
+            docs_src = docs_all
+            sh = docs_src.join(cand_ids, "__id__").select(
+                "__id__",
+                F.array_distinct(shingles_expr(F.col("__text__"), shingle_n)).alias("__sh__"),
+            )
         drops = (
             cand.join(
                 sh.select(F.col("__id__").alias("a"), F.col("__sh__").alias("__sha__")), "a"
@@ -513,8 +587,16 @@ def streaming_minhash_dedup(
         kept.select(
             F.col("__id__").alias(id_col), F.col("__text__").alias(text_col)
         ).write.mode("append").parquet(out_dir)
-        bb.write.mode("append").parquet(buckets_path)
-        batch.write.mode("append").parquet(docs_path)
+        if state_buckets:
+            bb.write.mode("append").format("parquet").bucketBy(
+                state_buckets, "band", "bucket"
+            ).saveAsTable(buckets_tbl)
+            batch.write.mode("append").format("parquet").bucketBy(
+                state_buckets, "__id__"
+            ).saveAsTable(docs_tbl)
+        else:
+            bb.write.mode("append").parquet(buckets_path)
+            batch.write.mode("append").parquet(docs_path)
 
     writer = stream_df.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
@@ -522,6 +604,18 @@ def streaming_minhash_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _state_table_name(state_dir: str, kind: str) -> str:
+    """Deterministic catalog name for a bucketed state table, derived
+    from the state directory path — a restarted stream resumes against
+    the same table, and two streams with different state dirs never
+    collide."""
+    import hashlib
+    import os
+
+    digest = hashlib.md5(os.path.abspath(state_dir).encode()).hexdigest()[:12]
+    return f"gs_state_{kind}_{digest}"
 
 
 def streaming_url_dedup(
@@ -532,6 +626,7 @@ def streaming_url_dedup(
     out_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    state_buckets: int | None = None,
 ) -> StreamingQuery:
     """Streaming canonical-URL dedup: each micro-batch is canonicalized
     (:func:`~gluestick_spark.llm.web.canonical_url_expr`), deduplicated
@@ -567,18 +662,39 @@ def streaming_url_dedup(
     string row per distinct page ever kept), never the full history of
     rows. State appends are deduplicated on read (distinct) so a
     replayed micro-batch can't double-count.
-    """
+
+    **Bucketed state** (``state_buckets=N``, VERDICT r8 task 3): the
+    canonical set is kept as a catalog table BUCKETED on the canonical
+    URL instead of a plain parquet directory. At crawl scale the state
+    is billions of rows, and the default path re-shuffles ALL of it
+    every trigger — once for the replay-guard ``distinct`` and again to
+    co-locate the anti-join. Bucketing pre-hashes the table on the join
+    key, so both the distinct and the state side of the anti-join run
+    bucket-locally with NO Exchange (plan-gated); only the micro-batch
+    (small by definition) shuffles, to ``N`` partitions. Per-batch
+    network cost is then O(batch), not O(state). Emitted rows are
+    identical to the default path (same math, different layout —
+    pytest-pinned). Requires a session catalog; the table name derives
+    from ``state_dir`` so restarts resume it."""
     import os
 
     from ..llm.web import url_dedup
 
     canon_path = os.path.join(state_dir, "url_canon.parquet")
+    canon_tbl = _state_table_name(state_dir, "url_canon")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_kept = url_dedup(batch_df, url_col, id_col)
-        if os.path.exists(canon_path):
-            seen = spark.read.parquet(canon_path).distinct()
+        if state_buckets:
+            have_state = spark.catalog.tableExists(canon_tbl)
+            seen = spark.table(canon_tbl).distinct() if have_state else None
+        else:
+            have_state = os.path.exists(canon_path)
+            seen = (
+                spark.read.parquet(canon_path).distinct() if have_state else None
+            )
+        if seen is not None:
             survivors = batch_kept.join(
                 seen,
                 batch_kept["canonical_url"] == seen["__canon__"],
@@ -593,9 +709,15 @@ def streaming_url_dedup(
         survivors.withColumn(
             "__batch_id__", F.lit(batch_id).cast("long")
         ).write.mode("append").parquet(out_dir)
-        survivors.where(F.col("canonical_url").isNotNull()).select(
+        canon = survivors.where(F.col("canonical_url").isNotNull()).select(
             F.col("canonical_url").alias("__canon__")
-        ).write.mode("append").parquet(canon_path)
+        )
+        if state_buckets:
+            canon.write.mode("append").format("parquet").bucketBy(
+                state_buckets, "__canon__"
+            ).saveAsTable(canon_tbl)
+        else:
+            canon.write.mode("append").parquet(canon_path)
 
     writer = stream_df.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
