@@ -5325,9 +5325,17 @@ def _doc_html() -> Column:
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML → text + links (llm/html.py): script/style/comment blocks
     dropped, tags stripped, entities unescaped, whitespace collapsed;
-    href targets collected from both quote styles. Pure regexp codegen
-    in the RE2-portable subset — the oracle replays the identical
-    pattern chain (with DuckDB's explicit 'g' flag) byte-for-byte."""
+    href targets collected from both quote styles.
+
+    The oracle is INDEPENDENT of the implementation (VERDICT r8 task 4):
+    the fixture synthesis rule (_doc_html) determines exactly what
+    visible text and links each document's HTML contains — title "D{i}",
+    the body text (plain by construction: the testdata generator emits
+    no <, >, &, or multi-whitespace — asserted in the SQL itself), the
+    two anchor texts "x y", and exactly 2 href targets — so the expected
+    output is CONSTRUCTED, not replayed; any cleaning-contract
+    misreading mismatches. The byte-level regex-chain replay remains as
+    the tail row html_extract_replay (cross-engine regex semantics)."""
     from gluestick_spark.llm.html import html_to_text
 
     d = _t(spark, sf_dir, "documents").select("doc_id", _doc_html().alias("html"))
@@ -5337,7 +5345,21 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Rule-derived expectation. The WHERE clause is a loud tripwire: if a
+# future testdata generation ever emits HTML-active characters in text,
+# the oracle row count drops and the driver flags rows_match=false
+# instead of silently comparing a stale expectation.
 _Q_HTML_EXTRACT_SQL = r"""
+SELECT doc_id,
+  'D' || CAST(doc_id AS VARCHAR) || ' ' || text || ' x y' AS clean_text,
+  2 AS n_links
+FROM documents
+WHERE text NOT LIKE '%<%' AND text NOT LIKE '%&%' AND text NOT LIKE '%>%'
+  AND NOT regexp_matches(text, '\s\s|[\t\n\r]') AND text = trim(text)
+"""
+
+
+_Q_HTML_EXTRACT_REPLAY_SQL = r"""
 WITH h AS (
   SELECT doc_id,
     '<html><head><title>D' || CAST(doc_id AS VARCHAR)
@@ -6009,6 +6031,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail rows remain locally oracle-checked every round via
         # tools/check_correctness.py / driver_sim.py. ----
         "windowed_counts": q_windowed_counts,
+        # (same Spark query as the in-window html_extract; oracle is the
+        # byte-level regex-chain REPLAY — cross-engine regex semantics,
+        # complementing the window row's rule-derived independent oracle)
+        "html_extract_replay": q_html_extract,
         "kmv_merge": q_kmv_merge,
         "event_asof_close": q_event_asof_close,
         "event_asof_nearest": q_event_asof_nearest,
@@ -6180,6 +6206,7 @@ def oracle_sql() -> dict[str, str]:
         "time_rollup": _Q_TIME_ROLLUP_SQL,
         # ---- tail ----
         "windowed_counts": _Q_WINDOWED_COUNTS_SQL,
+        "html_extract_replay": _Q_HTML_EXTRACT_REPLAY_SQL,
         "kmv_merge": _Q_KMV_SQL,
         "event_asof_close": _Q_EVENT_ASOF_CLOSE_SQL,
         "event_asof_nearest": _Q_EVENT_ASOF_NEAREST_SQL,
