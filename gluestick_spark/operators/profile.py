@@ -184,36 +184,68 @@ def profile_numeric(
     return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
-def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+def correlation_matrix(
+    df: DataFrame, cols: list[str], max_agg_terms: int = 600
+) -> DataFrame:
     """Pairwise Pearson correlations for ``cols`` — the feature-redundancy
     audit before model training (drop one of every highly-correlated
-    pair). ALL C(p,2) correlations fold into ONE aggregate over ONE scan
-    (each ``corr`` is a 5-moment accumulator; p columns cost ~5p²/2
-    doubles of aggregation state, trivial for profiling-sized p — the
-    corpus is read once however many pairs there are).
+    pair). Up to ``max_agg_terms`` aggregate terms (p stddevs + C(p,2)
+    covariances) fold into ONE aggregate over ONE scan (each term is a
+    moment accumulator; the corpus is read once however many pairs there
+    are — SCALEPROBE-verified through p=32, 528 terms).
+
+    **Width split** (VERDICT r8 task 7): past ``max_agg_terms`` a single
+    aggregate is the wrong plan — thousands of accumulators blow the
+    codegen budget and the partial-aggregation row width. The pair list
+    is then CHUNKED: one aggregate per chunk of ≤ ``max_agg_terms``
+    covariances over a persisted narrow projection (p doubles per row),
+    so each aggregate stays inside the measured-good width at the cost
+    of one extra pass per chunk — ceil(C(p,2)/max_agg_terms) scans of a
+    p-column frame, stated here rather than hidden (at p=200 that is
+    ~34 passes; if profiling that wide is routine, sample rows first).
+    Identical results to the single-aggregate path (pytest-pinned).
 
     Output is the long form (``col_a``, ``col_b``, ``corr``) with
-    ``col_a < col_b``, built driver-side from the single aggregate row
+    ``col_a < col_b``, built driver-side from the aggregate rows
     (p²-bounded, never data-bounded). NULL-heavy or constant columns give
     NULL corr (SQL semantics)."""
     if len(cols) < 2:
         raise ValueError(f"need >= 2 cols, got {cols}")
+    if max_agg_terms < 2:
+        raise ValueError(f"max_agg_terms must be >= 2, got {max_agg_terms}")
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
-    # p stddevs + C(p,2) covariances in the aggregate; the final division
-    # happens driver-side — ANSI mode makes JVM `corr` RAISE on a
-    # zero-variance column, where the profiling contract wants NULL
-    aggs = [
+    # the final division happens driver-side — ANSI mode makes JVM
+    # `corr` RAISE on a zero-variance column, where the profiling
+    # contract wants NULL
+    s_aggs = [
         F.stddev_pop(F.col(c).cast("double")).alias(f"s\x1f{c}") for c in cols
-    ] + [
+    ]
+    c_aggs = [
         F.covar_pop(F.col(a).cast("double"), F.col(b).cast("double")).alias(
             f"c\x1f{a}\x1f{b}"
         )
         for a, b in pairs
     ]
-    row = df.agg(*aggs).first()
+    vals: dict = {}
+    if len(cols) + len(pairs) <= max_agg_terms:
+        row = df.agg(*(s_aggs + c_aggs)).first()
+        vals.update(row.asDict())
+    else:
+        # narrow projection persisted once; the function materializes it
+        # chunk by chunk, so a plain persist is valid (not the lazy-plan
+        # pitfall) and each pass reads p doubles, not the source table
+        proj = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+        proj = proj.persist()
+        try:
+            vals.update(proj.agg(*s_aggs).first().asDict())
+            step = max_agg_terms
+            for i in range(0, len(c_aggs), step):
+                vals.update(proj.agg(*c_aggs[i : i + step]).first().asDict())
+        finally:
+            proj.unpersist(False)
 
     def _corr(a: str, b: str) -> float | None:
-        sa, sb, cov = row[f"s\x1f{a}"], row[f"s\x1f{b}"], row[f"c\x1f{a}\x1f{b}"]
+        sa, sb, cov = vals[f"s\x1f{a}"], vals[f"s\x1f{b}"], vals[f"c\x1f{a}\x1f{b}"]
         if sa is None or sb is None or cov is None or sa == 0.0 or sb == 0.0:
             return None
         return float(cov) / (float(sa) * float(sb))

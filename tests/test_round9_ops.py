@@ -302,6 +302,67 @@ def test_sq_ivf_index_empty_corpus(spark, tmp_dir):
     assert out.columns == ["vec_id", "score"]
 
 
+# --------------------------------------------- corr_matrix width split ----
+
+
+def _wide_frame(spark, p, rows=500):
+    return spark.range(rows).select(
+        *[
+            ((F.col("id") * (k + 3)) % (17 + k)).cast("double").alias(f"c{k}")
+            for k in range(p - 1)
+        ],
+        F.lit(7.0).alias("const"),
+    )
+
+
+def test_correlation_matrix_split_matches_single_aggregate(spark):
+    """VERDICT r8 task 7 (equivalence half): at a width the single
+    aggregate still handles (p=20, 210 terms), forcing the chunked path
+    must produce EXACTLY the same results — same moment math, same
+    driver-side division, NULL for the constant column."""
+    from gluestick_spark.operators.profile import correlation_matrix
+
+    p = 20
+    df = _wide_frame(spark, p)
+    cols = [f"c{k}" for k in range(p - 1)] + ["const"]
+    single = correlation_matrix(df, cols, max_agg_terms=10**6).collect()
+    split = correlation_matrix(df, cols, max_agg_terms=40).collect()
+    assert len(single) == len(split) == p * (p - 1) // 2
+    sm = {(r["col_a"], r["col_b"]): r["corr"] for r in single}
+    pm = {(r["col_a"], r["col_b"]): r["corr"] for r in split}
+    assert sm == pm
+    assert all(v is None for (a, b), v in sm.items() if "const" in (a, b))
+
+
+def test_correlation_matrix_p64_survives_via_split(spark):
+    """VERDICT r8 task 7 (guard half): p=64 is 2080 aggregate terms — a
+    single aggregate at that width killed the JVM in this very test
+    suite's first draft. The default max_agg_terms must route it through
+    the chunked path and the values must match numpy's corrcoef."""
+    from gluestick_spark.operators.profile import correlation_matrix
+
+    p = 64
+    df = _wide_frame(spark, p, rows=300)
+    cols = [f"c{k}" for k in range(p - 1)] + ["const"]
+    out = correlation_matrix(df, cols).collect()  # default guard
+    assert len(out) == p * (p - 1) // 2
+
+    import numpy as np
+
+    mat = np.array(
+        [[((i * (k + 3)) % (17 + k)) for k in range(p - 1)] for i in range(300)],
+        dtype="float64",
+    )
+    ref = np.corrcoef(mat, rowvar=False)
+    got = {(r["col_a"], r["col_b"]): r["corr"] for r in out}
+    idx = {f"c{k}": k for k in range(p - 1)}
+    for (a, b), v in got.items():
+        if "const" in (a, b):
+            assert v is None
+        else:
+            assert abs(v - ref[idx[a], idx[b]]) < 1e-9, (a, b, v)
+
+
 # ------------------------------------- streaming url-dedup replay tag -----
 
 
