@@ -5610,6 +5610,57 @@ def q_sq_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLF_WEIGHTS = [((b * 37) % 21 - 10) / 10.0 for b in range(64)]
+
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality-classifier inference
+    (llm/classifier.py): lowercased unigram+bigram grams hashed into 64
+    buckets (portable md5-60bit), integer-quantized weights gathered and
+    averaged — zero shuffles in the literal strategy. The oracle replays
+    tokenize → gram → hash → gather → mean in SQL: the int64 sum is
+    exact, and the score is one IEEE division plus nothing (bias 0), so
+    no rounding is needed."""
+    from gluestick_spark.llm.classifier import classifier_score
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return classifier_score(d, "text", _CLF_WEIGHTS).select(
+        "doc_id", "clf_score"
+    )
+
+
+def _classifier_oracle_sql() -> str:
+    from math import floor
+
+    wq = [int(floor(w * 1000 + 0.5)) for w in _CLF_WEIGHTS]
+    values = ", ".join(f"({b}, {v})" for b, v in enumerate(wq))
+    return rf"""
+WITH w(bucket, wq) AS (VALUES {values}),
+t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(toks || list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM t
+),
+h AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(gram), 1, 15) AS UBIGINT) % 64 AS BIGINT) AS bucket
+  FROM g
+),
+s AS (
+  SELECT doc_id, sum(wq) AS sq, count(*) AS n
+  FROM h JOIN w USING (bucket) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(CAST(s.sq AS DOUBLE) / CAST(1000 * s.n AS DOUBLE), 0.0) AS clf_score
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+"""
+
+
 def q_contact_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CRM contact cleaning (functions/contacts.py): canonical emails
     (case/trim, +tag stripping, gmail dot-insensitivity + googlemail
@@ -5986,6 +6037,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8 task 2; shares the sq_ivf oracle, indexed ≡ direct. Displaces
         # windowed_counts to the tail top — first in line for r10.)
         "sq_ivf_topk_indexed": q_sq_ivf_topk_indexed,
+        # (round-9 addition: fastText-style linear classifier scoring —
+        # VERDICT r8 task 8. Displaces time_rollup to the tail top.)
+        "classifier_score": q_classifier_score,
         "local_supplier_volume": q_local_supplier_volume,
         "promo_revenue": q_promo_revenue,
         "shipping_priority": q_shipping_priority,
@@ -6025,12 +6079,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pool_embeddings": q_pool_embeddings,
         "range_join_windows": q_range_join_windows,
         "tfidf_vectors": q_tfidf_vectors,
-        "time_rollup": q_time_rollup,
         # ---- tail: r06-deferred rows (rationales above), then the r07
         # cohort, then the 100% -green r8 window (freshest evidence). All
         # tail rows remain locally oracle-checked every round via
         # tools/check_correctness.py / driver_sim.py. ----
         "windowed_counts": q_windowed_counts,
+        "time_rollup": q_time_rollup,
         # (same Spark query as the in-window html_extract; oracle is the
         # byte-level regex-chain REPLAY — cross-engine regex semantics,
         # complementing the window row's rule-derived independent oracle)
@@ -6164,6 +6218,7 @@ def oracle_sql() -> dict[str, str]:
         "contact_normalize": _Q_CONTACT_NORM_SQL,
         "sq_ivf_topk": _sq_ivf_oracle_sql(),
         "sq_ivf_topk_indexed": _sq_ivf_oracle_sql(),
+        "classifier_score": _classifier_oracle_sql(),
         "local_supplier_volume": _Q_LOCAL_SUPPLIER_SQL,
         "promo_revenue": _Q_PROMO_SQL,
         "shipping_priority": _Q_SHIPPING_SQL,
@@ -6203,9 +6258,9 @@ def oracle_sql() -> dict[str, str]:
         "pool_embeddings": _Q_POOL_SQL,
         "range_join_windows": _Q_RANGE_JOIN_SQL,
         "tfidf_vectors": _Q_TFIDF_SQL,
-        "time_rollup": _Q_TIME_ROLLUP_SQL,
         # ---- tail ----
         "windowed_counts": _Q_WINDOWED_COUNTS_SQL,
+        "time_rollup": _Q_TIME_ROLLUP_SQL,
         "html_extract_replay": _Q_HTML_EXTRACT_REPLAY_SQL,
         "kmv_merge": _Q_KMV_SQL,
         "event_asof_close": _Q_EVENT_ASOF_CLOSE_SQL,

@@ -188,7 +188,17 @@ from .llm.web import (
 from .llm.repetition import repetition_stats
 from .llm.decontam import contamination_pairs, decontaminate
 from .llm.packing import pack_documents
-from .llm.cluster import kmeans, semdedup, ivf_topk_exact, quantize_vec_expr, int_dot_expr
+from .llm.cluster import (
+    kmeans,
+    semdedup,
+    ivf_topk_exact,
+    quantize_vec_expr,
+    int_dot_expr,
+    sq_ivf_topk,
+    materialize_sq_ivf,
+    sq_ivf_topk_indexed,
+)
+from .llm.classifier import classifier_score, hashed_ngrams_expr
 from .llm.pq import train_pq, encode_pq, pq_topk, adc_table
 from .llm.text import collocations
 from .operators.graph import pagerank, triangle_count, hits

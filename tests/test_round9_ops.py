@@ -363,6 +363,55 @@ def test_correlation_matrix_p64_survives_via_split(spark):
             assert abs(v - ref[idx[a], idx[b]]) < 1e-9, (a, b, v)
 
 
+# ----------------------------------------------- classifier scoring -------
+
+
+def test_classifier_score_strategies_identical(spark):
+    """literal (zero-shuffle fold) and join (broadcast weight table) are
+    physical strategies over the same math — identical scores, including
+    the bias fallback for a gram-less document."""
+    from gluestick_spark.llm.classifier import classifier_score
+
+    d = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "lorem ipsum dolor sit amet"),
+            (3, "the the the"),
+            (4, "   "),  # no grams -> bias
+            (5, "single"),  # unigram only, no bigrams
+        ],
+        "id long, text string",
+    )
+    w = [((b * 13) % 9 - 4) / 4.0 for b in range(32)]
+    lit = classifier_score(d, "text", w, bias=0.25, assign="literal")
+    jn = classifier_score(d, "text", w, bias=0.25, assign="join", id_col="id")
+    lm = {r["id"]: r["clf_score"] for r in lit.collect()}
+    jm = {r["id"]: r["clf_score"] for r in jn.collect()}
+    assert lm == jm
+    assert lm[4] == 0.25
+    # literal path is shuffle-free
+    plan = lit._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_classifier_score_monotone_in_weights(spark):
+    """A document whose grams all land on positively-weighted buckets
+    scores higher than one on negatively-weighted buckets — sanity that
+    the gather indexes the right buckets."""
+    from gluestick_spark.llm.classifier import classifier_score, hashed_ngrams_expr
+
+    d = spark.createDataFrame([(1, "alpha beta gamma")], "id long, text string")
+    buckets = d.select(
+        F.explode(hashed_ngrams_expr(F.col("text"), 16)).alias("b")
+    ).collect()
+    hot = {r["b"] for r in buckets}
+    w_pos = [1.0 if b in hot else -1.0 for b in range(16)]
+    w_neg = [-1.0 if b in hot else 1.0 for b in range(16)]
+    sp = classifier_score(d, "text", w_pos).first()["clf_score"]
+    sn = classifier_score(d, "text", w_neg).first()["clf_score"]
+    assert sp == 1.0 and sn == -1.0
+
+
 # ------------------------------------- streaming url-dedup replay tag -----
 
 
