@@ -5661,6 +5661,68 @@ FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
 """
 
 
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup, suffix-array family (llm/spans.py:
+    substring_overlap_spans — Lee et al. 2022): every maximal >= 8-token
+    span shared verbatim across documents, found via rolling k-token
+    hash windows + frequency cap + exact-string verify + interval merge.
+    The oracle replays ALL FOUR stages at fixed k=8 (hash for the cap,
+    strings for the verify, gaps-and-islands for the merge)."""
+    from gluestick_spark.llm.spans import substring_overlap_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return substring_overlap_spans(
+        d, "doc_id", "text", k=8, max_occurrences=64
+    )
+
+
+_Q_SUBSTRING_SPANS_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS toks
+  FROM documents
+),
+d AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+occ AS (
+  SELECT doc_id,
+         unnest(range(0, len(toks) - 8 + 1)) AS pos,
+         unnest(list_transform(range(0, len(toks) - 8 + 1),
+           i -> CAST(CAST('0x' || substr(md5(array_to_string(toks[(i+1):(i+8)], ' ')), 1, 15) AS UBIGINT) AS BIGINT))) AS h
+  FROM d
+),
+keep_h AS (
+  SELECT h FROM occ GROUP BY h
+  HAVING count(*) <= 64 AND min(doc_id) <> max(doc_id)
+),
+cand AS (SELECT doc_id, pos FROM occ JOIN keep_h USING (h)),
+grams AS (
+  SELECT c.doc_id, c.pos,
+         array_to_string(d.toks[(c.pos + 1):(c.pos + 8)], ' ') AS gram
+  FROM cand c JOIN d ON c.doc_id = d.doc_id
+),
+vg AS (SELECT gram FROM grams GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+hits AS (SELECT DISTINCT g.doc_id, g.pos FROM grams g JOIN vg USING (gram)),
+flags AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos <= COALESCE(max(pos) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9223372036854775807) + 8
+         THEN 0 ELSE 1 END AS nf
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(nf) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM flags
+)
+SELECT doc_id,
+       min(pos) AS span_start,
+       max(pos) + 8 AS span_end,
+       max(pos) + 8 - min(pos) AS n_tokens
+FROM isl GROUP BY doc_id, grp
+"""
+
+
 def q_contact_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CRM contact cleaning (functions/contacts.py): canonical emails
     (case/trim, +tag stripping, gmail dot-insensitivity + googlemail
@@ -6040,6 +6102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (round-9 addition: fastText-style linear classifier scoring —
         # VERDICT r8 task 8. Displaces time_rollup to the tail top.)
         "classifier_score": q_classifier_score,
+        # (round-9 addition: exact substring-span dedup, Lee et al. 2022 —
+        # VERDICT r8 task 5. Displaces tfidf_vectors to the tail top.)
+        "substring_spans": q_substring_spans,
         "local_supplier_volume": q_local_supplier_volume,
         "promo_revenue": q_promo_revenue,
         "shipping_priority": q_shipping_priority,
@@ -6078,12 +6143,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "pool_embeddings": q_pool_embeddings,
         "range_join_windows": q_range_join_windows,
-        "tfidf_vectors": q_tfidf_vectors,
         # ---- tail: r06-deferred rows (rationales above), then the r07
         # cohort, then the 100% -green r8 window (freshest evidence). All
         # tail rows remain locally oracle-checked every round via
         # tools/check_correctness.py / driver_sim.py. ----
         "windowed_counts": q_windowed_counts,
+        "tfidf_vectors": q_tfidf_vectors,
         "time_rollup": q_time_rollup,
         # (same Spark query as the in-window html_extract; oracle is the
         # byte-level regex-chain REPLAY — cross-engine regex semantics,
@@ -6219,6 +6284,7 @@ def oracle_sql() -> dict[str, str]:
         "sq_ivf_topk": _sq_ivf_oracle_sql(),
         "sq_ivf_topk_indexed": _sq_ivf_oracle_sql(),
         "classifier_score": _classifier_oracle_sql(),
+        "substring_spans": _Q_SUBSTRING_SPANS_SQL,
         "local_supplier_volume": _Q_LOCAL_SUPPLIER_SQL,
         "promo_revenue": _Q_PROMO_SQL,
         "shipping_priority": _Q_SHIPPING_SQL,
@@ -6257,9 +6323,9 @@ def oracle_sql() -> dict[str, str]:
         "pii_redaction": _Q_PII_SQL,
         "pool_embeddings": _Q_POOL_SQL,
         "range_join_windows": _Q_RANGE_JOIN_SQL,
-        "tfidf_vectors": _Q_TFIDF_SQL,
         # ---- tail ----
         "windowed_counts": _Q_WINDOWED_COUNTS_SQL,
+        "tfidf_vectors": _Q_TFIDF_SQL,
         "time_rollup": _Q_TIME_ROLLUP_SQL,
         "html_extract_replay": _Q_HTML_EXTRACT_REPLAY_SQL,
         "kmv_merge": _Q_KMV_SQL,

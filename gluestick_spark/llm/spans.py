@@ -46,7 +46,11 @@ from pyspark.sql import functions as F
 
 from gluestick_spark.llm.text import tokens_expr
 
-__all__ = ["segment_occurrences", "segment_dedup"]
+__all__ = [
+    "segment_occurrences",
+    "segment_dedup",
+    "substring_overlap_spans",
+]
 
 
 def segment_occurrences(
@@ -126,4 +130,156 @@ def segment_dedup(
         F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
         F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+    )
+
+
+def substring_overlap_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    max_occurrences: int = 256,
+) -> DataFrame:
+    """Maximal duplicated-substring spans ACROSS documents — the
+    suffix-array exact-substring dedup family (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": remove
+    every >= 50-token substring that appears more than once). Where
+    :func:`segment_dedup` checks a fixed NON-overlapping grid (a
+    duplicated passage straddling a grid boundary is invisible), this
+    finds overlaps at EVERY token offset, which is what the suffix-array
+    construction buys — re-expressed Spark-shaped as rolling k-token
+    hash windows instead of a monolithic suffix array, because a suffix
+    array over 100 TB is a single global structure while rolling windows
+    are an embarrassingly parallel projection. A maximal duplicated
+    substring of length L >= k appears as L−k+1 consecutive duplicated
+    windows, so merging overlapping window hits per document recovers
+    exactly the [start, end) of every maximal shared span.
+
+    Returns one row per maximal span: (``id_col``, ``span_start``,
+    ``span_end`` token offsets, end exclusive, ``n_tokens``) — every
+    token range of >= k tokens that also appears verbatim in at least
+    one OTHER document. Downstream: cut the spans (Lee et al.'s policy),
+    or use span mass per doc as a boilerplate-quality signal.
+
+    Pipeline (each stage shuffles only what it must):
+
+    1. One narrow projection tokenizes and emits every k-token window's
+       portable 60-bit hash with its position — Σ(n_i−k+1) rows, linear
+       in corpus tokens; the window STRING never leaves the projection
+       (hashes are 8 bytes, k-token strings are ~10×).
+    2. Frequency cap (the ``containment_pairs`` device): one map-side-
+       combined aggregate counts occurrences per hash; hashes with more
+       than ``max_occurrences`` are DROPPED LOUDLY as pathological
+       boilerplate (their positions exit span detection — stated
+       contract, not silent truncation), and only hashes spanning >= 2
+       distinct documents (min(doc) != max(doc)) survive.
+    3. Verify exact token equality: candidate positions regroup per
+       document (ONE row per doc carries the positions list), the
+       document's tokens are sliced at each candidate offset, and the
+       actual window strings re-group — a hash collision or a cap-edge
+       artifact cannot produce a false span; only string-identical
+       cross-document windows survive.
+    4. Maximal-span merge: per document, sorted hit positions fold into
+       intervals (p merges into the open interval iff p <= current end,
+       i.e. overlap or adjacency) — a pure Catalyst ``aggregate`` over
+       the per-doc position array.
+
+    Cost is ∝ corpus tokens (window projection) + ∝ matches (verify and
+    merge touch only candidate positions) — the replica-flood probe
+    shape. DuckDB replays all four stages at fixed k
+    (``__spark_entry__.py:q_substring_spans``)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if max_occurrences < 2:
+        raise ValueError(f"max_occurrences must be >= 2, got {max_occurrences}")
+    from gluestick_spark.llm.sketch import kmv_hash_expr
+
+    toks = tokens_expr(F.col(text_col))
+    docs = df.select(F.col(id_col), toks.alias("__toks__")).where(
+        F.size("__toks__") >= k
+    )
+    win_hash = F.transform(
+        F.sequence(F.lit(0), F.size("__toks__") - k),
+        lambda i: kmv_hash_expr(
+            F.array_join(F.slice(F.col("__toks__"), i + 1, k), " ")
+        ),
+    )
+    occ = docs.select(
+        id_col, F.posexplode(win_hash).alias("pos", "__h__")
+    ).select(id_col, F.col("pos").cast("long").alias("pos"), "__h__")
+
+    keep_h = (
+        occ.groupBy("__h__")
+        .agg(
+            F.count(F.lit(1)).alias("__n__"),
+            F.min(id_col).alias("__dmin__"),
+            F.max(id_col).alias("__dmax__"),
+        )
+        .where(
+            (F.col("__n__") <= max_occurrences)
+            & (F.col("__dmin__") != F.col("__dmax__"))
+        )
+        .select("__h__")
+    )
+    cand = occ.join(keep_h, "__h__").select(id_col, "pos")
+
+    # verify: one row per doc carries its candidate positions; slicing
+    # happens inside the row, so a hot doc's token array ships once
+    per_doc = cand.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("pos")).alias("__ps__")
+    )
+    grams = (
+        per_doc.join(docs, id_col)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.col("__ps__"),
+                    lambda p: F.struct(
+                        p.alias("pos"),
+                        F.array_join(
+                            F.slice(F.col("__toks__"), p.cast("int") + 1, k), " "
+                        ).alias("gram"),
+                    ),
+                )
+            ).alias("__g__"),
+        )
+        .select(id_col, F.col("__g__.pos").alias("pos"), F.col("__g__.gram").alias("gram"))
+    )
+    verified_grams = (
+        grams.groupBy("gram")
+        .agg(F.min(id_col).alias("__dmin__"), F.max(id_col).alias("__dmax__"))
+        .where(F.col("__dmin__") != F.col("__dmax__"))
+        .select("gram")
+    )
+    hits = grams.join(verified_grams, "gram").select(id_col, "pos")
+
+    merged = hits.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("pos")).alias("__ps__")
+    )
+    spans = merged.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"""aggregate(
+                     __ps__,
+                     cast(array() as array<struct<s: bigint, e: bigint>>),
+                     (acc, p) -> if(
+                       size(acc) > 0 AND p <= element_at(acc, -1).e,
+                       concat(
+                         slice(acc, 1, size(acc) - 1),
+                         array(named_struct('s', element_at(acc, -1).s,
+                                            'e', p + {int(k)}))
+                       ),
+                       concat(acc, array(named_struct('s', p, 'e', p + {int(k)})))
+                     )
+                   )"""
+            )
+        ).alias("__sp__"),
+    )
+    return spans.select(
+        id_col,
+        F.col("__sp__.s").alias("span_start"),
+        F.col("__sp__.e").alias("span_end"),
+        (F.col("__sp__.e") - F.col("__sp__.s")).alias("n_tokens"),
     )

@@ -363,6 +363,82 @@ def test_correlation_matrix_p64_survives_via_split(spark):
             assert abs(v - ref[idx[a], idx[b]]) < 1e-9, (a, b, v)
 
 
+# -------------------------------------------- substring overlap spans -----
+
+
+def _spanset(out):
+    return {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_tokens"])
+        for r in out.collect()
+    }
+
+
+def test_substring_spans_exact_boundaries(spark):
+    """Two docs share a 12-token passage at different offsets; with k=8
+    the 5 overlapping window hits per doc must merge into ONE maximal
+    span with exact [start, end) — the suffix-array guarantee the
+    rolling-window + merge composition must reproduce."""
+    from gluestick_spark.llm.spans import substring_overlap_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    a = "a0 a1 a2 " + shared + " a3 a4"          # span at tokens [3, 15)
+    b = shared + " b0 b1 b2 b3 b4 b5 b6 b7 b8"   # span at tokens [0, 12)
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    out = substring_overlap_spans(df, "doc_id", "text", k=8)
+    assert _spanset(out) == {(1, 3, 15, 12), (2, 0, 12, 12)}
+
+
+def test_substring_spans_cross_doc_only(spark):
+    """A passage repeated INSIDE one document but never in another must
+    produce no spans — this operator is the cross-document variant."""
+    from gluestick_spark.llm.spans import substring_overlap_spans
+
+    rep = " ".join(f"r{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, rep + " mid " + rep), (2, "totally different words here entirely " * 3)],
+        "doc_id long, text string",
+    )
+    out = substring_overlap_spans(df, "doc_id", "text", k=8)
+    assert out.count() == 0
+
+
+def test_substring_spans_disjoint_spans_stay_separate(spark):
+    """Two shared passages separated by unshared tokens must come back
+    as TWO spans, not one merged blob."""
+    from gluestick_spark.llm.spans import substring_overlap_spans
+
+    p1 = " ".join(f"p{i}" for i in range(9))
+    p2 = " ".join(f"q{i}" for i in range(9))
+    df = spark.createDataFrame(
+        [
+            (1, p1 + " x1 x2 x3 " + p2),
+            (2, p1 + " y1 y2 y3 y4 " + p2),
+        ],
+        "doc_id long, text string",
+    )
+    out = substring_overlap_spans(df, "doc_id", "text", k=8)
+    spans = _spanset(out)
+    assert {(d, e - s) for d, s, e, _ in spans} == {(1, 9), (2, 9)}
+    assert len(spans) == 4  # two per doc
+
+
+def test_substring_spans_cap_drops_pathological_gram(spark):
+    """A gram above max_occurrences is dropped LOUDLY from detection
+    (stated contract): with the boilerplate in every doc and a cap below
+    its frequency, no spans come back; raising the cap finds them."""
+    from gluestick_spark.llm.spans import substring_overlap_spans
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(i, f"u{i} " + boiler + f" v{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    capped = substring_overlap_spans(df, "doc_id", "text", k=8, max_occurrences=5)
+    assert capped.count() == 0
+    uncapped = substring_overlap_spans(df, "doc_id", "text", k=8, max_occurrences=64)
+    assert uncapped.count() == 10  # the boiler span in every doc
+
+
 # ----------------------------------------------- classifier scoring -------
 
 
