@@ -121,6 +121,10 @@ BENCH_QUERIES = [
     "customer_matches",
     "contact_normalize",
     "sq_ivf_topk",
+    # round-9 additions
+    "sq_ivf_topk_indexed",
+    "classifier_score",
+    "substring_spans",
 ]
 
 

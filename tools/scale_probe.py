@@ -611,6 +611,79 @@ def main() -> None:
 
     ops["entity_matches"] = (lambda: _em(docs1), lambda: _em(docsR))
 
+    # --- round-9 additions --------------------------------------------------
+    # entity matching under REALISTIC multi-match blocks (VERDICT r8 task
+    # 10): ~10 masters x ~10 incoming per block -> ~100 pairs/block, so
+    # the candidate join is ~100x denser than the near-singleton probe
+    # above; cost should stay linear in N with a higher constant.
+    def _em_multi(d, n):
+        nm = F.substring(F.col("text"), 1, 24)
+        master = d.select(F.col("doc_id").alias("mid"), nm.alias("name"))
+        inc = d.select((F.col("doc_id") + 10_000_000).alias("iid"),
+                       F.concat(nm, F.lit(" z")).alias("name"))
+        blocks = max(n // 10, 1)
+        blk_m = F.pmod(F.col("mid"), F.lit(blocks))
+        blk_i = F.pmod(F.col("iid") - 10_000_000, F.lit(blocks))
+        return entity_matches(
+            master, inc, "mid", "iid", [("name", "name", 1)],
+            blk_m, blk_i, threshold_pct=60,
+        ).count()
+
+    ops["entity_matches_multiblock"] = (
+        lambda: _em_multi(docs1, n1),
+        lambda: _em_multi(docsR, nR),
+    )
+
+    # funnel: ONE keyed shuffle + per-user sorted-array state machine;
+    # disjoint per-replica users -> expect ~linear.
+    from gluestick_spark.operators.funnels import funnel_counts
+
+    def _fun(ev):
+        return funnel_counts(
+            ev, "user_id", "ts", "event_type",
+            ["view", "click", "purchase"], within_seconds=7 * 86400,
+        ).count()
+
+    ops["funnel_counts"] = (lambda: _fun(ev1), lambda: _fun(evR))
+    event_family.add("funnel_counts")
+
+    # pivot: one aggregate, explicit value list (no eager distinct job).
+    from gluestick_spark.operators.pivot import cube_agg, pivot_table
+
+    def _piv(ev):
+        return pivot_table(
+            ev.withColumn("d", F.to_date("ts")),
+            ["user_id"], "event_type", "value",
+            ["view", "click", "purchase", "signup", "error"],
+        ).count()
+
+    ops["events_pivot"] = (lambda: _piv(ev1), lambda: _piv(evR))
+    event_family.add("events_pivot")
+
+    # cube: 2^d grouping sets in one pass (d=2 here) — expect ~linear.
+    def _cube(d):
+        return cube_agg(
+            d, ["lang", "source"], {"n": F.count(F.lit(1))}
+        ).count()
+
+    ops["docs_cube"] = (lambda: _cube(docs1), lambda: _cube(docsR))
+
+    # substring spans (Lee et al. family): replicas share their WHOLE
+    # text -> nearly every window is cross-doc duplicated, so output
+    # spans ~ docs and the verify stage touches ~every position — the
+    # cost-∝-matches regime the design promises (expect ~linear, higher
+    # constant than the cap-starved 1x side).
+    from gluestick_spark.llm.spans import substring_overlap_spans
+
+    ops["substring_spans"] = (
+        lambda: substring_overlap_spans(
+            docs1, "doc_id", "text", k=8, max_occurrences=64
+        ).count(),
+        lambda: substring_overlap_spans(
+            docsR, "doc_id", "text", k=8, max_occurrences=64
+        ).count(),
+    )
+
     import math
 
     summary = {}
@@ -646,6 +719,67 @@ def main() -> None:
         }
         summary[name] = exponent
         print(json.dumps(rec), flush=True)
+
+    # --- round-9 custom probes (not 1x-vs-Rx shaped) -------------------------
+    # (a) persisted IVFxSQ serving cost ∝ probed cells, not corpus: build
+    # ONE index over the Rx vectors, then time serving at nprobe=2 vs
+    # nprobe=8 (all cells). Ratio ~ cells probed; a corpus-bound serve
+    # would be flat.
+    import shutil
+    import tempfile
+
+    from gluestick_spark.llm.cluster import materialize_sq_ivf, sq_ivf_topk_indexed
+
+    idx = tempfile.mkdtemp(prefix="gs_probe_sqivf_")
+    try:
+        materialize_sq_ivf(vecsR, "embedding", "vec_id", idx, n_clusters=8, iters=1)
+        t2, _ = timed(lambda: sq_ivf_topk_indexed(spark, idx, _qv, k=10, nprobe=2).count())
+        t8, _ = timed(lambda: sq_ivf_topk_indexed(spark, idx, _qv, k=10, nprobe=8).count())
+        print(json.dumps({
+            "op": "sq_ivf_indexed_probed_cells",
+            "t_nprobe2": t2, "t_nprobe8": t8,
+            "cells_ratio": 4.0,
+            "time_ratio": round(t8 / max(t2, 1e-3), 2),
+            "note": "serve cost tracks probed cells (partition-pruned codes scan); corpus-bound would be flat",
+        }), flush=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+    # (b) bucketed streaming-state growth (VERDICT r8 task 3): the
+    # per-batch core (replay-guard distinct + anti-join) against a
+    # bucketed canonical-URL state of S and 10S rows. No state-side
+    # Exchange at either size (plan-gated in tests); residual growth is
+    # the bucket-local scan, the documented non-shuffle cost.
+    s_small = 100_000
+    state_rows = lambda n: spark.range(n).select(
+        F.concat(F.lit("https://h"), (F.col("id") % (n // 2)).cast("string"),
+                 F.lit(".com/p"), F.col("id").cast("string")).alias("__canon__")
+    )
+    batch = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("https://h1.com/p"), F.col("id").cast("string")).alias("canonical_url"),
+    ).localCheckpoint()
+    times = {}
+    for label, n in (("S", s_small), ("10S", s_small * 10)):
+        tbl = f"gs_probe_state_{label.lower()}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        state_rows(n).write.format("parquet").bucketBy(8, "__canon__").saveAsTable(tbl)
+        seen = spark.table(tbl).distinct()
+
+        def _core():
+            return batch.join(
+                seen, batch["canonical_url"] == seen["__canon__"], "left_anti"
+            ).count()
+
+        times[label], _ = timed(_core)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    print(json.dumps({
+        "op": "bucketed_url_state_growth",
+        "t_state_S": times["S"], "t_state_10S": times["10S"],
+        "state_ratio": 10.0,
+        "time_ratio": round(times["10S"] / max(times["S"], 1e-3), 2),
+        "note": "per-batch anti-join + replay distinct vs bucketed state; no state-side Exchange, residual growth = bucket-local scan",
+    }), flush=True)
 
     print(json.dumps({"summary_exponents": summary, "r": r, "n_docs_1x": n1}))
 
