@@ -5723,6 +5723,101 @@ FROM isl GROUP BY doc_id, grp
 """
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. removal policy (llm/spans.py:substring_dedup): every
+    maximal cross-doc duplicated span is cut from all but its
+    corpus-first occurrence (min (doc, start) per span string). The
+    oracle extends the substring_spans replay with the election (the
+    (doc,start) order packed into one int64 key) and the token-level
+    removal (NOT EXISTS over the doomed ranges + ordered string_agg
+    rebuild) — the FULL pipeline end-to-end."""
+    from gluestick_spark.llm.spans import substring_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return substring_dedup(d, "doc_id", "text", k=8, max_occurrences=64)
+
+
+_Q_SUBSTRING_DEDUP_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS toks
+  FROM documents
+),
+d AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+occ AS (
+  SELECT doc_id,
+         unnest(range(0, len(toks) - 8 + 1)) AS pos,
+         unnest(list_transform(range(0, len(toks) - 8 + 1),
+           i -> CAST(CAST('0x' || substr(md5(array_to_string(toks[(i+1):(i+8)], ' ')), 1, 15) AS UBIGINT) AS BIGINT))) AS h
+  FROM d
+),
+keep_h AS (
+  SELECT h FROM occ GROUP BY h
+  HAVING count(*) <= 64 AND min(doc_id) <> max(doc_id)
+),
+cand AS (SELECT doc_id, pos FROM occ JOIN keep_h USING (h)),
+grams AS (
+  SELECT c.doc_id, c.pos,
+         array_to_string(d.toks[(c.pos + 1):(c.pos + 8)], ' ') AS gram
+  FROM cand c JOIN d ON c.doc_id = d.doc_id
+),
+vg AS (SELECT gram FROM grams GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+hits AS (SELECT DISTINCT g.doc_id, g.pos FROM grams g JOIN vg USING (gram)),
+flags AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos <= COALESCE(max(pos) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9223372036854775807) + 8
+         THEN 0 ELSE 1 END AS nf
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(nf) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM flags
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+  FROM isl GROUP BY doc_id, grp
+),
+sp AS (
+  SELECT spans.doc_id, s, e,
+         array_to_string(d.toks[(s + 1):(e)], ' ') AS span_str
+  FROM spans JOIN d ON spans.doc_id = d.doc_id
+),
+firsts AS (
+  -- (doc, start) lexicographic min packed into one int64 key (doc_ids
+  -- and positions are far below 2^31 here)
+  SELECT span_str, min(doc_id * 4294967296 + s) AS fkey FROM sp GROUP BY span_str
+),
+doomed AS (
+  SELECT doc_id, s, e FROM sp JOIN firsts USING (span_str)
+  WHERE doc_id * 4294967296 + s <> fkey
+),
+tokrows AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i FROM t
+),
+kept AS (
+  SELECT k.doc_id, k.i, k.tok FROM tokrows k
+  WHERE NOT EXISTS (
+    SELECT 1 FROM doomed r
+    WHERE r.doc_id = k.doc_id AND k.i - 1 >= r.s AND k.i - 1 < r.e
+  )
+),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(tok, ' ' ORDER BY i) AS text_clean,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(rb.text_clean, '') AS text_clean,
+       len(t.toks) AS n_tokens,
+       len(t.toks) - COALESCE(rb.n_kept, 0) AS n_removed
+FROM t LEFT JOIN rebuilt rb USING (doc_id)
+"""
+
+
 def q_contact_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CRM contact cleaning (functions/contacts.py): canonical emails
     (case/trim, +tag stripping, gmail dot-insensitivity + googlemail
@@ -6105,6 +6200,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (round-9 addition: exact substring-span dedup, Lee et al. 2022 —
         # VERDICT r8 task 5. Displaces tfidf_vectors to the tail top.)
         "substring_spans": q_substring_spans,
+        # (round-9 addition: Lee et al. span REMOVAL — the L106 completion.
+        # Displaces mix_corpora: its seeded-rate device family siblings
+        # resample_ratio/alpha_sample are r8-green in the tail.)
+        "substring_dedup": q_substring_dedup,
         "local_supplier_volume": q_local_supplier_volume,
         "promo_revenue": q_promo_revenue,
         "shipping_priority": q_shipping_priority,
@@ -6137,7 +6236,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "kmv_distinct": q_kmv_distinct,
-        "mix_corpora": q_mix_corpora,
         "orc_roundtrip": q_orc_roundtrip,
         "pack_documents": q_pack_documents,
         "pii_redaction": q_pii_redaction,
@@ -6148,6 +6246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail rows remain locally oracle-checked every round via
         # tools/check_correctness.py / driver_sim.py. ----
         "windowed_counts": q_windowed_counts,
+        "mix_corpora": q_mix_corpora,
         "tfidf_vectors": q_tfidf_vectors,
         "time_rollup": q_time_rollup,
         # (same Spark query as the in-window html_extract; oracle is the
@@ -6285,6 +6384,7 @@ def oracle_sql() -> dict[str, str]:
         "sq_ivf_topk_indexed": _sq_ivf_oracle_sql(),
         "classifier_score": _classifier_oracle_sql(),
         "substring_spans": _Q_SUBSTRING_SPANS_SQL,
+        "substring_dedup": _Q_SUBSTRING_DEDUP_SQL,
         "local_supplier_volume": _Q_LOCAL_SUPPLIER_SQL,
         "promo_revenue": _Q_PROMO_SQL,
         "shipping_priority": _Q_SHIPPING_SQL,
@@ -6317,7 +6417,6 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": _Q_HASH_SAMPLE_SQL,
         "jsonl_roundtrip": _Q_JSONL_ROUNDTRIP_SQL,
         "kmv_distinct": _Q_KMV_SQL,
-        "mix_corpora": _Q_MIX_CORPORA_SQL,
         "orc_roundtrip": _Q_ORC_ROUNDTRIP_SQL,
         "pack_documents": _Q_PACK_DOCS_SQL,
         "pii_redaction": _Q_PII_SQL,
@@ -6325,6 +6424,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_windows": _Q_RANGE_JOIN_SQL,
         # ---- tail ----
         "windowed_counts": _Q_WINDOWED_COUNTS_SQL,
+        "mix_corpora": _Q_MIX_CORPORA_SQL,
         "tfidf_vectors": _Q_TFIDF_SQL,
         "time_rollup": _Q_TIME_ROLLUP_SQL,
         "html_extract_replay": _Q_HTML_EXTRACT_REPLAY_SQL,

@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "sq_ivf_topk_indexed",
     "classifier_score",
     "substring_spans",
+    "substring_dedup",
 ]
 
 

@@ -145,7 +145,7 @@ from .llm.dedup import (
     cluster_dedup_by,
     cluster_size_histogram,
 )
-from .llm.spans import segment_dedup
+from .llm.spans import segment_dedup, substring_overlap_spans, substring_dedup
 from .llm.fuzzy import edit_distance_pairs
 from .llm.sketch import kmv_distinct, kmv_sketch, kmv_merge, kmv_estimate, heavy_hitters
 from .llm.similarity import (
@@ -196,6 +196,7 @@ from .llm.cluster import (
     int_dot_expr,
     sq_ivf_topk,
     materialize_sq_ivf,
+    sq_ivf_append,
     sq_ivf_topk_indexed,
 )
 from .llm.classifier import classifier_score, hashed_ngrams_expr

@@ -76,6 +76,7 @@ __all__ = [
     "ivf_topk_exact",
     "sq_ivf_topk",
     "materialize_sq_ivf",
+    "sq_ivf_append",
     "sq_ivf_topk_indexed",
 ]
 
@@ -653,6 +654,64 @@ def materialize_sq_ivf(
     with open(tmp, "w") as f:
         _json.dump(router, f)
     _os.replace(tmp, router_path)
+
+
+def sq_ivf_append(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+) -> None:
+    """Incrementally GROW a :func:`materialize_sq_ivf` index: the new
+    batch is assigned against the PERSISTED router (never retrained —
+    assignment must stay consistent with what serving probes), SQ-encoded
+    in the same narrow projection, and appended into the cell partition
+    directories in place. The existing index is never read or rewritten,
+    so ingest costs O(batch), not O(corpus) — the
+    :func:`~gluestick_spark.llm.similarity.ivf_append` contract for the
+    quantized composed index. The resulting index serves identically to
+    a from-scratch build over the union (frozen router ⇒ same cell for
+    every vector; cells just gain files — pytest-pinned).
+
+    Under distribution drift the cells skew over time; monitor cell
+    sizes and rebuild with a retrained router when imbalance hurts probe
+    cost. Id uniqueness across batches is the caller's contract."""
+    import json as _json
+    import os as _os
+
+    router_path = _os.path.join(path, "_ROUTER.json")
+    if not _os.path.isfile(router_path):
+        raise ValueError(
+            f"sq-ivf index at {path} is uncommitted (torn build or "
+            "mid-rebuild) — re-run materialize_sq_ivf"
+        )
+    with open(router_path) as f:
+        router = _json.load(f)
+    state = [(list(map(int, s)), int(n)) for s, n in router["state"]]
+    if not state:
+        raise ValueError(
+            f"sq-ivf index at {path} has an empty router — rebuild with "
+            "materialize_sq_ivf on a non-empty corpus before appending"
+        )
+    from .similarity import sq_quantize_exprs
+
+    sc_expr, q_expr = sq_quantize_exprs(F.col(vec_col))
+    enc = df.select(
+        F.col(id_col).alias(router["id_col"]),
+        sc_expr.alias("scale"),
+        q_expr.alias("qvec"),
+        quantize_vec_expr(F.col(vec_col), router["scale"]).alias("__q__"),
+    ).withColumn(
+        "__xx__", int_dot_expr(F.col("__q__"), F.col("__q__"))
+    ).withColumn("cid", _assign_expr(state)).select(
+        router["id_col"], "scale", "qvec", "cid"
+    )
+    (
+        enc.repartition(F.col("cid"))
+        .write.partitionBy("cid")
+        .mode("append")
+        .parquet(_os.path.join(path, "cells"))
+    )
 
 
 def sq_ivf_topk_indexed(

@@ -50,6 +50,7 @@ __all__ = [
     "segment_occurrences",
     "segment_dedup",
     "substring_overlap_spans",
+    "substring_dedup",
 ]
 
 
@@ -283,3 +284,89 @@ def substring_overlap_spans(
         F.col("__sp__.e").alias("span_end"),
         (F.col("__sp__.e") - F.col("__sp__.s")).alias("n_tokens"),
     )
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    max_occurrences: int = 256,
+) -> DataFrame:
+    """Lee et al. 2022's removal policy on top of
+    :func:`substring_overlap_spans`: every maximal cross-document
+    duplicated span is CUT from all but its corpus-first occurrence
+    (min (doc, start) per identical span string — the keep-one rule, so
+    the corpus retains exactly one copy of each shared passage).
+
+    Returns one row per input document: (``id_col``, ``text_clean``,
+    ``n_tokens``, ``n_removed``). Election is per maximal-span STRING:
+    two docs sharing the identical passage dedupe cleanly; partially
+    overlapping spans (different maximal strings) are elected
+    independently — a cut document may retain sub-``k``-token remnants
+    of a passage another doc keeps, the same granularity the
+    rolling-window construction detects at.
+
+    Plan: the span table (cost ∝ matches) joins token arrays back only
+    for spanned docs, the election is one groupBy-min over span strings
+    (map-side combined), and the cut is a narrow per-row ``filter`` with
+    an index lambda over the removal ranges (|ranges| per doc is tiny).
+    Documents with no spans pass through untouched via a left join."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    spans = substring_overlap_spans(df, id_col, text_col, k, max_occurrences)
+    toks = tokens_expr(F.col(text_col))
+    docs = df.select(F.col(id_col), toks.alias("__toks__"))
+    sp = spans.join(docs, id_col).select(
+        id_col,
+        "span_start",
+        "span_end",
+        F.array_join(
+            F.slice(
+                F.col("__toks__"),
+                F.col("span_start").cast("int") + 1,
+                (F.col("span_end") - F.col("span_start")).cast("int"),
+            ),
+            " ",
+        ).alias("__span_str__"),
+    )
+    firsts = sp.groupBy("__span_str__").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("span_start").alias("p"))
+        ).alias("__first__")
+    )
+    doomed = (
+        sp.join(firsts, "__span_str__")
+        .where(
+            ~(
+                (F.col(id_col) == F.col("__first__.d"))
+                & (F.col("span_start") == F.col("__first__.p"))
+            )
+        )
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"), F.col("span_end").alias("e")
+                )
+            ).alias("__rm__")
+        )
+    )
+    kept = F.filter(
+        F.col("__toks__"),
+        lambda tok, i: ~F.exists(
+            F.col("__rm__"),
+            lambda r: (i.cast("long") >= r["s"]) & (i.cast("long") < r["e"]),
+        ),
+    )
+    out = docs.join(doomed, id_col, "left").select(
+        id_col,
+        F.when(F.col("__rm__").isNull(), F.array_join(F.col("__toks__"), " "))
+        .otherwise(F.array_join(kept, " "))
+        .alias("text_clean"),
+        F.size("__toks__").cast("long").alias("n_tokens"),
+        F.when(F.col("__rm__").isNull(), F.lit(0).cast("long"))
+        .otherwise((F.size("__toks__") - F.size(kept)).cast("long"))
+        .alias("n_removed"),
+    )
+    return out

@@ -286,6 +286,47 @@ def test_sq_ivf_index_requires_router_commit(spark, tmp_dir):
         sq_ivf_topk_indexed(spark, path, q, k=3, nprobe=2)
 
 
+def test_sq_ivf_append_serves_like_rebuild(spark, tmp_dir):
+    """sq_ivf_append assigns the new batch against the FROZEN persisted
+    router and appends codes into the cell directories — serving the
+    grown index must equal in-query sq_ivf_topk over the union with the
+    same router geometry... which a rebuild can't give (it would retrain
+    on the union), so the honest check is: append(half2) onto
+    index(half1) ≡ an index built from half1's router applied to both
+    halves = every half2 vector present, scored identically to its
+    standalone quantization."""
+    from gluestick_spark.llm.cluster import (
+        materialize_sq_ivf,
+        sq_ivf_append,
+        sq_ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    mid = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).first()[0]
+    h1, h2 = emb.where(F.col("vec_id") <= mid), emb.where(F.col("vec_id") > mid)
+    q = list(emb.first()["embedding"])
+    path = os.path.join(tmp_dir, "idx")
+    materialize_sq_ivf(h1, "embedding", "vec_id", path, n_clusters=4)
+    before = {r["vec_id"] for r in
+              sq_ivf_topk_indexed(spark, path, q, k=50, nprobe=4).collect()}
+    sq_ivf_append(h2, "embedding", "vec_id", path)
+    after = sq_ivf_topk_indexed(spark, path, q, k=10**6, nprobe=4)
+    got = {r["vec_id"]: r["score"] for r in after.collect()}
+    # with all cells probed, EVERY vector of both halves is served
+    assert set(got) == {r["vec_id"] for r in emb.collect()}
+    assert before <= set(got)
+    # appended vectors score exactly as their standalone SQ quantization
+    from gluestick_spark.llm.similarity import sq_topk
+
+    direct = {r["vec_id"]: r["score"]
+              for r in sq_topk(h2, "embedding", "vec_id", q, k=10**6).collect()}
+    assert all(got[v] == s for v, s in direct.items())
+    # appending to a torn index refuses loudly
+    os.remove(os.path.join(path, "_ROUTER.json"))
+    with pytest.raises(ValueError, match="uncommitted"):
+        sq_ivf_append(h2, "embedding", "vec_id", path)
+
+
 def test_sq_ivf_index_empty_corpus(spark, tmp_dir):
     from gluestick_spark.llm.cluster import (
         materialize_sq_ivf,
@@ -437,6 +478,33 @@ def test_substring_spans_cap_drops_pathological_gram(spark):
     assert capped.count() == 0
     uncapped = substring_overlap_spans(df, "doc_id", "text", k=8, max_occurrences=64)
     assert uncapped.count() == 10  # the boiler span in every doc
+
+
+def test_substring_dedup_keeps_first_occurrence_only(spark):
+    """Lee et al. removal: the corpus-first occurrence (min (doc, start)
+    per span string) keeps the passage; every other occurrence is cut;
+    span-free docs pass through untouched."""
+    from gluestick_spark.llm.spans import substring_dedup
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, "a0 a1 " + shared + " a2"),
+            (2, shared + " b0 b1 b2 b3 b4 b5 b6"),
+            (3, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in substring_dedup(df, k=8).collect()}
+    # doc 1 wins (smallest doc id) and keeps the passage
+    assert out[1]["text_clean"] == "a0 a1 " + shared + " a2"
+    assert out[1]["n_removed"] == 0
+    # doc 2 loses its copy
+    assert out[2]["text_clean"] == "b0 b1 b2 b3 b4 b5 b6"
+    assert out[2]["n_removed"] == 10
+    # untouched doc
+    assert out[3]["n_removed"] == 0 and out[3]["text_clean"].startswith("c0")
+    assert {r["n_tokens"] for r in out.values()} == {13, 17, 10}
 
 
 # ----------------------------------------------- classifier scoring -------
