@@ -5629,13 +5629,15 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _classifier_oracle_sql() -> str:
+def _clf_score_ctes() -> str:
+    """Shared CTE chain ending in ``clf(doc_id, clf_score)`` — the
+    classifier replay, reused verbatim by the classifier_score oracle
+    and the quality_mix composition oracle."""
     from math import floor
 
     wq = [int(floor(w * 1000 + 0.5)) for w in _CLF_WEIGHTS]
     values = ", ".join(f"({b}, {v})" for b, v in enumerate(wq))
-    return rf"""
-WITH w(bucket, wq) AS (VALUES {values}),
+    return rf"""w(bucket, wq) AS (VALUES {values}),
 t AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS toks
@@ -5654,11 +5656,16 @@ h AS (
 s AS (
   SELECT doc_id, sum(wq) AS sq, count(*) AS n
   FROM h JOIN w USING (bucket) GROUP BY doc_id
-)
-SELECT d.doc_id,
-       COALESCE(CAST(s.sq AS DOUBLE) / CAST(1000 * s.n AS DOUBLE), 0.0) AS clf_score
-FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
-"""
+),
+clf AS (
+  SELECT d.doc_id,
+         COALESCE(CAST(s.sq AS DOUBLE) / CAST(1000 * s.n AS DOUBLE), 0.0) AS clf_score
+  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+)"""
+
+
+def _classifier_oracle_sql() -> str:
+    return f"WITH {_clf_score_ctes()}\nSELECT doc_id, clf_score FROM clf"
 
 
 def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5720,6 +5727,49 @@ SELECT doc_id,
        max(pos) + 8 AS span_end,
        max(pos) + 8 - min(pos) AS n_tokens
 FROM isl GROUP BY doc_id, grp
+"""
+
+
+def q_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier → mixing composition the corpus-filter exists for
+    (llm/classifier.py → llm/sampling.py:mix_corpora): classifier-scored
+    docs split into quality buckets (score > 0 vs <= 0 — the score is an
+    IEEE-exact integer ratio, so the boundary is engine-stable), then
+    the high bucket over-samples 1.5 epochs and the low bucket
+    down-samples to 40%. Oracle: the classifier replay CTEs feed the
+    same per-(source, replica) seeded-hash membership rule the
+    mix_corpora oracle uses — the full recipe end-to-end."""
+    from gluestick_spark.llm.classifier import classifier_score
+    from gluestick_spark.llm.sampling import mix_corpora
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = classifier_score(d, "text", _CLF_WEIGHTS).select(
+        "doc_id", "clf_score"
+    )
+    out = mix_corpora(
+        {
+            "hi": (scored.where(F.col("clf_score") > 0), 1.5),
+            "lo": (scored.where(F.col("clf_score") <= 0), 0.4),
+        },
+        "doc_id",
+    )
+    return out.select("doc_id", "mix_source", "mix_replica")
+
+
+def _quality_mix_oracle_sql() -> str:
+    return f"""
+WITH {_clf_score_ctes()}
+SELECT doc_id, 'hi' AS mix_source, 0 AS mix_replica FROM clf WHERE clf_score > 0
+UNION ALL
+SELECT doc_id, 'hi', 1 FROM clf
+WHERE clf_score > 0
+  AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || '|hi|1'), 1, 15) AS UBIGINT)
+      < {_MIX_50PCT}
+UNION ALL
+SELECT doc_id, 'lo', 0 FROM clf
+WHERE clf_score <= 0
+  AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || '|lo|0'), 1, 15) AS UBIGINT)
+      < {_MIX_40PCT}
 """
 
 
@@ -6204,6 +6254,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Displaces mix_corpora: its seeded-rate device family siblings
         # resample_ratio/alpha_sample are r8-green in the tail.)
         "substring_dedup": q_substring_dedup,
+        # (round-9 addition: classifier -> quality-bucket mixing composition.
+        # Displaces hash_sample: the identical seeded-hash membership device
+        # is exercised by this row + r8-green resample_ratio/alpha_sample.)
+        "quality_mix": q_quality_mix,
         "local_supplier_volume": q_local_supplier_volume,
         "promo_revenue": q_promo_revenue,
         "shipping_priority": q_shipping_priority,
@@ -6233,7 +6287,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_dedup": q_cluster_dedup,
         "contamination_check": q_contamination_check,
         "event_asof_open": q_event_asof_open,
-        "hash_sample": q_hash_sample,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "kmv_distinct": q_kmv_distinct,
         "orc_roundtrip": q_orc_roundtrip,
@@ -6246,6 +6299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail rows remain locally oracle-checked every round via
         # tools/check_correctness.py / driver_sim.py. ----
         "windowed_counts": q_windowed_counts,
+        "hash_sample": q_hash_sample,
         "mix_corpora": q_mix_corpora,
         "tfidf_vectors": q_tfidf_vectors,
         "time_rollup": q_time_rollup,
@@ -6385,6 +6439,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_score": _classifier_oracle_sql(),
         "substring_spans": _Q_SUBSTRING_SPANS_SQL,
         "substring_dedup": _Q_SUBSTRING_DEDUP_SQL,
+        "quality_mix": _quality_mix_oracle_sql(),
         "local_supplier_volume": _Q_LOCAL_SUPPLIER_SQL,
         "promo_revenue": _Q_PROMO_SQL,
         "shipping_priority": _Q_SHIPPING_SQL,
@@ -6414,7 +6469,6 @@ def oracle_sql() -> dict[str, str]:
         "cluster_dedup": _Q_CLUSTER_DEDUP_SQL,
         "contamination_check": _Q_CONTAMINATION_SQL,
         "event_asof_open": _Q_EVENT_ASOF_SQL,
-        "hash_sample": _Q_HASH_SAMPLE_SQL,
         "jsonl_roundtrip": _Q_JSONL_ROUNDTRIP_SQL,
         "kmv_distinct": _Q_KMV_SQL,
         "orc_roundtrip": _Q_ORC_ROUNDTRIP_SQL,
@@ -6424,6 +6478,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_windows": _Q_RANGE_JOIN_SQL,
         # ---- tail ----
         "windowed_counts": _Q_WINDOWED_COUNTS_SQL,
+        "hash_sample": _Q_HASH_SAMPLE_SQL,
         "mix_corpora": _Q_MIX_CORPORA_SQL,
         "tfidf_vectors": _Q_TFIDF_SQL,
         "time_rollup": _Q_TIME_ROLLUP_SQL,

@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "classifier_score",
     "substring_spans",
     "substring_dedup",
+    "quality_mix",
 ]
 
 
