@@ -5730,6 +5730,87 @@ FROM isl GROUP BY doc_id, grp
 """
 
 
+def q_substring_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus exact-substring decontamination (llm/spans.py:
+    materialize_substring_index + substring_spans_against — the Lee et
+    al. eval-set check): even-id docs are the persisted reference, odd-id
+    docs the incoming batch; every maximal >= 8-token span of a new doc
+    appearing verbatim in the reference comes back. The oracle replays
+    BOTH sides — reference windowing, the reference-side frequency cap,
+    the hash join, the exact-string verify, and the interval merge."""
+    import tempfile
+
+    from gluestick_spark.llm.spans import (
+        materialize_substring_index,
+        substring_spans_against,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    new = d.where(F.col("doc_id") % 2 == 1)
+    path = tempfile.mkdtemp(prefix="gs_ssidx_")
+    materialize_substring_index(ref, "doc_id", "text", path, k=8)
+    return substring_spans_against(
+        spark, new, path, "doc_id", "text", max_occurrences=64
+    )
+
+
+_Q_SUBSTRING_DECONTAM_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS toks
+  FROM documents
+),
+refd AS (SELECT doc_id, toks FROM t WHERE doc_id % 2 = 0 AND len(toks) >= 8),
+newd AS (SELECT doc_id, toks FROM t WHERE doc_id % 2 = 1 AND len(toks) >= 8),
+refw AS (
+  SELECT doc_id AS rid,
+         unnest(range(0, len(toks) - 8 + 1)) AS rpos,
+         unnest(list_transform(range(0, len(toks) - 8 + 1),
+           i -> CAST(CAST('0x' || substr(md5(array_to_string(toks[(i+1):(i+8)], ' ')), 1, 15) AS UBIGINT) AS BIGINT))) AS h
+  FROM refd
+),
+neww AS (
+  SELECT doc_id,
+         unnest(range(0, len(toks) - 8 + 1)) AS pos,
+         unnest(list_transform(range(0, len(toks) - 8 + 1),
+           i -> CAST(CAST('0x' || substr(md5(array_to_string(toks[(i+1):(i+8)], ' ')), 1, 15) AS UBIGINT) AS BIGINT))) AS h
+  FROM newd
+),
+ok AS (SELECT h FROM refw GROUP BY h HAVING count(*) <= 64),
+cand AS (
+  SELECT n.doc_id, n.pos, r.rid, r.rpos
+  FROM neww n JOIN ok USING (h) JOIN refw r USING (h)
+),
+hits AS (
+  SELECT DISTINCT c.doc_id, c.pos
+  FROM cand c
+  JOIN newd nd ON c.doc_id = nd.doc_id
+  JOIN refd rd ON c.rid = rd.doc_id
+  WHERE array_to_string(nd.toks[(c.pos + 1):(c.pos + 8)], ' ')
+      = array_to_string(rd.toks[(c.rpos + 1):(c.rpos + 8)], ' ')
+),
+flags AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos <= COALESCE(max(pos) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9223372036854775807) + 8
+         THEN 0 ELSE 1 END AS nf
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(nf) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM flags
+)
+SELECT doc_id,
+       min(pos) AS span_start,
+       max(pos) + 8 AS span_end,
+       max(pos) + 8 - min(pos) AS n_tokens
+FROM isl GROUP BY doc_id, grp
+"""
+
+
 def q_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The classifier → mixing composition the corpus-filter exists for
     (llm/classifier.py → llm/sampling.py:mix_corpora): classifier-scored
@@ -6258,6 +6339,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Displaces hash_sample: the identical seeded-hash membership device
         # is exercised by this row + r8-green resample_ratio/alpha_sample.)
         "quality_mix": q_quality_mix,
+        # (round-9 addition: cross-corpus exact-substring decontamination.
+        # Displaces cluster_dedup: its connected-components device is
+        # exercised by r7-green cluster_dedup_best/dedup_cluster_sizes and
+        # its candidate stage by in-window minhash_dedup.)
+        "substring_decontam": q_substring_decontam,
         "local_supplier_volume": q_local_supplier_volume,
         "promo_revenue": q_promo_revenue,
         "shipping_priority": q_shipping_priority,
@@ -6284,7 +6370,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_cust": q_top_orders_per_cust,
         "build_vocab": q_build_vocab,
         "chunk_documents": q_chunk_documents,
-        "cluster_dedup": q_cluster_dedup,
         "contamination_check": q_contamination_check,
         "event_asof_open": q_event_asof_open,
         "jsonl_roundtrip": q_jsonl_roundtrip,
@@ -6299,6 +6384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail rows remain locally oracle-checked every round via
         # tools/check_correctness.py / driver_sim.py. ----
         "windowed_counts": q_windowed_counts,
+        "cluster_dedup": q_cluster_dedup,
         "hash_sample": q_hash_sample,
         "mix_corpora": q_mix_corpora,
         "tfidf_vectors": q_tfidf_vectors,
@@ -6440,6 +6526,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_spans": _Q_SUBSTRING_SPANS_SQL,
         "substring_dedup": _Q_SUBSTRING_DEDUP_SQL,
         "quality_mix": _quality_mix_oracle_sql(),
+        "substring_decontam": _Q_SUBSTRING_DECONTAM_SQL,
         "local_supplier_volume": _Q_LOCAL_SUPPLIER_SQL,
         "promo_revenue": _Q_PROMO_SQL,
         "shipping_priority": _Q_SHIPPING_SQL,
@@ -6466,7 +6553,6 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_per_cust": _Q_TOP_ORDERS_SQL,
         "build_vocab": _Q_BUILD_VOCAB_SQL,
         "chunk_documents": _Q_CHUNK_DOCS_SQL,
-        "cluster_dedup": _Q_CLUSTER_DEDUP_SQL,
         "contamination_check": _Q_CONTAMINATION_SQL,
         "event_asof_open": _Q_EVENT_ASOF_SQL,
         "jsonl_roundtrip": _Q_JSONL_ROUNDTRIP_SQL,
@@ -6478,6 +6564,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_windows": _Q_RANGE_JOIN_SQL,
         # ---- tail ----
         "windowed_counts": _Q_WINDOWED_COUNTS_SQL,
+        "cluster_dedup": _Q_CLUSTER_DEDUP_SQL,
         "hash_sample": _Q_HASH_SAMPLE_SQL,
         "mix_corpora": _Q_MIX_CORPORA_SQL,
         "tfidf_vectors": _Q_TFIDF_SQL,

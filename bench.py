@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "substring_spans",
     "substring_dedup",
     "quality_mix",
+    "substring_decontam",
 ]
 
 

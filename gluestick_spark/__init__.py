@@ -145,7 +145,13 @@ from .llm.dedup import (
     cluster_dedup_by,
     cluster_size_histogram,
 )
-from .llm.spans import segment_dedup, substring_overlap_spans, substring_dedup
+from .llm.spans import (
+    segment_dedup,
+    substring_overlap_spans,
+    substring_dedup,
+    materialize_substring_index,
+    substring_spans_against,
+)
 from .llm.fuzzy import edit_distance_pairs
 from .llm.sketch import kmv_distinct, kmv_sketch, kmv_merge, kmv_estimate, heavy_hitters
 from .llm.similarity import (

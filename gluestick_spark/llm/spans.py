@@ -51,6 +51,8 @@ __all__ = [
     "segment_dedup",
     "substring_overlap_spans",
     "substring_dedup",
+    "materialize_substring_index",
+    "substring_spans_against",
 ]
 
 
@@ -370,3 +372,176 @@ def substring_dedup(
         .alias("n_removed"),
     )
     return out
+
+
+def materialize_substring_index(
+    df_ref: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    k: int = 20,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the reference side of cross-corpus exact-substring
+    matching: ``windows/`` holds every k-token rolling window's portable
+    hash with (ref id, position), ``docs/`` the reference token arrays
+    (the verify stage needs them), ``_META.json`` the geometry. The
+    reference corpus is windowed ONCE; every incoming batch then joins
+    against the persisted hashes instead of re-tokenizing the reference
+    — the recurring-crawl contract of ``materialize_band_index``, for
+    exact substrings. ``mode="append"`` adds a new reference batch in
+    O(batch) (geometry must match the stored meta).
+
+    Crash safety: the ``_INDEX_COMMIT`` marker is removed before the
+    multi-step rewrite and re-written last (atomic replace) —
+    :func:`substring_spans_against` refuses a torn index loudly."""
+    import json as _json
+    import os as _os
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from gluestick_spark.llm.sketch import kmv_hash_expr
+
+    meta = {"k": k}
+    meta_path = _os.path.join(path, "_META.json")
+    commit_path = _os.path.join(path, "_INDEX_COMMIT")
+    if mode == "append" and _os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            stored = _json.load(f)
+        if stored != meta:
+            raise ValueError(
+                f"substring-index geometry mismatch: stored {stored}, got {meta}"
+            )
+    _os.makedirs(path, exist_ok=True)
+    if _os.path.isfile(commit_path):
+        _os.remove(commit_path)
+    toks = tokens_expr(F.col(text_col))
+    docs = df_ref.select(F.col(id_col).alias("__rid__"), toks.alias("__rtoks__")).where(
+        F.size("__rtoks__") >= k
+    )
+    win_hash = F.transform(
+        F.sequence(F.lit(0), F.size("__rtoks__") - k),
+        lambda i: kmv_hash_expr(
+            F.array_join(F.slice(F.col("__rtoks__"), i + 1, k), " ")
+        ),
+    )
+    docs.select(
+        "__rid__", F.posexplode(win_hash).alias("__rpos__", "__h__")
+    ).select(
+        "__rid__", F.col("__rpos__").cast("long").alias("__rpos__"), "__h__"
+    ).write.mode(mode).parquet(_os.path.join(path, "windows"))
+    docs.write.mode(mode).parquet(_os.path.join(path, "docs"))
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
+    tmp = commit_path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    _os.replace(tmp, commit_path)
+
+
+def substring_spans_against(
+    spark,
+    df_new: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_occurrences: int = 256,
+) -> DataFrame:
+    """Maximal spans of ``df_new`` documents that appear VERBATIM in a
+    :func:`materialize_substring_index` reference corpus — exact
+    substring-level DECONTAMINATION (Lee et al. 2022 run exactly this
+    shape against evaluation sets: any >= k-token overlap between a
+    training candidate and the benchmark is contamination). Returns one
+    row per maximal span: (``id_col``, ``span_start``, ``span_end``,
+    ``n_tokens``). Cut them with the caller's policy (drop the doc, or
+    :func:`substring_dedup`-style token removal).
+
+    Per-batch cost: the batch is windowed (narrow projection), joined
+    against the persisted reference hashes (hashes whose reference
+    occurrence count exceeds ``max_occurrences`` are dropped LOUDLY as
+    pathological boilerplate — the stated-cap device), and only the
+    surviving candidate pairs slice token arrays for the exact-string
+    verify — O(batch windows + candidates), the reference is never
+    re-tokenized."""
+    import json as _json
+    import os as _os
+
+    if not _os.path.isfile(_os.path.join(index_path, "_INDEX_COMMIT")):
+        raise ValueError(
+            f"substring index at {index_path} is uncommitted (torn write "
+            "or mid-rebuild) — re-run materialize_substring_index"
+        )
+    with open(_os.path.join(index_path, "_META.json")) as f:
+        k = int(_json.load(f)["k"])
+    from gluestick_spark.llm.sketch import kmv_hash_expr
+
+    toks = tokens_expr(F.col(text_col))
+    new_docs = df_new.select(F.col(id_col), toks.alias("__toks__")).where(
+        F.size("__toks__") >= k
+    )
+    win_hash = F.transform(
+        F.sequence(F.lit(0), F.size("__toks__") - k),
+        lambda i: kmv_hash_expr(
+            F.array_join(F.slice(F.col("__toks__"), i + 1, k), " ")
+        ),
+    )
+    new_win = new_docs.select(
+        id_col, F.posexplode(win_hash).alias("pos", "__h__")
+    ).select(id_col, F.col("pos").cast("long").alias("pos"), "__h__")
+
+    ref_win = spark.read.parquet(_os.path.join(index_path, "windows"))
+    ref_ok = (
+        ref_win.groupBy("__h__")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .where(F.col("__n__") <= max_occurrences)
+        .select("__h__")
+    )
+    cand = (
+        new_win.join(ref_win.join(ref_ok, "__h__"), "__h__")
+        .select(id_col, "pos", "__rid__", "__rpos__")
+    )
+    # verify: slice both sides' tokens at the candidate offsets and
+    # require exact string equality — candidate-bound work
+    ref_docs = spark.read.parquet(_os.path.join(index_path, "docs"))
+    new_gram = F.array_join(
+        F.slice(F.col("__toks__"), F.col("pos").cast("int") + 1, k), " "
+    )
+    ref_gram = F.array_join(
+        F.slice(F.col("__rtoks__"), F.col("__rpos__").cast("int") + 1, k), " "
+    )
+    hits = (
+        cand.join(new_docs, id_col)
+        .join(ref_docs, "__rid__")
+        .where(new_gram == ref_gram)
+        .select(id_col, "pos")
+        .distinct()
+    )
+    merged = hits.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("pos")).alias("__ps__")
+    )
+    spans = merged.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"""aggregate(
+                     __ps__,
+                     cast(array() as array<struct<s: bigint, e: bigint>>),
+                     (acc, p) -> if(
+                       size(acc) > 0 AND p <= element_at(acc, -1).e,
+                       concat(
+                         slice(acc, 1, size(acc) - 1),
+                         array(named_struct('s', element_at(acc, -1).s,
+                                            'e', p + {int(k)}))
+                       ),
+                       concat(acc, array(named_struct('s', p, 'e', p + {int(k)})))
+                     )
+                   )"""
+            )
+        ).alias("__sp__"),
+    )
+    return spans.select(
+        id_col,
+        F.col("__sp__.s").alias("span_start"),
+        F.col("__sp__.e").alias("span_end"),
+        (F.col("__sp__.e") - F.col("__sp__.s")).alias("n_tokens"),
+    )

@@ -480,6 +480,44 @@ def test_substring_spans_cap_drops_pathological_gram(spark):
     assert uncapped.count() == 10  # the boiler span in every doc
 
 
+def test_substring_index_decontamination(spark, tmp_dir):
+    """Cross-corpus exact-substring check: a new doc embedding a
+    reference passage is flagged with exact span boundaries; clean docs
+    are not; a torn index refuses loudly; append extends coverage in
+    O(batch)."""
+    from gluestick_spark.llm.spans import (
+        materialize_substring_index,
+        substring_spans_against,
+    )
+
+    bench_text = " ".join(f"eval{i}" for i in range(12))
+    ref = spark.createDataFrame(
+        [(100, "r0 r1 " + bench_text + " r2")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "n0 n1 n2 " + bench_text + " n3"),  # contaminated: [3, 15)
+            (2, "completely original new words here nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    path = os.path.join(tmp_dir, "ssidx")
+    materialize_substring_index(ref, "doc_id", "text", path, k=8)
+    out = _spanset(substring_spans_against(spark, new, path, "doc_id", "text"))
+    assert out == {(1, 3, 15, 12)}
+    # append a second reference batch; doc 2's text now contaminates
+    ref2 = spark.createDataFrame(
+        [(101, "completely original new words here nothing shared at all")],
+        "doc_id long, text string",
+    )
+    materialize_substring_index(ref2, "doc_id", "text", path, k=8, mode="append")
+    out2 = _spanset(substring_spans_against(spark, new, path, "doc_id", "text"))
+    assert (2, 0, 9, 9) in out2 and (1, 3, 15, 12) in out2
+    os.remove(os.path.join(path, "_INDEX_COMMIT"))
+    with pytest.raises(ValueError, match="uncommitted"):
+        substring_spans_against(spark, new, path, "doc_id", "text")
+
+
 def test_substring_dedup_keeps_first_occurrence_only(spark):
     """Lee et al. removal: the corpus-first occurrence (min (doc, start)
     per span string) keeps the passage; every other occurrence is cut;
