@@ -5811,6 +5811,46 @@ FROM isl GROUP BY doc_id, grp
 """
 
 
+def q_streaming_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 streaming exact-substring decontamination (streaming/
+    pipeline.py:streaming_decontam): the odd-id docs arrive in two
+    micro-batches and are checked against the persisted even-id
+    substring index. The reference index is STATIC and batches carry no
+    cross-batch state, so the union of the per-batch span sets equals
+    the batch substring_spans_against over the whole corpus EXACTLY (no
+    id-ordering caveat) — shares _Q_SUBSTRING_DECONTAM_SQL."""
+    import tempfile
+
+    from gluestick_spark.llm.spans import materialize_substring_index
+    from gluestick_spark.streaming.pipeline import (
+        read_streaming_dedup_output,
+        stream_from_directory,
+        streaming_decontam,
+    )
+
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    new = d.where(F.col("doc_id") % 2 == 1)
+    idx = tempfile.mkdtemp(prefix="gs_sdec_idx_")
+    materialize_substring_index(ref, "doc_id", "text", idx, k=8)
+    mid = new.select(F.percentile_approx("doc_id", 0.5)).first()[0]
+    stage = tempfile.mkdtemp(prefix="gs_sdec_src_")
+    out = tempfile.mkdtemp(prefix="gs_sdec_out_")
+    flagged = tempfile.mkdtemp(prefix="gs_sdec_flag_")
+    ckpt = tempfile.mkdtemp(prefix="gs_sdec_ckpt_")
+    for cond in (F.col("doc_id") <= mid, F.col("doc_id") > mid):
+        new.where(cond).coalesce(1).write.mode("append").parquet(stage)
+        q = streaming_decontam(
+            stream_from_directory(spark, stage, new.schema),
+            idx, "doc_id", "text", out, flagged, ckpt, max_occurrences=64,
+        )
+        q.awaitTermination()
+    return read_streaming_dedup_output(spark, flagged).select(
+        "doc_id", "span_start", "span_end", "n_tokens"
+    )
+
+
 def q_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The classifier → mixing composition the corpus-filter exists for
     (llm/classifier.py → llm/sampling.py:mix_corpora): classifier-scored
@@ -6393,6 +6433,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # byte-level regex-chain REPLAY — cross-engine regex semantics,
         # complementing the window row's rule-derived independent oracle)
         "html_extract_replay": q_html_extract,
+        # (stateless stream ≡ batch EXACTLY — static index, no cross-batch
+        # state; shares the substring_decontam oracle verbatim)
+        "streaming_decontam": q_streaming_decontam,
         "kmv_merge": q_kmv_merge,
         "event_asof_close": q_event_asof_close,
         "event_asof_nearest": q_event_asof_nearest,
@@ -6570,6 +6613,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_vectors": _Q_TFIDF_SQL,
         "time_rollup": _Q_TIME_ROLLUP_SQL,
         "html_extract_replay": _Q_HTML_EXTRACT_REPLAY_SQL,
+        "streaming_decontam": _Q_SUBSTRING_DECONTAM_SQL,
         "kmv_merge": _Q_KMV_SQL,
         "event_asof_close": _Q_EVENT_ASOF_CLOSE_SQL,
         "event_asof_nearest": _Q_EVENT_ASOF_NEAREST_SQL,

@@ -33,6 +33,7 @@ __all__ = [
     "streaming_minhash_dedup",
     "streaming_url_dedup",
     "read_streaming_dedup_output",
+    "streaming_decontam",
     "streaming_bin_counts",
     "bin_counts_from_state",
     "streaming_agg_upsert",
@@ -967,6 +968,58 @@ def streaming_cdc(
             .parquet(changes_dir)
         )
         snapshot_records(spark, batch_df, stream, snapshot_dir, pk=keys)
+
+    writer = stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_decontam(
+    stream_df: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    out_dir: str,
+    flagged_dir: str,
+    checkpoint_dir: str,
+    max_occurrences: int = 256,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming exact-substring decontamination: each micro-batch is
+    checked against a persisted
+    :func:`~gluestick_spark.llm.spans.materialize_substring_index`
+    (the benchmark/eval corpus); clean documents append to ``out_dir``,
+    contaminated documents' spans to ``flagged_dir`` — the
+    filter-the-firehose shape of a continuously-ingesting training
+    pipeline.
+
+    **Exact batch equivalence, no caveats**: the reference index is
+    static and batches carry no cross-batch state, so the union of the
+    per-batch span sets IS the batch
+    :func:`~gluestick_spark.llm.spans.substring_spans_against` over the
+    whole corpus (unlike the dedup streams, there is no id-ordering
+    assumption). Emitted rows carry ``__batch_id__``; replayed appends
+    are byte-identical and collapse under
+    :func:`read_streaming_dedup_output` on either directory.
+
+    Per-batch cost: batch windows + candidate-bound verify against the
+    partitioned index — O(batch), the reference is never re-tokenized.
+    """
+    from ..llm.spans import substring_spans_against
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spans = substring_spans_against(
+            spark, batch_df, index_path, id_col, text_col, max_occurrences
+        ).localCheckpoint()
+        dirty = spans.select(id_col).distinct()
+        clean = batch_df.join(dirty, id_col, "left_anti")
+        tag = F.lit(batch_id).cast("long").alias("__batch_id__")
+        clean.select("*", tag).write.mode("append").parquet(out_dir)
+        spans.select("*", tag).write.mode("append").parquet(flagged_dir)
 
     writer = stream_df.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
