@@ -5811,6 +5811,54 @@ FROM isl GROUP BY doc_id, grp
 """
 
 
+def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score (llm/text.py:bigram_nll): docs scored
+    against the corpus's own add-α bigram conditionals — catches
+    common-words-in-impossible-orders salad a unigram filter passes.
+    Same rounding device as unigram_nll (per-doc avg sums doubles in
+    engine order → floor 1e-3 both sides)."""
+    from gluestick_spark.llm.text import bigram_nll
+
+    d = _tp(spark, sf_dir, "documents", "doc_id")
+    out = bigram_nll(d, "text", "doc_id", alpha=0.5)
+    return out.select(
+        "doc_id", (F.floor(F.col("nll") * 1e3) / 1e3).alias("nll"), "n_bigrams"
+    )
+
+
+_Q_BIGRAM_NLL_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''),
+                        x -> lower(x)) AS toks
+  FROM documents
+),
+ex AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS prev,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS cur
+  FROM t
+),
+uni AS (
+  SELECT tok AS prev, count(*) AS c1
+  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok
+),
+v AS (SELECT count(*) AS V FROM uni),
+bi AS (SELECT prev, cur, count(*) AS c2 FROM ex GROUP BY prev, cur),
+scored AS (
+  SELECT e.doc_id,
+         -avg(ln((bi.c2 + 0.5) / (uni.c1 + 0.5 * v.V))) AS nll,
+         count(*) AS n_bigrams
+  FROM ex e JOIN bi USING (prev, cur) JOIN uni USING (prev), v
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+       floor(s.nll * 1e3) / 1e3 AS nll,
+       COALESCE(s.n_bigrams, 0) AS n_bigrams
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
 def q_streaming_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 streaming exact-substring decontamination (streaming/
     pipeline.py:streaming_decontam): the odd-id docs arrive in two
@@ -6384,6 +6432,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exercised by r7-green cluster_dedup_best/dedup_cluster_sizes and
         # its candidate stage by in-window minhash_dedup.)
         "substring_decontam": q_substring_decontam,
+        # (round-9 addition: bigram-LM quality score. Displaces build_vocab:
+        # its frequency-table device is exercised by this row's unigram+
+        # bigram tables and r8-green collocations; thresholds pytest-pinned.)
+        "bigram_nll": q_bigram_nll,
         "local_supplier_volume": q_local_supplier_volume,
         "promo_revenue": q_promo_revenue,
         "shipping_priority": q_shipping_priority,
@@ -6408,7 +6460,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_upsert": q_snapshot_upsert,
         "token_stats": q_token_stats,
         "top_orders_per_cust": q_top_orders_per_cust,
-        "build_vocab": q_build_vocab,
         "chunk_documents": q_chunk_documents,
         "contamination_check": q_contamination_check,
         "event_asof_open": q_event_asof_open,
@@ -6424,6 +6475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail rows remain locally oracle-checked every round via
         # tools/check_correctness.py / driver_sim.py. ----
         "windowed_counts": q_windowed_counts,
+        "build_vocab": q_build_vocab,
         "cluster_dedup": q_cluster_dedup,
         "hash_sample": q_hash_sample,
         "mix_corpora": q_mix_corpora,
@@ -6570,6 +6622,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": _Q_SUBSTRING_DEDUP_SQL,
         "quality_mix": _quality_mix_oracle_sql(),
         "substring_decontam": _Q_SUBSTRING_DECONTAM_SQL,
+        "bigram_nll": _Q_BIGRAM_NLL_SQL,
         "local_supplier_volume": _Q_LOCAL_SUPPLIER_SQL,
         "promo_revenue": _Q_PROMO_SQL,
         "shipping_priority": _Q_SHIPPING_SQL,
@@ -6594,7 +6647,6 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_upsert": _Q_SNAPSHOT_SQL,
         "token_stats": _Q_TOKEN_STATS_SQL,
         "top_orders_per_cust": _Q_TOP_ORDERS_SQL,
-        "build_vocab": _Q_BUILD_VOCAB_SQL,
         "chunk_documents": _Q_CHUNK_DOCS_SQL,
         "contamination_check": _Q_CONTAMINATION_SQL,
         "event_asof_open": _Q_EVENT_ASOF_SQL,
@@ -6607,6 +6659,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_windows": _Q_RANGE_JOIN_SQL,
         # ---- tail ----
         "windowed_counts": _Q_WINDOWED_COUNTS_SQL,
+        "build_vocab": _Q_BUILD_VOCAB_SQL,
         "cluster_dedup": _Q_CLUSTER_DEDUP_SQL,
         "hash_sample": _Q_HASH_SAMPLE_SQL,
         "mix_corpora": _Q_MIX_CORPORA_SQL,

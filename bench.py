@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "substring_dedup",
     "quality_mix",
     "substring_decontam",
+    "bigram_nll",
 ]
 
 

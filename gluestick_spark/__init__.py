@@ -170,6 +170,7 @@ from .llm.text import (
     bpe_pair_counts,
     encode_tokens,
     unigram_nll,
+    bigram_nll,
 )
 from .llm.bpe import train_bpe, apply_bpe
 from .llm.sampling import (

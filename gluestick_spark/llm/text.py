@@ -35,6 +35,7 @@ __all__ = [
     "build_vocab",
     "encode_tokens",
     "unigram_nll",
+    "bigram_nll",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -589,5 +590,71 @@ def unigram_nll(
             F.col("__id__").alias(id_col),
             "nll",
             F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        )
+    )
+
+
+def bigram_nll(
+    df,
+    text_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+):
+    """Per-document BIGRAM negative log-likelihood — the next step up
+    from :func:`unigram_nll`'s CCNet-style score: documents are scored
+    against the corpus's own add-α-smoothed bigram conditional model,
+
+        nll(D) = −(1/(|D|−1)) Σ_i ln( (c(w_{i−1}, w_i) + α)
+                                      / (c(w_{i−1}) + α·V) )
+
+    with context counts c(w), bigram counts c(w, w'), and unigram vocab
+    size V. Word-salad that passes a unigram filter (common words in
+    impossible orders — shuffled text, keyword stuffing) scores high
+    here, which is exactly the gap a bigram model closes. Returns
+    (id, ``nll`` double, ``n_bigrams``); docs with < 2 tokens get NULL
+    nll and 0 bigrams.
+
+    Plan: one tokenize per document; adjacent pairs via the zip_with
+    slice device (no self-join of token positions); ONE explode feeds
+    the bigram-frequency aggregate, the context-frequency aggregate,
+    and the per-doc scoring join; V rides a 1-row broadcast. The bigram
+    table is corpus-bounded (distinct adjacent pairs), the join is a
+    plain hash join on the pair — everything JVM-side. Like
+    unigram_nll, the per-doc avg sums doubles in engine order — oracle
+    rows floor-round (1e-3) on both sides.
+    """
+    toks = F.transform(tokens_expr(F.col(text_col)), F.lower)
+    n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, n_pairs),
+        F.slice(toks, 2, n_pairs),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    ex = df.select(
+        F.col(id_col).alias("__id__"), F.explode(pairs).alias("__p__")
+    ).select("__id__", F.col("__p__.prev").alias("prev"), F.col("__p__.cur").alias("cur"))
+    uni = df.select(F.explode(toks).alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("__c1__")
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("__V__"))
+    bi = ex.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("__c2__"))
+    lnp = F.log(
+        (F.col("__c2__") + F.lit(alpha))
+        / (F.col("__c1__") + F.lit(alpha) * F.col("__V__"))
+    )
+    scored = (
+        ex.join(bi, ["prev", "cur"])
+        .join(uni.withColumnRenamed("tok", "prev"), "prev")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("__id__")
+        .agg((-F.avg(lnp)).alias("nll"), F.count(F.lit(1)).alias("n_bigrams"))
+    )
+    return (
+        df.select(F.col(id_col).alias("__id__"))
+        .join(scored, "__id__", "left")
+        .select(
+            F.col("__id__").alias(id_col),
+            "nll",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
         )
     )
