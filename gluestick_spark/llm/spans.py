@@ -189,7 +189,11 @@ def substring_overlap_spans(
 
     Cost is ∝ corpus tokens (window projection) + ∝ matches (verify and
     merge touch only candidate positions) — the replica-flood probe
-    shape. DuckDB replays all four stages at fixed k
+    shape. Honest caveat: the verify stage re-reads and re-tokenizes the
+    corpus for the join-back (a second scan); only candidate positions
+    do slicing work, but the scan itself is full — at extreme scale,
+    pre-materializing (id, tokens) once (the substring-INDEX layout,
+    :func:`materialize_substring_index`) amortizes both scans. DuckDB replays all four stages at fixed k
     (``__spark_entry__.py:q_substring_spans``)."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
