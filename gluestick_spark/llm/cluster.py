@@ -673,6 +673,15 @@ def sq_ivf_append(
     a from-scratch build over the union (frozen router ⇒ same cell for
     every vector; cells just gain files — pytest-pinned).
 
+    Crash safety mirrors the band-index append (ADVICE r9): the
+    ``_ROUTER.json`` commit marker is REMOVED before the cell append and
+    atomically rewritten after it, so a crash during job commit leaves a
+    marker-less index that :func:`sq_ivf_topk_indexed` and a retried
+    append refuse LOUDLY instead of serving a partially-appended batch.
+    (Spark's own job commit makes the parquet append internally
+    atomic-ish, but a kill between task commits can leave a subset of
+    cell files — the marker bracket closes that window.)
+
     Under distribution drift the cells skew over time; monitor cell
     sizes and rebuild with a retrained router when imbalance hurts probe
     cost. Id uniqueness across batches is the caller's contract."""
@@ -706,12 +715,17 @@ def sq_ivf_append(
     ).withColumn("cid", _assign_expr(state)).select(
         router["id_col"], "scale", "qvec", "cid"
     )
+    _os.remove(router_path)  # invalidate: torn append must refuse loudly
     (
         enc.repartition(F.col("cid"))
         .write.partitionBy("cid")
         .mode("append")
         .parquet(_os.path.join(path, "cells"))
     )
+    tmp = router_path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(router, f)
+    _os.replace(tmp, router_path)  # atomic re-commit
 
 
 def sq_ivf_topk_indexed(

@@ -303,8 +303,16 @@ def resample_to_ratio(
     # left join FROM the weights literal: a weighted class absent from the
     # data contributes n_c = 0, forcing u = 0 (empty output) instead of
     # being silently ignored by a data-side-only groupBy
+    from pyspark.sql.types import StructField, StructType
+
+    # schema derived from the DATA frame's class column, not hardcoded
+    # string — int/date/etc. class labels build and join cleanly
+    # (ADVICE r9: the literal "class string" schema raised TypeError for
+    # non-string labels where the old data-side groupBy had worked)
+    cls_type = df.schema[class_col].dataType
     wdf = df.sparkSession.createDataFrame(
-        [(c,) for c in weights], f"{class_col} string"
+        [(c,) for c in weights],
+        StructType([StructField(class_col, cls_type, True)]),
     )
     observed = tagged.groupBy(class_col).agg(F.count(F.lit(1)).alias("__obs__"))
     counts = wdf.join(observed, class_col, "left").select(

@@ -26,10 +26,11 @@ or the new one, never a torn table. A version is published iff its
 tables), with a ``_SUCCESS``-marker fallback for tables older than the
 log. A crash mid-write leaves an unpublished ``v=N`` directory that is
 invisible to ``read_versioned``/``published_versions`` — even after
-later writes publish higher numbers — and that vacuum removes once it
-has sat unmodified past a grace period (an in-flight writer keeps its
-directory's mtime fresh with every task file it lands, so vacuum can't
-rmtree under a slow writer that merely lost the pointer race).
+later writes publish higher numbers — and that vacuum removes once the
+newest mtime anywhere under it (the whole tree, so committer-v1 task
+files staging under ``v=N/_temporary/...`` count as activity) has aged
+past a grace period — vacuum can't rmtree under a slow writer that
+merely lost the pointer race.
 
 Layout::
 
@@ -211,8 +212,32 @@ def read_versioned(
     return spark.read.parquet(_vdir(path, version))
 
 
+def _tree_mtime(root: str) -> float:
+    """Newest mtime anywhere under ``root`` (directories AND files,
+    recursively). A plain ``getmtime(root)`` misses in-flight Spark
+    writes: with Hadoop FileOutputCommitter v1 task files stage under
+    ``v=N/_temporary/<attempt>/...`` and only move into ``v=N`` at job
+    commit, so landing a task file refreshes a NESTED directory's mtime,
+    never the parent's. Walking the tree sees that activity."""
+    try:
+        newest = os.path.getmtime(root)
+    except OSError:
+        return 0.0
+    for dirpath, _dirnames, filenames in os.walk(root):
+        try:
+            newest = max(newest, os.path.getmtime(dirpath))
+        except OSError:
+            continue
+        for name in filenames:
+            try:
+                newest = max(newest, os.path.getmtime(os.path.join(dirpath, name)))
+            except OSError:
+                continue
+    return newest
+
+
 def vacuum_versions(
-    path: str, keep: int, unpublished_grace_seconds: float = 900.0
+    path: str, keep: int, unpublished_grace_seconds: float = 3600.0
 ) -> list[int]:
     """Delete all but the newest ``keep`` published versions, plus
     unpublished crash leftovers OLDER than the pointer that have sat
@@ -220,11 +245,15 @@ def vacuum_versions(
     period exists because a buried claim is NOT garbage by construction:
     a slow writer's lower-numbered claim can still be mid-write when a
     faster writer publishes a higher version, and an rmtree under it
-    would let it commit a torn/deleted version. An actively-writing
-    claim keeps its directory mtime fresh (every task file landed
-    touches it), so only genuinely abandoned leftovers age past the
-    grace window. Anything newer than the pointer is never touched
-    regardless of age. Returns the deleted version numbers.
+    would let it commit a torn/deleted version. Staleness is judged by
+    the newest mtime ANYWHERE under ``v=N`` (:func:`_tree_mtime`) — with
+    committer-v1 staging an active writer's task files land under
+    ``v=N/_temporary/...`` without touching ``v=N`` itself, so the
+    top-level mtime alone would age out a live write. Anything newer
+    than the pointer is never touched regardless of age, and the default
+    grace (1h) is set above plausible single-job write durations; raise
+    it for clusters whose jobs run longer. Returns the deleted version
+    numbers.
 
     The ``_COMMITS`` log is never rewritten (that would race a
     concurrent writer's append): ``published_versions`` intersects the
@@ -240,11 +269,8 @@ def vacuum_versions(
     now = time.time()
     for v in list_versions(path):
         if v < cur and v not in pub:
-            try:
-                mtime = os.path.getmtime(_vdir(path, v))
-            except OSError:
-                continue
-            if now - mtime >= unpublished_grace_seconds:
+            mtime = _tree_mtime(_vdir(path, v))
+            if mtime and now - mtime >= unpublished_grace_seconds:
                 doomed.add(v)
     out = sorted(doomed)
     for v in out:

@@ -460,7 +460,10 @@ def streaming_minhash_dedup(
     ``total = state_width + batch_width`` and a split candidate join
     ``state×batch ∪ batch×batch``, both provably emitting the same pairs).
     Only batch-sized frames shuffle. Emitted rows are identical to the
-    default path (pytest-pinned equivalence)."""
+    default path (pytest-pinned equivalence). State tables are EXTERNAL
+    with files under ``state_dir`` (ADVICE r9 — delete ``state_dir`` to
+    reset; fresh sessions re-register from disk; layout toggles on
+    existing state raise loudly)."""
     import os
 
     from ..llm.dedup import (
@@ -475,8 +478,13 @@ def streaming_minhash_dedup(
         max_bucket = DEFAULT_MAX_BUCKET
     buckets_path = os.path.join(state_dir, "minhash_buckets.parquet")
     docs_path = os.path.join(state_dir, "minhash_docs.parquet")
+    buckets_loc = os.path.join(state_dir, "minhash_buckets_bt")
+    docs_loc = os.path.join(state_dir, "minhash_docs_bt")
     buckets_tbl = _state_table_name(state_dir, "mh_buckets")
     docs_tbl = _state_table_name(state_dir, "mh_docs")
+    _guard_state_layout_toggle(
+        state_buckets, [buckets_path, docs_path], [buckets_loc, docs_loc]
+    )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -484,11 +492,16 @@ def streaming_minhash_dedup(
             F.col(id_col).alias("__id__"), F.col(text_col).alias("__text__")
         )
         bb = minhash_band_buckets(batch, "__text__", "__id__", num_perm, bands, shingle_n)
-        have_state = (
-            spark.catalog.tableExists(buckets_tbl)
-            if state_buckets
-            else os.path.exists(buckets_path)
-        )
+        if state_buckets:
+            have_state = _ensure_bucketed_state(
+                spark, buckets_tbl, buckets_loc, ["band", "bucket"], state_buckets
+            )
+            if have_state:
+                _ensure_bucketed_state(
+                    spark, docs_tbl, docs_loc, ["__id__"], state_buckets
+                )
+        else:
+            have_state = os.path.exists(buckets_path)
         if state_buckets and have_state:
             # state side stays on its bucket layout end-to-end: distinct,
             # width count, width-filter join, and the candidate join all
@@ -589,12 +602,12 @@ def streaming_minhash_dedup(
             F.col("__id__").alias(id_col), F.col("__text__").alias(text_col)
         ).write.mode("append").parquet(out_dir)
         if state_buckets:
-            bb.write.mode("append").format("parquet").bucketBy(
-                state_buckets, "band", "bucket"
-            ).saveAsTable(buckets_tbl)
-            batch.write.mode("append").format("parquet").bucketBy(
-                state_buckets, "__id__"
-            ).saveAsTable(docs_tbl)
+            _append_bucketed_state(
+                bb, buckets_tbl, buckets_loc, ["band", "bucket"], state_buckets
+            )
+            _append_bucketed_state(
+                batch, docs_tbl, docs_loc, ["__id__"], state_buckets
+            )
         else:
             bb.write.mode("append").parquet(buckets_path)
             batch.write.mode("append").parquet(docs_path)
@@ -617,6 +630,89 @@ def _state_table_name(state_dir: str, kind: str) -> str:
 
     digest = hashlib.md5(os.path.abspath(state_dir).encode()).hexdigest()[:12]
     return f"gs_state_{kind}_{digest}"
+
+
+def _has_data_files(loc: str) -> bool:
+    import os
+
+    if not os.path.isdir(loc):
+        return False
+    for _root, _dirs, files in os.walk(loc):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def _ensure_bucketed_state(
+    spark, tbl: str, loc: str, bucket_cols: list[str], n: int
+) -> bool:
+    """Resolve a bucketed state table that LIVES UNDER state_dir (ADVICE
+    r9: state must be where the docs say it is — deleting ``state_dir``
+    resets the stream, catalog or no catalog). Returns True iff prior
+    state exists. Three cases:
+
+    - catalog table exists AND its location still holds data → resume.
+    - catalog table exists but the location was wiped (user deleted
+      ``state_dir`` for a fresh start) → DROP the stale entry so the
+      stream genuinely restarts from empty instead of silently deduping
+      against a ghost table.
+    - data exists on disk but the catalog entry is gone (fresh Spark
+      session / new warehouse, persistent ``state_dir``) → re-register
+      an external bucketed table over the existing files so state is
+      never silently abandoned.
+    """
+    exists = spark.catalog.tableExists(tbl)
+    has_files = _has_data_files(loc)
+    if exists and has_files:
+        return True
+    if exists and not has_files:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        return False
+    if has_files:
+        schema_ddl = spark.read.parquet(loc).schema.toDDL()
+        cols = ", ".join(f"`{c}`" for c in bucket_cols)
+        spark.sql(
+            f"CREATE TABLE {tbl} ({schema_ddl}) USING PARQUET "
+            f"CLUSTERED BY ({cols}) INTO {n} BUCKETS "
+            f"LOCATION '{loc}'"
+        )
+        return True
+    return False
+
+
+def _append_bucketed_state(
+    df: DataFrame, tbl: str, loc: str, bucket_cols: list[str], n: int
+) -> None:
+    """Append a batch to a bucketed state table, creating it as an
+    EXTERNAL table at ``loc`` (under state_dir) on first write."""
+    w = df.write.mode("append").format("parquet").bucketBy(n, *bucket_cols)
+    if not df.sparkSession.catalog.tableExists(tbl):
+        w = w.option("path", loc)
+    w.saveAsTable(tbl)
+
+
+def _guard_state_layout_toggle(
+    state_buckets: int | None, plain_paths: list[str], bucketed_locs: list[str]
+) -> None:
+    """``state_buckets`` cannot be toggled on an existing stream's state:
+    enabling it would silently abandon the plain-parquet state and
+    restart dedup from empty; disabling it would do the reverse. Refuse
+    loudly when the OTHER layout's state already exists (ADVICE r9)."""
+    if state_buckets and any(_has_data_files(p) for p in plain_paths):
+        raise ValueError(
+            "state_buckets=N was enabled but plain-parquet state already "
+            f"exists under {plain_paths} — toggling the state layout on an "
+            "existing stream would silently restart dedup from empty. "
+            "Either keep state_buckets=None, or point the stream at a "
+            "fresh state_dir (and re-seed state if needed)."
+        )
+    if not state_buckets and any(_has_data_files(p) for p in bucketed_locs):
+        raise ValueError(
+            "state_buckets=None but bucketed state already exists under "
+            f"{bucketed_locs} — toggling the state layout on an existing "
+            "stream would silently restart dedup from empty. Either keep "
+            "state_buckets=N, or point the stream at a fresh state_dir."
+        )
 
 
 def streaming_url_dedup(
@@ -675,20 +771,29 @@ def streaming_url_dedup(
     (small by definition) shuffles, to ``N`` partitions. Per-batch
     network cost is then O(batch), not O(state). Emitted rows are
     identical to the default path (same math, different layout —
-    pytest-pinned). Requires a session catalog; the table name derives
-    from ``state_dir`` so restarts resume it."""
+    pytest-pinned). The table is EXTERNAL with its files under
+    ``state_dir`` (ADVICE r9): deleting ``state_dir`` genuinely resets
+    the stream (a stale catalog entry over the wiped location is
+    dropped on the next start), and a fresh session over a persistent
+    ``state_dir`` re-registers the table from disk. ``state_buckets``
+    cannot be toggled on an existing stream's state — the other
+    layout's files present under ``state_dir`` raise loudly."""
     import os
 
     from ..llm.web import url_dedup
 
     canon_path = os.path.join(state_dir, "url_canon.parquet")
+    canon_loc = os.path.join(state_dir, "url_canon_buckets")
     canon_tbl = _state_table_name(state_dir, "url_canon")
+    _guard_state_layout_toggle(state_buckets, [canon_path], [canon_loc])
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_kept = url_dedup(batch_df, url_col, id_col)
         if state_buckets:
-            have_state = spark.catalog.tableExists(canon_tbl)
+            have_state = _ensure_bucketed_state(
+                spark, canon_tbl, canon_loc, ["__canon__"], state_buckets
+            )
             seen = spark.table(canon_tbl).distinct() if have_state else None
         else:
             have_state = os.path.exists(canon_path)
@@ -714,9 +819,9 @@ def streaming_url_dedup(
             F.col("canonical_url").alias("__canon__")
         )
         if state_buckets:
-            canon.write.mode("append").format("parquet").bucketBy(
-                state_buckets, "__canon__"
-            ).saveAsTable(canon_tbl)
+            _append_bucketed_state(
+                canon, canon_tbl, canon_loc, ["__canon__"], state_buckets
+            )
         else:
             canon.write.mode("append").parquet(canon_path)
 

@@ -1,0 +1,223 @@
+"""Round-10 contracts: the four ADVICE-r9 fixes, then the round's new
+operators (each also has a driver-oracle row where SQL-expressible)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------ ADVICE 1: vacuum tree ---
+
+
+def test_vacuum_sees_committer_v1_staging_activity(spark, tmp_dir):
+    """ADVICE r9 (medium): with FileOutputCommitter v1 an in-flight
+    writer's task files land under v=N/_temporary/... and never touch
+    v=N's own mtime — staleness must be judged from the newest mtime
+    anywhere under the tree, or vacuum rmtree's a live write."""
+    from gluestick_spark.operators.versioned import (
+        vacuum_versions,
+        write_versioned,
+    )
+
+    path = os.path.join(tmp_dir, "tbl")
+    write_versioned(spark.range(2), path)  # v=1 published
+    claim = os.path.join(path, "v=2")
+    os.mkdir(claim)  # slow writer's claim
+    write_versioned(spark.range(4), path)  # fast writer publishes v=3
+    # simulate committer-v1 staging: nested task file is FRESH, but the
+    # claimed top dir itself is old
+    staging = os.path.join(claim, "_temporary", "0", "task_0")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "part-0.parquet"), "w") as f:
+        f.write("x")
+    old = 1.0
+    os.utime(claim, (old, old))
+    # grace=60s: top-dir mtime alone says "ancient", tree mtime says live
+    assert vacuum_versions(path, keep=10, unpublished_grace_seconds=60.0) == []
+    assert os.path.isdir(claim)
+    # age the WHOLE tree out -> now it is garbage
+    for dirpath, _dirs, files in os.walk(claim):
+        os.utime(dirpath, (old, old))
+        for name in files:
+            os.utime(os.path.join(dirpath, name), (old, old))
+    assert vacuum_versions(path, keep=10, unpublished_grace_seconds=60.0) == [2]
+
+
+# ------------------------------------- ADVICE 2: bucketed state location --
+
+
+def test_bucketed_state_lives_under_state_dir_and_resets(spark, tmp_dir):
+    """ADVICE r9 (medium): bucketed state must live under state_dir (the
+    documented state location) so deleting state_dir genuinely resets
+    the stream; a stale catalog entry over the wiped location must not
+    resurrect dedup state."""
+    import shutil
+
+    from gluestick_spark.streaming.pipeline import (
+        _state_table_name,
+        read_streaming_dedup_output,
+        stream_from_directory,
+        streaming_url_dedup,
+    )
+
+    d = spark.createDataFrame(
+        [(i, f"https://site{i % 3}.com/p?utm_source=x&id={i % 3}") for i in range(12)],
+        "doc_id long, url string",
+    )
+    tmp = tmp_dir
+    stage = os.path.join(tmp, "src")
+    state = os.path.join(tmp, "state")
+
+    def run(out, ckpt):
+        q = streaming_url_dedup(
+            stream_from_directory(spark, stage, d.schema),
+            "url", "doc_id", state, out, ckpt, state_buckets=4,
+        )
+        q.awaitTermination()
+
+    d.coalesce(1).write.mode("append").parquet(stage)
+    run(os.path.join(tmp, "out1"), os.path.join(tmp, "ckpt1"))
+    out1 = read_streaming_dedup_output(spark, os.path.join(tmp, "out1"))
+    assert out1.count() == 3  # 3 distinct canonical urls
+
+    # state FILES are under state_dir, not the session warehouse
+    loc = os.path.join(state, "url_canon_buckets")
+    assert any(
+        f.endswith(".parquet") for _r, _d, fs in os.walk(loc) for f in fs
+    ), "bucketed state files must live under state_dir"
+
+    # deleting state_dir resets the stream even though the catalog entry
+    # lingers: a fresh run re-emits all 3 canonical urls
+    shutil.rmtree(state)
+    tbl = _state_table_name(state, "url_canon")
+    assert spark.catalog.tableExists(tbl)  # the ghost the fix neutralizes
+    run(os.path.join(tmp, "out2"), os.path.join(tmp, "ckpt2"))
+    out2 = read_streaming_dedup_output(spark, os.path.join(tmp, "out2"))
+    assert out2.count() == 3, "wiped state_dir must mean a fresh start"
+
+
+def test_bucketed_state_reregisters_after_catalog_loss(spark, tmp_dir):
+    """Fresh session catalog + persistent state_dir: the external table
+    is re-registered from the files on disk instead of silently
+    restarting dedup from empty."""
+    from gluestick_spark.streaming.pipeline import (
+        _state_table_name,
+        read_streaming_dedup_output,
+        stream_from_directory,
+        streaming_url_dedup,
+    )
+
+    d = spark.createDataFrame(
+        [(i, f"https://host.com/page{i % 4}") for i in range(8)],
+        "doc_id long, url string",
+    )
+    stage = os.path.join(tmp_dir, "src")
+    state = os.path.join(tmp_dir, "state")
+    out, ckpt = os.path.join(tmp_dir, "out"), os.path.join(tmp_dir, "ckpt")
+
+    d.where("doc_id < 4").coalesce(1).write.mode("append").parquet(stage)
+    q = streaming_url_dedup(
+        stream_from_directory(spark, stage, d.schema),
+        "url", "doc_id", state, out, ckpt, state_buckets=4,
+    )
+    q.awaitTermination()
+    # simulate catalog loss (new warehouse / new session): drop the entry
+    tbl = _state_table_name(state, "url_canon")
+    spark.sql(f"DROP TABLE {tbl}")
+    # second half repeats the same 4 pages -> all dupes vs persisted state
+    d.where("doc_id >= 4").coalesce(1).write.mode("append").parquet(stage)
+    q = streaming_url_dedup(
+        stream_from_directory(spark, stage, d.schema),
+        "url", "doc_id", state, out, ckpt, state_buckets=4,
+    )
+    q.awaitTermination()
+    got = read_streaming_dedup_output(spark, out)
+    assert got.count() == 4, "state on disk must survive catalog loss"
+
+
+def test_state_layout_toggle_refused(spark, tmp_dir):
+    """state_buckets cannot be toggled on an existing stream's state —
+    either direction raises instead of silently restarting from empty."""
+    from gluestick_spark.streaming.pipeline import (
+        stream_from_directory,
+        streaming_url_dedup,
+    )
+
+    d = spark.createDataFrame(
+        [(i, f"https://h.com/p{i}") for i in range(4)],
+        "doc_id long, url string",
+    )
+    stage = os.path.join(tmp_dir, "src")
+    state = os.path.join(tmp_dir, "state")
+    d.coalesce(1).write.mode("append").parquet(stage)
+    q = streaming_url_dedup(
+        stream_from_directory(spark, stage, d.schema),
+        "url", "doc_id", state,
+        os.path.join(tmp_dir, "out"), os.path.join(tmp_dir, "ckpt"),
+    )
+    q.awaitTermination()
+    with pytest.raises(ValueError, match="state layout"):
+        streaming_url_dedup(
+            stream_from_directory(spark, stage, d.schema),
+            "url", "doc_id", state,
+            os.path.join(tmp_dir, "out2"), os.path.join(tmp_dir, "ckpt2"),
+            state_buckets=4,
+        )
+
+
+# ----------------------------------- ADVICE 3: resample non-string class --
+
+
+def test_resample_to_ratio_int_class_labels(spark):
+    """ADVICE r9 (low): the weights frame's schema must derive from the
+    data's class column — integer labels must work, not TypeError."""
+    from gluestick_spark.llm.sampling import resample_to_ratio
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(90)], "k long, cls int"
+    )
+    out = resample_to_ratio(df, "k", "cls", {0: 2, 1: 1})
+    counts = {r["cls"]: r["n"] for r in out.groupBy("cls").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # n_0 = n_1 = 30; u = min(30//2, 30//1) = 15 -> 30:15
+    assert counts == {0: 30, 1: 15}
+
+
+# -------------------------------- ADVICE 4: sq_ivf_append crash bracket ---
+
+
+def test_sq_ivf_append_commit_bracket(spark, tmp_dir):
+    """ADVICE r9 (low): the append invalidates _ROUTER.json before
+    touching cell files and atomically re-commits it after — a torn
+    append is refused loudly by serving AND by a retried append."""
+    from gluestick_spark.llm.cluster import (
+        materialize_sq_ivf,
+        sq_ivf_append,
+        sq_ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    mid = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).first()[0]
+    h1 = emb.where(F.col("vec_id") <= mid)
+    h2 = emb.where(F.col("vec_id") > mid)
+    q = list(emb.first()["embedding"])
+    path = os.path.join(tmp_dir, "idx")
+    materialize_sq_ivf(h1, "embedding", "vec_id", path, n_clusters=4)
+    router = os.path.join(path, "_ROUTER.json")
+
+    # successful append re-commits the marker and serves the new rows
+    sq_ivf_append(h2, "embedding", "vec_id", path)
+    assert os.path.isfile(router)
+    assert sq_ivf_topk_indexed(spark, path, q, k=3, nprobe=4).count() == 3
+
+    # torn append: marker gone mid-append -> everything refuses loudly
+    os.remove(router)
+    with pytest.raises(ValueError, match="uncommitted"):
+        sq_ivf_topk_indexed(spark, path, q, k=3, nprobe=4)
+    with pytest.raises(ValueError, match="uncommitted"):
+        sq_ivf_append(h2, "embedding", "vec_id", path)
