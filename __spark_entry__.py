@@ -5622,6 +5622,112 @@ def q_sq_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIVF_INDEX_CACHE: dict = {}
 
 
+# IVF×PQ persisted serving index (VERDICT r9 #2): router 8 cells probe 3,
+# PQ geometry shared with the pq_topk row (4 subspaces × 16 dims, 8
+# centroids each, 1 Lloyd update).
+_PIVF_NC, _PIVF_NPROBE, _PIVF_K = 8, 3, 20
+
+
+def _pq_ivf_oracle_sql() -> str:
+    """Replays the full IVFADC serving path end-to-end: the integer-
+    Lloyd coarse router (training + probe selection + the cid pruning
+    that partition pruning performs physically) AND the m per-subspace
+    codebooks (training + encode + exact-int64 ADC ranking). A green
+    row verifies the store/serve split changes nothing — indexed ≡
+    direct is structural (same probe selection and distance code)."""
+    r_ctes, r_assign, r_cent = _lloyd_ctes(
+        "pivf", 1, _KM_DIM, _PIVF_NC, _PQ_ITERS, _KM_SCALE, _KM_DIM
+    )
+    qexpr = (
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * "
+        f"{_KM_SCALE}.0 + 0.5) AS BIGINT))"
+    )
+    blocks = [r_ctes + f""",
+qv_pivf AS (
+  SELECT {qexpr} AS q, CAST(list_dot_product({qexpr}, {qexpr}) AS BIGINT) AS xx
+  FROM embeddings WHERE vec_id = 0
+),
+probes_pivf AS (
+  SELECT c.cid FROM {r_cent} c, qv_pivf v
+  ORDER BY CAST(c.n*c.n*v.xx - 2*c.n*CAST(list_dot_product(v.q, c.s) AS BIGINT)
+                + CAST(list_dot_product(c.s, c.s) AS BIGINT) AS DOUBLE)
+           / CAST(c.n*c.n AS DOUBLE), c.cid
+  LIMIT {_PIVF_NPROBE}
+)"""]
+    finals = []
+    for j in range(_PQ_M):
+        lo, hi = j * _PQ_DS + 1, (j + 1) * _PQ_DS
+        ctes, assign_name, cent_name = _lloyd_ctes(
+            f"pv{j}", lo, hi, _PQ_K, _PQ_ITERS, _KM_SCALE, _PQ_DS
+        )
+        qv = f"""qv_pv{j} AS (
+  SELECT list_transform(embedding[{lo}:{hi}],
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_SCALE}.0 + 0.5) AS BIGINT)) AS q
+  FROM embeddings WHERE vec_id = 0
+),
+dt_pv{j} AS (
+  SELECT c.cid,
+         CAST(floor(1000000.0 *
+           (CAST(c.n*c.n*CAST(list_dot_product(v.q, v.q) AS BIGINT)
+                 - 2*c.n*CAST(list_dot_product(v.q, c.s) AS BIGINT)
+                 + CAST(list_dot_product(c.s, c.s) AS BIGINT) AS DOUBLE)
+            / CAST(c.n*c.n AS DOUBLE))) AS BIGINT) AS dv
+  FROM {cent_name} c, qv_pv{j} v
+)"""
+        blocks.append(ctes + ",\n" + qv)
+        finals.append((assign_name, f"dt_pv{j}"))
+    joins = f"FROM {finals[0][0]} a0 JOIN {finals[0][1]} d0 ON d0.cid = a0.cid"
+    for j in range(1, _PQ_M):
+        joins += (
+            f"\n  JOIN {finals[j][0]} a{j} ON a{j}.id = a0.id"
+            f" JOIN {finals[j][1]} d{j} ON d{j}.cid = a{j}.cid"
+        )
+    joins += f"\n  JOIN {r_assign} ar ON ar.id = a0.id"
+    dist = " + ".join(f"d{j}.dv" for j in range(_PQ_M))
+    return (
+        "WITH " + ",\n".join(blocks)
+        + f"\nSELECT a0.id AS vec_id, ({dist}) AS pq_dist\n{joins}\n"
+        + "WHERE ar.cid IN (SELECT cid FROM probes_pivf)\n"
+        + f"ORDER BY pq_dist, vec_id LIMIT {_PIVF_K}"
+    )
+
+
+def q_pq_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED IVF×PQ serving index (llm/pq.py:materialize_pq_ivf +
+    pq_ivf_topk_indexed — IVFADC, Jégou et al. 2011): the coarse router
+    and the 4 sub-quantizers train once; the corpus lands as 4-int code
+    arrays partitioned by cell. A probe reads ONLY nprobe pruned cell
+    directories (PartitionFilters — plan-gated in tests/test_plans.py)
+    and ranks with the driver-side exact-int64 ADC table. The oracle
+    replays router training, probe selection, codebook training,
+    encoding, AND the pruned ranking — indexed ≡ direct.
+
+    The built index is cached per sf_dir within the session (the
+    materialize-once/serve-many contract, same device as
+    q_sq_ivf_topk_indexed): repeated calls measure SERVING, not
+    rebuilds; the frozen router/codebooks make every serve identical."""
+    import tempfile
+
+    from gluestick_spark.llm.pq import materialize_pq_ivf, pq_ivf_topk_indexed
+
+    q = _query_vec(spark, sf_dir)
+    path = _PIVF_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        e = _t(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="gs_pqivf_idx_")
+        materialize_pq_ivf(
+            e, "embedding", "vec_id", path, m=_PQ_M, n_codes=_PQ_K,
+            n_clusters=_PIVF_NC, iters=_PQ_ITERS, scale=_KM_SCALE,
+        )
+        _PIVF_INDEX_CACHE[sf_dir] = path
+    return pq_ivf_topk_indexed(
+        spark, path, q, k=_PIVF_K, nprobe=_PIVF_NPROBE
+    )
+
+
+_PIVF_INDEX_CACHE: dict = {}
+
+
 _CLF_WEIGHTS = [((b * 37) % 21 - 10) / 10.0 for b in range(64)]
 
 
@@ -6425,6 +6531,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8 task 2; shares the sq_ivf oracle, indexed ≡ direct. Displaces
         # windowed_counts to the tail top — first in line for r10.)
         "sq_ivf_topk_indexed": q_sq_ivf_topk_indexed,
+        # (round-10 addition: the persisted IVF×PQ composed serving index —
+        # VERDICT r9 task 2, the L104 treatment applied to PQ; the oracle
+        # replays router + codebooks + pruned ADC ranking end-to-end.)
+        "pq_ivf_topk_indexed": q_pq_ivf_topk_indexed,
         # (round-9 addition: fastText-style linear classifier scoring —
         # VERDICT r8 task 8. Displaces time_rollup to the tail top.)
         "classifier_score": q_classifier_score,
@@ -6629,6 +6739,7 @@ def oracle_sql() -> dict[str, str]:
         "contact_normalize": _Q_CONTACT_NORM_SQL,
         "sq_ivf_topk": _sq_ivf_oracle_sql(),
         "sq_ivf_topk_indexed": _sq_ivf_oracle_sql(),
+        "pq_ivf_topk_indexed": _pq_ivf_oracle_sql(),
         "classifier_score": _classifier_oracle_sql(),
         "substring_spans": _Q_SUBSTRING_SPANS_SQL,
         "substring_dedup": _Q_SUBSTRING_DEDUP_SQL,

@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "sq_ivf_topk",
     # round-9 additions
     "sq_ivf_topk_indexed",
+    "pq_ivf_topk_indexed",
     "classifier_score",
     "substring_spans",
     "substring_dedup",

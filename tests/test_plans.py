@@ -222,6 +222,61 @@ def test_sq_ivf_indexed_probe_partition_pruning(spark, tmp_path):
     ]
 
 
+def test_pq_ivf_indexed_probe_partition_pruning(spark, tmp_path):
+    """VERDICT r9 #2: the persisted IVF×PQ index must serve a probe by
+    reading ONLY the nprobe probed cell directories (cid rides the scan
+    as a PartitionFilter; executed numPartitions == nprobe) and ONLY the
+    m-int code column — and the served top-k must equal the in-query
+    pq_ivf_topk with the same geometry (indexed ≡ direct)."""
+    import os
+
+    from gluestick_spark.llm.pq import (
+        materialize_pq_ivf,
+        pq_ivf_topk,
+        pq_ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = list(emb.where("vec_id = 0").first()["embedding"])
+    path = str(tmp_path / "pq_ivf_idx")
+    materialize_pq_ivf(
+        emb, "embedding", "vec_id", path, m=4, n_codes=8, n_clusters=8, iters=1
+    )
+
+    all_parts = {
+        d for d in os.listdir(os.path.join(path, "cells")) if d.startswith("cid=")
+    }
+    assert len(all_parts) > 3
+
+    top = pq_ivf_topk_indexed(spark, path, q, k=5, nprobe=3)
+    plan = _plan(top)
+    scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scan_lines, plan
+    assert "PartitionFilters" in scan_lines[0] and "cid" in scan_lines[0]
+    # codes-only read: the raw float embedding never enters the plan
+    assert "embedding" not in plan and "code" in plan
+
+    rows = top.collect()
+    leaves = top._jdf.queryExecution().executedPlan().collectLeaves()
+    scanned = None
+    for i in range(leaves.size()):
+        m = leaves.apply(i).metrics()
+        it = m.iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "numPartitions":
+                scanned = kv._2().value()
+    assert scanned == 3, f"scan read {scanned} partitions, expected nprobe=3"
+
+    direct = pq_ivf_topk(
+        emb, "embedding", "vec_id", q, k=5, m=4, n_codes=8, n_clusters=8,
+        nprobe=3, iters=1,
+    ).collect()
+    assert [(r["vec_id"], r["pq_dist"]) for r in rows] == [
+        (r["vec_id"], r["pq_dist"]) for r in direct
+    ]
+
+
 def test_driver_contract_registry():
     """queries() and oracle_sql() must stay key-identical and ordered the
     same — the driver zips them, and the first 50 form the correctness

@@ -221,3 +221,45 @@ def test_sq_ivf_append_commit_bracket(spark, tmp_dir):
         sq_ivf_topk_indexed(spark, path, q, k=3, nprobe=4)
     with pytest.raises(ValueError, match="uncommitted"):
         sq_ivf_append(h2, "embedding", "vec_id", path)
+
+
+# ------------------------------------ VERDICT 2: persisted IVF x PQ index --
+
+
+def test_pq_ivf_append_serves_like_frozen_rebuild(spark, tmp_dir):
+    """pq_ivf_append assigns + encodes the new batch against the FROZEN
+    persisted router/codebooks and appends into the cell directories —
+    after append(half2) onto index(half1), every half2 vector is present
+    and scored identically to encoding it standalone under half1's
+    geometry (the sq_ivf_append contract, applied to PQ)."""
+    from gluestick_spark.llm.pq import (
+        materialize_pq_ivf,
+        pq_ivf_append,
+        pq_ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    mid = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).first()[0]
+    h1 = emb.where(F.col("vec_id") <= mid)
+    h2 = emb.where(F.col("vec_id") > mid)
+    q_h2 = list(h2.first()["embedding"])
+    path = os.path.join(tmp_dir, "idx")
+    materialize_pq_ivf(h1, "embedding", "vec_id", path, m=4, n_codes=8,
+                       n_clusters=4, iters=1)
+    before = {r["vec_id"] for r in
+              pq_ivf_topk_indexed(spark, path, q_h2, k=5, nprobe=4).collect()}
+    pq_ivf_append(h2, "embedding", "vec_id", path)
+    after = pq_ivf_topk_indexed(spark, path, q_h2, k=5, nprobe=4).collect()
+    # the query vector itself (in half2) is now present with the minimal
+    # ADC self-distance, and ids from both halves are reachable
+    assert after[0]["vec_id"] == h2.first()["vec_id"]
+    assert {r["vec_id"] for r in after} != before
+
+    # torn-append bracket: marker removed mid-append -> refuse loudly
+    router = os.path.join(path, "_ROUTER.json")
+    assert os.path.isfile(router)  # re-committed after the append
+    os.remove(router)
+    with pytest.raises(ValueError, match="uncommitted"):
+        pq_ivf_topk_indexed(spark, path, q_h2, k=5, nprobe=4)
+    with pytest.raises(ValueError, match="uncommitted"):
+        pq_ivf_append(h2, "embedding", "vec_id", path)
