@@ -188,23 +188,38 @@ def substring_overlap_spans(
        the per-doc position array.
 
     Cost is ∝ corpus tokens (window projection) + ∝ matches (verify and
-    merge touch only candidate positions) — the replica-flood probe
-    shape. Honest caveat: the verify stage re-reads and re-tokenizes the
-    corpus for the join-back (a second scan); only candidate positions
-    do slicing work, but the scan itself is full — at extreme scale,
-    pre-materializing (id, tokens) once (the substring-INDEX layout,
-    :func:`materialize_substring_index`) amortizes both scans. DuckDB replays all four stages at fixed k
+    merge touch only candidate positions). The corpus is tokenized ONCE:
+    the ``(id, tokens)`` relation is localCheckpointed and shared by the
+    window projection AND the verify join-back (VERDICT r9 #3 — the
+    naive lineage re-read the source per consumer), at the documented
+    localCheckpoint trade-off (executor-local materialization ∝ corpus
+    tokens, not fault-tolerant; for recurring runs the persisted
+    :func:`materialize_substring_index` layout is the durable
+    amortization). DuckDB replays all four stages at fixed k
     (``__spark_entry__.py:q_substring_spans``)."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     if max_occurrences < 2:
         raise ValueError(f"max_occurrences must be >= 2, got {max_occurrences}")
+    toks = tokens_expr(F.col(text_col))
+    docs = (
+        df.select(F.col(id_col), toks.alias("__toks__"))
+        .where(F.size("__toks__") >= k)
+        .localCheckpoint(eager=False)
+    )
+    return _spans_from_docs(docs, id_col, k, max_occurrences)
+
+
+def _spans_from_docs(
+    docs: DataFrame, id_col: str, k: int, max_occurrences: int
+) -> DataFrame:
+    """Span detection over a PRE-TOKENIZED ``(id_col, __toks__)``
+    relation (already filtered to >= k tokens and shared/checkpointed by
+    the caller) — stages 1-4 of :func:`substring_overlap_spans`. Every
+    reference to ``docs`` below reuses the caller's materialization;
+    this function itself never touches the source."""
     from gluestick_spark.llm.sketch import kmv_hash_expr
 
-    toks = tokens_expr(F.col(text_col))
-    docs = df.select(F.col(id_col), toks.alias("__toks__")).where(
-        F.size("__toks__") >= k
-    )
     win_hash = F.transform(
         F.sequence(F.lit(0), F.size("__toks__") - k),
         lambda i: kmv_hash_expr(
@@ -313,16 +328,29 @@ def substring_dedup(
     of a passage another doc keeps, the same granularity the
     rolling-window construction detects at.
 
-    Plan: the span table (cost ∝ matches) joins token arrays back only
-    for spanned docs, the election is one groupBy-min over span strings
+    Plan: the corpus is tokenized ONCE — a single localCheckpointed
+    ``(id, tokens)`` relation feeds span detection, the span-string
+    election, and the cut (VERDICT r9 #3: the naive composition
+    re-tokenized the source per consumer, a 15-scan plan; now the final
+    plan holds zero source re-scans — gated in tests/test_plans.py).
+    The span table (cost ∝ matches) joins token arrays back only for
+    spanned docs, the election is one groupBy-min over span strings
     (map-side combined), and the cut is a narrow per-row ``filter`` with
     an index lambda over the removal ranges (|ranges| per doc is tiny).
     Documents with no spans pass through untouched via a left join."""
     from pyspark.sql import functions as F  # noqa: F811
 
-    spans = substring_overlap_spans(df, id_col, text_col, k, max_occurrences)
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if max_occurrences < 2:
+        raise ValueError(f"max_occurrences must be >= 2, got {max_occurrences}")
     toks = tokens_expr(F.col(text_col))
-    docs = df.select(F.col(id_col), toks.alias("__toks__"))
+    docs = df.select(F.col(id_col), toks.alias("__toks__")).localCheckpoint(
+        eager=False
+    )
+    spans = _spans_from_docs(
+        docs.where(F.size("__toks__") >= k), id_col, k, max_occurrences
+    )
     sp = spans.join(docs, id_col).select(
         id_col,
         "span_start",
