@@ -211,7 +211,10 @@ def hits(
 
 
 def triangle_count(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Per-node triangle counts over an UNDIRECTED simple graph —
     (``node``, ``n_triangles``). Triangles are the local-clustering /
@@ -230,7 +233,23 @@ def triangle_count(
     graphs (one celebrity node would otherwise square). Three shuffles
     total: degree aggregate, wedge self-join on the apex, closing-edge
     semi-join.
+
+    ``max_degree`` (VERDICT r9 #4) is the loud hub cap — the
+    ``containment_pairs`` stop-shingle device applied to graphs. The
+    O(|E|^1.5) bound is a TOTAL; a single super-hub inside a dense
+    neighborhood can still own the dominant wedge set. With the cap
+    set, nodes whose canonical degree exceeds it are REMOVED first
+    (with their edges), and the result is EXACT on the capped subgraph
+    — the cap is part of the contract, deterministic and
+    oracle-replayable, never a silent truncation. Hub nodes emit no
+    output rows (they were not judged), exactly like zero-rare-shingle
+    documents in ``containment_pairs``. On a graph whose max degree is
+    within the cap, capped ≡ uncapped (pytest-pinned). Per-apex wedge
+    cost is then ≤ min(max_degree, √|E|)², bounding the worst
+    partition regardless of skew.
     """
+    if max_degree is not None and max_degree < 1:
+        raise ValueError(f"max_degree must be >= 1, got {max_degree}")
     # canonical edges feed three consumers (degrees, orientation join,
     # closing-edge join) — materialize once (lazy localCheckpoint)
     e = (
@@ -243,6 +262,21 @@ def triangle_count(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    if max_degree is not None:
+        full_deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("__deg__"))
+        )
+        ok = full_deg.where(F.col("__deg__") <= max_degree).select("node")
+        # induced subgraph: both endpoints within the cap; re-checkpoint —
+        # the capped edge set again feeds three consumers
+        e = (
+            e.join(ok.withColumnRenamed("node", "a"), "a")
+            .join(ok.withColumnRenamed("node", "b"), "b")
+            .localCheckpoint(eager=False)
+        )
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))

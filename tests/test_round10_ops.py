@@ -263,3 +263,52 @@ def test_pq_ivf_append_serves_like_frozen_rebuild(spark, tmp_dir):
         pq_ivf_topk_indexed(spark, path, q_h2, k=5, nprobe=4)
     with pytest.raises(ValueError, match="uncommitted"):
         pq_ivf_append(h2, "embedding", "vec_id", path)
+
+
+# --------------------------------- VERDICT 4: triangle hub-degree cap -----
+
+
+def test_triangle_cap_equivalent_on_bounded_graph(spark):
+    """VERDICT r9 #4: on a graph whose max degree is within the cap,
+    capped ≡ uncapped exactly — the cap only ever removes genuinely
+    over-degree hubs, never changes counts on the survivors' subgraph."""
+    from gluestick_spark.operators.graph import triangle_count
+
+    # two disjoint 4-cliques bridged by one edge: max degree 4
+    edges = []
+    for base in (0, 10):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                edges.append((base + i, base + j))
+    edges.append((0, 10))
+    e = spark.createDataFrame(edges, "src long, dst long")
+    exact = sorted(map(tuple, triangle_count(e).collect()))
+    capped = sorted(map(tuple, triangle_count(e, max_degree=4).collect()))
+    assert exact == capped
+    # every clique node sits in C(3,2)=3 triangles
+    assert all(n == 3 for _, n in exact)
+
+
+def test_triangle_cap_drops_hub_exactly(spark):
+    """A super-hub over the cap is removed with its edges; the result is
+    EXACT on the induced subgraph (the hub emits no row, its exclusive
+    neighbors lose their hub triangles, independent triangles stay)."""
+    from gluestick_spark.operators.graph import triangle_count
+
+    # hub 99 connected to 0..9 (degree 10); ring edges 0-1, 1-2 close
+    # hub triangles; plus an independent triangle (20,21,22)
+    edges = [(99, i) for i in range(10)] + [(0, 1), (1, 2)]
+    edges += [(20, 21), (21, 22), (20, 22)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    exact = {r["node"]: r["n_triangles"] for r in triangle_count(e).collect()}
+    assert exact[99] == 2 and exact[20] == 1
+    capped = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(e, max_degree=5).collect()
+    }
+    assert 99 not in capped  # dropped loudly: no row, not a zero
+    # survivors' subgraph: 0-1, 1-2 remain (no triangle), indep stays
+    assert capped[20] == capped[21] == capped[22] == 1
+    assert capped[0] == capped[1] == capped[2] == 0
+    with pytest.raises(ValueError, match="max_degree"):
+        triangle_count(e, max_degree=0)
