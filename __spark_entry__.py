@@ -5786,6 +5786,87 @@ def _classifier_oracle_sql() -> str:
     return f"WITH {_clf_score_ctes()}\nSELECT doc_id, clf_score FROM clf"
 
 
+# DSIR importance resampling (VERDICT r9 #5): target = src0 documents,
+# raw = the rest; 64 hashed-gram buckets (unigrams + bigrams).
+_DSIR_B = 64
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (llm/sampling.py:dsir_sample —
+    Xie et al. 2023): hashed n-gram bucket statistics under the target
+    (src0 docs) vs the raw corpus give per-bucket add-one-smoothed
+    likelihood ratios (int64 ppm), each raw document scores the MEAN
+    ratio over its grams, and a seeded-hash rejection draw keeps docs
+    with probability w/w_max. return_all form: the oracle checks the
+    WEIGHT and the KEEP RULE for every raw doc, not just survivors.
+    Every arithmetic step is exact int64 or a single IEEE double op —
+    replayed bit-for-bit."""
+    from gluestick_spark.llm.sampling import dsir_sample
+
+    d = _t(spark, sf_dir, "documents")
+    tgt = d.where(F.col("source") == "src0")
+    raw = d.where(F.col("source") != "src0")
+    out = dsir_sample(
+        raw, "doc_id", "text", tgt, n_buckets=_DSIR_B, return_all=True
+    )
+    return out.select("doc_id", "dsir_weight_ppm", "kept")
+
+
+_Q_DSIR_SAMPLE_SQL = rf"""
+WITH tgt AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+raw AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+tg AS (
+  SELECT unnest(toks || list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS toks FROM tgt)
+),
+rg AS (
+  SELECT doc_id,
+         unnest(toks || list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS toks FROM raw)
+),
+nt AS (
+  SELECT CAST(CAST('0x' || substr(md5(gram), 1, 15) AS UBIGINT) % {_DSIR_B} AS BIGINT) AS b,
+         count(*) AS n_t
+  FROM tg GROUP BY 1
+),
+nr AS (
+  SELECT CAST(CAST('0x' || substr(md5(gram), 1, 15) AS UBIGINT) % {_DSIR_B} AS BIGINT) AS b,
+         count(*) AS n_r
+  FROM rg GROUP BY 1
+),
+t_tot AS (SELECT CAST(COALESCE(sum(n_t), 0) + {_DSIR_B} AS BIGINT) AS v FROM nt),
+r_tot AS (SELECT CAST(COALESCE(sum(n_r), 0) + {_DSIR_B} AS BIGINT) AS v FROM nr),
+w AS (
+  SELECT bk.b,
+         CAST(floor(1000000.0 * (
+           (CAST(COALESCE(nt.n_t, 0) + 1 AS DOUBLE) / CAST(t.v AS DOUBLE))
+           / (CAST(COALESCE(nr.n_r, 0) + 1 AS DOUBLE) / CAST(r.v AS DOUBLE))
+         )) AS BIGINT) AS wppm
+  FROM (SELECT unnest(range(0, {_DSIR_B})) AS b) bk
+  LEFT JOIN nt ON nt.b = bk.b
+  LEFT JOIN nr ON nr.b = bk.b
+  CROSS JOIN t_tot t CROSS JOIN r_tot r
+),
+s AS (
+  SELECT rg.doc_id,
+         CAST(floor(CAST(sum(w.wppm) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS dw
+  FROM rg
+  JOIN w ON w.b = CAST(CAST('0x' || substr(md5(rg.gram), 1, 15) AS UBIGINT) % {_DSIR_B} AS BIGINT)
+  GROUP BY rg.doc_id
+),
+scored AS (
+  SELECT raw.doc_id, COALESCE(s.dw, 1000000) AS dsir_weight_ppm
+  FROM raw LEFT JOIN s ON s.doc_id = raw.doc_id
+),
+wmax AS (SELECT max(dsir_weight_ppm) AS v FROM scored)
+SELECT doc_id, dsir_weight_ppm,
+       (CAST(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31)), 1, 15) AS UBIGINT) AS BIGINT) AS DOUBLE)
+        * CAST(wmax.v AS DOUBLE))
+       < (CAST(dsir_weight_ppm AS DOUBLE) * 1152921504606846976.0) AS kept
+FROM scored CROSS JOIN wmax
+"""
+
+
 def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-level dedup, suffix-array family (llm/spans.py:
     substring_overlap_spans — Lee et al. 2022): every maximal >= 8-token
@@ -6535,6 +6616,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # VERDICT r9 task 2, the L104 treatment applied to PQ; the oracle
         # replays router + codebooks + pruned ADC ranking end-to-end.)
         "pq_ivf_topk_indexed": q_pq_ivf_topk_indexed,
+        # (round-10 addition: DSIR importance resampling — VERDICT r9
+        # task 5; the oracle replays bucket stats, quantized ratios, the
+        # mean-ratio doc weight, AND the rejection keep rule.)
+        "dsir_sample": q_dsir_sample,
         # (round-9 addition: fastText-style linear classifier scoring —
         # VERDICT r8 task 8. Displaces time_rollup to the tail top.)
         "classifier_score": q_classifier_score,
@@ -6740,6 +6825,7 @@ def oracle_sql() -> dict[str, str]:
         "sq_ivf_topk": _sq_ivf_oracle_sql(),
         "sq_ivf_topk_indexed": _sq_ivf_oracle_sql(),
         "pq_ivf_topk_indexed": _pq_ivf_oracle_sql(),
+        "dsir_sample": _Q_DSIR_SAMPLE_SQL,
         "classifier_score": _classifier_oracle_sql(),
         "substring_spans": _Q_SUBSTRING_SPANS_SQL,
         "substring_dedup": _Q_SUBSTRING_DEDUP_SQL,

@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     # round-9 additions
     "sq_ivf_topk_indexed",
     "pq_ivf_topk_indexed",
+    "dsir_sample",
     "classifier_score",
     "substring_spans",
     "substring_dedup",

@@ -28,6 +28,7 @@ __all__ = [
     "hash_split",
     "balance_classes",
     "alpha_sample",
+    "dsir_sample",
     "mix_corpora",
     "negative_pairs",
     "resample_to_ratio",
@@ -421,3 +422,143 @@ def negative_pairs(
     )
     return anchors.join(right, "__partner__").drop("__partner__")
 
+
+
+def dsir_sample(
+    df_raw: DataFrame,
+    key_col: str,
+    text_col: str,
+    df_target: DataFrame,
+    n_buckets: int = 128,
+    use_bigrams: bool = True,
+    seed: str = "",
+    weight_col: str = "dsir_weight_ppm",
+    return_all: bool = False,
+) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): re-weight a raw crawl toward a TARGET distribution
+    using hashed n-gram bucket statistics, then keep each document with
+    probability proportional to its importance weight. The quality-
+    selection family member the classifier (:mod:`llm.classifier`)
+    doesn't cover — no labels, no training: the target corpus itself IS
+    the specification.
+
+    Estimator (integer-quantized throughout, house determinism style):
+
+    * Per bucket ``b`` (grams hashed with
+      :func:`~gluestick_spark.llm.classifier.hashed_ngrams_expr` — the
+      portable 60-bit md5): add-one-smoothed likelihood ratio
+      ``ratio_b = ((n_T[b]+1)/T) / ((n_R[b]+1)/R)``, quantized to
+      ``floor(1e6 · ratio_b)`` int64 ppm. Each division is one IEEE op
+      on exact integers — replayable cross-engine (the two-sided form
+      avoids the int64 overflow ``(n_T+1)·R`` would hit at corpus
+      scale).
+    * Per document: the MEAN bucket ratio over its grams —
+      ``floor(Σ ratio_ppm / n_grams)`` (exact int64 sum, one IEEE
+      division, floored). The arithmetic mean replaces Xie et al.'s
+      log-ratio sum (geometric mean) DELIBERATELY: ``ln`` differs in
+      the last ulp across engines (the collocations lesson), while the
+      mean of exact ratios replays bit-for-bit; both are monotone
+      "looks more like the target" scores. Gram-less documents get the
+      neutral weight 1e6 (ratio 1.0) — stated contract.
+    * Keep decision: seeded-hash rejection sampling with acceptance
+      ``w / w_max`` — keep iff ``h(key,seed)·w_max < w·2^60`` where h
+      is the portable keyed hash. Both sides are ONE double multiply of
+      exactly-cast int64s (IEEE-deterministic); membership is a pure
+      function of (key, seed, corpora), invariant to partitioning.
+
+    Returns the kept rows of ``df_raw`` plus ``weight_col`` (int64 ppm);
+    with ``return_all=True``, every raw row comes back with
+    ``weight_col`` and a ``kept`` boolean instead (the oracle-row form —
+    the keep RULE is checked, not just the survivors).
+
+    Scale shape: two gram explodes feed two B-bounded aggregates
+    (map-side combined) and one broadcast join (the B-row weight table);
+    per-doc scoring is ONE keyed shuffle; w_max is a 1-row aggregate
+    broadcast by crossJoin. The gram explode is deliberately not
+    materialized (the ``containment_pairs`` trade-off: recomputing a
+    projection beats storing several× the corpus)."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    from .classifier import hashed_ngrams_expr
+
+    spark = df_raw.sparkSession
+    NEUTRAL = 1_000_000
+
+    def grams_of(df: DataFrame, *extra):
+        return df.select(
+            *extra,
+            F.explode(
+                hashed_ngrams_expr(F.col(text_col), n_buckets, use_bigrams)
+            ).alias("__b__"),
+        )
+
+    nt = grams_of(df_target).groupBy("__b__").agg(
+        F.count(F.lit(1)).alias("__nt__")
+    )
+    nr = grams_of(df_raw).groupBy("__b__").agg(
+        F.count(F.lit(1)).alias("__nr__")
+    )
+    t_tot = nt.agg(
+        (F.coalesce(F.sum("__nt__"), F.lit(0)) + F.lit(n_buckets)).alias("__t_tot__")
+    )
+    r_tot = nr.agg(
+        (F.coalesce(F.sum("__nr__"), F.lit(0)) + F.lit(n_buckets)).alias("__r_tot__")
+    )
+    buckets = spark.range(n_buckets).select(F.col("id").cast("int").alias("__b__"))
+    wtab = (
+        buckets.join(nt, "__b__", "left")
+        .join(nr, "__b__", "left")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "__b__",
+            F.floor(
+                F.lit(1000000.0)
+                * (
+                    (
+                        (F.coalesce(F.col("__nt__"), F.lit(0)) + F.lit(1)).cast("double")
+                        / F.col("__t_tot__").cast("double")
+                    )
+                    / (
+                        (F.coalesce(F.col("__nr__"), F.lit(0)) + F.lit(1)).cast("double")
+                        / F.col("__r_tot__").cast("double")
+                    )
+                )
+            )
+            .cast("long")
+            .alias("__wppm__"),
+        )
+    )
+    sums = (
+        grams_of(df_raw, F.col(key_col).alias("__k__"))
+        .join(F.broadcast(wtab), "__b__")
+        .groupBy("__k__")
+        .agg(F.sum("__wppm__").alias("__sw__"), F.count(F.lit(1)).alias("__n__"))
+        .select(
+            "__k__",
+            F.floor(F.col("__sw__").cast("double") / F.col("__n__").cast("double"))
+            .cast("long")
+            .alias("__w__"),
+        )
+    )
+    scored = df_raw.join(
+        sums, df_raw[key_col] == sums["__k__"], "left"
+    ).select(
+        *[df_raw[c] for c in df_raw.columns],
+        F.coalesce(F.col("__w__"), F.lit(NEUTRAL)).cast("long").alias(weight_col),
+    )
+    wmax = scored.agg(F.max(weight_col).alias("__wmax__"))
+    kept = (
+        _keyed_hash(F.col(key_col), seed).cast("double")
+        * F.col("__wmax__").cast("double")
+    ) < (F.col(weight_col).cast("double") * F.lit(_SPACE))
+    out = scored.crossJoin(F.broadcast(wmax)).select(
+        *[F.col(c) for c in df_raw.columns],
+        F.col(weight_col),
+        kept.alias("kept"),
+    )
+    if return_all:
+        return out
+    return out.where(F.col("kept")).drop("kept")
