@@ -265,6 +265,43 @@ def test_pq_ivf_append_serves_like_frozen_rebuild(spark, tmp_dir):
         pq_ivf_append(h2, "embedding", "vec_id", path)
 
 
+# ----------------------------------- VERDICT 6: quantized-ANN recall audit
+
+
+def test_ann_recall_audit_shape_and_determinism(spark):
+    """One report row per index type; recall_bp in [0, 10000]; SQ (pure
+    int8 quantization loss) must dominate the pruned/coded variants on
+    the same exact reference; re-runs audit the SAME sample (pytest-
+    pinned evidence class — no SQL oracle, float reference)."""
+    from gluestick_spark.llm.similarity import ann_recall_audit
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    out = ann_recall_audit(emb, "embedding", "vec_id", k=10, n_queries=3)
+    rows = {r["index_type"]: r for r in out.collect()}
+    assert set(rows) == {"sq", "sq_ivf", "pq"}
+    for r in rows.values():
+        assert r["n_queries"] == 3 and r["n_exact"] == 30
+        assert 0 <= r["n_hit"] <= r["n_exact"]
+        assert 0 <= r["recall_bp"] <= 10000
+    # int8 SQ loses almost nothing; pruning/coding can only lose more
+    assert rows["sq"]["recall_bp"] >= 9000
+    assert rows["sq"]["recall_bp"] >= rows["sq_ivf"]["recall_bp"]
+    again = ann_recall_audit(emb, "embedding", "vec_id", k=10, n_queries=3)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_ann_recall_audit_vacuous_contract(spark):
+    """Empty sample -> zero queries -> recall_bp 10000 (vacuous recall,
+    stated contract — same as the LSH audit's no-true-pairs case)."""
+    from gluestick_spark.llm.similarity import ann_recall_audit
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    out = ann_recall_audit(emb.where("vec_id < 0"), "embedding", "vec_id", k=5)
+    assert [
+        (r["n_queries"], r["n_exact"], r["recall_bp"]) for r in out.collect()
+    ] == [(0, 0, 10000)] * 3
+
+
 # --------------------------------- VERDICT 4: triangle hub-degree cap -----
 
 
