@@ -6098,6 +6098,52 @@ def q_streaming_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 streaming quality gate (streaming/pipeline.py:
+    streaming_quality_filter — the L105/L108 composition, VERDICT r9
+    #8): documents arrive in two micro-batches, each is scored with the
+    frozen-literal linear classifier and split at threshold 0. The
+    weights are static and batches carry no cross-batch state, so the
+    union of the per-batch PASSING sets equals batch classifier_score +
+    threshold over the whole corpus EXACTLY — the oracle shares
+    _clf_score_ctes verbatim plus the same WHERE."""
+    import tempfile
+
+    from gluestick_spark.streaming.pipeline import (
+        read_streaming_dedup_output,
+        stream_from_directory,
+        streaming_quality_filter,
+    )
+
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = d.select(F.percentile_approx("doc_id", 0.5)).first()[0]
+    stage = tempfile.mkdtemp(prefix="gs_sqf_src_")
+    out = tempfile.mkdtemp(prefix="gs_sqf_out_")
+    rej = tempfile.mkdtemp(prefix="gs_sqf_rej_")
+    ckpt = tempfile.mkdtemp(prefix="gs_sqf_ckpt_")
+    for cond in (F.col("doc_id") <= mid, F.col("doc_id") > mid):
+        d.where(cond).coalesce(1).write.mode("append").parquet(stage)
+        q = streaming_quality_filter(
+            stream_from_directory(spark, stage, d.schema),
+            "text", "doc_id", _CLF_WEIGHTS, 0.0, out, rej, ckpt,
+        )
+        q.awaitTermination()
+    return read_streaming_dedup_output(spark, out).select(
+        "doc_id", "clf_score"
+    )
+
+
+def _streaming_quality_filter_oracle_sql() -> str:
+    """The classifier replay verbatim + the same threshold WHERE — the
+    score is an exact IEEE division both sides, so the boundary is
+    engine-stable (the quality_mix device)."""
+    return (
+        f"WITH {_clf_score_ctes()}\n"
+        "SELECT doc_id, clf_score FROM clf WHERE clf_score >= 0.0"
+    )
+
+
 def q_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The classifier → mixing composition the corpus-filter exists for
     (llm/classifier.py → llm/sampling.py:mix_corpora): classifier-scored
@@ -6695,6 +6741,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (stateless stream ≡ batch EXACTLY — static index, no cross-batch
         # state; shares the substring_decontam oracle verbatim)
         "streaming_decontam": q_streaming_decontam,
+        # (round-10 tail addition, VERDICT r9 #8: streaming quality gate —
+        # frozen classifier weights, stateless, stream ≡ batch exactly;
+        # shares _clf_score_ctes + the threshold WHERE. First in line for
+        # the r11 window promotion.)
+        "streaming_quality_filter": q_streaming_quality_filter,
         "kmv_merge": q_kmv_merge,
         "event_asof_close": q_event_asof_close,
         "event_asof_nearest": q_event_asof_nearest,
@@ -6876,6 +6927,7 @@ def oracle_sql() -> dict[str, str]:
         "time_rollup": _Q_TIME_ROLLUP_SQL,
         "html_extract_replay": _Q_HTML_EXTRACT_REPLAY_SQL,
         "streaming_decontam": _Q_SUBSTRING_DECONTAM_SQL,
+        "streaming_quality_filter": _streaming_quality_filter_oracle_sql(),
         "kmv_merge": _Q_KMV_SQL,
         "event_asof_close": _Q_EVENT_ASOF_CLOSE_SQL,
         "event_asof_nearest": _Q_EVENT_ASOF_NEAREST_SQL,

@@ -302,6 +302,48 @@ def test_ann_recall_audit_vacuous_contract(spark):
     ] == [(0, 0, 10000)] * 3
 
 
+# -------------------------------- VERDICT 8: streaming quality filter -----
+
+
+def test_streaming_quality_filter_stream_equals_batch(spark, tmp_dir):
+    """Frozen weights + no cross-batch state => the union of per-batch
+    outputs equals batch classifier_score + threshold EXACTLY; kept and
+    rejected partition the corpus."""
+    from gluestick_spark.llm.classifier import classifier_score
+    from gluestick_spark.streaming.pipeline import (
+        read_streaming_dedup_output,
+        stream_from_directory,
+        streaming_quality_filter,
+    )
+
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    weights = [((b * 13) % 11 - 5) / 5.0 for b in range(32)]
+    stage = os.path.join(tmp_dir, "src")
+    out, rej = os.path.join(tmp_dir, "out"), os.path.join(tmp_dir, "rej")
+    ckpt = os.path.join(tmp_dir, "ckpt")
+    mid = d.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    for cond in (F.col("doc_id") <= mid, F.col("doc_id") > mid):
+        d.where(cond).coalesce(1).write.mode("append").parquet(stage)
+        q = streaming_quality_filter(
+            stream_from_directory(spark, stage, d.schema),
+            "text", "doc_id", weights, 0.05, out, rej, ckpt,
+        )
+        q.awaitTermination()
+    kept = read_streaming_dedup_output(spark, out)
+    rejected = read_streaming_dedup_output(spark, rej)
+    batch = classifier_score(d, "text", weights)
+    want_kept = {
+        (r["doc_id"], r["clf_score"])
+        for r in batch.where("clf_score >= 0.05").collect()
+    }
+    got_kept = {(r["doc_id"], r["clf_score"]) for r in kept.collect()}
+    assert got_kept == want_kept
+    assert kept.count() + rejected.count() == d.count()
+    assert 0 < kept.count() < d.count()  # the threshold actually splits
+
+
 # --------------------------------- VERDICT 4: triangle hub-degree cap -----
 
 
