@@ -6098,6 +6098,72 @@ def q_streaming_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unicode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-robust tokenization (llm/text.py:normalize_text_expr +
+    tokens_expr(normalize=True) — VERDICT r9 #9): the testdata text is
+    ASCII, so the query plants the crawl artifacts deterministically —
+    a ZWSP-glued fullwidth prefix, every inner space swapped to NBSP,
+    an ideographic-space-separated fullwidth suffix with a trailing BOM
+    — then tokenizes with normalization ON. The oracle replays the SAME
+    mutation and the SAME translate → zero-width strip → space-class
+    collapse chain, so a green row pins every stage byte-for-byte."""
+    from gluestick_spark.llm.text import tokens_expr
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = F.concat(
+        F.lit("​ｇｓ "),
+        F.translate(F.col("text"), " ", " "),
+        F.lit("　ｅｎｄ﻿"),
+    )
+    toks = tokens_expr(mut, normalize=True)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+        F.array_join(toks, " ").alias("norm_text"),
+    )
+
+
+def _unicode_tokens_oracle_sql() -> str:
+    from gluestick_spark.llm.text import _ASCII, _FULLWIDTH
+
+    fw = _FULLWIDTH  # verbatim engine constants: oracle parity by construction
+    asc = _ASCII.replace("'", "''")
+    from gluestick_spark.llm.text import _USPACE_CLS, _ZERO_WIDTH_CLS
+
+    zw_cls = _ZERO_WIDTH_CLS
+    sp_cls = _USPACE_CLS
+    return rf"""
+WITH m AS (
+  SELECT doc_id,
+         chr(8203) || chr(65351) || chr(65363) || chr(160)
+         || replace(text, ' ', chr(160))
+         || chr(12288) || chr(65349) || chr(65358) || chr(65348) || chr(65279)
+         AS mut
+  FROM documents
+),
+n AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(translate(mut, '{fw}', '{asc}'), '{zw_cls}', '', 'g'),
+           '{sp_cls}', ' ', 'g') AS norm
+  FROM m
+),
+t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(norm, '\s+'), x -> x != '') AS toks
+  FROM n
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       toks[1] AS first_tok,
+       toks[len(toks)] AS last_tok,
+       array_to_string(toks, ' ') AS norm_text
+FROM t
+"""
+
+
 def q_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 streaming quality gate (streaming/pipeline.py:
     streaming_quality_filter — the L105/L108 composition, VERDICT r9
@@ -6666,6 +6732,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # task 5; the oracle replays bucket stats, quantized ratios, the
         # mean-ratio doc weight, AND the rejection keep rule.)
         "dsir_sample": q_dsir_sample,
+        # (round-10 addition: unicode-robust tokenization — VERDICT r9
+        # task 9; the oracle replays the planted artifacts AND the
+        # normalize chain with the engine's own class constants.)
+        "unicode_tokens": q_unicode_tokens,
         # (round-9 addition: fastText-style linear classifier scoring —
         # VERDICT r8 task 8. Displaces time_rollup to the tail top.)
         "classifier_score": q_classifier_score,
@@ -6877,6 +6947,7 @@ def oracle_sql() -> dict[str, str]:
         "sq_ivf_topk_indexed": _sq_ivf_oracle_sql(),
         "pq_ivf_topk_indexed": _pq_ivf_oracle_sql(),
         "dsir_sample": _Q_DSIR_SAMPLE_SQL,
+        "unicode_tokens": _unicode_tokens_oracle_sql(),
         "classifier_score": _classifier_oracle_sql(),
         "substring_spans": _Q_SUBSTRING_SPANS_SQL,
         "substring_dedup": _Q_SUBSTRING_DEDUP_SQL,

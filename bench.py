@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "sq_ivf_topk_indexed",
     "pq_ivf_topk_indexed",
     "dsir_sample",
+    "unicode_tokens",
     "classifier_score",
     "substring_spans",
     "substring_dedup",

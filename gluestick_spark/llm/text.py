@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "tokens_expr",
+    "normalize_text_expr",
     "chunk_documents",
     "word_count_expr",
     "bpe_token_count_expr",
@@ -57,8 +58,50 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
-def tokens_expr(col: Column) -> Column:
-    """Whitespace tokenization with empty-token removal."""
+# Fullwidth ASCII block (U+FF01–U+FF5E) folds to ASCII (U+0021–U+007E)
+# by a constant offset — the NFKC case crawl text actually hits.
+_FULLWIDTH = "".join(chr(0xFF01 + i) for i in range(94))
+_ASCII = "".join(chr(0x21 + i) for i in range(94))
+# Zero-width characters silently GLUE tokens (ZWSP/ZWNJ/ZWJ/BOM).
+_ZERO_WIDTH_CLS = "[\u200B\u200C\u200D\uFEFF]"
+# Unicode space-class characters a \s+ split misses (NBSP, ogham mark,
+# en-quad…hair space, line/para separators, narrow NBSP, math space,
+# ideographic space).
+_USPACE_CLS = (
+    "[\u00A0\u1680\u2000-\u200A\u2028\u2029\u202F\u205F\u3000]+"
+)
+
+
+def normalize_text_expr(col: Column) -> Column:
+    """Unicode normalization for crawl text (VERDICT r9 #9), pure
+    ``translate``/``regexp_replace`` codegen in an RE2-portable subset
+    (literal character classes — replayed verbatim by DuckDB):
+
+    1. fullwidth ASCII block → ASCII (one ``translate``, the NFKC fold
+       case web text hits);
+    2. zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) removed — they
+       silently glue tokens;
+    3. unicode space-class runs → one ASCII space, so the standard
+       ``\\s+`` split sees them.
+
+    Honest scope: this is the crawl-artifact subset of NFKC, not full
+    ICU normalization (combining marks, compatibility ligatures, etc.
+    need a real normalizer — at that point use a pandas UDF and give up
+    oracle replay)."""
+    x = F.translate(col, _FULLWIDTH, _ASCII)
+    x = F.regexp_replace(x, _ZERO_WIDTH_CLS, "")
+    return F.regexp_replace(x, _USPACE_CLS, " ")
+
+
+def tokens_expr(col: Column, normalize: bool = False) -> Column:
+    """Whitespace tokenization with empty-token removal. With
+    ``normalize=True`` the text first goes through
+    :func:`normalize_text_expr` (opt-in: every existing oracle replays
+    the raw split, and most operators compose tokenizations — the
+    option must be threaded consistently through a pipeline, not
+    flipped per stage)."""
+    if normalize:
+        col = normalize_text_expr(col)
     return F.filter(F.split(col, r"\s+"), lambda x: x != "")
 
 

@@ -344,6 +344,35 @@ def test_streaming_quality_filter_stream_equals_batch(spark, tmp_dir):
     assert 0 < kept.count() < d.count()  # the threshold actually splits
 
 
+# -------------------------------- VERDICT 9: unicode-robust tokenizer -----
+
+
+def test_normalize_text_expr_crawl_artifacts(spark):
+    """NBSP/fullwidth/zero-width artifacts silently glue or split tokens
+    under the raw \\s+ split; the opt-in normalizer folds them."""
+    from gluestick_spark.llm.text import tokens_expr
+
+    rows = [
+        (1, "a b"),                       # NBSP: raw = 1 glued token
+        (2, "x​yz"),                      # ZWSP glues -> one clean token
+        (3, "ｈｅｌｌｏ ｗｏｒｌｄ"),            # fullwidth folds to ascii
+        (4, "p q　r"),                # thin + ideographic spaces
+        (5, "﻿lead trail‍"),         # BOM / ZWJ strips
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    raw = {r["i"]: r["toks"] for r in df.select(
+        "i", tokens_expr(F.col("t")).alias("toks")).collect()}
+    norm = {r["i"]: r["toks"] for r in df.select(
+        "i", tokens_expr(F.col("t"), normalize=True).alias("toks")).collect()}
+    assert raw[1] == ["a b"] and norm[1] == ["a", "b"]
+    assert norm[2] == ["xyz"]
+    assert norm[3] == ["hello", "world"]
+    assert norm[4] == ["p", "q", "r"]
+    assert norm[5] == ["lead", "trail"]
+    # opt-in: default path untouched
+    assert raw[3] == ["ｈｅｌｌｏ", "ｗｏｒｌｄ"]
+
+
 # --------------------------------- VERDICT 4: triangle hub-degree cap -----
 
 
