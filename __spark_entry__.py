@@ -6690,238 +6690,197 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is the driver contract: the FIRST 50 entries form the
     # correctness window, rotated every round so driver evidence stays
-    # fresh across the whole registry. Round-9 rotation (VERDICT r8 task
-    # 1): window = the 9 never-driver-checked rows + every r03/r04-
-    # evidence row + the 17 oldest r06-era rows; the 50 r8-green rows
-    # all demote to the tail (their CORRECTNESS_r08.json evidence is the
-    # freshest in the registry). See COVERAGE.md for the query ->
-    # artifact map. Tail entries remain locally oracle-checked via
+    # fresh across the whole registry (round-10 rotation detailed in the
+    # window comment below). See COVERAGE.md for the query -> artifact
+    # map. Tail entries remain locally oracle-checked via
     # tools/check_correctness.py / tools/driver_sim.py every round.
     return {
-        # ---- correctness window: first 50 = driver-checked. Round-9
-        # rotation (VERDICT r8 task 1): the 9 never-driver-checked late-r8
-        # tail rows lead, then EVERY remaining row whose freshest driver
-        # artifact is r03/r04 (3 + 21), then the 17 oldest r06-era rows.
-        # Deferred r06 rows (first in line for r10) carry shared-device
-        # rationales: kmv_merge (merge law == kmv_distinct oracle),
-        # event_asof_close/nearest (same asof device as event_asof_open,
-        # which is in the window), ivf_probe_indexed (shares
-        # _Q_ANN_TOPK_SQL with in-window ivf_topk), minhash_candidates
-        # (the candidate stage of in-window cluster_dedup/minhash_dedup),
-        # hash_split (sibling of in-window hash_sample, same keyed hash).
-        # Every r8-green row is demoted to the tail: its evidence is the
-        # freshest there is (CORRECTNESS_r08.json, 50/50 green). ----
-        "length_drift": q_length_drift,
-        "streaming_url_dedup": q_streaming_url_dedup,
-        "sq_topk_indexed": q_sq_topk_indexed,
-        "streaming_drift": q_streaming_drift,
-        "html_extract": q_html_extract,
-        "outlink_domains": q_outlink_domains,
-        "customer_matches": q_customer_matches,
-        "contact_normalize": q_contact_normalize,
-        "sq_ivf_topk": q_sq_ivf_topk,
-        # (round-9 addition: the persisted IVF×SQ composed index — VERDICT
-        # r8 task 2; shares the sq_ivf oracle, indexed ≡ direct. Displaces
-        # windowed_counts to the tail top — first in line for r10.)
-        "sq_ivf_topk_indexed": q_sq_ivf_topk_indexed,
-        # (round-10 addition: the persisted IVF×PQ composed serving index —
-        # VERDICT r9 task 2, the L104 treatment applied to PQ; the oracle
-        # replays router + codebooks + pruned ADC ranking end-to-end.)
-        "pq_ivf_topk_indexed": q_pq_ivf_topk_indexed,
-        # (round-10 addition: DSIR importance resampling — VERDICT r9
-        # task 5; the oracle replays bucket stats, quantized ratios, the
-        # mean-ratio doc weight, AND the rejection keep rule.)
-        "dsir_sample": q_dsir_sample,
-        # (round-10 addition: unicode-robust tokenization — VERDICT r9
-        # task 9; the oracle replays the planted artifacts AND the
-        # normalize chain with the engine's own class constants.)
-        "unicode_tokens": q_unicode_tokens,
-        # (round-9 addition: fastText-style linear classifier scoring —
-        # VERDICT r8 task 8. Displaces time_rollup to the tail top.)
-        "classifier_score": q_classifier_score,
-        # (round-9 addition: exact substring-span dedup, Lee et al. 2022 —
-        # VERDICT r8 task 5. Displaces tfidf_vectors to the tail top.)
-        "substring_spans": q_substring_spans,
-        # (round-9 addition: Lee et al. span REMOVAL — the L106 completion.
-        # Displaces mix_corpora: its seeded-rate device family siblings
-        # resample_ratio/alpha_sample are r8-green in the tail.)
-        "substring_dedup": q_substring_dedup,
-        # (round-9 addition: classifier -> quality-bucket mixing composition.
-        # Displaces hash_sample: the identical seeded-hash membership device
-        # is exercised by this row + r8-green resample_ratio/alpha_sample.)
-        "quality_mix": q_quality_mix,
-        # (round-9 addition: cross-corpus exact-substring decontamination.
-        # Displaces cluster_dedup: its connected-components device is
-        # exercised by r7-green cluster_dedup_best/dedup_cluster_sizes and
-        # its candidate stage by in-window minhash_dedup.)
-        "substring_decontam": q_substring_decontam,
-        # (round-9 addition: bigram-LM quality score. Displaces build_vocab:
-        # its frequency-table device is exercised by this row's unigram+
-        # bigram tables and r8-green collocations; thresholds pytest-pinned.)
-        "bigram_nll": q_bigram_nll,
-        "local_supplier_volume": q_local_supplier_volume,
-        "promo_revenue": q_promo_revenue,
-        "shipping_priority": q_shipping_priority,
-        "ann_topk": q_ann_topk,
-        "audio_features": q_audio_features,
-        "cosine_similarity": q_cosine_all,
-        "csv_roundtrip": q_csv_roundtrip,
-        "deep_convert_expr": q_deep_convert_expr,
-        "embedding_near_dups": q_embedding_near_dups,
-        "events_daily": q_events_daily,
-        "explode_json_to_rows": q_explode_json_to_rows,
-        "ivf_topk": q_ivf_topk,
-        "map_fields": q_map_fields,
-        "minhash_dedup": q_minhash_dedup,
-        "multimodal_metadata": q_multimodal_meta,
-        "parquet_roundtrip": q_parquet_roundtrip,
-        "pluck_fields_by_regex": q_pluck_regex,
-        "pricing_summary": q_pricing_summary,
-        "rename": q_rename,
-        "sessionize_events": q_sessionize_events,
-        "simhash_near_dups": q_simhash_near_dups,
-        "snapshot_upsert": q_snapshot_upsert,
-        "token_stats": q_token_stats,
-        "top_orders_per_cust": q_top_orders_per_cust,
-        "chunk_documents": q_chunk_documents,
-        "contamination_check": q_contamination_check,
-        "event_asof_open": q_event_asof_open,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        "kmv_distinct": q_kmv_distinct,
-        "orc_roundtrip": q_orc_roundtrip,
-        "pack_documents": q_pack_documents,
-        "pii_redaction": q_pii_redaction,
-        "pool_embeddings": q_pool_embeddings,
-        "range_join_windows": q_range_join_windows,
-        # ---- tail: r06-deferred rows (rationales above), then the r07
-        # cohort, then the 100% -green r8 window (freshest evidence). All
-        # tail rows remain locally oracle-checked every round via
-        # tools/check_correctness.py / driver_sim.py. ----
-        "windowed_counts": q_windowed_counts,
-        "build_vocab": q_build_vocab,
-        "cluster_dedup": q_cluster_dedup,
-        "hash_sample": q_hash_sample,
-        "mix_corpora": q_mix_corpora,
-        "tfidf_vectors": q_tfidf_vectors,
-        "time_rollup": q_time_rollup,
-        # (same Spark query as the in-window html_extract; oracle is the
-        # byte-level regex-chain REPLAY — cross-engine regex semantics,
-        # complementing the window row's rule-derived independent oracle)
-        "html_extract_replay": q_html_extract,
-        # (stateless stream ≡ batch EXACTLY — static index, no cross-batch
-        # state; shares the substring_decontam oracle verbatim)
-        "streaming_decontam": q_streaming_decontam,
-        # (round-10 tail addition, VERDICT r9 #8: streaming quality gate —
-        # frozen classifier weights, stateless, stream ≡ batch exactly;
-        # shares _clf_score_ctes + the threshold WHERE. First in line for
-        # the r11 window promotion.)
-        "streaming_quality_filter": q_streaming_quality_filter,
-        "kmv_merge": q_kmv_merge,
-        "event_asof_close": q_event_asof_close,
-        "event_asof_nearest": q_event_asof_nearest,
-        "ivf_probe_indexed": q_ivf_probe_indexed,
-        "minhash_candidates": q_minhash_candidates,
-        "hash_split": q_hash_split,
-        "balanced_sample": q_balanced_sample,
-        "bm25_scores": q_bm25_scores,
-        "bpe_pairs": q_bpe_pairs,
-        "cap_per_domain": q_cap_per_domain,
-        "cdc_diff": q_cdc_diff,
-        "clipped_values": q_clipped_values,
-        "cluster_dedup_best": q_cluster_dedup_best,
-        "corr_matrix": q_corr_matrix,
-        "dedup_against_ref": q_dedup_against,
-        "dedup_cluster_sizes": q_cluster_sizes,
-        "domain_split": q_domain_split,
-        "domain_stats": q_domain_stats,
-        "encoded_docs": q_encoded_docs,
-        "equi_depth_bins": q_equi_depth_bins,
-        "expectations_audit": q_expectations,
-        "fuzzy_pairs": q_fuzzy_pairs,
-        "gapfill_daily": q_gapfill_daily,
-        "grouped_percentiles": q_grouped_percentiles,
-        "heavy_hitters": q_heavy_hitters,
-        "hive_partition_roundtrip": q_hive_partition_roundtrip,
-        "ivf_append_topk": q_ivf_append,
-        "merge_into_orders": q_merge_into,
-        "negative_pairs": q_negative_pairs,
-        "nll_mix": q_nll_mix,
-        "packed_encoded_docs": q_packed_encoded_docs,
-        "profile_numeric": q_profile_numeric,
-        "quantize_embeddings": q_quantize_embeddings,
-        "repetition_stats": q_repetition_stats,
-        "robust_scaled": q_robust_scaled,
-        "rolling_zscore": q_rolling_zscore,
-        "salted_join_agg": q_salted_join_agg,
-        "scaled_features": q_scaled_features,
-        "scd2_merge": q_scd2_merge,
-        "segment_dedup": q_segment_dedup,
-        "sessionize_batch": q_sessionize_batch,
-        "stratified_sample": q_stratified_sample,
-        "stream_interval_join": q_stream_interval_join,
-        "streaming_agg": q_streaming_agg,
-        "streaming_cdc": q_streaming_cdc,
-        "streaming_minhash_dedup": q_streaming_minhash_dedup,
-        "streaming_scd2": q_streaming_scd2,
-        "streaming_topk": q_streaming_topk,
-        "suppress_bursts": q_suppress_bursts,
-        "table_stats": q_table_stats,
-        "top_events_per_user": q_top_events_per_user,
-        "unigram_nll": q_unigram_nll,
-        "value_histogram": q_value_histogram,
-        "versioned_time_travel": q_versioned_travel,
-        "weekly_retention": q_retention,
-        "zorder_values": q_zorder_values,
-        "alpha_sample": q_alpha_sample,
-        "array_to_dict": q_array_to_dict,
-        "bpe_encode": q_bpe_encode,
-        "catalog_coercion": q_catalog_coercion,
-        "centroid_outliers": q_centroid_outliers,
-        "clean_corpus": q_clean_corpus,
-        "clean_obj_nulls": q_clean_obj_nulls,
-        "collocations": q_collocations,
-        "compress_rows_to_col": q_compress_rows,
-        "containment_pairs": q_containment_pairs,
-        "custom_fields": q_custom_fields,
-        "dedup_against_indexed": q_dedup_against_indexed,
-        "dedup_exact": q_dedup_exact,
-        "dedup_fingerprint": q_dedup_fingerprint,
-        "deep_convert_datetimes": q_deep_convert_datetimes,
-        "docs_cube": q_docs_cube,
-        "drop_null_columns": q_drop_null_columns,
-        "drop_redundant": q_drop_redundant,
-        "enforce_exploded_types": q_enforce_exploded_types,
-        "event_transitions": q_event_transitions,
-        "events_pivot": q_events_pivot,
-        "explode_json_to_cols": q_explode_json_to_cols,
-        "format_str_records": q_format_str_records,
-        "funnel_counts": q_funnel_counts,
-        "hits_click_graph": q_hits_click_graph,
-        "image_features": q_image_features,
-        "ivf_exact_topk": q_ivf_exact_topk,
-        "jaccard_vs_query": q_jaccard_vs_query,
-        "json_tuple_to_cols": q_json_tuple_to_cols,
-        "keep_last_dedup": q_keep_last,
-        "kmeans_clusters": q_kmeans_clusters,
-        "label_communities": q_label_communities,
-        "lang_id": q_lang_id,
-        "localize_datetime": q_localize_datetime,
-        "lsh_ann_topk": q_lsh_ann,
-        "melt_part": q_melt_part,
-        "merge_id_from_snapshot": q_merge_id,
-        "nulls_trimmed": q_nulls_trimmed,
-        "pagerank_events": q_pagerank_events,
-        "part_triangles": q_part_triangles,
-        "pluck_fields": q_pluck_fields,
-        "pq_topk": q_pq_topk,
-        "quality_score": q_quality_score,
-        "resample_ratio": q_resample_ratio,
-        "row_hash": q_row_hash,
-        "semdedup_keep": q_semdedup_keep,
-        "sq_topk": q_sq_topk,
-        "union_relaxed": q_union_relaxed,
-        "url_dedup": q_url_dedup,
-        "winnow_fingerprint": q_winnow_fingerprint,
+        # ---- correctness window: first 50 = driver-checked. Round-10
+        # rotation (VERDICT r9 task 1, honest-evidence policy): the 2
+        # never-driver-checked r9 tail rows lead (html_extract_replay,
+        # streaming_decontam), then ALL 13 rows whose freshest driver
+        # artifact is r06 (windowed_counts ... hash_split — exactly the
+        # VERDICT list), then the 3 new round-10 queries
+        # (pq_ivf_topk_indexed, dsir_sample, unicode_tokens), then the 32
+        # oldest r07-evidence rows (registration order). Every r9-green
+        # row demotes to the tail end — CORRECTNESS_r09.json is the
+        # freshest evidence in the registry; the 50 r8-green rows sit
+        # just ahead of them. ----
+        'html_extract_replay': q_html_extract,
+        'streaming_decontam': q_streaming_decontam,
+        'windowed_counts': q_windowed_counts,
+        'build_vocab': q_build_vocab,
+        'cluster_dedup': q_cluster_dedup,
+        'hash_sample': q_hash_sample,
+        'mix_corpora': q_mix_corpora,
+        'tfidf_vectors': q_tfidf_vectors,
+        'time_rollup': q_time_rollup,
+        'kmv_merge': q_kmv_merge,
+        'event_asof_close': q_event_asof_close,
+        'event_asof_nearest': q_event_asof_nearest,
+        'ivf_probe_indexed': q_ivf_probe_indexed,
+        'minhash_candidates': q_minhash_candidates,
+        'hash_split': q_hash_split,
+        'pq_ivf_topk_indexed': q_pq_ivf_topk_indexed,
+        'dsir_sample': q_dsir_sample,
+        'unicode_tokens': q_unicode_tokens,
+        'balanced_sample': q_balanced_sample,
+        'bm25_scores': q_bm25_scores,
+        'bpe_pairs': q_bpe_pairs,
+        'cap_per_domain': q_cap_per_domain,
+        'cdc_diff': q_cdc_diff,
+        'clipped_values': q_clipped_values,
+        'cluster_dedup_best': q_cluster_dedup_best,
+        'corr_matrix': q_corr_matrix,
+        'dedup_against_ref': q_dedup_against,
+        'dedup_cluster_sizes': q_cluster_sizes,
+        'domain_split': q_domain_split,
+        'domain_stats': q_domain_stats,
+        'encoded_docs': q_encoded_docs,
+        'equi_depth_bins': q_equi_depth_bins,
+        'expectations_audit': q_expectations,
+        'fuzzy_pairs': q_fuzzy_pairs,
+        'gapfill_daily': q_gapfill_daily,
+        'grouped_percentiles': q_grouped_percentiles,
+        'heavy_hitters': q_heavy_hitters,
+        'hive_partition_roundtrip': q_hive_partition_roundtrip,
+        'ivf_append_topk': q_ivf_append,
+        'merge_into_orders': q_merge_into,
+        'negative_pairs': q_negative_pairs,
+        'nll_mix': q_nll_mix,
+        'packed_encoded_docs': q_packed_encoded_docs,
+        'profile_numeric': q_profile_numeric,
+        'quantize_embeddings': q_quantize_embeddings,
+        'repetition_stats': q_repetition_stats,
+        'robust_scaled': q_robust_scaled,
+        'rolling_zscore': q_rolling_zscore,
+        'salted_join_agg': q_salted_join_agg,
+        'scaled_features': q_scaled_features,
+        # ---- tail: locally oracle-checked every round (driver_sim /
+        # check_correctness), ordered oldest-evidence-first for the r11
+        # rotation: streaming_quality_filter (NEW r10, never
+        # driver-checked — first in line for r11, shares _clf_score_ctes
+        # verbatim), the 18 remaining r07-evidence rows, the 50 r8-green
+        # rows, then the 50 r9-green rows. ----
+        'streaming_quality_filter': q_streaming_quality_filter,
+        'scd2_merge': q_scd2_merge,
+        'segment_dedup': q_segment_dedup,
+        'sessionize_batch': q_sessionize_batch,
+        'stratified_sample': q_stratified_sample,
+        'stream_interval_join': q_stream_interval_join,
+        'streaming_agg': q_streaming_agg,
+        'streaming_cdc': q_streaming_cdc,
+        'streaming_minhash_dedup': q_streaming_minhash_dedup,
+        'streaming_scd2': q_streaming_scd2,
+        'streaming_topk': q_streaming_topk,
+        'suppress_bursts': q_suppress_bursts,
+        'table_stats': q_table_stats,
+        'top_events_per_user': q_top_events_per_user,
+        'unigram_nll': q_unigram_nll,
+        'value_histogram': q_value_histogram,
+        'versioned_time_travel': q_versioned_travel,
+        'weekly_retention': q_retention,
+        'zorder_values': q_zorder_values,
+        'alpha_sample': q_alpha_sample,
+        'array_to_dict': q_array_to_dict,
+        'bpe_encode': q_bpe_encode,
+        'catalog_coercion': q_catalog_coercion,
+        'centroid_outliers': q_centroid_outliers,
+        'clean_corpus': q_clean_corpus,
+        'clean_obj_nulls': q_clean_obj_nulls,
+        'collocations': q_collocations,
+        'compress_rows_to_col': q_compress_rows,
+        'containment_pairs': q_containment_pairs,
+        'custom_fields': q_custom_fields,
+        'dedup_against_indexed': q_dedup_against_indexed,
+        'dedup_exact': q_dedup_exact,
+        'dedup_fingerprint': q_dedup_fingerprint,
+        'deep_convert_datetimes': q_deep_convert_datetimes,
+        'docs_cube': q_docs_cube,
+        'drop_null_columns': q_drop_null_columns,
+        'drop_redundant': q_drop_redundant,
+        'enforce_exploded_types': q_enforce_exploded_types,
+        'event_transitions': q_event_transitions,
+        'events_pivot': q_events_pivot,
+        'explode_json_to_cols': q_explode_json_to_cols,
+        'format_str_records': q_format_str_records,
+        'funnel_counts': q_funnel_counts,
+        'hits_click_graph': q_hits_click_graph,
+        'image_features': q_image_features,
+        'ivf_exact_topk': q_ivf_exact_topk,
+        'jaccard_vs_query': q_jaccard_vs_query,
+        'json_tuple_to_cols': q_json_tuple_to_cols,
+        'keep_last_dedup': q_keep_last,
+        'kmeans_clusters': q_kmeans_clusters,
+        'label_communities': q_label_communities,
+        'lang_id': q_lang_id,
+        'localize_datetime': q_localize_datetime,
+        'lsh_ann_topk': q_lsh_ann,
+        'melt_part': q_melt_part,
+        'merge_id_from_snapshot': q_merge_id,
+        'nulls_trimmed': q_nulls_trimmed,
+        'pagerank_events': q_pagerank_events,
+        'part_triangles': q_part_triangles,
+        'pluck_fields': q_pluck_fields,
+        'pq_topk': q_pq_topk,
+        'quality_score': q_quality_score,
+        'resample_ratio': q_resample_ratio,
+        'row_hash': q_row_hash,
+        'semdedup_keep': q_semdedup_keep,
+        'sq_topk': q_sq_topk,
+        'union_relaxed': q_union_relaxed,
+        'url_dedup': q_url_dedup,
+        'winnow_fingerprint': q_winnow_fingerprint,
+        'length_drift': q_length_drift,
+        'streaming_url_dedup': q_streaming_url_dedup,
+        'sq_topk_indexed': q_sq_topk_indexed,
+        'streaming_drift': q_streaming_drift,
+        'html_extract': q_html_extract,
+        'outlink_domains': q_outlink_domains,
+        'customer_matches': q_customer_matches,
+        'contact_normalize': q_contact_normalize,
+        'sq_ivf_topk': q_sq_ivf_topk,
+        'sq_ivf_topk_indexed': q_sq_ivf_topk_indexed,
+        'classifier_score': q_classifier_score,
+        'substring_spans': q_substring_spans,
+        'substring_dedup': q_substring_dedup,
+        'quality_mix': q_quality_mix,
+        'substring_decontam': q_substring_decontam,
+        'bigram_nll': q_bigram_nll,
+        'local_supplier_volume': q_local_supplier_volume,
+        'promo_revenue': q_promo_revenue,
+        'shipping_priority': q_shipping_priority,
+        'ann_topk': q_ann_topk,
+        'audio_features': q_audio_features,
+        'cosine_similarity': q_cosine_all,
+        'csv_roundtrip': q_csv_roundtrip,
+        'deep_convert_expr': q_deep_convert_expr,
+        'embedding_near_dups': q_embedding_near_dups,
+        'events_daily': q_events_daily,
+        'explode_json_to_rows': q_explode_json_to_rows,
+        'ivf_topk': q_ivf_topk,
+        'map_fields': q_map_fields,
+        'minhash_dedup': q_minhash_dedup,
+        'multimodal_metadata': q_multimodal_meta,
+        'parquet_roundtrip': q_parquet_roundtrip,
+        'pluck_fields_by_regex': q_pluck_regex,
+        'pricing_summary': q_pricing_summary,
+        'rename': q_rename,
+        'sessionize_events': q_sessionize_events,
+        'simhash_near_dups': q_simhash_near_dups,
+        'snapshot_upsert': q_snapshot_upsert,
+        'token_stats': q_token_stats,
+        'top_orders_per_cust': q_top_orders_per_cust,
+        'chunk_documents': q_chunk_documents,
+        'contamination_check': q_contamination_check,
+        'event_asof_open': q_event_asof_open,
+        'jsonl_roundtrip': q_jsonl_roundtrip,
+        'kmv_distinct': q_kmv_distinct,
+        'orc_roundtrip': q_orc_roundtrip,
+        'pack_documents': q_pack_documents,
+        'pii_redaction': q_pii_redaction,
+        'pool_embeddings': q_pool_embeddings,
+        'range_join_windows': q_range_join_windows,
     }
 
 
@@ -6933,176 +6892,174 @@ def oracle_sql() -> dict[str, str]:
     # (merge law); streaming_minhash_dedup reuses minhash_dedup
     # (stream-then-batch == batch-over-union).
     return {
-        # ---- correctness window (kept key-identical + same-ordered as
-        # queries(); see the rotation note there) ----
-        "length_drift": _Q_LENGTH_DRIFT_SQL,
-        "streaming_url_dedup": _Q_URL_DEDUP_SQL,
-        "sq_topk_indexed": _Q_SQ_TOPK_SQL,
-        "streaming_drift": _Q_LENGTH_DRIFT_SQL,
-        "html_extract": _Q_HTML_EXTRACT_SQL,
-        "outlink_domains": _Q_OUTLINK_DOMAINS_SQL,
-        "customer_matches": _Q_CUSTOMER_MATCHES_SQL,
-        "contact_normalize": _Q_CONTACT_NORM_SQL,
-        "sq_ivf_topk": _sq_ivf_oracle_sql(),
-        "sq_ivf_topk_indexed": _sq_ivf_oracle_sql(),
-        "pq_ivf_topk_indexed": _pq_ivf_oracle_sql(),
-        "dsir_sample": _Q_DSIR_SAMPLE_SQL,
-        "unicode_tokens": _unicode_tokens_oracle_sql(),
-        "classifier_score": _classifier_oracle_sql(),
-        "substring_spans": _Q_SUBSTRING_SPANS_SQL,
-        "substring_dedup": _Q_SUBSTRING_DEDUP_SQL,
-        "quality_mix": _quality_mix_oracle_sql(),
-        "substring_decontam": _Q_SUBSTRING_DECONTAM_SQL,
-        "bigram_nll": _Q_BIGRAM_NLL_SQL,
-        "local_supplier_volume": _Q_LOCAL_SUPPLIER_SQL,
-        "promo_revenue": _Q_PROMO_SQL,
-        "shipping_priority": _Q_SHIPPING_SQL,
-        "ann_topk": _Q_ANN_TOPK_SQL,
-        "audio_features": _audio_features_sql(),
-        "cosine_similarity": _Q_COSINE_ALL_SQL,
-        "csv_roundtrip": _Q_CSV_ROUNDTRIP_SQL,
-        "deep_convert_expr": _Q_DEEP_CONVERT_SQL,
-        "embedding_near_dups": _embedding_near_dups_sql(),
-        "events_daily": _Q_EVENTS_DAILY_SQL,
-        "explode_json_to_rows": _Q_EXPLODE_ROWS_SQL,
-        "ivf_topk": _Q_ANN_TOPK_SQL,
-        "map_fields": _Q_MAP_FIELDS_SQL,
-        "minhash_dedup": _Q_MINHASH_DEDUP_SQL,
-        "multimodal_metadata": _Q_MULTIMODAL_SQL,
-        "parquet_roundtrip": _Q_PARQUET_ROUNDTRIP_SQL,
-        "pluck_fields_by_regex": _Q_PLUCK_REGEX_SQL,
-        "pricing_summary": _Q_PRICING_SQL,
-        "rename": _Q_RENAME_SQL,
-        "sessionize_events": _Q_SESSIONIZE_SQL,
-        "simhash_near_dups": _Q_SIMHASH_SQL,
-        "snapshot_upsert": _Q_SNAPSHOT_SQL,
-        "token_stats": _Q_TOKEN_STATS_SQL,
-        "top_orders_per_cust": _Q_TOP_ORDERS_SQL,
-        "chunk_documents": _Q_CHUNK_DOCS_SQL,
-        "contamination_check": _Q_CONTAMINATION_SQL,
-        "event_asof_open": _Q_EVENT_ASOF_SQL,
-        "jsonl_roundtrip": _Q_JSONL_ROUNDTRIP_SQL,
-        "kmv_distinct": _Q_KMV_SQL,
-        "orc_roundtrip": _Q_ORC_ROUNDTRIP_SQL,
-        "pack_documents": _Q_PACK_DOCS_SQL,
-        "pii_redaction": _Q_PII_SQL,
-        "pool_embeddings": _Q_POOL_SQL,
-        "range_join_windows": _Q_RANGE_JOIN_SQL,
-        # ---- tail ----
-        "windowed_counts": _Q_WINDOWED_COUNTS_SQL,
-        "build_vocab": _Q_BUILD_VOCAB_SQL,
-        "cluster_dedup": _Q_CLUSTER_DEDUP_SQL,
-        "hash_sample": _Q_HASH_SAMPLE_SQL,
-        "mix_corpora": _Q_MIX_CORPORA_SQL,
-        "tfidf_vectors": _Q_TFIDF_SQL,
-        "time_rollup": _Q_TIME_ROLLUP_SQL,
-        "html_extract_replay": _Q_HTML_EXTRACT_REPLAY_SQL,
-        "streaming_decontam": _Q_SUBSTRING_DECONTAM_SQL,
-        "streaming_quality_filter": _streaming_quality_filter_oracle_sql(),
-        "kmv_merge": _Q_KMV_SQL,
-        "event_asof_close": _Q_EVENT_ASOF_CLOSE_SQL,
-        "event_asof_nearest": _Q_EVENT_ASOF_NEAREST_SQL,
-        "ivf_probe_indexed": _Q_ANN_TOPK_SQL,
-        "minhash_candidates": _Q_MINHASH_CANDIDATES_SQL,
-        "hash_split": _Q_HASH_SPLIT_SQL,
-        "balanced_sample": _Q_BALANCED_SQL,
-        "bm25_scores": _Q_BM25_SQL,
-        "bpe_pairs": _Q_BPE_PAIRS_SQL,
-        "cap_per_domain": _Q_CAP_DOMAIN_SQL,
-        "cdc_diff": _Q_CDC_DIFF_SQL,
-        "clipped_values": _Q_CLIPPED_SQL,
-        "cluster_dedup_best": _cluster_dedup_best_sql(),
-        "corr_matrix": _Q_CORR_SQL,
-        "dedup_against_ref": _Q_DEDUP_AGAINST_SQL,
-        "dedup_cluster_sizes": _cluster_sizes_sql(),
-        "domain_split": _Q_DOMAIN_SPLIT_SQL,
-        "domain_stats": _Q_DOMAIN_STATS_SQL,
-        "encoded_docs": _Q_ENCODED_SQL,
-        "equi_depth_bins": _Q_EQUI_DEPTH_SQL,
-        "expectations_audit": _Q_EXPECTATIONS_SQL,
-        "fuzzy_pairs": _Q_FUZZY_PAIRS_SQL,
-        "gapfill_daily": _Q_GAPFILL_SQL,
-        "grouped_percentiles": _Q_GROUPED_PCT_SQL,
-        "heavy_hitters": _Q_HEAVY_HITTERS_SQL,
-        "hive_partition_roundtrip": _Q_HIVE_PART_SQL,
-        "ivf_append_topk": _Q_ANN_TOPK_SQL,
-        "merge_into_orders": _Q_MERGE_INTO_SQL,
-        "negative_pairs": _Q_NEGATIVE_PAIRS_SQL,
-        "nll_mix": _Q_NLL_MIX_SQL,
-        "packed_encoded_docs": _Q_PACKED_ENCODED_SQL,
-        "profile_numeric": _Q_PROFILE_SQL,
-        "quantize_embeddings": _Q_QUANTIZE_SQL,
-        "repetition_stats": _Q_REPETITION_SQL,
-        "robust_scaled": _Q_ROBUST_SCALED_SQL,
-        "rolling_zscore": _Q_ROLLING_ZSCORE_SQL,
-        "salted_join_agg": _Q_SALTED_JOIN_SQL,
-        "scaled_features": _Q_SCALED_SQL,
-        "scd2_merge": _Q_SCD2_SQL,
-        "segment_dedup": _Q_SEGMENT_DEDUP_SQL,
-        "sessionize_batch": _Q_SESSIONIZE_BATCH_SQL,
-        "stratified_sample": _Q_STRATIFIED_SQL,
-        "stream_interval_join": _Q_STREAM_INTERVAL_SQL,
-        "streaming_agg": _Q_STREAMING_AGG_SQL,
-        "streaming_cdc": _Q_STREAMING_CDC_SQL,
-        "streaming_minhash_dedup": _Q_MINHASH_DEDUP_SQL,
-        "streaming_scd2": _Q_SCD2_SQL,
-        "streaming_topk": _Q_HEAVY_HITTERS_SQL,
-        "suppress_bursts": _Q_SUPPRESS_SQL,
-        "table_stats": _table_stats_sql(),
-        "top_events_per_user": _Q_TOP_EVENTS_SQL,
-        "unigram_nll": _Q_UNIGRAM_NLL_SQL,
-        "value_histogram": _Q_HISTOGRAM_SQL,
-        "versioned_time_travel": _Q_VERSIONED_SQL,
-        "weekly_retention": _Q_RETENTION_SQL,
-        "zorder_values": _zvalue_duck_sql(),
-        "alpha_sample": _Q_ALPHA_SAMPLE_SQL,
-        "array_to_dict": _Q_ARRAY_TO_DICT_SQL,
-        "bpe_encode": _Q_BPE_ENCODE_SQL,
-        "catalog_coercion": _Q_CATALOG_COERCION_SQL,
-        "centroid_outliers": _centroid_outliers_oracle_sql(),
-        "clean_corpus": _clean_corpus_sql(),
-        "clean_obj_nulls": _Q_CLEAN_OBJ_NULLS_SQL,
-        "collocations": _Q_COLLOCATIONS_SQL,
-        "compress_rows_to_col": _Q_COMPRESS_SQL,
-        "containment_pairs": _Q_CONTAINMENT_SQL,
-        "custom_fields": _Q_CUSTOM_FIELDS_SQL,
-        "dedup_against_indexed": _Q_DEDUP_AGAINST_SQL,
-        "dedup_exact": _Q_DEDUP_EXACT_SQL,
-        "dedup_fingerprint": _Q_DEDUP_FP_SQL,
-        "deep_convert_datetimes": _Q_DEEP_CONVERT_SQL,
-        "docs_cube": _Q_DOCS_CUBE_SQL,
-        "drop_null_columns": _Q_DROP_NULL_COLS_SQL,
-        "drop_redundant": _Q_DROP_REDUNDANT_SQL,
-        "enforce_exploded_types": _Q_ENFORCE_TYPES_SQL,
-        "event_transitions": _Q_EVENT_TRANSITIONS_SQL,
-        "events_pivot": _Q_EVENTS_PIVOT_SQL,
-        "explode_json_to_cols": _Q_EXPLODE_COLS_SQL,
-        "format_str_records": _Q_FORMAT_STR_SQL,
-        "funnel_counts": _Q_FUNNEL_SQL,
-        "hits_click_graph": _hits_oracle_sql(),
-        "image_features": _image_features_sql(),
-        "ivf_exact_topk": _ivf_exact_oracle_sql(),
-        "jaccard_vs_query": _Q_JACCARD_SQL,
-        "json_tuple_to_cols": _Q_JSON_TUPLE_SQL,
-        "keep_last_dedup": _Q_KEEP_LAST_SQL,
-        "kmeans_clusters": _kmeans_oracle_sql(),
-        "label_communities": _lpa_oracle_sql(),
-        "lang_id": _lang_id_sql(),
-        "localize_datetime": _Q_LOCALIZE_SQL,
-        "lsh_ann_topk": _lsh_ann_sql(),
-        "melt_part": _Q_MELT_PART_SQL,
-        "merge_id_from_snapshot": _Q_MERGE_ID_SQL,
-        "nulls_trimmed": _Q_NULLS_TRIMMED_SQL,
-        "pagerank_events": _pagerank_oracle_sql(),
-        "part_triangles": _Q_PART_TRIANGLES_SQL,
-        "pluck_fields": _Q_PLUCK_SQL,
-        "pq_topk": _pq_oracle_sql(),
-        "quality_score": _quality_sql(),
-        "resample_ratio": _Q_RESAMPLE_RATIO_SQL,
-        "row_hash": _Q_ROW_HASH_SQL,
-        "semdedup_keep": _semdedup_oracle_sql(),
-        "sq_topk": _Q_SQ_TOPK_SQL,
-        "union_relaxed": _Q_UNION_SQL,
-        "url_dedup": _Q_URL_DEDUP_SQL,
-        "winnow_fingerprint": _Q_WINNOW_FP_SQL,
+        # (order mirrors queries() exactly — the driver zips them)
+        'html_extract_replay': _Q_HTML_EXTRACT_REPLAY_SQL,
+        'streaming_decontam': _Q_SUBSTRING_DECONTAM_SQL,
+        'windowed_counts': _Q_WINDOWED_COUNTS_SQL,
+        'build_vocab': _Q_BUILD_VOCAB_SQL,
+        'cluster_dedup': _Q_CLUSTER_DEDUP_SQL,
+        'hash_sample': _Q_HASH_SAMPLE_SQL,
+        'mix_corpora': _Q_MIX_CORPORA_SQL,
+        'tfidf_vectors': _Q_TFIDF_SQL,
+        'time_rollup': _Q_TIME_ROLLUP_SQL,
+        'kmv_merge': _Q_KMV_SQL,
+        'event_asof_close': _Q_EVENT_ASOF_CLOSE_SQL,
+        'event_asof_nearest': _Q_EVENT_ASOF_NEAREST_SQL,
+        'ivf_probe_indexed': _Q_ANN_TOPK_SQL,
+        'minhash_candidates': _Q_MINHASH_CANDIDATES_SQL,
+        'hash_split': _Q_HASH_SPLIT_SQL,
+        'pq_ivf_topk_indexed': _pq_ivf_oracle_sql(),
+        'dsir_sample': _Q_DSIR_SAMPLE_SQL,
+        'unicode_tokens': _unicode_tokens_oracle_sql(),
+        'balanced_sample': _Q_BALANCED_SQL,
+        'bm25_scores': _Q_BM25_SQL,
+        'bpe_pairs': _Q_BPE_PAIRS_SQL,
+        'cap_per_domain': _Q_CAP_DOMAIN_SQL,
+        'cdc_diff': _Q_CDC_DIFF_SQL,
+        'clipped_values': _Q_CLIPPED_SQL,
+        'cluster_dedup_best': _cluster_dedup_best_sql(),
+        'corr_matrix': _Q_CORR_SQL,
+        'dedup_against_ref': _Q_DEDUP_AGAINST_SQL,
+        'dedup_cluster_sizes': _cluster_sizes_sql(),
+        'domain_split': _Q_DOMAIN_SPLIT_SQL,
+        'domain_stats': _Q_DOMAIN_STATS_SQL,
+        'encoded_docs': _Q_ENCODED_SQL,
+        'equi_depth_bins': _Q_EQUI_DEPTH_SQL,
+        'expectations_audit': _Q_EXPECTATIONS_SQL,
+        'fuzzy_pairs': _Q_FUZZY_PAIRS_SQL,
+        'gapfill_daily': _Q_GAPFILL_SQL,
+        'grouped_percentiles': _Q_GROUPED_PCT_SQL,
+        'heavy_hitters': _Q_HEAVY_HITTERS_SQL,
+        'hive_partition_roundtrip': _Q_HIVE_PART_SQL,
+        'ivf_append_topk': _Q_ANN_TOPK_SQL,
+        'merge_into_orders': _Q_MERGE_INTO_SQL,
+        'negative_pairs': _Q_NEGATIVE_PAIRS_SQL,
+        'nll_mix': _Q_NLL_MIX_SQL,
+        'packed_encoded_docs': _Q_PACKED_ENCODED_SQL,
+        'profile_numeric': _Q_PROFILE_SQL,
+        'quantize_embeddings': _Q_QUANTIZE_SQL,
+        'repetition_stats': _Q_REPETITION_SQL,
+        'robust_scaled': _Q_ROBUST_SCALED_SQL,
+        'rolling_zscore': _Q_ROLLING_ZSCORE_SQL,
+        'salted_join_agg': _Q_SALTED_JOIN_SQL,
+        'scaled_features': _Q_SCALED_SQL,
+        'streaming_quality_filter': _streaming_quality_filter_oracle_sql(),
+        'scd2_merge': _Q_SCD2_SQL,
+        'segment_dedup': _Q_SEGMENT_DEDUP_SQL,
+        'sessionize_batch': _Q_SESSIONIZE_BATCH_SQL,
+        'stratified_sample': _Q_STRATIFIED_SQL,
+        'stream_interval_join': _Q_STREAM_INTERVAL_SQL,
+        'streaming_agg': _Q_STREAMING_AGG_SQL,
+        'streaming_cdc': _Q_STREAMING_CDC_SQL,
+        'streaming_minhash_dedup': _Q_MINHASH_DEDUP_SQL,
+        'streaming_scd2': _Q_SCD2_SQL,
+        'streaming_topk': _Q_HEAVY_HITTERS_SQL,
+        'suppress_bursts': _Q_SUPPRESS_SQL,
+        'table_stats': _table_stats_sql(),
+        'top_events_per_user': _Q_TOP_EVENTS_SQL,
+        'unigram_nll': _Q_UNIGRAM_NLL_SQL,
+        'value_histogram': _Q_HISTOGRAM_SQL,
+        'versioned_time_travel': _Q_VERSIONED_SQL,
+        'weekly_retention': _Q_RETENTION_SQL,
+        'zorder_values': _zvalue_duck_sql(),
+        'alpha_sample': _Q_ALPHA_SAMPLE_SQL,
+        'array_to_dict': _Q_ARRAY_TO_DICT_SQL,
+        'bpe_encode': _Q_BPE_ENCODE_SQL,
+        'catalog_coercion': _Q_CATALOG_COERCION_SQL,
+        'centroid_outliers': _centroid_outliers_oracle_sql(),
+        'clean_corpus': _clean_corpus_sql(),
+        'clean_obj_nulls': _Q_CLEAN_OBJ_NULLS_SQL,
+        'collocations': _Q_COLLOCATIONS_SQL,
+        'compress_rows_to_col': _Q_COMPRESS_SQL,
+        'containment_pairs': _Q_CONTAINMENT_SQL,
+        'custom_fields': _Q_CUSTOM_FIELDS_SQL,
+        'dedup_against_indexed': _Q_DEDUP_AGAINST_SQL,
+        'dedup_exact': _Q_DEDUP_EXACT_SQL,
+        'dedup_fingerprint': _Q_DEDUP_FP_SQL,
+        'deep_convert_datetimes': _Q_DEEP_CONVERT_SQL,
+        'docs_cube': _Q_DOCS_CUBE_SQL,
+        'drop_null_columns': _Q_DROP_NULL_COLS_SQL,
+        'drop_redundant': _Q_DROP_REDUNDANT_SQL,
+        'enforce_exploded_types': _Q_ENFORCE_TYPES_SQL,
+        'event_transitions': _Q_EVENT_TRANSITIONS_SQL,
+        'events_pivot': _Q_EVENTS_PIVOT_SQL,
+        'explode_json_to_cols': _Q_EXPLODE_COLS_SQL,
+        'format_str_records': _Q_FORMAT_STR_SQL,
+        'funnel_counts': _Q_FUNNEL_SQL,
+        'hits_click_graph': _hits_oracle_sql(),
+        'image_features': _image_features_sql(),
+        'ivf_exact_topk': _ivf_exact_oracle_sql(),
+        'jaccard_vs_query': _Q_JACCARD_SQL,
+        'json_tuple_to_cols': _Q_JSON_TUPLE_SQL,
+        'keep_last_dedup': _Q_KEEP_LAST_SQL,
+        'kmeans_clusters': _kmeans_oracle_sql(),
+        'label_communities': _lpa_oracle_sql(),
+        'lang_id': _lang_id_sql(),
+        'localize_datetime': _Q_LOCALIZE_SQL,
+        'lsh_ann_topk': _lsh_ann_sql(),
+        'melt_part': _Q_MELT_PART_SQL,
+        'merge_id_from_snapshot': _Q_MERGE_ID_SQL,
+        'nulls_trimmed': _Q_NULLS_TRIMMED_SQL,
+        'pagerank_events': _pagerank_oracle_sql(),
+        'part_triangles': _Q_PART_TRIANGLES_SQL,
+        'pluck_fields': _Q_PLUCK_SQL,
+        'pq_topk': _pq_oracle_sql(),
+        'quality_score': _quality_sql(),
+        'resample_ratio': _Q_RESAMPLE_RATIO_SQL,
+        'row_hash': _Q_ROW_HASH_SQL,
+        'semdedup_keep': _semdedup_oracle_sql(),
+        'sq_topk': _Q_SQ_TOPK_SQL,
+        'union_relaxed': _Q_UNION_SQL,
+        'url_dedup': _Q_URL_DEDUP_SQL,
+        'winnow_fingerprint': _Q_WINNOW_FP_SQL,
+        'length_drift': _Q_LENGTH_DRIFT_SQL,
+        'streaming_url_dedup': _Q_URL_DEDUP_SQL,
+        'sq_topk_indexed': _Q_SQ_TOPK_SQL,
+        'streaming_drift': _Q_LENGTH_DRIFT_SQL,
+        'html_extract': _Q_HTML_EXTRACT_SQL,
+        'outlink_domains': _Q_OUTLINK_DOMAINS_SQL,
+        'customer_matches': _Q_CUSTOMER_MATCHES_SQL,
+        'contact_normalize': _Q_CONTACT_NORM_SQL,
+        'sq_ivf_topk': _sq_ivf_oracle_sql(),
+        'sq_ivf_topk_indexed': _sq_ivf_oracle_sql(),
+        'classifier_score': _classifier_oracle_sql(),
+        'substring_spans': _Q_SUBSTRING_SPANS_SQL,
+        'substring_dedup': _Q_SUBSTRING_DEDUP_SQL,
+        'quality_mix': _quality_mix_oracle_sql(),
+        'substring_decontam': _Q_SUBSTRING_DECONTAM_SQL,
+        'bigram_nll': _Q_BIGRAM_NLL_SQL,
+        'local_supplier_volume': _Q_LOCAL_SUPPLIER_SQL,
+        'promo_revenue': _Q_PROMO_SQL,
+        'shipping_priority': _Q_SHIPPING_SQL,
+        'ann_topk': _Q_ANN_TOPK_SQL,
+        'audio_features': _audio_features_sql(),
+        'cosine_similarity': _Q_COSINE_ALL_SQL,
+        'csv_roundtrip': _Q_CSV_ROUNDTRIP_SQL,
+        'deep_convert_expr': _Q_DEEP_CONVERT_SQL,
+        'embedding_near_dups': _embedding_near_dups_sql(),
+        'events_daily': _Q_EVENTS_DAILY_SQL,
+        'explode_json_to_rows': _Q_EXPLODE_ROWS_SQL,
+        'ivf_topk': _Q_ANN_TOPK_SQL,
+        'map_fields': _Q_MAP_FIELDS_SQL,
+        'minhash_dedup': _Q_MINHASH_DEDUP_SQL,
+        'multimodal_metadata': _Q_MULTIMODAL_SQL,
+        'parquet_roundtrip': _Q_PARQUET_ROUNDTRIP_SQL,
+        'pluck_fields_by_regex': _Q_PLUCK_REGEX_SQL,
+        'pricing_summary': _Q_PRICING_SQL,
+        'rename': _Q_RENAME_SQL,
+        'sessionize_events': _Q_SESSIONIZE_SQL,
+        'simhash_near_dups': _Q_SIMHASH_SQL,
+        'snapshot_upsert': _Q_SNAPSHOT_SQL,
+        'token_stats': _Q_TOKEN_STATS_SQL,
+        'top_orders_per_cust': _Q_TOP_ORDERS_SQL,
+        'chunk_documents': _Q_CHUNK_DOCS_SQL,
+        'contamination_check': _Q_CONTAMINATION_SQL,
+        'event_asof_open': _Q_EVENT_ASOF_SQL,
+        'jsonl_roundtrip': _Q_JSONL_ROUNDTRIP_SQL,
+        'kmv_distinct': _Q_KMV_SQL,
+        'orc_roundtrip': _Q_ORC_ROUNDTRIP_SQL,
+        'pack_documents': _Q_PACK_DOCS_SQL,
+        'pii_redaction': _Q_PII_SQL,
+        'pool_embeddings': _Q_POOL_SQL,
+        'range_join_windows': _Q_RANGE_JOIN_SQL,
     }
