@@ -6098,6 +6098,58 @@ def q_streaming_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule battery (llm/text.py:gopher_quality_flags — Rae et
+    al. 2021 Table A1): word-count band, mean-word-length band,
+    symbol/bullet/ellipsis ratios, alphabetic-word ratio, stopword
+    presence — every ratio an EXACT integer cross-multiplied comparison,
+    so all seven flags and the combined verdict replay bit-for-bit."""
+    from gluestick_spark.llm.text import gopher_quality_flags
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_quality_flags(d, "text").drop("text")
+
+
+_Q_GOPHER_QUALITY_SQL = r"""
+WITH c AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'), x -> x != '') AS toks,
+         string_split(COALESCE(text, ''), chr(10)) AS lines,
+         COALESCE(text, '') AS txt
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS sum_len,
+         CAST(len(regexp_extract_all(txt, '#|\.\.\.|…')) AS BIGINT) AS n_sym,
+         CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT) AS n_ell,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+         CAST(len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))),
+              ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop
+  FROM c
+)
+SELECT doc_id, n_words, sum_len AS sum_word_len, n_stop AS n_stopwords,
+       (n_words >= 50 AND n_words <= 100000) AS f_word_count,
+       (3 * n_words <= sum_len AND sum_len <= 10 * n_words) AS f_mean_word_len,
+       (10 * n_sym <= n_words) AS f_symbol_ratio,
+       (10 * n_bullet <= n_lines) AS f_bullet_lines,
+       (10 * n_ell <= 3 * n_lines) AS f_ellipsis_lines,
+       (10 * n_alpha >= 8 * n_words) AS f_alpha_words,
+       (n_stop >= 2) AS f_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (3 * n_words <= sum_len AND sum_len <= 10 * n_words)
+        AND (10 * n_sym <= n_words)
+        AND (10 * n_bullet <= n_lines)
+        AND (10 * n_ell <= 3 * n_lines)
+        AND (10 * n_alpha >= 8 * n_words)
+        AND (n_stop >= 2)) AS gopher_pass
+FROM s
+"""
+
+
 def q_unicode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-robust tokenization (llm/text.py:normalize_text_expr +
     tokens_expr(normalize=True) — VERDICT r9 #9): the testdata text is
@@ -6755,14 +6807,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'robust_scaled': q_robust_scaled,
         'rolling_zscore': q_rolling_zscore,
         'salted_join_agg': q_salted_join_agg,
-        'scaled_features': q_scaled_features,
+        # (late round-10 addition: Gopher rule battery, Rae et al. 2021 —
+        # all-integer ratio comparisons. Displaces scaled_features to the
+        # tail's r07 block: its one-moments-agg device is shared by
+        # in-window robust_scaled/clipped_values.)
+        'gopher_quality': q_gopher_quality,
         # ---- tail: locally oracle-checked every round (driver_sim /
         # check_correctness), ordered oldest-evidence-first for the r11
         # rotation: streaming_quality_filter (NEW r10, never
         # driver-checked — first in line for r11, shares _clf_score_ctes
-        # verbatim), the 18 remaining r07-evidence rows, the 50 r8-green
-        # rows, then the 50 r9-green rows. ----
+        # verbatim), scaled_features + the 18 remaining r07-evidence
+        # rows, the 50 r8-green rows, then the 50 r9-green rows. ----
         'streaming_quality_filter': q_streaming_quality_filter,
+        'scaled_features': q_scaled_features,
         'scd2_merge': q_scd2_merge,
         'segment_dedup': q_segment_dedup,
         'sessionize_batch': q_sessionize_batch,
@@ -6942,8 +6999,9 @@ def oracle_sql() -> dict[str, str]:
         'robust_scaled': _Q_ROBUST_SCALED_SQL,
         'rolling_zscore': _Q_ROLLING_ZSCORE_SQL,
         'salted_join_agg': _Q_SALTED_JOIN_SQL,
-        'scaled_features': _Q_SCALED_SQL,
+        'gopher_quality': _Q_GOPHER_QUALITY_SQL,
         'streaming_quality_filter': _streaming_quality_filter_oracle_sql(),
+        'scaled_features': _Q_SCALED_SQL,
         'scd2_merge': _Q_SCD2_SQL,
         'segment_dedup': _Q_SEGMENT_DEDUP_SQL,
         'sessionize_batch': _Q_SESSIONIZE_BATCH_SQL,

@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "pq_ivf_topk_indexed",
     "dsir_sample",
     "unicode_tokens",
+    "gopher_quality",
     "classifier_score",
     "substring_spans",
     "substring_dedup",

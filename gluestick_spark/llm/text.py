@@ -26,6 +26,8 @@ __all__ = [
     "lang_scores_expr",
     "lang_id_expr",
     "quality_score_expr",
+    "gopher_quality_flags",
+    "GOPHER_STOPWORDS",
     "fingerprint_expr",
     "shingles_expr",
     "rolling_hashes_expr",
@@ -268,6 +270,92 @@ def quality_score_expr(col: Column) -> Column:
     # truncate, don't round: round() half-ties resolve differently across
     # engines (observed: 0.9428125 → Spark 0.942812, DuckDB 0.942813)
     return F.floor(score * 1e6) / 1e6
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    df,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+):
+    """The Gopher rule battery (Rae et al. 2021, "Scaling Language
+    Models", Table A1) — the repetition-independent document-quality
+    filters every major crawl pipeline applies before model-based
+    scoring. Appends per-document counters, one boolean flag per rule,
+    and the combined ``gopher_pass``:
+
+    - ``f_word_count``: ``min_words ≤ n_words ≤ max_words``.
+    - ``f_mean_word_len``: mean word length in [3, 10] characters.
+    - ``f_symbol_ratio``: (# of ``#`` or ellipsis symbols) / words
+      ≤ 0.1.
+    - ``f_bullet_lines``: ≤ 10% of lines start with a bullet
+      (``-``/``*``/``•``).
+    - ``f_ellipsis_lines``: ≤ 30% of lines end with an ellipsis.
+    - ``f_alpha_words``: ≥ 80% of words contain an (ASCII) alphabetic
+      character — the honest scope note: Rae et al. say "alphabetic";
+      non-Latin scripts need a unicode class and should pre-route by
+      :func:`lang_id_expr`.
+    - ``f_stopwords``: ≥ 2 distinct words from the canonical 8-word
+      list (the/be/to/of/and/that/have/with).
+
+    Determinism: every ratio rule is an EXACT integer cross-multiplied
+    comparison (``10·n_sym ≤ n_words``, never a float division), so the
+    battery replays bit-for-bit in any engine. Empty documents fail
+    ``f_word_count`` and pass the vacuous ratio rules — stated contract.
+
+    Scale: one narrow projection — lines and tokens are each computed
+    once per row inside the scan; no shuffle, no UDF."""
+    col = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens_expr(col)
+    lines = F.split(col, "\n")
+    n_words = F.size(toks).cast("long")
+    n_lines = F.size(lines).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n_sym = F.size(F.regexp_extract_all(col, F.lit(r"#|\.\.\.|…"), 0)).cast("long")
+    n_bullet = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
+    ).cast("long")
+    n_ellipsis = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    ).cast("long")
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("long")
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.array_intersect(F.transform(toks, F.lower), stop_arr)
+    ).cast("long")
+
+    f_word_count = (n_words >= min_words) & (n_words <= max_words)
+    f_mean_word_len = (F.lit(3) * n_words <= sum_len) & (
+        sum_len <= F.lit(10) * n_words
+    )
+    f_symbol_ratio = F.lit(10) * n_sym <= n_words
+    f_bullet_lines = F.lit(10) * n_bullet <= n_lines
+    f_ellipsis_lines = F.lit(10) * n_ellipsis <= F.lit(3) * n_lines
+    f_alpha_words = F.lit(10) * n_alpha >= F.lit(8) * n_words
+    f_stopwords = n_stop >= 2
+    gopher_pass = (
+        f_word_count & f_mean_word_len & f_symbol_ratio & f_bullet_lines
+        & f_ellipsis_lines & f_alpha_words & f_stopwords
+    )
+    return df.select(
+        "*",
+        n_words.alias("n_words"),
+        sum_len.alias("sum_word_len"),
+        n_stop.alias("n_stopwords"),
+        f_word_count.alias("f_word_count"),
+        f_mean_word_len.alias("f_mean_word_len"),
+        f_symbol_ratio.alias("f_symbol_ratio"),
+        f_bullet_lines.alias("f_bullet_lines"),
+        f_ellipsis_lines.alias("f_ellipsis_lines"),
+        f_alpha_words.alias("f_alpha_words"),
+        f_stopwords.alias("f_stopwords"),
+        gopher_pass.alias("gopher_pass"),
+    )
 
 
 def fingerprint_expr(col: Column) -> Column:

@@ -373,6 +373,39 @@ def test_normalize_text_expr_crawl_artifacts(spark):
     assert raw[3] == ["ｈｅｌｌｏ", "ｗｏｒｌｄ"]
 
 
+# ------------------------------------------ Gopher rule battery (L115) ----
+
+
+def test_gopher_quality_flags_rules(spark):
+    """Each Gopher rule fires on its crafted violator and passes on the
+    clean document; ratio rules are exact integer comparisons."""
+    from gluestick_spark.llm.text import gopher_quality_flags
+
+    good = ("the data and the model have to be of good size with that "
+            "margin " * 8).strip()             # 88 words, stopword-rich
+    rows = [
+        (1, good),
+        (2, "short text"),                     # word count
+        (3, ("a b c " * 30).strip()),          # mean word len < 3, no stopwords
+        (4, good + " " + "# " * 20),           # symbol ratio
+        (5, good + "\n" + "\n".join(f"- item {i}" for i in range(9))),  # bullets
+        (6, good + "\n" + "\n".join(f"line {i}..." for i in range(9))),  # ellipsis
+        (7, good + " " + "123 456 789 " * 10), # alpha ratio
+        (8, None),                             # null text: fails word count only
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    out = {r["i"]: r for r in gopher_quality_flags(df, "text").collect()}
+    assert out[1]["gopher_pass"]
+    assert not out[2]["f_word_count"]
+    assert not out[3]["f_mean_word_len"] and not out[3]["f_stopwords"]
+    assert not out[4]["f_symbol_ratio"] and out[1]["f_symbol_ratio"]
+    assert not out[5]["f_bullet_lines"] and out[1]["f_bullet_lines"]
+    assert not out[6]["f_ellipsis_lines"] and out[1]["f_ellipsis_lines"]
+    assert not out[7]["f_alpha_words"] and out[1]["f_alpha_words"]
+    assert not out[8]["f_word_count"] and out[8]["f_symbol_ratio"]
+    assert all(not out[i]["gopher_pass"] for i in range(2, 9))
+
+
 # --------------------------------- VERDICT 4: triangle hub-degree cap -----
 
 
