@@ -6098,6 +6098,64 @@ def q_streaming_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact line dedup (llm/spans.py:line_dedup — the
+    RefinedWeb/CCNet line filter). The synthetic docs are single-line,
+    so the query plants line structure deterministically: every doc
+    becomes text + a SHARED footer line + a per-doc unique line. The
+    boilerplate footer must survive only in its corpus-first occurrence,
+    duplicated base texts dedup across docs, unique lines all survive —
+    and the oracle replays the same mutation + election + reassembly."""
+    from gluestick_spark.llm.spans import line_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = F.concat_ws(
+        "\n",
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("(c) example footer all rights reserved"),
+        F.concat(F.lit("unique line "), F.col("doc_id").cast("string")),
+    )
+    return line_dedup(d.withColumn("text", mut))
+
+
+_Q_LINE_DEDUP_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+         COALESCE(text, '') || chr(10)
+         || '(c) example footer all rights reserved' || chr(10)
+         || 'unique line ' || CAST(doc_id AS VARCHAR) AS txt
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, CAST(g.i AS BIGINT) AS pos, lines[g.i + 1] AS line
+  FROM (SELECT doc_id, string_split(txt, chr(10)) AS lines FROM m),
+       LATERAL (SELECT unnest(range(0, len(lines)))) AS g(i)
+),
+tagged AS (
+  SELECT doc_id, pos, line,
+         CASE WHEN trim(line) = '' THEN TRUE
+              ELSE (count(*) OVER (PARTITION BY line) = 1
+                    OR row_number() OVER (PARTITION BY line
+                                          ORDER BY doc_id, pos) = 1)
+         END AS keep
+  FROM occ
+),
+per_doc AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos)
+           AS text_clean,
+         count(*) AS n_lines,
+         sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS n_removed
+  FROM tagged GROUP BY doc_id
+)
+SELECT m.doc_id,
+       coalesce(p.text_clean, '') AS text_clean,
+       CAST(coalesce(p.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(coalesce(p.n_removed, 0) AS BIGINT) AS n_removed
+FROM m LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule battery (llm/text.py:gopher_quality_flags — Rae et
     al. 2021 Table A1): word-count band, mean-word-length band,
@@ -6806,7 +6864,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'repetition_stats': q_repetition_stats,
         'robust_scaled': q_robust_scaled,
         'rolling_zscore': q_rolling_zscore,
-        'salted_join_agg': q_salted_join_agg,
+        # (late round-10 addition: RefinedWeb/CCNet exact LINE dedup —
+        # planted line structure; election + reassembly fully replayed.
+        # Displaces salted_join_agg to the tail's r07 block: its
+        # salt-invariance contract is additionally pytest-pinned.)
+        'line_dedup': q_line_dedup,
         # (late round-10 addition: Gopher rule battery, Rae et al. 2021 —
         # all-integer ratio comparisons. Displaces scaled_features to the
         # tail's r07 block: its one-moments-agg device is shared by
@@ -6819,6 +6881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verbatim), scaled_features + the 18 remaining r07-evidence
         # rows, the 50 r8-green rows, then the 50 r9-green rows. ----
         'streaming_quality_filter': q_streaming_quality_filter,
+        'salted_join_agg': q_salted_join_agg,
         'scaled_features': q_scaled_features,
         'scd2_merge': q_scd2_merge,
         'segment_dedup': q_segment_dedup,
@@ -6998,9 +7061,10 @@ def oracle_sql() -> dict[str, str]:
         'repetition_stats': _Q_REPETITION_SQL,
         'robust_scaled': _Q_ROBUST_SCALED_SQL,
         'rolling_zscore': _Q_ROLLING_ZSCORE_SQL,
-        'salted_join_agg': _Q_SALTED_JOIN_SQL,
+        'line_dedup': _Q_LINE_DEDUP_SQL,
         'gopher_quality': _Q_GOPHER_QUALITY_SQL,
         'streaming_quality_filter': _streaming_quality_filter_oracle_sql(),
+        'salted_join_agg': _Q_SALTED_JOIN_SQL,
         'scaled_features': _Q_SCALED_SQL,
         'scd2_merge': _Q_SCD2_SQL,
         'segment_dedup': _Q_SEGMENT_DEDUP_SQL,

@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "dsir_sample",
     "unicode_tokens",
     "gopher_quality",
+    "line_dedup",
     "classifier_score",
     "substring_spans",
     "substring_dedup",

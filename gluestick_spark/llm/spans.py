@@ -49,6 +49,7 @@ from gluestick_spark.llm.text import tokens_expr
 __all__ = [
     "segment_occurrences",
     "segment_dedup",
+    "line_dedup",
     "substring_overlap_spans",
     "substring_dedup",
     "materialize_substring_index",
@@ -133,6 +134,79 @@ def segment_dedup(
         F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
         F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide EXACT line deduplication — the RefinedWeb/CCNet
+    line-level filter: every newline-delimited line that occurs verbatim
+    more than once across the corpus is removed from all but its first
+    occurrence in (``id_col``, line number) order. Complements
+    :func:`segment_dedup` (fixed token windows — catches mid-line
+    boilerplate) at the structural granularity web boilerplate actually
+    repeats at (nav bars, cookie banners, footers are LINES).
+
+    Returns one row per input document: (``id_col``, ``text_clean``,
+    ``n_lines``, ``n_removed``). Whitespace-only/empty lines are NOT
+    judged (kept verbatim, excluded from the election) — blank
+    separators are structure, not content, and electing a single global
+    "first blank line" would strip every other one. Documents with no
+    text pass through with ``text_clean = ''``.
+
+    Plan (the :func:`segment_dedup` shape): lines posexplode (narrow) →
+    first-occurrence election ``groupBy(line) → min(struct(doc, pos))``
+    (map-side combined — a hot boilerplate line collapses to one row per
+    map task before the shuffle) → join back on the exact line string →
+    per-doc ordered reassembly. Two shuffles, both keyed."""
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    occ = df.select(
+        F.col(id_col), F.posexplode(lines).alias("pos", "line")
+    ).select(id_col, F.col("pos").cast("long").alias("pos"), "line")
+    judged = occ.where(F.trim(F.col("line")) != "")
+    firsts = judged.groupBy("line").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+            "first"
+        ),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    keep_flag = (F.col("n_occ") == 1) | (
+        (F.col(id_col) == F.col("first.d")) & (F.col("pos") == F.col("first.p"))
+    )
+    tagged = judged.join(firsts, "line").select(
+        id_col, "pos", keep_flag.alias("keep")
+    )
+    # blanks rejoin unjudged (always kept); left join tags judged lines
+    merged = occ.join(tagged, [id_col, "pos"], "left").select(
+        id_col,
+        "pos",
+        "line",
+        F.coalesce(F.col("keep"), F.lit(True)).alias("keep"),
+    )
+    per_doc = merged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_removed"),
+    )
+    base = df.select(id_col)
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
     )
 
 

@@ -373,6 +373,33 @@ def test_normalize_text_expr_crawl_artifacts(spark):
     assert raw[3] == ["ｈｅｌｌｏ", "ｗｏｒｌｄ"]
 
 
+# -------------------------------------- RefinedWeb exact line dedup (L116)
+
+
+def test_line_dedup_first_occurrence_and_blanks(spark):
+    """Duplicated lines survive only at their corpus-first (doc, line)
+    position; blank lines are structure — kept verbatim, never elected."""
+    from gluestick_spark.llm.spans import line_dedup
+
+    rows = [
+        (1, "alpha\nfooter text\n\nbody one"),
+        (2, "beta\nfooter text\n\nbody two"),
+        (3, "footer text"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert out[1]["text_clean"] == "alpha\nfooter text\n\nbody one"
+    assert out[1]["n_removed"] == 0
+    # doc 2 loses the shared footer, keeps its blank separator
+    assert out[2]["text_clean"] == "beta\n\nbody two"
+    assert out[2]["n_removed"] == 1
+    assert out[3]["text_clean"] == "" and out[3]["n_removed"] == 1
+    # empty doc: its single empty line is blank -> unjudged, kept
+    assert out[4]["text_clean"] == "" and out[4]["n_removed"] == 0
+    assert out[4]["n_lines"] == 1
+
+
 # ------------------------------------------ Gopher rule battery (L115) ----
 
 
