@@ -32,6 +32,8 @@ from .text import shingles_expr, tokens_expr
 __all__ = [
     "exact_dedup",
     "lsh_geometry",
+    "plan_lsh_geometry",
+    "lsh_candidate_probability",
     "minhash_signature_expr",
     "minhash_band_buckets",
     "minhash_lsh_candidates",
@@ -93,6 +95,63 @@ def lsh_geometry(
         return min_bits
     bits = math.ceil(math.log2(n / target_bucket))
     return max(min_bits, min(max_bits, bits))
+
+
+def plan_lsh_geometry(
+    num_perm: int = 64,
+    threshold: float = 0.7,
+    lean: str = "balanced",
+) -> tuple[int, int, float]:
+    """Choose MinHash banding ``(bands, rows, curve_threshold)`` from a
+    similarity threshold — the standard S-curve planner (Leskovec/
+    Rajaraman/Ullman, *Mining of Massive Datasets* §3.4): with ``b``
+    bands of ``r`` rows a pair of similarity ``s`` becomes a candidate
+    with probability ``1 − (1 − s^r)^b``, whose inflection sits at
+    approximately ``(1/b)^(1/r)``. Picking the geometry by hand (the
+    bands=16 default) is fine until the threshold moves; at 100 TB a
+    mis-leaned curve either floods the verify stage (too much recall)
+    or silently drops true pairs (too little).
+
+    ``lean`` breaks the discretization tie the divisor grid forces:
+
+    - ``"balanced"`` — inflection nearest the threshold;
+    - ``"recall"``   — nearest inflection AT OR BELOW the threshold (the
+      curve is already steep at the target similarity, so true pairs at
+      the threshold are reliably surfaced; verify-stage cost rises);
+    - ``"precision"`` — nearest inflection AT OR ABOVE the threshold
+      (candidate volume bounded; true pairs near the threshold may be
+      missed — pair with :func:`lsh_recall_audit`).
+
+    Driver-side pure arithmetic (no data touched); compose with
+    :func:`lsh_recall_audit` to MEASURE what the chosen curve delivers
+    on the actual shingle distribution."""
+    if num_perm < 1:
+        raise ValueError(f"num_perm must be >= 1, got {num_perm}")
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if lean not in ("balanced", "recall", "precision"):
+        raise ValueError(f"unknown lean {lean!r}")
+    cands = []
+    for b in range(1, num_perm + 1):
+        if num_perm % b == 0:
+            r = num_perm // b
+            cands.append((b, r, (1.0 / b) ** (1.0 / r)))
+    if lean == "recall":
+        ok = [c for c in cands if c[2] <= threshold]
+        if ok:
+            return max(ok, key=lambda c: c[2])  # closest from below
+    elif lean == "precision":
+        ok = [c for c in cands if c[2] >= threshold]
+        if ok:
+            return min(ok, key=lambda c: c[2])  # closest from above
+    return min(cands, key=lambda c: abs(c[2] - threshold))
+
+
+def lsh_candidate_probability(s: float, bands: int, rows: int) -> float:
+    """P(pair of Jaccard similarity ``s`` becomes an LSH candidate) under
+    (bands, rows) banding: ``1 − (1 − s^rows)^bands``. The audit-side
+    companion of :func:`plan_lsh_geometry`."""
+    return 1.0 - (1.0 - s**rows) ** bands
 
 
 def _cap_buckets(buckets: DataFrame, key_cols: list[str], max_bucket: int | None) -> DataFrame:

@@ -373,6 +373,36 @@ def test_normalize_text_expr_crawl_artifacts(spark):
     assert raw[3] == ["ｈｅｌｌｏ", "ｗｏｒｌｄ"]
 
 
+# ----------------------------------------------- LSH geometry planner -----
+
+
+def test_plan_lsh_geometry_s_curve():
+    """Divisor-grid S-curve planning (MMDS §3.4): known inflections and
+    the lean contracts."""
+    from gluestick_spark.llm.dedup import (
+        lsh_candidate_probability,
+        plan_lsh_geometry,
+    )
+
+    # num_perm=64: b=16,r=4 -> 0.5; b=8,r=8 -> ~0.771; b=4,r=16 -> ~0.917
+    b, r, t = plan_lsh_geometry(64, 0.7, "balanced")
+    assert (b, r) == (8, 8) and abs(t - (1 / 8) ** (1 / 8)) < 1e-12
+    b, r, t = plan_lsh_geometry(64, 0.7, "recall")
+    assert (b, r) == (16, 4) and t <= 0.7  # most bands under threshold
+    b, r, t = plan_lsh_geometry(64, 0.7, "precision")
+    assert (b, r) == (8, 8) and t >= 0.7   # fewest bands above threshold
+    # the curve at the planned geometry behaves like an S-curve
+    lo = lsh_candidate_probability(0.4, 8, 8)
+    hi = lsh_candidate_probability(0.9, 8, 8)
+    assert lo < 0.01 and hi > 0.95
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="threshold"):
+        plan_lsh_geometry(64, 1.5)
+    with _pytest.raises(ValueError, match="lean"):
+        plan_lsh_geometry(64, 0.7, "yolo")
+
+
 # -------------------------------------- RefinedWeb exact line dedup (L116)
 
 
