@@ -35,13 +35,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = em.queries()
     out: dict[str, dict] = {}
+
+    def run_once(fn):
+        # SAME materialization as bench.py (noop sink): .count() lets
+        # Catalyst's count-preserving-join elimination skip entire
+        # subtrees (part_triangles' left join dropped the whole wedge
+        # computation — warm "3s" vs a real 16s), which silently
+        # arbitered the wrong plan.
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
     for name in names:
         fn = qs[name]
-        fn(spark, SF_DIR).count()  # warm (plan + IO caches)
+        run_once(fn)  # warm (plan + IO caches)
         runs = []
         for _ in range(RUNS):
             t0 = time.time()
-            fn(spark, SF_DIR).count()
+            run_once(fn)
             runs.append(round(time.time() - t0, 3))
         out[name] = {
             "runs": runs,
