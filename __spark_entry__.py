@@ -4594,6 +4594,37 @@ def _kmeans_oracle_sql() -> str:
     return f"WITH {body}\nSELECT id AS vec_id, cid FROM assign{last}"
 
 
+def q_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced selection (llm/cluster.py:cluster_balanced_sample):
+    integer-Lloyd clustering caps every embedding cluster at exactly 20
+    seeded-hash-ranked docs — dominant topics capped, small topics kept
+    whole. The oracle unrolls the Lloyd iterations (the kmeans CTE
+    device) AND replays the per-cluster draw (the stratified_sample
+    rank device) — clustering + selection end-to-end."""
+    from gluestick_spark.llm.cluster import cluster_balanced_sample
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(
+        e, "embedding", "vec_id", n_per_cluster=20,
+        k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE,
+    )
+
+
+def _cluster_balanced_oracle_sql() -> str:
+    body, last = _kmeans_sql_body(_KM_K, _KM_ITERS, _KM_SCALE, _KM_DIM)
+    return f"""WITH {body},
+ranked AS (
+  SELECT id, cid,
+         row_number() OVER (
+           PARTITION BY cid
+           ORDER BY CAST('0x' || substr(md5(CAST(id AS VARCHAR) || chr(31)), 1, 15) AS UBIGINT),
+                    id
+         ) AS rn
+  FROM assign{last}
+)
+SELECT id AS vec_id, cid FROM ranked WHERE rn <= 20"""
+
+
 _SEMDEDUP_TAU = 0.30  # max pairwise cosine in the synthetic corpus ≈ 0.49,
 # so this threshold exercises the drop path (200/500 dropped at sf0.01)
 
@@ -6881,6 +6912,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verbatim), scaled_features + the 18 remaining r07-evidence
         # rows, the 50 r8-green rows, then the 50 r9-green rows. ----
         'streaming_quality_filter': q_streaming_quality_filter,
+        # (late round-10 tail debut: topic-balanced selection composition —
+        # kmeans CTE + stratified rank devices; r11 promotion queue.)
+        'cluster_balanced': q_cluster_balanced,
         'salted_join_agg': q_salted_join_agg,
         'scaled_features': q_scaled_features,
         'scd2_merge': q_scd2_merge,
@@ -7064,6 +7098,7 @@ def oracle_sql() -> dict[str, str]:
         'line_dedup': _Q_LINE_DEDUP_SQL,
         'gopher_quality': _Q_GOPHER_QUALITY_SQL,
         'streaming_quality_filter': _streaming_quality_filter_oracle_sql(),
+        'cluster_balanced': _cluster_balanced_oracle_sql(),
         'salted_join_agg': _Q_SALTED_JOIN_SQL,
         'scaled_features': _Q_SCALED_SQL,
         'scd2_merge': _Q_SCD2_SQL,

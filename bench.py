@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "unicode_tokens",
     "gopher_quality",
     "line_dedup",
+    "cluster_balanced",
     "classifier_score",
     "substring_spans",
     "substring_dedup",

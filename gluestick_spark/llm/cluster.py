@@ -71,6 +71,7 @@ __all__ = [
     "quantize_vec_expr",
     "int_dot_expr",
     "kmeans",
+    "cluster_balanced_sample",
     "centroid_outliers",
     "semdedup",
     "ivf_topk_exact",
@@ -269,6 +270,39 @@ def kmeans(
     finally:
         # lazy unpersist: blocking=False keeps the returned plan usable
         pts.unpersist(False)
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_per_cluster: int,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1000,
+    seed: str = "",
+) -> DataFrame:
+    """Topic-balanced corpus selection: cluster the embedding space with
+    the replayable integer-Lloyd :func:`kmeans`, then keep EXACTLY
+    ``n_per_cluster`` documents per cluster (fewer if a cluster is
+    smaller) via the seeded-hash rank device
+    (:func:`~gluestick_spark.llm.sampling.stratified_sample`). The
+    cluster-diversity step of a curation pipeline: dominant topics are
+    capped, small topics survive whole — the selection half of the
+    SemDeDup-style recipe (:func:`semdedup` removes near-duplicates
+    WITHIN a cluster; this balances ACROSS clusters). Returns
+    (``id_col``, ``cid``) for the kept rows.
+
+    Everything is replayable end-to-end: the Lloyd router is the exact
+    int64 device (fixed iterations — the oracle unrolls them) and
+    membership within a cluster is a pure function of (id, seed), so a
+    DuckDB oracle replays clustering AND the per-cluster draw. Plan:
+    the kmeans narrow assignment + ONE keyed window shuffle (rank
+    within cid)."""
+    from .sampling import stratified_sample
+
+    assigned = kmeans(df, vec_col, id_col, k=k, iters=iters, scale=scale)
+    return stratified_sample(assigned, id_col, ["cid"], n_per_cluster, seed)
 
 
 def centroid_outliers(
