@@ -373,6 +373,31 @@ def test_normalize_text_expr_crawl_artifacts(spark):
     assert raw[3] == ["ｈｅｌｌｏ", "ｗｏｒｌｄ"]
 
 
+# ------------------------------------------ topic-balanced selection ------
+
+
+def test_cluster_balanced_sample_caps_exactly(spark):
+    """Every cluster is capped at EXACTLY n (whole if smaller); membership
+    is deterministic and the kept ids are a subset of the cluster's."""
+    from gluestick_spark.llm.cluster import cluster_balanced_sample, kmeans
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    out = cluster_balanced_sample(emb, "embedding", "vec_id", 12, k=4, iters=1)
+    sizes = {r["cid"]: r["n"] for r in out.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    full = {r["cid"]: r["n"] for r in kmeans(
+        emb, "embedding", "vec_id", k=4, iters=1).groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {c: min(12, n) for c, n in full.items()}
+    again = cluster_balanced_sample(emb, "embedding", "vec_id", 12, k=4, iters=1)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    # a different seed draws a different (same-sized) sample
+    other = cluster_balanced_sample(
+        emb, "embedding", "vec_id", 12, k=4, iters=1, seed="x"
+    )
+    assert sorted(map(tuple, out.collect())) != sorted(map(tuple, other.collect()))
+
+
 # ----------------------------------------------- LSH geometry planner -----
 
 
