@@ -6836,84 +6836,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # map. Tail entries remain locally oracle-checked via
     # tools/check_correctness.py / tools/driver_sim.py every round.
     return {
-        # ---- correctness window: first 50 = driver-checked. Round-10
-        # rotation (VERDICT r9 task 1, honest-evidence policy): the 2
-        # never-driver-checked r9 tail rows lead (html_extract_replay,
-        # streaming_decontam), then ALL 13 rows whose freshest driver
-        # artifact is r06 (windowed_counts ... hash_split — exactly the
-        # VERDICT list), then the 3 new round-10 queries
-        # (pq_ivf_topk_indexed, dsir_sample, unicode_tokens), then the 32
-        # oldest r07-evidence rows (registration order). Every r9-green
-        # row demotes to the tail end — CORRECTNESS_r09.json is the
-        # freshest evidence in the registry; the 50 r8-green rows sit
-        # just ahead of them. ----
-        'html_extract_replay': q_html_extract,
-        'streaming_decontam': q_streaming_decontam,
-        'windowed_counts': q_windowed_counts,
-        'build_vocab': q_build_vocab,
-        'cluster_dedup': q_cluster_dedup,
-        'hash_sample': q_hash_sample,
-        'mix_corpora': q_mix_corpora,
-        'tfidf_vectors': q_tfidf_vectors,
-        'time_rollup': q_time_rollup,
-        'kmv_merge': q_kmv_merge,
-        'event_asof_close': q_event_asof_close,
-        'event_asof_nearest': q_event_asof_nearest,
-        'ivf_probe_indexed': q_ivf_probe_indexed,
-        'minhash_candidates': q_minhash_candidates,
-        'hash_split': q_hash_split,
-        'pq_ivf_topk_indexed': q_pq_ivf_topk_indexed,
-        'dsir_sample': q_dsir_sample,
-        'unicode_tokens': q_unicode_tokens,
-        'balanced_sample': q_balanced_sample,
-        'bm25_scores': q_bm25_scores,
-        'bpe_pairs': q_bpe_pairs,
-        'cap_per_domain': q_cap_per_domain,
-        'cdc_diff': q_cdc_diff,
-        'clipped_values': q_clipped_values,
-        'cluster_dedup_best': q_cluster_dedup_best,
-        'corr_matrix': q_corr_matrix,
-        'dedup_against_ref': q_dedup_against,
-        'dedup_cluster_sizes': q_cluster_sizes,
-        'domain_split': q_domain_split,
-        'domain_stats': q_domain_stats,
-        'encoded_docs': q_encoded_docs,
-        'equi_depth_bins': q_equi_depth_bins,
-        'expectations_audit': q_expectations,
-        'fuzzy_pairs': q_fuzzy_pairs,
-        'gapfill_daily': q_gapfill_daily,
-        'grouped_percentiles': q_grouped_percentiles,
-        'heavy_hitters': q_heavy_hitters,
-        'hive_partition_roundtrip': q_hive_partition_roundtrip,
-        'ivf_append_topk': q_ivf_append,
-        'merge_into_orders': q_merge_into,
-        'negative_pairs': q_negative_pairs,
-        'nll_mix': q_nll_mix,
-        'packed_encoded_docs': q_packed_encoded_docs,
-        'profile_numeric': q_profile_numeric,
-        'quantize_embeddings': q_quantize_embeddings,
-        'repetition_stats': q_repetition_stats,
-        'robust_scaled': q_robust_scaled,
-        'rolling_zscore': q_rolling_zscore,
-        # (late round-10 addition: RefinedWeb/CCNet exact LINE dedup —
-        # planted line structure; election + reassembly fully replayed.
-        # Displaces salted_join_agg to the tail's r07 block: its
-        # salt-invariance contract is additionally pytest-pinned.)
-        'line_dedup': q_line_dedup,
-        # (late round-10 addition: Gopher rule battery, Rae et al. 2021 —
-        # all-integer ratio comparisons. Displaces scaled_features to the
-        # tail's r07 block: its one-moments-agg device is shared by
-        # in-window robust_scaled/clipped_values.)
-        'gopher_quality': q_gopher_quality,
-        # ---- tail: locally oracle-checked every round (driver_sim /
-        # check_correctness), ordered oldest-evidence-first for the r11
-        # rotation: streaming_quality_filter (NEW r10, never
-        # driver-checked — first in line for r11, shares _clf_score_ctes
-        # verbatim), scaled_features + the 18 remaining r07-evidence
-        # rows, the 50 r8-green rows, then the 50 r9-green rows. ----
+        # ---- correctness window: first 50 = driver-checked. Round-11
+        # rotation (tools/rotate_registry.py, honest-evidence policy):
+        # never-driver-checked rows lead, then oldest-evidence-first.
+        # Displacement rationales: COVERAGE.md. ----
         'streaming_quality_filter': q_streaming_quality_filter,
-        # (late round-10 tail debut: topic-balanced selection composition —
-        # kmeans CTE + stratified rank devices; r11 promotion queue.)
         'cluster_balanced': q_cluster_balanced,
         'salted_join_agg': q_salted_join_agg,
         'scaled_features': q_scaled_features,
@@ -6963,6 +6890,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'image_features': q_image_features,
         'ivf_exact_topk': q_ivf_exact_topk,
         'jaccard_vs_query': q_jaccard_vs_query,
+        # ---- tail: locally oracle-checked every round (driver_sim /
+        # check_correctness); ordered oldest-evidence-first, so this IS
+        # the round-12 promotion queue. ----
         'json_tuple_to_cols': q_json_tuple_to_cols,
         'keep_last_dedup': q_keep_last,
         'kmeans_clusters': q_kmeans_clusters,
@@ -7035,6 +6965,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pii_redaction': q_pii_redaction,
         'pool_embeddings': q_pool_embeddings,
         'range_join_windows': q_range_join_windows,
+        'html_extract_replay': q_html_extract,
+        'streaming_decontam': q_streaming_decontam,
+        'windowed_counts': q_windowed_counts,
+        'build_vocab': q_build_vocab,
+        'cluster_dedup': q_cluster_dedup,
+        'hash_sample': q_hash_sample,
+        'mix_corpora': q_mix_corpora,
+        'tfidf_vectors': q_tfidf_vectors,
+        'time_rollup': q_time_rollup,
+        'kmv_merge': q_kmv_merge,
+        'event_asof_close': q_event_asof_close,
+        'event_asof_nearest': q_event_asof_nearest,
+        'ivf_probe_indexed': q_ivf_probe_indexed,
+        'minhash_candidates': q_minhash_candidates,
+        'hash_split': q_hash_split,
+        'pq_ivf_topk_indexed': q_pq_ivf_topk_indexed,
+        'dsir_sample': q_dsir_sample,
+        'unicode_tokens': q_unicode_tokens,
+        'balanced_sample': q_balanced_sample,
+        'bm25_scores': q_bm25_scores,
+        'bpe_pairs': q_bpe_pairs,
+        'cap_per_domain': q_cap_per_domain,
+        'cdc_diff': q_cdc_diff,
+        'clipped_values': q_clipped_values,
+        'cluster_dedup_best': q_cluster_dedup_best,
+        'corr_matrix': q_corr_matrix,
+        'dedup_against_ref': q_dedup_against,
+        'dedup_cluster_sizes': q_cluster_sizes,
+        'domain_split': q_domain_split,
+        'domain_stats': q_domain_stats,
+        'encoded_docs': q_encoded_docs,
+        'equi_depth_bins': q_equi_depth_bins,
+        'expectations_audit': q_expectations,
+        'fuzzy_pairs': q_fuzzy_pairs,
+        'gapfill_daily': q_gapfill_daily,
+        'grouped_percentiles': q_grouped_percentiles,
+        'heavy_hitters': q_heavy_hitters,
+        'hive_partition_roundtrip': q_hive_partition_roundtrip,
+        'ivf_append_topk': q_ivf_append,
+        'merge_into_orders': q_merge_into,
+        'negative_pairs': q_negative_pairs,
+        'nll_mix': q_nll_mix,
+        'packed_encoded_docs': q_packed_encoded_docs,
+        'profile_numeric': q_profile_numeric,
+        'quantize_embeddings': q_quantize_embeddings,
+        'repetition_stats': q_repetition_stats,
+        'robust_scaled': q_robust_scaled,
+        'rolling_zscore': q_rolling_zscore,
+        'line_dedup': q_line_dedup,
+        'gopher_quality': q_gopher_quality,
     }
 
 
@@ -7047,56 +7027,6 @@ def oracle_sql() -> dict[str, str]:
     # (stream-then-batch == batch-over-union).
     return {
         # (order mirrors queries() exactly — the driver zips them)
-        'html_extract_replay': _Q_HTML_EXTRACT_REPLAY_SQL,
-        'streaming_decontam': _Q_SUBSTRING_DECONTAM_SQL,
-        'windowed_counts': _Q_WINDOWED_COUNTS_SQL,
-        'build_vocab': _Q_BUILD_VOCAB_SQL,
-        'cluster_dedup': _Q_CLUSTER_DEDUP_SQL,
-        'hash_sample': _Q_HASH_SAMPLE_SQL,
-        'mix_corpora': _Q_MIX_CORPORA_SQL,
-        'tfidf_vectors': _Q_TFIDF_SQL,
-        'time_rollup': _Q_TIME_ROLLUP_SQL,
-        'kmv_merge': _Q_KMV_SQL,
-        'event_asof_close': _Q_EVENT_ASOF_CLOSE_SQL,
-        'event_asof_nearest': _Q_EVENT_ASOF_NEAREST_SQL,
-        'ivf_probe_indexed': _Q_ANN_TOPK_SQL,
-        'minhash_candidates': _Q_MINHASH_CANDIDATES_SQL,
-        'hash_split': _Q_HASH_SPLIT_SQL,
-        'pq_ivf_topk_indexed': _pq_ivf_oracle_sql(),
-        'dsir_sample': _Q_DSIR_SAMPLE_SQL,
-        'unicode_tokens': _unicode_tokens_oracle_sql(),
-        'balanced_sample': _Q_BALANCED_SQL,
-        'bm25_scores': _Q_BM25_SQL,
-        'bpe_pairs': _Q_BPE_PAIRS_SQL,
-        'cap_per_domain': _Q_CAP_DOMAIN_SQL,
-        'cdc_diff': _Q_CDC_DIFF_SQL,
-        'clipped_values': _Q_CLIPPED_SQL,
-        'cluster_dedup_best': _cluster_dedup_best_sql(),
-        'corr_matrix': _Q_CORR_SQL,
-        'dedup_against_ref': _Q_DEDUP_AGAINST_SQL,
-        'dedup_cluster_sizes': _cluster_sizes_sql(),
-        'domain_split': _Q_DOMAIN_SPLIT_SQL,
-        'domain_stats': _Q_DOMAIN_STATS_SQL,
-        'encoded_docs': _Q_ENCODED_SQL,
-        'equi_depth_bins': _Q_EQUI_DEPTH_SQL,
-        'expectations_audit': _Q_EXPECTATIONS_SQL,
-        'fuzzy_pairs': _Q_FUZZY_PAIRS_SQL,
-        'gapfill_daily': _Q_GAPFILL_SQL,
-        'grouped_percentiles': _Q_GROUPED_PCT_SQL,
-        'heavy_hitters': _Q_HEAVY_HITTERS_SQL,
-        'hive_partition_roundtrip': _Q_HIVE_PART_SQL,
-        'ivf_append_topk': _Q_ANN_TOPK_SQL,
-        'merge_into_orders': _Q_MERGE_INTO_SQL,
-        'negative_pairs': _Q_NEGATIVE_PAIRS_SQL,
-        'nll_mix': _Q_NLL_MIX_SQL,
-        'packed_encoded_docs': _Q_PACKED_ENCODED_SQL,
-        'profile_numeric': _Q_PROFILE_SQL,
-        'quantize_embeddings': _Q_QUANTIZE_SQL,
-        'repetition_stats': _Q_REPETITION_SQL,
-        'robust_scaled': _Q_ROBUST_SCALED_SQL,
-        'rolling_zscore': _Q_ROLLING_ZSCORE_SQL,
-        'line_dedup': _Q_LINE_DEDUP_SQL,
-        'gopher_quality': _Q_GOPHER_QUALITY_SQL,
         'streaming_quality_filter': _streaming_quality_filter_oracle_sql(),
         'cluster_balanced': _cluster_balanced_oracle_sql(),
         'salted_join_agg': _Q_SALTED_JOIN_SQL,
@@ -7219,4 +7149,54 @@ def oracle_sql() -> dict[str, str]:
         'pii_redaction': _Q_PII_SQL,
         'pool_embeddings': _Q_POOL_SQL,
         'range_join_windows': _Q_RANGE_JOIN_SQL,
+        'html_extract_replay': _Q_HTML_EXTRACT_REPLAY_SQL,
+        'streaming_decontam': _Q_SUBSTRING_DECONTAM_SQL,
+        'windowed_counts': _Q_WINDOWED_COUNTS_SQL,
+        'build_vocab': _Q_BUILD_VOCAB_SQL,
+        'cluster_dedup': _Q_CLUSTER_DEDUP_SQL,
+        'hash_sample': _Q_HASH_SAMPLE_SQL,
+        'mix_corpora': _Q_MIX_CORPORA_SQL,
+        'tfidf_vectors': _Q_TFIDF_SQL,
+        'time_rollup': _Q_TIME_ROLLUP_SQL,
+        'kmv_merge': _Q_KMV_SQL,
+        'event_asof_close': _Q_EVENT_ASOF_CLOSE_SQL,
+        'event_asof_nearest': _Q_EVENT_ASOF_NEAREST_SQL,
+        'ivf_probe_indexed': _Q_ANN_TOPK_SQL,
+        'minhash_candidates': _Q_MINHASH_CANDIDATES_SQL,
+        'hash_split': _Q_HASH_SPLIT_SQL,
+        'pq_ivf_topk_indexed': _pq_ivf_oracle_sql(),
+        'dsir_sample': _Q_DSIR_SAMPLE_SQL,
+        'unicode_tokens': _unicode_tokens_oracle_sql(),
+        'balanced_sample': _Q_BALANCED_SQL,
+        'bm25_scores': _Q_BM25_SQL,
+        'bpe_pairs': _Q_BPE_PAIRS_SQL,
+        'cap_per_domain': _Q_CAP_DOMAIN_SQL,
+        'cdc_diff': _Q_CDC_DIFF_SQL,
+        'clipped_values': _Q_CLIPPED_SQL,
+        'cluster_dedup_best': _cluster_dedup_best_sql(),
+        'corr_matrix': _Q_CORR_SQL,
+        'dedup_against_ref': _Q_DEDUP_AGAINST_SQL,
+        'dedup_cluster_sizes': _cluster_sizes_sql(),
+        'domain_split': _Q_DOMAIN_SPLIT_SQL,
+        'domain_stats': _Q_DOMAIN_STATS_SQL,
+        'encoded_docs': _Q_ENCODED_SQL,
+        'equi_depth_bins': _Q_EQUI_DEPTH_SQL,
+        'expectations_audit': _Q_EXPECTATIONS_SQL,
+        'fuzzy_pairs': _Q_FUZZY_PAIRS_SQL,
+        'gapfill_daily': _Q_GAPFILL_SQL,
+        'grouped_percentiles': _Q_GROUPED_PCT_SQL,
+        'heavy_hitters': _Q_HEAVY_HITTERS_SQL,
+        'hive_partition_roundtrip': _Q_HIVE_PART_SQL,
+        'ivf_append_topk': _Q_ANN_TOPK_SQL,
+        'merge_into_orders': _Q_MERGE_INTO_SQL,
+        'negative_pairs': _Q_NEGATIVE_PAIRS_SQL,
+        'nll_mix': _Q_NLL_MIX_SQL,
+        'packed_encoded_docs': _Q_PACKED_ENCODED_SQL,
+        'profile_numeric': _Q_PROFILE_SQL,
+        'quantize_embeddings': _Q_QUANTIZE_SQL,
+        'repetition_stats': _Q_REPETITION_SQL,
+        'robust_scaled': _Q_ROBUST_SCALED_SQL,
+        'rolling_zscore': _Q_ROLLING_ZSCORE_SQL,
+        'line_dedup': _Q_LINE_DEDUP_SQL,
+        'gopher_quality': _Q_GOPHER_QUALITY_SQL,
     }
