@@ -6187,56 +6187,123 @@ FROM m LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+# Planted non-Latin document body: 30 repeats of the five zh marker
+# words — lang_id routes it to 'zh', so alpha_mode="route" must count
+# letters with \p{L} (ASCII [A-Za-z] would zero n_alpha and fail the
+# rule). Deterministic, replayed verbatim by the oracle via repeat().
+_GOPHER_ZH_UNIT = "的 是 了 在 我 "
+_GOPHER_ZH_REPS = 30
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule battery (llm/text.py:gopher_quality_flags — Rae et
     al. 2021 Table A1): word-count band, mean-word-length band,
     symbol/bullet/ellipsis ratios, alphabetic-word ratio, stopword
     presence — every ratio an EXACT integer cross-multiplied comparison,
-    so all seven flags and the combined verdict replay bit-for-bit."""
+    so all seven flags and the combined verdict replay bit-for-bit.
+    r11: bullet rule at the paper's 90% threshold and
+    ``alpha_mode="route"`` exercised — docs ``doc_id % 11 == 3`` carry a
+    planted Chinese body that lang-routes to the unicode letter class."""
     from gluestick_spark.llm.text import gopher_quality_flags
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return gopher_quality_flags(d, "text").drop("text")
+    d = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 3,
+            F.lit(_GOPHER_ZH_UNIT * _GOPHER_ZH_REPS),
+        ).otherwise(F.col("text")),
+    )
+    return gopher_quality_flags(d, "text", alpha_mode="route").drop("text")
 
 
-_Q_GOPHER_QUALITY_SQL = r"""
-WITH c AS (
+def _gopher_quality_sql() -> str:
+    """Oracle for gopher_quality with alpha_mode="route": replants the
+    zh body, replays the lang_id argmax (same device as _lang_id_sql —
+    parity by construction via the imported LANG_MARKERS), then routes
+    the alpha-word letter class per document exactly as the engine does
+    (\\p{L} for NONLATIN_LANGS, [A-Za-z] otherwise). Bullet rule at the
+    paper's 90% threshold (10·n_bullet ≤ 9·n_lines)."""
+    from gluestick_spark.llm.text import LANG_MARKERS, NONLATIN_LANGS
+
+    score_exprs = []
+    for lang, words in LANG_MARKERS.items():
+        parts = " + ".join(
+            f"len(regexp_extract_all(lower(txt), '\\b{w}\\b'))"
+            if w.isascii()
+            else f"len(regexp_extract_all(lower(txt), '{w}'))"
+            for w in words
+        )
+        score_exprs.append(f"({parts}) AS s_{lang}")
+    scores = ", ".join(score_exprs)
+    langs = sorted(LANG_MARKERS)
+    m = "greatest(" + ", ".join(f"s_{x}" for x in langs) + ")"
+    case = " ".join(f"WHEN s_{x} = {m} THEN '{x}'" for x in langs)
+    nonlatin = ", ".join(f"'{x}'" for x in NONLATIN_LANGS)
+    zh_body = _GOPHER_ZH_UNIT.replace("'", "''")
+    return rf"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 3
+              THEN repeat('{zh_body}', {_GOPHER_ZH_REPS})
+              ELSE text END AS text
+  FROM documents
+),
+c AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'), x -> x != '') AS toks,
          string_split(COALESCE(text, ''), chr(10)) AS lines,
          COALESCE(text, '') AS txt
-  FROM documents
+  FROM planted
+),
+lng AS (
+  SELECT doc_id, {scores} FROM c
+),
+lang_of AS (
+  SELECT doc_id,
+         CASE WHEN {m} = 0 THEN 'und' {case} ELSE 'und' END AS lang
+  FROM lng
 ),
 s AS (
-  SELECT doc_id,
+  SELECT c.doc_id,
          CAST(len(toks) AS BIGINT) AS n_words,
          CAST(len(lines) AS BIGINT) AS n_lines,
          CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS sum_len,
          CAST(len(regexp_extract_all(txt, '#|\.\.\.|…')) AS BIGINT) AS n_sym,
          CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) AS n_bullet,
          CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT) AS n_ell,
-         CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_ascii,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '\p{{L}}'))) AS BIGINT) AS n_alpha_uni,
          CAST(len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))),
               ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop
   FROM c
+),
+s2 AS (
+  SELECT s.*,
+         CASE WHEN lang_of.lang IN ({nonlatin})
+              THEN n_alpha_uni ELSE n_alpha_ascii END AS n_alpha
+  FROM s JOIN lang_of USING (doc_id)
 )
 SELECT doc_id, n_words, sum_len AS sum_word_len, n_stop AS n_stopwords,
        (n_words >= 50 AND n_words <= 100000) AS f_word_count,
        (3 * n_words <= sum_len AND sum_len <= 10 * n_words) AS f_mean_word_len,
        (10 * n_sym <= n_words) AS f_symbol_ratio,
-       (10 * n_bullet <= n_lines) AS f_bullet_lines,
+       (10 * n_bullet <= 9 * n_lines) AS f_bullet_lines,
        (10 * n_ell <= 3 * n_lines) AS f_ellipsis_lines,
        (10 * n_alpha >= 8 * n_words) AS f_alpha_words,
        (n_stop >= 2) AS f_stopwords,
        ((n_words >= 50 AND n_words <= 100000)
         AND (3 * n_words <= sum_len AND sum_len <= 10 * n_words)
         AND (10 * n_sym <= n_words)
-        AND (10 * n_bullet <= n_lines)
+        AND (10 * n_bullet <= 9 * n_lines)
         AND (10 * n_ell <= 3 * n_lines)
         AND (10 * n_alpha >= 8 * n_words)
         AND (n_stop >= 2)) AS gopher_pass
-FROM s
+FROM s2
 """
+
+
+_Q_GOPHER_QUALITY_SQL = _gopher_quality_sql()
 
 
 def q_unicode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -275,11 +275,18 @@ def quality_score_expr(col: Column) -> Column:
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
+# Languages in LANG_MARKERS whose script carries no ASCII letters — the
+# alpha-word rule must use the unicode letter class for these or every
+# document mass-fails f_alpha_words (alpha_mode="route" dispatches on this).
+NONLATIN_LANGS = ("zh",)
+
+
 def gopher_quality_flags(
     df,
     text_col: str,
     min_words: int = 50,
     max_words: int = 100_000,
+    alpha_mode: str = "ascii",
 ):
     """The Gopher rule battery (Rae et al. 2021, "Scaling Language
     Models", Table A1) — the repetition-independent document-quality
@@ -291,13 +298,20 @@ def gopher_quality_flags(
     - ``f_mean_word_len``: mean word length in [3, 10] characters.
     - ``f_symbol_ratio``: (# of ``#`` or ellipsis symbols) / words
       ≤ 0.1.
-    - ``f_bullet_lines``: ≤ 10% of lines start with a bullet
-      (``-``/``*``/``•``).
+    - ``f_bullet_lines``: ≤ 90% of lines start with a bullet
+      (``-``/``*``/``•``) — the paper's Table A1 removes docs with
+      MORE than 90% bullet-started lines (rounds ≤10 shipped a 10%
+      threshold, ~9× stricter than the cited standard; fixed r11).
     - ``f_ellipsis_lines``: ≤ 30% of lines end with an ellipsis.
-    - ``f_alpha_words``: ≥ 80% of words contain an (ASCII) alphabetic
-      character — the honest scope note: Rae et al. say "alphabetic";
-      non-Latin scripts need a unicode class and should pre-route by
-      :func:`lang_id_expr`.
+    - ``f_alpha_words``: ≥ 80% of words contain an alphabetic
+      character. ``alpha_mode`` picks the letter class:
+      ``"ascii"`` (default) is the paper-literal ``[A-Za-z]`` —
+      correct for English corpora, mass-fails non-Latin scripts;
+      ``"unicode"`` uses the RE2-portable ``\\p{L}`` (any unicode
+      letter); ``"route"`` dispatches PER DOCUMENT via
+      :func:`lang_id_expr` — docs identified as a
+      :data:`NONLATIN_LANGS` language use ``\\p{L}``, everything
+      else (incl. ``und``) keeps the ASCII class.
     - ``f_stopwords``: ≥ 2 distinct words from the canonical 8-word
       list (the/be/to/of/and/that/have/with).
 
@@ -323,7 +337,26 @@ def gopher_quality_flags(
     n_ellipsis = F.size(
         F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
     ).cast("long")
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("long")
+    n_alpha_ascii = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("long")
+    if alpha_mode == "ascii":
+        n_alpha = n_alpha_ascii
+    elif alpha_mode == "unicode":
+        n_alpha = F.size(
+            F.filter(toks, lambda t: t.rlike(r"\p{L}"))
+        ).cast("long")
+    elif alpha_mode == "route":
+        n_alpha_uni = F.size(
+            F.filter(toks, lambda t: t.rlike(r"\p{L}"))
+        ).cast("long")
+        n_alpha = F.when(
+            lang_id_expr(col).isin(*NONLATIN_LANGS), n_alpha_uni
+        ).otherwise(n_alpha_ascii)
+    else:
+        raise ValueError(
+            f"alpha_mode must be 'ascii', 'unicode' or 'route', got {alpha_mode!r}"
+        )
     stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
     n_stop = F.size(
         F.array_intersect(F.transform(toks, F.lower), stop_arr)
@@ -334,7 +367,7 @@ def gopher_quality_flags(
         sum_len <= F.lit(10) * n_words
     )
     f_symbol_ratio = F.lit(10) * n_sym <= n_words
-    f_bullet_lines = F.lit(10) * n_bullet <= n_lines
+    f_bullet_lines = F.lit(10) * n_bullet <= F.lit(9) * n_lines
     f_ellipsis_lines = F.lit(10) * n_ellipsis <= F.lit(3) * n_lines
     f_alpha_words = F.lit(10) * n_alpha >= F.lit(8) * n_words
     f_stopwords = n_stop >= 2

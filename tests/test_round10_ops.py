@@ -470,7 +470,7 @@ def test_gopher_quality_flags_rules(spark):
         (2, "short text"),                     # word count
         (3, ("a b c " * 30).strip()),          # mean word len < 3, no stopwords
         (4, good + " " + "# " * 20),           # symbol ratio
-        (5, good + "\n" + "\n".join(f"- item {i}" for i in range(9))),  # bullets
+        (5, good + "\n" + "\n".join(f"- item {i}" for i in range(19))),  # >90% bullets
         (6, good + "\n" + "\n".join(f"line {i}..." for i in range(9))),  # ellipsis
         (7, good + " " + "123 456 789 " * 10), # alpha ratio
         (8, None),                             # null text: fails word count only
@@ -486,6 +486,50 @@ def test_gopher_quality_flags_rules(spark):
     assert not out[7]["f_alpha_words"] and out[1]["f_alpha_words"]
     assert not out[8]["f_word_count"] and out[8]["f_symbol_ratio"]
     assert all(not out[i]["gopher_pass"] for i in range(2, 9))
+
+
+def test_gopher_bullet_threshold_is_papers_90pct(spark):
+    """ADVICE r10: the bullet rule is Rae et al.'s — remove docs with
+    MORE than 90% bullet-started lines. Exactly 90% passes; 95% fails."""
+    from gluestick_spark.llm.text import gopher_quality_flags
+
+    body = "the data and the model have to be of good size " * 5
+    rows = [
+        (1, body + "\n" + "\n".join(f"- item {i}" for i in range(9))),   # 9/10
+        (2, body + "\n" + "\n".join(f"- item {i}" for i in range(19))),  # 19/20
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    out = {r["i"]: r for r in gopher_quality_flags(df, "text").collect()}
+    assert out[1]["f_bullet_lines"]       # 10*9 <= 9*10 (exactly 90%)
+    assert not out[2]["f_bullet_lines"]   # 10*19 > 9*20
+
+
+def test_gopher_alpha_mode_unicode_and_route(spark):
+    """VERDICT r10 #5: alpha_mode='unicode' counts \\p{L} letters;
+    'route' dispatches per document by lang_id — zh docs get the
+    unicode class, English (and und) keep the paper-literal ASCII."""
+    import pytest as _pytest
+    from gluestick_spark.llm.text import gopher_quality_flags
+
+    zh = "的 是 了 在 我 " * 12                  # 60 unicode-letter words
+    en = "the data and the model have to be of good size with that " * 5
+    df = spark.createDataFrame([(1, zh), (2, en)], "i long, text string")
+
+    ascii_out = {r["i"]: r for r in gopher_quality_flags(df, "text").collect()}
+    assert not ascii_out[1]["f_alpha_words"]      # ASCII class zeroes zh
+    assert ascii_out[2]["f_alpha_words"]
+
+    uni = {r["i"]: r for r in
+           gopher_quality_flags(df, "text", alpha_mode="unicode").collect()}
+    assert uni[1]["f_alpha_words"] and uni[2]["f_alpha_words"]
+
+    routed = {r["i"]: r for r in
+              gopher_quality_flags(df, "text", alpha_mode="route").collect()}
+    assert routed[1]["f_alpha_words"]             # lang=zh → \p{L}
+    assert routed[2]["f_alpha_words"]             # lang=en → ASCII path
+
+    with _pytest.raises(ValueError, match="alpha_mode"):
+        gopher_quality_flags(df, "text", alpha_mode="latin1")
 
 
 # --------------------------------- VERDICT 4: triangle hub-degree cap -----
