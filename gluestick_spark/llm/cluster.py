@@ -707,14 +707,16 @@ def sq_ivf_append(
     a from-scratch build over the union (frozen router ⇒ same cell for
     every vector; cells just gain files — pytest-pinned).
 
-    Crash safety mirrors the band-index append (ADVICE r9): the
-    ``_ROUTER.json`` commit marker is REMOVED before the cell append and
-    atomically rewritten after it, so a crash during job commit leaves a
-    marker-less index that :func:`sq_ivf_topk_indexed` and a retried
-    append refuse LOUDLY instead of serving a partially-appended batch.
-    (Spark's own job commit makes the parquet append internally
-    atomic-ish, but a kill between task commits can leave a subset of
-    cell files — the marker bracket closes that window.)
+    Crash safety is the ``_APPEND_INPROGRESS`` manifest bracket (ADVICE
+    r10, :mod:`gluestick_spark.llm.index_commit`): the pre-append cell
+    listing is snapshotted before the write and the sidecar removed
+    after it. A torn append leaves the sidecar in place, so
+    :func:`sq_ivf_topk_indexed` refuses LOUDLY while a RETRIED append
+    rolls the torn batch back (deletes unmanifested cell files) and
+    re-appends — a transient job failure no longer costs a full
+    rebuild. (Spark's own job commit makes the parquet append
+    internally atomic-ish, but a kill between task commits can leave a
+    subset of cell files — the manifest closes that window.)
 
     Under distribution drift the cells skew over time; monitor cell
     sizes and rebuild with a retrained router when imbalance hurts probe
@@ -722,6 +724,9 @@ def sq_ivf_append(
     import json as _json
     import os as _os
 
+    from .index_commit import begin_append, commit_append, rollback_torn_append
+
+    rollback_torn_append(path)  # self-heal: a retried append rolls back first
     router_path = _os.path.join(path, "_ROUTER.json")
     if not _os.path.isfile(router_path):
         raise ValueError(
@@ -749,17 +754,14 @@ def sq_ivf_append(
     ).withColumn("cid", _assign_expr(state)).select(
         router["id_col"], "scale", "qvec", "cid"
     )
-    _os.remove(router_path)  # invalidate: torn append must refuse loudly
+    begin_append(path)  # manifest bracket (ADVICE r10)
     (
         enc.repartition(F.col("cid"))
         .write.partitionBy("cid")
         .mode("append")
         .parquet(_os.path.join(path, "cells"))
     )
-    tmp = router_path + ".tmp"
-    with open(tmp, "w") as f:
-        _json.dump(router, f)
-    _os.replace(tmp, router_path)  # atomic re-commit
+    commit_append(path)
 
 
 def sq_ivf_topk_indexed(
@@ -792,6 +794,9 @@ def sq_ivf_topk_indexed(
             f"sq-ivf index at {path} is uncommitted (torn build or "
             "mid-rebuild) — re-run materialize_sq_ivf"
         )
+    from .index_commit import require_committed
+
+    require_committed(path, "sq-ivf")
     with open(router_path) as f:
         router = _json.load(f)
     state = [(list(map(int, s)), int(n)) for s, n in router["state"]]

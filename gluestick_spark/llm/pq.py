@@ -366,6 +366,9 @@ def _load_pq_router(path: str) -> dict:
             f"pq-ivf index at {path} is uncommitted (torn build or torn "
             "append) — re-run materialize_pq_ivf"
         )
+    from .index_commit import require_committed
+
+    require_committed(path, "pq-ivf")
     with open(router_path) as f:
         meta = _json.load(f)
     meta["router"] = [(list(map(int, s)), int(n)) for s, n in meta["router"]]
@@ -389,14 +392,19 @@ def pq_ivf_append(
     appended into the cell partition directories in place. The existing
     index is never read or rewritten — ingest costs O(batch).
 
-    Crash safety is the commit bracket (ADVICE r9 device): the
-    ``_ROUTER.json`` marker is removed before the append and atomically
-    rewritten after, so a torn append is refused loudly by serving and
-    by a retried append. Id uniqueness across batches is the caller's
-    contract; under drift, rebuild when cell skew hurts probe cost."""
-    import json as _json
+    Crash safety is the ``_APPEND_INPROGRESS`` manifest bracket (ADVICE
+    r10, :mod:`gluestick_spark.llm.index_commit`): the pre-append cell
+    listing is snapshotted before the write and the sidecar removed
+    after it, so a torn append is refused loudly by serving while a
+    RETRIED append rolls the torn batch back and re-appends — a
+    transient job failure no longer costs a full rebuild. Id uniqueness
+    across batches is the caller's contract; under drift, rebuild when
+    cell skew hurts probe cost."""
     import os as _os
 
+    from .index_commit import begin_append, commit_append, rollback_torn_append
+
+    rollback_torn_append(path)  # self-heal: a retried append rolls back first
     meta = _load_pq_router(path)
     if not meta["router"]:
         raise ValueError(
@@ -408,28 +416,14 @@ def pq_ivf_append(
         vec_col, meta["id_col"], meta["router"], meta["codebooks"],
         meta["scale"],
     )
-    router_path = _os.path.join(path, "_ROUTER.json")
-    _os.remove(router_path)  # invalidate: torn append must refuse loudly
+    begin_append(path)  # rolls back any torn prior batch first
     (
         enc.repartition(F.col("cid"))
         .write.partitionBy("cid")
         .mode("append")
         .parquet(_os.path.join(path, "cells"))
     )
-    tmp = router_path + ".tmp"
-    with open(tmp, "w") as f:
-        _json.dump(
-            {
-                **meta,
-                "router": [[list(s), int(n)] for s, n in meta["router"]],
-                "codebooks": [
-                    [[list(s), int(n)] for s, n in book]
-                    for book in meta["codebooks"]
-                ],
-            },
-            f,
-        )
-    _os.replace(tmp, router_path)  # atomic re-commit
+    commit_append(path)
 
 
 def pq_ivf_topk_indexed(

@@ -434,6 +434,8 @@ def dsir_sample(
     seed: str = "",
     weight_col: str = "dsir_weight_ppm",
     return_all: bool = False,
+    w_cap_ppm: int | None = None,
+    w_cap_quantile: float | None = None,
 ) -> DataFrame:
     """DSIR-style data selection via importance resampling (Xie et al.
     2023, "Data Selection for Language Models via Importance
@@ -463,10 +465,21 @@ def dsir_sample(
       "looks more like the target" scores. Gram-less documents get the
       neutral weight 1e6 (ratio 1.0) — stated contract.
     * Keep decision: seeded-hash rejection sampling with acceptance
-      ``w / w_max`` — keep iff ``h(key,seed)·w_max < w·2^60`` where h
-      is the portable keyed hash. Both sides are ONE double multiply of
-      exactly-cast int64s (IEEE-deterministic); membership is a pure
-      function of (key, seed, corpora), invariant to partitioning.
+      ``min(1, w / w_cap)`` — keep iff ``h(key,seed)·w_cap < w·2^60``
+      where h is the portable keyed hash (for ``w ≥ w_cap`` the
+      inequality holds for every h, i.e. acceptance saturates at 1).
+      Both sides are ONE double multiply of exactly-cast int64s
+      (IEEE-deterministic); membership is a pure function of
+      (key, seed, corpora), invariant to partitioning.
+    * ``w_cap`` defaults to the corpus max weight — which lets a SINGLE
+      outlier document collapse everyone else's acceptance (ADVICE
+      r10). Winsorize with ``w_cap_quantile`` (e.g. ``0.999``): the cap
+      becomes the EXACT order statistic at ``ceil(q·n)`` — an integer
+      picked from the data, never an interpolated quantile (which
+      differs in the last bit across engines) — so outliers saturate at
+      keep-probability 1 instead of deflating the whole corpus. Or pin
+      it absolutely with ``w_cap_ppm`` (takes precedence; the 100 TB
+      path — no extra pass over the weights).
 
     Returns the kept rows of ``df_raw`` plus ``weight_col`` (int64 ppm);
     with ``return_all=True``, every raw row comes back with
@@ -549,7 +562,46 @@ def dsir_sample(
         *[df_raw[c] for c in df_raw.columns],
         F.coalesce(F.col("__w__"), F.lit(NEUTRAL)).cast("long").alias(weight_col),
     )
-    wmax = scored.agg(F.max(weight_col).alias("__wmax__"))
+    if w_cap_ppm is not None:
+        if w_cap_ppm < 1:
+            raise ValueError(f"w_cap_ppm must be >= 1, got {w_cap_ppm}")
+        wmax = spark.range(1).select(
+            F.lit(int(w_cap_ppm)).cast("long").alias("__wmax__")
+        )
+    elif w_cap_quantile is not None:
+        if not (0.0 < w_cap_quantile <= 1.0):
+            raise ValueError(
+                f"w_cap_quantile must be in (0, 1], got {w_cap_quantile}"
+            )
+        # exact order statistic at ceil(q*n): the window runs over the
+        # AGGREGATED distinct-weight frame (the transition_matrix
+        # device), bounded by distinct ppm values, not by corpus rows;
+        # at extreme scale pass w_cap_ppm instead and skip this pass.
+        from pyspark.sql import Window as _W
+
+        wcounts = scored.groupBy(weight_col).agg(
+            F.count(F.lit(1)).alias("__c__")
+        )
+        ordered = _W.orderBy(F.col(weight_col))
+        cum = wcounts.select(
+            F.col(weight_col),
+            F.sum("__c__")
+            .over(ordered.rowsBetween(_W.unboundedPreceding, 0))
+            .alias("__cum__"),
+            F.sum("__c__")
+            .over(
+                _W.orderBy(F.lit(1)).rowsBetween(
+                    _W.unboundedPreceding, _W.unboundedFollowing
+                )
+            )
+            .alias("__tot__"),
+        )
+        wmax = cum.where(
+            F.col("__cum__")
+            >= F.ceil(F.lit(float(w_cap_quantile)) * F.col("__tot__"))
+        ).agg(F.min(weight_col).alias("__wmax__"))
+    else:
+        wmax = scored.agg(F.max(weight_col).alias("__wmax__"))
     kept = (
         _keyed_hash(F.col(key_col), seed).cast("double")
         * F.col("__wmax__").cast("double")

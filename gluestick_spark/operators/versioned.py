@@ -212,27 +212,38 @@ def read_versioned(
     return spark.read.parquet(_vdir(path, version))
 
 
-def _tree_mtime(root: str) -> float:
+def _tree_mtime(root: str, stop_at: float | None = None) -> float:
     """Newest mtime anywhere under ``root`` (directories AND files,
     recursively). A plain ``getmtime(root)`` misses in-flight Spark
     writes: with Hadoop FileOutputCommitter v1 task files stage under
     ``v=N/_temporary/<attempt>/...`` and only move into ``v=N`` at job
     commit, so landing a task file refreshes a NESTED directory's mtime,
-    never the parent's. Walking the tree sees that activity."""
+    never the parent's. Walking the tree sees that activity.
+
+    ``stop_at`` short-circuits the walk (ADVICE r10): the moment any
+    mtime > ``stop_at`` is seen the verdict is already "too fresh to
+    vacuum", so the remaining O(files) stats are skipped — vacuum cost
+    on a LIVE version tree is then O(1)-ish instead of O(files)."""
     try:
         newest = os.path.getmtime(root)
     except OSError:
         return 0.0
+    if stop_at is not None and newest > stop_at:
+        return newest
     for dirpath, _dirnames, filenames in os.walk(root):
         try:
             newest = max(newest, os.path.getmtime(dirpath))
         except OSError:
             continue
+        if stop_at is not None and newest > stop_at:
+            return newest
         for name in filenames:
             try:
                 newest = max(newest, os.path.getmtime(os.path.join(dirpath, name)))
             except OSError:
                 continue
+            if stop_at is not None and newest > stop_at:
+                return newest
     return newest
 
 
@@ -255,6 +266,17 @@ def vacuum_versions(
     it for clusters whose jobs run longer. Returns the deleted version
     numbers.
 
+    .. versionchanged:: round 10
+       The default ``unpublished_grace_seconds`` was RAISED 900 → 3600:
+       15 minutes sat below realistic large-write durations, so a slow
+       writer's in-flight claim could be vacuumed mid-write. Callers
+       that relied on the faster cleanup must now pass ``900``
+       explicitly (existing call sites were audited — none did).
+    .. versionchanged:: round 11
+       The staleness walk short-circuits at the first fresh mtime, so
+       probing a live multi-thousand-file version tree no longer stats
+       every file on each vacuum call.
+
     The ``_COMMITS`` log is never rewritten (that would race a
     concurrent writer's append): ``published_versions`` intersects the
     log with what is on disk, so stale lines for vacuumed versions are
@@ -269,8 +291,9 @@ def vacuum_versions(
     now = time.time()
     for v in list_versions(path):
         if v < cur and v not in pub:
-            mtime = _tree_mtime(_vdir(path, v))
-            if mtime and now - mtime >= unpublished_grace_seconds:
+            fresh_cutoff = now - unpublished_grace_seconds
+            mtime = _tree_mtime(_vdir(path, v), stop_at=fresh_cutoff)
+            if mtime and mtime <= fresh_cutoff:
                 doomed.add(v)
     out = sorted(doomed)
     for v in out:

@@ -496,9 +496,20 @@ def streaming_minhash_dedup(
             have_state = _ensure_bucketed_state(
                 spark, buckets_tbl, buckets_loc, ["band", "bucket"], state_buckets
             )
-            if have_state:
-                _ensure_bucketed_state(
-                    spark, docs_tbl, docs_loc, ["__id__"], state_buckets
+            if have_state and not _ensure_bucketed_state(
+                spark, docs_tbl, docs_loc, ["__id__"], state_buckets
+            ):
+                # ADVICE r10: a crash between the two state appends (or a
+                # partial wipe) can leave bucket state without doc state;
+                # without this check spark.table(docs_tbl) dies with an
+                # opaque TABLE_OR_VIEW_NOT_FOUND inside foreachBatch.
+                raise ValueError(
+                    "torn state layout: minhash bucket state exists under "
+                    f"{buckets_loc} but doc state is missing under "
+                    f"{docs_loc} — a crash between the two state appends "
+                    "or a partial wipe left the stream unresumable. Point "
+                    "the stream at a fresh state_dir, or restore/delete "
+                    "BOTH state tables together."
                 )
         else:
             have_state = os.path.exists(buckets_path)

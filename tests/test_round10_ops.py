@@ -192,9 +192,10 @@ def test_resample_to_ratio_int_class_labels(spark):
 
 
 def test_sq_ivf_append_commit_bracket(spark, tmp_dir):
-    """ADVICE r9 (low): the append invalidates _ROUTER.json before
-    touching cell files and atomically re-commits it after — a torn
-    append is refused loudly by serving AND by a retried append."""
+    """A missing _ROUTER.json (torn BUILD) refuses loudly in serving and
+    append; a successful append leaves the router in place. (Append-torn
+    state is owned by the _APPEND_INPROGRESS manifest since r11 — see
+    test_append_manifest_* below.)"""
     from gluestick_spark.llm.cluster import (
         materialize_sq_ivf,
         sq_ivf_append,
@@ -263,6 +264,208 @@ def test_pq_ivf_append_serves_like_frozen_rebuild(spark, tmp_dir):
         pq_ivf_topk_indexed(spark, path, q_h2, k=5, nprobe=4)
     with pytest.raises(ValueError, match="uncommitted"):
         pq_ivf_append(h2, "embedding", "vec_id", path)
+
+
+# ------------------------------ ADVICE r10: dsir w_max winsorization ------
+
+
+def test_dsir_w_cap_winsorizes_outlier(spark):
+    """ADVICE r10: a single outlier weight must not collapse corpus-wide
+    acceptance. w_cap_quantile caps at the exact order statistic
+    ceil(q*n); w_cap_ppm pins the cap absolutely; docs at/above the cap
+    saturate at keep-probability 1 (always kept)."""
+    import hashlib
+    from math import ceil
+
+    from gluestick_spark.llm.sampling import dsir_sample
+
+    def khash(key: str, seed: str = "") -> int:
+        return int(hashlib.md5(f"{key}\x1f{seed}".encode()).hexdigest()[:15], 16)
+
+    # target dominated by "rare" grams that only doc 0 in raw carries ->
+    # doc 0's weight is a corpus-wide outlier
+    raw_rows = [(0, "zzz qqq zzz qqq zzz")] + [
+        (i, "common words here again") for i in range(1, 40)
+    ]
+    tgt_rows = [(i, "zzz qqq") for i in range(30)]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+
+    base = {
+        r["doc_id"]: (r["dsir_weight_ppm"], r["kept"])
+        for r in dsir_sample(
+            raw, "doc_id", "text", tgt, n_buckets=16, return_all=True
+        ).collect()
+    }
+    weights = {d: w for d, (w, _) in base.items()}
+    w_out = weights[0]
+    assert w_out == max(weights.values()) and w_out > min(weights.values())
+
+    # quantile cap: exact order statistic at ceil(q*n) over doc weights
+    q = 0.9
+    ws = sorted(weights.values())
+    cap = ws[ceil(q * len(ws)) - 1]
+    assert cap < w_out
+    got = {
+        r["doc_id"]: r["kept"]
+        for r in dsir_sample(
+            raw, "doc_id", "text", tgt, n_buckets=16, return_all=True,
+            w_cap_quantile=q,
+        ).collect()
+    }
+    want = {
+        d: float(khash(str(d))) * float(cap) < float(w) * float(1 << 60)
+        for d, w in weights.items()
+    }
+    assert got == want
+    assert got[0]  # the outlier saturates at acceptance 1
+    # winsorizing can only RAISE acceptance for the non-outliers
+    assert all(got[d] or not base[d][1] for d in weights)
+
+    # absolute override takes precedence
+    got_abs = {
+        r["doc_id"]: r["kept"]
+        for r in dsir_sample(
+            raw, "doc_id", "text", tgt, n_buckets=16, return_all=True,
+            w_cap_ppm=1, w_cap_quantile=q,
+        ).collect()
+    }
+    assert all(got_abs.values())  # cap=1 -> every weight saturates
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="w_cap_ppm"):
+        dsir_sample(raw, "doc_id", "text", tgt, w_cap_ppm=0)
+    with _pytest.raises(ValueError, match="w_cap_quantile"):
+        dsir_sample(raw, "doc_id", "text", tgt, w_cap_quantile=1.5)
+
+
+# ----------------------- ADVICE r10: _APPEND_INPROGRESS manifest bracket --
+
+
+def test_append_manifest_rollback_unit(tmp_dir):
+    """index_commit primitives on plain files: begin snapshots the cell
+    listing, rollback deletes unmanifested files, prunes dirs the torn
+    batch created, and is idempotent."""
+    from gluestick_spark.llm.index_commit import (
+        SIDECAR,
+        begin_append,
+        commit_append,
+        require_committed,
+        rollback_torn_append,
+    )
+
+    idx = os.path.join(tmp_dir, "idx")
+    os.makedirs(os.path.join(idx, "cells", "cid=0"))
+    old = os.path.join(idx, "cells", "cid=0", "part-old.parquet")
+    open(old, "w").write("old")
+
+    begin_append(idx)
+    require_error = False
+    try:
+        require_committed(idx, "test")
+    except ValueError:
+        require_error = True
+    assert require_error  # serving refuses while the bracket is open
+
+    # torn batch: a new file in an existing cell + a whole new cell dir
+    new1 = os.path.join(idx, "cells", "cid=0", "part-new.parquet")
+    open(new1, "w").write("new")
+    os.makedirs(os.path.join(idx, "cells", "cid=7"))
+    new2 = os.path.join(idx, "cells", "cid=7", "part-new2.parquet")
+    open(new2, "w").write("new2")
+
+    assert rollback_torn_append(idx)
+    assert os.path.isfile(old)
+    assert not os.path.exists(new1)
+    assert not os.path.exists(os.path.join(idx, "cells", "cid=7"))
+    assert not os.path.isfile(os.path.join(idx, SIDECAR))
+    assert not rollback_torn_append(idx)  # idempotent no-op
+
+    # clean bracket: begin + commit leaves no sidecar
+    begin_append(idx)
+    commit_append(idx)
+    require_committed(idx, "test")  # no raise
+
+
+def test_sq_ivf_torn_append_self_heals(spark, tmp_dir):
+    """ADVICE r10: a torn append (sidecar present, unmanifested cell
+    files) refuses serving loudly, and a RETRIED append rolls the torn
+    batch back and re-appends — final index ≡ the clean-append index,
+    no rebuild needed."""
+    import json
+    import shutil
+
+    from gluestick_spark.llm.cluster import (
+        materialize_sq_ivf,
+        sq_ivf_append,
+        sq_ivf_topk_indexed,
+    )
+    from gluestick_spark.llm.index_commit import SIDECAR, _list_cell_files
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    mid = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).first()[0]
+    h1 = emb.where(F.col("vec_id") <= mid)
+    h2 = emb.where(F.col("vec_id") > mid)
+    q = list(h2.first()["embedding"])
+    path = os.path.join(tmp_dir, "idx")
+    materialize_sq_ivf(h1, "embedding", "vec_id", path, n_clusters=4)
+    pre_files = _list_cell_files(os.path.join(path, "cells"))
+
+    sq_ivf_append(h2, "embedding", "vec_id", path)
+    want = [r["vec_id"] for r in
+            sq_ivf_topk_indexed(spark, path, q, k=5, nprobe=4).collect()]
+
+    # simulate: that append TORE — sidecar holds the pre-append manifest,
+    # so every h2 cell file is unmanifested
+    with open(os.path.join(path, SIDECAR), "w") as f:
+        json.dump({"files": pre_files}, f)
+    with pytest.raises(ValueError, match="in-progress or torn"):
+        sq_ivf_topk_indexed(spark, path, q, k=5, nprobe=4)
+
+    # retried append self-heals: rollback to pre_files, then re-append
+    sq_ivf_append(h2, "embedding", "vec_id", path)
+    got = [r["vec_id"] for r in
+           sq_ivf_topk_indexed(spark, path, q, k=5, nprobe=4).collect()]
+    assert got == want
+    assert not os.path.exists(os.path.join(path, SIDECAR))
+    shutil.rmtree(path)
+
+
+def test_pq_ivf_torn_append_self_heals(spark, tmp_dir):
+    """Same manifest protocol on the PQ index."""
+    import json
+
+    from gluestick_spark.llm.pq import (
+        materialize_pq_ivf,
+        pq_ivf_append,
+        pq_ivf_topk_indexed,
+    )
+    from gluestick_spark.llm.index_commit import SIDECAR, _list_cell_files
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    mid = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).first()[0]
+    h1 = emb.where(F.col("vec_id") <= mid)
+    h2 = emb.where(F.col("vec_id") > mid)
+    q = list(h2.first()["embedding"])
+    path = os.path.join(tmp_dir, "idx")
+    materialize_pq_ivf(h1, "embedding", "vec_id", path, m=4, n_codes=8,
+                       n_clusters=4, iters=1)
+    pre_files = _list_cell_files(os.path.join(path, "cells"))
+
+    pq_ivf_append(h2, "embedding", "vec_id", path)
+    want = [r["vec_id"] for r in
+            pq_ivf_topk_indexed(spark, path, q, k=5, nprobe=4).collect()]
+
+    with open(os.path.join(path, SIDECAR), "w") as f:
+        json.dump({"files": pre_files}, f)
+    with pytest.raises(ValueError, match="in-progress or torn"):
+        pq_ivf_topk_indexed(spark, path, q, k=5, nprobe=4)
+
+    pq_ivf_append(h2, "embedding", "vec_id", path)
+    got = [r["vec_id"] for r in
+           pq_ivf_topk_indexed(spark, path, q, k=5, nprobe=4).collect()]
+    assert got == want
+    assert not os.path.exists(os.path.join(path, SIDECAR))
 
 
 # ----------------------------------- VERDICT 6: quantized-ANN recall audit

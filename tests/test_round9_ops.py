@@ -264,6 +264,46 @@ def test_streaming_minhash_dedup_bucketed_state_equivalent(spark, tmp_dir):
         assert "Exchange" not in plan, plan
 
 
+def test_streaming_minhash_torn_docs_state_raises(spark, tmp_dir):
+    """ADVICE r10: bucket state present but docs state lost (crash
+    between the two appends / partial wipe) must raise the designed
+    torn-state ValueError, not an opaque TABLE_OR_VIEW_NOT_FOUND from
+    spark.table() inside foreachBatch."""
+    import shutil
+
+    from pyspark.errors import StreamingQueryException
+
+    from gluestick_spark.streaming.pipeline import (
+        _state_table_name,
+        stream_from_directory,
+        streaming_minhash_dedup,
+    )
+
+    rows = [(i, f"document body number {i} with shared padding text") for i in range(8)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    stage, out = os.path.join(tmp_dir, "src"), os.path.join(tmp_dir, "out")
+    state, ckpt = os.path.join(tmp_dir, "state"), os.path.join(tmp_dir, "ckpt")
+
+    d.where("doc_id < 4").coalesce(1).write.mode("append").parquet(stage)
+    streaming_minhash_dedup(
+        stream_from_directory(spark, stage, d.schema),
+        "text", "doc_id", state, out, ckpt,
+        threshold=0.5, state_buckets=4,
+    ).awaitTermination()
+
+    # simulate the torn state: docs state gone, bucket state intact
+    shutil.rmtree(os.path.join(state, "minhash_docs_bt"))
+    spark.sql(f"DROP TABLE IF EXISTS {_state_table_name(state, 'mh_docs')}")
+
+    d.where("doc_id >= 4").coalesce(1).write.mode("append").parquet(stage)
+    with pytest.raises(StreamingQueryException, match="torn state"):
+        streaming_minhash_dedup(
+            stream_from_directory(spark, stage, d.schema),
+            "text", "doc_id", state, out, ckpt,
+            threshold=0.5, state_buckets=4,
+        ).awaitTermination()
+
+
 # --------------------------------------------- persisted IVF x SQ index ---
 
 
