@@ -397,6 +397,7 @@ def semdedup(
     scale: int = 1000,
     threshold: float = 0.7,
     assign: str = "auto",
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup: k-means-blocked semantic near-duplicate pruning.
 
@@ -411,12 +412,32 @@ def semdedup(
     2-decimal precision), so the decision is pure int64 arithmetic —
     no float cosine anywhere. Pairwise work is blocked by cluster id:
     cost ∝ Σ_c |c|², never N².
+
+    ``max_cluster_size`` (VERDICT r10 #2) is the loud giant-cluster cap
+    — :func:`~gluestick_spark.operators.graph.triangle_count`'s
+    ``max_degree`` contract applied to the Σ|c|² surface: one
+    degenerate cluster holding 10% of a 100 TB corpus squares into an
+    unrunnable stage. With the cap set, clusters LARGER than it are
+    removed BEFORE the pairwise join and their member rows emit NO
+    output rows (they were not judged — never a silent keep), exactly
+    like hub nodes in the capped triangle count. The result is EXACT on
+    the capped set: pairs never cross clusters, so judged rows carry
+    the same verdicts the uncapped run would give them (pytest-pinned
+    capped ≡ uncapped on bounded clusters). Deterministic and
+    oracle-replayable — the cluster-size filter is one k-row broadcast
+    semi-join on the replayed kmeans assignment. Per-cluster pairwise
+    cost is then ≤ max_cluster_size², bounding the worst partition
+    regardless of embedding skew.
     """
     from math import gcd
 
     t = round(threshold * 100)
     if not 0 <= t <= 100:
         raise ValueError("threshold must be in [0, 1]")
+    if max_cluster_size is not None and max_cluster_size < 1:
+        raise ValueError(
+            f"max_cluster_size must be >= 1, got {max_cluster_size}"
+        )
     num, den = t * t, 100 * 100
     g = gcd(num, den) or 1
     num, den = num // g, den // g
@@ -424,6 +445,17 @@ def semdedup(
     assigned = kmeans(
         df, vec_col, id_col, k=k, iters=iters, scale=scale, assign=assign
     )
+    if max_cluster_size is not None:
+        ok = (
+            assigned.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .where(F.col("__n__") <= max_cluster_size)
+            .select("cid")
+        )
+        # k-bounded (≤ k rows): broadcast, never a shuffle of the corpus
+        assigned = assigned.join(F.broadcast(ok), "cid").select(
+            *[c for c in assigned.columns]
+        )
     pts = _prepare(df, vec_col, id_col, scale).join(
         assigned.select(F.col(id_col).alias("__id__"), "cid"), "__id__"
     )

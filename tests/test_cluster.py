@@ -176,6 +176,47 @@ def test_semdedup_threshold_validated(spark):
         semdedup(df, "v", "id", threshold=1.5)
 
 
+def test_semdedup_max_cluster_size_cap(spark):
+    """VERDICT r10 #2: the giant-cluster cap. On clusters within the
+    cap, capped ≡ uncapped; oversized clusters emit NO rows (unjudged,
+    never a silent keep); invalid caps raise."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # two tight far-apart blobs: ids 0..19 around e1 (big), 100..104
+    # around e2 (small) — kmeans k=2 separates them deterministically
+    rows = [(i, [1.0 + float(rng.normal(0, 0.01)), float(rng.normal(0, 0.01))])
+            for i in range(20)]
+    rows += [(100 + i, [float(rng.normal(0, 0.01)), 1.0 + float(rng.normal(0, 0.01))])
+             for i in range(5)]
+    df = _vecs(spark, rows)
+
+    uncapped = {r["id"]: (r["cid"], r["keep"])
+                for r in semdedup(df, "v", "id", k=2, iters=2,
+                                  threshold=0.9).collect()}
+    sizes: dict[int, int] = {}
+    for cid, _ in uncapped.values():
+        sizes[cid] = sizes.get(cid, 0) + 1
+    big_cid = max(sizes, key=lambda c: sizes[c])
+    assert sorted(sizes.values()) == [5, 20]
+
+    capped = {r["id"]: (r["cid"], r["keep"])
+              for r in semdedup(df, "v", "id", k=2, iters=2, threshold=0.9,
+                                max_cluster_size=10).collect()}
+    # big cluster unjudged -> absent; small cluster identical verdicts
+    assert set(capped) == {i for i, (c, _) in uncapped.items() if c != big_cid}
+    assert all(capped[i] == uncapped[i] for i in capped)
+
+    # cap above every cluster -> capped ≡ uncapped exactly
+    loose = {r["id"]: (r["cid"], r["keep"])
+             for r in semdedup(df, "v", "id", k=2, iters=2, threshold=0.9,
+                               max_cluster_size=1000).collect()}
+    assert loose == uncapped
+
+    with pytest.raises(ValueError, match="max_cluster_size"):
+        semdedup(df, "v", "id", max_cluster_size=0)
+
+
 def test_semdedup_negative_cosine_never_drops(spark):
     # dot <= 0 short-circuits: antipodal vectors are NOT near-dups even
     # at threshold 0 (cos must be strictly positive to drop).

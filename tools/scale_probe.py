@@ -819,6 +819,54 @@ def main() -> None:
         "note": "clique m: wedges ~m^3 uncapped (27x work at 3x m); max_degree=32 drops the over-degree community loudly, cost stays the banded graph's",
     }), flush=True)
 
+    # (d) SemDeDup giant-cluster cap (VERDICT r10 #2): synthetic corpus
+    # where HALF the vectors form one tight blob (one kmeans cluster owns
+    # 50% of the corpus) and the rest spread over 15 orthogonal axes.
+    # Uncapped pairwise cost is dominated by the blob's |c|² ≈ N²/4 —
+    # grows ~quadratically with N; with max_cluster_size = N/8 the blob
+    # is dropped loudly and cost stays the small clusters' (~linear).
+    def _sdd_skew(n, cap):
+        half = n // 2
+        vec = F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda j: F.when(
+                F.col("id") < half,
+                F.when(j == F.lit(0), F.lit(1.0)).otherwise(
+                    (F.col("id") % 13).cast("double") / 10000.0
+                ),
+            ).otherwise(
+                F.when(
+                    j == (F.col("id") % 15) + 1, F.lit(1.0)
+                ).otherwise(F.lit(0.0))
+            ),
+        )
+        vv = spark.range(n).select(
+            F.col("id").alias("vec_id"), vec.alias("embedding")
+        )
+        out = semdedup(
+            vv, "embedding", "vec_id", k=16, iters=2, threshold=0.95,
+            max_cluster_size=cap,
+        )
+        return out.where(~F.col("keep")).count()
+
+    sdd_skew = {}
+    for n in (3_000, 9_000):
+        t_un, d_un = timed(lambda: _sdd_skew(n, None))
+        t_cap, d_cap = timed(lambda: _sdd_skew(n, n // 8))
+        sdd_skew[n] = {"t_uncapped": t_un, "dropped_uncapped": d_un,
+                       "t_capped": t_cap, "dropped_capped": d_cap}
+    print(json.dumps({
+        "op": "semdedup_giant_cluster_cap",
+        "n3000": sdd_skew[3_000], "n9000": sdd_skew[9_000],
+        "uncapped_growth": round(
+            sdd_skew[9_000]["t_uncapped"]
+            / max(sdd_skew[3_000]["t_uncapped"], 1e-3), 2),
+        "capped_growth": round(
+            sdd_skew[9_000]["t_capped"]
+            / max(sdd_skew[3_000]["t_capped"], 1e-3), 2),
+        "note": "one cluster owns 50% of the corpus: pairs ~N^2/4 uncapped (9x at 3x N); max_cluster_size=N/8 drops the blob loudly, judged set stays exact",
+    }), flush=True)
+
     print(json.dumps({"summary_exponents": summary, "r": r, "n_docs_1x": n1}))
 
 
