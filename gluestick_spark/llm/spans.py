@@ -141,6 +141,7 @@ def line_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    _hash_expr=None,
 ) -> DataFrame:
     """Corpus-wide EXACT line deduplication — the RefinedWeb/CCNet
     line-level filter: every newline-delimited line that occurs verbatim
@@ -157,56 +158,93 @@ def line_dedup(
     "first blank line" would strip every other one. Documents with no
     text pass through with ``text_clean = ''``.
 
-    Plan (the :func:`segment_dedup` shape): lines posexplode (narrow) →
-    first-occurrence election ``groupBy(line) → min(struct(doc, pos))``
-    (map-side combined — a hot boilerplate line collapses to one row per
-    map task before the shuffle) → join back on the exact line string →
-    per-doc ordered reassembly. Two shuffles, both keyed."""
+    Plan (VERDICT r10 #3 — hashed shuffle keys): the r10 plan shipped
+    every occurrence's full line text through TWO keyed exchanges
+    (election groupBy(line), join-back on line) and then TWICE more
+    through the reassembly ((id,pos)-keyed merge + per-doc collect).
+    Now line text crosses an exchange exactly TWICE total, both at
+    bounded scale:
+
+    1. election ``groupBy(xxhash64(line), line)`` — exact per-line
+       first-occurrence + count; map-side combine collapses hot
+       boilerplate, so the exchange carries each distinct line once
+       per map task (never occurrence scale);
+    2. a hash-level rollup (no text) detects collisions
+       (``n_distinct > 1``) and serves the join-back, which ships only
+       ``(id, pos, hash)``;
+    3. reassembly is DOC-level: the dropped positions collapse to one
+       small ``collect_set(pos)`` array per affected document, joined
+       back to ``df`` itself, and ``text_clean`` is rebuilt with a pure
+       index-filtered split — the original text column crosses the one
+       doc-keyed join exchange instead of two occurrence-keyed ones.
+
+    Hash-key exactness (the containment/fingerprint verify device): for
+    hashes with one distinct line every occurrence behind the hash IS
+    the same string, so hash-keyed decisions equal string-keyed ones;
+    the rare colliding hashes (two different lines, one xxh64) take the
+    broadcast-filtered exact path keyed by ``(hash, line)``. Same
+    result as the string-keyed plan, bit for bit, under any collision
+    (pytest-pinned with degenerate forced-collision hashes)."""
     lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
     occ = df.select(
         F.col(id_col), F.posexplode(lines).alias("pos", "line")
     ).select(id_col, F.col("pos").cast("long").alias("pos"), "line")
-    judged = occ.where(F.trim(F.col("line")) != "")
-    firsts = judged.groupBy("line").agg(
+    # _hash_expr is test-only injection: forcing a degenerate hash (all
+    # lines collide) proves the collision path reproduces string-keyed
+    # semantics exactly (xxh64 collisions can't be fabricated on demand)
+    hash_of = (
+        (lambda c: F.xxhash64(c)) if _hash_expr is None else _hash_expr
+    )
+    judged = occ.where(F.trim(F.col("line")) != "").withColumn(
+        "__lh__", hash_of(F.col("line"))
+    )
+    per_line = judged.groupBy("__lh__", "line").agg(
         F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
             "first"
         ),
         F.count(F.lit(1)).alias("n_occ"),
     )
+    per_hash = per_line.groupBy("__lh__").agg(
+        F.count(F.lit(1)).alias("__nd__"),
+        F.min("first").alias("first"),
+        F.sum("n_occ").alias("n_occ"),
+    )
     keep_flag = (F.col("n_occ") == 1) | (
         (F.col(id_col) == F.col("first.d")) & (F.col("pos") == F.col("first.p"))
     )
-    tagged = judged.join(firsts, "line").select(
-        id_col, "pos", keep_flag.alias("keep")
+    tagged_clean = (
+        judged.select(id_col, "pos", "__lh__")
+        .join(per_hash.where(F.col("__nd__") == 1), "__lh__")
+        .select(id_col, "pos", keep_flag.alias("keep"))
     )
-    # blanks rejoin unjudged (always kept); left join tags judged lines
-    merged = occ.join(tagged, [id_col, "pos"], "left").select(
+    # collision path (expected empty): judge the collided hashes exactly
+    # by (hash, line) — tiny set, broadcast-filtered on both sides
+    collided = per_hash.where(F.col("__nd__") > 1).select("__lh__")
+    tagged_coll = (
+        judged.join(F.broadcast(collided), "__lh__")
+        .join(
+            per_line.join(F.broadcast(collided), "__lh__"),
+            ["__lh__", "line"],
+        )
+        .select(id_col, "pos", keep_flag.alias("keep"))
+    )
+    tagged = tagged_clean.unionByName(tagged_coll)
+    # dropped positions collapse to ONE small array per affected doc —
+    # blanks were never judged, so they are never in the array (kept)
+    drops = (
+        tagged.where(~F.col("keep"))
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("__dp__"))
+    )
+    dp = F.coalesce(F.col("__dp__"), F.array().cast("array<long>"))
+    kept_lines = F.filter(
+        lines, lambda x, i: ~F.array_contains(dp, i.cast("long"))
+    )
+    return df.select(id_col, F.col(text_col)).join(drops, id_col, "left").select(
         id_col,
-        "pos",
-        "line",
-        F.coalesce(F.col("keep"), F.lit(True)).alias("keep"),
-    )
-    per_doc = merged.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(
-                        F.when(F.col("keep"), F.struct("pos", "line"))
-                    )
-                ),
-                lambda s: s["line"],
-            ),
-            "\n",
-        ).alias("text_clean"),
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_removed"),
-    )
-    base = df.select(id_col)
-    return base.join(per_doc, id_col, "left").select(
-        id_col,
-        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
-        F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
-        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        F.array_join(kept_lines, "\n").alias("text_clean"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.coalesce(F.size("__dp__"), F.lit(0)).cast("long").alias("n_removed"),
     )
 
 
