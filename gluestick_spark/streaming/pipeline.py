@@ -41,6 +41,7 @@ __all__ = [
     "streaming_interval_join",
     "streaming_scd2",
     "streaming_cdc",
+    "compact_stream_state",
 ]
 
 
@@ -700,6 +701,158 @@ def _append_bucketed_state(
     if not df.sparkSession.catalog.tableExists(tbl):
         w = w.option("path", loc)
     w.saveAsTable(tbl)
+
+
+# The append-state layout this module writes, for compaction: flat
+# per-batch parquet dirs, and bucketed external-table locations mapped
+# to their catalog kind + bucket columns.
+_STATE_FLAT_DIRS = (
+    "minhash_buckets.parquet",
+    "minhash_docs.parquet",
+    "url_canon.parquet",
+    "bin_counts.parquet",
+)
+_STATE_BUCKETED_DIRS = {
+    "minhash_buckets_bt": ("mh_buckets", ["band", "bucket"]),
+    "minhash_docs_bt": ("mh_docs", ["__id__"]),
+    "url_canon_buckets": ("url_canon", ["__canon__"]),
+}
+
+
+def _catalog_num_buckets(spark, tbl: str) -> int | None:
+    if not spark.catalog.tableExists(tbl):
+        return None
+    for row in spark.sql(f"DESCRIBE FORMATTED {tbl}").collect():
+        if row["col_name"].strip() == "Num Buckets":
+            return int(row["data_type"].strip())
+    return None
+
+
+def _compact_bucketed_state(
+    spark, tbl: str, loc: str, bucket_cols: list[str], n: int
+) -> int:
+    """Bucket-preserving compaction of one external bucketed state
+    table: rewrite into a temp location with the SAME bucket spec
+    (repartition on the bucket columns first, so each bucket lands in
+    one task → one file per bucket), then atomically exchange the data
+    directories. Bucket ids ride in the part-file names, so the
+    existing catalog entry serves the swapped files unchanged — the
+    zero-state-side-Exchange plan property survives compaction
+    (pytest-pinned). Same commit protocol as ``compact_files``:
+    RENAME_EXCHANGE, two-rename fallback with ``.__old__`` self-heal."""
+    import os
+    import shutil
+
+    from ..sinks.layout import _exchange_dirs
+
+    norm = loc.rstrip("/")
+    old = norm + ".__old__"
+    if not os.path.exists(loc) and os.path.exists(old):
+        os.rename(old, loc)  # self-heal a crashed fallback swap
+    else:
+        shutil.rmtree(old, ignore_errors=True)  # stale leftover
+    tmp_loc = norm + ".__compacting__"
+    tmp_tbl = tbl + "__compacting__"
+    shutil.rmtree(tmp_loc, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+    (
+        # read the FILES, not the table: the bucketed table's scan
+        # already satisfies HashPartitioning(bucket_cols, n), so a
+        # repartition on it is elided and every scan partition would
+        # write its own file — the opposite of compaction
+        spark.read.parquet(loc)
+        .repartition(n, *[F.col(c) for c in bucket_cols])
+        .write.format("parquet")
+        .bucketBy(n, *bucket_cols)
+        .option("path", tmp_loc)
+        .saveAsTable(tmp_tbl)
+    )
+    if not _exchange_dirs(tmp_loc, loc):
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(loc, old)
+        os.rename(tmp_loc, loc)
+        os.rename(old, tmp_loc)  # old files park at tmp for the cleanup
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")  # external: files untouched
+    shutil.rmtree(tmp_loc, ignore_errors=True)  # the pre-compaction files
+    spark.catalog.refreshTable(tbl)
+    return sum(
+        1 for f in os.listdir(loc) if f.endswith(".parquet")
+    )
+
+
+def compact_stream_state(
+    spark,
+    state_dir: str,
+    target_rows_per_file: int = 1_000_000,
+    state_buckets: int | None = None,
+) -> dict[str, int]:
+    """Compact the append-state tables under ``state_dir`` (VERDICT r10
+    #4): every ``foreachBatch`` state append lands one-plus small
+    parquet files FOREVER — at 100× batch counts the listing dominates
+    per-batch state reads (a small-files operational failure, not a
+    correctness one). This composes :func:`~gluestick_spark.sinks.
+    layout.compact_files` over the flat per-batch state dirs (minhash
+    band index + docs, URL canon set, drift bin counts) and a
+    bucket-preserving rewrite over the bucketed external state tables.
+    Returns {state name: new file count} for everything it compacted.
+
+    Contract — STOP the stream first (stop → compact → restart): the
+    rewrite is row-preserving, so replay guards that dedup on read
+    (``distinct()``, (bin, batch_id) keys) behave identically after
+    compaction, but a stream appending CONCURRENTLY could write files
+    into the directory between the temp rewrite and the atomic
+    exchange, and those appends would be lost. True concurrent
+    compaction needs a table format's commit log — out of scope here by
+    design (same posture as ``compact_files``).
+
+    ``state_buckets``: only needed when a bucketed state table is not
+    in the catalog (fresh session) — must equal the stream's own
+    ``state_buckets`` (the catalog value wins and is cross-checked when
+    both are present; a mismatch raises rather than silently rewriting
+    the layout a running stream depends on). Crash safety per table is
+    ``compact_files``' exchange/self-heal protocol; a crash between two
+    tables' compactions leaves each table individually consistent."""
+    import os
+
+    from ..sinks.layout import compact_files
+
+    results: dict[str, int] = {}
+    for name in _STATE_FLAT_DIRS:
+        p = os.path.join(state_dir, name)
+        if os.path.isdir(p) and any(
+            f.endswith(".parquet") for f in os.listdir(p)
+        ):
+            results[name] = compact_files(spark, p, target_rows_per_file)
+    for base, (kind, bucket_cols) in _STATE_BUCKETED_DIRS.items():
+        loc = os.path.join(state_dir, base)
+        # a crashed fallback swap parks the data at .__old__ — still ours;
+        # heal BEFORE the catalog checks so registration sees the files
+        if not os.path.exists(loc) and os.path.exists(loc + ".__old__"):
+            os.rename(loc + ".__old__", loc)
+        if not _has_data_files(loc):
+            continue
+        tbl = _state_table_name(state_dir, kind)
+        n_cat = _catalog_num_buckets(spark, tbl)
+        if n_cat is None and state_buckets is None:
+            raise ValueError(
+                f"bucketed state at {loc} has no catalog entry in this "
+                "session — pass state_buckets=N (the stream's own value) "
+                "so compaction preserves the bucket layout"
+            )
+        if (
+            n_cat is not None
+            and state_buckets is not None
+            and n_cat != state_buckets
+        ):
+            raise ValueError(
+                f"state_buckets={state_buckets} does not match the "
+                f"catalog's {n_cat} buckets for {tbl} — refusing to "
+                "rewrite the layout a stream depends on"
+            )
+        n = n_cat if n_cat is not None else state_buckets
+        _ensure_bucketed_state(spark, tbl, loc, bucket_cols, n)
+        results[base] = _compact_bucketed_state(spark, tbl, loc, bucket_cols, n)
+    return results
 
 
 def _guard_state_layout_toggle(
