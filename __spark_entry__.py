@@ -5659,13 +5659,19 @@ _SIVF_INDEX_CACHE: dict = {}
 _PIVF_NC, _PIVF_NPROBE, _PIVF_K = 8, 3, 20
 
 
-def _pq_ivf_oracle_sql() -> str:
+def _pq_ivf_oracle_sql(rerank: int | None = None) -> str:
     """Replays the full IVFADC serving path end-to-end: the integer-
     Lloyd coarse router (training + probe selection + the cid pruning
     that partition pruning performs physically) AND the m per-subspace
     codebooks (training + encode + exact-int64 ADC ranking). A green
     row verifies the store/serve split changes nothing — indexed ≡
-    direct is structural (same probe selection and distance code)."""
+    direct is structural (same probe selection and distance code).
+
+    With ``rerank=R`` (IVFADC+R, VERDICT r10 #6) the oracle additionally
+    replays the refinement: top-R by (pq_dist, id), exact int64 L2 on
+    the quantized full vectors (aa − 2ab + bb on BIGINT lists — the
+    identical integer Σ(a−b)² the engine's zip_with computes), final
+    top-k by (rerank_dist, id)."""
     r_ctes, r_assign, r_cent = _lloyd_ctes(
         "pivf", 1, _KM_DIM, _PIVF_NC, _PQ_ITERS, _KM_SCALE, _KM_DIM
     )
@@ -5715,11 +5721,40 @@ dt_pv{j} AS (
         )
     joins += f"\n  JOIN {r_assign} ar ON ar.id = a0.id"
     dist = " + ".join(f"d{j}.dv" for j in range(_PQ_M))
+    if rerank is None:
+        return (
+            "WITH " + ",\n".join(blocks)
+            + f"\nSELECT a0.id AS vec_id, ({dist}) AS pq_dist\n{joins}\n"
+            + "WHERE ar.cid IN (SELECT cid FROM probes_pivf)\n"
+            + f"ORDER BY pq_dist, vec_id LIMIT {_PIVF_K}"
+        )
+    qrow = (
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * "
+        f"{_KM_SCALE}.0 + 0.5) AS BIGINT))"
+    )
+    blocks.append(f"""cand_pr AS (
+  SELECT a0.id AS vec_id, ({dist}) AS pq_dist
+  {joins}
+  WHERE ar.cid IN (SELECT cid FROM probes_pivf)
+  ORDER BY pq_dist, vec_id LIMIT {rerank}
+),
+qvec_pr AS (
+  SELECT {qrow} AS qq FROM embeddings WHERE vec_id = 0
+),
+rvec_pr AS (
+  SELECT vec_id, {qrow} AS qv FROM embeddings
+)""")
     return (
         "WITH " + ",\n".join(blocks)
-        + f"\nSELECT a0.id AS vec_id, ({dist}) AS pq_dist\n{joins}\n"
-        + "WHERE ar.cid IN (SELECT cid FROM probes_pivf)\n"
-        + f"ORDER BY pq_dist, vec_id LIMIT {_PIVF_K}"
+        + """
+SELECT c.vec_id, c.pq_dist,
+       CAST(list_dot_product(r.qv, r.qv)
+            - 2 * list_dot_product(r.qv, q.qq)
+            + list_dot_product(q.qq, q.qq) AS BIGINT) AS rerank_dist
+FROM cand_pr c JOIN rvec_pr r ON r.vec_id = c.vec_id, qvec_pr q
+ORDER BY rerank_dist, c.vec_id
+"""
+        + f"LIMIT {_PIVF_K}"
     )
 
 
@@ -5757,6 +5792,43 @@ def q_pq_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PIVF_INDEX_CACHE: dict = {}
+
+
+# IVFADC+R (VERDICT r10 #6): refinement pool 3x the final k.
+_PIVF_RERANK = 60
+
+
+def q_pq_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC+R re-ranked serving (llm/pq.py:pq_ivf_topk_indexed with
+    rerank= — Jégou et al. §V): the index stores the integer-quantized
+    full vectors next to the codes (store_vectors=True); the top-R ADC
+    candidates are re-scored with the exact int64 L2 and the final
+    top-k ordered by (rerank_dist, id). The oracle replays the whole
+    chain — router, codebooks, pruned ADC, refinement — so indexed ≡
+    direct ≡ SQL. Recall lift over raw ADC is pinned by
+    test_pq_rerank_indexed_equals_direct_and_lifts_recall (4000 vs
+    2000 bp recall@10 on the deterministic audit sample)."""
+    import tempfile
+
+    from gluestick_spark.llm.pq import materialize_pq_ivf, pq_ivf_topk_indexed
+
+    q = _query_vec(spark, sf_dir)
+    path = _PIVF_R_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        e = _t(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="gs_pqivfr_idx_")
+        materialize_pq_ivf(
+            e, "embedding", "vec_id", path, m=_PQ_M, n_codes=_PQ_K,
+            n_clusters=_PIVF_NC, iters=_PQ_ITERS, scale=_KM_SCALE,
+            store_vectors=True,
+        )
+        _PIVF_R_INDEX_CACHE[sf_dir] = path
+    return pq_ivf_topk_indexed(
+        spark, path, q, k=_PIVF_K, nprobe=_PIVF_NPROBE, rerank=_PIVF_RERANK
+    )
+
+
+_PIVF_R_INDEX_CACHE: dict = {}
 
 
 _CLF_WEIGHTS = [((b * 37) % 21 - 10) / 10.0 for b in range(64)]
@@ -7082,6 +7154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'rolling_zscore': q_rolling_zscore,
         'line_dedup': q_line_dedup,
         'gopher_quality': q_gopher_quality,
+        'pq_ivf_rerank': q_pq_ivf_rerank,
     }
 
 
@@ -7266,4 +7339,5 @@ def oracle_sql() -> dict[str, str]:
         'rolling_zscore': _Q_ROLLING_ZSCORE_SQL,
         'line_dedup': _Q_LINE_DEDUP_SQL,
         'gopher_quality': _Q_GOPHER_QUALITY_SQL,
+        'pq_ivf_rerank': _pq_ivf_oracle_sql(rerank=_PIVF_RERANK),
     }

@@ -202,6 +202,35 @@ def _adc_dist_expr(tab: list[list[int]], code_col: str = "code"):
     return dist
 
 
+def _rerank_dist_expr(qq: list[int], vec_col: str = "qvec"):
+    """Exact int64 L2 between the stored quantized vector and the
+    quantized query — the IVFADC+R refinement distance (Jégou et al.
+    §V). Precision is the quantization grid (scale⁻¹ per coordinate),
+    i.e. the full-vector distance the PQ codes approximate."""
+    arr = F.array(*[F.lit(int(v)).cast("long") for v in qq])
+    return F.aggregate(
+        F.zip_with(F.col(vec_col), arr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _rerank_tail(cand: DataFrame, id_col: str, qq: list[int], k: int):
+    """Shared IVFADC+R tail: candidates (id, pq_dist, qvec) → exact
+    refinement distance → top-k by (rerank_dist, id). ``cand`` is
+    already LIMITed to R rows, so the refinement runs on R rows, never
+    the probed cells."""
+    return (
+        cand.select(
+            F.col(id_col),
+            F.col("pq_dist"),
+            _rerank_dist_expr(qq).alias("rerank_dist"),
+        )
+        .orderBy(F.col("rerank_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def pq_ivf_topk(
     df: DataFrame,
     vec_col: str,
@@ -214,6 +243,7 @@ def pq_ivf_topk(
     nprobe: int = 2,
     iters: int = 1,
     scale: int = 1000,
+    rerank: int | None = None,
 ) -> DataFrame:
     """Cluster-pruned PQ-ADC search — the IVF×PQ composition Jégou et
     al. call IVFADC, trained in-query (fine for one-off audits; the
@@ -228,25 +258,44 @@ def pq_ivf_topk(
 
     Plan: one narrow projection (router assign + m argmin encodes — no
     join, no shuffle), a ``cid IN probes`` scan filter, then
-    ``TakeOrderedAndProject``."""
+    ``TakeOrderedAndProject``.
+
+    ``rerank=R`` (IVFADC+R, VERDICT r10 #6): the top-R ADC candidates
+    are re-scored with the exact int64 L2 on the quantized full
+    vectors and the final top-k ordered by (``rerank_dist``, id) —
+    output gains the ``rerank_dist`` column. R rows reach the
+    refinement (one extra narrow pass), so cost stays ∝ probed cells +
+    R."""
     from gluestick_spark.llm.cluster import _select_probes
 
     if nprobe < 1 or k < 1:
         raise ValueError("nprobe >= 1 and k >= 1 required")
+    if rerank is not None and rerank < k:
+        raise ValueError(f"rerank must be >= k, got {rerank} < {k}")
     router = _train_router(df, vec_col, id_col, n_clusters, iters, scale)
     if not router:
         return df.sparkSession.createDataFrame([], f"{id_col} long, pq_dist long")
     books = train_pq(df, vec_col, id_col, m=m, k=n_codes, iters=iters, scale=scale)
     probes, _, _ = _select_probes(router, query, scale, nprobe)
     tab = adc_table(query, books, scale)
-    enc = _encode_cells(df, vec_col, id_col, router, books, scale).where(
-        F.col("cid").isin(probes)
-    )
-    return (
-        enc.select(F.col(id_col), _adc_dist_expr(tab).alias("pq_dist"))
+    enc = _encode_cells(
+        df, vec_col, id_col, router, books, scale, keep_qvec=rerank is not None
+    ).where(F.col("cid").isin(probes))
+    if rerank is None:
+        return (
+            enc.select(F.col(id_col), _adc_dist_expr(tab).alias("pq_dist"))
+            .orderBy(F.col("pq_dist").asc(), F.col(id_col).asc())
+            .limit(k)
+        )
+    qq = [floor(x * scale + 0.5) for x in query]
+    cand = (
+        enc.select(
+            F.col(id_col), _adc_dist_expr(tab).alias("pq_dist"), F.col("qvec")
+        )
         .orderBy(F.col("pq_dist").asc(), F.col(id_col).asc())
-        .limit(k)
+        .limit(rerank)
     )
+    return _rerank_tail(cand, id_col, qq, k)
 
 
 def _train_router(
@@ -267,10 +316,13 @@ def _encode_cells(
     router: Codebook,
     codebooks: list[Codebook],
     scale: int,
+    keep_qvec: bool = False,
 ) -> DataFrame:
     """ONE narrow projection computing, per row, the router assignment
     (``cid``) AND the m PQ codes — the raw vector is read once and never
-    joined back. No shuffle."""
+    joined back. No shuffle. With ``keep_qvec`` the integer-quantized
+    full vector rides along as ``qvec`` (the IVFADC+R refinement
+    payload — see :func:`materialize_pq_ivf` ``store_vectors``)."""
     m = len(codebooks)
     ds = len(codebooks[0][0][0])
     codes = []
@@ -279,13 +331,14 @@ def _encode_cells(
         xx = int_dot_expr(q, q)
         codes.append(_assign_expr(book, q=q, xx=xx))
     full_q = quantize_vec_expr(F.col(vec_col), scale)
+    out_cols = [id_col, "code", "cid"] + (["qvec"] if keep_qvec else [])
     return df.select(
         F.col(id_col),
         F.array(*codes).alias("code"),
         full_q.alias("__q__"),
     ).withColumn("__xx__", int_dot_expr(F.col("__q__"), F.col("__q__"))).withColumn(
         "cid", _assign_expr(router)
-    ).select(id_col, "code", "cid")
+    ).withColumn("qvec", F.col("__q__")).select(*out_cols)
 
 
 def materialize_pq_ivf(
@@ -298,6 +351,7 @@ def materialize_pq_ivf(
     n_clusters: int = 8,
     iters: int = 1,
     scale: int = 1000,
+    store_vectors: bool = False,
 ) -> None:
     """Build the PERSISTED IVF×PQ serving index — the L104 treatment
     (``llm/cluster.py:materialize_sq_ivf``) applied to product
@@ -318,6 +372,13 @@ def materialize_pq_ivf(
        temp + atomic ``os.replace`` — the commit marker: a torn build
        has no router and serving/append refuse loudly.
 
+    ``store_vectors=True`` additionally persists the integer-quantized
+    full vector per row (``qvec``) — the refinement payload IVFADC+R
+    (Jégou et al. §V, VERDICT r10 #6) re-ranks against via
+    ``pq_ivf_topk_indexed(rerank=R)``. It trades index size (d int64s
+    per row next to the m-byte code) for recall; leave it off when the
+    ADC ordering is good enough.
+
     Serving cost is then ∝ probed cells × code bytes — see
     :func:`pq_ivf_topk_indexed`."""
     import json as _json
@@ -331,7 +392,9 @@ def materialize_pq_ivf(
     books: list[Codebook] = []
     if router:
         books = train_pq(df, vec_col, id_col, m=m, k=n_codes, iters=iters, scale=scale)
-        enc = _encode_cells(df, vec_col, id_col, router, books, scale)
+        enc = _encode_cells(
+            df, vec_col, id_col, router, books, scale, keep_qvec=store_vectors
+        )
         (
             enc.repartition(F.col("cid"))
             .write.partitionBy("cid")
@@ -344,6 +407,7 @@ def materialize_pq_ivf(
         "n_codes": int(n_codes),
         "n_clusters": int(n_clusters),
         "iters": int(iters),
+        "store_vectors": bool(store_vectors),
         "id_col": id_col,
         "router": [[list(map(int, s)), int(n)] for s, n in router],
         "codebooks": [
@@ -414,7 +478,7 @@ def pq_ivf_append(
     enc = _encode_cells(
         df.select(F.col(id_col).alias(meta["id_col"]), F.col(vec_col)),
         vec_col, meta["id_col"], meta["router"], meta["codebooks"],
-        meta["scale"],
+        meta["scale"], keep_qvec=bool(meta.get("store_vectors", False)),
     )
     begin_append(path)  # rolls back any torn prior batch first
     (
@@ -433,6 +497,7 @@ def pq_ivf_topk_indexed(
     k: int = 10,
     nprobe: int = 2,
     id_col: str | None = None,
+    rerank: int | None = None,
 ) -> DataFrame:
     """Serve top-k from a :func:`materialize_pq_ivf` index — identical
     results to in-query :func:`pq_ivf_topk` with the same geometry (the
@@ -445,26 +510,55 @@ def pq_ivf_topk_indexed(
     cell directories (``cid IN (...)`` rides the scan as a
     PartitionFilter — plan-gated) and only the m-int codes; then one
     ``TakeOrderedAndProject``. Query cost ∝ probed cells × code bytes,
-    independent of corpus size — the 100 TB serving shape."""
+    independent of corpus size — the 100 TB serving shape.
+
+    ``rerank=R`` (IVFADC+R, VERDICT r10 #6): requires an index built
+    with ``store_vectors=True`` (refuses loudly otherwise) — the top-R
+    ADC candidates are re-scored with the exact int64 L2 on the stored
+    quantized vectors and the final top-k ordered by (``rerank_dist``,
+    id). Identical to the direct :func:`pq_ivf_topk` with the same
+    ``rerank`` (shared :func:`_rerank_tail` — indexed ≡ direct stays
+    structural; oracle-checked via the ``pq_ivf_rerank`` registry
+    row). Recall lift is measured by
+    :func:`~gluestick_spark.llm.similarity.ann_recall_audit`."""
     from gluestick_spark.llm.cluster import _select_probes
 
     import os as _os
 
     if nprobe < 1 or k < 1:
         raise ValueError("nprobe >= 1 and k >= 1 required")
+    if rerank is not None and rerank < k:
+        raise ValueError(f"rerank must be >= k, got {rerank} < {k}")
     meta = _load_pq_router(path)
     out_id = id_col or meta["id_col"]
     if not meta["router"]:
         return spark.createDataFrame([], f"{out_id} long, pq_dist long")
+    if rerank is not None and not meta.get("store_vectors"):
+        raise ValueError(
+            f"pq-ivf index at {path} was built without store_vectors=True "
+            "— rerank needs the quantized full vectors in the cells; "
+            "rebuild with materialize_pq_ivf(..., store_vectors=True)"
+        )
     probes, _, _ = _select_probes(meta["router"], query, meta["scale"], nprobe)
     tab = adc_table(query, meta["codebooks"], meta["scale"])
-    enc = (
-        spark.read.parquet(_os.path.join(path, "cells"))
-        .where(F.col("cid").isin(probes))
-        .select(F.col(meta["id_col"]).alias(out_id), F.col("code"))
+    cells = spark.read.parquet(_os.path.join(path, "cells")).where(
+        F.col("cid").isin(probes)
     )
-    return (
-        enc.select(F.col(out_id), _adc_dist_expr(tab).alias("pq_dist"))
+    if rerank is None:
+        enc = cells.select(F.col(meta["id_col"]).alias(out_id), F.col("code"))
+        return (
+            enc.select(F.col(out_id), _adc_dist_expr(tab).alias("pq_dist"))
+            .orderBy(F.col("pq_dist").asc(), F.col(out_id).asc())
+            .limit(k)
+        )
+    qq = [floor(x * meta["scale"] + 0.5) for x in query]
+    cand = (
+        cells.select(
+            F.col(meta["id_col"]).alias(out_id),
+            _adc_dist_expr(tab).alias("pq_dist"),
+            F.col("qvec"),
+        )
         .orderBy(F.col("pq_dist").asc(), F.col(out_id).asc())
-        .limit(k)
+        .limit(rerank)
     )
+    return _rerank_tail(cand, out_id, qq, k)

@@ -627,6 +627,7 @@ def ann_recall_audit(
     pq_codes: int = 8,
     iters: int = 1,
     scale: int = 1000,
+    rerank: int | None = None,
 ) -> DataFrame:
     """Production guardrail for the QUANTIZED/pruned ANN family — the
     :func:`~gluestick_spark.llm.dedup.lsh_recall_audit` contract applied
@@ -643,6 +644,10 @@ def ann_recall_audit(
       reference: quantization loss PLUS probe misses at ``nprobe``.
     - ``pq``      — product-quantization ADC (``llm/pq.py``) vs exact
       L2 top-k (ADC approximates distances): codebook loss.
+    - ``pq_r``    — (only when ``rerank=R`` is set) IVFADC+R: the top-R
+      ADC candidates re-scored with the exact int64 L2 on the quantized
+      full vectors (VERDICT r10 #6) — quantifies how much refinement
+      recovers of the codebook loss.
 
     Schema: (``index_type``, ``n_queries``, ``k``, ``n_exact``,
     ``n_hit``, ``recall_bp``) with ``recall_bp =
@@ -691,7 +696,8 @@ def ann_recall_audit(
         "n_hit long, recall_bp long"
     )
     if not qrows:
-        rows = [(t, 0, k, 0, 0, 10000) for t in ("sq", "sq_ivf", "pq")]
+        vac = ["sq", "sq_ivf", "pq"] + (["pq_r"] if rerank is not None else [])
+        rows = [(t, 0, k, 0, 0, 10000) for t in vac]
         return spark.createDataFrame(rows, schema)
 
     queries = [(r[id_col], list(r[vec_col])) for r in qrows]
@@ -746,8 +752,20 @@ def ann_recall_audit(
     enc_pq = encode_pq(sample, vec_col, id_col, books, scale).localCheckpoint(
         eager=False
     )
+    enc_pqr = None
+    if rerank is not None:
+        if rerank < k:
+            raise ValueError(f"rerank must be >= k, got {rerank} < {k}")
+        enc_pqr = enc_pq.join(
+            sample.select(
+                F.col(id_col),
+                quantize_vec_expr(F.col(vec_col), scale).alias("qvec"),
+            ),
+            id_col,
+        ).localCheckpoint(eager=False)
 
-    hits = {"sq": [0, 0], "sq_ivf": [0, 0], "pq": [0, 0]}  # [n_exact, n_hit]
+    types = ["sq", "sq_ivf", "pq"] + (["pq_r"] if rerank is not None else [])
+    hits = {t: [0, 0] for t in types}  # [n_exact, n_hit]
     for _qid, q in queries:
         ex_dot = _exact_dot(q)
         ex_l2 = _exact_l2(q)
@@ -774,9 +792,27 @@ def ann_recall_audit(
         )
         hits["pq"][0] += len(ex_l2)
         hits["pq"][1] += len(set(ex_l2) & set(got_pq))
+        if enc_pqr is not None:
+            from math import floor as _floor
+
+            from gluestick_spark.llm.pq import _rerank_tail
+
+            qq = [_floor(x * scale + 0.5) for x in q]
+            cand = (
+                enc_pqr.select(
+                    F.col(id_col),
+                    _adc_dist_expr(tab).alias("pq_dist"),
+                    F.col("qvec"),
+                )
+                .orderBy(F.asc("pq_dist"), F.asc(id_col))
+                .limit(rerank)
+            )
+            got_pqr = _ids(_rerank_tail(cand, id_col, qq, k))
+            hits["pq_r"][0] += len(ex_l2)
+            hits["pq_r"][1] += len(set(ex_l2) & set(got_pqr))
 
     rows = []
-    for t in ("sq", "sq_ivf", "pq"):
+    for t in types:
         n_exact, n_hit = hits[t]
         recall = 10000 if n_exact == 0 else int((10000 * n_hit) // n_exact)
         rows.append((t, len(queries), k, n_exact, n_hit, recall))

@@ -503,6 +503,58 @@ def test_ann_recall_audit_vacuous_contract(spark):
     assert [
         (r["n_queries"], r["n_exact"], r["recall_bp"]) for r in out.collect()
     ] == [(0, 0, 10000)] * 3
+    # with rerank set the vacuous report covers pq_r too
+    out_r = ann_recall_audit(
+        emb.where("vec_id < 0"), "embedding", "vec_id", k=5, rerank=20
+    )
+    assert [r["index_type"] for r in out_r.collect()] == [
+        "sq", "sq_ivf", "pq", "pq_r",
+    ]
+
+
+# ------------------------------------- VERDICT r10 #6: IVFADC+R rerank ----
+
+
+def test_pq_rerank_indexed_equals_direct_and_lifts_recall(spark, tmp_dir):
+    """rerank=R re-scores the top-R ADC candidates with the exact int64
+    L2 on the stored quantized vectors: indexed ≡ direct (shared
+    _rerank_tail), the audit shows a recall@10 lift over raw ADC, and
+    the guards refuse loudly (no stored vectors / R < k)."""
+    from gluestick_spark.llm.pq import (
+        materialize_pq_ivf,
+        pq_ivf_topk,
+        pq_ivf_topk_indexed,
+    )
+    from gluestick_spark.llm.similarity import ann_recall_audit
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    q = list(emb.where(F.col("vec_id") == 7).first()["embedding"])
+    path = os.path.join(tmp_dir, "idx")
+    materialize_pq_ivf(emb, "embedding", "vec_id", path, m=4, n_codes=8,
+                       n_clusters=4, iters=1, store_vectors=True)
+    got = pq_ivf_topk_indexed(spark, path, q, k=5, nprobe=2, rerank=20).collect()
+    want = pq_ivf_topk(emb, "embedding", "vec_id", q, k=5, m=4, n_codes=8,
+                       n_clusters=4, nprobe=2, iters=1, rerank=20).collect()
+    assert got == want
+    # the query vector itself is in the corpus: refinement ranks it first
+    # with exact distance 0 (raw ADC need not)
+    assert got[0]["vec_id"] == 7 and got[0]["rerank_dist"] == 0
+
+    audit = {
+        r["index_type"]: r["recall_bp"]
+        for r in ann_recall_audit(
+            emb, "embedding", "vec_id", k=10, n_queries=4, nprobe=2, rerank=50
+        ).collect()
+    }
+    assert audit["pq_r"] > audit["pq"]  # deterministic sample: 4000 vs 2000
+
+    with pytest.raises(ValueError, match="rerank must be >= k"):
+        pq_ivf_topk_indexed(spark, path, q, k=10, rerank=5)
+    path2 = os.path.join(tmp_dir, "idx2")
+    materialize_pq_ivf(emb, "embedding", "vec_id", path2, m=4, n_codes=8,
+                       n_clusters=4, iters=1)  # no vectors stored
+    with pytest.raises(ValueError, match="store_vectors"):
+        pq_ivf_topk_indexed(spark, path2, q, k=5, rerank=20)
 
 
 # -------------------------------- VERDICT 8: streaming quality filter -----
