@@ -4533,16 +4533,21 @@ _KM_K, _KM_ITERS, _KM_SCALE, _KM_DIM = 8, 2, 1000, 64
 _KM_HASH = "CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15) AS UBIGINT)"
 
 
-def _kmeans_sql_body(k: int, iters: int, scale: int, dim: int) -> tuple[str, int]:
+def _kmeans_sql_body(
+    k: int, iters: int, scale: int, dim: int, src: str = "embeddings"
+) -> tuple[str, int]:
     """Unrolled Lloyd iteration as a DuckDB CTE chain (iterative algorithm
     with a FIXED iteration count → SQL-expressible, same device as the
     fixed-merge-list BPE oracle). Centroids stay (int sum-vector, count)
-    pairs; distances compare the exact int64 numerator scaled by n²."""
+    pairs; distances compare the exact int64 numerator scaled by n².
+    ``src`` lets a composition oracle (curation_pipeline) cluster a
+    filtered CTE instead of the base table — seeds and iterations then
+    replay over exactly the rows the engine trained on."""
     parts = [f"""qx AS (
   SELECT vec_id AS id,
          list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * {scale}.0 + 0.5) AS BIGINT)) AS q
-  FROM embeddings
+  FROM {src}
 ),
 qxx AS (
   SELECT id, q, CAST(list_dot_product(q, q) AS BIGINT) AS xx FROM qx
@@ -6378,6 +6383,208 @@ FROM s2
 _Q_GOPHER_QUALITY_SQL = _gopher_quality_sql()
 
 
+# ------------------- end-to-end curation composition (VERDICT r10 #7) -----
+# The realistic 100 TB pipeline a user actually runs: rule filter ->
+# exact line dedup -> DSIR importance resampling toward a target ->
+# topic-balanced selection on the embedding space. Each stage's oracle
+# device already exists; the row proves they COMPOSE.
+_CURATION_NPC = 15  # per-cluster cap in the final balancing stage
+_CURATION_WCAPQ = 0.95  # dsir winsorization quantile (exercises w_cap)
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition (VERDICT r10 #7): gopher_quality
+    (llm/text.py) → line_dedup (llm/spans.py) → dsir_sample with the
+    r11 w_cap_quantile winsorization (llm/sampling.py) → topic-balanced
+    selection (llm/cluster.py:cluster_balanced_sample) — chained on
+    ``documents``+``embeddings`` exactly as a training-data pipeline
+    would run them. Line structure is planted (shared footer + unique
+    line, the q_line_dedup device) so every stage does real work at
+    sf0.01. Output: one row per selected document with its topic
+    cluster and DSIR weight. The oracle chains all four stages' devices
+    as CTEs (gopher integer rules, line election replay, bucket-ratio +
+    winsorized keep rule, Lloyd unroll over the FILTERED embedding set
+    + seeded per-cluster draw)."""
+    from gluestick_spark.llm.cluster import cluster_balanced_sample
+    from gluestick_spark.llm.sampling import dsir_sample
+    from gluestick_spark.llm.spans import line_dedup
+    from gluestick_spark.llm.text import gopher_quality_flags
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    mut = F.concat_ws(
+        "\n",
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("(c) example footer all rights reserved"),
+        F.concat(F.lit("unique line "), F.col("doc_id").cast("string")),
+    )
+    d = d.withColumn("text", mut)
+    g = gopher_quality_flags(d, "text")
+    kept1 = g.where(F.col("gopher_pass")).select("doc_id", "text", "source")
+    ld = line_dedup(kept1, "doc_id", "text")
+    cleaned = kept1.select("doc_id", "source").join(
+        ld.select("doc_id", "text_clean"), "doc_id"
+    )
+    tgt = cleaned.where(F.col("source") == "src0")
+    raw = cleaned.where(F.col("source") != "src0")
+    kept3 = dsir_sample(
+        raw, "doc_id", "text_clean", tgt, n_buckets=_DSIR_B,
+        w_cap_quantile=_CURATION_WCAPQ,
+    )
+    e = _t(spark, sf_dir, "embeddings")
+    emb_kept = e.join(kept3.select(F.col("doc_id").alias("vec_id")), "vec_id")
+    bal = cluster_balanced_sample(
+        emb_kept, "embedding", "vec_id", n_per_cluster=_CURATION_NPC,
+        k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE,
+    )
+    return bal.select(F.col("vec_id").alias("doc_id"), "cid").join(
+        kept3.select("doc_id", "dsir_weight_ppm"), "doc_id"
+    )
+
+
+def _curation_pipeline_oracle_sql() -> str:
+    """CTE chain over all four stage devices. Stage boundaries are the
+    same frames the engine materializes; every decision is exact int64
+    or a single replayed IEEE double op."""
+    km_body, km_last = _kmeans_sql_body(
+        _KM_K, _KM_ITERS, _KM_SCALE, _KM_DIM, src="emb_kept"
+    )
+    grams = (
+        "toks || list_transform(range(1, len(toks)), "
+        "i -> toks[i] || ' ' || toks[i + 1])"
+    )
+    bucket = (
+        "CAST(CAST('0x' || substr(md5(gram), 1, 15) AS UBIGINT) "
+        f"% {_DSIR_B} AS BIGINT)"
+    )
+    return rf"""WITH m AS (
+  SELECT doc_id, source,
+         COALESCE(text, '') || chr(10)
+         || '(c) example footer all rights reserved' || chr(10)
+         || 'unique line ' || CAST(doc_id AS VARCHAR) AS txt
+  FROM documents
+),
+gtok AS (
+  SELECT doc_id, source, txt,
+         list_filter(regexp_split_to_array(txt, '\s+'), x -> x != '') AS toks,
+         string_split(txt, chr(10)) AS lines
+  FROM m
+),
+gs AS (
+  SELECT doc_id, source, txt,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS sum_len,
+         CAST(len(regexp_extract_all(txt, '#|\.\.\.|…')) AS BIGINT) AS n_sym,
+         CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT) AS n_ell,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+         CAST(len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))),
+              ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop
+  FROM gtok
+),
+kept1 AS (
+  SELECT doc_id, source, txt FROM gs
+  WHERE (n_words >= 50 AND n_words <= 100000)
+    AND (3 * n_words <= sum_len AND sum_len <= 10 * n_words)
+    AND (10 * n_sym <= n_words)
+    AND (10 * n_bullet <= 9 * n_lines)
+    AND (10 * n_ell <= 3 * n_lines)
+    AND (10 * n_alpha >= 8 * n_words)
+    AND (n_stop >= 2)
+),
+occ AS (
+  SELECT doc_id, CAST(g.i AS BIGINT) AS pos, lines[g.i + 1] AS line
+  FROM (SELECT doc_id, string_split(txt, chr(10)) AS lines FROM kept1),
+       LATERAL (SELECT unnest(range(0, len(lines)))) AS g(i)
+),
+tagged AS (
+  SELECT doc_id, pos, line,
+         CASE WHEN trim(line) = '' THEN TRUE
+              ELSE (count(*) OVER (PARTITION BY line) = 1
+                    OR row_number() OVER (PARTITION BY line
+                                          ORDER BY doc_id, pos) = 1)
+         END AS keep
+  FROM occ
+),
+per_doc AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos)
+           AS text_clean
+  FROM tagged GROUP BY doc_id
+),
+cleaned AS (
+  SELECT k.doc_id, k.source, coalesce(p.text_clean, '') AS tc
+  FROM kept1 k LEFT JOIN per_doc p USING (doc_id)
+),
+tgt AS (SELECT doc_id, tc FROM cleaned WHERE source = 'src0'),
+raw AS (SELECT doc_id, tc FROM cleaned WHERE source <> 'src0'),
+tg AS (
+  SELECT unnest({grams}) AS gram
+  FROM (SELECT list_filter(regexp_split_to_array(lower(tc), '\s+'), x -> x != '') AS toks FROM tgt)
+),
+rg AS (
+  SELECT doc_id, unnest({grams}) AS gram
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(tc), '\s+'), x -> x != '') AS toks FROM raw)
+),
+nt AS (SELECT {bucket} AS b, count(*) AS n_t FROM tg GROUP BY 1),
+nr AS (SELECT {bucket} AS b, count(*) AS n_r FROM rg GROUP BY 1),
+t_tot AS (SELECT CAST(COALESCE(sum(n_t), 0) + {_DSIR_B} AS BIGINT) AS v FROM nt),
+r_tot AS (SELECT CAST(COALESCE(sum(n_r), 0) + {_DSIR_B} AS BIGINT) AS v FROM nr),
+w AS (
+  SELECT bk.b,
+         CAST(floor(1000000.0 * (
+           (CAST(COALESCE(nt.n_t, 0) + 1 AS DOUBLE) / CAST(t.v AS DOUBLE))
+           / (CAST(COALESCE(nr.n_r, 0) + 1 AS DOUBLE) / CAST(r.v AS DOUBLE))
+         )) AS BIGINT) AS wppm
+  FROM (SELECT unnest(range(0, {_DSIR_B})) AS b) bk
+  LEFT JOIN nt ON nt.b = bk.b
+  LEFT JOIN nr ON nr.b = bk.b
+  CROSS JOIN t_tot t CROSS JOIN r_tot r
+),
+s AS (
+  SELECT rg.doc_id,
+         CAST(floor(CAST(sum(w.wppm) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS dw
+  FROM rg
+  JOIN w ON w.b = CAST(CAST('0x' || substr(md5(rg.gram), 1, 15) AS UBIGINT) % {_DSIR_B} AS BIGINT)
+  GROUP BY rg.doc_id
+),
+scored AS (
+  SELECT raw.doc_id, COALESCE(s.dw, 1000000) AS dsir_weight_ppm
+  FROM raw LEFT JOIN s ON s.doc_id = raw.doc_id
+),
+wq AS (SELECT dsir_weight_ppm AS wv, count(*) AS c FROM scored GROUP BY 1),
+wcum AS (
+  SELECT wv, sum(c) OVER (ORDER BY wv) AS cum, sum(c) OVER () AS tot FROM wq
+),
+wcap AS (
+  SELECT min(wv) AS v FROM wcum WHERE cum >= ceil({_CURATION_WCAPQ} * tot)
+),
+kept3 AS (
+  SELECT s.doc_id, s.dsir_weight_ppm
+  FROM scored s CROSS JOIN wcap
+  WHERE (CAST(CAST(CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR) || chr(31)), 1, 15) AS UBIGINT) AS BIGINT) AS DOUBLE)
+         * CAST(wcap.v AS DOUBLE))
+        < (CAST(s.dsir_weight_ppm AS DOUBLE) * 1152921504606846976.0)
+),
+emb_kept AS (
+  SELECT e.vec_id, e.embedding
+  FROM embeddings e JOIN kept3 t ON e.vec_id = t.doc_id
+),
+{km_body},
+ranked AS (
+  SELECT id, cid,
+         row_number() OVER (
+           PARTITION BY cid
+           ORDER BY CAST('0x' || substr(md5(CAST(id AS VARCHAR) || chr(31)), 1, 15) AS UBIGINT),
+                    id
+         ) AS rn
+  FROM assign{km_last}
+)
+SELECT r.id AS doc_id, r.cid, t.dsir_weight_ppm
+FROM ranked r JOIN kept3 t ON t.doc_id = r.id
+WHERE r.rn <= {_CURATION_NPC}"""
+
+
 def q_unicode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-robust tokenization (llm/text.py:normalize_text_expr +
     tokens_expr(normalize=True) — VERDICT r9 #9): the testdata text is
@@ -7155,6 +7362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'line_dedup': q_line_dedup,
         'gopher_quality': q_gopher_quality,
         'pq_ivf_rerank': q_pq_ivf_rerank,
+        'curation_pipeline': q_curation_pipeline,
     }
 
 
@@ -7340,4 +7548,5 @@ def oracle_sql() -> dict[str, str]:
         'line_dedup': _Q_LINE_DEDUP_SQL,
         'gopher_quality': _Q_GOPHER_QUALITY_SQL,
         'pq_ivf_rerank': _pq_ivf_oracle_sql(rerank=_PIVF_RERANK),
+        'curation_pipeline': _curation_pipeline_oracle_sql(),
     }

@@ -135,6 +135,9 @@ BENCH_QUERIES = [
     "quality_mix",
     "substring_decontam",
     "bigram_nll",
+    # round-11 additions
+    "pq_ivf_rerank",
+    "curation_pipeline",
 ]
 
 
@@ -298,6 +301,29 @@ def main() -> None:
         )
         for stale in runs_on_disk[:-30]:
             os.remove(os.path.join(bdir, stale))
+        # Durable per-round full sidecar (VERDICT r10 #8): the driver's
+        # BENCH_r{N}.json is tail-truncated to 2000 chars and has now
+        # forced forensic basis recovery twice (r9 value-match, r10
+        # delta-match). Write the full result under the ROUND's name —
+        # the round is the next number after the newest recorded root
+        # artifact (every in-session rerun overwrites it, so the final
+        # bench of the round, the one the driver records, wins) — and
+        # _previous_round prefers it outright next round.
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if rnd is None:
+            import glob as _glob
+            import re as _re
+
+            ns = []
+            for p in _glob.glob(os.path.join(here, "BENCH_r*.json")):
+                m = _re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p))
+                if m:
+                    ns.append(int(m.group(1)))
+            rnd = str(max(ns, default=0) + 1)
+        with open(
+            os.path.join(bdir, f"BENCH_r{int(rnd):02d}_full_sf{sf}.json"), "w"
+        ) as f:
+            f.write(blob)
     except Exception:
         pass
     print(json.dumps(result))
@@ -370,6 +396,36 @@ def _previous_round(sf_val) -> tuple[dict[str, float], str | None, float | None]
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
+    # Durable full sidecars first (VERDICT r10 #8): .bench/BENCH_r{N}_full
+    # carries the COMPLETE result the truncated root artifact lost. Only
+    # trusted when the driver actually recorded that round (the root
+    # BENCH_r{N}.json exists) — an in-progress round's own sidecar never
+    # becomes its own comparison basis.
+    import re as _re
+
+    for path in sorted(
+        glob.glob(os.path.join(here, ".bench", "BENCH_r*_full_sf*.json")),
+        reverse=True,
+    ):
+        m = _re.match(r"BENCH_r(\d+)_full_sf", os.path.basename(path))
+        if not m:
+            continue
+        root = os.path.join(here, f"BENCH_r{m.group(1)}.json")
+        if not os.path.isfile(root):
+            continue
+        try:
+            with open(path) as f:
+                parsed = json.load(f)
+            if parsed.get("sf") == sf_val and parsed.get("queries"):
+                calib = parsed.get("calibration_sec")
+                calib = float(calib) if calib else None
+                return (
+                    parsed["queries"],
+                    os.path.basename(path) + " (durable full sidecar)",
+                    calib,
+                )
+        except Exception:
+            continue
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
         # A prior round's BENCH file can be arbitrarily malformed (crashed
         # harness → "parsed": null, truncated JSON, non-dict top level…);
