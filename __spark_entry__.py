@@ -7188,6 +7188,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Displacement rationales: COVERAGE.md. ----
         'streaming_quality_filter': q_streaming_quality_filter,
         'cluster_balanced': q_cluster_balanced,
+        'gopher_quality': q_gopher_quality,
+        'pq_ivf_rerank': q_pq_ivf_rerank,
+        'curation_pipeline': q_curation_pipeline,
         'salted_join_agg': q_salted_join_agg,
         'scaled_features': q_scaled_features,
         'scd2_merge': q_scd2_merge,
@@ -7233,12 +7236,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'format_str_records': q_format_str_records,
         'funnel_counts': q_funnel_counts,
         'hits_click_graph': q_hits_click_graph,
-        'image_features': q_image_features,
-        'ivf_exact_topk': q_ivf_exact_topk,
-        'jaccard_vs_query': q_jaccard_vs_query,
         # ---- tail: locally oracle-checked every round (driver_sim /
         # check_correctness); ordered oldest-evidence-first, so this IS
         # the round-12 promotion queue. ----
+        'image_features': q_image_features,
+        'ivf_exact_topk': q_ivf_exact_topk,
+        'jaccard_vs_query': q_jaccard_vs_query,
         'json_tuple_to_cols': q_json_tuple_to_cols,
         'keep_last_dedup': q_keep_last,
         'kmeans_clusters': q_kmeans_clusters,
@@ -7360,9 +7363,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'robust_scaled': q_robust_scaled,
         'rolling_zscore': q_rolling_zscore,
         'line_dedup': q_line_dedup,
-        'gopher_quality': q_gopher_quality,
-        'pq_ivf_rerank': q_pq_ivf_rerank,
-        'curation_pipeline': q_curation_pipeline,
     }
 
 
@@ -7377,6 +7377,9 @@ def oracle_sql() -> dict[str, str]:
         # (order mirrors queries() exactly — the driver zips them)
         'streaming_quality_filter': _streaming_quality_filter_oracle_sql(),
         'cluster_balanced': _cluster_balanced_oracle_sql(),
+        'gopher_quality': _Q_GOPHER_QUALITY_SQL,
+        'pq_ivf_rerank': _pq_ivf_oracle_sql(rerank=_PIVF_RERANK),
+        'curation_pipeline': _curation_pipeline_oracle_sql(),
         'salted_join_agg': _Q_SALTED_JOIN_SQL,
         'scaled_features': _Q_SCALED_SQL,
         'scd2_merge': _Q_SCD2_SQL,
@@ -7546,7 +7549,4 @@ def oracle_sql() -> dict[str, str]:
         'robust_scaled': _Q_ROBUST_SCALED_SQL,
         'rolling_zscore': _Q_ROLLING_ZSCORE_SQL,
         'line_dedup': _Q_LINE_DEDUP_SQL,
-        'gopher_quality': _Q_GOPHER_QUALITY_SQL,
-        'pq_ivf_rerank': _pq_ivf_oracle_sql(rerank=_PIVF_RERANK),
-        'curation_pipeline': _curation_pipeline_oracle_sql(),
     }

@@ -19,6 +19,11 @@ Policy (the order within the new registry):
 Usage:
   python tools/rotate_registry.py                 # dry run: print the plan
   python tools/rotate_registry.py --apply N       # splice, tagging round N
+  python tools/rotate_registry.py --promote name ...
+                                                  # treat these as
+                                                  # never-checked (row
+                                                  # semantics changed
+                                                  # this round)
   python tools/rotate_registry.py --hold name ... # keep these out of the
                                                   # window (debut-in-tail
                                                   # rows, e.g. a row whose
@@ -74,7 +79,18 @@ def current_entries(src: str, fn_name: str) -> tuple[dict[str, str], ast.Return]
     return vals, ret
 
 
-def plan(order: list[str], evid: dict[str, int], hold: set[str]) -> list[str]:
+def plan(
+    order: list[str],
+    evid: dict[str, int],
+    hold: set[str],
+    promote: set[str] = frozenset(),
+) -> list[str]:
+    # --promote: treat these rows as never-checked even though an older
+    # CORRECTNESS artifact mentions them — the honest move when a row's
+    # SEMANTICS changed this round (its old evidence describes code that
+    # no longer exists; e.g. gopher_quality's r11 bullet-threshold +
+    # alpha routing change).
+    evid = {k: v for k, v in evid.items() if k not in promote}
     never = [q for q in order if q not in evid and q not in hold]
     by_age = sorted(
         (q for q in order if q in evid and q not in hold),
@@ -148,6 +164,13 @@ def main() -> None:
     args = sys.argv[1:]
     hold: set[str] = set()
     round_no = None
+    promote: set[str] = set()
+    if "--promote" in args:
+        i = args.index("--promote")
+        j = i + 1
+        while j < len(args) and not args[j].startswith("--"):
+            promote.add(args[j]); j += 1
+        args = args[:i] + args[j:]
     if "--hold" in args:
         i = args.index("--hold")
         hold = set(args[i + 1 :])
@@ -161,7 +184,7 @@ def main() -> None:
     qvals, _ = current_entries(src, "queries")
     order = list(qvals)
     evid = evidence_map()
-    new_order = plan(order, evid, hold)
+    new_order = plan(order, evid, hold, promote)
     window = new_order[:50]
     print(json.dumps({
         "n": len(new_order),
