@@ -2511,6 +2511,57 @@ HAVING count(DISTINCT c.g) >= 4
 """
 
 
+def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus n-gram novelty (llm/decontam.py:novelty_scores —
+    r11): per raw document, the ppm fraction of its distinct word
+    3-grams ABSENT from the src0 reference corpus — the decontam
+    overlap inverted into a continued-pretraining selection signal.
+    Counts exact int64; novelty one IEEE multiply+divide, floored;
+    docs with < 3 tokens get 0 grams and NULL novelty (contract)."""
+    from gluestick_spark.llm.decontam import novelty_scores
+
+    d = _t(spark, sf_dir, "documents")
+    ref = d.where(F.col("source") == "src0")
+    raw = d.where(F.col("source") != "src0")
+    return novelty_scores(raw, ref, "text", "doc_id", n=3)
+
+
+_Q_NOVELTY_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, source,
+         list_transform(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''),
+                        x -> lower(x)) AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(range(1, len(t) - 3 + 2),
+                     i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+              ELSE [] END AS gs
+  FROM tok
+),
+ref AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE source = 'src0'),
+dg AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE source <> 'src0'),
+per AS (
+  SELECT dg.doc_id,
+         count(*) AS n_grams,
+         sum(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END) AS n_novel
+  FROM dg LEFT JOIN ref r ON r.g = dg.g
+  GROUP BY dg.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+       CASE WHEN p.n_grams > 0
+            THEN CAST(floor(1000000.0 * (CAST(p.n_novel AS DOUBLE)
+                                         / CAST(p.n_grams AS DOUBLE))) AS BIGINT)
+       END AS novelty_ppm
+FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+LEFT JOIN per p USING (doc_id)
+"""
+
+
 def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary building (llm/text.py build_vocab): top-200 tokens by
     exact corpus frequency with contiguous rank ids (count desc, token asc
@@ -7191,6 +7242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'gopher_quality': q_gopher_quality,
         'pq_ivf_rerank': q_pq_ivf_rerank,
         'curation_pipeline': q_curation_pipeline,
+        'novelty_scores': q_novelty_scores,
         'salted_join_agg': q_salted_join_agg,
         'scaled_features': q_scaled_features,
         'scd2_merge': q_scd2_merge,
@@ -7380,6 +7432,7 @@ def oracle_sql() -> dict[str, str]:
         'gopher_quality': _Q_GOPHER_QUALITY_SQL,
         'pq_ivf_rerank': _pq_ivf_oracle_sql(rerank=_PIVF_RERANK),
         'curation_pipeline': _curation_pipeline_oracle_sql(),
+        'novelty_scores': _Q_NOVELTY_SQL,
         'salted_join_agg': _Q_SALTED_JOIN_SQL,
         'scaled_features': _Q_SCALED_SQL,
         'scd2_merge': _Q_SCD2_SQL,

@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     # round-11 additions
     "pq_ivf_rerank",
     "curation_pipeline",
+    "novelty_scores",
 ]
 
 

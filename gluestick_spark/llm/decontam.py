@@ -30,7 +30,12 @@ from pyspark.sql import functions as F
 
 from .text import tokens_expr
 
-__all__ = ["ngram_hashes_expr", "contamination_pairs", "decontaminate"]
+__all__ = [
+    "ngram_hashes_expr",
+    "contamination_pairs",
+    "decontaminate",
+    "novelty_scores",
+]
 
 
 def ngram_hashes_expr(col, n: int = 8, lowercase: bool = True):
@@ -98,3 +103,78 @@ def decontaminate(
         .distinct()
     )
     return corpus.join(flagged, corpus_id, "left_anti")
+
+
+def novelty_scores(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str,
+    id_col: str,
+    ref_text_col: str | None = None,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against a reference corpus — the
+    decontamination overlap inverted into a curation signal: how much of
+    each document is text the reference has never seen?
+
+        novelty_ppm = floor(1e6 · |grams(doc) ∖ grams(ref)| / |grams(doc)|)
+
+    over DISTINCT word ``n``-grams. High-novelty documents are the ones
+    worth adding to a corpus that already contains ``reference``
+    (continued-pretraining selection, crawl-refresh triage); near-zero
+    novelty means the document is paraphrase/boilerplate of known text
+    even when no single span is an exact duplicate (the gap between
+    this and :func:`~gluestick_spark.llm.dedup.dedup_against`).
+
+    Returns one row per corpus document:
+    (``id_col``, ``n_grams``, ``n_novel``, ``novelty_ppm``) — counts are
+    exact int64; docs with < n tokens have 0 grams and NULL novelty
+    (too short to witness novelty at this n — the
+    :func:`ngram_hashes_expr` contract).
+
+    Scale shape (the contamination_pairs posture, reversed): the
+    reference collapses ONCE to distinct 8-byte gram hashes (an
+    aggregate ∝ reference gram vocabulary, broadcast or hash-joined —
+    never the reference text); the corpus streams through one explode +
+    one left join on the hash + one per-doc aggregate. Hash collisions
+    under-count novelty by ~2⁻⁶⁴ per gram pair — negligible against
+    tokenization noise (the decontam argument)."""
+    ref_text = ref_text_col or text_col
+    ref_grams = (
+        reference.select(
+            F.explode(ngram_hashes_expr(F.col(ref_text), n)).alias("__g__")
+        )
+        .distinct()
+        .withColumn("__seen__", F.lit(True))
+    )
+    doc_grams = corpus.select(
+        F.col(id_col).alias("__id__"),
+        F.explode(ngram_hashes_expr(F.col(text_col), n)).alias("__g__"),
+    )
+    per_doc = (
+        doc_grams.join(ref_grams, "__g__", "left")
+        .groupBy("__id__")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("__seen__").isNull(), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    novelty = F.when(
+        F.col("n_grams") > 0,
+        F.floor(
+            F.lit(1000000.0)
+            * (F.col("n_novel").cast("double") / F.col("n_grams").cast("double"))
+        ).cast("long"),
+    )
+    return (
+        corpus.select(F.col(id_col).alias("__id__"))
+        .join(per_doc, "__id__", "left")
+        .select(
+            F.col("__id__").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            novelty.alias("novelty_ppm"),
+        )
+    )

@@ -36,6 +36,41 @@ def _run_url_stream(spark, d, stage, out, state, ckpt, **kw):
     ).awaitTermination()
 
 
+# ----------------------------- r11: cross-corpus n-gram novelty -----------
+
+
+def test_novelty_scores_known_geometry(spark):
+    """novelty_ppm = floored ppm share of distinct n-grams absent from
+    the reference; short docs (< n tokens) get 0 grams and NULL novelty;
+    exact duplicates of reference text score 0."""
+    from gluestick_spark.llm.decontam import novelty_scores
+
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),          # all 3 grams known
+            (2, "entirely novel text never seen before"),  # all novel
+            (3, "the quick brown cat sleeps"),         # 1 known of 3
+            (4, "too short"),                          # < 3 tokens
+            (5, None),                                 # null text
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           novelty_scores(corpus, ref, "text", "doc_id", n=3).collect()}
+    assert out[1]["n_grams"] == 3 and out[1]["n_novel"] == 0
+    assert out[1]["novelty_ppm"] == 0
+    assert out[2]["n_grams"] == 4 and out[2]["n_novel"] == 4
+    assert out[2]["novelty_ppm"] == 1_000_000
+    assert out[3]["n_grams"] == 3 and out[3]["n_novel"] == 2
+    assert out[3]["novelty_ppm"] == 666_666  # floor(1e6 * 2/3)
+    assert out[4]["n_grams"] == 0 and out[4]["novelty_ppm"] is None
+    assert out[5]["n_grams"] == 0 and out[5]["novelty_ppm"] is None
+
+
 # ------------------------- VERDICT r10 #4: streaming state compaction -----
 
 
