@@ -41,17 +41,28 @@ __all__ = [
 def ngram_hashes_expr(col, n: int = 8, lowercase: bool = True):
     """Distinct xxhash64 hashes of the word ``n``-grams of a text column
     (array<long>). Documents shorter than ``n`` tokens produce an empty
-    array — too short to witness contamination at this n."""
-    toks = tokens_expr(col)
+    array — too short to witness contamination at this n.
+
+    The token array is BOUND ONCE as a lambda variable (the lang_id
+    device — Catalyst does no CSE inside lambda bodies, so referencing
+    ``tokens_expr`` directly in the per-index slice re-ran the regexp
+    tokenize for EVERY gram position: measured ~1 ms/doc, a 20× tax on
+    every consumer of this expression)."""
+    toks0 = tokens_expr(col)
     if lowercase:
-        toks = F.transform(toks, F.lower)
-    # NB Spark's sequence(1, k) DESCENDS when k < 1 — short docs must short-
-    # circuit to an empty index list, not sequence into slice(…, 0, …).
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
+        toks0 = F.transform(toks0, F.lower)
+
+    def body(toks):
+        # NB Spark's sequence(1, k) DESCENDS when k < 1 — short docs must
+        # short-circuit to an empty index list, not sequence into
+        # slice(…, 0, …).
+        idx = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        return F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
+
+    return F.element_at(F.transform(F.array(toks0), body), 1)
 
 
 def contamination_pairs(

@@ -56,12 +56,19 @@ def repetition_stats(
     )
 
     # --- top n-gram coverage ---
-    toks = F.transform(tokens_expr(F.col("__t__")), F.lower)
+    # token array bound ONCE as a lambda variable (no CSE inside lambda
+    # bodies — referencing the tokenize in the per-index slice re-ran the
+    # regexp split once per gram position; the ngram_hashes_expr lesson)
+    toks0 = F.transform(tokens_expr(F.col("__t__")), F.lower)
     n = ngram
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+    def gram_body(toks):
+        idx = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+    grams = F.element_at(F.transform(F.array(toks0), gram_body), 1)
     g = d.select("__id__", F.length(F.col("__t__")).alias("__chars__"), F.explode(grams).alias("__g__"))
     per_gram = g.groupBy("__id__", "__g__").agg(
         F.count("*").alias("__c__"), F.first("__chars__").alias("__chars__")

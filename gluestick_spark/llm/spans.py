@@ -67,17 +67,24 @@ def segment_occurrences(
     """
     if seg_words < 1:
         raise ValueError(f"seg_words must be >= 1, got {seg_words}")
-    toks = tokens_expr(F.col(text_col))
-    n_seg = F.ceil(F.size(toks) / F.lit(seg_words)).cast("int")
-    segs = F.when(
-        F.size(toks) > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_seg - 1),
-            lambda i: F.array_join(
-                F.slice(toks, i * seg_words + 1, seg_words), " "
+    # token array bound ONCE as a lambda variable (no CSE inside lambda
+    # bodies — referencing the tokenize in the per-segment slice re-ran
+    # the regexp split once per segment; the ngram_hashes_expr lesson)
+    toks0 = tokens_expr(F.col(text_col))
+
+    def segs_body(toks):
+        n_seg = F.ceil(F.size(toks) / F.lit(seg_words)).cast("int")
+        return F.when(
+            F.size(toks) > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * seg_words + 1, seg_words), " "
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>"))
+
+    segs = F.element_at(F.transform(F.array(toks0), segs_body), 1)
     return df.select(
         F.col(id_col), F.posexplode(segs).alias("pos", "seg")
     ).select(id_col, F.col("pos").cast("long").alias("pos"), "seg")
