@@ -6465,22 +6465,28 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     mut = F.concat_ws(
         "\n",
         F.coalesce(F.col("text"), F.lit("")),
-        F.lit("(c) example footer all rights reserved"),
+        F.lit("(c) the footer of the example archive and that is reserved"),
         F.concat(F.lit("unique line "), F.col("doc_id").cast("string")),
     )
     d = d.withColumn("text", mut)
     g = gopher_quality_flags(d, "text")
     kept1 = g.where(F.col("gopher_pass")).select("doc_id", "text", "source")
     ld = line_dedup(kept1, "doc_id", "text")
-    cleaned = kept1.select("doc_id", "source").join(
-        ld.select("doc_id", "text_clean"), "doc_id"
+    # stage boundary: dsir derives its input 4+ times (two gram
+    # aggregates, per-doc scoring, the weight-quantile pass) — without a
+    # checkpoint the WHOLE upstream chain (mutation + gopher battery +
+    # line election) re-runs per consumer
+    cleaned = (
+        kept1.select("doc_id", "source")
+        .join(ld.select("doc_id", "text_clean"), "doc_id")
+        .localCheckpoint(eager=False)
     )
     tgt = cleaned.where(F.col("source") == "src0")
     raw = cleaned.where(F.col("source") != "src0")
     kept3 = dsir_sample(
         raw, "doc_id", "text_clean", tgt, n_buckets=_DSIR_B,
         w_cap_quantile=_CURATION_WCAPQ,
-    )
+    ).localCheckpoint(eager=False)  # feeds the embedding join AND the output join
     e = _t(spark, sf_dir, "embeddings")
     emb_kept = e.join(kept3.select(F.col("doc_id").alias("vec_id")), "vec_id")
     bal = cluster_balanced_sample(
@@ -6510,7 +6516,7 @@ def _curation_pipeline_oracle_sql() -> str:
     return rf"""WITH m AS (
   SELECT doc_id, source,
          COALESCE(text, '') || chr(10)
-         || '(c) example footer all rights reserved' || chr(10)
+         || '(c) the footer of the example archive and that is reserved' || chr(10)
          || 'unique line ' || CAST(doc_id AS VARCHAR) AS txt
   FROM documents
 ),
@@ -6533,7 +6539,7 @@ gs AS (
               ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop
   FROM gtok
 ),
-kept1 AS (
+kept1 AS MATERIALIZED (
   SELECT doc_id, source, txt FROM gs
   WHERE (n_words >= 50 AND n_words <= 100000)
     AND (3 * n_words <= sum_len AND sum_len <= 10 * n_words)
@@ -6563,7 +6569,7 @@ per_doc AS (
            AS text_clean
   FROM tagged GROUP BY doc_id
 ),
-cleaned AS (
+cleaned AS MATERIALIZED (
   SELECT k.doc_id, k.source, coalesce(p.text_clean, '') AS tc
   FROM kept1 k LEFT JOIN per_doc p USING (doc_id)
 ),
@@ -6573,7 +6579,7 @@ tg AS (
   SELECT unnest({grams}) AS gram
   FROM (SELECT list_filter(regexp_split_to_array(lower(tc), '\s+'), x -> x != '') AS toks FROM tgt)
 ),
-rg AS (
+rg AS MATERIALIZED (
   SELECT doc_id, unnest({grams}) AS gram
   FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(tc), '\s+'), x -> x != '') AS toks FROM raw)
 ),
@@ -6599,7 +6605,7 @@ s AS (
   JOIN w ON w.b = CAST(CAST('0x' || substr(md5(rg.gram), 1, 15) AS UBIGINT) % {_DSIR_B} AS BIGINT)
   GROUP BY rg.doc_id
 ),
-scored AS (
+scored AS MATERIALIZED (
   SELECT raw.doc_id, COALESCE(s.dw, 1000000) AS dsir_weight_ppm
   FROM raw LEFT JOIN s ON s.doc_id = raw.doc_id
 ),
@@ -6610,14 +6616,14 @@ wcum AS (
 wcap AS (
   SELECT min(wv) AS v FROM wcum WHERE cum >= ceil({_CURATION_WCAPQ} * tot)
 ),
-kept3 AS (
+kept3 AS MATERIALIZED (
   SELECT s.doc_id, s.dsir_weight_ppm
   FROM scored s CROSS JOIN wcap
   WHERE (CAST(CAST(CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR) || chr(31)), 1, 15) AS UBIGINT) AS BIGINT) AS DOUBLE)
          * CAST(wcap.v AS DOUBLE))
         < (CAST(s.dsir_weight_ppm AS DOUBLE) * 1152921504606846976.0)
 ),
-emb_kept AS (
+emb_kept AS MATERIALIZED (
   SELECT e.vec_id, e.embedding
   FROM embeddings e JOIN kept3 t ON e.vec_id = t.doc_id
 ),
