@@ -6321,6 +6321,11 @@ FROM m LEFT JOIN per_doc p USING (doc_id)
 # rule). Deterministic, replayed verbatim by the oracle via repeat().
 _GOPHER_ZH_UNIT = "的 是 了 在 我 "
 _GOPHER_ZH_REPS = 30
+# Planted stopword sentence on doc_id % 7 == 2: the synthetic corpus
+# contains NONE of the 8 Gopher stopwords, so without it f_stopwords
+# (and therefore gopher_pass) is constant-false — the battery's verdict
+# must actually vary across the corpus to be exercised.
+_GOPHER_STOP_SUFFIX = " the archive and that have to be of use with it"
 
 
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6331,7 +6336,9 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     so all seven flags and the combined verdict replay bit-for-bit.
     r11: bullet rule at the paper's 90% threshold and
     ``alpha_mode="route"`` exercised — docs ``doc_id % 11 == 3`` carry a
-    planted Chinese body that lang-routes to the unicode letter class."""
+    planted Chinese body that lang-routes to the unicode letter class;
+    docs ``doc_id % 7 == 2`` gain a stopword sentence so ``gopher_pass``
+    VARIES (the synthetic corpus has no English stopwords at all)."""
     from gluestick_spark.llm.text import gopher_quality_flags
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -6340,7 +6347,15 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col("doc_id") % 11 == 3,
             F.lit(_GOPHER_ZH_UNIT * _GOPHER_ZH_REPS),
-        ).otherwise(F.col("text")),
+        ).otherwise(
+            F.when(
+                F.col("doc_id") % 7 == 2,
+                F.concat(
+                    F.coalesce(F.col("text"), F.lit("")),
+                    F.lit(_GOPHER_STOP_SUFFIX),
+                ),
+            ).otherwise(F.col("text"))
+        ),
     )
     return gopher_quality_flags(d, "text", alpha_mode="route").drop("text")
 
@@ -6369,11 +6384,14 @@ def _gopher_quality_sql() -> str:
     case = " ".join(f"WHEN s_{x} = {m} THEN '{x}'" for x in langs)
     nonlatin = ", ".join(f"'{x}'" for x in NONLATIN_LANGS)
     zh_body = _GOPHER_ZH_UNIT.replace("'", "''")
+    stop_sfx = _GOPHER_STOP_SUFFIX.replace("'", "''")
     return rf"""
 WITH planted AS (
   SELECT doc_id,
          CASE WHEN doc_id % 11 = 3
               THEN repeat('{zh_body}', {_GOPHER_ZH_REPS})
+              WHEN doc_id % 7 = 2
+              THEN COALESCE(text, '') || '{stop_sfx}'
               ELSE text END AS text
   FROM documents
 ),
