@@ -1908,6 +1908,26 @@ WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31)), 1, 15) AS UBI
 """
 
 
+def q_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic sampling (llm/sampling.py:sample_exact_k —
+    r11): exactly k=100 documents ranked by the portable keyed hash,
+    ties by key — the reservoir-style COUNT draw (hash_sample gives a
+    RATE). Plan is TakeOrderedAndProject (per-partition partial top-k,
+    plan-gated); the oracle replays hash-rank + LIMIT."""
+    from gluestick_spark.llm.sampling import sample_exact_k
+
+    d = _t(spark, sf_dir, "documents")
+    return sample_exact_k(d, "doc_id", 100).select("doc_id", "source")
+
+
+_Q_EXACT_K_SAMPLE_SQL = """
+SELECT doc_id, source FROM documents
+ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31)), 1, 15) AS UBIGINT),
+         doc_id
+LIMIT 100
+"""
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (llm/sampling.py hash_split):
     contiguous hash bands ⇒ same key always lands in the same split, and
@@ -7267,6 +7287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pq_ivf_rerank': q_pq_ivf_rerank,
         'curation_pipeline': q_curation_pipeline,
         'novelty_scores': q_novelty_scores,
+        'exact_k_sample': q_exact_k_sample,
         'salted_join_agg': q_salted_join_agg,
         'scaled_features': q_scaled_features,
         'scd2_merge': q_scd2_merge,
@@ -7457,6 +7478,7 @@ def oracle_sql() -> dict[str, str]:
         'pq_ivf_rerank': _pq_ivf_oracle_sql(rerank=_PIVF_RERANK),
         'curation_pipeline': _curation_pipeline_oracle_sql(),
         'novelty_scores': _Q_NOVELTY_SQL,
+        'exact_k_sample': _Q_EXACT_K_SAMPLE_SQL,
         'salted_join_agg': _Q_SALTED_JOIN_SQL,
         'scaled_features': _Q_SCALED_SQL,
         'scd2_merge': _Q_SCD2_SQL,

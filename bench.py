@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "pq_ivf_rerank",
     "curation_pipeline",
     "novelty_scores",
+    "exact_k_sample",
 ]
 
 

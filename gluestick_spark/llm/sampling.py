@@ -26,6 +26,7 @@ __all__ = [
     "hash_sample_expr",
     "hash_sample",
     "hash_split",
+    "sample_exact_k",
     "balance_classes",
     "alpha_sample",
     "dsir_sample",
@@ -64,6 +65,31 @@ def hash_sample(df: DataFrame, key_col: str, rate: float, seed: str = "") -> Dat
     Unlike ``df.sample`` the result is invariant to partitioning, cluster
     size, and run order — and reproducible in any engine with md5."""
     return df.where(hash_sample_expr(F.col(key_col), rate, seed))
+
+
+def sample_exact_k(
+    df: DataFrame, key_col: str, k: int, seed: str = ""
+) -> DataFrame:
+    """EXACTLY ``min(k, n)`` rows, uniformly at random over distinct
+    keys — the deterministic reservoir: rank every row by the portable
+    keyed hash of ``key_col`` (ties by key) and keep the first ``k``.
+    Where :func:`hash_sample` delivers a RATE (±binomial noise in the
+    count), this delivers a COUNT — the "give me exactly 10k documents"
+    primitive every eval-set / pilot-run / annotation-batch draw needs.
+    Membership is a pure function of (key, seed, corpus): invariant to
+    partitioning and run order, replayable in any engine with md5, and
+    stable under corpus growth in the reservoir sense (a new key evicts
+    at most one old key, it never reshuffles the kept set).
+
+    Plan: ``TakeOrderedAndProject`` — per-partition partial top-k, only
+    k rows per partition reach the driver side of the exchange; never a
+    global sort of the corpus. Duplicate keys travel together only in
+    rank (each ROW is ranked; use a unique key for row-level draws)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return df.orderBy(
+        _keyed_hash(F.col(key_col), seed).asc(), F.col(key_col).asc()
+    ).limit(k)
 
 
 def hash_split(
