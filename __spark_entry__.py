@@ -2582,6 +2582,55 @@ LEFT JOIN per p USING (doc_id)
 """
 
 
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram overlap (llm/decontam.py:corpus_gram_overlap
+    — r11): ONE row of distinct-3-gram set sizes, intersection, Jaccard
+    and containment ppm between two source slices that SHARE src1 (so
+    the overlap is partial and every ratio is exercised). Exact int64
+    set sizes; ratios one IEEE divide each, floored."""
+    from gluestick_spark.llm.decontam import corpus_gram_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.where(F.col("source").isin("src1", "src2"))
+    b = d.where(F.col("source").isin("src0", "src1"))
+    return corpus_gram_overlap(a, b, "text", n=3)
+
+
+_Q_CORPUS_OVERLAP_SQL = r"""
+WITH tok AS (
+  SELECT source,
+         list_transform(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''),
+                        x -> lower(x)) AS t
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+),
+grams AS (
+  SELECT source,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(range(1, len(t) - 3 + 2),
+                     i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+              ELSE [] END AS gs
+  FROM tok
+),
+ga AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE source IN ('src1', 'src2')),
+gb AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE source IN ('src0', 'src1')),
+na AS (SELECT count(*) AS n_grams_a FROM ga),
+nb AS (SELECT count(*) AS n_grams_b FROM gb),
+ns AS (SELECT count(*) AS n_shared FROM ga JOIN gb USING (g))
+SELECT CAST(n_grams_a AS BIGINT) AS n_grams_a,
+       CAST(n_grams_b AS BIGINT) AS n_grams_b,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CASE WHEN n_grams_a + n_grams_b - n_shared > 0
+            THEN CAST(floor(1000000.0 * (CAST(n_shared AS DOUBLE)
+                 / CAST(n_grams_a + n_grams_b - n_shared AS DOUBLE))) AS BIGINT)
+       END AS jaccard_ppm,
+       CASE WHEN n_grams_a > 0
+            THEN CAST(floor(1000000.0 * (CAST(n_shared AS DOUBLE)
+                 / CAST(n_grams_a AS DOUBLE))) AS BIGINT)
+       END AS containment_a_in_b_ppm
+FROM na CROSS JOIN nb CROSS JOIN ns
+"""
+
+
 def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary building (llm/text.py build_vocab): top-200 tokens by
     exact corpus frequency with contiguous rank ids (count desc, token asc
@@ -7288,6 +7337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'curation_pipeline': q_curation_pipeline,
         'novelty_scores': q_novelty_scores,
         'exact_k_sample': q_exact_k_sample,
+        'corpus_overlap': q_corpus_overlap,
         'salted_join_agg': q_salted_join_agg,
         'scaled_features': q_scaled_features,
         'scd2_merge': q_scd2_merge,
@@ -7479,6 +7529,7 @@ def oracle_sql() -> dict[str, str]:
         'curation_pipeline': _curation_pipeline_oracle_sql(),
         'novelty_scores': _Q_NOVELTY_SQL,
         'exact_k_sample': _Q_EXACT_K_SAMPLE_SQL,
+        'corpus_overlap': _Q_CORPUS_OVERLAP_SQL,
         'salted_join_agg': _Q_SALTED_JOIN_SQL,
         'scaled_features': _Q_SCALED_SQL,
         'scd2_merge': _Q_SCD2_SQL,

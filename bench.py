@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "curation_pipeline",
     "novelty_scores",
     "exact_k_sample",
+    "corpus_overlap",
 ]
 
 

@@ -35,6 +35,7 @@ __all__ = [
     "contamination_pairs",
     "decontaminate",
     "novelty_scores",
+    "corpus_gram_overlap",
 ]
 
 
@@ -187,5 +188,61 @@ def novelty_scores(
             F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
             F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
             novelty.alias("novelty_ppm"),
+        )
+    )
+
+
+def corpus_gram_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str,
+    b_text_col: str | None = None,
+    n: int = 3,
+) -> DataFrame:
+    """Corpus-level n-gram overlap — ONE row:
+    (``n_grams_a``, ``n_grams_b``, ``n_shared``, ``jaccard_ppm``,
+    ``containment_a_in_b_ppm``) over the corpora's DISTINCT word
+    n-gram sets. The corpus-diff companion to the per-document
+    :func:`novelty_scores`: Jaccard answers "how similar are these two
+    corpora" (crawl-refresh dedup planning, mixture design), the
+    containment answers "how much of A does B already cover" (is a new
+    source worth ingesting?).
+
+    Ratios are ``floor(1e6·x/y)`` — one IEEE divide each on exact int64
+    set sizes; an empty union yields NULL jaccard (stated contract).
+
+    Scale shape: each corpus collapses once to distinct 8-byte gram
+    hashes (a map-side-combined aggregate — never the text), the shared
+    count is one hash join at distinct-gram scale, and the result is
+    three 1-row aggregates combined by cross join (no corpus-scale
+    shuffle beyond the two distincts)."""
+    bt = b_text_col or text_col
+    ga = a.select(
+        F.explode(ngram_hashes_expr(F.col(text_col), n)).alias("__g__")
+    ).distinct()
+    gb = b.select(
+        F.explode(ngram_hashes_expr(F.col(bt), n)).alias("__g__")
+    ).distinct()
+    na = ga.agg(F.count(F.lit(1)).alias("n_grams_a"))
+    nb = gb.agg(F.count(F.lit(1)).alias("n_grams_b"))
+    ns = ga.join(gb, "__g__").agg(F.count(F.lit(1)).alias("n_shared"))
+    ppm = lambda num, den: F.when(  # noqa: E731
+        den > 0,
+        F.floor(
+            F.lit(1000000.0) * (num.cast("double") / den.cast("double"))
+        ).cast("long"),
+    )
+    union_sz = F.col("n_grams_a") + F.col("n_grams_b") - F.col("n_shared")
+    return (
+        na.crossJoin(nb)
+        .crossJoin(ns)
+        .select(
+            F.col("n_grams_a").cast("long").alias("n_grams_a"),
+            F.col("n_grams_b").cast("long").alias("n_grams_b"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            ppm(F.col("n_shared"), union_sz).alias("jaccard_ppm"),
+            ppm(F.col("n_shared"), F.col("n_grams_a")).alias(
+                "containment_a_in_b_ppm"
+            ),
         )
     )

@@ -71,6 +71,32 @@ def test_novelty_scores_known_geometry(spark):
     assert out[5]["n_grams"] == 0 and out[5]["novelty_ppm"] is None
 
 
+# ----------------------------- r11: corpus-level n-gram overlap -----------
+
+
+def test_corpus_gram_overlap_known_sets(spark):
+    """Exact set algebra on a crafted pair: shared/total gram counts,
+    Jaccard and containment ppm; empty-union NULL contract."""
+    from gluestick_spark.llm.decontam import corpus_gram_overlap
+
+    a = spark.createDataFrame(
+        [(1, "the quick brown fox jumps")], "doc_id long, text string"
+    )  # grams: {the quick brown, quick brown fox, brown fox jumps} = 3
+    b = spark.createDataFrame(
+        [(2, "the quick brown fox sleeps"), (3, "entirely different text here")],
+        "doc_id long, text string",
+    )  # grams: {the quick brown, quick brown fox, brown fox sleeps,
+    #           entirely different text, different text here} = 5
+    r = corpus_gram_overlap(a, b, "text", n=3).collect()[0]
+    assert (r["n_grams_a"], r["n_grams_b"], r["n_shared"]) == (3, 5, 2)
+    assert r["jaccard_ppm"] == 333_333          # floor(1e6 * 2/6)
+    assert r["containment_a_in_b_ppm"] == 666_666  # floor(1e6 * 2/3)
+
+    empty = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    r2 = corpus_gram_overlap(empty, empty, "text", n=3).collect()[0]
+    assert r2["n_grams_a"] == 0 and r2["jaccard_ppm"] is None
+
+
 # ----------------------------- r11: exact-k deterministic sampling --------
 
 
