@@ -2582,6 +2582,39 @@ LEFT JOIN per p USING (doc_id)
 """
 
 
+def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift detection (operators/expectations.py:schema_drift —
+    r11): the incremental-load guard. The "after" batch plants one of
+    each drift class against documents (drop `lang`, add `extra`,
+    narrow `n_chars` to int); the oracle derives the before-columns from
+    DESCRIBE and applies the same planted classification — change
+    classes only (type strings are engine-dialect)."""
+    from gluestick_spark.operators.expectations import schema_drift
+
+    d = _t(spark, sf_dir, "documents")
+    after = d.drop("lang").withColumn("extra", F.lit(1).cast("int")).withColumn(
+        "n_chars", F.col("n_chars").cast("int")
+    )
+    return schema_drift(d, after).select(
+        F.col("column").alias("col_name"), "change"
+    )
+
+
+_Q_SCHEMA_DRIFT_SQL = """
+WITH cols AS (SELECT column_name AS col FROM (DESCRIBE SELECT * FROM documents)),
+diff AS (
+  SELECT col,
+         CASE WHEN col = 'lang' THEN 'dropped'
+              WHEN col = 'n_chars' THEN 'type_changed'
+              ELSE 'unchanged' END AS change
+  FROM cols
+  UNION ALL
+  SELECT 'extra', 'added'
+)
+SELECT col AS col_name, change FROM diff
+"""
+
+
 def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level n-gram overlap (llm/decontam.py:corpus_gram_overlap
     — r11): ONE row of distinct-3-gram set sizes, intersection, Jaccard
@@ -7338,6 +7371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'novelty_scores': q_novelty_scores,
         'exact_k_sample': q_exact_k_sample,
         'corpus_overlap': q_corpus_overlap,
+        'schema_drift': q_schema_drift,
         'salted_join_agg': q_salted_join_agg,
         'scaled_features': q_scaled_features,
         'scd2_merge': q_scd2_merge,
@@ -7530,6 +7564,7 @@ def oracle_sql() -> dict[str, str]:
         'novelty_scores': _Q_NOVELTY_SQL,
         'exact_k_sample': _Q_EXACT_K_SAMPLE_SQL,
         'corpus_overlap': _Q_CORPUS_OVERLAP_SQL,
+        'schema_drift': _Q_SCHEMA_DRIFT_SQL,
         'salted_join_agg': _Q_SALTED_JOIN_SQL,
         'scaled_features': _Q_SCALED_SQL,
         'scd2_merge': _Q_SCD2_SQL,

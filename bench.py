@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "novelty_scores",
     "exact_k_sample",
     "corpus_overlap",
+    "schema_drift",
 ]
 
 

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["check_expectations"]
+__all__ = ["check_expectations", "schema_drift", "assert_no_breaking_drift"]
 
 
 def _row_rule_pred(rule: dict) -> Column:
@@ -156,3 +156,64 @@ def check_expectations(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def schema_drift(before: DataFrame, after: DataFrame) -> DataFrame:
+    """Column-level schema diff between two frames — the incremental-load
+    guard the catalog-coercion family needs: a new batch that silently
+    dropped a column, grew one, or changed a type should be CAUGHT at
+    the schema boundary, not three joins later as a resolution error.
+
+    Returns one row per column in either schema:
+    (``column``, ``type_before``, ``type_after``, ``change``) with
+    ``change`` ∈ added | dropped | type_changed | unchanged (types as
+    Spark ``simpleString``; absent side is NULL). Columns are compared
+    by NAME (the union-relaxed convention); nested struct/array types
+    compare by their full simpleString, so a field added INSIDE a struct
+    reads as type_changed on the struct column.
+
+    Pure metadata — schemas come from the plan, no job runs; the result
+    is a tiny driver-built frame."""
+    b = {f.name: f.dataType.simpleString() for f in before.schema.fields}
+    a = {f.name: f.dataType.simpleString() for f in after.schema.fields}
+    rows = []
+    for c in sorted(set(b) | set(a)):
+        if c in b and c not in a:
+            change = "dropped"
+        elif c not in b and c in a:
+            change = "added"
+        elif b[c] != a[c]:
+            change = "type_changed"
+        else:
+            change = "unchanged"
+        rows.append((c, b.get(c), a.get(c), change))
+    return before.sparkSession.createDataFrame(
+        rows,
+        "column string, type_before string, type_after string, change string",
+    )
+
+
+def assert_no_breaking_drift(
+    before: DataFrame, after: DataFrame, allow_added: bool = True
+) -> None:
+    """Raise ``ValueError`` listing every BREAKING schema change between
+    ``before`` and ``after`` (dropped columns and type changes always
+    break; added columns break only with ``allow_added=False`` — strict
+    contracts). The loud-guard companion to :func:`schema_drift`, meant
+    as the first line of an incremental load."""
+    bad_kinds = {"dropped", "type_changed"} | (
+        set() if allow_added else {"added"}
+    )
+    bad = [
+        (r["column"], r["change"], r["type_before"], r["type_after"])
+        for r in schema_drift(before, after).collect()
+        if r["change"] in bad_kinds
+    ]
+    if bad:
+        detail = "; ".join(
+            f"{c}: {k} ({tb} -> {ta})" for c, k, tb, ta in bad
+        )
+        raise ValueError(
+            f"breaking schema drift between batches: {detail}. Fix the "
+            "upstream extract or migrate the snapshot before loading."
+        )

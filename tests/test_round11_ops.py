@@ -71,6 +71,44 @@ def test_novelty_scores_known_geometry(spark):
     assert out[5]["n_grams"] == 0 and out[5]["novelty_ppm"] is None
 
 
+# ----------------------------- r11: schema-drift guard --------------------
+
+
+def test_schema_drift_classes_and_guard(spark):
+    """All four change classes detected (by name; nested types compare by
+    simpleString); the breaking-drift guard raises on dropped/
+    type_changed, tolerates added by default, and strict mode rejects
+    added too."""
+    from gluestick_spark.operators.expectations import (
+        assert_no_breaking_drift,
+        schema_drift,
+    )
+
+    before = spark.createDataFrame(
+        [(1, "a", 2.0, [1])], "id long, name string, score double, tags array<int>"
+    )
+    after = (
+        before.drop("name")
+        .withColumn("extra", F.lit(True))
+        .withColumn("score", F.col("score").cast("float"))
+    )
+    d = {r["column"]: r for r in schema_drift(before, after).collect()}
+    assert d["name"]["change"] == "dropped" and d["name"]["type_after"] is None
+    assert d["extra"]["change"] == "added" and d["extra"]["type_before"] is None
+    assert d["score"]["change"] == "type_changed"
+    assert (d["score"]["type_before"], d["score"]["type_after"]) == ("double", "float")
+    assert d["id"]["change"] == "unchanged" and d["tags"]["change"] == "unchanged"
+
+    with pytest.raises(ValueError, match="name: dropped"):
+        assert_no_breaking_drift(before, after)
+    # added-only drift passes by default, raises in strict mode
+    widened = before.withColumn("extra", F.lit(1))
+    assert_no_breaking_drift(before, widened)  # no raise
+    with pytest.raises(ValueError, match="extra: added"):
+        assert_no_breaking_drift(before, widened, allow_added=False)
+    assert_no_breaking_drift(before, before)  # identical: no raise
+
+
 # ----------------------------- r11: corpus-level n-gram overlap -----------
 
 
