@@ -112,6 +112,16 @@ def _flr6(c):
     return F.floor(c * 1e6) / 1e6
 
 
+def _sql_rx(w: str) -> str:
+    """Marker/stopword → DuckDB-regex literal: re.escape mirrors the
+    engine's _marker_hits_expr (ADVICE r11 — an unescaped metacharacter
+    in a future marker word would silently diverge engine vs oracle),
+    then SQL single-quote doubling for the string literal."""
+    import re as _re
+
+    return _re.escape(w).replace("'", "''")
+
+
 def _event_date(e: DataFrame):
     """events.ts rendered as an ISO date string — dtype-adaptive: the
     testdata generator has shipped ts both as TIMESTAMP(NANOS) (read as long
@@ -1220,9 +1230,9 @@ def _lang_id_sql() -> str:
     for lang, words in LANG_MARKERS.items():
         # non-ASCII markers are substring counts, mirroring _word_hits
         parts = " + ".join(
-            f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
+            f"len(regexp_extract_all(lower(text), '\\b{_sql_rx(w)}\\b'))"
             if w.isascii()
-            else f"len(regexp_extract_all(lower(text), '{w}'))"
+            else f"len(regexp_extract_all(lower(text), '{_sql_rx(w)}'))"
             for w in words
         )
         score_exprs.append(f"({parts}) AS s_{lang}")
@@ -1244,7 +1254,8 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _quality_sql() -> str:
     stop_hits = " + ".join(
-        f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in STOPWORDS
+        f"len(regexp_extract_all(lower(text), '\\b{_sql_rx(w)}\\b'))"
+        for w in STOPWORDS
     )
     return f"""
 WITH base AS (
@@ -6474,9 +6485,9 @@ def _gopher_quality_sql() -> str:
     score_exprs = []
     for lang, words in LANG_MARKERS.items():
         parts = " + ".join(
-            f"len(regexp_extract_all(lower(txt), '\\b{w}\\b'))"
+            f"len(regexp_extract_all(lower(txt), '\\b{_sql_rx(w)}\\b'))"
             if w.isascii()
-            else f"len(regexp_extract_all(lower(txt), '{w}'))"
+            else f"len(regexp_extract_all(lower(txt), '{_sql_rx(w)}'))"
             for w in words
         )
         score_exprs.append(f"({parts}) AS s_{lang}")

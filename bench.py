@@ -418,15 +418,26 @@ def _previous_round(sf_val) -> tuple[dict[str, float], str | None, float | None]
     # becomes its own comparison basis.
     import re as _re
 
+    # Sort by PARSED round number, not string order (ADVICE r11: lexical
+    # reverse-sort picks r99 over r100), and pair each sidecar with its
+    # root via the int round — driver roots may be padded (BENCH_r09) or
+    # unpadded (BENCH_r9) depending on harness version.
+    def _round_of(p: str) -> int:
+        m = _re.match(r"BENCH_r(\d+)_full_sf", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
     for path in sorted(
         glob.glob(os.path.join(here, ".bench", "BENCH_r*_full_sf*.json")),
+        key=_round_of,
         reverse=True,
     ):
-        m = _re.match(r"BENCH_r(\d+)_full_sf", os.path.basename(path))
-        if not m:
+        n = _round_of(path)
+        if n < 0:
             continue
-        root = os.path.join(here, f"BENCH_r{m.group(1)}.json")
-        if not os.path.isfile(root):
+        if not any(
+            os.path.isfile(os.path.join(here, f"BENCH_r{tag}.json"))
+            for tag in (str(n), f"{n:02d}")
+        ):
             continue
         try:
             with open(path) as f:
@@ -441,7 +452,15 @@ def _previous_round(sf_val) -> tuple[dict[str, float], str | None, float | None]
                 )
         except Exception:
             continue
-    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+    def _root_round(p: str) -> int:
+        m = _re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    for path in sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=_root_round,
+        reverse=True,
+    ):
         # A prior round's BENCH file can be arbitrarily malformed (crashed
         # harness → "parsed": null, truncated JSON, non-dict top level…);
         # none of that may ever kill the current round's bench.

@@ -386,6 +386,13 @@ def materialize_pq_ivf(
 
     router = _train_router(df, vec_col, id_col, n_clusters, iters, scale)
     _os.makedirs(path, exist_ok=True)
+    from .index_commit import rollback_torn_append
+
+    # A full rebuild supersedes any torn append (ADVICE r11): clear the
+    # stale _APPEND_INPROGRESS sidecar NOW, or its manifest — naming only
+    # pre-rebuild part files — would make the NEXT append's rollback
+    # delete every rebuilt cell file (silent data loss).
+    rollback_torn_append(path)
     router_path = _os.path.join(path, "_ROUTER.json")
     if _os.path.isfile(router_path):
         _os.remove(router_path)  # invalidate before the rewrite

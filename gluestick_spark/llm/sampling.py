@@ -68,7 +68,11 @@ def hash_sample(df: DataFrame, key_col: str, rate: float, seed: str = "") -> Dat
 
 
 def sample_exact_k(
-    df: DataFrame, key_col: str, k: int, seed: str = ""
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    seed: str = "",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """EXACTLY ``min(k, n)`` rows, uniformly at random over distinct
     keys — the deterministic reservoir: rank every row by the portable
@@ -81,15 +85,44 @@ def sample_exact_k(
     stable under corpus growth in the reservoir sense (a new key evicts
     at most one old key, it never reshuffles the kept set).
 
+    **Uniqueness is a HARD contract** (ADVICE r11): rows sharing a key
+    value get identical sort keys, so if a duplicate-key group straddled
+    the ``k`` boundary the kept subset would depend on partition/run
+    order. Two modes:
+
+    - ``tiebreak_col=None`` (default): ``key_col`` must be unique and
+      non-null; this is VERIFIED with one aggregation pass over ``df``
+      and violations raise loudly. The extra pass is the price of the
+      determinism guarantee — at extreme scale, pass a tiebreak instead.
+    - ``tiebreak_col=...``: duplicate keys are ordered by the keyed hash
+      of the tiebreak value (then the value itself), and the check is
+      skipped — determinism then REQUIRES ``(key_col, tiebreak_col)``
+      to be unique, which is the caller's contract.
+
     Plan: ``TakeOrderedAndProject`` — per-partition partial top-k, only
     k rows per partition reach the driver side of the exchange; never a
-    global sort of the corpus. Duplicate keys travel together only in
-    rank (each ROW is ranked; use a unique key for row-level draws)."""
+    global sort of the corpus."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    return df.orderBy(
-        _keyed_hash(F.col(key_col), seed).asc(), F.col(key_col).asc()
-    ).limit(k)
+    order = [_keyed_hash(F.col(key_col), seed).asc(), F.col(key_col).asc()]
+    if tiebreak_col is not None:
+        order += [
+            _keyed_hash(F.col(tiebreak_col), seed).asc(),
+            F.col(tiebreak_col).asc(),
+        ]
+    else:
+        n, d = df.agg(
+            F.count(F.lit(1)), F.count_distinct(F.col(key_col))
+        ).first()
+        if d != n:
+            raise ValueError(
+                f"sample_exact_k: key_col {key_col!r} is not unique/"
+                f"non-null ({n} rows, {d} distinct non-null keys) — the "
+                "kept subset at the k boundary would be partition-order "
+                "dependent. Pass tiebreak_col= (and guarantee the pair "
+                "is unique) or dedupe first."
+            )
+    return df.orderBy(*order).limit(k)
 
 
 def hash_split(

@@ -1,0 +1,170 @@
+"""Round-12 contracts: the four ADVICE-r11 fixes, then the round's new
+operators (each also has a driver-oracle row where SQL-expressible)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------- ADVICE 1 (medium): rebuild over torn append ---------
+
+
+def _halves(spark):
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    mid = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).first()[0]
+    return emb.where(F.col("vec_id") <= mid), emb.where(F.col("vec_id") > mid)
+
+
+@pytest.mark.parametrize("kind", ["sq", "pq"])
+def test_rebuild_over_torn_append_then_append(spark, tmp_dir, kind):
+    """ADVICE r11 (medium): rebuilding over a TORN append must clear the
+    stale _APPEND_INPROGRESS sidecar — otherwise its manifest names only
+    pre-rebuild part files, and the NEXT append's rollback deletes every
+    rebuilt cell file (the index silently serves only the new batch)."""
+    import json
+
+    from gluestick_spark.llm.index_commit import SIDECAR, _list_cell_files
+
+    if kind == "sq":
+        from gluestick_spark.llm.cluster import (
+            materialize_sq_ivf as build,
+            sq_ivf_append as append,
+            sq_ivf_topk_indexed as probe,
+        )
+
+        kw = dict(n_clusters=4)
+    else:
+        from gluestick_spark.llm.pq import (
+            materialize_pq_ivf as build,
+            pq_ivf_append as append,
+            pq_ivf_topk_indexed as probe,
+        )
+
+        kw = dict(m=4, n_codes=8, n_clusters=4, iters=1)
+
+    h1, h2 = _halves(spark)
+    q = list(h2.first()["embedding"])
+    path = os.path.join(tmp_dir, f"idx_{kind}")
+
+    build(h1, "embedding", "vec_id", path, **kw)
+    pre_files = _list_cell_files(os.path.join(path, "cells"))
+    append(h2, "embedding", "vec_id", path)
+    want = [r["vec_id"] for r in probe(spark, path, q, k=5, nprobe=4).collect()]
+
+    # tear the append: sidecar manifests the pre-append listing
+    with open(os.path.join(path, SIDECAR), "w") as f:
+        json.dump({"files": pre_files}, f)
+
+    # operator recovers by REBUILDING over the torn index (the recovery
+    # the _load_*_router error message suggests) ...
+    build(h1, "embedding", "vec_id", path, **kw)
+    assert not os.path.isfile(os.path.join(path, SIDECAR)), (
+        "rebuild must clear the stale sidecar"
+    )
+    # ... then appends the new batch. Pre-fix, this rollback deleted
+    # every rebuilt cell file (manifest named only pre-rebuild parts).
+    append(h2, "embedding", "vec_id", path)
+    got = [r["vec_id"] for r in probe(spark, path, q, k=5, nprobe=4).collect()]
+    assert got == want
+    # and the index serves BOTH halves, not just the appended batch
+    n1 = h1.count()
+    files = _list_cell_files(os.path.join(path, "cells"))
+    assert files, "rebuilt cells must survive the post-rebuild append"
+    total = spark.read.option("basePath", os.path.join(path, "cells")).parquet(
+        os.path.join(path, "cells")
+    ).count()
+    assert total == n1 + h2.count()
+
+
+# ------------- ADVICE 2 / VERDICT 2: sample_exact_k duplicate keys -------
+
+
+def test_sample_exact_k_duplicate_keys_raise(spark):
+    """Non-unique (or null) keys without a tiebreak are a hard error —
+    the kept subset at the k boundary would be partition-order
+    dependent, breaking the replayability promise."""
+    from gluestick_spark.llm.sampling import sample_exact_k
+
+    # 30 distinct keys, key 7 duplicated 10× — a dup group will straddle
+    # most k boundaries
+    rows = [(i, i * 100) for i in range(30)] + [(7, 1000 + j) for j in range(10)]
+    d = spark.createDataFrame(rows, "k long, payload long")
+    with pytest.raises(ValueError, match="not unique"):
+        sample_exact_k(d, "k", 20)
+    # null keys also violate the contract (count_distinct drops nulls)
+    dn = spark.createDataFrame([(1, 1), (None, 2)], "k long, payload long")
+    with pytest.raises(ValueError, match="not unique"):
+        sample_exact_k(dn, "k", 1)
+
+
+def test_sample_exact_k_tiebreak_deterministic_across_partitionings(spark):
+    """With tiebreak_col, a duplicate-key group straddling the k
+    boundary yields the SAME rows under different partitionings."""
+    from gluestick_spark.llm.sampling import sample_exact_k
+
+    rows = [(i, i * 100) for i in range(30)] + [(7, 1000 + j) for j in range(10)]
+    d = spark.createDataFrame(rows, "k long, payload long")
+
+    def draw(df, k):
+        return sorted(
+            (r["k"], r["payload"])
+            for r in sample_exact_k(df, "k", k, tiebreak_col="payload").collect()
+        )
+
+    # sweep k so that some boundary falls INSIDE the dup group
+    for k in (5, 10, 15, 20, 25, 35):
+        a = draw(d.repartition(1), k)
+        b = draw(d.repartition(13, "payload"), k)
+        c = draw(d.coalesce(3), k)
+        assert a == b == c, k
+        assert len(a) == min(k, 40)
+
+    # unique keys: tiebreak draw ≡ default draw (tiebreak only breaks ties)
+    u = spark.createDataFrame([(i, -i) for i in range(50)], "k long, payload long")
+    got_t = sorted(r["k"] for r in sample_exact_k(u, "k", 9, tiebreak_col="payload").collect())
+    got_d = sorted(r["k"] for r in sample_exact_k(u, "k", 9).collect())
+    assert got_t == got_d
+
+
+# --------------------- ADVICE 3: bench _previous_round round parsing ------
+
+
+def test_previous_round_numeric_sort_and_unpadded_roots(tmp_dir, monkeypatch):
+    """ADVICE r11 (low): sidecars must pair with UNPADDED driver roots
+    (BENCH_r9.json) and 'newest' must be the numerically largest round —
+    lexicographic reverse-sort picks r99 over r100."""
+    import json as _json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    monkeypatch.setattr(bench, "__file__", os.path.join(tmp_dir, "bench.py"))
+    bdir = os.path.join(tmp_dir, ".bench")
+    os.makedirs(bdir)
+
+    def put(rel, rec):
+        with open(os.path.join(tmp_dir, rel), "w") as f:
+            _json.dump(rec, f)
+
+    # round 9: UNPADDED root, padded sidecar (the harness-version split)
+    put("BENCH_r9.json", {"sf": 0.1})
+    put(
+        ".bench/BENCH_r09_full_sf0.1.json",
+        {"sf": 0.1, "queries": {"q": 9.0}, "calibration_sec": 1.0},
+    )
+    qs, tag, _ = bench._previous_round(0.1)
+    assert qs == {"q": 9.0} and "BENCH_r09_full" in tag
+
+    # rounds 100 vs 99: numeric order must pick 100
+    put("BENCH_r99.json", {"sf": 0.1})
+    put("BENCH_r100.json", {"sf": 0.1})
+    put(".bench/BENCH_r99_full_sf0.1.json", {"sf": 0.1, "queries": {"q": 99.0}})
+    put(".bench/BENCH_r100_full_sf0.1.json", {"sf": 0.1, "queries": {"q": 100.0}})
+    qs, tag, _ = bench._previous_round(0.1)
+    assert qs == {"q": 100.0} and "BENCH_r100_full" in tag
