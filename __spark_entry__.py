@@ -7370,67 +7370,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # map. Tail entries remain locally oracle-checked via
     # tools/check_correctness.py / tools/driver_sim.py every round.
     return {
-        # ---- correctness window: first 50 = driver-checked. Round-11
+        # ---- correctness window: first 50 = driver-checked. Round-12
         # rotation (tools/rotate_registry.py, honest-evidence policy):
         # never-driver-checked rows lead, then oldest-evidence-first.
         # Displacement rationales: COVERAGE.md. ----
-        'streaming_quality_filter': q_streaming_quality_filter,
-        'cluster_balanced': q_cluster_balanced,
-        'gopher_quality': q_gopher_quality,
-        'pq_ivf_rerank': q_pq_ivf_rerank,
-        'curation_pipeline': q_curation_pipeline,
-        'novelty_scores': q_novelty_scores,
-        'exact_k_sample': q_exact_k_sample,
-        'corpus_overlap': q_corpus_overlap,
-        'schema_drift': q_schema_drift,
-        'salted_join_agg': q_salted_join_agg,
-        'scaled_features': q_scaled_features,
-        'scd2_merge': q_scd2_merge,
-        'segment_dedup': q_segment_dedup,
-        'sessionize_batch': q_sessionize_batch,
-        'stratified_sample': q_stratified_sample,
-        'stream_interval_join': q_stream_interval_join,
-        'streaming_agg': q_streaming_agg,
-        'streaming_cdc': q_streaming_cdc,
-        'streaming_minhash_dedup': q_streaming_minhash_dedup,
-        'streaming_scd2': q_streaming_scd2,
-        'streaming_topk': q_streaming_topk,
-        'suppress_bursts': q_suppress_bursts,
-        'table_stats': q_table_stats,
-        'top_events_per_user': q_top_events_per_user,
-        'unigram_nll': q_unigram_nll,
-        'value_histogram': q_value_histogram,
-        'versioned_time_travel': q_versioned_travel,
-        'weekly_retention': q_retention,
-        'zorder_values': q_zorder_values,
-        'alpha_sample': q_alpha_sample,
-        'array_to_dict': q_array_to_dict,
-        'bpe_encode': q_bpe_encode,
-        'catalog_coercion': q_catalog_coercion,
-        'centroid_outliers': q_centroid_outliers,
-        'clean_corpus': q_clean_corpus,
-        'clean_obj_nulls': q_clean_obj_nulls,
-        'collocations': q_collocations,
-        'compress_rows_to_col': q_compress_rows,
-        'containment_pairs': q_containment_pairs,
-        'custom_fields': q_custom_fields,
-        'dedup_against_indexed': q_dedup_against_indexed,
-        'dedup_exact': q_dedup_exact,
-        'dedup_fingerprint': q_dedup_fingerprint,
-        'deep_convert_datetimes': q_deep_convert_datetimes,
-        'docs_cube': q_docs_cube,
-        'drop_null_columns': q_drop_null_columns,
-        'drop_redundant': q_drop_redundant,
-        'enforce_exploded_types': q_enforce_exploded_types,
-        'event_transitions': q_event_transitions,
-        'events_pivot': q_events_pivot,
         'explode_json_to_cols': q_explode_json_to_cols,
         'format_str_records': q_format_str_records,
         'funnel_counts': q_funnel_counts,
         'hits_click_graph': q_hits_click_graph,
-        # ---- tail: locally oracle-checked every round (driver_sim /
-        # check_correctness); ordered oldest-evidence-first, so this IS
-        # the round-12 promotion queue. ----
         'image_features': q_image_features,
         'ivf_exact_topk': q_ivf_exact_topk,
         'jaccard_vs_query': q_jaccard_vs_query,
@@ -7477,6 +7424,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'shipping_priority': q_shipping_priority,
         'ann_topk': q_ann_topk,
         'audio_features': q_audio_features,
+        # ---- tail: locally oracle-checked every round (driver_sim /
+        # check_correctness); ordered oldest-evidence-first, so this IS
+        # the round-13 promotion queue. ----
         'cosine_similarity': q_cosine_all,
         'csv_roundtrip': q_csv_roundtrip,
         'deep_convert_expr': q_deep_convert_expr,
@@ -7555,6 +7505,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'robust_scaled': q_robust_scaled,
         'rolling_zscore': q_rolling_zscore,
         'line_dedup': q_line_dedup,
+        'streaming_quality_filter': q_streaming_quality_filter,
+        'cluster_balanced': q_cluster_balanced,
+        'gopher_quality': q_gopher_quality,
+        'pq_ivf_rerank': q_pq_ivf_rerank,
+        'curation_pipeline': q_curation_pipeline,
+        'novelty_scores': q_novelty_scores,
+        'exact_k_sample': q_exact_k_sample,
+        'corpus_overlap': q_corpus_overlap,
+        'schema_drift': q_schema_drift,
+        'salted_join_agg': q_salted_join_agg,
+        'scaled_features': q_scaled_features,
+        'scd2_merge': q_scd2_merge,
+        'segment_dedup': q_segment_dedup,
+        'sessionize_batch': q_sessionize_batch,
+        'stratified_sample': q_stratified_sample,
+        'stream_interval_join': q_stream_interval_join,
+        'streaming_agg': q_streaming_agg,
+        'streaming_cdc': q_streaming_cdc,
+        'streaming_minhash_dedup': q_streaming_minhash_dedup,
+        'streaming_scd2': q_streaming_scd2,
+        'streaming_topk': q_streaming_topk,
+        'suppress_bursts': q_suppress_bursts,
+        'table_stats': q_table_stats,
+        'top_events_per_user': q_top_events_per_user,
+        'unigram_nll': q_unigram_nll,
+        'value_histogram': q_value_histogram,
+        'versioned_time_travel': q_versioned_travel,
+        'weekly_retention': q_retention,
+        'zorder_values': q_zorder_values,
+        'alpha_sample': q_alpha_sample,
+        'array_to_dict': q_array_to_dict,
+        'bpe_encode': q_bpe_encode,
+        'catalog_coercion': q_catalog_coercion,
+        'centroid_outliers': q_centroid_outliers,
+        'clean_corpus': q_clean_corpus,
+        'clean_obj_nulls': q_clean_obj_nulls,
+        'collocations': q_collocations,
+        'compress_rows_to_col': q_compress_rows,
+        'containment_pairs': q_containment_pairs,
+        'custom_fields': q_custom_fields,
+        'dedup_against_indexed': q_dedup_against_indexed,
+        'dedup_exact': q_dedup_exact,
+        'dedup_fingerprint': q_dedup_fingerprint,
+        'deep_convert_datetimes': q_deep_convert_datetimes,
+        'docs_cube': q_docs_cube,
+        'drop_null_columns': q_drop_null_columns,
+        'drop_redundant': q_drop_redundant,
+        'enforce_exploded_types': q_enforce_exploded_types,
+        'event_transitions': q_event_transitions,
+        'events_pivot': q_events_pivot,
     }
 
 
@@ -7567,56 +7567,6 @@ def oracle_sql() -> dict[str, str]:
     # (stream-then-batch == batch-over-union).
     return {
         # (order mirrors queries() exactly — the driver zips them)
-        'streaming_quality_filter': _streaming_quality_filter_oracle_sql(),
-        'cluster_balanced': _cluster_balanced_oracle_sql(),
-        'gopher_quality': _Q_GOPHER_QUALITY_SQL,
-        'pq_ivf_rerank': _pq_ivf_oracle_sql(rerank=_PIVF_RERANK),
-        'curation_pipeline': _curation_pipeline_oracle_sql(),
-        'novelty_scores': _Q_NOVELTY_SQL,
-        'exact_k_sample': _Q_EXACT_K_SAMPLE_SQL,
-        'corpus_overlap': _Q_CORPUS_OVERLAP_SQL,
-        'schema_drift': _Q_SCHEMA_DRIFT_SQL,
-        'salted_join_agg': _Q_SALTED_JOIN_SQL,
-        'scaled_features': _Q_SCALED_SQL,
-        'scd2_merge': _Q_SCD2_SQL,
-        'segment_dedup': _Q_SEGMENT_DEDUP_SQL,
-        'sessionize_batch': _Q_SESSIONIZE_BATCH_SQL,
-        'stratified_sample': _Q_STRATIFIED_SQL,
-        'stream_interval_join': _Q_STREAM_INTERVAL_SQL,
-        'streaming_agg': _Q_STREAMING_AGG_SQL,
-        'streaming_cdc': _Q_STREAMING_CDC_SQL,
-        'streaming_minhash_dedup': _Q_MINHASH_DEDUP_SQL,
-        'streaming_scd2': _Q_SCD2_SQL,
-        'streaming_topk': _Q_HEAVY_HITTERS_SQL,
-        'suppress_bursts': _Q_SUPPRESS_SQL,
-        'table_stats': _table_stats_sql(),
-        'top_events_per_user': _Q_TOP_EVENTS_SQL,
-        'unigram_nll': _Q_UNIGRAM_NLL_SQL,
-        'value_histogram': _Q_HISTOGRAM_SQL,
-        'versioned_time_travel': _Q_VERSIONED_SQL,
-        'weekly_retention': _Q_RETENTION_SQL,
-        'zorder_values': _zvalue_duck_sql(),
-        'alpha_sample': _Q_ALPHA_SAMPLE_SQL,
-        'array_to_dict': _Q_ARRAY_TO_DICT_SQL,
-        'bpe_encode': _Q_BPE_ENCODE_SQL,
-        'catalog_coercion': _Q_CATALOG_COERCION_SQL,
-        'centroid_outliers': _centroid_outliers_oracle_sql(),
-        'clean_corpus': _clean_corpus_sql(),
-        'clean_obj_nulls': _Q_CLEAN_OBJ_NULLS_SQL,
-        'collocations': _Q_COLLOCATIONS_SQL,
-        'compress_rows_to_col': _Q_COMPRESS_SQL,
-        'containment_pairs': _Q_CONTAINMENT_SQL,
-        'custom_fields': _Q_CUSTOM_FIELDS_SQL,
-        'dedup_against_indexed': _Q_DEDUP_AGAINST_SQL,
-        'dedup_exact': _Q_DEDUP_EXACT_SQL,
-        'dedup_fingerprint': _Q_DEDUP_FP_SQL,
-        'deep_convert_datetimes': _Q_DEEP_CONVERT_SQL,
-        'docs_cube': _Q_DOCS_CUBE_SQL,
-        'drop_null_columns': _Q_DROP_NULL_COLS_SQL,
-        'drop_redundant': _Q_DROP_REDUNDANT_SQL,
-        'enforce_exploded_types': _Q_ENFORCE_TYPES_SQL,
-        'event_transitions': _Q_EVENT_TRANSITIONS_SQL,
-        'events_pivot': _Q_EVENTS_PIVOT_SQL,
         'explode_json_to_cols': _Q_EXPLODE_COLS_SQL,
         'format_str_records': _Q_FORMAT_STR_SQL,
         'funnel_counts': _Q_FUNNEL_SQL,
@@ -7745,4 +7695,54 @@ def oracle_sql() -> dict[str, str]:
         'robust_scaled': _Q_ROBUST_SCALED_SQL,
         'rolling_zscore': _Q_ROLLING_ZSCORE_SQL,
         'line_dedup': _Q_LINE_DEDUP_SQL,
+        'streaming_quality_filter': _streaming_quality_filter_oracle_sql(),
+        'cluster_balanced': _cluster_balanced_oracle_sql(),
+        'gopher_quality': _Q_GOPHER_QUALITY_SQL,
+        'pq_ivf_rerank': _pq_ivf_oracle_sql(rerank=_PIVF_RERANK),
+        'curation_pipeline': _curation_pipeline_oracle_sql(),
+        'novelty_scores': _Q_NOVELTY_SQL,
+        'exact_k_sample': _Q_EXACT_K_SAMPLE_SQL,
+        'corpus_overlap': _Q_CORPUS_OVERLAP_SQL,
+        'schema_drift': _Q_SCHEMA_DRIFT_SQL,
+        'salted_join_agg': _Q_SALTED_JOIN_SQL,
+        'scaled_features': _Q_SCALED_SQL,
+        'scd2_merge': _Q_SCD2_SQL,
+        'segment_dedup': _Q_SEGMENT_DEDUP_SQL,
+        'sessionize_batch': _Q_SESSIONIZE_BATCH_SQL,
+        'stratified_sample': _Q_STRATIFIED_SQL,
+        'stream_interval_join': _Q_STREAM_INTERVAL_SQL,
+        'streaming_agg': _Q_STREAMING_AGG_SQL,
+        'streaming_cdc': _Q_STREAMING_CDC_SQL,
+        'streaming_minhash_dedup': _Q_MINHASH_DEDUP_SQL,
+        'streaming_scd2': _Q_SCD2_SQL,
+        'streaming_topk': _Q_HEAVY_HITTERS_SQL,
+        'suppress_bursts': _Q_SUPPRESS_SQL,
+        'table_stats': _table_stats_sql(),
+        'top_events_per_user': _Q_TOP_EVENTS_SQL,
+        'unigram_nll': _Q_UNIGRAM_NLL_SQL,
+        'value_histogram': _Q_HISTOGRAM_SQL,
+        'versioned_time_travel': _Q_VERSIONED_SQL,
+        'weekly_retention': _Q_RETENTION_SQL,
+        'zorder_values': _zvalue_duck_sql(),
+        'alpha_sample': _Q_ALPHA_SAMPLE_SQL,
+        'array_to_dict': _Q_ARRAY_TO_DICT_SQL,
+        'bpe_encode': _Q_BPE_ENCODE_SQL,
+        'catalog_coercion': _Q_CATALOG_COERCION_SQL,
+        'centroid_outliers': _centroid_outliers_oracle_sql(),
+        'clean_corpus': _clean_corpus_sql(),
+        'clean_obj_nulls': _Q_CLEAN_OBJ_NULLS_SQL,
+        'collocations': _Q_COLLOCATIONS_SQL,
+        'compress_rows_to_col': _Q_COMPRESS_SQL,
+        'containment_pairs': _Q_CONTAINMENT_SQL,
+        'custom_fields': _Q_CUSTOM_FIELDS_SQL,
+        'dedup_against_indexed': _Q_DEDUP_AGAINST_SQL,
+        'dedup_exact': _Q_DEDUP_EXACT_SQL,
+        'dedup_fingerprint': _Q_DEDUP_FP_SQL,
+        'deep_convert_datetimes': _Q_DEEP_CONVERT_SQL,
+        'docs_cube': _Q_DOCS_CUBE_SQL,
+        'drop_null_columns': _Q_DROP_NULL_COLS_SQL,
+        'drop_redundant': _Q_DROP_REDUNDANT_SQL,
+        'enforce_exploded_types': _Q_ENFORCE_TYPES_SQL,
+        'event_transitions': _Q_EVENT_TRANSITIONS_SQL,
+        'events_pivot': _Q_EVENTS_PIVOT_SQL,
     }
