@@ -28,7 +28,6 @@ The id-lookup join broadcasts the deduped snapshot side (naturally small).
 from __future__ import annotations
 
 import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from ..fsio import LOCAL_FS, StateFS
 from ..functions.hashing import row_hash_expr
 from ..sources.reader import read_snapshots
 from .union import union_relaxed
@@ -58,14 +58,23 @@ def _snapshot_path(snapshot_dir: str, stream: str, use_csv: bool = False) -> str
     return os.path.join(snapshot_dir, f"{stream}.snapshot.{ext}")
 
 
-def _write_snapshot(df: DataFrame, stream: str, snapshot_dir: str, use_csv: bool = False) -> None:
+def _write_snapshot(
+    df: DataFrame,
+    stream: str,
+    snapshot_dir: str,
+    use_csv: bool = False,
+    fs: StateFS = LOCAL_FS,
+) -> None:
     """Materialize to a temp dir, then atomically swap into place.
 
     Mirrors the crash-safety intent of the reference's lock-file rename
     protocol (snapshot_lock.py:13-47): a killed job leaves either the old
-    snapshot or the new one, never a torn file.
+    snapshot or the new one, never a torn file. The swap rides the
+    injectable ``fs=`` seam (:mod:`gluestick_spark.fsio`) — its backend
+    must provide POSIX-rename atomicity or the protocol degrades to
+    torn-window semantics (see the fsio docstring for object stores).
     """
-    os.makedirs(snapshot_dir, exist_ok=True)
+    fs.makedirs(snapshot_dir, exist_ok=True)
     final = _snapshot_path(snapshot_dir, stream, use_csv)
     tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
     lock = f"{final}.hg.partial_written.lock"
@@ -75,32 +84,34 @@ def _write_snapshot(df: DataFrame, stream: str, snapshot_dir: str, use_csv: bool
         writer.option("header", "true").option("escape", '"').csv(tmp)
     else:
         writer.option("compression", "zstd").parquet(tmp)
-    if os.path.exists(final):
-        os.rename(final, lock)
-    os.rename(tmp, final)
-    if os.path.exists(lock):
-        shutil.rmtree(lock, ignore_errors=True)
+    if fs.exists(final):
+        fs.rename(final, lock)
+    fs.rename(tmp, final)
+    if fs.exists(lock):
+        fs.rmtree(lock, ignore_errors=True)
 
 
 LOCK_SUFFIX = ".hg.partial_written.lock"
 
 
-def prepare_snapshot_write(canonical_path: str) -> str:
+def prepare_snapshot_write(canonical_path: str, fs: StateFS = LOCAL_FS) -> str:
     """Public lock-rename protocol, step 1 (reference snapshot_lock.py:13-29):
     move any existing snapshot (file OR Spark output directory) aside to the
     ``.lock`` path and return the path to write to. ``_write_snapshot``
     applies the same protocol internally; this is the standalone API for
     callers doing their own writes."""
     lock_path = canonical_path + LOCK_SUFFIX
-    if os.path.exists(canonical_path):
-        os.rename(canonical_path, lock_path)
+    if fs.exists(canonical_path):
+        fs.rename(canonical_path, lock_path)
     return lock_path
 
 
-def finish_snapshot_write(lock_path: str, canonical_path: str) -> None:
+def finish_snapshot_write(
+    lock_path: str, canonical_path: str, fs: StateFS = LOCAL_FS
+) -> None:
     """Step 2 (reference snapshot_lock.py:31-47): commit by renaming the lock
     path to the canonical path. Only call after a successful write."""
-    os.rename(lock_path, canonical_path)
+    fs.rename(lock_path, canonical_path)
 
 
 def upsert(snapshot: DataFrame, incoming: DataFrame, pk: str | list[str]) -> DataFrame:

@@ -40,17 +40,23 @@ Layout::
       v=1/ ... v=N/      immutable Spark parquet directories
         _COMMITTED       per-version publication marker
 
-Local/posix-rename filesystems only (same contract as ``compact_files``);
-object stores need a real table format's conditional-put commit log.
+All driver-side state-file operations ride the injectable ``fs=`` seam
+(:mod:`gluestick_spark.fsio`, VERDICT r11 #3), defaulting to the local
+filesystem. The protocol REQUIRES atomic ``replace`` (the pointer flip),
+exclusive ``mkdir`` (the version claim), and serialized ``append_line``
+(the log) from its backend — a plain object store satisfies none of
+these with copy+delete; implement the seam over conditional-put or use
+a real table format's commit log there (see the fsio docstring).
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..fsio import LOCAL_FS, StateFS
 
 __all__ = [
     "write_versioned",
@@ -70,14 +76,14 @@ def _vdir(path: str, v: int) -> str:
     return os.path.join(path, f"v={v}")
 
 
-def list_versions(path: str) -> list[int]:
+def list_versions(path: str, fs: StateFS = LOCAL_FS) -> list[int]:
     """All version numbers present on disk (published or not), ascending.
     For anything that READS data use :func:`published_versions` — an
     on-disk directory may be a crash leftover."""
-    if not os.path.isdir(path):
+    if not fs.isdir(path):
         return []
     out = []
-    for name in os.listdir(path):
+    for name in fs.listdir(path):
         if name.startswith("v="):
             try:
                 out.append(int(name[2:]))
@@ -86,23 +92,22 @@ def list_versions(path: str) -> list[int]:
     return sorted(out)
 
 
-def _commit_log(path: str) -> set[int]:
+def _commit_log(path: str, fs: StateFS = LOCAL_FS) -> set[int]:
     p = os.path.join(path, _COMMITS)
-    if not os.path.isfile(p):
+    if not fs.isfile(p):
         return set()
     out: set[int] = set()
-    with open(p) as f:
-        for line in f:
-            line = line.strip()
-            if line:
-                try:
-                    out.add(int(line))
-                except ValueError:
-                    continue
+    for line in fs.read_text(p).splitlines():
+        line = line.strip()
+        if line:
+            try:
+                out.add(int(line))
+            except ValueError:
+                continue
     return out
 
 
-def _record_commit(path: str, v: int) -> None:
+def _record_commit(path: str, v: int, fs: StateFS = LOCAL_FS) -> None:
     # Publication record is PER-VERSION: a marker file inside v=N/, a
     # directory this writer owns exclusively (mkdir claim) — two
     # concurrent commits can never lose each other's record. The shared
@@ -110,20 +115,11 @@ def _record_commit(path: str, v: int) -> None:
     # O_APPEND write (kernel-serialized append, never read-modify-
     # rewrite — the round-8 race: two near-simultaneous rewrites could
     # drop each other's version, orphaning a fully-written table).
-    with open(os.path.join(_vdir(path, v), _MARKER), "w") as f:
-        f.write(str(v))
-    fd = os.open(
-        os.path.join(path, _COMMITS),
-        os.O_WRONLY | os.O_CREAT | os.O_APPEND,
-        0o644,
-    )
-    try:
-        os.write(fd, f"{v}\n".encode())
-    finally:
-        os.close(fd)
+    fs.write_text(os.path.join(_vdir(path, v), _MARKER), str(v))
+    fs.append_line(os.path.join(path, _COMMITS), str(v))
 
 
-def published_versions(path: str) -> list[int]:
+def published_versions(path: str, fs: StateFS = LOCAL_FS) -> list[int]:
     """Versions that completed a publish, ascending — the only ones
     ``read_versioned`` will open. Source of truth is the per-version
     ``_COMMITTED`` marker (crash-between-data-and-commit leaves no
@@ -135,37 +131,36 @@ def published_versions(path: str) -> list[int]:
     legacy tables with no markers and no log, a version <= the pointer
     counts as published iff its directory holds Spark's ``_SUCCESS``
     marker (a torn parquet directory never does)."""
-    on_disk = list_versions(path)
+    on_disk = list_versions(path, fs)
     marked = {
         v
         for v in on_disk
-        if os.path.isfile(os.path.join(_vdir(path, v), _MARKER))
+        if fs.isfile(os.path.join(_vdir(path, v), _MARKER))
     }
-    logged = _commit_log(path)
+    logged = _commit_log(path, fs)
     if marked or logged:
         return sorted(v for v in on_disk if v in marked or v in logged)
-    cur = latest_version(path)
+    cur = latest_version(path, fs)
     out: set[int] = set()
     if cur is not None:
         for v in on_disk:
-            if v <= cur and os.path.isfile(
+            if v <= cur and fs.isfile(
                 os.path.join(_vdir(path, v), "_SUCCESS")
             ):
                 out.add(v)
     return sorted(out)
 
 
-def latest_version(path: str) -> int | None:
+def latest_version(path: str, fs: StateFS = LOCAL_FS) -> int | None:
     """The PUBLISHED version (pointer contents), or None before any
     successful publish. Unpublished crash leftovers don't count."""
     p = os.path.join(path, _POINTER)
-    if not os.path.isfile(p):
+    if not fs.isfile(p):
         return None
-    with open(p) as f:
-        return int(f.read().strip())
+    return int(fs.read_text(p).strip())
 
 
-def write_versioned(df: DataFrame, path: str) -> int:
+def write_versioned(df: DataFrame, path: str, fs: StateFS = LOCAL_FS) -> int:
     """Write ``df`` as the next version and publish it atomically.
     Returns the new version number. The data write is a plain Spark
     parquet write (fully parallel); only the version claim, commit-log
@@ -174,25 +169,25 @@ def write_versioned(df: DataFrame, path: str) -> int:
     concurrent writers get distinct version numbers (each publishes its
     own complete directory; last pointer flip wins the "latest" title,
     both remain readable via time travel)."""
-    os.makedirs(path, exist_ok=True)
-    v = (max(list_versions(path), default=0)) + 1
+    fs.makedirs(path, exist_ok=True)
+    v = (max(list_versions(path, fs), default=0)) + 1
     while True:
         try:
-            os.mkdir(_vdir(path, v))  # exclusive claim
+            fs.mkdir(_vdir(path, v))  # exclusive claim
             break
         except FileExistsError:
             v += 1
     df.write.mode("append").parquet(_vdir(path, v))
-    _record_commit(path, v)
-    tmp = os.path.join(path, f".{_POINTER}.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(v))
-    os.replace(tmp, os.path.join(path, _POINTER))  # atomic publish
+    _record_commit(path, v, fs)
+    fs.write_text_atomic(os.path.join(path, _POINTER), str(v))  # atomic publish
     return v
 
 
 def read_versioned(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    fs: StateFS = LOCAL_FS,
 ) -> DataFrame:
     """Open the published version (default) or a specific retained one —
     time travel. Raises on an unpublished/unknown version so a typo can't
@@ -200,19 +195,21 @@ def read_versioned(
     writes have since buried under the pointer (publication is tracked in
     the ``_COMMITS`` log, not inferred from directory listings)."""
     if version is None:
-        version = latest_version(path)
+        version = latest_version(path, fs)
         if version is None:
             raise ValueError(f"no published version at {path}")
-    pub = published_versions(path)
+    pub = published_versions(path, fs)
     if version not in pub:
         raise ValueError(
             f"version {version} not published at {path} "
-            f"(published: {pub}, on disk: {list_versions(path)})"
+            f"(published: {pub}, on disk: {list_versions(path, fs)})"
         )
     return spark.read.parquet(_vdir(path, version))
 
 
-def _tree_mtime(root: str, stop_at: float | None = None) -> float:
+def _tree_mtime(
+    root: str, stop_at: float | None = None, fs: StateFS = LOCAL_FS
+) -> float:
     """Newest mtime anywhere under ``root`` (directories AND files,
     recursively). A plain ``getmtime(root)`` misses in-flight Spark
     writes: with Hadoop FileOutputCommitter v1 task files stage under
@@ -225,21 +222,21 @@ def _tree_mtime(root: str, stop_at: float | None = None) -> float:
     vacuum", so the remaining O(files) stats are skipped — vacuum cost
     on a LIVE version tree is then O(1)-ish instead of O(files)."""
     try:
-        newest = os.path.getmtime(root)
+        newest = fs.getmtime(root)
     except OSError:
         return 0.0
     if stop_at is not None and newest > stop_at:
         return newest
-    for dirpath, _dirnames, filenames in os.walk(root):
+    for dirpath, _dirnames, filenames in fs.walk(root):
         try:
-            newest = max(newest, os.path.getmtime(dirpath))
+            newest = max(newest, fs.getmtime(dirpath))
         except OSError:
             continue
         if stop_at is not None and newest > stop_at:
             return newest
         for name in filenames:
             try:
-                newest = max(newest, os.path.getmtime(os.path.join(dirpath, name)))
+                newest = max(newest, fs.getmtime(os.path.join(dirpath, name)))
             except OSError:
                 continue
             if stop_at is not None and newest > stop_at:
@@ -248,7 +245,10 @@ def _tree_mtime(root: str, stop_at: float | None = None) -> float:
 
 
 def vacuum_versions(
-    path: str, keep: int, unpublished_grace_seconds: float = 3600.0
+    path: str,
+    keep: int,
+    unpublished_grace_seconds: float = 3600.0,
+    fs: StateFS = LOCAL_FS,
 ) -> list[int]:
     """Delete all but the newest ``keep`` published versions, plus
     unpublished crash leftovers OLDER than the pointer that have sat
@@ -283,19 +283,19 @@ def vacuum_versions(
     inert."""
     if keep < 1:
         raise ValueError(f"keep must be >= 1, got {keep}")
-    cur = latest_version(path)
+    cur = latest_version(path, fs)
     if cur is None:
         return []
-    pub = published_versions(path)
+    pub = published_versions(path, fs)
     doomed = set(pub[:-keep] if len(pub) > keep else [])
     now = time.time()
-    for v in list_versions(path):
+    for v in list_versions(path, fs):
         if v < cur and v not in pub:
             fresh_cutoff = now - unpublished_grace_seconds
-            mtime = _tree_mtime(_vdir(path, v), stop_at=fresh_cutoff)
+            mtime = _tree_mtime(_vdir(path, v), stop_at=fresh_cutoff, fs=fs)
             if mtime and mtime <= fresh_cutoff:
                 doomed.add(v)
     out = sorted(doomed)
     for v in out:
-        shutil.rmtree(_vdir(path, v), ignore_errors=True)
+        fs.rmtree(_vdir(path, v), ignore_errors=True)
     return out

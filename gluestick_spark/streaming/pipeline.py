@@ -729,7 +729,8 @@ def _catalog_num_buckets(spark, tbl: str) -> int | None:
 
 
 def _compact_bucketed_state(
-    spark, tbl: str, loc: str, bucket_cols: list[str], n: int
+    spark, tbl: str, loc: str, bucket_cols: list[str], n: int,
+    fs=None,
 ) -> int:
     """Bucket-preserving compaction of one external bucketed state
     table: rewrite into a temp location with the SAME bucket spec
@@ -739,21 +740,30 @@ def _compact_bucketed_state(
     existing catalog entry serves the swapped files unchanged — the
     zero-state-side-Exchange plan property survives compaction
     (pytest-pinned). Same commit protocol as ``compact_files``:
-    RENAME_EXCHANGE, two-rename fallback with ``.__old__`` self-heal."""
-    import os
-    import shutil
+    RENAME_EXCHANGE, two-rename fallback with ``.__old__`` self-heal.
 
+    State-file moves ride the ``fs=`` seam (:mod:`gluestick_spark.fsio`);
+    the RENAME_EXCHANGE fast path is attempted only on the local default
+    (it is a syscall, not a seam operation) — any other backend always
+    takes the three-rename fallback, whose ``rename`` must move whole
+    directory trees."""
+    import os
+
+    from ..fsio import LOCAL_FS
     from ..sinks.layout import _exchange_dirs
 
+    if fs is None:
+        fs = LOCAL_FS
     norm = loc.rstrip("/")
     old = norm + ".__old__"
-    if not os.path.exists(loc) and os.path.exists(old):
-        os.rename(old, loc)  # self-heal a crashed fallback swap
-    else:
-        shutil.rmtree(old, ignore_errors=True)  # stale leftover
+    if not fs.exists(loc) and fs.exists(old):
+        fs.rename(old, loc)  # self-heal a crashed fallback swap
+    elif fs.exists(old):
+        fs.rmtree(old, ignore_errors=True)  # stale leftover
     tmp_loc = norm + ".__compacting__"
     tmp_tbl = tbl + "__compacting__"
-    shutil.rmtree(tmp_loc, ignore_errors=True)
+    if fs.exists(tmp_loc):
+        fs.rmtree(tmp_loc, ignore_errors=True)
     spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
     (
         # read the FILES, not the table: the bucketed table's scan
@@ -767,16 +777,17 @@ def _compact_bucketed_state(
         .option("path", tmp_loc)
         .saveAsTable(tmp_tbl)
     )
-    if not _exchange_dirs(tmp_loc, loc):
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(loc, old)
-        os.rename(tmp_loc, loc)
-        os.rename(old, tmp_loc)  # old files park at tmp for the cleanup
+    if not (fs is LOCAL_FS and _exchange_dirs(tmp_loc, loc)):
+        if fs.exists(old):
+            fs.rmtree(old, ignore_errors=True)
+        fs.rename(loc, old)
+        fs.rename(tmp_loc, loc)
+        fs.rename(old, tmp_loc)  # old files park at tmp for the cleanup
     spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")  # external: files untouched
-    shutil.rmtree(tmp_loc, ignore_errors=True)  # the pre-compaction files
+    fs.rmtree(tmp_loc, ignore_errors=True)  # the pre-compaction files
     spark.catalog.refreshTable(tbl)
     return sum(
-        1 for f in os.listdir(loc) if f.endswith(".parquet")
+        1 for f in fs.listdir(loc) if f.endswith(".parquet")
     )
 
 
@@ -785,6 +796,7 @@ def compact_stream_state(
     state_dir: str,
     target_rows_per_file: int = 1_000_000,
     state_buckets: int | None = None,
+    fs=None,
 ) -> dict[str, int]:
     """Compact the append-state tables under ``state_dir`` (VERDICT r10
     #4): every ``foreachBatch`` state append lands one-plus small
@@ -814,8 +826,11 @@ def compact_stream_state(
     tables' compactions leaves each table individually consistent."""
     import os
 
+    from ..fsio import LOCAL_FS
     from ..sinks.layout import compact_files
 
+    if fs is None:
+        fs = LOCAL_FS
     results: dict[str, int] = {}
     for name in _STATE_FLAT_DIRS:
         p = os.path.join(state_dir, name)
@@ -827,8 +842,8 @@ def compact_stream_state(
         loc = os.path.join(state_dir, base)
         # a crashed fallback swap parks the data at .__old__ — still ours;
         # heal BEFORE the catalog checks so registration sees the files
-        if not os.path.exists(loc) and os.path.exists(loc + ".__old__"):
-            os.rename(loc + ".__old__", loc)
+        if not fs.exists(loc) and fs.exists(loc + ".__old__"):
+            fs.rename(loc + ".__old__", loc)
         if not _has_data_files(loc):
             continue
         tbl = _state_table_name(state_dir, kind)
@@ -851,7 +866,9 @@ def compact_stream_state(
             )
         n = n_cat if n_cat is not None else state_buckets
         _ensure_bucketed_state(spark, tbl, loc, bucket_cols, n)
-        results[base] = _compact_bucketed_state(spark, tbl, loc, bucket_cols, n)
+        results[base] = _compact_bucketed_state(
+            spark, tbl, loc, bucket_cols, n, fs=fs
+        )
     return results
 
 
