@@ -44,6 +44,7 @@ from .sampling import (
     stratified_sample,
 )
 from .packing import pack_documents
+from .bloom import bloom_words, bloom_prefilter
 from .decontam import ngram_hashes_expr, contamination_pairs, decontaminate
 from .pii import PII_PATTERNS, redact_pii_expr, pii_counts_expr
 from .retrieval import bm25_topk

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .bloom import bloom_prefilter, bloom_words
 from .text import tokens_expr
 
 __all__ = [
@@ -75,10 +76,21 @@ def contamination_pairs(
     bench_id: str,
     n: int = 8,
     min_overlap: int = 1,
+    bloom_m_bits: int | None = 1 << 23,
+    bloom_k: int = 3,
 ) -> DataFrame:
     """(``doc_id``, ``bench_id``, ``n_shared``) for every corpus document
     sharing ≥ ``min_overlap`` distinct word ``n``-grams with a benchmark
-    item. See module docstring for the one-pass join shape."""
+    item. See module docstring for the one-pass join shape.
+
+    ``bloom_m_bits``/``bloom_k`` (None disables): a Bloom filter over the
+    benchmark gram hashes (:mod:`gluestick_spark.llm.bloom`) drops
+    definitely-clean corpus grams BEFORE the join — at 100 TB, where the
+    bench side may exceed the broadcast threshold and the join becomes a
+    corpus-gram shuffle, this cuts the shuffled volume to (true overlaps
+    + ~0.1% FP); exactness is preserved because every survivor still
+    passes the exact hash join (the bench side is read one extra time to
+    build the ≤ m/64-row bitmap). Results are bit-identical either way."""
     c = corpus.select(
         F.col(corpus_id).alias("doc_id"),
         F.explode(ngram_hashes_expr(F.col(corpus_text), n)).alias("__g__"),
@@ -87,6 +99,9 @@ def contamination_pairs(
         F.col(bench_id).alias("bench_id"),
         F.explode(ngram_hashes_expr(F.col(bench_text), n)).alias("__g__"),
     ).distinct()
+    if bloom_m_bits is not None:
+        words = bloom_words(b, "__g__", bloom_m_bits, bloom_k)
+        c = bloom_prefilter(c, "__g__", words, bloom_m_bits, bloom_k)
     return (
         c.join(b, "__g__")
         .groupBy("doc_id", "bench_id")
@@ -124,6 +139,8 @@ def novelty_scores(
     id_col: str,
     ref_text_col: str | None = None,
     n: int = 3,
+    bloom_m_bits: int | None = 1 << 23,
+    bloom_k: int = 3,
 ) -> DataFrame:
     """Per-document n-gram NOVELTY against a reference corpus — the
     decontamination overlap inverted into a curation signal: how much of
@@ -150,21 +167,65 @@ def novelty_scores(
     never the reference text); the corpus streams through one explode +
     one left join on the hash + one per-doc aggregate. Hash collisions
     under-count novelty by ~2⁻⁶⁴ per gram pair — negligible against
-    tokenization noise (the decontam argument)."""
+    tokenization noise (the decontam argument).
+
+    ``bloom_m_bits``/``bloom_k`` (None disables): with the Bloom filter
+    on, the plan is restructured so only grams that MIGHT be seen reach
+    the join — per-doc totals come from ``size()`` of the gram array (no
+    join needed for definitely-novel grams), and ``n_novel = n_grams −
+    n_seen`` with ``n_seen`` counted over the bloom survivors' exact
+    inner join. At 100 TB (reference gram vocabulary too big to
+    broadcast → the join shuffles corpus grams) this cuts the shuffled
+    gram volume to (seen + ~0.1% FP), at the cost of computing the gram
+    expression twice (two map-only text passes — cheaper than one
+    corpus-gram shuffle). Counts are bit-identical either way: the
+    filter only removes rows the exact join would score novel anyway."""
     ref_text = ref_text_col or text_col
-    ref_grams = (
-        reference.select(
-            F.explode(ngram_hashes_expr(F.col(ref_text), n)).alias("__g__")
-        )
-        .distinct()
-        .withColumn("__seen__", F.lit(True))
+    ref_grams = reference.select(
+        F.explode(ngram_hashes_expr(F.col(ref_text), n)).alias("__g__")
+    ).distinct()
+    novelty = F.when(
+        F.col("n_grams") > 0,
+        F.floor(
+            F.lit(1000000.0)
+            * (F.col("n_novel").cast("double") / F.col("n_grams").cast("double"))
+        ).cast("long"),
     )
+    if bloom_m_bits is not None:
+        words = bloom_words(ref_grams, "__g__", bloom_m_bits, bloom_k)
+        totals = corpus.select(
+            F.col(id_col).alias("__id__"),
+            F.size(ngram_hashes_expr(F.col(text_col), n)).alias("n_grams"),
+        )
+        doc_grams = corpus.select(
+            F.col(id_col).alias("__id__"),
+            F.explode(ngram_hashes_expr(F.col(text_col), n)).alias("__g__"),
+        )
+        seen = (
+            bloom_prefilter(doc_grams, "__g__", words, bloom_m_bits, bloom_k)
+            .join(ref_grams, "__g__")
+            .groupBy("__id__")
+            .agg(F.count(F.lit(1)).alias("__n_seen__"))
+        )
+        return (
+            totals.join(seen, "__id__", "left")
+            .withColumn(
+                "n_novel",
+                F.col("n_grams") - F.coalesce("__n_seen__", F.lit(0)),
+            )
+            .select(
+                F.col("__id__").alias(id_col),
+                F.col("n_grams").cast("long").alias("n_grams"),
+                F.col("n_novel").cast("long").alias("n_novel"),
+                novelty.alias("novelty_ppm"),
+            )
+        )
     doc_grams = corpus.select(
         F.col(id_col).alias("__id__"),
         F.explode(ngram_hashes_expr(F.col(text_col), n)).alias("__g__"),
     )
     per_doc = (
-        doc_grams.join(ref_grams, "__g__", "left")
+        doc_grams.join(ref_grams.withColumn("__seen__", F.lit(True)), "__g__", "left")
         .groupBy("__id__")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -172,13 +233,6 @@ def novelty_scores(
                 F.when(F.col("__seen__").isNull(), 1).otherwise(0)
             ).alias("n_novel"),
         )
-    )
-    novelty = F.when(
-        F.col("n_grams") > 0,
-        F.floor(
-            F.lit(1000000.0)
-            * (F.col("n_novel").cast("double") / F.col("n_grams").cast("double"))
-        ).cast("long"),
     )
     return (
         corpus.select(F.col(id_col).alias("__id__"))
@@ -198,6 +252,8 @@ def corpus_gram_overlap(
     text_col: str,
     b_text_col: str | None = None,
     n: int = 3,
+    bloom_m_bits: int | None = 1 << 23,
+    bloom_k: int = 3,
 ) -> DataFrame:
     """Corpus-level n-gram overlap — ONE row:
     (``n_grams_a``, ``n_grams_b``, ``n_shared``, ``jaccard_ppm``,
@@ -215,17 +271,33 @@ def corpus_gram_overlap(
     hashes (a map-side-combined aggregate — never the text), the shared
     count is one hash join at distinct-gram scale, and the result is
     three 1-row aggregates combined by cross join (no corpus-scale
-    shuffle beyond the two distincts)."""
+    shuffle beyond the two distincts).
+
+    ``bloom_m_bits``/``bloom_k`` (None disables): a Bloom filter over
+    B's gram hashes pre-filters A's RAW gram stream before both the
+    intersection's distinct and its join — at 100 TB that shrinks the
+    n_shared branch's two shuffles to (shared + ~0.1% FP) grams, for
+    one extra pass over B's grams to build the ≤ m/64-row bitmap (the
+    n_grams_a/n_grams_b branches are separate plan consumers either
+    way). Counts are bit-identical: FPs die in the exact join."""
     bt = b_text_col or text_col
-    ga = a.select(
+    ga_raw = a.select(
         F.explode(ngram_hashes_expr(F.col(text_col), n)).alias("__g__")
-    ).distinct()
+    )
+    ga = ga_raw.distinct()
     gb = b.select(
         F.explode(ngram_hashes_expr(F.col(bt), n)).alias("__g__")
     ).distinct()
     na = ga.agg(F.count(F.lit(1)).alias("n_grams_a"))
     nb = gb.agg(F.count(F.lit(1)).alias("n_grams_b"))
-    ns = ga.join(gb, "__g__").agg(F.count(F.lit(1)).alias("n_shared"))
+    if bloom_m_bits is not None:
+        words = bloom_words(gb, "__g__", bloom_m_bits, bloom_k)
+        ga_shared = bloom_prefilter(
+            ga_raw, "__g__", words, bloom_m_bits, bloom_k
+        ).distinct()
+    else:
+        ga_shared = ga
+    ns = ga_shared.join(gb, "__g__").agg(F.count(F.lit(1)).alias("n_shared"))
     ppm = lambda num, den: F.when(  # noqa: E731
         den > 0,
         F.floor(

@@ -264,3 +264,75 @@ def test_versioned_pointer_protocol_over_memory_fs(spark, tmp_dir):
     assert not fs.isdir(f"{path}/v=1")
     assert fs.isdir(f"{path}/v=3")
     assert published_versions(path, fs=fs) == [2]
+
+
+# ------------------- VERDICT task 4: bloom pre-filter --------------------
+
+
+def test_bloom_no_false_negative(spark):
+    """Every member of the build set must survive the pre-filter (bloom
+    FNs are impossible by construction; FPs are harmless — they only
+    forward to the exact join). Checked over 5k adversarial longs
+    including negatives, 0, and near-collisions."""
+    from gluestick_spark.llm.bloom import bloom_prefilter, bloom_words
+
+    members = spark.range(5000).select(
+        (F.xxhash64(F.col("id").cast("string")) * F.when(F.col("id") % 3 == 0, -1).otherwise(1)).alias("h")
+    )
+    words = bloom_words(members, "h", m_bits=1 << 16, k=3)
+    survived = bloom_prefilter(members, "h", words, m_bits=1 << 16, k=3)
+    assert survived.count() == members.count()
+
+
+def test_bloom_decontam_identity_and_volume(spark):
+    """(a) contamination/novelty/overlap results are bit-identical with
+    the bloom on and off; (b) the shuffled-gram-volume gate: with a
+    reference DISJOINT from the corpus, the bloom drops ≥90% of corpus
+    gram rows before the exact join (the 100 TB shuffle saving)."""
+    from gluestick_spark.llm.bloom import bloom_prefilter, bloom_words
+    from gluestick_spark.llm.decontam import (
+        contamination_pairs,
+        corpus_gram_overlap,
+        ngram_hashes_expr,
+        novelty_scores,
+    )
+
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    bench = d.where(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("bid"), F.col("text").alias("q")
+    )
+    on = contamination_pairs(d, bench, "text", "doc_id", "q", "bid", n=8)
+    off = contamination_pairs(
+        d, bench, "text", "doc_id", "q", "bid", n=8, bloom_m_bits=None
+    )
+    assert sorted(map(tuple, on.collect())) == sorted(map(tuple, off.collect()))
+
+    ref = d.where(F.col("source") == "src0")
+    raw = d.where(F.col("source") != "src0")
+    n_on = novelty_scores(raw, ref, "text", "doc_id", n=3)
+    n_off = novelty_scores(raw, ref, "text", "doc_id", n=3, bloom_m_bits=None)
+    assert sorted(map(tuple, n_on.collect())) == sorted(map(tuple, n_off.collect()))
+
+    a, b = d.where(F.col("source") == "src1"), d.where(F.col("source") == "src2")
+    o_on = corpus_gram_overlap(a, b, "text", n=3).collect()
+    o_off = corpus_gram_overlap(a, b, "text", n=3, bloom_m_bits=None).collect()
+    assert [tuple(r) for r in o_on] == [tuple(r) for r in o_off]
+
+    # volume gate: disjoint reference (grams of REVERSED upper-cased ids
+    # — zero overlap with real text grams); the bloom must strip ≥90%
+    # of the corpus gram stream before the join.
+    fake_ref = spark.range(200).select(
+        F.concat_ws(
+            " ", *[F.concat(F.lit(f"zq{i}x"), F.col("id")) for i in range(12)]
+        ).alias("text")
+    )
+    ref_grams = fake_ref.select(
+        F.explode(ngram_hashes_expr(F.col("text"), 3)).alias("__g__")
+    ).distinct()
+    corpus_grams = d.select(
+        F.explode(ngram_hashes_expr(F.col("text"), 3)).alias("__g__")
+    )
+    words = bloom_words(ref_grams, "__g__", 1 << 23, 3)
+    total = corpus_grams.count()
+    surviving = bloom_prefilter(corpus_grams, "__g__", words, 1 << 23, 3).count()
+    assert surviving <= total * 0.10, (surviving, total)
