@@ -7343,6 +7343,69 @@ def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     scale=_KM_SCALE, threshold=_SEMDEDUP_TAU)
 
 
+def q_unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax epoch-capped corpus balancing (llm/sampling.py:
+    unimax_sample — r12, Chung et al. 2023): budget=701 rows over the
+    per-lang slices with max_epochs=2 — at sf0.01 (500 docs) fr and de
+    hit their 2-epoch caps, es/zh/en share the remaining budget with a
+    remainder of 1, and fr/de/es replicate past epoch 0: capped,
+    uncapped, remainder-distribution, AND multi-epoch replication
+    paths are all exercised. Allocation is
+    closed-form water-filling in int64 (one window over the 5-row count
+    frame); the draw is seeded-hash rank within lang; the oracle
+    replays allocation + rank + epoch unnest exactly."""
+    from gluestick_spark.llm.sampling import unimax_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return unimax_sample(
+        d, "lang", "doc_id", budget=701, max_epochs=2.0
+    ).select("doc_id", "lang", "epoch")
+
+
+_Q_UNIMAX_SQL = """
+WITH counts AS (
+  SELECT lang AS g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(floor(COUNT(*) * 2.0) AS BIGINT) AS cap
+  FROM documents GROUP BY lang
+), frame AS (
+  SELECT g, n, cap,
+         ROW_NUMBER() OVER (ORDER BY cap, g) AS j,
+         CAST(SUM(cap) OVER (ORDER BY cap, g ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum,
+         CAST(COUNT(*) OVER () AS BIGINT) AS ng
+  FROM counts
+), bp AS (
+  SELECT COALESCE(MIN(CASE WHEN cap * (ng - j + 1) > 701 - (cum - cap)
+                           THEN j END), MAX(ng) + 1) AS bp
+  FROM frame
+), rp AS (
+  SELECT CAST(701 - COALESCE(SUM(CASE WHEN f.j < bp.bp THEN f.cap END), 0)
+              AS BIGINT) AS r
+  FROM frame f, bp
+), quotas AS (
+  SELECT f.g, f.n,
+         CAST(CASE WHEN f.j < bp.bp THEN f.cap
+              ELSE (rp.r // (f.ng - bp.bp + 1))
+                   + CASE WHEN f.j - bp.bp < (rp.r % (f.ng - bp.bp + 1))
+                          THEN 1 ELSE 0 END
+         END AS BIGINT) AS q
+  FROM frame f, bp, rp
+), ranked AS (
+  SELECT d.doc_id, d.lang, q.q, q.n,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.lang
+           ORDER BY CAST('0x' || substr(
+                      md5(CAST(d.doc_id AS VARCHAR) || chr(31)), 1, 15)
+                    AS UBIGINT), d.doc_id) AS rn
+  FROM documents d JOIN quotas q ON d.lang = q.g AND q.q > 0
+)
+SELECT doc_id, lang,
+       unnest(range(0, (q // n) + CASE WHEN rn <= (q % n) THEN 1 ELSE 0 END))
+         AS epoch
+FROM ranked
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -7374,6 +7437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation (tools/rotate_registry.py, honest-evidence policy):
         # never-driver-checked rows lead, then oldest-evidence-first.
         # Displacement rationales: COVERAGE.md. ----
+        'unimax_sample': q_unimax_sample,
         'explode_json_to_cols': q_explode_json_to_cols,
         'format_str_records': q_format_str_records,
         'funnel_counts': q_funnel_counts,
@@ -7423,10 +7487,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'promo_revenue': q_promo_revenue,
         'shipping_priority': q_shipping_priority,
         'ann_topk': q_ann_topk,
-        'audio_features': q_audio_features,
         # ---- tail: locally oracle-checked every round (driver_sim /
         # check_correctness); ordered oldest-evidence-first, so this IS
         # the round-13 promotion queue. ----
+        'audio_features': q_audio_features,
         'cosine_similarity': q_cosine_all,
         'csv_roundtrip': q_csv_roundtrip,
         'deep_convert_expr': q_deep_convert_expr,
@@ -7567,6 +7631,7 @@ def oracle_sql() -> dict[str, str]:
     # (stream-then-batch == batch-over-union).
     return {
         # (order mirrors queries() exactly — the driver zips them)
+        'unimax_sample': _Q_UNIMAX_SQL,
         'explode_json_to_cols': _Q_EXPLODE_COLS_SQL,
         'format_str_records': _Q_FORMAT_STR_SQL,
         'funnel_counts': _Q_FUNNEL_SQL,

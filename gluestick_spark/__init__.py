@@ -182,6 +182,7 @@ from .llm.sampling import (
     mix_corpora,
     negative_pairs,
     shuffle_write,
+    unimax_sample,
 )
 from .llm.pii import redact_pii_expr
 from .llm.web import (

@@ -42,6 +42,7 @@ from .sampling import (
     mix_corpora,
     shuffle_write,
     stratified_sample,
+    unimax_sample,
 )
 from .packing import pack_documents
 from .bloom import bloom_words, bloom_prefilter

@@ -35,6 +35,7 @@ __all__ = [
     "resample_to_ratio",
     "shuffle_write",
     "stratified_sample",
+    "unimax_sample",
 ]
 
 _SPACE = float(1 << 60)
@@ -673,3 +674,137 @@ def dsir_sample(
     if return_all:
         return out
     return out.where(F.col("kept")).drop("kept")
+
+
+def unimax_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    budget: int,
+    max_epochs: float = 4.0,
+    seed: str = "",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """UniMax corpus balancing (Chung et al. 2023, arXiv:2304.09151):
+    given a total row ``budget`` and a per-source repetition cap
+    ``max_epochs``, allocate each source a quota as UNIFORM as the caps
+    allow — the budget-driven complement to :func:`alpha_sample`
+    (temperature rebalancing, no budget) and :func:`mix_corpora`
+    (caller-chosen rates).
+
+    Allocation (the paper's greedy loop, ascending by size): each
+    source's cap is ``c_i = ⌊n_i · max_epochs⌋`` rows; sources whose cap
+    fits under an equal share are fully allocated, and the remaining
+    budget spreads uniformly over the rest. This is exactly
+    water-filling, so it has a closed form: the capped set is a PREFIX
+    of the cap-ascending order, found here with one window over the
+    per-source count frame (one row per source — tiny; the corpus
+    itself is never windowed unpartitioned). All arithmetic past the
+    one cap multiply is int64 (div/mod with the remainder going to the
+    ``rem`` smallest uncapped sources in (cap, source) order), so the
+    allocation — and therefore membership — is replayable by any engine.
+
+    Draw: quota ``q_i`` over ``n_i`` rows means ``q_i div n_i`` full
+    epochs of every row plus the ``q_i mod n_i`` rows with the smallest
+    seeded portable hash (ties by key — ``key_col`` must be unique
+    within its group or the boundary rows are partition-order
+    dependent, the :func:`sample_exact_k` contract). Output repeats a
+    row once per epoch with ``epoch_col`` (0-based) distinguishing
+    replicas, so downstream shuffles interleave epochs (the
+    :func:`mix_corpora` replica device).
+
+    Total output is ``min(budget, Σ c_i)`` rows — a budget above
+    ``max_epochs`` epochs of everything cannot be filled (stated
+    contract; the paper's regime).
+
+    Scale shape: one map-side-combined count aggregate → lazily
+    checkpointed (one row per source) → window + two scalar aggregates
+    over that tiny frame → quota table broadcast onto the corpus → ONE
+    keyed shuffle (rank within source) → explode. Nothing driver-side.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if not max_epochs > 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .select(
+            group_col,
+            "__n__",
+            F.floor(F.col("__n__").cast("double") * F.lit(float(max_epochs)))
+            .cast("long")
+            .alias("__cap__"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wo = Window.orderBy(F.col("__cap__").asc(), F.col(group_col).asc())
+    frame = counts.select(
+        group_col,
+        "__n__",
+        "__cap__",
+        F.row_number().over(wo).alias("__j__"),
+        F.sum("__cap__")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("__cum__"),
+        F.count(F.lit(1))
+        .over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("__G__"),
+    )
+    # group j is capped iff, with all smaller-cap groups fully allocated,
+    # its cap fits under the equal share of what's left:
+    #   cap_j * (G - j + 1) <= B - (cum_j - cap_j)
+    capped = (
+        F.col("__cap__") * (F.col("__G__") - F.col("__j__") + 1)
+        <= F.lit(budget) - (F.col("__cum__") - F.col("__cap__"))
+    )
+    bp = frame.agg(
+        F.coalesce(
+            F.min(F.when(~capped, F.col("__j__"))), F.max("__G__") + 1
+        ).alias("__bp__")
+    )
+    f2 = frame.crossJoin(F.broadcast(bp))
+    rprime = f2.agg(
+        (
+            F.lit(budget)
+            - F.coalesce(
+                F.sum(F.when(F.col("__j__") < F.col("__bp__"), F.col("__cap__"))),
+                F.lit(0),
+            )
+        ).alias("__R__")
+    )
+    f3 = f2.crossJoin(F.broadcast(rprime))
+    gprime = F.col("__G__") - F.col("__bp__") + 1
+    base = F.expr("__R__ div (__G__ - __bp__ + 1)")
+    rem = F.col("__R__") % gprime
+    quota = F.when(F.col("__j__") < F.col("__bp__"), F.col("__cap__")).otherwise(
+        base + F.when(F.col("__j__") - F.col("__bp__") < rem, 1).otherwise(0)
+    )
+    quotas = f3.select(
+        group_col,
+        F.col("__n__").alias("__qn__"),
+        quota.cast("long").alias("__q__"),
+    ).where(F.col("__q__") > 0)
+
+    h = _keyed_hash(F.col(key_col), seed)
+    wr = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    n_copies = (
+        F.expr("__q__ div __qn__")
+        + F.when(F.col("__rn__") <= F.col("__q__") % F.col("__qn__"), 1).otherwise(0)
+    ).cast("int")
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(0), n_copies - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.join(F.broadcast(quotas), group_col)
+        .withColumn("__rn__", F.row_number().over(wr))
+        .withColumn(epoch_col, F.explode(copies))
+        .withColumn(epoch_col, F.col(epoch_col).cast("long"))
+        .drop("__qn__", "__q__", "__rn__")
+    )
