@@ -7406,6 +7406,53 @@ FROM ranked
 """
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL mergeable quantile sketch smoke row (llm/sketch.py:
+    kll_sketch/kll_quantiles — r12). Sketch n_chars per lang at k=200,
+    estimate 5 quantiles, then verify the ERROR CONTRACT in-engine:
+    the estimate's exact rank interval [rlo+1, rhi] must lie within
+    ε=5% of the target rank ⌈p·n⌉ (theory ~2/k=1%; the battery in
+    tests/test_round12_ops.py pins 1–2%). Returns (lang, prob_ppm,
+    within_bound) so the oracle — which cannot build the sketch — can
+    assert the contract by enumerating the TRUE grid; a violated bound
+    hash-mismatches. Sketch bytes themselves are pytest-pinned (the
+    L101 precedent)."""
+    from gluestick_spark.llm.sketch import kll_quantiles, kll_sketch
+
+    d = _t(spark, sf_dir, "documents")
+    probs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    sk = kll_sketch(d, "n_chars", k=200, group_cols=["lang"])
+    est = kll_quantiles(sk, probs, ["lang"])
+    j = d.select(
+        "lang", F.col("n_chars").cast("double").alias("__x__")
+    ).join(F.broadcast(est), "lang")
+    agg = j.groupBy("lang", "prob").agg(
+        F.sum(F.when(F.col("__x__") < F.col("value"), 1).otherwise(0)).alias("__rlo__"),
+        F.sum(F.when(F.col("__x__") <= F.col("value"), 1).otherwise(0)).alias("__rhi__"),
+        F.count(F.lit(1)).alias("__n__"),
+    )
+    target = F.greatest(F.lit(1), F.ceil(F.col("prob") * F.col("__n__")))
+    slack = F.lit(0.05) * F.col("__n__").cast("double")
+    within = (
+        (F.col("__rlo__") + 1 - slack <= target.cast("double"))
+        & (target.cast("double") <= F.col("__rhi__") + slack)
+    )
+    return agg.select(
+        "lang",
+        F.floor(F.col("prob") * F.lit(1000000.0)).cast("long").alias("prob_ppm"),
+        within.alias("within_bound"),
+    )
+
+
+_Q_QUANTILE_SKETCH_SQL = """
+SELECT l.lang, CAST(p.prob_ppm AS BIGINT) AS prob_ppm,
+       CAST(1 AS BOOLEAN) AS within_bound
+FROM (SELECT DISTINCT lang FROM documents) l
+CROSS JOIN (VALUES (100000), (250000), (500000), (750000), (900000))
+  AS p(prob_ppm)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -7438,6 +7485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-checked rows lead, then oldest-evidence-first.
         # Displacement rationales: COVERAGE.md. ----
         'unimax_sample': q_unimax_sample,
+        'quantile_sketch': q_quantile_sketch,
         'explode_json_to_cols': q_explode_json_to_cols,
         'format_str_records': q_format_str_records,
         'funnel_counts': q_funnel_counts,
@@ -7486,10 +7534,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'local_supplier_volume': q_local_supplier_volume,
         'promo_revenue': q_promo_revenue,
         'shipping_priority': q_shipping_priority,
-        'ann_topk': q_ann_topk,
         # ---- tail: locally oracle-checked every round (driver_sim /
         # check_correctness); ordered oldest-evidence-first, so this IS
         # the round-13 promotion queue. ----
+        'ann_topk': q_ann_topk,
         'audio_features': q_audio_features,
         'cosine_similarity': q_cosine_all,
         'csv_roundtrip': q_csv_roundtrip,
@@ -7632,6 +7680,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         # (order mirrors queries() exactly — the driver zips them)
         'unimax_sample': _Q_UNIMAX_SQL,
+        'quantile_sketch': _Q_QUANTILE_SKETCH_SQL,
         'explode_json_to_cols': _Q_EXPLODE_COLS_SQL,
         'format_str_records': _Q_FORMAT_STR_SQL,
         'funnel_counts': _Q_FUNNEL_SQL,

@@ -154,6 +154,7 @@ from .llm.spans import (
 )
 from .llm.fuzzy import edit_distance_pairs
 from .llm.sketch import kmv_distinct, kmv_sketch, kmv_merge, kmv_estimate, heavy_hitters
+from .llm.sketch import kll_sketch, kll_merge, kll_quantiles
 from .llm.similarity import (
     cosine_topk,
     lsh_ann_topk,

@@ -29,6 +29,9 @@ from .dedup import (
 )
 from .dedup import cluster_dedup, connected_components, lsh_geometry
 from .sketch import (
+    kll_sketch,
+    kll_merge,
+    kll_quantiles,
     kmv_distinct,
     kmv_estimate,
     kmv_hash_expr,

@@ -39,6 +39,9 @@ __all__ = [
     "kmv_merge",
     "kmv_estimate",
     "heavy_hitters",
+    "kll_sketch",
+    "kll_merge",
+    "kll_quantiles",
 ]
 
 _KMV_SPACE = float(1 << 60)
@@ -317,4 +320,269 @@ def heavy_hitters(
     # order (count desc, term asc) as the final operator
     return checked.select(guard.alias(col), count_col).orderBy(
         F.col(count_col).desc(), F.col(col).asc()
+    )
+
+
+# ---------------------------------------------------------------------------
+# KLL-style mergeable quantile sketch
+# ---------------------------------------------------------------------------
+#
+# ``grouped_percentiles``/``table_stats`` compute EXACT percentiles — a
+# per-group sort that is fine per query but wrong for 100 TB PROFILING,
+# where you want to sketch once, persist a few KB per group, and merge
+# increments forever (the KMV posture applied to quantiles). This is a
+# KLL/MRL-family compactor hierarchy (Karnin-Lang-Liberty 2016): level l
+# holds items of weight 2^l in a buffer of capacity ~k·(2/3)^(H−1−l); a
+# full buffer sorts and promotes alternating items to level l+1.
+# Randomness is replaced by a per-level alternating parity (the classic
+# deterministic MRL device), so a sketch is a pure function of insertion
+# order — reproducible, and pinned by an error-bound pytest battery
+# rather than an SQL oracle (sketch contents are not SQL-expressible;
+# the L101 precedent). Weight is conserved EXACTLY: an odd buffer leaves
+# one item behind (alternating end), so the flattened weighted item set
+# always sums to n — tested, and the device that keeps rank targets
+# meaningful after any merge chain.
+#
+# Scale shape: one mapInPandas pass builds per-(input-partition, group)
+# partial sketches (bounded memory, no shuffle), then ONE keyed shuffle
+# moves only the sketches (O(k·log n) doubles each) into a per-group
+# applyInPandas merge. These two Arrow crossings are documented
+# (PLANAUDIT): a bounded-memory streaming summary is genuinely outside
+# Catalyst's aggregate model — the JVM alternative (exact percentile)
+# shuffles the full column. Estimation (kll_quantiles) is pure Catalyst:
+# explode the (few) sketch rows to weighted items, one tiny window
+# cumsum, pick min value with cumulative weight ≥ ⌈p·n⌉.
+
+_KLL_STRUCT = "struct<n: bigint, levels: array<array<double>>, pars: array<int>>"
+
+
+class _KLLState:
+    """Driver/worker-side compactor hierarchy (pure Python, used only
+    inside Arrow batches)."""
+
+    __slots__ = ("k", "n", "levels", "pars")
+
+    def __init__(self, k: int):
+        self.k = k
+        self.n = 0
+        self.levels: list[list[float]] = [[]]
+        self.pars: list[int] = [0]
+
+    def _cap(self, lvl: int) -> int:
+        import math
+
+        h = len(self.levels)
+        return max(2, int(math.ceil(self.k * (2.0 / 3.0) ** (h - 1 - lvl))))
+
+    def update(self, v: float) -> None:
+        self.levels[0].append(v)
+        self.n += 1
+        if len(self.levels[0]) >= self._cap(0):
+            self._compress()
+
+    def _compress(self) -> None:
+        while True:
+            if sum(map(len, self.levels)) <= sum(
+                self._cap(l) for l in range(len(self.levels))
+            ):
+                return
+            for l in range(len(self.levels)):
+                if len(self.levels[l]) >= self._cap(l):
+                    buf = sorted(self.levels[l])
+                    par = self.pars[l] & 1
+                    leftover = []
+                    if len(buf) % 2:
+                        # odd buffer: one item stays (alternating end) so
+                        # promoted weight exactly equals compacted weight
+                        leftover = [buf.pop() if par == 0 else buf.pop(0)]
+                    promoted = buf[par::2]
+                    self.levels[l] = leftover
+                    self.pars[l] ^= 1
+                    if l + 1 == len(self.levels):
+                        self.levels.append([])
+                        self.pars.append(0)
+                    self.levels[l + 1].extend(promoted)
+                    break
+            else:
+                return
+
+    def merge(self, n: int, levels, pars) -> None:
+        self.n += int(n)
+        for l, items in enumerate(levels):
+            while l >= len(self.levels):
+                self.levels.append([])
+                self.pars.append(0)
+            self.levels[l].extend(float(v) for v in items)
+        self._compress()
+
+    def row(self):
+        return (
+            self.n,
+            [list(map(float, lv)) for lv in self.levels],
+            list(self.pars),
+        )
+
+
+def kll_sketch(
+    df: DataFrame,
+    col: str,
+    k: int = 200,
+    group_cols: list[str] | None = None,
+    sketch_col: str = "kll",
+) -> DataFrame:
+    """Mergeable quantile sketch of ``col`` per group: (*group_cols,
+    ``sketch_col`` struct<n, levels, pars>). ~k·log(n/k) doubles per
+    group; rank error empirically ≤ ~2/k·n at k=200 (pytest battery).
+    NULLs don't count (percentile semantics). Persist it, ship it,
+    merge increments with :func:`kll_merge`, read quantiles any time
+    with :func:`kll_quantiles` — never rescan history."""
+    if k < 8:
+        raise ValueError(f"k must be >= 8, got {k}")
+    gcols = list(group_cols or [])
+    src = df.select(*gcols, F.col(col).cast("double").alias("__v__"))
+    gfields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in src.schema.fields[: len(gcols)]
+    )
+    schema = (gfields + ", " if gfields else "") + f"{sketch_col} {_KLL_STRUCT}"
+
+    def _partials(batches):
+        import pandas as pd
+
+        states: dict[tuple, _KLLState] = {}
+        for pdf in batches:
+            vals = pdf["__v__"]
+            if gcols:
+                keys = list(map(tuple, pdf[gcols].itertuples(index=False)))
+            else:
+                keys = [()] * len(pdf)
+            notna = vals.notna().to_numpy()
+            vv = vals.to_numpy()
+            for i in range(len(pdf)):
+                st = states.get(keys[i])
+                if st is None:
+                    # register the group even on a null row: an all-null
+                    # group must surface as an n=0 sketch, not vanish
+                    st = states[keys[i]] = _KLLState(k)
+                if notna[i]:
+                    st.update(float(vv[i]))
+        if not states:
+            # empty partition: yield nothing (an empty pandas frame
+            # infers float64 columns, which Arrow refuses to cast)
+            return
+        out = {c: [] for c in gcols}
+        out[sketch_col] = []
+        for key, st in states.items():
+            for c, v in zip(gcols, key):
+                out[c].append(v)
+            out[sketch_col].append(st.row())
+        yield pd.DataFrame(out)
+
+    partials = src.mapInPandas(_partials, schema)
+    return _kll_merge_grouped(partials, k, gcols, sketch_col, schema)
+
+
+def _kll_merge_grouped(
+    sketches: DataFrame, k: int, gcols: list[str], sketch_col: str, schema: str
+) -> DataFrame:
+    def _merge(pdf):
+        import pandas as pd
+
+        st = _KLLState(k)
+
+        def _unpack(r):
+            # Arrow hands a struct cell to pandas as a dict; rows built
+            # in-process (tests) may be tuples/Rows
+            if isinstance(r, dict):
+                return r["n"], r["levels"], r["pars"]
+            return r[0], r[1], r[2]
+
+        # deterministic merge order: partial arrival order is
+        # partition-scheduling noise, so sort by serialized content
+        rows = sorted(
+            (_unpack(r) for r in pdf[sketch_col]),
+            key=lambda r: (r[0], str(r[1]), str(r[2])),
+        )
+        for n, levels, pars in rows:
+            st.merge(n, levels, pars)
+        out = {c: [pdf[c].iloc[0]] for c in gcols}
+        out[sketch_col] = [st.row()]
+        return pd.DataFrame(out)
+
+    return sketches.groupBy(*gcols).applyInPandas(_merge, schema)
+
+
+def kll_merge(
+    sketches: DataFrame,
+    k: int = 200,
+    group_cols: list[str] | None = None,
+    sketch_col: str = "kll",
+) -> DataFrame:
+    """Merge any number of KLL sketch rows per group into one sketch —
+    level-wise concatenation + re-compaction, so incremental profiling
+    rides the snapshot machinery exactly like :func:`kmv_merge`. Weight
+    (n) is conserved exactly; rank error grows with the merge chain but
+    stays within the pytest-pinned band."""
+    gcols = list(group_cols or [])
+    gfields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in sketches.select(*gcols).schema.fields
+    )
+    schema = (gfields + ", " if gfields else "") + f"{sketch_col} {_KLL_STRUCT}"
+    return _kll_merge_grouped(sketches, k, gcols, sketch_col, schema)
+
+
+def kll_quantiles(
+    sketches: DataFrame,
+    probs: list[float],
+    group_cols: list[str] | None = None,
+    sketch_col: str = "kll",
+) -> DataFrame:
+    """Quantile estimates from materialized sketches — PURE CATALYST
+    (no Python): explode sketch items with weight 2^level, one window
+    cumsum per group (over O(k·log n) rows per group, never the data),
+    and for each prob p return the smallest item whose cumulative
+    weight reaches ⌈p·n⌉. Returns (*group_cols, ``prob`` double,
+    ``value`` double); an all-null group (n=0) estimates NULL."""
+    from pyspark.sql.window import Window
+
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    for p in probs:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"probs must be in [0, 1], got {p}")
+    gcols = list(group_cols or [])
+    items = sketches.select(
+        *gcols,
+        F.col(f"{sketch_col}.n").alias("__n__"),
+        F.posexplode_outer(
+            F.col(f"{sketch_col}.levels")
+        ).alias("__lvl__", "__items__"),
+    ).select(
+        *gcols,
+        "__n__",
+        "__lvl__",
+        # outer explodes keep empty (n=0) sketches visible as one
+        # null-item row — weight 0 so it can never satisfy a target
+        F.explode_outer("__items__").alias("__v__"),
+    ).select(
+        *gcols,
+        "__n__",
+        F.when(
+            F.col("__v__").isNotNull(),
+            F.expr("shiftleft(CAST(1 AS BIGINT), __lvl__)"),
+        ).otherwise(F.lit(0)).alias("__w__"),
+        "__v__",
+    )
+    w = Window.partitionBy(*gcols).orderBy(F.col("__v__").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = items.withColumn("__cum__", F.sum("__w__").over(w))
+    pdf = F.explode(
+        F.array(*[F.lit(float(p)) for p in probs])
+    ).alias("prob")
+    probed = cum.select(*gcols, "__n__", "__cum__", "__v__", pdf)
+    target = F.greatest(F.lit(1), F.ceil(F.col("prob") * F.col("__n__")))
+    return probed.groupBy(*gcols, "prob").agg(
+        F.min(F.when(F.col("__cum__") >= target, F.col("__v__"))).alias("value")
     )

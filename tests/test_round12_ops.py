@@ -336,3 +336,115 @@ def test_bloom_decontam_identity_and_volume(spark):
     total = corpus_grams.count()
     surviving = bloom_prefilter(corpus_grams, "__g__", words, 1 << 23, 3).count()
     assert surviving <= total * 0.10, (surviving, total)
+
+
+# ------------------- VERDICT task 6: KLL quantile sketch -----------------
+
+
+def _rank_err(xs_sorted, v, p):
+    import bisect
+    import math
+
+    n = len(xs_sorted)
+    rlo = bisect.bisect_left(xs_sorted, v)
+    rhi = bisect.bisect_right(xs_sorted, v)
+    t = max(1, math.ceil(p * n))
+    if rlo + 1 <= t <= rhi:
+        return 0.0
+    return min(abs(t - (rlo + 1)), abs(t - rhi)) / n
+
+
+_PROBS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+@pytest.mark.parametrize(
+    "dist",
+    ["uniform", "zipf", "constant", "sorted", "bimodal"],
+)
+def test_kll_error_bound_battery(spark, dist):
+    """Rank error of the deterministic KLL at k=200 stays under 1% on
+    20k values across distribution shapes (theory: ~2/k); weight is
+    conserved EXACTLY (Σ items·2^level == n)."""
+    import random
+
+    from gluestick_spark.llm.sketch import kll_quantiles, kll_sketch
+
+    random.seed(42)
+    n = 20000
+    if dist == "uniform":
+        vals = [random.random() for _ in range(n)]
+    elif dist == "zipf":
+        vals = [1.0 / (1 + random.random() * i) for i in range(n)]
+    elif dist == "constant":
+        vals = [3.25] * n
+    elif dist == "sorted":
+        vals = [float(i) for i in range(n)]
+    else:
+        vals = [random.gauss(0, 1) if i % 2 else random.gauss(50, 2) for i in range(n)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(8)
+    sk = kll_sketch(df, "x", k=200)
+    (row,) = sk.collect()
+    n_s, levels, _ = row["kll"]
+    assert n_s == n
+    assert sum(len(lv) * (1 << i) for i, lv in enumerate(levels)) == n
+    est = {r["prob"]: r["value"] for r in kll_quantiles(sk, _PROBS).collect()}
+    xs = sorted(vals)
+    for p in _PROBS:
+        assert _rank_err(xs, est[p], p) <= 0.01, (dist, p, est[p])
+
+
+def test_kll_merge_law_and_determinism(spark):
+    """kll_merge(sketch(A) ∪ sketch(B)) conserves n exactly and stays
+    within 2× the single-pass error band; sketching is deterministic
+    for a fixed partitioning (identical bytes on re-run)."""
+    import random
+
+    from gluestick_spark.llm.sketch import kll_merge, kll_quantiles, kll_sketch
+
+    random.seed(9)
+    data = [(i % 3, random.expovariate(1.0)) for i in range(30000)]
+    df = spark.createDataFrame(data, "g int, x double").repartition(8)
+    full = kll_sketch(df, "x", k=200, group_cols=["g"])
+    parts = kll_sketch(df.where("x < 1.0"), "x", 200, ["g"]).unionByName(
+        kll_sketch(df.where("x >= 1.0"), "x", 200, ["g"])
+    )
+    merged = kll_merge(parts, 200, ["g"])
+    n_full = {r["g"]: r["kll"]["n"] for r in full.collect()}
+    n_merged = {r["g"]: r["kll"]["n"] for r in merged.collect()}
+    assert n_full == n_merged
+    import pandas as pd
+
+    pdf = pd.DataFrame(data, columns=["g", "x"])
+    est = {
+        (r["g"], r["prob"]): r["value"]
+        for r in kll_quantiles(merged, _PROBS, ["g"]).collect()
+    }
+    for g in range(3):
+        xs = sorted(pdf[pdf.g == g].x)
+        for p in _PROBS:
+            assert _rank_err(xs, est[(g, p)], p) <= 0.02, (g, p)
+
+    again = {r["g"]: tuple(r["kll"]) for r in kll_sketch(df, "x", 200, ["g"]).collect()}
+    first = {r["g"]: tuple(r["kll"]) for r in full.collect()}
+    assert {g: (n, str(l), str(p)) for g, (n, l, p) in first.items()} == {
+        g: (n, str(l), str(p)) for g, (n, l, p) in again.items()
+    }
+
+
+def test_kll_nulls_and_empty(spark):
+    """NULLs don't count (percentile semantics); an all-null group
+    sketches n=0 and estimates NULL."""
+    from gluestick_spark.llm.sketch import kll_quantiles, kll_sketch
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 2.0), ("b", None)],
+        "g string, x double",
+    )
+    sk = kll_sketch(df, "x", k=8, group_cols=["g"])
+    by_g = {r["g"]: r["kll"] for r in sk.collect()}
+    assert by_g["a"]["n"] == 2 and by_g["b"]["n"] == 0
+    est = {
+        (r["g"], r["prob"]): r["value"]
+        for r in kll_quantiles(sk, [0.5], ["g"]).collect()
+    }
+    assert est[("a", 0.5)] == 1.0 and est[("b", 0.5)] is None
