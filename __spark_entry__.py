@@ -7453,6 +7453,47 @@ CROSS JOIN (VALUES (100000), (250000), (500000), (750000), (900000))
 """
 
 
+def q_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 streaming novelty guardrail (streaming/pipeline.py:
+    streaming_novelty — r12, VERDICT r11 #8): the src0 reference corpus
+    is materialized ONCE as a bucketed gram-hash state table + persisted
+    Bloom bitmap (the L110 store-once shape), then the non-src0 docs
+    arrive in two micro-batches and each batch's per-doc 3-gram novelty
+    is scored statelessly against the stored set. The reference is
+    static and batches carry no cross-batch state, so the union of the
+    per-batch rows equals the batch novelty_scores over the whole corpus
+    EXACTLY — shares _Q_NOVELTY_SQL verbatim."""
+    import tempfile
+
+    from gluestick_spark.streaming.pipeline import (
+        materialize_gram_state,
+        read_streaming_dedup_output,
+        stream_from_directory,
+        streaming_novelty,
+    )
+
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    ref = d.where(F.col("source") == "src0")
+    raw = d.where(F.col("source") != "src0").select("doc_id", "text")
+    state = tempfile.mkdtemp(prefix="gs_nov_state_")
+    materialize_gram_state(ref, state, "text", n=3, buckets=8)
+    mid = raw.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    stage = tempfile.mkdtemp(prefix="gs_nov_src_")
+    out = tempfile.mkdtemp(prefix="gs_nov_out_")
+    ckpt = tempfile.mkdtemp(prefix="gs_nov_ckpt_")
+    for cond in (F.col("doc_id") <= mid, F.col("doc_id") > mid):
+        raw.where(cond).coalesce(1).write.mode("append").parquet(stage)
+        q = streaming_novelty(
+            stream_from_directory(spark, stage, raw.schema),
+            state, "doc_id", "text", out, ckpt,
+        )
+        q.awaitTermination()
+    return read_streaming_dedup_output(spark, out).select(
+        "doc_id", "n_grams", "n_novel", "novelty_ppm"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -7486,6 +7527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Displacement rationales: COVERAGE.md. ----
         'unimax_sample': q_unimax_sample,
         'quantile_sketch': q_quantile_sketch,
+        'streaming_novelty': q_streaming_novelty,
         'explode_json_to_cols': q_explode_json_to_cols,
         'format_str_records': q_format_str_records,
         'funnel_counts': q_funnel_counts,
@@ -7533,10 +7575,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'bigram_nll': q_bigram_nll,
         'local_supplier_volume': q_local_supplier_volume,
         'promo_revenue': q_promo_revenue,
-        'shipping_priority': q_shipping_priority,
         # ---- tail: locally oracle-checked every round (driver_sim /
         # check_correctness); ordered oldest-evidence-first, so this IS
         # the round-13 promotion queue. ----
+        'shipping_priority': q_shipping_priority,
         'ann_topk': q_ann_topk,
         'audio_features': q_audio_features,
         'cosine_similarity': q_cosine_all,
@@ -7681,6 +7723,7 @@ def oracle_sql() -> dict[str, str]:
         # (order mirrors queries() exactly — the driver zips them)
         'unimax_sample': _Q_UNIMAX_SQL,
         'quantile_sketch': _Q_QUANTILE_SKETCH_SQL,
+        'streaming_novelty': _Q_NOVELTY_SQL,
         'explode_json_to_cols': _Q_EXPLODE_COLS_SQL,
         'format_str_records': _Q_FORMAT_STR_SQL,
         'funnel_counts': _Q_FUNNEL_SQL,

@@ -36,6 +36,7 @@ __all__ = [
     "contamination_pairs",
     "decontaminate",
     "novelty_scores",
+    "novelty_scores_against",
     "corpus_gram_overlap",
 ]
 
@@ -184,6 +185,34 @@ def novelty_scores(
     ref_grams = reference.select(
         F.explode(ngram_hashes_expr(F.col(ref_text), n)).alias("__g__")
     ).distinct()
+    return novelty_scores_against(
+        corpus, ref_grams, text_col, id_col, n, bloom_m_bits, bloom_k
+    )
+
+
+def novelty_scores_against(
+    corpus: DataFrame,
+    ref_grams: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    bloom_m_bits: int | None = 1 << 23,
+    bloom_k: int = 3,
+    bloom_words_df: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`novelty_scores` against an ALREADY-MATERIALIZED reference
+    gram set — the store-once/serve-many form (the
+    ``materialize_band_index`` shape): sign the reference once with
+    :func:`ngram_hashes_expr` (``n`` must match!), persist the distinct
+    hashes, and score every incoming corpus/micro-batch against the
+    stored frame without re-tokenizing the reference.
+
+    ``ref_grams`` must be one column ``__g__`` of DISTINCT xxhash64 gram
+    hashes — duplicates would multiply the seen-count join. Pass
+    ``bloom_words_df`` (a persisted :func:`~gluestick_spark.llm.bloom.
+    bloom_words` frame built with the same ``bloom_m_bits``/``bloom_k``)
+    to skip rebuilding the filter per call — then the reference table is
+    touched ONLY by the pre-filtered exact join."""
     novelty = F.when(
         F.col("n_grams") > 0,
         F.floor(
@@ -192,7 +221,11 @@ def novelty_scores(
         ).cast("long"),
     )
     if bloom_m_bits is not None:
-        words = bloom_words(ref_grams, "__g__", bloom_m_bits, bloom_k)
+        words = (
+            bloom_words_df
+            if bloom_words_df is not None
+            else bloom_words(ref_grams, "__g__", bloom_m_bits, bloom_k)
+        )
         totals = corpus.select(
             F.col(id_col).alias("__id__"),
             F.size(ngram_hashes_expr(F.col(text_col), n)).alias("n_grams"),

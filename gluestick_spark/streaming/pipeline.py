@@ -42,6 +42,8 @@ __all__ = [
     "streaming_scd2",
     "streaming_cdc",
     "compact_stream_state",
+    "materialize_gram_state",
+    "streaming_novelty",
 ]
 
 
@@ -1366,6 +1368,191 @@ def streaming_decontam(
         tag = F.lit(batch_id).cast("long").alias("__batch_id__")
         clean.select("*", tag).write.mode("append").parquet(out_dir)
         spans.select("*", tag).write.mode("append").parquet(flagged_dir)
+
+    writer = stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming novelty guardrail (VERDICT r11 #8): the L110 store-once
+# pattern composed with llm/decontam.py:novelty_scores — the reference
+# gram-hash set is materialized ONCE (optionally as a bucketed state
+# table, plus its persisted Bloom bitmap), and every micro-batch scores
+# its documents' n-gram novelty against it statelessly.
+# ---------------------------------------------------------------------------
+
+_GRAM_META = "_GRAM_META.json"
+
+
+def materialize_gram_state(
+    reference: DataFrame,
+    state_dir: str,
+    text_col: str,
+    n: int = 3,
+    buckets: int | None = None,
+    bloom_m_bits: int = 1 << 23,
+    bloom_k: int = 3,
+    mode: str = "overwrite",
+    fs=None,
+) -> None:
+    """Persist the reference corpus's DISTINCT word n-gram hashes at
+    ``state_dir`` — ``ref_grams`` (flat parquet, or a bucketed external
+    state table when ``buckets`` is set: probe joins then read the
+    gram side with ZERO Exchange) plus the pre-aggregated Bloom bitmap
+    (``bloom_words.parquet``, ≤ m/64 rows) so serving never rebuilds
+    the filter. ``_GRAM_META.json`` (n, buckets, bloom geometry) is
+    written LAST via atomic replace — the commit marker: a crash
+    mid-materialize leaves no meta and :func:`streaming_novelty`
+    refuses the torn state loudly.
+
+    ``mode="append"`` adds a NEW reference batch O(batch): only grams
+    absent from the stored set are appended (left_anti probe), keeping
+    the table duplicate-free — the invariant the seen-count join needs
+    — and the bitmap is extended by OR-merging the new grams' words.
+    Geometry must match the stored meta."""
+    import json as _json
+    import os as _os
+
+    from ..fsio import LOCAL_FS
+    from ..llm.bloom import bloom_words
+    from ..llm.decontam import ngram_hashes_expr
+
+    fs = fs or LOCAL_FS
+    spark = reference.sparkSession
+    meta = {
+        "n": n,
+        "buckets": buckets,
+        "bloom_m_bits": bloom_m_bits,
+        "bloom_k": bloom_k,
+    }
+    meta_path = _os.path.join(state_dir, _GRAM_META)
+    grams_loc = _os.path.join(state_dir, "ref_grams")
+    words_loc = _os.path.join(state_dir, "bloom_words.parquet")
+    tbl = "gram_state_" + __import__("hashlib").md5(
+        state_dir.encode()
+    ).hexdigest()[:12]
+    grams = reference.select(
+        F.explode(ngram_hashes_expr(F.col(text_col), n)).alias("__g__")
+    ).distinct()
+    if mode == "append":
+        if not fs.isfile(meta_path):
+            raise ValueError(
+                f"gram state at {state_dir} is torn or absent (no "
+                f"{_GRAM_META}) — run materialize_gram_state(mode="
+                "'overwrite') to (re)build it"
+            )
+        stored = _json.loads(fs.read_text(meta_path))
+        if stored != meta:
+            raise ValueError(
+                f"gram-state geometry mismatch: stored {stored}, got {meta}"
+            )
+        fs.remove(meta_path)  # re-entering the commit bracket
+        existing = _read_gram_state_table(spark, state_dir, buckets)
+        fresh = grams.join(existing, "__g__", "left_anti").localCheckpoint()
+        if buckets is not None:
+            _append_bucketed_state(fresh, tbl, grams_loc, ["__g__"], buckets)
+        else:
+            fresh.write.mode("append").parquet(grams_loc)
+        new_words = bloom_words(fresh, "__g__", bloom_m_bits, bloom_k)
+        merged = (
+            spark.read.parquet(words_loc)
+            .unionByName(new_words)
+            .groupBy("__bw__")
+            .agg(F.bit_or("__bb__").alias("__bb__"))
+            .localCheckpoint()
+        )
+        merged.write.mode("overwrite").parquet(words_loc)
+    else:
+        if fs.isfile(meta_path):
+            fs.remove(meta_path)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        if fs.isdir(grams_loc):
+            fs.rmtree(grams_loc)
+        grams = grams.localCheckpoint()
+        if buckets is not None:
+            _append_bucketed_state(grams, tbl, grams_loc, ["__g__"], buckets)
+        else:
+            grams.write.mode("overwrite").parquet(grams_loc)
+        bloom_words(grams, "__g__", bloom_m_bits, bloom_k).write.mode(
+            "overwrite"
+        ).parquet(words_loc)
+    fs.write_text_atomic(meta_path, _json.dumps(meta))
+
+
+def _read_gram_state_table(spark, state_dir: str, buckets: int | None):
+    import os as _os
+
+    grams_loc = _os.path.join(state_dir, "ref_grams")
+    if buckets is not None:
+        tbl = "gram_state_" + __import__("hashlib").md5(
+            state_dir.encode()
+        ).hexdigest()[:12]
+        if _ensure_bucketed_state(spark, tbl, grams_loc, ["__g__"], buckets):
+            return spark.table(tbl)
+        raise ValueError(f"gram state missing under {state_dir}")
+    return spark.read.parquet(grams_loc)
+
+
+def streaming_novelty(
+    stream_df: DataFrame,
+    state_dir: str,
+    id_col: str,
+    text_col: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    fs=None,
+) -> StreamingQuery:
+    """Streaming per-document n-gram novelty against a persisted
+    reference gram set (:func:`materialize_gram_state`): every
+    micro-batch's documents get (n_grams, n_novel, novelty_ppm) rows
+    appended to ``out_dir`` — the continuously-ingesting form of
+    crawl-refresh triage (score each incoming document's novelty
+    against the existing corpus ON ARRIVAL, before deciding to keep it).
+
+    **Exact batch equivalence, no caveats** (the ``streaming_decontam``
+    device): the reference gram set is static and batches carry no
+    cross-batch state, so the union of the per-batch novelty rows IS
+    the batch :func:`~gluestick_spark.llm.decontam.novelty_scores` over
+    the whole corpus. Emitted rows carry ``__batch_id__``; replayed
+    appends collapse under :func:`read_streaming_dedup_output`.
+
+    Per-batch cost: two narrow text passes over the batch + the
+    PERSISTED Bloom bitmap (read, never rebuilt) pre-filtering the
+    exact join — the reference table is touched only by the surviving
+    (seen + ~0.1% FP) gram stream; with a bucketed state the gram side
+    joins with zero Exchange. Torn state (missing meta) raises."""
+    import json as _json
+    import os as _os
+
+    from ..fsio import LOCAL_FS
+    from ..llm.decontam import novelty_scores_against
+
+    fs = fs or LOCAL_FS
+    meta_path = _os.path.join(state_dir, _GRAM_META)
+    if not fs.isfile(meta_path):
+        raise ValueError(
+            f"gram state at {state_dir} is torn or absent (no {_GRAM_META})"
+            " — run materialize_gram_state first"
+        )
+    meta = _json.loads(fs.read_text(meta_path))
+    words_loc = _os.path.join(state_dir, "bloom_words.parquet")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ref_grams = _read_gram_state_table(spark, state_dir, meta["buckets"])
+        words = spark.read.parquet(words_loc)
+        scored = novelty_scores_against(
+            batch_df, ref_grams, text_col, id_col, n=meta["n"],
+            bloom_m_bits=meta["bloom_m_bits"], bloom_k=meta["bloom_k"],
+            bloom_words_df=words,
+        )
+        tag = F.lit(batch_id).cast("long").alias("__batch_id__")
+        scored.select("*", tag).write.mode("append").parquet(out_dir)
 
     writer = stream_df.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
