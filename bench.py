@@ -142,6 +142,9 @@ BENCH_QUERIES = [
     "exact_k_sample",
     "corpus_overlap",
     "schema_drift",
+    # round-12 additions
+    "unimax_sample",
+    "quantile_sketch",
 ]
 
 
