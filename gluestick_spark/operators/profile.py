@@ -32,11 +32,27 @@ __all__ = [
 ]
 
 
-def table_stats(df: DataFrame, cols: list[str], k: int = 64) -> DataFrame:
+def table_stats(
+    df: DataFrame,
+    cols: list[str],
+    k: int = 64,
+    quantile_cols: list[str] | None = None,
+    quantile_probs: list[float] | None = None,
+    kll_k: int = 200,
+) -> DataFrame:
     """ANALYZE-style statistics snapshot: one row per column —
     (``column``, ``n``, ``n_null``, ``n_distinct_est``). The input a
     cost-based layer needs (broadcast decisions, bucket counts, salting
     thresholds) and the shape warehouse catalogs persist.
+
+    ``quantile_cols`` (optional — output schema unchanged when absent):
+    attach a ``quantiles`` column — a prob-sorted
+    array<struct<prob, value>> of KLL-sketch estimates
+    (:func:`~gluestick_spark.llm.sketch.kll_sketch`, rank error ~2/kll_k)
+    for the named NUMERIC columns, NULL for the rest — so one ANALYZE
+    pass yields the full catalog row (counts + NDV + distribution), and
+    re-ANALYZE of appended data can merge BOTH sketch families instead
+    of rescanning history. Default probs: 0.25/0.5/0.75.
 
     NDV uses the portable KMV sketch (:mod:`gluestick_spark.llm.sketch`):
     exact below ``k`` distinct values, oracle-reproducible, and MERGEABLE —
@@ -86,10 +102,42 @@ def table_stats(df: DataFrame, cols: list[str], k: int = 64) -> DataFrame:
         ).alias("s")
     ).select("s.column", "s.value")
     ndv = kmv_distinct(stacked, "value", k=k, group_cols=["column"])
-    return counts.join(F.broadcast(ndv), "column", "left").select(
+    out = counts.join(F.broadcast(ndv), "column", "left").select(
         "column", "n", "n_null",
         F.coalesce("n_distinct_est", F.lit(0.0)).alias("n_distinct_est"),
     )
+    if quantile_cols:
+        from gluestick_spark.llm.sketch import kll_quantiles, kll_sketch
+
+        unknown = [c for c in quantile_cols if c not in cols]
+        if unknown:
+            raise ValueError(f"quantile_cols not in cols: {unknown}")
+        probs = list(quantile_probs or (0.25, 0.5, 0.75))
+        num_stacked = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            F.col(c).cast("double").alias("__x__"),
+                        )
+                        for c in quantile_cols
+                    ]
+                )
+            ).alias("s")
+        ).select("s.column", "s.__x__")
+        sk = kll_sketch(num_stacked, "__x__", k=kll_k, group_cols=["column"])
+        qs = (
+            kll_quantiles(sk, probs, ["column"])
+            .groupBy("column")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("prob", "value"))
+                ).alias("quantiles")
+            )
+        )
+        out = out.join(F.broadcast(qs), "column", "left")
+    return out
 
 
 def histogram(

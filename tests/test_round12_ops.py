@@ -537,3 +537,25 @@ def test_gram_state_bucketed_zero_exchange(spark, tmp_dir):
         d0 = _depth(lines[j])
         if "Join" in lines[j]:
             break
+
+
+def test_table_stats_quantile_attachment(spark):
+    """table_stats(quantile_cols=) attaches KLL quantile estimates for
+    numeric columns (NULL elsewhere) without touching the default
+    schema; estimates are within the sketch's rank band of exact."""
+    from gluestick_spark.operators.profile import table_stats
+
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    base = table_stats(d, ["doc_id", "lang", "n_chars"])
+    assert base.columns == ["column", "n", "n_null", "n_distinct_est"]
+    q = table_stats(
+        d, ["doc_id", "lang", "n_chars"], quantile_cols=["n_chars"]
+    )
+    rows = {r["column"]: r for r in q.collect()}
+    assert rows["lang"]["quantiles"] is None
+    got = {e["prob"]: e["value"] for e in rows["n_chars"]["quantiles"]}
+    xs = sorted(r[0] for r in d.select("n_chars").collect())
+    for p, v in got.items():
+        assert _rank_err(xs, v, p) <= 0.02, (p, v)
+    with pytest.raises(ValueError, match="quantile_cols not in cols"):
+        table_stats(d, ["doc_id"], quantile_cols=["n_chars"])
