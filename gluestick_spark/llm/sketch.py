@@ -380,6 +380,17 @@ class _KLLState:
         if len(self.levels[0]) >= self._cap(0):
             self._compress()
 
+    def update_many(self, vals) -> None:
+        # Bulk insert: extend level 0 with the whole Arrow batch, then
+        # compress once. Compacting an oversized buffer in one operation
+        # is sound — KLL's rank error is bounded PER COMPACTION (≤ 2^l
+        # each), so fewer, larger compactions only tighten the bound;
+        # memory stays bounded by the Arrow batch size.
+        self.levels[0].extend(vals)
+        self.n += len(vals)
+        if len(self.levels[0]) >= self._cap(0):
+            self._compress()
+
     def _compress(self) -> None:
         while True:
             if sum(map(len, self.levels)) <= sum(
@@ -450,22 +461,27 @@ def kll_sketch(
         import pandas as pd
 
         states: dict[tuple, _KLLState] = {}
+
+        def upd(key: tuple, vals: list) -> None:
+            st = states.get(key)
+            if st is None:
+                # register the group even when all its rows are null: an
+                # all-null group must surface as an n=0 sketch, not vanish
+                st = states[key] = _KLLState(k)
+            if vals:
+                st.update_many(vals)
+
         for pdf in batches:
-            vals = pdf["__v__"]
             if gcols:
-                keys = list(map(tuple, pdf[gcols].itertuples(index=False)))
+                # vectorized per-group bulk insert (the per-row Python
+                # loop was the hot path); dropna=False keeps null-keyed
+                # groups — Spark's final groupBy reconciles them
+                for key, sub in pdf.groupby(gcols, dropna=False, sort=False):
+                    if not isinstance(key, tuple):
+                        key = (key,)
+                    upd(key, sub["__v__"].dropna().tolist())
             else:
-                keys = [()] * len(pdf)
-            notna = vals.notna().to_numpy()
-            vv = vals.to_numpy()
-            for i in range(len(pdf)):
-                st = states.get(keys[i])
-                if st is None:
-                    # register the group even on a null row: an all-null
-                    # group must surface as an n=0 sketch, not vanish
-                    st = states[keys[i]] = _KLLState(k)
-                if notna[i]:
-                    st.update(float(vv[i]))
+                upd((), pdf["__v__"].dropna().tolist())
         if not states:
             # empty partition: yield nothing (an empty pandas frame
             # infers float64 columns, which Arrow refuses to cast)

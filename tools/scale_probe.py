@@ -229,6 +229,18 @@ def main() -> None:
             d, bench, "text", "doc_id", "q", "bid", n=8, min_overlap=4
         ).count()
 
+    def _novelty(d):
+        # r12: the bloom pre-filter path — reference is a fixed slice, so
+        # the ref-side work is constant and the corpus side must scale ~1
+        from gluestick_spark.llm.decontam import novelty_scores
+
+        ref = d.where(F.col("doc_id") % 10 == 0)
+        raw = d.where(F.col("doc_id") % 10 != 0)
+        # count() alone lets Catalyst prune the join; force full eval
+        return novelty_scores(raw, ref, "text", "doc_id", n=3).agg(
+            F.sum("n_novel")
+        ).count()
+
     def _rep(d):
         return repetition_stats(d, "text", "doc_id").count()
 
@@ -290,6 +302,7 @@ def main() -> None:
         "pack_documents": _pack,
         "build_vocab": _vocab,
         "contamination_pairs": _contam,
+        "novelty_scores": _novelty,
         "repetition_stats": _rep,
         "bm25_topk": _bm25,
         "segment_dedup": _segdedup,
