@@ -7494,6 +7494,69 @@ def q_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unimax_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax in WEIGHT (token) units — the paper's actual regime
+    (llm/sampling.py:unimax_sample(weight_col=) — r12): budget=200000
+    n_chars with max_epochs=2 over the per-lang slices. At sf0.01 'de'
+    hits its cap (exactly 2 full epochs, zero remainder) and the other
+    four share the rest with a char-level remainder, so every uncapped
+    group draws a greedy hash-rank PREFIX partial epoch (delivered
+    within one document's weight of quota). Oracle replays allocation +
+    per-group cumulative-weight prefix + epoch unnest exactly."""
+    from gluestick_spark.llm.sampling import unimax_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return unimax_sample(
+        d, "lang", "doc_id", budget=200000, max_epochs=2.0,
+        weight_col="n_chars",
+    ).select("doc_id", "lang", "n_chars", "epoch")
+
+
+_Q_UNIMAX_TOKENS_SQL = """
+WITH counts AS (
+  SELECT lang AS g, CAST(SUM(n_chars) AS BIGINT) AS w,
+         CAST(floor(SUM(n_chars) * 2.0) AS BIGINT) AS cap
+  FROM documents GROUP BY lang
+), frame AS (
+  SELECT g, w, cap,
+         ROW_NUMBER() OVER (ORDER BY cap, g) AS j,
+         CAST(SUM(cap) OVER (ORDER BY cap, g ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum,
+         CAST(COUNT(*) OVER () AS BIGINT) AS ng
+  FROM counts
+), bp AS (
+  SELECT COALESCE(MIN(CASE WHEN cap * (ng - j + 1) > 200000 - (cum - cap)
+                           THEN j END), MAX(ng) + 1) AS bp
+  FROM frame
+), rp AS (
+  SELECT CAST(200000 - COALESCE(SUM(CASE WHEN f.j < bp.bp THEN f.cap END), 0)
+              AS BIGINT) AS r
+  FROM frame f, bp
+), quotas AS (
+  SELECT f.g, f.w,
+         CAST(CASE WHEN f.j < bp.bp THEN f.cap
+              ELSE (rp.r // (f.ng - bp.bp + 1))
+                   + CASE WHEN f.j - bp.bp < (rp.r % (f.ng - bp.bp + 1))
+                          THEN 1 ELSE 0 END
+         END AS BIGINT) AS q
+  FROM frame f, bp, rp
+), ranked AS (
+  SELECT d.doc_id, d.lang, d.n_chars, q.q, q.w,
+         CAST(SUM(d.n_chars) OVER (
+           PARTITION BY d.lang
+           ORDER BY CAST('0x' || substr(
+                      md5(CAST(d.doc_id AS VARCHAR) || chr(31)), 1, 15)
+                    AS UBIGINT), d.doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+  FROM documents d JOIN quotas q ON d.lang = q.g AND q.q > 0
+)
+SELECT doc_id, lang, n_chars,
+       unnest(range(0, (q // w) + CASE WHEN cw <= (q % w) THEN 1 ELSE 0 END))
+         AS epoch
+FROM ranked
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -7709,6 +7772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'enforce_exploded_types': q_enforce_exploded_types,
         'event_transitions': q_event_transitions,
         'events_pivot': q_events_pivot,
+        'unimax_tokens': q_unimax_tokens,
     }
 
 
@@ -7902,4 +7966,5 @@ def oracle_sql() -> dict[str, str]:
         'enforce_exploded_types': _Q_ENFORCE_TYPES_SQL,
         'event_transitions': _Q_EVENT_TRANSITIONS_SQL,
         'events_pivot': _Q_EVENTS_PIVOT_SQL,
+        'unimax_tokens': _Q_UNIMAX_TOKENS_SQL,
     }

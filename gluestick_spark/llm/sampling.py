@@ -684,6 +684,7 @@ def unimax_sample(
     max_epochs: float = 4.0,
     seed: str = "",
     epoch_col: str = "epoch",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """UniMax corpus balancing (Chung et al. 2023, arXiv:2304.09151):
     given a total row ``budget`` and a per-source repetition cap
@@ -717,6 +718,17 @@ def unimax_sample(
     ``max_epochs`` epochs of everything cannot be filled (stated
     contract; the paper's regime).
 
+    ``weight_col`` (optional): budget, caps, and quotas in WEIGHT units
+    — the paper's actual regime (token budgets). ``weight_col`` must be
+    a non-negative integer column (token/char counts; cast to int64).
+    Sizes become ``w_i = Σ weight``, caps ``⌊w_i · max_epochs⌋``, and
+    the allocation is unchanged. The draw's fractional epoch becomes
+    the greedy hash-rank PREFIX whose cumulative weight stays within
+    ``quota mod w_i`` — document-granular budget filling (exact-fit is
+    bin packing; the greedy prefix is the standard practice and
+    undershoots by less than one document's weight). Per-group totals
+    then satisfy ``quota − max_doc_weight < delivered ≤ quota``.
+
     Scale shape: one map-side-combined count aggregate → lazily
     checkpointed (one row per source) → window + two scalar aggregates
     over that tiny frame → quota table broadcast onto the corpus → ONE
@@ -728,9 +740,14 @@ def unimax_sample(
         raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
     from pyspark.sql.window import Window
 
+    unit = (
+        F.coalesce(F.sum(F.col(weight_col).cast("long")), F.lit(0))
+        if weight_col is not None
+        else F.count(F.lit(1))
+    )
     counts = (
         df.groupBy(group_col)
-        .agg(F.count(F.lit(1)).alias("__n__"))
+        .agg(unit.alias("__n__"))
         .select(
             group_col,
             "__n__",
@@ -794,6 +811,14 @@ def unimax_sample(
 
     h = _keyed_hash(F.col(key_col), seed)
     wr = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    if weight_col is not None:
+        # fractional epoch = greedy hash-rank prefix within the weight
+        # remainder (see docstring); __rn__ holds the cumulative weight
+        rank_val = F.sum(
+            F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+        ).over(wr.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    else:
+        rank_val = F.row_number().over(wr)
     n_copies = (
         F.expr("__q__ div __qn__")
         + F.when(F.col("__rn__") <= F.col("__q__") % F.col("__qn__"), 1).otherwise(0)
@@ -803,7 +828,7 @@ def unimax_sample(
     ).otherwise(F.array().cast("array<int>"))
     return (
         df.join(F.broadcast(quotas), group_col)
-        .withColumn("__rn__", F.row_number().over(wr))
+        .withColumn("__rn__", rank_val)
         .withColumn(epoch_col, F.explode(copies))
         .withColumn(epoch_col, F.col(epoch_col).cast("long"))
         .drop("__qn__", "__q__", "__rn__")

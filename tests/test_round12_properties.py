@@ -101,3 +101,77 @@ def test_unimax_partition_invariance(spark_session_holder):
         map(tuple, unimax_sample(df.repartition(13), "src", "k", 90, 1.5).collect())
     )
     assert a == b
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=25),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(min_value=0, max_value=2000),
+    st.sampled_from([0.5, 1.0, 2.0]),
+)
+def test_unimax_weighted_matches_bruteforce(
+    spark_session_holder, group_weights, budget, epochs
+):
+    """weight_col mode: allocation water-fills on weight sums; the
+    fractional epoch is the greedy hash-rank prefix within the weight
+    remainder — per group, delivered weight matches an independent
+    brute force exactly and sits within one document's weight of quota."""
+    import hashlib
+    import math
+
+    spark = spark_session_holder
+    from pyspark.sql import functions as F
+
+    from gluestick_spark.llm.sampling import unimax_sample
+
+    rows = [
+        (f"g{gi}", gi * 1000 + i, w)
+        for gi, ws in enumerate(group_weights)
+        for i, w in enumerate(ws)
+    ]
+    df = spark.createDataFrame(rows, "src string, k long, w long")
+    out = unimax_sample(
+        df, "src", "k", budget=budget, max_epochs=epochs, weight_col="w"
+    )
+    got = {
+        r["src"]: r["tw"]
+        for r in out.groupBy("src").agg(F.sum("w").alias("tw")).collect()
+    }
+    wsum = {f"g{gi}": sum(ws) for gi, ws in enumerate(group_weights)}
+    caps = {g: math.floor(w * epochs) for g, w in wsum.items()}
+    quotas = _unimax_brute(caps, budget)
+
+    def khash(k):
+        return int(hashlib.md5((str(k) + "\x1f").encode()).hexdigest()[:15], 16)
+
+    want = {}
+    for gi, ws in enumerate(group_weights):
+        g = f"g{gi}"
+        if wsum[g] == 0 or quotas.get(g, 0) <= 0:
+            continue
+        full, rem = divmod(quotas[g], wsum[g])
+        docs = sorted(
+            (khash(gi * 1000 + i), gi * 1000 + i, w) for i, w in enumerate(ws)
+        )
+        tot, cum = full * wsum[g], 0
+        for _, _, w in docs:
+            cum += w
+            if cum <= rem:
+                tot += w
+            else:
+                break
+        if tot > 0 or full > 0 or rem > 0:
+            want[g] = tot
+    # compare only groups that produced rows; a group whose greedy
+    # prefix is empty and full=0 emits nothing
+    want = {g: t for g, t in want.items() if g in got or t > 0}
+    got = {g: t for g, t in got.items()}
+    for g in set(got) | set(want):
+        assert got.get(g, 0) == want.get(g, 0), (g, got, want, quotas)
+        if g in got and wsum[g] > 0:
+            maxw = max(ws for ws in group_weights[int(g[1:])])
+            assert quotas[g] - maxw < got[g] <= quotas[g] or got[g] == quotas[g]
