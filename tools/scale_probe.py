@@ -241,6 +241,23 @@ def main() -> None:
             F.sum("n_novel")
         ).count()
 
+    def _unimax(d):
+        # r12: allocation is per-source-frame work (constant); the rank
+        # window + explode must scale ~1 in corpus size
+        from gluestick_spark.llm.sampling import unimax_sample
+
+        n = d.count()
+        return unimax_sample(
+            d, "source", "doc_id", budget=n // 2, max_epochs=2.0
+        ).count()
+
+    def _kll(d):
+        # r12: partial sketches are map-side; only O(k log n) doubles
+        # shuffle — the build must scale ~1
+        from gluestick_spark.llm.sketch import kll_sketch
+
+        return kll_sketch(d, "n_chars", k=200, group_cols=["lang"]).count()
+
     def _rep(d):
         return repetition_stats(d, "text", "doc_id").count()
 
@@ -303,6 +320,8 @@ def main() -> None:
         "build_vocab": _vocab,
         "contamination_pairs": _contam,
         "novelty_scores": _novelty,
+        "unimax_sample": _unimax,
+        "kll_sketch": _kll,
         "repetition_stats": _rep,
         "bm25_topk": _bm25,
         "segment_dedup": _segdedup,
