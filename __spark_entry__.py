@@ -7557,6 +7557,68 @@ FROM ranked
 """
 
 
+def q_corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level Jaccard ESTIMATE from mergeable KMV gram sketches
+    (llm/decontam.py:corpus_jaccard_kmv — r12): same src slices as the
+    exact `corpus_overlap` row, k=512 (≈3.1%/√2 s.e.; measured ~0.13%
+    here). Each corpus collapses to its 512 smallest portable md5 gram
+    hashes; the estimate is pure array arithmetic over the two sketches
+    (theta-sketch set rule) — at 100 TB, sketch once and every pairwise
+    corpus comparison is O(k), no intersection join. Fully
+    deterministic, so the oracle replays the ESTIMATE bit-for-bit."""
+    from gluestick_spark.llm.decontam import corpus_jaccard_kmv
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.where(F.col("source").isin("src1", "src2"))
+    b = d.where(F.col("source").isin("src0", "src1"))
+    return corpus_jaccard_kmv(a, b, "text", n=3, k=512)
+
+
+_Q_CORPUS_OVERLAP_KMV_SQL = r"""
+WITH tok AS (
+  SELECT source,
+         list_transform(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''),
+                        x -> lower(x)) AS t
+  FROM documents
+),
+grams AS (
+  SELECT source,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(range(1, len(t) - 3 + 2),
+                     i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+              ELSE [] END AS gs
+  FROM tok
+),
+gea AS (SELECT unnest(gs) AS g FROM grams WHERE source IN ('src1', 'src2')),
+geb AS (SELECT unnest(gs) AS g FROM grams WHERE source IN ('src0', 'src1')),
+ka AS (
+  SELECT DISTINCT CAST('0x' || substr(md5(g), 1, 15) AS UBIGINT) AS h
+  FROM gea ORDER BY h LIMIT 512
+),
+kb AS (
+  SELECT DISTINCT CAST('0x' || substr(md5(g), 1, 15) AS UBIGINT) AS h
+  FROM geb ORDER BY h LIMIT 512
+),
+s AS (
+  SELECT DISTINCT h
+  FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+  ORDER BY h LIMIT 512
+),
+m AS (
+  SELECT (SELECT count(*) FROM s) AS k_used,
+         (SELECT count(*) FROM s JOIN ka USING (h) JOIN kb USING (h))
+           AS n_shared
+)
+SELECT CAST(k_used AS BIGINT) AS k_used,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CASE WHEN k_used > 0
+            THEN CAST(floor(1000000.0 * (CAST(n_shared AS DOUBLE)
+                                         / CAST(k_used AS DOUBLE))) AS BIGINT)
+       END AS jaccard_est_ppm
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -7773,6 +7835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'event_transitions': q_event_transitions,
         'events_pivot': q_events_pivot,
         'unimax_tokens': q_unimax_tokens,
+        'corpus_overlap_kmv': q_corpus_overlap_kmv,
     }
 
 
@@ -7967,4 +8030,5 @@ def oracle_sql() -> dict[str, str]:
         'event_transitions': _Q_EVENT_TRANSITIONS_SQL,
         'events_pivot': _Q_EVENTS_PIVOT_SQL,
         'unimax_tokens': _Q_UNIMAX_TOKENS_SQL,
+        'corpus_overlap_kmv': _Q_CORPUS_OVERLAP_KMV_SQL,
     }

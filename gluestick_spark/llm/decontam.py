@@ -32,19 +32,21 @@ from .bloom import bloom_prefilter, bloom_words
 from .text import tokens_expr
 
 __all__ = [
+    "ngrams_expr",
     "ngram_hashes_expr",
     "contamination_pairs",
     "decontaminate",
     "novelty_scores",
     "novelty_scores_against",
     "corpus_gram_overlap",
+    "corpus_jaccard_kmv",
 ]
 
 
-def ngram_hashes_expr(col, n: int = 8, lowercase: bool = True):
-    """Distinct xxhash64 hashes of the word ``n``-grams of a text column
-    (array<long>). Documents shorter than ``n`` tokens produce an empty
-    array — too short to witness contamination at this n.
+def ngrams_expr(col, n: int = 8, lowercase: bool = True):
+    """Distinct word ``n``-gram STRINGS of a text column
+    (array<string>). Documents shorter than ``n`` tokens produce an
+    empty array — too short to witness contamination at this n.
 
     The token array is BOUND ONCE as a lambda variable (the lang_id
     device — Catalyst does no CSE inside lambda bodies, so referencing
@@ -63,9 +65,16 @@ def ngram_hashes_expr(col, n: int = 8, lowercase: bool = True):
             F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
         ).otherwise(F.array().cast("array<int>"))
         grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-        return F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
+        return F.array_distinct(grams)
 
     return F.element_at(F.transform(F.array(toks0), body), 1)
+
+
+def ngram_hashes_expr(col, n: int = 8, lowercase: bool = True):
+    """Distinct xxhash64 hashes of the word ``n``-grams of a text column
+    (array<long>) — :func:`ngrams_expr` collapsed to 8-byte join keys
+    (the decontamination shape: never ship gram strings)."""
+    return F.transform(ngrams_expr(col, n, lowercase), lambda g: F.xxhash64(g))
 
 
 def contamination_pairs(
@@ -349,5 +358,83 @@ def corpus_gram_overlap(
             ppm(F.col("n_shared"), F.col("n_grams_a")).alias(
                 "containment_a_in_b_ppm"
             ),
+        )
+    )
+
+
+def corpus_jaccard_kmv(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str,
+    b_text_col: str | None = None,
+    n: int = 3,
+    k: int = 1024,
+) -> DataFrame:
+    """Corpus-level n-gram Jaccard ESTIMATE from mergeable KMV sketches
+    — the 100 TB sibling of :func:`corpus_gram_overlap`: instead of the
+    exact distinct-gram intersection join (two corpus-gram distincts +
+    a hash join per comparison), each corpus collapses to its k
+    smallest portable gram hashes (:mod:`gluestick_spark.llm.sketch` —
+    a value you persist once and reuse), and the estimate is pure array
+    arithmetic over two k-element sketches:
+
+        S = k smallest of (sketch_A ∪ sketch_B)   — a uniform sample
+                                                    of A ∪ B's gram space
+        J ≈ |S ∩ sketch_A ∩ sketch_B| / |S|
+
+    (Beyer et al. 2007 / the theta-sketch set-operation rule). Standard
+    error ≈ 1/√k (~3.1% at k=1024); EXACT when |grams(A ∪ B)| ≤ k. The
+    md5-60-bit hash is engine-portable, so the estimate — unlike
+    MinHash's xxhash64 signatures — is replayable by the DuckDB oracle
+    bit-for-bit.
+
+    Returns ONE row: (``k_used``, ``n_shared``, ``jaccard_est_ppm``);
+    an empty union yields (0, 0, NULL).
+
+    When to use which: pairwise / few comparisons with exact numbers →
+    :func:`corpus_gram_overlap`; MANY corpora compared repeatedly
+    (mixture design over hundreds of sources, crawl-over-crawl drift
+    matrices) → sketch each corpus once here, then every pairwise
+    estimate is O(k) — no re-scan, no join. Scale shape per corpus: one
+    gram distinct (map-side combined) + the bounded two-phase k-min
+    rank; the comparison itself is a broadcast cross join of two 1-row
+    frames."""
+    from .sketch import kmv_sketch
+
+    bt = b_text_col or text_col
+    ga = a.select(F.explode(ngrams_expr(F.col(text_col), n)).alias("__g__"))
+    gb = b.select(F.explode(ngrams_expr(F.col(bt), n)).alias("__g__"))
+    sa = kmv_sketch(ga, "__g__", k).select(F.col("kmv").alias("__ka__"))
+    sb = kmv_sketch(gb, "__g__", k).select(F.col("kmv").alias("__kb__"))
+    # kmv_sketch emits no row for an empty input — keep the comparison
+    # total with 1-row empty-array defaults
+    one = a.sparkSession.range(1)
+    sa = one.crossJoin(F.broadcast(sa)).select(
+        F.coalesce("__ka__", F.array().cast("array<long>")).alias("__ka__")
+    )
+    sb = one.crossJoin(F.broadcast(sb)).select(
+        F.coalesce("__kb__", F.array().cast("array<long>")).alias("__kb__")
+    )
+    u = F.slice(
+        F.array_sort(F.array_union(F.col("__ka__"), F.col("__kb__"))),
+        1,
+        k,
+    )
+    shared = F.size(
+        F.array_intersect(F.array_intersect(u, F.col("__ka__")), F.col("__kb__"))
+    )
+    k_used = F.size(u)
+    est = F.when(
+        k_used > 0,
+        F.floor(
+            F.lit(1000000.0) * (shared.cast("double") / k_used.cast("double"))
+        ).cast("long"),
+    )
+    return (
+        sa.crossJoin(F.broadcast(sb))
+        .select(
+            k_used.cast("long").alias("k_used"),
+            shared.cast("long").alias("n_shared"),
+            est.alias("jaccard_est_ppm"),
         )
     )

@@ -559,3 +559,25 @@ def test_table_stats_quantile_attachment(spark):
         assert _rank_err(xs, v, p) <= 0.02, (p, v)
     with pytest.raises(ValueError, match="quantile_cols not in cols"):
         table_stats(d, ["doc_id"], quantile_cols=["n_chars"])
+
+
+def test_corpus_jaccard_kmv_estimator(spark):
+    """KMV corpus Jaccard: exact when the union fits in k; within the
+    ~1/√k band otherwise; empty inputs give (0, 0, NULL); estimate is
+    invariant to partitioning (sketches are deterministic)."""
+    from gluestick_spark.llm.decontam import corpus_gram_overlap, corpus_jaccard_kmv
+
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    a = d.where(F.col("source").isin("src1", "src2"))
+    b = d.where(F.col("source").isin("src0", "src1"))
+    exact = corpus_gram_overlap(a, b, "text", n=3).first()["jaccard_ppm"]
+    big = corpus_jaccard_kmv(a, b, "text", n=3, k=1_000_000).first()
+    assert big["jaccard_est_ppm"] == exact  # unsaturated → exact
+    est = corpus_jaccard_kmv(a, b, "text", n=3, k=256).first()
+    assert abs(est["jaccard_est_ppm"] - exact) <= 1_000_000 * 3.0 / (256 ** 0.5)
+    est2 = corpus_jaccard_kmv(
+        a.repartition(7), b.repartition(3), "text", n=3, k=256
+    ).first()
+    assert tuple(est2) == tuple(est)
+    empty = corpus_jaccard_kmv(a.limit(0), b.limit(0), "text", n=3, k=64).first()
+    assert tuple(empty) == (0, 0, None)
