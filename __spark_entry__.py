@@ -7619,6 +7619,49 @@ FROM m
 """
 
 
+def q_streaming_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 streaming corpus-drift monitor over mergeable KMV sketches
+    (streaming/pipeline.py:streaming_corpus_drift — r12): the reference
+    slice's gram sketch is persisted once; the src1+src2 docs arrive in
+    two micro-batches, each appending its batch sketch to a
+    kilobyte-scale log and emitting the cumulative-vs-reference Jaccard
+    estimate. By the KMV merge law (k-min of a union == merge of
+    per-part k-mins) the LAST batch's row equals the batch
+    corpus_jaccard_kmv over everything streamed BIT-FOR-BIT — shares
+    _Q_CORPUS_OVERLAP_KMV_SQL verbatim."""
+    import tempfile
+
+    from gluestick_spark.streaming.pipeline import (
+        materialize_corpus_sketch,
+        stream_from_directory,
+        streaming_corpus_drift,
+    )
+
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    a = d.where(F.col("source").isin("src1", "src2")).select("doc_id", "text")
+    b = d.where(F.col("source").isin("src0", "src1"))
+    ref = tempfile.mkdtemp(prefix="gs_skref_")
+    materialize_corpus_sketch(b, ref, "text", n=3, k=512)
+    stage = tempfile.mkdtemp(prefix="gs_skd_src_")
+    out = tempfile.mkdtemp(prefix="gs_skd_out_")
+    ckpt = tempfile.mkdtemp(prefix="gs_skd_ckpt_")
+    state = tempfile.mkdtemp(prefix="gs_skd_state_")
+    mid = a.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    for cond in (F.col("doc_id") <= mid, F.col("doc_id") > mid):
+        a.where(cond).coalesce(1).write.mode("append").parquet(stage)
+        q = streaming_corpus_drift(
+            stream_from_directory(spark, stage, a.schema),
+            ref, "text", out, ckpt, state,
+        )
+        q.awaitTermination()
+    raw = spark.read.parquet(out).distinct()
+    last = raw.agg(F.max("__batch_id__").alias("__batch_id__"))
+    return raw.join(last, "__batch_id__").select(
+        "k_used", "n_shared", "jaccard_est_ppm"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -7836,6 +7879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_pivot': q_events_pivot,
         'unimax_tokens': q_unimax_tokens,
         'corpus_overlap_kmv': q_corpus_overlap_kmv,
+        'streaming_corpus_drift': q_streaming_corpus_drift,
     }
 
 
@@ -8031,4 +8075,5 @@ def oracle_sql() -> dict[str, str]:
         'events_pivot': _Q_EVENTS_PIVOT_SQL,
         'unimax_tokens': _Q_UNIMAX_TOKENS_SQL,
         'corpus_overlap_kmv': _Q_CORPUS_OVERLAP_KMV_SQL,
+        'streaming_corpus_drift': _Q_CORPUS_OVERLAP_KMV_SQL,
     }

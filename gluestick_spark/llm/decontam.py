@@ -40,6 +40,7 @@ __all__ = [
     "novelty_scores_against",
     "corpus_gram_overlap",
     "corpus_jaccard_kmv",
+    "kmv_jaccard_from_sketches",
 ]
 
 
@@ -406,9 +407,20 @@ def corpus_jaccard_kmv(
     gb = b.select(F.explode(ngrams_expr(F.col(bt), n)).alias("__g__"))
     sa = kmv_sketch(ga, "__g__", k).select(F.col("kmv").alias("__ka__"))
     sb = kmv_sketch(gb, "__g__", k).select(F.col("kmv").alias("__kb__"))
+    return kmv_jaccard_from_sketches(a.sparkSession, sa, sb, k)
+
+
+def kmv_jaccard_from_sketches(
+    spark, sa: DataFrame, sb: DataFrame, k: int
+) -> DataFrame:
+    """The estimator tail of :func:`corpus_jaccard_kmv` over two
+    ALREADY-MATERIALIZED 1-row sketch frames (columns ``__ka__`` /
+    ``__kb__``, sorted array<long> KMV sketches built with the same k)
+    — the serve-many half of the sketch-once pattern. Tolerates empty
+    frames (no-row input → empty sketch)."""
     # kmv_sketch emits no row for an empty input — keep the comparison
     # total with 1-row empty-array defaults
-    one = a.sparkSession.range(1)
+    one = spark.range(1)
     sa = one.crossJoin(F.broadcast(sa)).select(
         F.coalesce("__ka__", F.array().cast("array<long>")).alias("__ka__")
     )

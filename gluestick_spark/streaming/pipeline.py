@@ -44,6 +44,8 @@ __all__ = [
     "compact_stream_state",
     "materialize_gram_state",
     "streaming_novelty",
+    "materialize_corpus_sketch",
+    "streaming_corpus_drift",
 ]
 
 
@@ -1553,6 +1555,118 @@ def streaming_novelty(
         )
         tag = F.lit(batch_id).cast("long").alias("__batch_id__")
         scored.select("*", tag).write.mode("append").parquet(out_dir)
+
+    writer = stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def materialize_corpus_sketch(
+    df: DataFrame,
+    path: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 1024,
+    fs=None,
+) -> None:
+    """Persist a corpus's KMV gram sketch at ``path`` — ONE row
+    (sorted array<long> of the k smallest portable md5 gram hashes,
+    ≤ 8k bytes) plus ``_SKETCH_META.json`` (n, k; written LAST via
+    atomic replace, the commit marker). The sketch-once half of
+    :func:`streaming_corpus_drift` and of any pairwise corpus
+    comparison (:func:`~gluestick_spark.llm.decontam.
+    kmv_jaccard_from_sketches`)."""
+    import json as _json
+    import os as _os
+
+    from ..fsio import LOCAL_FS
+    from ..llm.decontam import ngrams_expr
+    from ..llm.sketch import kmv_sketch
+
+    fs = fs or LOCAL_FS
+    meta_path = _os.path.join(path, "_SKETCH_META.json")
+    if fs.isfile(meta_path):
+        fs.remove(meta_path)
+    grams = df.select(F.explode(ngrams_expr(F.col(text_col), n)).alias("__g__"))
+    kmv_sketch(grams, "__g__", k).write.mode("overwrite").parquet(
+        _os.path.join(path, "sketch.parquet")
+    )
+    fs.write_text_atomic(meta_path, _json.dumps({"n": n, "k": k}))
+
+
+def streaming_corpus_drift(
+    stream_df: DataFrame,
+    ref_sketch_path: str,
+    text_col: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    available_now: bool = True,
+    fs=None,
+) -> StreamingQuery:
+    """Streaming corpus-drift monitor over MERGEABLE KMV sketches: each
+    micro-batch's gram sketch is appended to a tiny sketch log under
+    ``state_dir``; the cumulative corpus sketch (kmv_merge of the log —
+    O(k·batches) longs, never the text) is compared against the
+    persisted reference sketch (:func:`materialize_corpus_sketch`) and
+    one (``__batch_id__``, ``k_used``, ``n_shared``,
+    ``jaccard_est_ppm``) row appends to ``out_dir`` — the
+    crawl-over-crawl drift trajectory, computed on arrival.
+
+    **Exact batch equivalence by the KMV merge law**: the k-min of a
+    union IS the merge of per-part k-mins, so the LAST batch's row
+    equals the batch :func:`~gluestick_spark.llm.decontam.
+    corpus_jaccard_kmv` over everything streamed — bit-for-bit, any
+    batch split. Replay safety is ALGEBRAIC, not transactional: KMV
+    merge is idempotent (merging a duplicate sketch changes nothing),
+    so a replayed batch's duplicate log row cannot skew the cumulative
+    sketch; out_dir rows collapse under
+    :func:`read_streaming_dedup_output` as usual.
+
+    Per-batch cost: one narrow gram pass over the batch + a merge over
+    the ≤ k·batches-long sketch log. State is KILOBYTES regardless of
+    corpus size — the mergeable-sketch streaming posture (compare the
+    bucketed-gram state of :func:`streaming_novelty`, which buys
+    exactness at gram-table cost)."""
+    import json as _json
+    import os as _os
+
+    from ..fsio import LOCAL_FS
+    from ..llm.decontam import kmv_jaccard_from_sketches, ngrams_expr
+    from ..llm.sketch import kmv_merge, kmv_sketch
+
+    fs = fs or LOCAL_FS
+    meta_path = _os.path.join(ref_sketch_path, "_SKETCH_META.json")
+    if not fs.isfile(meta_path):
+        raise ValueError(
+            f"reference sketch at {ref_sketch_path} is torn or absent (no "
+            "_SKETCH_META.json) — run materialize_corpus_sketch first"
+        )
+    meta = _json.loads(fs.read_text(meta_path))
+    n, k = int(meta["n"]), int(meta["k"])
+    log_dir = _os.path.join(state_dir, "sketch_log.parquet")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        grams = batch_df.select(
+            F.explode(ngrams_expr(F.col(text_col), n)).alias("__g__")
+        )
+        batch_sketch = kmv_sketch(grams, "__g__", k).withColumn(
+            "__batch__", F.lit(batch_id).cast("long")
+        )
+        batch_sketch.write.mode("append").parquet(log_dir)
+        cum = kmv_merge(spark.read.parquet(log_dir), k).select(
+            F.col("kmv").alias("__ka__")
+        )
+        ref = spark.read.parquet(
+            _os.path.join(ref_sketch_path, "sketch.parquet")
+        ).select(F.col("kmv").alias("__kb__"))
+        est = kmv_jaccard_from_sketches(spark, cum, ref, k)
+        tag = F.lit(batch_id).cast("long").alias("__batch_id__")
+        est.select("*", tag).write.mode("append").parquet(out_dir)
 
     writer = stream_df.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
