@@ -7662,6 +7662,52 @@ def q_streaming_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs (llm/multimodal.py:
+    phash_near_dups — r12): payloads planted so every group of ≤7 docs
+    shares its anchor doc's bytes, hashed through the injectable codec
+    seam (fake_phash = sha256 first 8 bytes — oracle-replayable), then
+    Hamming LSH over 4×16-bit segments (pigeonhole-exact recall at
+    max_hamming=3) + a bit_count(xor) verify, all JVM-side. The oracle
+    replays hash, banding (OR of the 4 segment equalities), and verify
+    on DuckDB UBIGINTs — identical bit patterns to Spark's signed
+    int64 + shiftrightunsigned."""
+    from gluestick_spark.llm.multimodal import phash_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    anchors = d.select(F.col("doc_id").alias("aid"), F.col("text").alias("atext"))
+    p = (
+        d.select("doc_id", (F.col("doc_id") - F.col("doc_id") % 7).alias("aid"))
+        .join(anchors, "aid")
+        .select("doc_id", F.encode("atext", "utf-8").alias("payload"))
+    )
+    return phash_near_dups(p, "payload", "doc_id", max_hamming=3, bands=4)
+
+
+_Q_PHASH_NEAR_DUPS_SQL = """
+WITH p AS (
+  SELECT d.doc_id, a.text AS ptext
+  FROM documents d
+  JOIN documents a ON a.doc_id = d.doc_id - (d.doc_id % 7)
+),
+ph AS (
+  SELECT doc_id, CAST('0x' || substr(sha256(ptext), 1, 16) AS UBIGINT) AS h
+  FROM p
+),
+cand AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.h AS ha, y.h AS hb
+  FROM ph x JOIN ph y ON x.doc_id < y.doc_id AND (
+       ((x.h >> 0)  & 65535) = ((y.h >> 0)  & 65535)
+    OR ((x.h >> 16) & 65535) = ((y.h >> 16) & 65535)
+    OR ((x.h >> 32) & 65535) = ((y.h >> 32) & 65535)
+    OR ((x.h >> 48) & 65535) = ((y.h >> 48) & 65535))
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -7880,6 +7926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'unimax_tokens': q_unimax_tokens,
         'corpus_overlap_kmv': q_corpus_overlap_kmv,
         'streaming_corpus_drift': q_streaming_corpus_drift,
+        'phash_near_dups': q_phash_near_dups,
     }
 
 
@@ -8076,4 +8123,5 @@ def oracle_sql() -> dict[str, str]:
         'unimax_tokens': _Q_UNIMAX_TOKENS_SQL,
         'corpus_overlap_kmv': _Q_CORPUS_OVERLAP_KMV_SQL,
         'streaming_corpus_drift': _Q_CORPUS_OVERLAP_KMV_SQL,
+        'phash_near_dups': _Q_PHASH_NEAR_DUPS_SQL,
     }

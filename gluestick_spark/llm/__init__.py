@@ -68,6 +68,9 @@ from .similarity import (
     pca_project,
 )
 from .multimodal import (
+    fake_phash,
+    compute_phash,
+    phash_near_dups,
     attach_binary_metadata,
     decode_image_features,
     resize_images,

@@ -36,6 +36,9 @@ __all__ = [
     "decode_audio_features",
     "resize_images",
     "sample_frames",
+    "fake_phash",
+    "compute_phash",
+    "phash_near_dups",
 ]
 
 MEDIA_METADATA_TYPE = T.StructType(
@@ -237,3 +240,124 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=[*id_cols, "frame_idx", "frame"])
 
     return df.select(*id_cols, payload_col).mapInPandas(process, out_schema)
+
+
+def fake_phash(payload: bytes) -> int:
+    """Deterministic stand-in for a perceptual image hash (pHash/blockhash
+    — real codecs aren't in this container): the first 8 bytes of the
+    payload's sha256 as a signed int64. Equal payloads get equal hashes;
+    unlike a real pHash, DISTINCT payloads land ~32 bits apart, so only
+    exact duplicates cluster — inject a real pHash (or a test hasher with
+    controlled bit flips) via ``hasher=`` for perceptual behavior. The
+    sha256 form is chosen because the DuckDB oracle can replay it."""
+    h = hashlib.sha256(payload).digest()
+    return int.from_bytes(h[:8], "big", signed=True)
+
+
+def compute_phash(
+    df: DataFrame,
+    payload_col: str,
+    id_cols: list[str],
+    hasher: Callable[[bytes], int] = fake_phash,
+    out_col: str = "phash",
+) -> DataFrame:
+    """64-bit perceptual hash per payload via the injectable-codec seam
+    (Arrow-batched mapInPandas — the documented multimodal crossing).
+    NULL payloads hash to NULL."""
+    id_fields = [df.schema[c] for c in id_cols]
+    out_schema = T.StructType(list(id_fields) + [T.StructField(out_col, T.LongType())])
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[id_cols].copy()
+            out[out_col] = pdf[payload_col].map(
+                lambda b: hasher(bytes(b)) if b is not None else None
+            )
+            yield out
+
+    return df.select(*id_cols, payload_col).mapInPandas(process, out_schema)
+
+
+def phash_near_dups(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    hasher: Callable[[bytes], int] = fake_phash,
+    max_bucket: int | None = 10000,
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance —
+    the multimodal sibling of SimHash dedup: (``id_a``, ``id_b``,
+    ``hamming``) for every pair with ``hamming(phash_a, phash_b) ≤
+    max_hamming``, id_a < id_b.
+
+    Candidate generation is Hamming LSH on the 64-bit hash split into
+    ``bands`` equal segments: two hashes within ``bands − 1`` bit flips
+    MUST agree on at least one whole segment (pigeonhole), so with the
+    default (bands=4, max_hamming=3) recall is EXACT — never all-pairs.
+    The verify is one JVM expression (``bit_count(xor)``). Segment
+    buckets wider than ``max_bucket`` are dropped BEFORE the self-join
+    (the MinHash ``_cap_buckets`` contract: one degenerate bucket —
+    millions of byte-identical images — makes the join quadratic at
+    corpus scale; collapse exact duplicates first if those pairs
+    matter).
+
+    Only the hashing crosses to Python (the codec seam); banding, the
+    bucket self-join, and the Hamming verify are pure Catalyst — at
+    100 TB the shuffle is (band, segment)-keyed candidate pairs, the
+    SimHash scale shape. Requires ``max_hamming < bands`` ≤ 64 for the
+    recall guarantee."""
+    if not 0 <= max_hamming < bands:
+        raise ValueError(
+            f"need 0 <= max_hamming < bands for exact recall, got "
+            f"max_hamming={max_hamming}, bands={bands}"
+        )
+    if 64 % bands != 0:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    hashed = compute_phash(df, payload_col, [id_col], hasher).where(
+        F.col("phash").isNotNull()
+    )
+    segs = hashed.select(
+        F.col(id_col).alias("__id__"),
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(f"shiftrightunsigned(phash, {width * i})")
+                        .bitwiseAND(F.lit(mask))
+                        .alias("seg"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("__b__"),
+    ).select("__id__", "phash", "__b__.band", "__b__.seg")
+    if max_bucket is not None:
+        from .dedup import _cap_buckets
+
+        segs = _cap_buckets(segs, ["band", "seg"], max_bucket)
+    a = segs.select(
+        F.col("__id__").alias("id_a"), F.col("phash").alias("__ha__"),
+        "band", "seg",
+    )
+    b = segs.select(
+        F.col("__id__").alias("id_b"), F.col("phash").alias("__hb__"),
+        "band", "seg",
+    )
+    pairs = (
+        a.join(b, ["band", "seg"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ha__", "__hb__")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("__ha__").bitwiseXOR(F.col("__hb__")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

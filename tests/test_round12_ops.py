@@ -624,3 +624,43 @@ def test_streaming_corpus_drift_replay_idempotent(spark, tmp_dir):
     merged_dup = kmv_merge(dup.unionByName(dup), 256).first()["kmv"]
     assert merged_once == merged_dup
     assert len(first) == 1 and first[0]["k_used"] > 0
+
+
+def test_phash_near_dups_injected_hasher_and_guarantee(spark):
+    """Hamming-LSH recall is pigeonhole-exact for hamming < bands: with
+    an injected hasher producing controlled bit flips, every qualifying
+    pair is found with its exact distance; parameter guards raise."""
+    from gluestick_spark.llm.multimodal import phash_near_dups
+
+    def near_hasher(b: bytes) -> int:
+        import hashlib as h
+
+        base = int.from_bytes(
+            h.sha256(b[:4]).digest()[:8], "big", signed=True
+        )
+        for i in range(b[-1] % 4):  # 0..3 bit flips by payload tail
+            base ^= 1 << (i * 7)
+        return base
+
+    p = spark.createDataFrame(
+        [(i, bytes([1, 2, 3, 4, i % 4])) for i in range(12)],
+        "doc_id long, payload binary",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dups(
+            p, "payload", "doc_id", max_hamming=2, bands=4, hasher=near_hasher
+        ).collect()
+    }
+    # flips f_a vs f_b differ in |f_a - f_b| bits (nested flip sets)
+    for a in range(12):
+        for b in range(a + 1, 12):
+            d = abs(a % 4 - b % 4)
+            if d <= 2:
+                assert got[(a, b)] == d, (a, b, d, got.get((a, b)))
+            else:
+                assert (a, b) not in got
+    with pytest.raises(ValueError, match="max_hamming < bands"):
+        phash_near_dups(p, "payload", "doc_id", max_hamming=4, bands=4)
+    with pytest.raises(ValueError, match="divide 64"):
+        phash_near_dups(p, "payload", "doc_id", max_hamming=2, bands=5)
