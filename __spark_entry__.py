@@ -7708,6 +7708,42 @@ WHERE bit_count(xor(ha, hb)) <= 3
 """
 
 
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (llm/sampling.py:priority_sample — r12,
+    Duffield-Lund-Thorup): k=100 documents weighted by n_chars, each
+    kept row carrying the unbiased subset-sum estimate
+    w_est = max(w, τ). Every arithmetic step is one correctly-rounded
+    IEEE op (including the int64→double casts), so priorities,
+    membership, τ, and the DOUBLE estimates replay bit-for-bit in the
+    oracle; plan is TakeOrderedAndProject of k+1 rows."""
+    from gluestick_spark.llm.sampling import priority_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return priority_sample(d, "doc_id", "n_chars", k=100).select(
+        "doc_id", "n_chars", "w_est"
+    )
+
+
+_Q_PRIORITY_SAMPLE_SQL = """
+WITH pr AS (
+  SELECT doc_id, n_chars,
+         CAST(n_chars AS DOUBLE) * (1152921504606846976.0 /
+           (CAST(CAST('0x' || substr(
+              md5(CAST(doc_id AS VARCHAR) || chr(31)), 1, 15) AS UBIGINT)
+            AS DOUBLE) + 1.0)) AS q
+  FROM documents
+),
+topk1 AS (SELECT * FROM pr ORDER BY q DESC, doc_id LIMIT 101),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY q DESC, doc_id) AS rn FROM topk1
+),
+tau AS (SELECT MAX(CASE WHEN rn = 101 THEN q END) AS tau FROM r)
+SELECT doc_id, n_chars,
+       greatest(CAST(n_chars AS DOUBLE), COALESCE(tau.tau, 0.0)) AS w_est
+FROM r, tau WHERE rn <= 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -7927,6 +7963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'corpus_overlap_kmv': q_corpus_overlap_kmv,
         'streaming_corpus_drift': q_streaming_corpus_drift,
         'phash_near_dups': q_phash_near_dups,
+        'priority_sample': q_priority_sample,
     }
 
 
@@ -8124,4 +8161,5 @@ def oracle_sql() -> dict[str, str]:
         'corpus_overlap_kmv': _Q_CORPUS_OVERLAP_KMV_SQL,
         'streaming_corpus_drift': _Q_CORPUS_OVERLAP_KMV_SQL,
         'phash_near_dups': _Q_PHASH_NEAR_DUPS_SQL,
+        'priority_sample': _Q_PRIORITY_SAMPLE_SQL,
     }

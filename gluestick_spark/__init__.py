@@ -182,6 +182,7 @@ from .llm.sampling import (
     resample_to_ratio,
     mix_corpora,
     negative_pairs,
+    priority_sample,
     shuffle_write,
     unimax_sample,
 )

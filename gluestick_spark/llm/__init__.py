@@ -43,6 +43,7 @@ from .sampling import (
     hash_sample_expr,
     hash_split,
     mix_corpora,
+    priority_sample,
     shuffle_write,
     stratified_sample,
     unimax_sample,

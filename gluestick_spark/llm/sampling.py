@@ -32,6 +32,7 @@ __all__ = [
     "dsir_sample",
     "mix_corpora",
     "negative_pairs",
+    "priority_sample",
     "resample_to_ratio",
     "shuffle_write",
     "stratified_sample",
@@ -833,3 +834,77 @@ def unimax_sample(
         .withColumn(epoch_col, F.col(epoch_col).cast("long"))
         .drop("__qn__", "__q__", "__rn__")
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "",
+    est_col: str = "w_est",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement with unbiased subset-sum
+    estimates — **priority sampling** (Duffield, Lund & Thorup 2007):
+    each row gets priority ``q = w / u`` with ``u = (hash+1)/2⁶⁰`` from
+    the seeded portable hash; the k highest-priority rows are kept and
+    every kept row carries ``w_est = max(w, τ)`` where τ is the
+    (k+1)-th priority. For ANY subset S, Σ_{kept ∩ S} w_est is an
+    unbiased estimator of Σ_S w — the device for "sample 10k documents
+    but keep token-count accounting honest" (weighted corpus
+    subsampling, traffic/size accounting, stratification-free
+    summaries). Heavy rows (w > τ) are kept with certainty, exactly as
+    the estimator requires; when n ≤ k the sample is the whole frame
+    and ``w_est = w`` (exact).
+
+    Determinism contract (the :func:`sample_exact_k` posture): every
+    arithmetic step is a single correctly-rounded IEEE op (int64→double
+    casts included), so priorities — hence membership, τ, and the
+    estimates — are bit-identical in any engine with md5; ties order by
+    ``key_col``, which must be unique and non-null (duplicate keys make
+    the k boundary partition-order dependent — caller's contract, as
+    with ``tiebreak_col``). Weights must be positive; NULL/≤0 weights
+    raise at materialization (a silent drop would bias the estimator).
+
+    Plan: narrow projection → ``TakeOrderedAndProject`` of k+1 rows
+    (per-partition partial top-k — never a global sort) → the τ row
+    broadcasts back onto the kept k. Re-seeding draws an independent
+    sample."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql.window import Window
+
+    w_ok = F.when(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0),
+        F.col(weight_col).cast("double"),
+    ).otherwise(
+        F.raise_error(
+            F.concat_ws(
+                " ",
+                F.lit("priority_sample: weight must be positive, got"),
+                F.col(weight_col).cast("string"),
+                F.lit("for key"),
+                F.col(key_col).cast("string"),
+            )
+        )
+    )
+    u_inv = F.lit(_SPACE) / (
+        _keyed_hash(F.col(key_col), seed).cast("double") + F.lit(1.0)
+    )
+    topk1 = (
+        df.withColumn("__q__", w_ok * u_inv)
+        .orderBy(F.col("__q__").desc(), F.col(key_col).asc())
+        .limit(k + 1)
+    )
+    wname = Window.orderBy(F.col("__q__").desc(), F.col(key_col).asc())
+    ranked = topk1.withColumn("__rn__", F.row_number().over(wname))
+    tau = ranked.agg(
+        F.max(F.when(F.col("__rn__") == k + 1, F.col("__q__"))).alias("__tau__")
+    )
+    kept = ranked.where(F.col("__rn__") <= k).crossJoin(F.broadcast(tau))
+    return kept.withColumn(
+        est_col,
+        F.greatest(
+            F.col(weight_col).cast("double"), F.coalesce("__tau__", F.lit(0.0))
+        ),
+    ).drop("__q__", "__rn__", "__tau__")

@@ -664,3 +664,41 @@ def test_phash_near_dups_injected_hasher_and_guarantee(spark):
         phash_near_dups(p, "payload", "doc_id", max_hamming=4, bands=4)
     with pytest.raises(ValueError, match="divide 64"):
         phash_near_dups(p, "payload", "doc_id", max_hamming=2, bands=5)
+
+
+def test_priority_sample_estimator(spark):
+    """Priority sampling: deterministic per seed + repartition-invariant;
+    Σ w_est unbiased for the corpus total (mean over fixed seeds — the
+    draw is deterministic, so this assertion can never flake); heavy
+    rows (w > τ) kept with certainty; non-positive weights raise."""
+    import random
+
+    from gluestick_spark.llm.sampling import priority_sample
+
+    random.seed(3)
+    rows = [(i, random.randint(1, 100)) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, w long")
+    total = sum(w for _, w in rows)
+    ests = [
+        priority_sample(df, "k", "w", 50, seed=str(s))
+        .agg(F.sum("w_est")).first()[0]
+        for s in range(40)
+    ]
+    mean = sum(ests) / len(ests)
+    assert abs(mean - total) / total < 0.08, (mean, total)
+    a = sorted(map(tuple, priority_sample(df, "k", "w", 50, "x").collect()))
+    b = sorted(
+        map(tuple, priority_sample(df.repartition(13), "k", "w", 50, "x").collect())
+    )
+    assert a == b and len(a) == 50
+    heavy = df.union(spark.createDataFrame([(999, 10_000_000)], "k long, w long"))
+    for s in range(5):
+        kept = priority_sample(heavy, "k", "w", 20, str(s)).collect()
+        assert any(r["k"] == 999 for r in kept)
+        # heavy w > tau  =>  its estimate is its own weight (certainty)
+        assert next(r for r in kept if r["k"] == 999)["w_est"] == 10_000_000.0
+    small = priority_sample(df.limit(5), "k", "w", 50).collect()
+    assert len(small) == 5 and all(r["w_est"] == r["w"] for r in small)
+    bad = spark.createDataFrame([(1, 0)], "k long, w long")
+    with pytest.raises(Exception, match="weight must be positive"):
+        priority_sample(bad, "k", "w", 1).collect()
