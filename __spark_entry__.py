@@ -7744,6 +7744,73 @@ FROM r, tau WHERE rn <= 100
 """
 
 
+def q_corpus_drift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs corpus similarity matrix from one grouped KMV pass
+    (llm/decontam.py:corpus_drift_matrix — r12): 20 sources → 190
+    unordered pairs, each estimated from the per-source 256-min gram
+    sketches by the theta-sketch rule — ONE corpus scan for the whole
+    matrix, the mixture-design / crawl-drift dashboard query.
+    Deterministic md5 hashing: the oracle replays every sketch and
+    every estimate bit-for-bit (list arithmetic on the k-min lists)."""
+    from gluestick_spark.llm.decontam import corpus_drift_matrix
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_drift_matrix(d, "source", "text", n=3, k=256)
+
+
+_Q_CORPUS_DRIFT_MATRIX_SQL = r"""
+WITH tok AS (
+  SELECT source,
+         list_transform(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''),
+                        x -> lower(x)) AS t
+  FROM documents
+),
+grams AS (
+  SELECT source,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(range(1, len(t) - 3 + 2),
+                     i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+              ELSE [] END AS gs
+  FROM tok
+),
+g AS (SELECT source, unnest(gs) AS g FROM grams),
+h AS (
+  SELECT DISTINCT source,
+         CAST('0x' || substr(md5(g), 1, 15) AS UBIGINT) AS h
+  FROM g
+),
+r AS (
+  SELECT source, h,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM h
+),
+sk AS (
+  SELECT source, list(h ORDER BY h) AS kmv FROM r WHERE rn <= 256
+  GROUP BY source
+),
+p AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         list_sort(list_distinct(list_concat(a.kmv, b.kmv)))[1:256] AS u,
+         a.kmv AS la, b.kmv AS lb
+  FROM sk a JOIN sk b ON a.source < b.source
+),
+c AS (
+  SELECT src_a, src_b, len(u) AS ku,
+         len(list_filter(u, x -> list_contains(la, x)
+                                 AND list_contains(lb, x))) AS ns
+  FROM p
+)
+SELECT src_a, src_b,
+       CAST(ku AS BIGINT) AS k_used,
+       CAST(ns AS BIGINT) AS n_shared,
+       CASE WHEN ku > 0
+            THEN CAST(floor(1000000.0 * (CAST(ns AS DOUBLE)
+                                         / CAST(ku AS DOUBLE))) AS BIGINT)
+       END AS jaccard_est_ppm
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -7964,6 +8031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_corpus_drift': q_streaming_corpus_drift,
         'phash_near_dups': q_phash_near_dups,
         'priority_sample': q_priority_sample,
+        'corpus_drift_matrix': q_corpus_drift_matrix,
     }
 
 
@@ -8162,4 +8230,5 @@ def oracle_sql() -> dict[str, str]:
         'streaming_corpus_drift': _Q_CORPUS_OVERLAP_KMV_SQL,
         'phash_near_dups': _Q_PHASH_NEAR_DUPS_SQL,
         'priority_sample': _Q_PRIORITY_SAMPLE_SQL,
+        'corpus_drift_matrix': _Q_CORPUS_DRIFT_MATRIX_SQL,
     }

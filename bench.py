@@ -145,6 +145,11 @@ BENCH_QUERIES = [
     # round-12 additions
     "unimax_sample",
     "quantile_sketch",
+    "unimax_tokens",
+    "corpus_overlap_kmv",
+    "corpus_drift_matrix",
+    "phash_near_dups",
+    "priority_sample",
 ]
 
 

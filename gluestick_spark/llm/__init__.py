@@ -50,7 +50,7 @@ from .sampling import (
 )
 from .packing import pack_documents
 from .bloom import bloom_words, bloom_prefilter
-from .decontam import ngrams_expr, ngram_hashes_expr, contamination_pairs, decontaminate, novelty_scores, novelty_scores_against, corpus_gram_overlap, corpus_jaccard_kmv
+from .decontam import ngrams_expr, ngram_hashes_expr, contamination_pairs, decontaminate, novelty_scores, novelty_scores_against, corpus_gram_overlap, corpus_jaccard_kmv, corpus_drift_matrix
 from .pii import PII_PATTERNS, redact_pii_expr, pii_counts_expr
 from .retrieval import bm25_topk
 from .repetition import repetition_stats

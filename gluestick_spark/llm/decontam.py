@@ -41,6 +41,7 @@ __all__ = [
     "corpus_gram_overlap",
     "corpus_jaccard_kmv",
     "kmv_jaccard_from_sketches",
+    "corpus_drift_matrix",
 ]
 
 
@@ -449,4 +450,55 @@ def kmv_jaccard_from_sketches(
             shared.cast("long").alias("n_shared"),
             est.alias("jaccard_est_ppm"),
         )
+    )
+
+
+def corpus_drift_matrix(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 512,
+) -> DataFrame:
+    """ALL-PAIRS corpus similarity matrix from ONE pass — the mixture-
+    design view :func:`corpus_jaccard_kmv` serves pairwise: every
+    source slice collapses to its KMV gram sketch in a single grouped
+    aggregation over the corpus, then the S×S estimates are pure array
+    arithmetic over the S-row sketch frame (broadcast nested-loop on
+    ≤ S·k longs — S sources, never corpus data). Returns
+    (``src_a`` < ``src_b``, ``k_used``, ``n_shared``,
+    ``jaccard_est_ppm``) per unordered pair; s.e. ≈ 1/√k per estimate,
+    exact for pairs whose gram union fits in k.
+
+    At 100 TB this is the drift dashboard query: one corpus scan per
+    refresh (or zero — merge persisted per-increment sketches with
+    :func:`~gluestick_spark.llm.sketch.kmv_merge`), then hundreds of
+    sources compare in milliseconds. Deterministic md5 hashing keeps
+    the whole matrix oracle-replayable."""
+    from .sketch import kmv_sketch
+
+    grams = df.select(
+        group_col, F.explode(ngrams_expr(F.col(text_col), n)).alias("__g__")
+    )
+    sk = kmv_sketch(grams, "__g__", k, [group_col])
+    a = sk.select(F.col(group_col).alias("src_a"), F.col("kmv").alias("__ka__"))
+    b = sk.select(F.col(group_col).alias("src_b"), F.col("kmv").alias("__kb__"))
+    pairs = a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+    u = F.slice(F.array_sort(F.array_union("__ka__", "__kb__")), 1, k)
+    shared = F.size(
+        F.array_intersect(F.array_intersect(u, F.col("__ka__")), F.col("__kb__"))
+    )
+    k_used = F.size(u)
+    est = F.when(
+        k_used > 0,
+        F.floor(
+            F.lit(1000000.0) * (shared.cast("double") / k_used.cast("double"))
+        ).cast("long"),
+    )
+    return pairs.select(
+        "src_a",
+        "src_b",
+        k_used.cast("long").alias("k_used"),
+        shared.cast("long").alias("n_shared"),
+        est.alias("jaccard_est_ppm"),
     )

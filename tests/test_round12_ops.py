@@ -702,3 +702,23 @@ def test_priority_sample_estimator(spark):
     bad = spark.createDataFrame([(1, 0)], "k long, w long")
     with pytest.raises(Exception, match="weight must be positive"):
         priority_sample(bad, "k", "w", 1).collect()
+
+
+def test_corpus_drift_matrix_consistency(spark):
+    """Matrix entries equal the pairwise estimator exactly (same
+    sketches, same rule); no CartesianProduct in the plan (tiny-frame
+    pair join is a broadcast nested loop)."""
+    from gluestick_spark.llm.decontam import corpus_drift_matrix, corpus_jaccard_kmv
+
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    m = corpus_drift_matrix(d, "source", "text", n=3, k=128)
+    rows = {(r["src_a"], r["src_b"]): r for r in m.collect()}
+    n_src = d.select("source").distinct().count()
+    assert len(rows) == n_src * (n_src - 1) // 2
+    one = rows[("src1", "src2")]
+    pw = corpus_jaccard_kmv(
+        d.where("source = 'src1'"), d.where("source = 'src2'"), "text", n=3, k=128
+    ).first()
+    assert (one["k_used"], one["n_shared"], one["jaccard_est_ppm"]) == tuple(pw)
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
