@@ -258,6 +258,31 @@ def main() -> None:
 
         return kll_sketch(d, "n_chars", k=200, group_cols=["lang"]).count()
 
+    def _drift_matrix(d):
+        # r12: one grouped sketch pass; S-row pair arithmetic is constant
+        from gluestick_spark.llm.decontam import corpus_drift_matrix
+
+        return corpus_drift_matrix(d, "source", "text", n=3, k=256).count()
+
+    def _phash(d):
+        # r12: banded Hamming LSH over planted duplicate payloads —
+        # replicas share anchors per replica, so pairs grow ~linearly
+        from gluestick_spark.llm.multimodal import phash_near_dups
+
+        anchors = d.select(F.col("doc_id").alias("aid"), F.col("text").alias("atext"))
+        p = (
+            d.select("doc_id", (F.col("doc_id") - F.col("doc_id") % 7).alias("aid"))
+            .join(anchors, "aid")
+            .select("doc_id", F.encode("atext", "utf-8").alias("payload"))
+        )
+        return phash_near_dups(p, "payload", "doc_id").count()
+
+    def _priority(d):
+        # r12: TakeOrdered top-(k+1) — per-partition partial top-k, ~flat
+        from gluestick_spark.llm.sampling import priority_sample
+
+        return priority_sample(d, "doc_id", "n_chars", k=1000).count()
+
     def _rep(d):
         return repetition_stats(d, "text", "doc_id").count()
 
@@ -322,6 +347,9 @@ def main() -> None:
         "novelty_scores": _novelty,
         "unimax_sample": _unimax,
         "kll_sketch": _kll,
+        "corpus_drift_matrix": _drift_matrix,
+        "phash_near_dups": _phash,
+        "priority_sample": _priority,
         "repetition_stats": _rep,
         "bm25_topk": _bm25,
         "segment_dedup": _segdedup,
