@@ -7811,6 +7811,47 @@ FROM c
 """
 
 
+def q_grouped_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group priority sampling (llm/sampling.py:priority_sample
+    (group_cols=) — r12): k=25 documents PER LANG weighted by n_chars,
+    per-group thresholds τ_g, unbiased per-group subset-sum estimates.
+    Two-phase rank (partition-local prune to k+1 before the keyed
+    shuffle) keeps the per-group sort off the corpus; the oracle
+    replays priorities, per-lang rank, τ_g, and the DOUBLE estimates
+    bit-for-bit."""
+    from gluestick_spark.llm.sampling import priority_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return priority_sample(
+        d, "doc_id", "n_chars", k=25, group_cols=["lang"]
+    ).select("doc_id", "lang", "n_chars", "w_est")
+
+
+_Q_GROUPED_PRIORITY_SQL = """
+WITH pr AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(n_chars AS DOUBLE) * (1152921504606846976.0 /
+           (CAST(CAST('0x' || substr(
+              md5(CAST(doc_id AS VARCHAR) || chr(31)), 1, 15) AS UBIGINT)
+            AS DOUBLE) + 1.0)) AS q
+  FROM documents
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY lang ORDER BY q DESC, doc_id) AS rn
+  FROM pr
+),
+tau AS (
+  SELECT lang, MAX(CASE WHEN rn = 26 THEN q END) AS tau
+  FROM r WHERE rn <= 26 GROUP BY lang
+)
+SELECT r.doc_id, r.lang, r.n_chars,
+       greatest(CAST(r.n_chars AS DOUBLE), COALESCE(tau.tau, 0.0)) AS w_est
+FROM r JOIN tau ON r.lang = tau.lang
+WHERE r.rn <= 25
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -8032,6 +8073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'phash_near_dups': q_phash_near_dups,
         'priority_sample': q_priority_sample,
         'corpus_drift_matrix': q_corpus_drift_matrix,
+        'grouped_priority_sample': q_grouped_priority_sample,
     }
 
 
@@ -8231,4 +8273,5 @@ def oracle_sql() -> dict[str, str]:
         'phash_near_dups': _Q_PHASH_NEAR_DUPS_SQL,
         'priority_sample': _Q_PRIORITY_SAMPLE_SQL,
         'corpus_drift_matrix': _Q_CORPUS_DRIFT_MATRIX_SQL,
+        'grouped_priority_sample': _Q_GROUPED_PRIORITY_SQL,
     }

@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "corpus_drift_matrix",
     "phash_near_dups",
     "priority_sample",
+    "grouped_priority_sample",
 ]
 
 

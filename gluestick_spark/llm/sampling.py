@@ -843,6 +843,7 @@ def priority_sample(
     k: int,
     seed: str = "",
     est_col: str = "w_est",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Weighted sampling WITHOUT replacement with unbiased subset-sum
     estimates — **priority sampling** (Duffield, Lund & Thorup 2007):
@@ -866,10 +867,17 @@ def priority_sample(
     with ``tiebreak_col``). Weights must be positive; NULL/≤0 weights
     raise at materialization (a silent drop would bias the estimator).
 
-    Plan: narrow projection → ``TakeOrderedAndProject`` of k+1 rows
-    (per-partition partial top-k — never a global sort) → the τ row
-    broadcasts back onto the kept k. Re-seeding draws an independent
-    sample."""
+    ``group_cols``: draw k PER GROUP (per-source weighted budgets with
+    per-group thresholds τ_g — the stratified form; estimates stay
+    unbiased per group and therefore overall). Grouped plan: a
+    partition-local rank prunes to ≤ (k+1) rows per (group, input
+    partition) BEFORE the keyed shuffle (the ``_k_min_hashes``
+    two-phase device), so the per-group sort never sees the corpus.
+
+    Plan (ungrouped): narrow projection → ``TakeOrderedAndProject`` of
+    k+1 rows (per-partition partial top-k — never a global sort) → the
+    τ row broadcasts back onto the kept k. Re-seeding draws an
+    independent sample."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     from pyspark.sql.window import Window
@@ -891,6 +899,37 @@ def priority_sample(
     u_inv = F.lit(_SPACE) / (
         _keyed_hash(F.col(key_col), seed).cast("double") + F.lit(1.0)
     )
+    if group_cols:
+        gcols = list(group_cols)
+        scored = df.withColumn("__q__", w_ok * u_inv)
+        wp = Window.partitionBy(*gcols, "__p__").orderBy(
+            F.col("__q__").desc(), F.col(key_col).asc()
+        )
+        pruned = (
+            scored.withColumn("__p__", F.spark_partition_id())
+            .withColumn("__prn__", F.row_number().over(wp))
+            .where(F.col("__prn__") <= k + 1)
+            .drop("__p__", "__prn__")
+        )
+        wg = Window.partitionBy(*gcols).orderBy(
+            F.col("__q__").desc(), F.col(key_col).asc()
+        )
+        ranked = pruned.withColumn("__rn__", F.row_number().over(wg)).where(
+            F.col("__rn__") <= k + 1
+        )
+        tau_g = ranked.groupBy(*gcols).agg(
+            F.max(F.when(F.col("__rn__") == k + 1, F.col("__q__"))).alias("__tau__")
+        )
+        kept = ranked.where(F.col("__rn__") <= k).join(
+            F.broadcast(tau_g), gcols, "left"
+        )
+        return kept.withColumn(
+            est_col,
+            F.greatest(
+                F.col(weight_col).cast("double"),
+                F.coalesce("__tau__", F.lit(0.0)),
+            ),
+        ).drop("__q__", "__rn__", "__tau__")
     topk1 = (
         df.withColumn("__q__", w_ok * u_inv)
         .orderBy(F.col("__q__").desc(), F.col(key_col).asc())

@@ -722,3 +722,48 @@ def test_corpus_drift_matrix_consistency(spark):
     assert (one["k_used"], one["n_shared"], one["jaccard_est_ppm"]) == tuple(pw)
     plan = m._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_priority_sample_grouped(spark):
+    """group_cols mode: the grouped draw equals per-group ungrouped
+    draws exactly (same priorities, per-group τ); repartition-invariant;
+    estimates unbiased per group over fixed seeds."""
+    import random
+
+    from gluestick_spark.llm.sampling import priority_sample
+
+    random.seed(5)
+    rows = [(i, f"g{i % 4}", random.randint(1, 100)) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, g string, w long")
+    got = {}
+    for r in priority_sample(df, "k", "w", 20, "s", group_cols=["g"]).collect():
+        got.setdefault(r["g"], []).append((r["k"], r["w_est"]))
+    for src in sorted(got):
+        solo = priority_sample(
+            df.where(F.col("g") == src), "k", "w", 20, "s"
+        ).collect()
+        assert sorted(got[src]) == sorted((r["k"], r["w_est"]) for r in solo)
+    a = sorted(
+        map(tuple, priority_sample(df, "k", "w", 20, "s", group_cols=["g"]).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            priority_sample(
+                df.repartition(11), "k", "w", 20, "s", group_cols=["g"]
+            ).collect(),
+        )
+    )
+    assert a == b
+    tot = {}
+    for _, g, w in rows:
+        tot[g] = tot.get(g, 0) + w
+    ests = {g: [] for g in tot}
+    for sd in range(30):
+        for r in (
+            priority_sample(df, "k", "w", 20, str(sd), group_cols=["g"])
+            .groupBy("g").agg(F.sum("w_est").alias("e")).collect()
+        ):
+            ests[r["g"]].append(r["e"])
+    for g, v in ests.items():
+        assert abs(sum(v) / len(v) - tot[g]) / tot[g] < 0.12, g
