@@ -7852,6 +7852,59 @@ WHERE r.rn <= 25
 """
 
 
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure perceptual-hash image dedup (llm/multimodal.py:
+    phash_cluster_dedup — r12): the planted anchor-group payloads of the
+    phash_near_dups row collapse to one survivor (min id) per connected
+    component via large-star/small-star contraction. Oracle replays the
+    pair graph (shared with _Q_PHASH_NEAR_DUPS_SQL) then a recursive-CTE
+    reachability closure (the cluster_dedup device)."""
+    from gluestick_spark.llm.multimodal import phash_cluster_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    anchors = d.select(F.col("doc_id").alias("aid"), F.col("text").alias("atext"))
+    p = (
+        d.select("doc_id", (F.col("doc_id") - F.col("doc_id") % 7).alias("aid"))
+        .join(anchors, "aid")
+        .select("doc_id", F.encode("atext", "utf-8").alias("payload"))
+    )
+    return phash_cluster_dedup(p, "payload", "doc_id").select("doc_id")
+
+
+_Q_PHASH_DEDUP_SQL = """
+WITH RECURSIVE p AS (
+  SELECT d.doc_id, a.text AS ptext
+  FROM documents d
+  JOIN documents a ON a.doc_id = d.doc_id - (d.doc_id % 7)
+),
+ph AS (
+  SELECT doc_id, CAST('0x' || substr(sha256(ptext), 1, 16) AS UBIGINT) AS h
+  FROM p
+),
+edges AS MATERIALIZED (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM ph x JOIN ph y ON x.doc_id < y.doc_id AND (
+       ((x.h >> 0)  & 65535) = ((y.h >> 0)  & 65535)
+    OR ((x.h >> 16) & 65535) = ((y.h >> 16) & 65535)
+    OR ((x.h >> 32) & 65535) = ((y.h >> 32) & 65535)
+    OR ((x.h >> 48) & 65535) = ((y.h >> 48) & 65535))
+  WHERE bit_count(xor(x.h, y.h)) <= 3
+),
+sedges AS (
+  SELECT a AS src, b AS dst FROM edges
+  UNION SELECT b AS src, a AS dst FROM edges
+),
+reach(node, label) AS (
+  SELECT src, src FROM sedges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN sedges e ON e.src = r.node
+),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+SELECT doc_id FROM p
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE node != component)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -8074,6 +8127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'priority_sample': q_priority_sample,
         'corpus_drift_matrix': q_corpus_drift_matrix,
         'grouped_priority_sample': q_grouped_priority_sample,
+        'phash_dedup': q_phash_dedup,
     }
 
 
@@ -8274,4 +8328,5 @@ def oracle_sql() -> dict[str, str]:
         'priority_sample': _Q_PRIORITY_SAMPLE_SQL,
         'corpus_drift_matrix': _Q_CORPUS_DRIFT_MATRIX_SQL,
         'grouped_priority_sample': _Q_GROUPED_PRIORITY_SQL,
+        'phash_dedup': _Q_PHASH_DEDUP_SQL,
     }

@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "phash_near_dups",
     "priority_sample",
     "grouped_priority_sample",
+    "phash_dedup",
 ]
 
 

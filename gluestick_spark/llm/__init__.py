@@ -72,6 +72,7 @@ from .multimodal import (
     fake_phash,
     compute_phash,
     phash_near_dups,
+    phash_cluster_dedup,
     attach_binary_metadata,
     decode_image_features,
     resize_images,

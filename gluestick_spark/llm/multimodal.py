@@ -39,6 +39,7 @@ __all__ = [
     "fake_phash",
     "compute_phash",
     "phash_near_dups",
+    "phash_cluster_dedup",
 ]
 
 MEDIA_METADATA_TYPE = T.StructType(
@@ -361,3 +362,27 @@ def phash_near_dups(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def phash_cluster_dedup(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    hasher: Callable[[bytes], int] = fake_phash,
+    max_bucket: int | None = 10000,
+) -> DataFrame:
+    """Transitive-closure image dedup: keep ONE row (min id) per
+    connected component of the :func:`phash_near_dups` graph — A~B~C
+    collapses to A even when A and C never paired directly (the
+    :func:`~gluestick_spark.llm.dedup.cluster_dedup` semantics applied
+    to perceptual hashes). Rows in no pair survive untouched; the drop
+    set is an anti-join, never a full-table shuffle of ``df``.
+    Components converge in O(log n) large-star/small-star rounds."""
+    from .dedup import cluster_dedup
+
+    pairs = phash_near_dups(
+        df, payload_col, id_col, max_hamming, bands, hasher, max_bucket
+    )
+    return cluster_dedup(df, pairs, id_col, "id_a", "id_b")

@@ -767,3 +767,34 @@ def test_priority_sample_grouped(spark):
             ests[r["g"]].append(r["e"])
     for g, v in ests.items():
         assert abs(sum(v) / len(v) - tot[g]) / tot[g] < 0.12, g
+
+
+def test_phash_cluster_dedup_transitive(spark):
+    """A~B and B~C (but never A~C directly) must collapse to one
+    survivor — transitive closure, not greedy pair-drop. Injected
+    hasher builds the chain: flips {0,1}, {1,2} pair within hamming 2
+    but {0,2} is 2 apart too... use 1-bit steps with max_hamming=1 so
+    A~B, B~C pair and A~C (2 bits) does NOT."""
+    from gluestick_spark.llm.multimodal import phash_cluster_dedup
+
+    def chain_hasher(b: bytes) -> int:
+        if b[0] == 9:  # the far-away singleton: different base entirely
+            return -0x7654_3210_0FED_CBA9
+        base = 0x1234_5678_9ABC_0000
+        for i in range(b[-1]):  # payload tail = number of 1-bit flips
+            base ^= 1 << (i * 9)
+        return base
+
+    p = spark.createDataFrame(
+        [(i, bytes([7, i])) for i in range(3)] + [(9, bytes([9, 0]))],
+        "doc_id long, payload binary",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in phash_cluster_dedup(
+            p, "payload", "doc_id", max_hamming=1, bands=4, hasher=chain_hasher
+        ).collect()
+    )
+    # docs 0,1,2 form a chain (0~1, 1~2, NOT 0~2) -> one survivor (min id 0);
+    # doc 9 hashes to a different base entirely -> untouched
+    assert kept == [0, 9], kept
