@@ -50,6 +50,36 @@ def write_sorted(
     part.sortWithinPartitions(*sort_cols).write.mode(mode).format(fmt).save(path)
 
 
+def _clear_orphaned_managed_location(spark, table: str) -> None:
+    """Remove a stale MANAGED-table warehouse directory left behind by a
+    killed prior run: the catalog has no entry for ``table`` but its
+    default location still exists on disk, so ``saveAsTable`` fails with
+    ``LOCATION_ALREADY_EXISTS``. The directory is an orphan — no catalog
+    entry points at it — so clearing it is safe and makes overwrite
+    writes (and the tests that exercise them) hermetic. Only the simple
+    ``tbl`` / ``db.tbl`` local-warehouse case is handled; external
+    locations are never touched."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    if spark.catalog.tableExists(table):
+        return  # real table: saveAsTable(overwrite) handles it
+    parts = table.lower().split(".")
+    if len(parts) > 2:
+        return
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    if not wh:
+        return
+    loc = (
+        os.path.join(wh, parts[0] + ".db", parts[1])
+        if len(parts) == 2
+        else os.path.join(wh, parts[0])
+    )
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -76,6 +106,8 @@ def write_bucketed(
         raise ValueError("bucket_cols must be non-empty")
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if mode == "overwrite":
+        _clear_orphaned_managed_location(df.sparkSession, table)
     w = df.write.mode(mode).format(fmt).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
