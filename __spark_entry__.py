@@ -7681,7 +7681,12 @@ def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(anchors, "aid")
         .select("doc_id", F.encode("atext", "utf-8").alias("payload"))
     )
-    return phash_near_dups(p, "payload", "doc_id", max_hamming=3, bands=4)
+    # max_bucket=None: the oracle SQL replays banding WITHOUT the engine's
+    # default bucket cap — keep the two decision rules identical (the cap
+    # is a scale guardrail, irrelevant on the planted 7-doc groups)
+    return phash_near_dups(
+        p, "payload", "doc_id", max_hamming=3, bands=4, max_bucket=None
+    )
 
 
 _Q_PHASH_NEAR_DUPS_SQL = """
@@ -7868,7 +7873,9 @@ def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(anchors, "aid")
         .select("doc_id", F.encode("atext", "utf-8").alias("payload"))
     )
-    return phash_cluster_dedup(p, "payload", "doc_id").select("doc_id")
+    return phash_cluster_dedup(
+        p, "payload", "doc_id", max_bucket=None
+    ).select("doc_id")  # max_bucket=None: oracle replays uncapped banding
 
 
 _Q_PHASH_DEDUP_SQL = """

@@ -223,7 +223,11 @@ def novelty_scores_against(
     ``bloom_words_df`` (a persisted :func:`~gluestick_spark.llm.bloom.
     bloom_words` frame built with the same ``bloom_m_bits``/``bloom_k``)
     to skip rebuilding the filter per call — then the reference table is
-    touched ONLY by the pre-filtered exact join."""
+    touched ONLY by the pre-filtered exact join.
+
+    Output is at ID grain: one row per DISTINCT ``id_col`` value; rows
+    sharing an id combine (gram counts sum over the duplicate rows) —
+    identically on the bloom and exact paths."""
     novelty = F.when(
         F.col("n_grams") > 0,
         F.floor(
@@ -237,9 +241,17 @@ def novelty_scores_against(
             if bloom_words_df is not None
             else bloom_words(ref_grams, "__g__", bloom_m_bits, bloom_k)
         )
-        totals = corpus.select(
-            F.col(id_col).alias("__id__"),
-            F.size(ngram_hashes_expr(F.col(text_col), n)).alias("n_grams"),
+        totals = (
+            corpus.select(
+                F.col(id_col).alias("__id__"),
+                F.size(ngram_hashes_expr(F.col(text_col), n)).alias("__sz__"),
+            )
+            # ID grain, matching the exact path's per-ID groupBy — so
+            # duplicate ids combine identically on both paths instead of
+            # per-row totals meeting a per-ID seen count (n_novel could
+            # go negative)
+            .groupBy("__id__")
+            .agg(F.sum("__sz__").alias("n_grams"))
         )
         doc_grams = corpus.select(
             F.col(id_col).alias("__id__"),
@@ -280,6 +292,7 @@ def novelty_scores_against(
     )
     return (
         corpus.select(F.col(id_col).alias("__id__"))
+        .distinct()  # ID grain — one output row per distinct id, both paths
         .join(per_doc, "__id__", "left")
         .select(
             F.col("__id__").alias(id_col),
@@ -419,13 +432,15 @@ def kmv_jaccard_from_sketches(
     ``__kb__``, sorted array<long> KMV sketches built with the same k)
     — the serve-many half of the sketch-once pattern. Tolerates empty
     frames (no-row input → empty sketch)."""
-    # kmv_sketch emits no row for an empty input — keep the comparison
-    # total with 1-row empty-array defaults
+    # A sketch frame can arrive EMPTY (a grouped kmv_sketch over no rows
+    # emits zero rows; the ungrouped global agg emits one row with []) —
+    # a LEFT join from range(1) keeps the comparison total either way,
+    # where a crossJoin against a 0-row frame would drop the default row.
     one = spark.range(1)
-    sa = one.crossJoin(F.broadcast(sa)).select(
+    sa = one.join(F.broadcast(sa), F.lit(True), "left").select(
         F.coalesce("__ka__", F.array().cast("array<long>")).alias("__ka__")
     )
-    sb = one.crossJoin(F.broadcast(sb)).select(
+    sb = one.join(F.broadcast(sb), F.lit(True), "left").select(
         F.coalesce("__kb__", F.array().cast("array<long>")).alias("__kb__")
     )
     u = F.slice(

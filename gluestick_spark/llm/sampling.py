@@ -94,8 +94,12 @@ def sample_exact_k(
 
     - ``tiebreak_col=None`` (default): ``key_col`` must be unique and
       non-null; this is VERIFIED with one aggregation pass over ``df``
-      and violations raise loudly. The extra pass is the price of the
-      determinism guarantee — at extreme scale, pass a tiebreak instead.
+      and violations raise loudly. The check is EMBEDDED IN THE PLAN
+      (a 1-row ``raise_error`` guard broadcast onto the result, the
+      heavy_hitters device), so it costs nothing until the sample is
+      actually materialized — composing plans stays lazy (ADVICE r12).
+      The extra pass at materialization is the price of the determinism
+      guarantee — at extreme scale, pass a tiebreak instead.
     - ``tiebreak_col=...``: duplicate keys are ordered by the keyed hash
       of the tiebreak value (then the value itself), and the check is
       skipped — determinism then REQUIRES ``(key_col, tiebreak_col)``
@@ -112,19 +116,44 @@ def sample_exact_k(
             _keyed_hash(F.col(tiebreak_col), seed).asc(),
             F.col(tiebreak_col).asc(),
         ]
-    else:
-        n, d = df.agg(
-            F.count(F.lit(1)), F.count_distinct(F.col(key_col))
-        ).first()
-        if d != n:
-            raise ValueError(
-                f"sample_exact_k: key_col {key_col!r} is not unique/"
-                f"non-null ({n} rows, {d} distinct non-null keys) — the "
-                "kept subset at the k boundary would be partition-order "
-                "dependent. Pass tiebreak_col= (and guarantee the pair "
-                "is unique) or dedupe first."
-            )
-    return df.orderBy(*order).limit(k)
+        return df.orderBy(*order).limit(k)
+    # Lazy uniqueness guard: a 1-row aggregate whose value is consumed by
+    # the join predicate, raising at MATERIALIZATION time iff key_col has
+    # duplicates or nulls — no eager corpus scan at plan-construction
+    # time (the heavy_hitters/priority_sample raise_error device).
+    guard = df.agg(
+        F.when(
+            F.count_distinct(F.col(key_col)) == F.count(F.lit(1)),
+            F.lit(1),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat_ws(
+                    " ",
+                    F.lit(
+                        f"sample_exact_k: key_col {key_col!r} is not "
+                        "unique/non-null ("
+                    ),
+                    F.count(F.lit(1)).cast("string"),
+                    F.lit("rows,"),
+                    F.count_distinct(F.col(key_col)).cast("string"),
+                    F.lit(
+                        "distinct non-null keys) — the kept subset at the "
+                        "k boundary would be partition-order dependent. "
+                        "Pass tiebreak_col= (and guarantee the pair is "
+                        "unique) or dedupe first."
+                    ),
+                )
+            ).cast("int")
+        )
+        .alias("__unique_ok__")
+    )
+    return (
+        df.orderBy(*order)
+        .limit(k)
+        .join(F.broadcast(guard), F.col("__unique_ok__") == F.lit(1), "inner")
+        .drop("__unique_ok__")
+    )
 
 
 def hash_split(

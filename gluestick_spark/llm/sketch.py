@@ -343,6 +343,15 @@ def heavy_hitters(
 # always sums to n — tested, and the device that keeps rank targets
 # meaningful after any merge chain.
 #
+# Stopping rule: _compress compacts overfull levels only while TOTAL
+# size exceeds TOTAL capacity — a deliberate deviation from the paper's
+# per-level-overflow trigger (classic KLL compacts any level above its
+# own cap immediately). A level may therefore sit above its individual
+# cap while the hierarchy as a whole fits; memory stays bounded by the
+# same total, but the error CONSTANTS are not the paper's — the error
+# contract here is the empirical pytest band (test_sketch quantile
+# battery), not Karnin-Lang-Liberty's analytic constant.
+#
 # Scale shape: one mapInPandas pass builds per-(input-partition, group)
 # partial sketches (bounded memory, no shuffle), then ONE keyed shuffle
 # moves only the sketches (O(k·log n) doubles each) into a per-group

@@ -87,19 +87,24 @@ def test_rebuild_over_torn_append_then_append(spark, tmp_dir, kind):
 def test_sample_exact_k_duplicate_keys_raise(spark):
     """Non-unique (or null) keys without a tiebreak are a hard error —
     the kept subset at the k boundary would be partition-order
-    dependent, breaking the replayability promise."""
+    dependent, breaking the replayability promise. The check is LAZY
+    (ADVICE r12): plan construction is free; the raise fires at
+    materialization via the plan-embedded raise_error guard."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
     from gluestick_spark.llm.sampling import sample_exact_k
 
     # 30 distinct keys, key 7 duplicated 10× — a dup group will straddle
     # most k boundaries
     rows = [(i, i * 100) for i in range(30)] + [(7, 1000 + j) for j in range(10)]
     d = spark.createDataFrame(rows, "k long, payload long")
-    with pytest.raises(ValueError, match="not unique"):
-        sample_exact_k(d, "k", 20)
+    plan = sample_exact_k(d, "k", 20)  # building the plan must NOT scan
+    with pytest.raises(SparkRuntimeException, match="not unique"):
+        plan.collect()
     # null keys also violate the contract (count_distinct drops nulls)
     dn = spark.createDataFrame([(1, 1), (None, 2)], "k long, payload long")
-    with pytest.raises(ValueError, match="not unique"):
-        sample_exact_k(dn, "k", 1)
+    with pytest.raises(SparkRuntimeException, match="not unique"):
+        sample_exact_k(dn, "k", 1).collect()
 
 
 def test_sample_exact_k_tiebreak_deterministic_across_partitionings(spark):
