@@ -196,7 +196,7 @@ from .llm.web import (
     cap_per_domain,
 )
 from .llm.repetition import repetition_stats
-from .llm.bloom import bloom_words, bloom_prefilter
+from .llm.bloom import bloom_words, bloom_prefilter, should_prefilter
 from .llm.decontam import contamination_pairs, decontaminate
 from .llm.packing import pack_documents
 from .llm.cluster import (

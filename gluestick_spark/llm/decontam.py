@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .bloom import bloom_prefilter, bloom_words
+from .bloom import bloom_prefilter, bloom_words, should_prefilter
 from .text import tokens_expr
 
 __all__ = [
@@ -79,6 +79,18 @@ def ngram_hashes_expr(col, n: int = 8, lowercase: bool = True):
     return F.transform(ngrams_expr(col, n, lowercase), lambda g: F.xxhash64(g))
 
 
+def _resolve_bloom_m(bloom_m_bits, reference: DataFrame):
+    """Resolve the ``'auto'`` bloom sizing default: filter ON (default
+    m=2^23) only when Catalyst's statistics say ``reference`` exceeds
+    the broadcast threshold (:func:`gluestick_spark.llm.bloom.
+    should_prefilter`); a broadcastable reference takes the plain exact
+    join — the filter's extra reference pass + k probe joins can't win
+    there (VERDICT r12). Explicit int/None values pass through."""
+    if bloom_m_bits == "auto":
+        return (1 << 23) if should_prefilter(reference) else None
+    return bloom_m_bits
+
+
 def contamination_pairs(
     corpus: DataFrame,
     bench: DataFrame,
@@ -88,14 +100,17 @@ def contamination_pairs(
     bench_id: str,
     n: int = 8,
     min_overlap: int = 1,
-    bloom_m_bits: int | None = 1 << 23,
+    bloom_m_bits: int | None | str = "auto",
     bloom_k: int = 3,
 ) -> DataFrame:
     """(``doc_id``, ``bench_id``, ``n_shared``) for every corpus document
     sharing ≥ ``min_overlap`` distinct word ``n``-grams with a benchmark
     item. See module docstring for the one-pass join shape.
 
-    ``bloom_m_bits``/``bloom_k`` (None disables): a Bloom filter over the
+    ``bloom_m_bits``/``bloom_k`` (default ``'auto'``: the filter builds
+    only when Catalyst's size statistic says the reference side exceeds
+    the broadcast threshold — see :func:`_resolve_bloom_m`; an int
+    forces it on at that size, ``None`` disables): a Bloom filter over the
     benchmark gram hashes (:mod:`gluestick_spark.llm.bloom`) drops
     definitely-clean corpus grams BEFORE the join — at 100 TB, where the
     bench side may exceed the broadcast threshold and the join becomes a
@@ -111,6 +126,7 @@ def contamination_pairs(
         F.col(bench_id).alias("bench_id"),
         F.explode(ngram_hashes_expr(F.col(bench_text), n)).alias("__g__"),
     ).distinct()
+    bloom_m_bits = _resolve_bloom_m(bloom_m_bits, bench)
     if bloom_m_bits is not None:
         words = bloom_words(b, "__g__", bloom_m_bits, bloom_k)
         c = bloom_prefilter(c, "__g__", words, bloom_m_bits, bloom_k)
@@ -151,7 +167,7 @@ def novelty_scores(
     id_col: str,
     ref_text_col: str | None = None,
     n: int = 3,
-    bloom_m_bits: int | None = 1 << 23,
+    bloom_m_bits: int | None | str = "auto",
     bloom_k: int = 3,
 ) -> DataFrame:
     """Per-document n-gram NOVELTY against a reference corpus — the
@@ -181,7 +197,10 @@ def novelty_scores(
     under-count novelty by ~2⁻⁶⁴ per gram pair — negligible against
     tokenization noise (the decontam argument).
 
-    ``bloom_m_bits``/``bloom_k`` (None disables): with the Bloom filter
+    ``bloom_m_bits``/``bloom_k`` (default ``'auto'``: the filter builds
+    only when Catalyst's size statistic says the reference side exceeds
+    the broadcast threshold — see :func:`_resolve_bloom_m`; an int
+    forces it on at that size, ``None`` disables): with the Bloom filter
     on, the plan is restructured so only grams that MIGHT be seen reach
     the join — per-doc totals come from ``size()`` of the gram array (no
     join needed for definitely-novel grams), and ``n_novel = n_grams −
@@ -196,6 +215,10 @@ def novelty_scores(
     ref_grams = reference.select(
         F.explode(ngram_hashes_expr(F.col(ref_text), n)).alias("__g__")
     ).distinct()
+    # resolve 'auto' on the RAW reference relation (its Catalyst size
+    # statistic is direct — file size / in-memory bytes — where the
+    # exploded gram frame's would be a Generate-node guess)
+    bloom_m_bits = _resolve_bloom_m(bloom_m_bits, reference)
     return novelty_scores_against(
         corpus, ref_grams, text_col, id_col, n, bloom_m_bits, bloom_k
     )
@@ -207,7 +230,7 @@ def novelty_scores_against(
     text_col: str,
     id_col: str,
     n: int = 3,
-    bloom_m_bits: int | None = 1 << 23,
+    bloom_m_bits: int | None | str = "auto",
     bloom_k: int = 3,
     bloom_words_df: DataFrame | None = None,
 ) -> DataFrame:
@@ -235,6 +258,7 @@ def novelty_scores_against(
             * (F.col("n_novel").cast("double") / F.col("n_grams").cast("double"))
         ).cast("long"),
     )
+    bloom_m_bits = _resolve_bloom_m(bloom_m_bits, ref_grams)
     if bloom_m_bits is not None:
         words = (
             bloom_words_df
@@ -309,7 +333,7 @@ def corpus_gram_overlap(
     text_col: str,
     b_text_col: str | None = None,
     n: int = 3,
-    bloom_m_bits: int | None = 1 << 23,
+    bloom_m_bits: int | None | str = "auto",
     bloom_k: int = 3,
 ) -> DataFrame:
     """Corpus-level n-gram overlap — ONE row:
@@ -330,7 +354,10 @@ def corpus_gram_overlap(
     three 1-row aggregates combined by cross join (no corpus-scale
     shuffle beyond the two distincts).
 
-    ``bloom_m_bits``/``bloom_k`` (None disables): a Bloom filter over
+    ``bloom_m_bits``/``bloom_k`` (default ``'auto'``: the filter builds
+    only when Catalyst's size statistic says the reference side exceeds
+    the broadcast threshold — see :func:`_resolve_bloom_m`; an int
+    forces it on at that size, ``None`` disables): a Bloom filter over
     B's gram hashes pre-filters A's RAW gram stream before both the
     intersection's distinct and its join — at 100 TB that shrinks the
     n_shared branch's two shuffles to (shared + ~0.1% FP) grams, for
@@ -347,6 +374,7 @@ def corpus_gram_overlap(
     ).distinct()
     na = ga.agg(F.count(F.lit(1)).alias("n_grams_a"))
     nb = gb.agg(F.count(F.lit(1)).alias("n_grams_b"))
+    bloom_m_bits = _resolve_bloom_m(bloom_m_bits, b)
     if bloom_m_bits is not None:
         words = bloom_words(gb, "__g__", bloom_m_bits, bloom_k)
         ga_shared = bloom_prefilter(

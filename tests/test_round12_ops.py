@@ -306,7 +306,11 @@ def test_bloom_decontam_identity_and_volume(spark):
     bench = d.where(F.col("doc_id") % 20 == 0).select(
         F.col("doc_id").alias("bid"), F.col("text").alias("q")
     )
-    on = contamination_pairs(d, bench, "text", "doc_id", "q", "bid", n=8)
+    # bloom_m_bits now defaults to 'auto' (off for a broadcastable
+    # reference) — force ON so this stays an on-vs-off identity test
+    on = contamination_pairs(
+        d, bench, "text", "doc_id", "q", "bid", n=8, bloom_m_bits=1 << 23
+    )
     off = contamination_pairs(
         d, bench, "text", "doc_id", "q", "bid", n=8, bloom_m_bits=None
     )
@@ -314,12 +318,12 @@ def test_bloom_decontam_identity_and_volume(spark):
 
     ref = d.where(F.col("source") == "src0")
     raw = d.where(F.col("source") != "src0")
-    n_on = novelty_scores(raw, ref, "text", "doc_id", n=3)
+    n_on = novelty_scores(raw, ref, "text", "doc_id", n=3, bloom_m_bits=1 << 23)
     n_off = novelty_scores(raw, ref, "text", "doc_id", n=3, bloom_m_bits=None)
     assert sorted(map(tuple, n_on.collect())) == sorted(map(tuple, n_off.collect()))
 
     a, b = d.where(F.col("source") == "src1"), d.where(F.col("source") == "src2")
-    o_on = corpus_gram_overlap(a, b, "text", n=3).collect()
+    o_on = corpus_gram_overlap(a, b, "text", n=3, bloom_m_bits=1 << 23).collect()
     o_off = corpus_gram_overlap(a, b, "text", n=3, bloom_m_bits=None).collect()
     assert [tuple(r) for r in o_on] == [tuple(r) for r in o_off]
 

@@ -89,3 +89,50 @@ def test_novelty_scores_duplicate_ids_paths_agree(spark):
     assert exact[3] == (0, 0, None)  # too short: 0 grams, NULL novelty
     # n_novel never negative (the old bloom-path failure mode)
     assert all(v[1] >= 0 for v in bloom.values())
+
+
+# ---------------- VERDICT 2: bloom pre-filter auto gate ------------------
+
+
+def test_bloom_auto_gate(spark, tmp_dir):
+    """The 'auto' default builds the Bloom pre-filter only when the
+    reference exceeds the broadcast threshold (Catalyst's own size
+    statistic) — a broadcastable reference takes the plain exact join,
+    reclaiming the r12 bench overhead on contamination/novelty/overlap."""
+    import os
+
+    from gluestick_spark.llm.bloom import should_prefilter
+    from gluestick_spark.llm.decontam import novelty_scores
+
+    # file-backed reference: Catalyst reports real (file-size-based)
+    # statistics; an in-memory LogicalRDD reports the unknown sentinel
+    # and conservatively keeps the filter ON (also asserted below)
+    p = os.path.join(tmp_dir, "ref.parquet")
+    spark.createDataFrame([("alpha beta gamma",)], "text string").write.parquet(p)
+    small = spark.read.parquet(p)
+    assert should_prefilter(small) is False  # KBs vs default threshold
+    assert should_prefilter(small, threshold_bytes=0) is True
+    assert should_prefilter(small, threshold_bytes=-1) is True  # bcast off
+    # unknown statistics (LogicalRDD sentinel) → conservative ON
+    unknown = spark.createDataFrame([("alpha beta gamma",)], "text string")
+    assert should_prefilter(unknown) is True
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+
+    def n_joins(df):
+        return (
+            df._jdf.queryExecution().executedPlan().toString()
+        ).count("BroadcastHashJoin")
+
+    auto = novelty_scores(corpus, small, "text", "doc_id", n=2)
+    forced = novelty_scores(
+        corpus, small, "text", "doc_id", n=2, bloom_m_bits=1 << 16
+    )
+    # auto → exact path (no k probe joins); forced → k=3 extra joins
+    assert n_joins(forced) >= n_joins(auto) + 3
+    # same answer either way (the bit-identical contract)
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, forced.collect())
+    )
