@@ -7939,63 +7939,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # map. Tail entries remain locally oracle-checked via
     # tools/check_correctness.py / tools/driver_sim.py every round.
     return {
-        # ---- correctness window: first 50 = driver-checked. Round-12
+        # ---- correctness window: first 50 = driver-checked. Round-13
         # rotation (tools/rotate_registry.py, honest-evidence policy):
         # never-driver-checked rows lead, then oldest-evidence-first.
         # Displacement rationales: COVERAGE.md. ----
-        'unimax_sample': q_unimax_sample,
-        'quantile_sketch': q_quantile_sketch,
-        'streaming_novelty': q_streaming_novelty,
-        'explode_json_to_cols': q_explode_json_to_cols,
-        'format_str_records': q_format_str_records,
-        'funnel_counts': q_funnel_counts,
-        'hits_click_graph': q_hits_click_graph,
-        'image_features': q_image_features,
-        'ivf_exact_topk': q_ivf_exact_topk,
-        'jaccard_vs_query': q_jaccard_vs_query,
-        'json_tuple_to_cols': q_json_tuple_to_cols,
-        'keep_last_dedup': q_keep_last,
-        'kmeans_clusters': q_kmeans_clusters,
-        'label_communities': q_label_communities,
-        'lang_id': q_lang_id,
-        'localize_datetime': q_localize_datetime,
-        'lsh_ann_topk': q_lsh_ann,
-        'melt_part': q_melt_part,
-        'merge_id_from_snapshot': q_merge_id,
-        'nulls_trimmed': q_nulls_trimmed,
-        'pagerank_events': q_pagerank_events,
-        'part_triangles': q_part_triangles,
-        'pluck_fields': q_pluck_fields,
-        'pq_topk': q_pq_topk,
-        'quality_score': q_quality_score,
-        'resample_ratio': q_resample_ratio,
-        'row_hash': q_row_hash,
-        'semdedup_keep': q_semdedup_keep,
-        'sq_topk': q_sq_topk,
-        'union_relaxed': q_union_relaxed,
-        'url_dedup': q_url_dedup,
-        'winnow_fingerprint': q_winnow_fingerprint,
-        'length_drift': q_length_drift,
-        'streaming_url_dedup': q_streaming_url_dedup,
-        'sq_topk_indexed': q_sq_topk_indexed,
-        'streaming_drift': q_streaming_drift,
-        'html_extract': q_html_extract,
-        'outlink_domains': q_outlink_domains,
-        'customer_matches': q_customer_matches,
-        'contact_normalize': q_contact_normalize,
-        'sq_ivf_topk': q_sq_ivf_topk,
-        'sq_ivf_topk_indexed': q_sq_ivf_topk_indexed,
-        'classifier_score': q_classifier_score,
-        'substring_spans': q_substring_spans,
-        'substring_dedup': q_substring_dedup,
-        'quality_mix': q_quality_mix,
-        'substring_decontam': q_substring_decontam,
-        'bigram_nll': q_bigram_nll,
-        'local_supplier_volume': q_local_supplier_volume,
-        'promo_revenue': q_promo_revenue,
-        # ---- tail: locally oracle-checked every round (driver_sim /
-        # check_correctness); ordered oldest-evidence-first, so this IS
-        # the round-13 promotion queue. ----
+        'unimax_tokens': q_unimax_tokens,
+        'corpus_overlap_kmv': q_corpus_overlap_kmv,
+        'streaming_corpus_drift': q_streaming_corpus_drift,
+        'phash_near_dups': q_phash_near_dups,
+        'priority_sample': q_priority_sample,
+        'corpus_drift_matrix': q_corpus_drift_matrix,
+        'grouped_priority_sample': q_grouped_priority_sample,
+        'phash_dedup': q_phash_dedup,
         'shipping_priority': q_shipping_priority,
         'ann_topk': q_ann_topk,
         'audio_features': q_audio_features,
@@ -8038,6 +7993,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'tfidf_vectors': q_tfidf_vectors,
         'time_rollup': q_time_rollup,
         'kmv_merge': q_kmv_merge,
+        # ---- tail: locally oracle-checked every round (driver_sim /
+        # check_correctness); ordered oldest-evidence-first, so this IS
+        # the round-14 promotion queue. ----
         'event_asof_close': q_event_asof_close,
         'event_asof_nearest': q_event_asof_nearest,
         'ivf_probe_indexed': q_ivf_probe_indexed,
@@ -8127,14 +8085,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'enforce_exploded_types': q_enforce_exploded_types,
         'event_transitions': q_event_transitions,
         'events_pivot': q_events_pivot,
-        'unimax_tokens': q_unimax_tokens,
-        'corpus_overlap_kmv': q_corpus_overlap_kmv,
-        'streaming_corpus_drift': q_streaming_corpus_drift,
-        'phash_near_dups': q_phash_near_dups,
-        'priority_sample': q_priority_sample,
-        'corpus_drift_matrix': q_corpus_drift_matrix,
-        'grouped_priority_sample': q_grouped_priority_sample,
-        'phash_dedup': q_phash_dedup,
+        'unimax_sample': q_unimax_sample,
+        'quantile_sketch': q_quantile_sketch,
+        'streaming_novelty': q_streaming_novelty,
+        'explode_json_to_cols': q_explode_json_to_cols,
+        'format_str_records': q_format_str_records,
+        'funnel_counts': q_funnel_counts,
+        'hits_click_graph': q_hits_click_graph,
+        'image_features': q_image_features,
+        'ivf_exact_topk': q_ivf_exact_topk,
+        'jaccard_vs_query': q_jaccard_vs_query,
+        'json_tuple_to_cols': q_json_tuple_to_cols,
+        'keep_last_dedup': q_keep_last,
+        'kmeans_clusters': q_kmeans_clusters,
+        'label_communities': q_label_communities,
+        'lang_id': q_lang_id,
+        'localize_datetime': q_localize_datetime,
+        'lsh_ann_topk': q_lsh_ann,
+        'melt_part': q_melt_part,
+        'merge_id_from_snapshot': q_merge_id,
+        'nulls_trimmed': q_nulls_trimmed,
+        'pagerank_events': q_pagerank_events,
+        'part_triangles': q_part_triangles,
+        'pluck_fields': q_pluck_fields,
+        'pq_topk': q_pq_topk,
+        'quality_score': q_quality_score,
+        'resample_ratio': q_resample_ratio,
+        'row_hash': q_row_hash,
+        'semdedup_keep': q_semdedup_keep,
+        'sq_topk': q_sq_topk,
+        'union_relaxed': q_union_relaxed,
+        'url_dedup': q_url_dedup,
+        'winnow_fingerprint': q_winnow_fingerprint,
+        'length_drift': q_length_drift,
+        'streaming_url_dedup': q_streaming_url_dedup,
+        'sq_topk_indexed': q_sq_topk_indexed,
+        'streaming_drift': q_streaming_drift,
+        'html_extract': q_html_extract,
+        'outlink_domains': q_outlink_domains,
+        'customer_matches': q_customer_matches,
+        'contact_normalize': q_contact_normalize,
+        'sq_ivf_topk': q_sq_ivf_topk,
+        'sq_ivf_topk_indexed': q_sq_ivf_topk_indexed,
+        'classifier_score': q_classifier_score,
+        'substring_spans': q_substring_spans,
+        'substring_dedup': q_substring_dedup,
+        'quality_mix': q_quality_mix,
+        'substring_decontam': q_substring_decontam,
+        'bigram_nll': q_bigram_nll,
+        'local_supplier_volume': q_local_supplier_volume,
+        'promo_revenue': q_promo_revenue,
     }
 
 
@@ -8147,56 +8147,14 @@ def oracle_sql() -> dict[str, str]:
     # (stream-then-batch == batch-over-union).
     return {
         # (order mirrors queries() exactly — the driver zips them)
-        'unimax_sample': _Q_UNIMAX_SQL,
-        'quantile_sketch': _Q_QUANTILE_SKETCH_SQL,
-        'streaming_novelty': _Q_NOVELTY_SQL,
-        'explode_json_to_cols': _Q_EXPLODE_COLS_SQL,
-        'format_str_records': _Q_FORMAT_STR_SQL,
-        'funnel_counts': _Q_FUNNEL_SQL,
-        'hits_click_graph': _hits_oracle_sql(),
-        'image_features': _image_features_sql(),
-        'ivf_exact_topk': _ivf_exact_oracle_sql(),
-        'jaccard_vs_query': _Q_JACCARD_SQL,
-        'json_tuple_to_cols': _Q_JSON_TUPLE_SQL,
-        'keep_last_dedup': _Q_KEEP_LAST_SQL,
-        'kmeans_clusters': _kmeans_oracle_sql(),
-        'label_communities': _lpa_oracle_sql(),
-        'lang_id': _lang_id_sql(),
-        'localize_datetime': _Q_LOCALIZE_SQL,
-        'lsh_ann_topk': _lsh_ann_sql(),
-        'melt_part': _Q_MELT_PART_SQL,
-        'merge_id_from_snapshot': _Q_MERGE_ID_SQL,
-        'nulls_trimmed': _Q_NULLS_TRIMMED_SQL,
-        'pagerank_events': _pagerank_oracle_sql(),
-        'part_triangles': _Q_PART_TRIANGLES_SQL,
-        'pluck_fields': _Q_PLUCK_SQL,
-        'pq_topk': _pq_oracle_sql(),
-        'quality_score': _quality_sql(),
-        'resample_ratio': _Q_RESAMPLE_RATIO_SQL,
-        'row_hash': _Q_ROW_HASH_SQL,
-        'semdedup_keep': _semdedup_oracle_sql(),
-        'sq_topk': _Q_SQ_TOPK_SQL,
-        'union_relaxed': _Q_UNION_SQL,
-        'url_dedup': _Q_URL_DEDUP_SQL,
-        'winnow_fingerprint': _Q_WINNOW_FP_SQL,
-        'length_drift': _Q_LENGTH_DRIFT_SQL,
-        'streaming_url_dedup': _Q_URL_DEDUP_SQL,
-        'sq_topk_indexed': _Q_SQ_TOPK_SQL,
-        'streaming_drift': _Q_LENGTH_DRIFT_SQL,
-        'html_extract': _Q_HTML_EXTRACT_SQL,
-        'outlink_domains': _Q_OUTLINK_DOMAINS_SQL,
-        'customer_matches': _Q_CUSTOMER_MATCHES_SQL,
-        'contact_normalize': _Q_CONTACT_NORM_SQL,
-        'sq_ivf_topk': _sq_ivf_oracle_sql(),
-        'sq_ivf_topk_indexed': _sq_ivf_oracle_sql(),
-        'classifier_score': _classifier_oracle_sql(),
-        'substring_spans': _Q_SUBSTRING_SPANS_SQL,
-        'substring_dedup': _Q_SUBSTRING_DEDUP_SQL,
-        'quality_mix': _quality_mix_oracle_sql(),
-        'substring_decontam': _Q_SUBSTRING_DECONTAM_SQL,
-        'bigram_nll': _Q_BIGRAM_NLL_SQL,
-        'local_supplier_volume': _Q_LOCAL_SUPPLIER_SQL,
-        'promo_revenue': _Q_PROMO_SQL,
+        'unimax_tokens': _Q_UNIMAX_TOKENS_SQL,
+        'corpus_overlap_kmv': _Q_CORPUS_OVERLAP_KMV_SQL,
+        'streaming_corpus_drift': _Q_CORPUS_OVERLAP_KMV_SQL,
+        'phash_near_dups': _Q_PHASH_NEAR_DUPS_SQL,
+        'priority_sample': _Q_PRIORITY_SAMPLE_SQL,
+        'corpus_drift_matrix': _Q_CORPUS_DRIFT_MATRIX_SQL,
+        'grouped_priority_sample': _Q_GROUPED_PRIORITY_SQL,
+        'phash_dedup': _Q_PHASH_DEDUP_SQL,
         'shipping_priority': _Q_SHIPPING_SQL,
         'ann_topk': _Q_ANN_TOPK_SQL,
         'audio_features': _audio_features_sql(),
@@ -8328,12 +8286,54 @@ def oracle_sql() -> dict[str, str]:
         'enforce_exploded_types': _Q_ENFORCE_TYPES_SQL,
         'event_transitions': _Q_EVENT_TRANSITIONS_SQL,
         'events_pivot': _Q_EVENTS_PIVOT_SQL,
-        'unimax_tokens': _Q_UNIMAX_TOKENS_SQL,
-        'corpus_overlap_kmv': _Q_CORPUS_OVERLAP_KMV_SQL,
-        'streaming_corpus_drift': _Q_CORPUS_OVERLAP_KMV_SQL,
-        'phash_near_dups': _Q_PHASH_NEAR_DUPS_SQL,
-        'priority_sample': _Q_PRIORITY_SAMPLE_SQL,
-        'corpus_drift_matrix': _Q_CORPUS_DRIFT_MATRIX_SQL,
-        'grouped_priority_sample': _Q_GROUPED_PRIORITY_SQL,
-        'phash_dedup': _Q_PHASH_DEDUP_SQL,
+        'unimax_sample': _Q_UNIMAX_SQL,
+        'quantile_sketch': _Q_QUANTILE_SKETCH_SQL,
+        'streaming_novelty': _Q_NOVELTY_SQL,
+        'explode_json_to_cols': _Q_EXPLODE_COLS_SQL,
+        'format_str_records': _Q_FORMAT_STR_SQL,
+        'funnel_counts': _Q_FUNNEL_SQL,
+        'hits_click_graph': _hits_oracle_sql(),
+        'image_features': _image_features_sql(),
+        'ivf_exact_topk': _ivf_exact_oracle_sql(),
+        'jaccard_vs_query': _Q_JACCARD_SQL,
+        'json_tuple_to_cols': _Q_JSON_TUPLE_SQL,
+        'keep_last_dedup': _Q_KEEP_LAST_SQL,
+        'kmeans_clusters': _kmeans_oracle_sql(),
+        'label_communities': _lpa_oracle_sql(),
+        'lang_id': _lang_id_sql(),
+        'localize_datetime': _Q_LOCALIZE_SQL,
+        'lsh_ann_topk': _lsh_ann_sql(),
+        'melt_part': _Q_MELT_PART_SQL,
+        'merge_id_from_snapshot': _Q_MERGE_ID_SQL,
+        'nulls_trimmed': _Q_NULLS_TRIMMED_SQL,
+        'pagerank_events': _pagerank_oracle_sql(),
+        'part_triangles': _Q_PART_TRIANGLES_SQL,
+        'pluck_fields': _Q_PLUCK_SQL,
+        'pq_topk': _pq_oracle_sql(),
+        'quality_score': _quality_sql(),
+        'resample_ratio': _Q_RESAMPLE_RATIO_SQL,
+        'row_hash': _Q_ROW_HASH_SQL,
+        'semdedup_keep': _semdedup_oracle_sql(),
+        'sq_topk': _Q_SQ_TOPK_SQL,
+        'union_relaxed': _Q_UNION_SQL,
+        'url_dedup': _Q_URL_DEDUP_SQL,
+        'winnow_fingerprint': _Q_WINNOW_FP_SQL,
+        'length_drift': _Q_LENGTH_DRIFT_SQL,
+        'streaming_url_dedup': _Q_URL_DEDUP_SQL,
+        'sq_topk_indexed': _Q_SQ_TOPK_SQL,
+        'streaming_drift': _Q_LENGTH_DRIFT_SQL,
+        'html_extract': _Q_HTML_EXTRACT_SQL,
+        'outlink_domains': _Q_OUTLINK_DOMAINS_SQL,
+        'customer_matches': _Q_CUSTOMER_MATCHES_SQL,
+        'contact_normalize': _Q_CONTACT_NORM_SQL,
+        'sq_ivf_topk': _sq_ivf_oracle_sql(),
+        'sq_ivf_topk_indexed': _sq_ivf_oracle_sql(),
+        'classifier_score': _classifier_oracle_sql(),
+        'substring_spans': _Q_SUBSTRING_SPANS_SQL,
+        'substring_dedup': _Q_SUBSTRING_DEDUP_SQL,
+        'quality_mix': _quality_mix_oracle_sql(),
+        'substring_decontam': _Q_SUBSTRING_DECONTAM_SQL,
+        'bigram_nll': _Q_BIGRAM_NLL_SQL,
+        'local_supplier_volume': _Q_LOCAL_SUPPLIER_SQL,
+        'promo_revenue': _Q_PROMO_SQL,
     }
