@@ -5225,6 +5225,58 @@ def q_sq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REBAL_SIVF_CACHE: dict = {}
+
+
+def q_sq_ivf_rebalanced_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell rebalance (llm/rebalance.py:sq_ivf_rebalance — VERDICT
+    r12 #4): build the IVF×SQ index on a QUARTER of the corpus, append
+    the remaining three quarters (cells grow skewed — the unbounded-
+    append pathology), then rebalance with a threshold that forces
+    splits. The probe at nprobe = n_live must equal EXHAUSTIVE int8
+    scoring over the full corpus — the proof that no row was lost or
+    duplicated through the split/move/tombstone cycle — so this row
+    shares the sq_topk oracle verbatim (the indexed ≡ direct device
+    applied to index maintenance).
+
+    The rebalanced index is cached per sf_dir within the session
+    (materialize-once/serve-many: repeated calls measure serving)."""
+    import json
+    import os
+    import tempfile
+
+    from gluestick_spark.llm.cluster import (
+        materialize_sq_ivf,
+        sq_ivf_append,
+        sq_ivf_topk_indexed,
+    )
+    from gluestick_spark.llm.rebalance import sq_ivf_rebalance
+
+    q = _query_vec(spark, sf_dir)
+    path = _REBAL_SIVF_CACHE.get(sf_dir)
+    if path is None:
+        e = _t(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="gs_sqivf_rebal_")
+        materialize_sq_ivf(
+            e.where(F.col("vec_id") % 4 == 0), "embedding", "vec_id", path,
+            n_clusters=4, iters=1, scale=_KM_SCALE,
+        )
+        sq_ivf_append(
+            e.where(F.col("vec_id") % 4 != 0), "embedding", "vec_id", path
+        )
+        # threshold = half the mean cell size -> at least one cell splits
+        total = e.count()
+        sq_ivf_rebalance(spark, path, max_cell_rows=max(1, total // 8))
+        _REBAL_SIVF_CACHE[sf_dir] = path
+    with open(os.path.join(path, "_ROUTER.json")) as f:
+        meta = json.load(f)
+    n_live = len(meta["state"]) - len(meta.get("dead", []))
+    top = sq_ivf_topk_indexed(spark, path, q, k=_SQ_TOPK_K, nprobe=n_live)
+    return top.select(
+        "vec_id", (F.floor(F.col("score") * 1e4) / 1e4).alias("score")
+    )
+
+
 def q_alpha_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based multilingual rebalancing (llm/sampling.py:
     alpha_sample, α = 0.5): per-language keep rates sqrt(n_min/n_lang)
@@ -8120,6 +8172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'length_drift': q_length_drift,
         'streaming_url_dedup': q_streaming_url_dedup,
         'sq_topk_indexed': q_sq_topk_indexed,
+        'sq_ivf_rebalanced_topk': q_sq_ivf_rebalanced_topk,
         'streaming_drift': q_streaming_drift,
         'html_extract': q_html_extract,
         'outlink_domains': q_outlink_domains,
@@ -8321,6 +8374,7 @@ def oracle_sql() -> dict[str, str]:
         'length_drift': _Q_LENGTH_DRIFT_SQL,
         'streaming_url_dedup': _Q_URL_DEDUP_SQL,
         'sq_topk_indexed': _Q_SQ_TOPK_SQL,
+        'sq_ivf_rebalanced_topk': _Q_SQ_TOPK_SQL,
         'streaming_drift': _Q_LENGTH_DRIFT_SQL,
         'html_extract': _Q_HTML_EXTRACT_SQL,
         'outlink_domains': _Q_OUTLINK_DOMAINS_SQL,

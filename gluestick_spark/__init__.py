@@ -212,6 +212,12 @@ from .llm.cluster import (
 )
 from .llm.classifier import classifier_score, hashed_ngrams_expr
 from .llm.pq import train_pq, encode_pq, pq_topk, adc_table
+from .llm.rebalance import (
+    cell_sizes,
+    ivf_rebalance,
+    sq_ivf_rebalance,
+    pq_ivf_rebalance,
+)
 from .llm.text import collocations
 from .operators.graph import pagerank, triangle_count, hits
 from .operators.sessions import transition_matrix

@@ -106,21 +106,26 @@ def _assign_expr(
     cents: list[tuple[list[int], int]],
     q: Column | None = None,
     xx: Column | None = None,
+    cids: list[int] | None = None,
 ) -> Column:
     """argmin-distance expression against centroid literals.
 
     Builds ``array_min`` over k (d, cid) structs — struct comparison is
     lexicographic, so exact distance ties break to the smallest cluster
     id. Pure narrow map: no join, no shuffle. ``q``/``xx`` default to the
-    internal prepared columns; PQ passes per-subspace slices.
+    internal prepared columns; PQ passes per-subspace slices. ``cids``
+    labels the entries explicitly (default: positional) — the device
+    that lets appends assign against the LIVE subset of a rebalanced
+    router whose dead cells left index gaps.
     """
-    return _min_struct_expr(cents, q, xx)["cid"]
+    return _min_struct_expr(cents, q, xx, cids)["cid"]
 
 
 def _min_struct_expr(
     cents: list[tuple[list[int], int]],
     q: Column | None = None,
     xx: Column | None = None,
+    cids: list[int] | None = None,
 ) -> Column:
     """``struct(d, cid)`` of the nearest centroid (lexicographic
     ``array_min`` — exact distance ties break to the smallest cluster
@@ -128,8 +133,9 @@ def _min_struct_expr(
     division of two exact int64s, replayable cross-engine."""
     q = F.col("__q__") if q is None else q
     xx = F.col("__xx__") if xx is None else xx
+    labels = list(range(len(cents))) if cids is None else list(cids)
     structs = []
-    for cid, (s, n) in enumerate(cents):
+    for cid, (s, n) in zip(labels, cents):
         s_arr = F.array(*[F.lit(int(v)).cast("long") for v in s])
         xs = int_dot_expr(q, s_arr)
         ss = int(sum(v * v for v in s))
@@ -622,6 +628,7 @@ def _select_probes(
     query: list[float],
     scale: int,
     nprobe: int,
+    dead: frozenset[int] | set[int] = frozenset(),
 ) -> tuple[list[int], list[int], int]:
     """Driver-side IVF probe selection against the k·(d+1)-int router
     state: the ``nprobe`` centroids nearest the quantized query under
@@ -636,6 +643,8 @@ def _select_probes(
     qxx = sum(v * v for v in qq)
     scored = []
     for cid, (s, n) in enumerate(state):
+        if cid in dead:
+            continue  # rebalanced-away cell: tombstoned, never probed
         num = n * n * qxx - 2 * n * sum(a * b for a, b in zip(qq, s)) + sum(
             v * v for v in s
         )
@@ -775,7 +784,9 @@ def sq_ivf_append(
     with open(router_path) as f:
         router = _json.load(f)
     state = [(list(map(int, s)), int(n)) for s, n in router["state"]]
-    if not state:
+    dead = set(router.get("dead", []))
+    live = [(cid, sn) for cid, sn in enumerate(state) if cid not in dead]
+    if not live:
         raise ValueError(
             f"sq-ivf index at {path} has an empty router — rebuild with "
             "materialize_sq_ivf on a non-empty corpus before appending"
@@ -790,7 +801,12 @@ def sq_ivf_append(
         quantize_vec_expr(F.col(vec_col), router["scale"]).alias("__q__"),
     ).withColumn(
         "__xx__", int_dot_expr(F.col("__q__"), F.col("__q__"))
-    ).withColumn("cid", _assign_expr(state)).select(
+    ).withColumn(
+        # assignment against the LIVE router entries with their TRUE cids
+        # — a rebalanced index never routes new rows into a dead cell
+        "cid",
+        _assign_expr([sn for _, sn in live], cids=[cid for cid, _ in live]),
+    ).select(
         router["id_col"], "scale", "qvec", "cid"
     )
     begin_append(path)  # manifest bracket (ADVICE r10)
@@ -839,12 +855,15 @@ def sq_ivf_topk_indexed(
     with open(router_path) as f:
         router = _json.load(f)
     state = [(list(map(int, s)), int(n)) for s, n in router["state"]]
+    dead = set(router.get("dead", []))
     out_id = id_col or router["id_col"]
     from .similarity import _sq_score_topk, quantize_query
 
-    if not state:
+    if len(dead) >= len(state):
         return spark.createDataFrame([], f"{out_id} long, score double")
-    probes, _, _ = _select_probes(state, query, router["scale"], nprobe)
+    probes, _, _ = _select_probes(
+        state, query, router["scale"], nprobe, dead=dead
+    )
     enc = (
         spark.read.parquet(_os.path.join(path, "cells"))
         .where(F.col("cid").isin(probes))

@@ -317,6 +317,7 @@ def _encode_cells(
     codebooks: list[Codebook],
     scale: int,
     keep_qvec: bool = False,
+    router_cids: list[int] | None = None,
 ) -> DataFrame:
     """ONE narrow projection computing, per row, the router assignment
     (``cid``) AND the m PQ codes — the raw vector is read once and never
@@ -337,7 +338,7 @@ def _encode_cells(
         F.array(*codes).alias("code"),
         full_q.alias("__q__"),
     ).withColumn("__xx__", int_dot_expr(F.col("__q__"), F.col("__q__"))).withColumn(
-        "cid", _assign_expr(router)
+        "cid", _assign_expr(router, cids=router_cids)
     ).withColumn("qvec", F.col("__q__")).select(*out_cols)
 
 
@@ -447,6 +448,7 @@ def _load_pq_router(path: str) -> dict:
         [(list(map(int, s)), int(n)) for s, n in book]
         for book in meta["codebooks"]
     ]
+    meta["dead"] = sorted(set(meta.get("dead", [])))
     return meta
 
 
@@ -477,15 +479,20 @@ def pq_ivf_append(
 
     rollback_torn_append(path)  # self-heal: a retried append rolls back first
     meta = _load_pq_router(path)
-    if not meta["router"]:
+    dead = set(meta["dead"])
+    live = [
+        (cid, sn) for cid, sn in enumerate(meta["router"]) if cid not in dead
+    ]
+    if not live:
         raise ValueError(
             f"pq-ivf index at {path} has an empty router — rebuild with "
             "materialize_pq_ivf on a non-empty corpus before appending"
         )
     enc = _encode_cells(
         df.select(F.col(id_col).alias(meta["id_col"]), F.col(vec_col)),
-        vec_col, meta["id_col"], meta["router"], meta["codebooks"],
+        vec_col, meta["id_col"], [sn for _, sn in live], meta["codebooks"],
         meta["scale"], keep_qvec=bool(meta.get("store_vectors", False)),
+        router_cids=[cid for cid, _ in live],
     )
     begin_append(path)  # rolls back any torn prior batch first
     (
@@ -538,7 +545,7 @@ def pq_ivf_topk_indexed(
         raise ValueError(f"rerank must be >= k, got {rerank} < {k}")
     meta = _load_pq_router(path)
     out_id = id_col or meta["id_col"]
-    if not meta["router"]:
+    if len(meta["dead"]) >= len(meta["router"]):
         return spark.createDataFrame([], f"{out_id} long, pq_dist long")
     if rerank is not None and not meta.get("store_vectors"):
         raise ValueError(
@@ -546,7 +553,9 @@ def pq_ivf_topk_indexed(
             "— rerank needs the quantized full vectors in the cells; "
             "rebuild with materialize_pq_ivf(..., store_vectors=True)"
         )
-    probes, _, _ = _select_probes(meta["router"], query, meta["scale"], nprobe)
+    probes, _, _ = _select_probes(
+        meta["router"], query, meta["scale"], nprobe, dead=set(meta["dead"])
+    )
     tab = adc_table(query, meta["codebooks"], meta["scale"])
     cells = spark.read.parquet(_os.path.join(path, "cells")).where(
         F.col("cid").isin(probes)

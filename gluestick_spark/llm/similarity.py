@@ -419,10 +419,18 @@ def ivf_assign(
     """
     normed = []
     for c in centroids:
+        if c is None:  # tombstoned slot (ivf_rebalance): never assigned
+            normed.append(None)
+            continue
         n = math.sqrt(sum(x * x for x in c)) or 1.0
         normed.append([float(x) / n for x in c])
     sims = F.array(
-        *[dot_expr(F.col(vec_col), F.array(*[F.lit(x) for x in c])) for c in normed]
+        *[
+            F.lit(float("-inf"))
+            if c is None
+            else dot_expr(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
+            for c in normed
+        ]
     )
     tmp = "__ivf_sims__"
     return (
@@ -466,6 +474,8 @@ def _probe_centroids(query: list[float], centroids: list[list[float]], nprobe: i
     """Driver-side: ids of the ``nprobe`` centroids nearest the query."""
     sims = []
     for i, c in enumerate(centroids):
+        if c is None:  # tombstoned slot (ivf_rebalance): never probed
+            continue
         denom = math.sqrt(sum(x * x for x in c)) * math.sqrt(sum(x * x for x in query))
         s = sum(a * b for a, b in zip(query, c)) / denom if denom else 0.0
         sims.append((s, i))
