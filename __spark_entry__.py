@@ -5277,6 +5277,76 @@ def q_sq_ivf_rebalanced_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LIDFT_NB = 512
+_LIDFT_MODEL_CACHE: dict = {}
+
+
+def q_lang_id_ft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass fastText-style language ID (llm/text.py:train_lang_id_ft
+    + lang_id_ft — VERDICT r12 #5): per-class hashed-char-trigram mass
+    tables in exact ppm integers trained on the EVEN doc_ids (labels =
+    the documents.lang column), integer-argmax inference over the ODD
+    half. The oracle replays the ENTIRE pipeline — training counts,
+    floor-divide weights, per-class int64 sums, argmax with ties to the
+    smallest label, 'und' for gramless docs — in SQL: the decision rule
+    is integers end-to-end (no logs, no libm).
+
+    The trained model is cached per sf_dir (train-once/serve-many, the
+    index-row convention): repeated calls measure INFERENCE — one
+    narrow fold, zero shuffles/joins/Python."""
+    from gluestick_spark.llm.text import lang_id_ft, train_lang_id_ft
+
+    d = _tp(spark, sf_dir, "documents", "doc_id")
+    m = _LIDFT_MODEL_CACHE.get(sf_dir)
+    if m is None:
+        m = train_lang_id_ft(
+            d.where(F.col("doc_id") % 2 == 0), "text", "lang",
+            n_buckets=_LIDFT_NB,
+        )
+        _LIDFT_MODEL_CACHE[sf_dir] = m
+    return lang_id_ft(
+        d.where(F.col("doc_id") % 2 == 1), "text", m
+    ).select("doc_id", "lang_ft")
+
+
+_Q_LANG_ID_FT_SQL = f"""
+WITH g AS (
+  SELECT doc_id, lang,
+         CAST(CAST('0x' || substr(md5(substr(lower(text), i, 3)), 1, 15)
+              AS UBIGINT) % {_LIDFT_NB} AS INT) AS b
+  FROM documents,
+       LATERAL unnest(generate_series(
+         1, greatest(length(lower(text)) - 2, 0))) AS t(i)
+),
+cnt AS (
+  SELECT lang AS lbl, b, count(*) AS n
+  FROM g WHERE doc_id % 2 = 0 GROUP BY 1, 2
+),
+tot AS (SELECT lbl, sum(n) AS t FROM cnt GROUP BY 1),
+w AS (
+  SELECT c.lbl, c.b, (c.n * 1000000) // t.t AS w
+  FROM cnt c JOIN tot t USING (lbl)
+),
+te AS (SELECT doc_id, b FROM g WHERE doc_id % 2 = 1),
+sc AS (
+  SELECT te.doc_id, l.lbl, coalesce(sum(w.w), 0) AS s
+  FROM te
+  CROSS JOIN (SELECT lbl FROM tot) l
+  LEFT JOIN w ON w.lbl = l.lbl AND w.b = te.b
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lbl,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, lbl ASC) AS rn
+  FROM sc
+)
+SELECT d.doc_id, coalesce(b.lbl, 'und') AS lang_ft
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN (SELECT doc_id, lbl FROM best WHERE rn = 1) b USING (doc_id)
+"""
+
+
 def q_alpha_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based multilingual rebalancing (llm/sampling.py:
     alpha_sample, α = 0.5): per-language keep rates sqrt(n_min/n_lang)
@@ -8173,6 +8243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_url_dedup': q_streaming_url_dedup,
         'sq_topk_indexed': q_sq_topk_indexed,
         'sq_ivf_rebalanced_topk': q_sq_ivf_rebalanced_topk,
+        'lang_id_ft': q_lang_id_ft,
         'streaming_drift': q_streaming_drift,
         'html_extract': q_html_extract,
         'outlink_domains': q_outlink_domains,
@@ -8375,6 +8446,7 @@ def oracle_sql() -> dict[str, str]:
         'streaming_url_dedup': _Q_URL_DEDUP_SQL,
         'sq_topk_indexed': _Q_SQ_TOPK_SQL,
         'sq_ivf_rebalanced_topk': _Q_SQ_TOPK_SQL,
+        'lang_id_ft': _Q_LANG_ID_FT_SQL,
         'streaming_drift': _Q_LENGTH_DRIFT_SQL,
         'html_extract': _Q_HTML_EXTRACT_SQL,
         'outlink_domains': _Q_OUTLINK_DOMAINS_SQL,

@@ -403,3 +403,66 @@ def test_rebalance_crash_windows_self_heal(spark, tmp_dir):
     sq_ivf_rebalance(spark, path, max_cell_rows=10**9)
     assert not os.path.isdir(stale)
     assert not os.path.isfile(os.path.join(path, SIDECAR))
+
+
+# ---------------- VERDICT 5: fastText-style multiclass lang ID -----------
+
+
+def test_lang_id_ft_beats_marker_baseline(spark):
+    """Planted multilingual corpus with languages the marker table does
+    NOT know (fi/tr/sw): the trained char-trigram model classifies the
+    held-out half correctly; the marker baseline cannot (und/wrong).
+    Also pins determinism (re-train → identical model) and the 'und'
+    contract for gramless docs."""
+    from gluestick_spark.llm.text import (
+        lang_id_expr,
+        lang_id_ft,
+        train_lang_id_ft,
+    )
+
+    vocab = {
+        "en": "the cat sat on the mat and the dog ran with the ball".split(),
+        "fi": "tämä kissa istui matolla ja koira juoksi pallon kanssa".split(),
+        "tr": "kedi paspasın üzerine oturdu ve köpek topla koştu".split(),
+        "sw": "paka aliketi kwenye mkeka na mbwa alikimbia na mpira".split(),
+    }
+    rows = []
+    for li, (lang, words) in enumerate(sorted(vocab.items())):
+        for i in range(30):
+            text = " ".join(
+                words[(i + j * (li + 2)) % len(words)] for j in range(12)
+            )
+            rows.append((li * 100 + i, lang, text))
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    train = d.where("doc_id % 2 = 0")
+    test = d.where("doc_id % 2 = 1")
+
+    m = train_lang_id_ft(train, "text", "lang", n_buckets=512)
+    assert m["labels"] == sorted(vocab)
+    m2 = train_lang_id_ft(train, "text", "lang", n_buckets=512)
+    assert m == m2  # deterministic trainer
+
+    got = lang_id_ft(test, "text", m).select("lang", "lang_ft").collect()
+    ft_acc = sum(r["lang"] == r["lang_ft"] for r in got) / len(got)
+    marker = test.select(
+        "lang", lang_id_expr(F.col("text")).alias("m")
+    ).collect()
+    marker_acc = sum(r["lang"] == r["m"] for r in marker) / len(marker)
+
+    assert ft_acc >= 0.95, ft_acc
+    assert ft_acc > marker_acc, (ft_acc, marker_acc)
+    # marker baseline literally cannot name fi/tr/sw
+    assert all(r["m"] not in ("fi", "tr", "sw") for r in marker)
+
+    # gramless docs -> 'und'
+    und = lang_id_ft(
+        spark.createDataFrame([(1, ""), (2, "ab")], "doc_id long, text string"),
+        "text", m,
+    ).collect()
+    assert [r["lang_ft"] for r in und] == ["und", "und"]
+
+    # zero-shuffle inference plan
+    plan = lang_id_ft(test, "text", m)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
