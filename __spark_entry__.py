@@ -5347,6 +5347,106 @@ LEFT JOIN (SELECT doc_id, lbl FROM best WHERE rn = 1) b USING (doc_id)
 """
 
 
+def q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic-fingerprint near-duplicate pairs (llm/multimodal.py:
+    audio_near_dups — VERDICT r12 #6, the phash_near_dups sibling for
+    audio): payloads planted so groups of ≤5 docs share an anchor
+    payload, fingerprinted through the codec seam (fake fingerprint =
+    sha256 LAST 8 bytes — oracle-replayable), banded Hamming LSH with
+    pigeonhole-exact recall, JVM bit_count(xor) verify. max_bucket=None:
+    the oracle replays banding uncapped (ADVICE r12 #3 convention)."""
+    from gluestick_spark.llm.multimodal import audio_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    anchors = d.select(F.col("doc_id").alias("aid"), F.col("text").alias("atext"))
+    p = (
+        d.select("doc_id", (F.col("doc_id") - F.col("doc_id") % 5).alias("aid"))
+        .join(anchors, "aid")
+        .select("doc_id", F.encode("atext", "utf-8").alias("payload"))
+    )
+    return audio_near_dups(
+        p, "payload", "doc_id", max_hamming=3, bands=4, max_bucket=None
+    )
+
+
+_Q_AUDIO_NEAR_DUPS_SQL = """
+WITH p AS (
+  SELECT d.doc_id, a.text AS ptext
+  FROM documents d
+  JOIN documents a ON a.doc_id = d.doc_id - (d.doc_id % 5)
+),
+ph AS (
+  SELECT doc_id, CAST('0x' || substr(sha256(ptext), 49, 16) AS UBIGINT) AS h
+  FROM p
+),
+cand AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.h AS ha, y.h AS hb
+  FROM ph x JOIN ph y ON x.doc_id < y.doc_id AND (
+       ((x.h >> 0)  & 65535) = ((y.h >> 0)  & 65535)
+    OR ((x.h >> 16) & 65535) = ((y.h >> 16) & 65535)
+    OR ((x.h >> 32) & 65535) = ((y.h >> 32) & 65535)
+    OR ((x.h >> 48) & 65535) = ((y.h >> 48) & 65535))
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+
+def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure audio dedup (llm/multimodal.py:
+    audio_cluster_dedup): the planted anchor-group payloads of the
+    audio_near_dups row collapse to one survivor (min id) per connected
+    component; untouched rows survive whole. Oracle replays the closure
+    with a recursive CTE."""
+    from gluestick_spark.llm.multimodal import audio_cluster_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    anchors = d.select(F.col("doc_id").alias("aid"), F.col("text").alias("atext"))
+    p = (
+        d.select("doc_id", (F.col("doc_id") - F.col("doc_id") % 5).alias("aid"))
+        .join(anchors, "aid")
+        .select("doc_id", F.encode("atext", "utf-8").alias("payload"))
+    )
+    return audio_cluster_dedup(
+        p, "payload", "doc_id", max_bucket=None
+    ).select("doc_id")
+
+
+_Q_AUDIO_DEDUP_SQL = """
+WITH RECURSIVE p AS (
+  SELECT d.doc_id, a.text AS ptext
+  FROM documents d
+  JOIN documents a ON a.doc_id = d.doc_id - (d.doc_id % 5)
+),
+ph AS (
+  SELECT doc_id, CAST('0x' || substr(sha256(ptext), 49, 16) AS UBIGINT) AS h
+  FROM p
+),
+edges AS MATERIALIZED (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM ph x JOIN ph y ON x.doc_id < y.doc_id AND (
+       ((x.h >> 0)  & 65535) = ((y.h >> 0)  & 65535)
+    OR ((x.h >> 16) & 65535) = ((y.h >> 16) & 65535)
+    OR ((x.h >> 32) & 65535) = ((y.h >> 32) & 65535)
+    OR ((x.h >> 48) & 65535) = ((y.h >> 48) & 65535))
+  WHERE bit_count(xor(x.h, y.h)) <= 3
+),
+sedges AS (
+  SELECT a AS src, b AS dst FROM edges
+  UNION SELECT b AS src, a AS dst FROM edges
+),
+reach(node, label) AS (
+  SELECT src, src FROM sedges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN sedges e ON e.src = r.node
+),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+SELECT doc_id FROM p
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE node != component)
+"""
+
+
 def q_alpha_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based multilingual rebalancing (llm/sampling.py:
     alpha_sample, α = 0.5): per-language keep rates sqrt(n_min/n_lang)
@@ -8244,6 +8344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'sq_topk_indexed': q_sq_topk_indexed,
         'sq_ivf_rebalanced_topk': q_sq_ivf_rebalanced_topk,
         'lang_id_ft': q_lang_id_ft,
+        'audio_near_dups': q_audio_near_dups,
+        'audio_dedup': q_audio_dedup,
         'streaming_drift': q_streaming_drift,
         'html_extract': q_html_extract,
         'outlink_domains': q_outlink_domains,
@@ -8447,6 +8549,8 @@ def oracle_sql() -> dict[str, str]:
         'sq_topk_indexed': _Q_SQ_TOPK_SQL,
         'sq_ivf_rebalanced_topk': _Q_SQ_TOPK_SQL,
         'lang_id_ft': _Q_LANG_ID_FT_SQL,
+        'audio_near_dups': _Q_AUDIO_NEAR_DUPS_SQL,
+        'audio_dedup': _Q_AUDIO_DEDUP_SQL,
         'streaming_drift': _Q_LENGTH_DRIFT_SQL,
         'html_extract': _Q_HTML_EXTRACT_SQL,
         'outlink_domains': _Q_OUTLINK_DOMAINS_SQL,

@@ -219,6 +219,15 @@ from .llm.rebalance import (
     pq_ivf_rebalance,
 )
 from .llm.text import collocations
+from .llm.text import train_lang_id_ft, lang_id_ft, lang_id_ft_expr
+from .llm.multimodal import (
+    banded_hamming_pairs,
+    audio_near_dups,
+    audio_cluster_dedup,
+    compute_audio_fingerprint,
+    phash_near_dups,
+    phash_cluster_dedup,
+)
 from .operators.graph import pagerank, triangle_count, hits
 from .operators.sessions import transition_matrix
 

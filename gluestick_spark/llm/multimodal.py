@@ -40,6 +40,11 @@ __all__ = [
     "compute_phash",
     "phash_near_dups",
     "phash_cluster_dedup",
+    "banded_hamming_pairs",
+    "fake_audio_fingerprint",
+    "compute_audio_fingerprint",
+    "audio_near_dups",
+    "audio_cluster_dedup",
 ]
 
 MEDIA_METADATA_TYPE = T.StructType(
@@ -309,58 +314,11 @@ def phash_near_dups(
     100 TB the shuffle is (band, segment)-keyed candidate pairs, the
     SimHash scale shape. Requires ``max_hamming < bands`` ≤ 64 for the
     recall guarantee."""
-    if not 0 <= max_hamming < bands:
-        raise ValueError(
-            f"need 0 <= max_hamming < bands for exact recall, got "
-            f"max_hamming={max_hamming}, bands={bands}"
-        )
-    if 64 % bands != 0:
-        raise ValueError(f"bands must divide 64, got {bands}")
-    width = 64 // bands
-    mask = (1 << width) - 1
     hashed = compute_phash(df, payload_col, [id_col], hasher).where(
         F.col("phash").isNotNull()
     )
-    segs = hashed.select(
-        F.col(id_col).alias("__id__"),
-        "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.expr(f"shiftrightunsigned(phash, {width * i})")
-                        .bitwiseAND(F.lit(mask))
-                        .alias("seg"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("__b__"),
-    ).select("__id__", "phash", "__b__.band", "__b__.seg")
-    if max_bucket is not None:
-        from .dedup import _cap_buckets
-
-        segs = _cap_buckets(segs, ["band", "seg"], max_bucket)
-    a = segs.select(
-        F.col("__id__").alias("id_a"), F.col("phash").alias("__ha__"),
-        "band", "seg",
-    )
-    b = segs.select(
-        F.col("__id__").alias("id_b"), F.col("phash").alias("__hb__"),
-        "band", "seg",
-    )
-    pairs = (
-        a.join(b, ["band", "seg"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__ha__", "__hb__")
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("__ha__").bitwiseXOR(F.col("__hb__")))
-    return (
-        pairs.withColumn("hamming", hamming.cast("int"))
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    return banded_hamming_pairs(
+        hashed, id_col, "phash", max_hamming, bands, max_bucket
     )
 
 
@@ -383,6 +341,151 @@ def phash_cluster_dedup(
     from .dedup import cluster_dedup
 
     pairs = phash_near_dups(
+        df, payload_col, id_col, max_hamming, bands, hasher, max_bucket
+    )
+    return cluster_dedup(df, pairs, id_col, "id_a", "id_b")
+
+
+def banded_hamming_pairs(
+    hashed: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int | None = 10000,
+) -> DataFrame:
+    """Shared Hamming-LSH core over ANY 64-bit fingerprint column —
+    backs :func:`phash_near_dups` (images) and :func:`audio_near_dups`
+    (audio), and serves any caller with its own signature: split the
+    hash into ``bands`` equal segments; two hashes within ``bands − 1``
+    bit flips MUST agree on a whole segment (pigeonhole → EXACT recall
+    for ``max_hamming < bands``); bucket self-join on (band, segment),
+    one JVM ``bit_count(xor)`` verify. Segment buckets wider than
+    ``max_bucket`` drop loudly-documented (the MinHash ``_cap_buckets``
+    contract). Returns (``id_a`` < ``id_b``, ``hamming``)."""
+    if not 0 <= max_hamming < bands:
+        raise ValueError(
+            f"need 0 <= max_hamming < bands for exact recall, got "
+            f"max_hamming={max_hamming}, bands={bands}"
+        )
+    if 64 % bands != 0:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    segs = hashed.select(
+        F.col(id_col).alias("__id__"),
+        F.col(hash_col).alias("__h__"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(f"shiftrightunsigned(`{hash_col}`, {width * i})")
+                        .bitwiseAND(F.lit(mask))
+                        .alias("seg"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("__b__"),
+    ).select("__id__", "__h__", "__b__.band", "__b__.seg")
+    if max_bucket is not None:
+        from .dedup import _cap_buckets
+
+        segs = _cap_buckets(segs, ["band", "seg"], max_bucket)
+    a = segs.select(
+        F.col("__id__").alias("id_a"), F.col("__h__").alias("__ha__"),
+        "band", "seg",
+    )
+    b = segs.select(
+        F.col("__id__").alias("id_b"), F.col("__h__").alias("__hb__"),
+        "band", "seg",
+    )
+    pairs = (
+        a.join(b, ["band", "seg"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ha__", "__hb__")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("__ha__").bitwiseXOR(F.col("__hb__")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def fake_audio_fingerprint(payload: bytes) -> int:
+    """Deterministic stand-in for an acoustic fingerprint (chromaprint /
+    echoprint — audio codecs aren't in this container): the LAST 8
+    bytes of the payload's sha256 as a signed int64 — a different
+    projection than :func:`fake_phash`'s first-8, so image and audio
+    fingerprints of one payload never coincide in tests. Equal payloads
+    get equal fingerprints; inject a real fingerprinter via
+    ``hasher=``. Replayable by the DuckDB oracle (sha256 hex chars
+    49–64)."""
+    h = hashlib.sha256(payload).digest()
+    return int.from_bytes(h[24:32], "big", signed=True)
+
+
+def compute_audio_fingerprint(
+    df: DataFrame,
+    payload_col: str,
+    id_cols: list[str],
+    hasher: Callable[[bytes], int] = fake_audio_fingerprint,
+    out_col: str = "afp",
+) -> DataFrame:
+    """64-bit acoustic fingerprint per payload via the injectable-codec
+    seam — :func:`compute_phash`'s plumbing with the audio defaults
+    (Arrow-batched mapInPandas, NULL payloads → NULL)."""
+    return compute_phash(df, payload_col, id_cols, hasher, out_col)
+
+
+def audio_near_dups(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    hasher: Callable[[bytes], int] = fake_audio_fingerprint,
+    max_bucket: int | None = 10000,
+) -> DataFrame:
+    """Near-duplicate audio pairs by fingerprint Hamming distance — the
+    audio sibling of :func:`phash_near_dups` (VERDICT r12 #6), closing
+    image+audio parity for multimodal dedup: (``id_a`` < ``id_b``,
+    ``hamming``) for every pair within ``max_hamming`` bit flips of the
+    64-bit acoustic fingerprint. Candidates come from the shared
+    pigeonhole-exact Hamming LSH (:func:`banded_hamming_pairs` —
+    ``max_hamming < bands`` ⇒ no missed pair, never all-pairs); only
+    the fingerprinting crosses to Python (the codec seam). At 100 TB
+    the shuffle is (band, segment)-keyed candidate pairs — the SimHash
+    scale shape."""
+    hashed = compute_audio_fingerprint(df, payload_col, [id_col], hasher).where(
+        F.col("afp").isNotNull()
+    )
+    return banded_hamming_pairs(
+        hashed, id_col, "afp", max_hamming, bands, max_bucket
+    )
+
+
+def audio_cluster_dedup(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    hasher: Callable[[bytes], int] = fake_audio_fingerprint,
+    max_bucket: int | None = 10000,
+) -> DataFrame:
+    """Transitive-closure audio dedup: ONE survivor (min id) per
+    connected component of the :func:`audio_near_dups` graph — the
+    :func:`phash_cluster_dedup` semantics for audio. Chains A~B~C
+    collapse to A even when A and C never paired directly; rows in no
+    pair survive untouched (anti-join drop set). O(log n)
+    large-star/small-star rounds."""
+    from .dedup import cluster_dedup
+
+    pairs = audio_near_dups(
         df, payload_col, id_col, max_hamming, bands, hasher, max_bucket
     )
     return cluster_dedup(df, pairs, id_col, "id_a", "id_b")

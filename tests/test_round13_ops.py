@@ -466,3 +466,63 @@ def test_lang_id_ft_beats_marker_baseline(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------- VERDICT 6: audio fingerprint near-dup ------------------
+
+
+def test_audio_near_dups_chain_collapse(spark):
+    """Injectable fingerprint with controlled bit flips: A~B and B~C are
+    within max_hamming but A~C is NOT — pigeonhole recall finds both
+    edges, and the transitive-closure dedup still collapses the chain
+    to one survivor (min id). Singletons survive untouched."""
+    from gluestick_spark.llm.multimodal import (
+        audio_cluster_dedup,
+        audio_near_dups,
+    )
+
+    base = 0x0123456789ABCDEF
+    fp = {
+        b"A": base,
+        b"B": base ^ 0b111,            # 3 flips from A (edge)
+        b"C": base ^ 0b111 ^ (0b11 << 20),  # 2 flips from B, 5 from A
+        b"D": base ^ ((1 << 40) - 1),  # far from everything
+    }
+
+    def hasher(payload: bytes) -> int:
+        v = fp[payload]
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    d = spark.createDataFrame(
+        [(1, b"A"), (2, b"B"), (3, b"C"), (4, b"D")],
+        "doc_id long, payload binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in audio_near_dups(
+            d, "payload", "doc_id", max_hamming=3, bands=4, hasher=hasher
+        ).collect()
+    }
+    assert pairs == {(1, 2): 3, (2, 3): 2}  # A~C (5 bits) correctly absent
+
+    kept = sorted(
+        r["doc_id"]
+        for r in audio_cluster_dedup(
+            d, "payload", "doc_id", max_hamming=3, bands=4, hasher=hasher
+        ).collect()
+    )
+    assert kept == [1, 4]  # chain A-B-C collapses to A; D survives
+
+    # exact-duplicate payloads always pair at hamming 0 (default hasher)
+    dd = spark.createDataFrame(
+        [(1, b"same"), (2, b"same"), (3, b"other")],
+        "doc_id long, payload binary",
+    )
+    got = audio_near_dups(dd, "payload", "doc_id").collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [(1, 2, 0)]
+
+    # image and audio fingerprints of one payload must differ (distinct
+    # sha256 projections) — the multimodal-parity seam contract
+    from gluestick_spark.llm.multimodal import fake_audio_fingerprint, fake_phash
+
+    assert fake_phash(b"same") != fake_audio_fingerprint(b"same")
