@@ -8173,6 +8173,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'corpus_drift_matrix': q_corpus_drift_matrix,
         'grouped_priority_sample': q_grouped_priority_sample,
         'phash_dedup': q_phash_dedup,
+        'sq_ivf_rebalanced_topk': q_sq_ivf_rebalanced_topk,
+        'lang_id_ft': q_lang_id_ft,
+        'audio_near_dups': q_audio_near_dups,
+        'audio_dedup': q_audio_dedup,
         'shipping_priority': q_shipping_priority,
         'ann_topk': q_ann_topk,
         'audio_features': q_audio_features,
@@ -8211,13 +8215,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'build_vocab': q_build_vocab,
         'cluster_dedup': q_cluster_dedup,
         'hash_sample': q_hash_sample,
+        # ---- tail: locally oracle-checked every round (driver_sim /
+        # check_correctness); ordered oldest-evidence-first, so this IS
+        # the round-14 promotion queue. ----
         'mix_corpora': q_mix_corpora,
         'tfidf_vectors': q_tfidf_vectors,
         'time_rollup': q_time_rollup,
         'kmv_merge': q_kmv_merge,
-        # ---- tail: locally oracle-checked every round (driver_sim /
-        # check_correctness); ordered oldest-evidence-first, so this IS
-        # the round-14 promotion queue. ----
         'event_asof_close': q_event_asof_close,
         'event_asof_nearest': q_event_asof_nearest,
         'ivf_probe_indexed': q_ivf_probe_indexed,
@@ -8342,10 +8346,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'length_drift': q_length_drift,
         'streaming_url_dedup': q_streaming_url_dedup,
         'sq_topk_indexed': q_sq_topk_indexed,
-        'sq_ivf_rebalanced_topk': q_sq_ivf_rebalanced_topk,
-        'lang_id_ft': q_lang_id_ft,
-        'audio_near_dups': q_audio_near_dups,
-        'audio_dedup': q_audio_dedup,
         'streaming_drift': q_streaming_drift,
         'html_extract': q_html_extract,
         'outlink_domains': q_outlink_domains,
@@ -8381,6 +8381,10 @@ def oracle_sql() -> dict[str, str]:
         'corpus_drift_matrix': _Q_CORPUS_DRIFT_MATRIX_SQL,
         'grouped_priority_sample': _Q_GROUPED_PRIORITY_SQL,
         'phash_dedup': _Q_PHASH_DEDUP_SQL,
+        'sq_ivf_rebalanced_topk': _Q_SQ_TOPK_SQL,
+        'lang_id_ft': _Q_LANG_ID_FT_SQL,
+        'audio_near_dups': _Q_AUDIO_NEAR_DUPS_SQL,
+        'audio_dedup': _Q_AUDIO_DEDUP_SQL,
         'shipping_priority': _Q_SHIPPING_SQL,
         'ann_topk': _Q_ANN_TOPK_SQL,
         'audio_features': _audio_features_sql(),
@@ -8547,10 +8551,6 @@ def oracle_sql() -> dict[str, str]:
         'length_drift': _Q_LENGTH_DRIFT_SQL,
         'streaming_url_dedup': _Q_URL_DEDUP_SQL,
         'sq_topk_indexed': _Q_SQ_TOPK_SQL,
-        'sq_ivf_rebalanced_topk': _Q_SQ_TOPK_SQL,
-        'lang_id_ft': _Q_LANG_ID_FT_SQL,
-        'audio_near_dups': _Q_AUDIO_NEAR_DUPS_SQL,
-        'audio_dedup': _Q_AUDIO_DEDUP_SQL,
         'streaming_drift': _Q_LENGTH_DRIFT_SQL,
         'html_extract': _Q_HTML_EXTRACT_SQL,
         'outlink_domains': _Q_OUTLINK_DOMAINS_SQL,
