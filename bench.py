@@ -149,6 +149,10 @@ BENCH_QUERIES = [
     "corpus_overlap_kmv",
     "corpus_drift_matrix",
     "phash_near_dups",
+    "sq_ivf_rebalanced_topk",
+    "lang_id_ft",
+    "audio_near_dups",
+    "audio_dedup",
     "priority_sample",
     "grouped_priority_sample",
     "phash_dedup",

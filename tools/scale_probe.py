@@ -277,6 +277,29 @@ def main() -> None:
         )
         return phash_near_dups(p, "payload", "doc_id").count()
 
+    def _lang_ft(d):
+        # r13: training is explode + two map-side-combined aggs; inference
+        # a narrow fold — both must scale ~1 (no joins, no row Python)
+        from gluestick_spark.llm.text import lang_id_ft, train_lang_id_ft
+
+        m = train_lang_id_ft(
+            d.where(F.col("doc_id") % 2 == 0), "text", "lang", n_buckets=512
+        )
+        return lang_id_ft(d.where(F.col("doc_id") % 2 == 1), "text", m).count()
+
+    def _audio(d):
+        # r13: same banded-Hamming core as phash (shared
+        # banded_hamming_pairs) over the audio fingerprint projection
+        from gluestick_spark.llm.multimodal import audio_near_dups
+
+        anchors = d.select(F.col("doc_id").alias("aid"), F.col("text").alias("atext"))
+        p = (
+            d.select("doc_id", (F.col("doc_id") - F.col("doc_id") % 5).alias("aid"))
+            .join(anchors, "aid")
+            .select("doc_id", F.encode("atext", "utf-8").alias("payload"))
+        )
+        return audio_near_dups(p, "payload", "doc_id").count()
+
     def _priority(d):
         # r12: TakeOrdered top-(k+1) — per-partition partial top-k, ~flat
         from gluestick_spark.llm.sampling import priority_sample
@@ -349,6 +372,8 @@ def main() -> None:
         "kll_sketch": _kll,
         "corpus_drift_matrix": _drift_matrix,
         "phash_near_dups": _phash,
+        "lang_id_ft": _lang_ft,
+        "audio_near_dups": _audio,
         "priority_sample": _priority,
         "repetition_stats": _rep,
         "bm25_topk": _bm25,
