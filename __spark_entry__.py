@@ -7565,6 +7565,81 @@ def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     scale=_KM_SCALE, threshold=_SEMDEDUP_TAU)
 
 
+def q_semdedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus SemDeDup (llm/cluster.py:semdedup_against — r13):
+    router trained on the REFERENCE slice only (vec_id %% 3 = 0, the
+    frozen-router store/serve contract), both sides assigned against
+    the final centroids, corpus rows flagged keep=false when any
+    same-cluster reference row exceeds the exact int64 rational cosine
+    threshold. Blocked cost ∝ Σ_c |corpus_c|·|ref_c| — never N·M. The
+    oracle replays router training (unrolled Lloyd over the reference
+    CTE), BOTH assignments, and every keep/drop bit."""
+    from gluestick_spark.llm.cluster import semdedup_against
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semdedup_against(
+        e.where(F.col("vec_id") % 3 != 0),
+        e.where(F.col("vec_id") % 3 == 0),
+        "embedding", "vec_id",
+        k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE, threshold=_SEMDEDUP_TAU,
+    )
+
+
+def _semdedup_against_oracle_sql() -> str:
+    from math import gcd
+
+    t = round(_SEMDEDUP_TAU * 100)
+    num, den = t * t, 10000
+    g = gcd(num, den) or 1
+    num, den = num // g, den // g
+    body, last = _kmeans_sql_body(
+        _KM_K, _KM_ITERS, _KM_SCALE, _KM_DIM,
+        src="(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0)",
+    )
+    cent_final = f"cent{_KM_ITERS}"
+    return f"""WITH {body},
+rpts AS (
+  SELECT x.q, x.xx, a.cid
+  FROM qxx x JOIN assign{last} a ON x.id = a.id
+),
+cqx AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_SCALE}.0 + 0.5) AS BIGINT)) AS q
+  FROM embeddings WHERE vec_id % 3 <> 0
+),
+cqxx AS (
+  SELECT id, q, CAST(list_dot_product(q, q) AS BIGINT) AS xx FROM cqx
+),
+cassign AS (
+  SELECT id, cid FROM (
+    SELECT x.id, c.cid,
+           row_number() OVER (
+             PARTITION BY x.id
+             ORDER BY CAST(c.n*c.n*x.xx
+                           - 2*c.n*CAST(list_dot_product(x.q, c.s) AS BIGINT)
+                           + CAST(list_dot_product(c.s, c.s) AS BIGINT) AS DOUBLE)
+                      / CAST(c.n*c.n AS DOUBLE),
+                      c.cid
+           ) AS rn
+    FROM cqxx x CROSS JOIN {cent_final} c
+  ) WHERE rn = 1
+),
+matched AS (
+  SELECT DISTINCT c.id
+  FROM (SELECT x.id, x.q, x.xx, a.cid
+        FROM cqxx x JOIN cassign a ON x.id = a.id) c
+  JOIN rpts r ON r.cid = c.cid
+  WHERE CAST(list_dot_product(c.q, r.q) AS BIGINT) > 0
+    AND {den} * CAST(list_dot_product(c.q, r.q) AS BIGINT)
+              * CAST(list_dot_product(c.q, r.q) AS BIGINT)
+        > {num} * c.xx * r.xx
+)
+SELECT a.id AS vec_id, a.cid, (m.id IS NULL) AS keep
+FROM cassign a LEFT JOIN matched m ON a.id = m.id
+"""
+
+
 def q_unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniMax epoch-capped corpus balancing (llm/sampling.py:
     unimax_sample — r12, Chung et al. 2023): budget=701 rows over the
@@ -8177,6 +8252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'lang_id_ft': q_lang_id_ft,
         'audio_near_dups': q_audio_near_dups,
         'audio_dedup': q_audio_dedup,
+        'semdedup_against': q_semdedup_against,
         'shipping_priority': q_shipping_priority,
         'ann_topk': q_ann_topk,
         'audio_features': q_audio_features,
@@ -8385,6 +8461,7 @@ def oracle_sql() -> dict[str, str]:
         'lang_id_ft': _Q_LANG_ID_FT_SQL,
         'audio_near_dups': _Q_AUDIO_NEAR_DUPS_SQL,
         'audio_dedup': _Q_AUDIO_DEDUP_SQL,
+        'semdedup_against': _semdedup_against_oracle_sql(),
         'shipping_priority': _Q_SHIPPING_SQL,
         'ann_topk': _Q_ANN_TOPK_SQL,
         'audio_features': _audio_features_sql(),

@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "lang_id_ft",
     "audio_near_dups",
     "audio_dedup",
+    "semdedup_against",
     "priority_sample",
     "grouped_priority_sample",
     "phash_dedup",

@@ -202,6 +202,7 @@ from .llm.packing import pack_documents
 from .llm.cluster import (
     kmeans,
     semdedup,
+    semdedup_against,
     ivf_topk_exact,
     quantize_vec_expr,
     int_dot_expr,

@@ -74,6 +74,7 @@ __all__ = [
     "cluster_balanced_sample",
     "centroid_outliers",
     "semdedup",
+    "semdedup_against",
     "ivf_topk_exact",
     "sq_ivf_topk",
     "materialize_sq_ivf",
@@ -497,6 +498,108 @@ def semdedup(
             F.col("__id__").alias(id_col),
             "cid",
             F.coalesce(~F.col("__dropped__"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+def semdedup_against(
+    corpus: DataFrame,
+    reference: DataFrame,
+    vec_col: str,
+    id_col: str,
+    ref_vec_col: str | None = None,
+    ref_id_col: str | None = None,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1000,
+    threshold: float = 0.7,
+    assign: str = "auto",
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """CROSS-CORPUS SemDeDup — :func:`semdedup`'s semantics with a
+    reference corpus as the anchor set (the ``dedup_against`` posture
+    applied to embeddings, completing the dedup matrix: n-gram
+    cross-corpus, embedding within-corpus, embedding cross-corpus): a
+    corpus row is flagged ``keep = false`` when ANY reference row in
+    the SAME cluster exceeds the quantized-cosine threshold (the exact
+    int64 rational rule of :func:`semdedup` — no float cosine
+    anywhere). Returns (``id_col``, ``cid``, ``keep``) per corpus row.
+
+    The router trains on the REFERENCE only (store-once/serve-many:
+    re-scoring a new crawl batch against a frozen reference must not
+    retrain — same frozen-router contract as ``sq_ivf_append``), and
+    BOTH sides assign against the final centroids, so matches are
+    judged within the shared cluster blocking exactly as SemDeDup
+    defines them. Pairwise cost ∝ Σ_c |corpus_c|·|ref_c| — never N·M.
+
+    ``max_cluster_size`` caps the REFERENCE side of the block (the
+    :func:`semdedup` giant-cluster contract): reference cells larger
+    than the cap are removed before the join and corpus rows assigned
+    to them emit NO output row (unjudged — never a silent keep).
+
+    An EMPTY reference keeps every corpus row (``cid`` NULL — there is
+    no router to assign against). Deterministic and oracle-replayable
+    end-to-end (frozen integer-Lloyd router + rational decisions)."""
+    from math import gcd
+
+    rv = ref_vec_col or vec_col
+    rid = ref_id_col or id_col
+    t = round(threshold * 100)
+    if not 0 <= t <= 100:
+        raise ValueError("threshold must be in [0, 1]")
+    if max_cluster_size is not None and max_cluster_size < 1:
+        raise ValueError(
+            f"max_cluster_size must be >= 1, got {max_cluster_size}"
+        )
+    num, den = t * t, 100 * 100
+    g = gcd(num, den) or 1
+    num, den = num // g, den // g
+
+    _, state = kmeans(
+        reference, rv, rid, k=k, iters=iters, scale=scale,
+        return_state=True, assign=assign,
+    )
+    if not state:
+        return corpus.select(
+            F.col(id_col),
+            F.lit(None).cast("int").alias("cid"),
+            F.lit(True).alias("keep"),
+        )
+    ref_pts = _assign_df(_prepare(reference, rv, rid, scale), state, assign)
+    cor_pts = _assign_df(_prepare(corpus, vec_col, id_col, scale), state, assign)
+    if max_cluster_size is not None:
+        ok = (
+            ref_pts.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .where(F.col("__n__") <= max_cluster_size)
+            .select("cid")
+        )
+        # k-bounded: broadcast, never a corpus shuffle
+        ref_pts = ref_pts.join(F.broadcast(ok), "cid")
+        cor_pts = cor_pts.join(F.broadcast(ok), "cid")
+    r = ref_pts.select(
+        F.col("__q__").alias("__qr__"), F.col("__xx__").alias("__xxr__"), "cid"
+    )
+    c = cor_pts.select("__id__", "__q__", "__xx__", "cid")
+    dot = int_dot_expr(F.col("__q__"), F.col("__qr__"))
+    matched = (
+        c.join(r, ["cid"])
+        .where(dot > 0)
+        .where(
+            F.lit(den).cast("long") * dot * dot
+            > F.lit(num).cast("long") * F.col("__xx__") * F.col("__xxr__")
+        )
+        .select("__id__")
+        .distinct()
+        .withColumn("__m__", F.lit(True))
+    )
+    return (
+        cor_pts.select("__id__", "cid")
+        .join(matched, "__id__", "left")
+        .select(
+            F.col("__id__").alias(id_col),
+            "cid",
+            F.coalesce(~F.col("__m__"), F.lit(True)).alias("keep"),
         )
     )
 
