@@ -7640,6 +7640,53 @@ FROM cassign a LEFT JOIN matched m ON a.id = m.id
 """
 
 
+def q_streaming_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 streaming perceptual-fingerprint dedup (streaming/pipeline.py:
+    streaming_fingerprint_dedup — r13): the phash_dedup row's planted
+    anchor-group payloads arrive in two id-ordered micro-batches; each
+    batch pairs internally (banded Hamming LSH), contracts to
+    components, and drops anything whose component touches the
+    persisted segment state (which keeps DROPPED rows too — the device
+    that makes cross-batch chains collapse like the batch closure).
+    Under ordered ids the emitted union equals phash_cluster_dedup over
+    the whole corpus — same recursive-CTE oracle as the phash_dedup
+    row."""
+    import tempfile
+
+    from gluestick_spark.streaming.pipeline import (
+        read_streaming_dedup_output,
+        stream_from_directory,
+        streaming_fingerprint_dedup,
+    )
+
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    anchors = d.select(F.col("doc_id").alias("aid"), F.col("text").alias("atext"))
+    p = (
+        d.select("doc_id", (F.col("doc_id") - F.col("doc_id") % 7).alias("aid"))
+        .join(anchors, "aid")
+        .select("doc_id", F.encode("atext", "utf-8").alias("payload"))
+    )
+    mid = p.select(F.percentile_approx("doc_id", 0.5)).first()[0]
+    stage = tempfile.mkdtemp(prefix="gs_sfp_src_")
+    out = tempfile.mkdtemp(prefix="gs_sfp_out_")
+    state = tempfile.mkdtemp(prefix="gs_sfp_state_")
+    ckpt = tempfile.mkdtemp(prefix="gs_sfp_ckpt_")
+    schema = p.schema
+    for cond in (F.col("doc_id") <= mid, F.col("doc_id") > mid):
+        p.where(cond).coalesce(1).write.mode("append").parquet(stage)
+        q = streaming_fingerprint_dedup(
+            stream_from_directory(spark, stage, schema),
+            "payload",
+            "doc_id",
+            state,
+            out,
+            ckpt,
+        )
+        q.awaitTermination()
+    return read_streaming_dedup_output(spark, out).select("doc_id")
+
+
 def q_unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniMax epoch-capped corpus balancing (llm/sampling.py:
     unimax_sample — r12, Chung et al. 2023): budget=701 rows over the
@@ -8253,6 +8300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'audio_near_dups': q_audio_near_dups,
         'audio_dedup': q_audio_dedup,
         'semdedup_against': q_semdedup_against,
+        'streaming_phash_dedup': q_streaming_phash_dedup,
         'shipping_priority': q_shipping_priority,
         'ann_topk': q_ann_topk,
         'audio_features': q_audio_features,
@@ -8462,6 +8510,7 @@ def oracle_sql() -> dict[str, str]:
         'audio_near_dups': _Q_AUDIO_NEAR_DUPS_SQL,
         'audio_dedup': _Q_AUDIO_DEDUP_SQL,
         'semdedup_against': _semdedup_against_oracle_sql(),
+        'streaming_phash_dedup': _Q_PHASH_DEDUP_SQL,
         'shipping_priority': _Q_SHIPPING_SQL,
         'ann_topk': _Q_ANN_TOPK_SQL,
         'audio_features': _audio_features_sql(),

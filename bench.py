@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "audio_near_dups",
     "audio_dedup",
     "semdedup_against",
+    "streaming_phash_dedup",
     "priority_sample",
     "grouped_priority_sample",
     "phash_dedup",

@@ -231,5 +231,6 @@ from .llm.multimodal import (
 )
 from .operators.graph import pagerank, triangle_count, hits
 from .operators.sessions import transition_matrix
+from .streaming.pipeline import streaming_fingerprint_dedup
 
 __version__ = "0.1.0"

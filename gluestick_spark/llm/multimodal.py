@@ -41,6 +41,7 @@ __all__ = [
     "phash_near_dups",
     "phash_cluster_dedup",
     "banded_hamming_pairs",
+    "fingerprint_segments",
     "fake_audio_fingerprint",
     "compute_audio_fingerprint",
     "audio_near_dups",
@@ -370,25 +371,7 @@ def banded_hamming_pairs(
         )
     if 64 % bands != 0:
         raise ValueError(f"bands must divide 64, got {bands}")
-    width = 64 // bands
-    mask = (1 << width) - 1
-    segs = hashed.select(
-        F.col(id_col).alias("__id__"),
-        F.col(hash_col).alias("__h__"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.expr(f"shiftrightunsigned(`{hash_col}`, {width * i})")
-                        .bitwiseAND(F.lit(mask))
-                        .alias("seg"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("__b__"),
-    ).select("__id__", "__h__", "__b__.band", "__b__.seg")
+    segs = fingerprint_segments(hashed, id_col, hash_col, bands)
     if max_bucket is not None:
         from .dedup import _cap_buckets
 
@@ -489,3 +472,34 @@ def audio_cluster_dedup(
         df, payload_col, id_col, max_hamming, bands, hasher, max_bucket
     )
     return cluster_dedup(df, pairs, id_col, "id_a", "id_b")
+
+
+def fingerprint_segments(
+    hashed: DataFrame, id_col: str, hash_col: str, bands: int
+) -> DataFrame:
+    """(``__id__``, ``__h__``, ``band``, ``seg``) — the 64-bit
+    fingerprint split into ``bands`` equal segments, one row per
+    segment. The shared banding device behind
+    :func:`banded_hamming_pairs` and the streaming fingerprint-dedup
+    state (``streaming/pipeline.py:streaming_fingerprint_dedup``)."""
+    if 64 % bands != 0:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return hashed.select(
+        F.col(id_col).alias("__id__"),
+        F.col(hash_col).alias("__h__"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(f"shiftrightunsigned(`{hash_col}`, {width * i})")
+                        .bitwiseAND(F.lit(mask))
+                        .alias("seg"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("__b__"),
+    ).select("__id__", "__h__", "__b__.band", "__b__.seg")

@@ -32,6 +32,7 @@ __all__ = [
     "streaming_dedup",
     "streaming_minhash_dedup",
     "streaming_url_dedup",
+    "streaming_fingerprint_dedup",
     "read_streaming_dedup_output",
     "streaming_decontam",
     "streaming_bin_counts",
@@ -1009,6 +1010,138 @@ def streaming_url_dedup(
             )
         else:
             canon.write.mode("append").parquet(canon_path)
+
+    writer = stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_fingerprint_dedup(
+    stream_df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    hasher=None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming perceptual-fingerprint NEAR-dup dedup — the multimodal
+    sibling of :func:`streaming_minhash_dedup` /
+    :func:`streaming_url_dedup`, closing streaming parity for the
+    image/audio dedup family (phash_cluster_dedup / audio_cluster_dedup
+    are its batch twins; pass ``hasher=fake_audio_fingerprint`` for
+    audio). Per micro-batch:
+
+    1. fingerprint payloads through the injectable codec seam
+       (``compute_phash`` — the one Arrow crossing);
+    2. batch-internal near-dup pairs via the shared pigeonhole-exact
+       Hamming LSH (:func:`~gluestick_spark.llm.multimodal.
+       banded_hamming_pairs`), contracted to connected components;
+    3. batch-vs-STATE matches: the persisted state is the (band, seg,
+       fingerprint) segment set of every row EVER PROCESSED — kept AND
+       dropped — because connectivity is pairwise regardless of keep
+       status: storing dropped rows' fingerprints is exactly what makes
+       a later chain link (C~B where B was dropped via B~A) collapse
+       the way the batch transitive closure does;
+    4. a batch component containing any state match drops whole;
+       otherwise its min id survives. NULL fingerprints always pass
+       through (the unjudgeable-row contract, via the anti-join).
+
+    **Batch equivalence**: with ids non-decreasing across batches and
+    components arriving min-first, the union of emitted batches equals
+    ``phash_cluster_dedup`` over the whole corpus (shared oracle). A
+    late edge MERGING two already-kept components cannot recall emitted
+    rows — the result is then a superset (the documented
+    streaming_minhash_dedup caveat).
+
+    Same at-least-once replay window as :func:`streaming_url_dedup`
+    (``__batch_id__``-tagged output, ``read_streaming_dedup_output``
+    collapses replays; output written before state so a crash never
+    loses rows). Scale shape: per-batch cost is one codec pass + a
+    batch-sized banded self-join + ONE (band, seg)-keyed join against
+    state segments — state is O(rows ever seen × bands), the join is
+    segment-bucketed, and the batch side is small by definition."""
+    import os
+
+    from ..llm.dedup import connected_components
+    from ..llm.multimodal import (
+        banded_hamming_pairs,
+        compute_phash,
+        fake_phash,
+        fingerprint_segments,
+    )
+
+    h = hasher or fake_phash
+    seg_path = os.path.join(state_dir, "fp_segments.parquet")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fp = compute_phash(
+            batch_df.select(id_col, payload_col), payload_col, [id_col], h,
+            out_col="__fp__",
+        )
+        judged = fp.where(F.col("__fp__").isNotNull())
+        # the component contraction and the two joins below consume the
+        # codec output repeatedly — pin it once (small: batch-sized)
+        judged = judged.localCheckpoint()
+        segs = fingerprint_segments(judged, id_col, "__fp__", bands)
+
+        matched = None
+        if os.path.exists(seg_path):
+            state = spark.read.parquet(seg_path)
+            matched = (
+                segs.join(
+                    state.select(
+                        F.col("band"), F.col("seg"),
+                        F.col("__h__").alias("__hs__"),
+                    ),
+                    ["band", "seg"],
+                )
+                .where(
+                    F.bit_count(
+                        F.col("__h__").bitwiseXOR(F.col("__hs__"))
+                    ) <= max_hamming
+                )
+                .select(F.col("__id__").alias("id"))
+                .distinct()
+            )
+        pairs = banded_hamming_pairs(
+            judged, id_col, "__fp__", max_hamming, bands, max_bucket=None
+        )
+        comp = connected_components(pairs, "id_a", "id_b")
+        if matched is not None:
+            bad_comps = (
+                comp.join(matched, "id").select("component").distinct()
+            )
+            drop_in_comp = comp.join(
+                F.broadcast(bad_comps), "component"
+            ).select("id")
+            clean = comp.join(F.broadcast(bad_comps), "component", "left_anti")
+            drops = (
+                matched.unionByName(drop_in_comp)
+                .unionByName(
+                    clean.where(F.col("id") != F.col("component")).select("id")
+                )
+                .distinct()
+            )
+        else:
+            drops = comp.where(F.col("id") != F.col("component")).select("id")
+        survivors = batch_df.join(
+            drops.withColumnRenamed("id", id_col), id_col, "left_anti"
+        ).localCheckpoint()  # pin before the two writes (state self-read)
+        survivors.withColumn(
+            "__batch_id__", F.lit(batch_id).cast("long")
+        ).write.mode("append").parquet(out_dir)
+        # ALL judged segments persist — kept and dropped (see docstring)
+        segs.select("band", "seg", "__h__").write.mode("append").parquet(
+            seg_path
+        )
 
     writer = stream_df.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
