@@ -8337,11 +8337,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_decontam': q_streaming_decontam,
         'windowed_counts': q_windowed_counts,
         'build_vocab': q_build_vocab,
-        'cluster_dedup': q_cluster_dedup,
-        'hash_sample': q_hash_sample,
         # ---- tail: locally oracle-checked every round (driver_sim /
         # check_correctness); ordered oldest-evidence-first, so this IS
         # the round-14 promotion queue. ----
+        'cluster_dedup': q_cluster_dedup,
+        'hash_sample': q_hash_sample,
         'mix_corpora': q_mix_corpora,
         'tfidf_vectors': q_tfidf_vectors,
         'time_rollup': q_time_rollup,
