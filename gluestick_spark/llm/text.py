@@ -946,37 +946,39 @@ def lang_id_ft_expr(col: Column, model: dict) -> Column:
     nb = model["n_buckets"]
     if not labels:
         return F.lit("und")
-    big = F.array(
-        *[
-            F.lit(int(v)).cast("long")
-            for lbl in labels
-            for v in model["weights"][lbl]
-        ]
-    )
-    lbl_arr = F.array(*[F.lit(x) for x in labels])
-    grams = hashed_char_ngrams_expr(col, nb, model["char_n"])
-    zero = F.array_repeat(F.lit(0).cast("long"), len(labels))
+    # Weight tables as SINGLE Literal nodes (F.lit(list)), not
+    # F.array(*lits): a classes×n_buckets CreateArray is thousands of
+    # expression nodes that re-run analysis/optimization on EVERY plan
+    # build — measured ~7s of driver-side planning per query at the
+    # default geometry, vs 0.3s of actual execution. One Literal per
+    # class keeps the tree k nodes wide and planning free.
+    warrs = [
+        F.lit([int(v) for v in model["weights"][lbl]]).cast("array<long>")
+        for lbl in labels
+    ]
+    lbl_arr = F.lit(list(labels))
 
-    def pick(scores: Column) -> Column:
+    def pick(gv: Column) -> Column:
+        # one SCALAR fold per class over the bound gram array — each step
+        # is one element_at + add, no per-gram array allocation
+        def class_sum(w: Column) -> Column:
+            return F.aggregate(
+                gv,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc + F.element_at(w, h + F.lit(1)),
+            )
+
+        scores = F.array(*[class_sum(w) for w in warrs])
         mx = F.array_max(scores)
-        return F.element_at(
-            lbl_arr, F.array_position(scores, mx).cast("int")
-        )
+        return F.when(
+            F.size(gv) > 0,
+            F.element_at(lbl_arr, F.array_position(scores, mx).cast("int")),
+        ).otherwise(F.lit("und"))
 
-    scores = F.aggregate(
-        grams,
-        zero,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.sequence(F.lit(0), F.lit(len(labels) - 1)),
-            lambda a, c: a + F.element_at(big, c * F.lit(nb) + h + F.lit(1)),
-        ),
-    )
-    return F.when(
-        F.size(grams) > 0,
-        # bind the scores array once (lambda variable — no CSE in lambdas)
-        F.element_at(F.transform(F.array(scores), pick), 1),
-    ).otherwise(F.lit("und"))
+    grams = hashed_char_ngrams_expr(col, nb, model["char_n"])
+    # bind the gram array ONCE as a lambda variable (no CSE inside lambda
+    # bodies — the md5 hashing must not re-run per class)
+    return F.element_at(F.transform(F.array(grams), pick), 1)
 
 
 def lang_id_ft(
