@@ -87,13 +87,33 @@ def train_pq(
     k: int = 16,
     iters: int = 1,
     scale: int = 1000,
+    train_sample_rate: float = 1.0,
 ) -> list[Codebook]:
     """Train ``m`` per-subspace codebooks; returns their integer states.
 
     Each subspace j covers dims ``[j·d/m, (j+1)·d/m)`` and is clustered
-    independently with the deterministic Lloyd loop. Train on a sample
-    at scale — the codebook is a statistic, not per-row state.
-    """
+    independently with the deterministic Lloyd loop.
+
+    ``train_sample_rate < 1`` trains on a DETERMINISTIC hash sample of
+    the corpus (:func:`~gluestick_spark.llm.sampling.hash_sample_expr`
+    on ``id_col`` — membership is a pure function of the id, so the
+    books replay identically on any cluster/run). This is the at-scale
+    posture the docstrings prescribe: the codebook is a statistic, not
+    per-row state — each Lloyd pass over 100 TB costs a full corpus
+    aggregate per iteration, while a 1% sample trains
+    indistinguishable centroids (recall is pinned by pytest via the
+    exact-vs-sampled ann_recall comparison); encode/search always run
+    over the FULL corpus regardless."""
+    if not 0 < train_sample_rate <= 1:
+        raise ValueError(
+            f"train_sample_rate must be in (0, 1], got {train_sample_rate}"
+        )
+    if train_sample_rate < 1:
+        from .sampling import hash_sample_expr
+
+        df = df.where(
+            hash_sample_expr(F.col(id_col), train_sample_rate, "pq_train")
+        )
     ds = _subdim(df, vec_col, m)
     books: list[Codebook] = []
     for j in range(m):
@@ -353,6 +373,7 @@ def materialize_pq_ivf(
     iters: int = 1,
     scale: int = 1000,
     store_vectors: bool = False,
+    train_sample_rate: float = 1.0,
 ) -> None:
     """Build the PERSISTED IVF×PQ serving index — the L104 treatment
     (``llm/cluster.py:materialize_sq_ivf``) applied to product
@@ -399,7 +420,10 @@ def materialize_pq_ivf(
         _os.remove(router_path)  # invalidate before the rewrite
     books: list[Codebook] = []
     if router:
-        books = train_pq(df, vec_col, id_col, m=m, k=n_codes, iters=iters, scale=scale)
+        books = train_pq(
+            df, vec_col, id_col, m=m, k=n_codes, iters=iters, scale=scale,
+            train_sample_rate=train_sample_rate,
+        )
         enc = _encode_cells(
             df, vec_col, id_col, router, books, scale, keep_qvec=store_vectors
         )

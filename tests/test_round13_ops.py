@@ -651,3 +651,56 @@ def test_streaming_fingerprint_dedup_cross_batch_chain(spark, tmp_dir):
         ).collect()
     )
     assert batch_kept == [1, 4]
+
+
+# ---------------- r13 extra: sample-trained PQ codebooks -----------------
+
+
+def test_pq_sample_trained_codebooks(spark):
+    """train_sample_rate makes the at-scale prescription concrete: the
+    codebooks train on a deterministic hash sample but encode/search run
+    over the FULL corpus. The statistical claim "a codebook is a
+    statistic, not per-row state" is pinned via quantization DISTORTION
+    (the k-means objective over the full corpus): half-sample-trained
+    books must be within 1.5x of full-trained books. Ranking overlap is
+    deliberately NOT asserted — on near-uniform synthetic vectors PQ
+    rankings are quantization-noise-dominated and unstable under ANY
+    retraining."""
+    from gluestick_spark.llm.cluster import (
+        _min_struct_expr,
+        int_dot_expr,
+        quantize_vec_expr,
+    )
+    from gluestick_spark.llm.pq import train_pq
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+    def distortion(books):
+        ds = len(books[0][0][0])
+        total = None
+        for j, book in enumerate(books):
+            q = quantize_vec_expr(
+                F.slice(F.col("embedding"), j * ds + 1, ds), 1000
+            )
+            xx = int_dot_expr(q, q)
+            d = _min_struct_expr(book, q=q, xx=xx)["d"]
+            total = d if total is None else total + d
+        return emb.agg(F.sum(total)).first()[0]
+
+    full = train_pq(emb, "embedding", "vec_id", m=4, k=8, iters=1)
+    samp = train_pq(
+        emb, "embedding", "vec_id", m=4, k=8, iters=1,
+        train_sample_rate=0.5,
+    )
+    samp2 = train_pq(
+        emb, "embedding", "vec_id", m=4, k=8, iters=1,
+        train_sample_rate=0.5,
+    )
+    assert samp == samp2  # deterministic: membership is a hash of the id
+    assert samp != full  # genuinely trained on fewer rows
+
+    d_full, d_samp = distortion(full), distortion(samp)
+    assert d_samp <= 1.5 * d_full, (d_full, d_samp)
+
+    with pytest.raises(ValueError, match="train_sample_rate"):
+        train_pq(emb, "embedding", "vec_id", train_sample_rate=0.0)
