@@ -7797,6 +7797,64 @@ CROSS JOIN (VALUES (100000), (250000), (500000), (750000), (900000))
 """
 
 
+def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 streaming KLL quantile monitor (streaming/pipeline.py:
+    streaming_quantiles — r13): documents arrive in two id-ordered
+    micro-batches; each batch's per-lang partial sketch appends to the
+    sketch log and the cumulative merge estimates 5 quantiles per
+    trigger. The LAST trigger's estimates cover everything streamed, so
+    they must satisfy the SAME ε=5% rank-bound contract as the one-shot
+    quantile_sketch row — verified in-engine against the full table and
+    hash-checked by the shared all-true oracle (sketch bytes stay
+    pytest-pinned, the L101/L124 precedent)."""
+    import tempfile
+
+    from gluestick_spark.streaming.pipeline import (
+        stream_from_directory,
+        streaming_quantiles,
+    )
+
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    mid = d.select(F.percentile_approx("doc_id", 0.5)).first()[0]
+    stage = tempfile.mkdtemp(prefix="gs_skll_src_")
+    out = tempfile.mkdtemp(prefix="gs_skll_out_")
+    state = tempfile.mkdtemp(prefix="gs_skll_state_")
+    ckpt = tempfile.mkdtemp(prefix="gs_skll_ckpt_")
+    schema = d.schema
+    for cond in (F.col("doc_id") <= mid, F.col("doc_id") > mid):
+        d.where(cond).coalesce(1).write.mode("append").parquet(stage)
+        q = streaming_quantiles(
+            stream_from_directory(spark, stage, schema),
+            "n_chars", out, ckpt, state, group_cols=["lang"],
+        )
+        q.awaitTermination()
+    snaps = spark.read.parquet(out)
+    last = snaps.agg(F.max("__batch_id__")).first()[0]
+    est = snaps.where(F.col("__batch_id__") == last).select(
+        "lang", "prob", "value"
+    )
+    j = d.select(
+        "lang", F.col("n_chars").cast("double").alias("__x__")
+    ).join(F.broadcast(est), "lang")
+    agg = j.groupBy("lang", "prob").agg(
+        F.sum(F.when(F.col("__x__") < F.col("value"), 1).otherwise(0)).alias("__rlo__"),
+        F.sum(F.when(F.col("__x__") <= F.col("value"), 1).otherwise(0)).alias("__rhi__"),
+        F.count(F.lit(1)).alias("__n__"),
+    )
+    target = F.greatest(F.lit(1), F.ceil(F.col("prob") * F.col("__n__")))
+    slack = F.lit(0.05) * F.col("__n__").cast("double")
+    within = (
+        (F.col("__rlo__") + 1 - slack <= target.cast("double"))
+        & (target.cast("double") <= F.col("__rhi__") + slack)
+    )
+    return agg.select(
+        "lang",
+        F.floor(F.col("prob") * F.lit(1000000.0)).cast("long").alias("prob_ppm"),
+        within.alias("within_bound"),
+    )
+
+
 def q_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 streaming novelty guardrail (streaming/pipeline.py:
     streaming_novelty — r12, VERDICT r11 #8): the src0 reference corpus
@@ -8301,6 +8359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'audio_dedup': q_audio_dedup,
         'semdedup_against': q_semdedup_against,
         'streaming_phash_dedup': q_streaming_phash_dedup,
+        'streaming_quantiles': q_streaming_quantiles,
         'shipping_priority': q_shipping_priority,
         'ann_topk': q_ann_topk,
         'audio_features': q_audio_features,
@@ -8336,10 +8395,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'html_extract_replay': q_html_extract,
         'streaming_decontam': q_streaming_decontam,
         'windowed_counts': q_windowed_counts,
-        'build_vocab': q_build_vocab,
         # ---- tail: locally oracle-checked every round (driver_sim /
         # check_correctness); ordered oldest-evidence-first, so this IS
         # the round-14 promotion queue. ----
+        'build_vocab': q_build_vocab,
         'cluster_dedup': q_cluster_dedup,
         'hash_sample': q_hash_sample,
         'mix_corpora': q_mix_corpora,
@@ -8511,6 +8570,7 @@ def oracle_sql() -> dict[str, str]:
         'audio_dedup': _Q_AUDIO_DEDUP_SQL,
         'semdedup_against': _semdedup_against_oracle_sql(),
         'streaming_phash_dedup': _Q_PHASH_DEDUP_SQL,
+        'streaming_quantiles': _Q_QUANTILE_SKETCH_SQL,
         'shipping_priority': _Q_SHIPPING_SQL,
         'ann_topk': _Q_ANN_TOPK_SQL,
         'audio_features': _audio_features_sql(),

@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "audio_dedup",
     "semdedup_against",
     "streaming_phash_dedup",
+    "streaming_quantiles",
     "priority_sample",
     "grouped_priority_sample",
     "phash_dedup",

@@ -33,6 +33,7 @@ __all__ = [
     "streaming_minhash_dedup",
     "streaming_url_dedup",
     "streaming_fingerprint_dedup",
+    "streaming_quantiles",
     "read_streaming_dedup_output",
     "streaming_decontam",
     "streaming_bin_counts",
@@ -1142,6 +1143,72 @@ def streaming_fingerprint_dedup(
         segs.select("band", "seg", "__h__").write.mode("append").parquet(
             seg_path
         )
+
+    writer = stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_quantiles(
+    stream_df: DataFrame,
+    value_col: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    probs: tuple = (0.1, 0.25, 0.5, 0.75, 0.9),
+    k: int = 200,
+    group_cols: list[str] | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming quantile monitor over MERGEABLE KLL sketches — the
+    L124 sketch family given the :func:`streaming_corpus_drift`
+    treatment: each micro-batch's per-group partial sketch
+    (:func:`~gluestick_spark.llm.sketch.kll_sketch`) appends to a tiny
+    sketch log under ``state_dir``; the cumulative per-group sketch
+    (``kll_merge`` of the log — O(k·log n) doubles per group, never the
+    data) estimates ``probs`` and one snapshot row set
+    (*group_cols, ``prob``, ``value``, ``__batch_id__``) appends to
+    ``out_dir`` per trigger — the latency/size-distribution trajectory
+    of an arriving corpus, computed without ever rescanning history.
+
+    **Stream ≡ batch by the KLL merge law**: the cumulative estimate
+    carries the same pytest-pinned rank-error band as a one-shot
+    ``kll_sketch`` over everything streamed (merge conserves weight
+    exactly; the error constant degrades gracefully with chain length —
+    the L124 contract). Replay safety: KLL merge is NOT idempotent
+    (weights add), so the log rides ``__batch__``-tagged rows and the
+    merge reads the log through ``distinct()`` — a replayed batch's
+    duplicate row is byte-identical (same tag, same deterministic
+    sketch) and collapses, never double-counts.
+
+    Per-batch cost: one Arrow-batched partial-sketch pass over the
+    batch (the documented KLL crossing) + a merge over the kilobyte
+    log. State is O(k·log n · groups · batches) doubles — compact the
+    log by rewriting it with one merged row per group when batches
+    accumulate."""
+    import os as _os
+
+    from ..llm.sketch import kll_merge, kll_quantiles, kll_sketch
+
+    gcols = list(group_cols or [])
+    log_dir = _os.path.join(state_dir, "kll_log.parquet")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_sk = kll_sketch(batch_df, value_col, k, gcols).withColumn(
+            "__batch__", F.lit(batch_id).cast("long")
+        )
+        batch_sk.write.mode("append").parquet(log_dir)
+        # distinct = the replay collapse (see docstring); __batch__ stays
+        # in the key so identical sketches from DIFFERENT batches survive
+        log = spark.read.parquet(log_dir).distinct().drop("__batch__")
+        est = kll_quantiles(kll_merge(log, k, gcols), list(probs), gcols)
+        est.withColumn(
+            "__batch_id__", F.lit(batch_id).cast("long")
+        ).write.mode("append").parquet(out_dir)
 
     writer = stream_df.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

@@ -704,3 +704,72 @@ def test_pq_sample_trained_codebooks(spark):
 
     with pytest.raises(ValueError, match="train_sample_rate"):
         train_pq(emb, "embedding", "vec_id", train_sample_rate=0.0)
+
+
+# ---------------- r13 extra: streaming KLL quantile monitor --------------
+
+
+def test_streaming_quantiles_merge_law_and_replay(spark, tmp_dir):
+    """The cumulative estimate after the last trigger satisfies the
+    one-shot sketch's rank-bound contract over everything streamed, and
+    a REPLAYED batch (byte-identical duplicate log row, same tag)
+    cannot double-count — the distinct-on-read collapse, pinned by
+    injecting the duplicate by hand."""
+    import os
+
+    from gluestick_spark.llm.sketch import kll_merge, kll_quantiles, kll_sketch
+    from gluestick_spark.streaming.pipeline import (
+        stream_from_directory,
+        streaming_quantiles,
+    )
+
+    rows = [(i, float((i * 37) % 1000)) for i in range(2000)]
+    d = spark.createDataFrame(rows, "doc_id long, v double")
+    stage = os.path.join(tmp_dir, "src")
+    out = os.path.join(tmp_dir, "out")
+    state = os.path.join(tmp_dir, "state")
+    ckpt = os.path.join(tmp_dir, "ckpt")
+    schema = d.schema
+    for cond in ("doc_id < 1000", "doc_id >= 1000"):
+        d.where(cond).coalesce(1).write.mode("append").parquet(stage)
+        q = streaming_quantiles(
+            stream_from_directory(spark, stage, schema),
+            "v", out, ckpt, state, probs=(0.25, 0.5, 0.9), k=200,
+        )
+        q.awaitTermination()
+
+    snaps = spark.read.parquet(out)
+    last = snaps.agg(F.max("__batch_id__")).first()[0]
+    est = {
+        r["prob"]: r["value"]
+        for r in snaps.where(F.col("__batch_id__") == last).collect()
+    }
+    # rank-bound check against the full data (the L124 contract, ε=5%)
+    vals = sorted(v for _, v in rows)
+    n = len(vals)
+    for p, v in est.items():
+        rlo = sum(1 for x in vals if x < v)
+        rhi = sum(1 for x in vals if x <= v)
+        target = max(1, -(-p * n // 1))
+        assert rlo + 1 - 0.05 * n <= target <= rhi + 0.05 * n, (p, v)
+
+    # replay: duplicate the LAST batch's log rows verbatim (same
+    # __batch__ tag) — the cumulative estimate must not move
+    log_dir = os.path.join(state, "kll_log.parquet")
+    log = spark.read.parquet(log_dir)
+    dup = log.where(F.col("__batch__") == log.agg(F.max("__batch__")).first()[0])
+    dup.write.mode("append").parquet(log_dir)
+    log2 = spark.read.parquet(log_dir).distinct().drop("__batch__")
+    est2 = {
+        r["prob"]: r["value"]
+        for r in kll_quantiles(kll_merge(log2, 200), [0.25, 0.5, 0.9]).collect()
+    }
+    assert est2 == est
+
+    # and WITHOUT the collapse the duplicate genuinely shifts weight —
+    # the distinct is load-bearing, not decorative
+    n_merged = kll_merge(
+        spark.read.parquet(log_dir).drop("__batch__"), 200
+    ).first()["kll"]["n"]
+    n_clean = kll_merge(log2, 200).first()["kll"]["n"]
+    assert n_merged > n_clean == 2000
