@@ -231,6 +231,10 @@ from .llm.multimodal import (
 )
 from .operators.graph import pagerank, triangle_count, hits
 from .operators.sessions import transition_matrix
-from .streaming.pipeline import streaming_fingerprint_dedup, streaming_quantiles
+from .streaming.pipeline import (
+    streaming_fingerprint_dedup,
+    streaming_quantiles,
+    compact_sketch_log,
+)
 
 __version__ = "0.1.0"

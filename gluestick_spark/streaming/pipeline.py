@@ -34,6 +34,7 @@ __all__ = [
     "streaming_url_dedup",
     "streaming_fingerprint_dedup",
     "streaming_quantiles",
+    "compact_sketch_log",
     "read_streaming_dedup_output",
     "streaming_decontam",
     "streaming_bin_counts",
@@ -1216,6 +1217,57 @@ def streaming_quantiles(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_sketch_log(
+    spark,
+    log_dir: str,
+    kind: str,
+    k: int,
+    group_cols: list[str] | None = None,
+) -> int:
+    """Compact a sketch log (:func:`streaming_corpus_drift`'s
+    ``sketch_log.parquet`` / :func:`streaming_quantiles`'
+    ``kll_log.parquet``) to ONE merged row per group — the maintenance
+    step both docstrings prescribe when batches accumulate. The merged
+    row is re-tagged with the log's max ``__batch__`` (replay of an
+    already-compacted batch appends a duplicate that the reader's
+    ``distinct()``/merge-idempotence handles exactly as before), and
+    the swap is atomic: write to a temp dir, RENAME_EXCHANGE (two-rename
+    fallback), so a concurrent trigger reads the old log or the new —
+    never a half-compacted one. Returns the row count after compaction.
+
+    ``kind``: ``'kmv'`` (merge idempotent — compaction is always safe)
+    or ``'kll'`` (weights add — safe because the reader's distinct
+    collapse runs BEFORE this merge, and the compacted log holds one
+    row per group by construction)."""
+    import os as _os
+    import shutil as _shutil
+
+    from ..llm.sketch import kll_merge, kmv_merge
+    from ..sinks.layout import _exchange_dirs
+
+    if kind not in ("kmv", "kll"):
+        raise ValueError(f"kind must be 'kmv' or 'kll', got {kind!r}")
+    gcols = list(group_cols or [])
+    log = spark.read.parquet(log_dir).distinct()
+    max_batch = log.agg(F.max("__batch__")).first()[0]
+    body = log.drop("__batch__")
+    merged = (
+        kmv_merge(body, k, gcols) if kind == "kmv" else kll_merge(body, k, gcols)
+    ).withColumn("__batch__", F.lit(max_batch).cast("long"))
+    norm = log_dir.rstrip("/")
+    tmp = norm + ".__compacting__"
+    old = norm + ".__old__"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if not _exchange_dirs(tmp, log_dir):
+        _shutil.rmtree(old, ignore_errors=True)
+        _os.rename(log_dir, old)
+        _os.rename(tmp, log_dir)
+        _os.rename(old, tmp)
+    _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(log_dir).count()
 
 
 def read_streaming_dedup_output(spark, out_dir: str) -> DataFrame:

@@ -773,3 +773,67 @@ def test_streaming_quantiles_merge_law_and_replay(spark, tmp_dir):
     ).first()["kll"]["n"]
     n_clean = kll_merge(log2, 200).first()["kll"]["n"]
     assert n_merged > n_clean == 2000
+
+
+def test_compact_sketch_log_preserves_estimates(spark, tmp_dir):
+    """Compacting a KLL sketch log to one row per group is invisible to
+    the reader: identical quantile estimates before and after, the
+    replay tag survives as max(__batch__), and the row count collapses
+    to the group count. KMV kind likewise (idempotent merge)."""
+    import os
+
+    from gluestick_spark.llm.sketch import (
+        kll_merge,
+        kll_quantiles,
+        kll_sketch,
+        kmv_merge,
+        kmv_sketch,
+    )
+    from gluestick_spark.streaming.pipeline import compact_sketch_log
+
+    d = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2], float(i % 500)) for i in range(3000)],
+        "doc_id long, g string, v double",
+    )
+    log_dir = os.path.join(tmp_dir, "kll_log.parquet")
+    for b in range(3):
+        kll_sketch(
+            d.where(F.col("doc_id") % 3 == b), "v", 200, ["g"]
+        ).withColumn("__batch__", F.lit(b).cast("long")).write.mode(
+            "append"
+        ).parquet(log_dir)
+
+    def estimates():
+        log = spark.read.parquet(log_dir).distinct().drop("__batch__")
+        return sorted(
+            map(tuple, kll_quantiles(
+                kll_merge(log, 200, ["g"]), [0.25, 0.5, 0.9], ["g"]
+            ).collect())
+        )
+
+    before = estimates()
+    n = compact_sketch_log(spark, log_dir, "kll", 200, ["g"])
+    assert n == 2  # one row per group
+    assert estimates() == before
+    assert spark.read.parquet(log_dir).agg(F.max("__batch__")).first()[0] == 2
+
+    # kmv kind
+    klog = os.path.join(tmp_dir, "kmv_log.parquet")
+    for b in range(3):
+        kmv_sketch(
+            d.where(F.col("doc_id") % 3 == b).selectExpr("CAST(doc_id AS STRING) AS s"),
+            "s", 64,
+        ).withColumn("__batch__", F.lit(b).cast("long")).write.mode(
+            "append"
+        ).parquet(klog)
+    pre = kmv_merge(
+        spark.read.parquet(klog).drop("__batch__"), 64
+    ).first()["kmv"]
+    assert compact_sketch_log(spark, klog, "kmv", 64) == 1
+    post = kmv_merge(
+        spark.read.parquet(klog).drop("__batch__"), 64
+    ).first()["kmv"]
+    assert list(pre) == list(post)
+
+    with pytest.raises(ValueError, match="kind"):
+        compact_sketch_log(spark, klog, "hll", 64)
