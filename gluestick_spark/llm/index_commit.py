@@ -77,6 +77,11 @@ def rollback_torn_append(
     manifest = set(json.loads(fs.read_text(side))["files"])
     root = _cells_root(path, cells)
     for rel in _list_cell_files(root, fs):
+        # the sidecar lives under root itself when cells='.' (the plain-IVF
+        # layout) — it is protocol state, never a torn data file; it is
+        # removed once, below, after the rollback completes
+        if rel == SIDECAR:
+            continue
         if rel not in manifest:
             fs.remove(os.path.join(root, rel))
     if fs.isdir(root):

@@ -551,17 +551,30 @@ def ivf_append(
 
     The codebook is frozen by design — assignment must stay consistent
     with what :func:`ivf_topk_indexed` probes. Under distribution drift
-    the lists skew over time; monitor list sizes (``table_stats`` over the
-    index path) and rebuild with retrained centroids when imbalance hurts
-    probe cost. Id uniqueness is the caller's contract (pre-dedupe
-    against the index for upsert semantics)."""
+    the lists skew over time; monitor list sizes and split hot cells
+    with :func:`~gluestick_spark.llm.rebalance.ivf_rebalance`, or
+    rebuild with retrained centroids. Id uniqueness is the caller's
+    contract (pre-dedupe against the index for upsert semantics).
+
+    Crash safety (r13 — parity with ``sq_ivf_append``/``pq_ivf_append``):
+    the append runs inside the ``_APPEND_INPROGRESS`` manifest bracket
+    (:mod:`gluestick_spark.llm.index_commit`, ``cells='.'`` — this
+    family's partition dirs live directly under ``path``). A torn
+    append leaves the sidecar in place so :func:`ivf_topk_indexed`
+    refuses loudly, and a RETRIED append rolls the torn batch back
+    (deletes unmanifested part files) before re-appending."""
+    from .index_commit import begin_append, commit_append, rollback_torn_append
+
+    rollback_torn_append(path, cells=".")  # self-heal a torn prior batch
     assigned = ivf_assign(df, vec_col, centroids)
+    begin_append(path, cells=".")
     (
         assigned.repartition(F.col("centroid_id"))
         .write.partitionBy("centroid_id")
         .mode("append")
         .parquet(path)
     )
+    commit_append(path)
 
 
 def ivf_topk_indexed(
@@ -577,6 +590,9 @@ def ivf_topk_indexed(
     """Top-k probe against a :func:`materialize_ivf` index — reads ONLY the
     ``nprobe`` probed partitions (partition-pruned parquet scan), so probe
     cost is ~nprobe/n_centroids of the corpus instead of a full pass."""
+    from .index_commit import require_committed
+
+    require_committed(path, "ivf")  # a torn append must not be probed
     probe = _probe_centroids(query, centroids, nprobe)
     cand = spark.read.parquet(path).where(F.col("centroid_id").isin(probe))
     return cosine_topk(cand.drop("centroid_id"), vec_col, query, k, id_col)

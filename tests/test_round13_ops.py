@@ -837,3 +837,47 @@ def test_compact_sketch_log_preserves_estimates(spark, tmp_dir):
 
     with pytest.raises(ValueError, match="kind"):
         compact_sketch_log(spark, klog, "hll", 64)
+
+
+# ---------------- r13 extra: plain-IVF append crash safety ---------------
+
+
+def test_plain_ivf_append_bracket(spark, tmp_dir):
+    """ivf_append now rides the same _APPEND_INPROGRESS bracket as the
+    sq/pq appends (cells='.'): a torn append is refused by the indexed
+    probe, a retried append rolls the torn batch back and re-appends,
+    and the healed index equals the never-torn one."""
+    import json
+    import os
+
+    from gluestick_spark.llm.index_commit import SIDECAR, _list_cell_files
+    from gluestick_spark.llm.similarity import (
+        ivf_append,
+        ivf_topk_indexed,
+        materialize_ivf,
+        train_ivf_centroids,
+    )
+
+    emb = _skewed_embeddings(spark)
+    h1, h2 = emb.where("vec_id < 200"), emb.where("vec_id >= 200")
+    path = os.path.join(tmp_dir, "ivf")
+    cents = train_ivf_centroids(h1, "embedding", 4)
+    materialize_ivf(h1, "embedding", cents, path)
+    pre_files = _list_cell_files(path)
+    ivf_append(h2, "embedding", cents, path)
+    q = [1.0] * 8
+    want = _topk_ids(ivf_topk_indexed(spark, path, q, cents, k=10, nprobe=4))
+
+    # tear the append: sidecar manifests the pre-append listing
+    with open(os.path.join(path, SIDECAR), "w") as f:
+        json.dump({"files": pre_files}, f)
+    with pytest.raises(ValueError, match="in-progress or torn"):
+        ivf_topk_indexed(spark, path, q, cents, k=10, nprobe=4)
+
+    # retried append: rolls the "torn" batch back, re-appends — the
+    # healed index answers identically and holds exactly |h1|+|h2| rows
+    ivf_append(h2, "embedding", cents, path)
+    assert not os.path.isfile(os.path.join(path, SIDECAR))
+    got = _topk_ids(ivf_topk_indexed(spark, path, q, cents, k=10, nprobe=4))
+    assert got == want
+    assert spark.read.parquet(path).count() == 400
