@@ -26,7 +26,10 @@ for. ``*_rebalance(path)`` bounds it without a rebuild:
    - the new router (split cids tombstoned in ``dead``, sub-centroid
      states appended) is then published atomically (tmp + ``replace``)
      — THE commit point of the rebalance;
-   - the dead cell directories are dropped last, best-effort.
+   - the dead cell directories are dropped last, best-effort (routered
+     families only; the router-less plain family defers this to
+     :func:`ivf_vacuum` / the next rebalance, because ITS durable
+     commit point is the caller persisting the returned list).
 
    Every serving read filters ``cid IN (live probes)``, so each crash
    window is safe: new dirs unreferenced by the old router are never
@@ -55,6 +58,7 @@ happens.
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 from fractions import Fraction
@@ -69,6 +73,7 @@ from .index_commit import begin_append, commit_append, rollback_torn_append
 __all__ = [
     "cell_sizes",
     "ivf_rebalance",
+    "ivf_vacuum",
     "sq_ivf_rebalance",
     "pq_ivf_rebalance",
 ]
@@ -134,6 +139,32 @@ def _pick_oversized(
     return sorted(cid for cid, n in live.items() if n > threshold), threshold
 
 
+def _cosine_assign_expr(
+    sub: list[tuple[list[int], int]], labels: list[int], scale: int
+):
+    """argmax-cosine assignment against sub-centroid literals — the
+    plain-IVF family's SERVING geometry (``ivf_assign`` /
+    ``_probe_centroids`` normalize; ADVICE r13 #4). Each sub-centroid
+    mean ``s/(n·scale)`` is L2-normalized (the ``n·scale`` factor
+    cancels: ``ŝ = s/||s||``) and re-quantized at the same scale, so
+    the per-row work is one exact int64 dot per sub-centroid and the
+    argmax (ties → smallest cid, via lexicographic ``array_min`` on
+    ``(-dot, cid)``) is deterministic and replayable."""
+    structs = []
+    for cid, (s, _n) in zip(labels, sub):
+        norm = math.sqrt(sum(v * v for v in s))
+        qc = (
+            [0] * len(s)
+            if norm == 0
+            else [math.floor(v / norm * scale + 0.5) for v in s]
+        )
+        dot = int_dot_expr(
+            F.col("__q__"), F.array(*[F.lit(int(v)).cast("long") for v in qc])
+        )
+        structs.append(F.struct((-dot).alias("d"), F.lit(cid).alias("cid")))
+    return F.array_min(F.array(*structs))["cid"]
+
+
 def _split_one(
     cell: DataFrame,
     recon,
@@ -143,11 +174,14 @@ def _split_one(
     scale: int,
     split_factor: int,
     labels: list[int],
+    assign_fn=None,
 ):
     """Train a sub-router on one oversized cell's reconstructed vectors
     and re-route its rows among the new global cids. Returns
     (moved_frame, sub_state) or (None, None) when the cell is
-    unsplittable (all vectors identical)."""
+    unsplittable (all vectors identical). ``assign_fn(sub, labels)``
+    overrides the integer-L2 assignment for families whose serving
+    geometry differs (plain IVF serves cosine)."""
     vecd = cell.withColumn("__v__", recon)
     _, sub = kmeans(
         vecd, "__v__", id_col, k=split_factor, iters=1, scale=scale,
@@ -156,13 +190,15 @@ def _split_one(
     if not sub or _distinct_means(sub) < 2:
         return None, None
     q = quantize_vec_expr(F.col("__v__"), scale)
+    assign = (
+        assign_fn(sub, labels[: len(sub)])
+        if assign_fn is not None
+        else _assign_expr(sub, cids=labels[: len(sub)])
+    )
     moved = (
         vecd.withColumn("__q__", q)
         .withColumn("__xx__", int_dot_expr(F.col("__q__"), F.col("__q__")))
-        .withColumn(
-            part_col,
-            _assign_expr(sub, cids=labels[: len(sub)]),
-        )
+        .withColumn(part_col, assign)
         .select(*payload_cols, part_col)
     )
     return moved, sub
@@ -183,10 +219,18 @@ def _rebalance_core(
     publish,
     part_col: str = "cid",
     bracket: bool = True,
+    bracket_cells: str = "cells",
+    drop_dead_dirs: bool = True,
+    assign_fn=None,
 ) -> dict:
     """Shared rebalance engine; ``publish(new_state, new_dead)`` commits
     the router atomically (or, for the router-less plain-IVF family,
-    records the caller-visible centroid update)."""
+    records the caller-visible centroid update). ``drop_dead_dirs=False``
+    defers split-cell directory removal to the next maintenance call —
+    required when ``publish`` is NOT the durable commit point (plain IVF:
+    the caller persisting the returned list is), because deleting the old
+    dirs before that would strand the moved rows if the caller crashes
+    first."""
     if split_factor < 2:
         raise ValueError(f"split_factor must be >= 2, got {split_factor}")
     _prune_stale_cells(cells_root, len(state), dead, part_col)
@@ -209,7 +253,7 @@ def _rebalance_core(
         labels = list(range(next_cid, next_cid + split_factor))
         moved, sub = _split_one(
             cell, recon_for(cells), id_col, payload_cols, part_col, scale,
-            split_factor, labels,
+            split_factor, labels, assign_fn=assign_fn,
         )
         if moved is None:
             report["unsplittable"].append(cid)
@@ -223,7 +267,7 @@ def _rebalance_core(
         return report
     moved_all = reduce(lambda a, b: a.unionByName(b), frames)
     if bracket:
-        begin_append(path)
+        begin_append(path, cells=bracket_cells)
     (
         moved_all.repartition(F.col(part_col))
         .write.partitionBy(part_col)
@@ -233,10 +277,12 @@ def _rebalance_core(
     if bracket:
         commit_append(path)
     publish(state + new_states, sorted(dead | set(split_cids)))
-    for cid in split_cids:  # best-effort; _prune_stale_cells self-heals
-        shutil.rmtree(
-            os.path.join(cells_root, f"{part_col}={cid}"), ignore_errors=True
-        )
+    if drop_dead_dirs:
+        for cid in split_cids:  # best-effort; _prune_stale_cells self-heals
+            shutil.rmtree(
+                os.path.join(cells_root, f"{part_col}={cid}"),
+                ignore_errors=True,
+            )
     report["split"] = split_cids
     return report
 
@@ -372,13 +418,28 @@ def ivf_rebalance(
     ``ivf_assign`` skip them) and sub-centroids append at the end; pass
     the returned list to every subsequent ``ivf_append`` /
     ``ivf_topk_indexed``. Stored vectors are exact, so sub-routers train
-    on the true data. Returns ``(new_centroids, report)``.
+    on the true data — L2-NORMALIZED first, and moved rows are assigned
+    with the same argmax-cosine rule ``ivf_assign`` serves with (ADVICE
+    r13 #4: an integer-L2 sub-router would let rows land in sub-cells
+    the cosine probe ranks low, degrading recall at ``nprobe <
+    n_live``). Returns ``(new_centroids, report)``.
 
-    Crash contract (no manifest bracket exists for this family): new
-    sub-cell dirs are written BEFORE the caller sees the new list, so a
-    crash mid-rebalance leaves the old centroid list fully valid — the
-    orphan dirs are invisible to probes (cid filter) and a re-run
-    rewrites them idempotently after pruning."""
+    Crash contract (this family shares ``ivf_append``'s
+    ``_APPEND_INPROGRESS`` manifest bracket with ``cells='.'`` — ADVICE
+    r13 #1): any TORN PRIOR APPEND is rolled back at entry, so an
+    unacknowledged batch is never baked into the split and the stale
+    manifest can never misclassify moved rows as torn. The sub-cell
+    write itself runs inside a fresh bracket — a crash mid-write leaves
+    the sidecar in place (probes refuse via ``require_committed``; the
+    next append/rebalance rolls the torn sub-cells back). After the
+    bracket commits, the OLD split-cell directories are intentionally
+    LEFT IN PLACE: the durable commit point is the caller persisting
+    the returned list, and until then the old list must stay fully
+    servable (tombstoned cids are never probed under the new list, so
+    the duplicates are invisible). Reclaim them with :func:`ivf_vacuum`
+    after persisting the new list — or let the next ``ivf_rebalance``'s
+    ``_prune_stale_cells`` self-heal."""
+    rollback_torn_append(path, cells=".")  # never bake in a torn batch
     cents = list(centroids)
     state = [
         ([0] * (len(c) if c else 1), 1) if c is None else c for c in cents
@@ -387,7 +448,13 @@ def ivf_rebalance(
     new_out: dict = {}
 
     def recon(cells):
-        return F.col(vec_col).cast("array<double>")
+        v = F.col(vec_col).cast("array<double>")
+        nrm = F.sqrt(
+            F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+        )
+        # unit sphere: spherical-kmeans training + cosine-faithful
+        # sub-centroid directions; zero vectors pass through unscaled
+        return F.when(nrm > F.lit(0.0), F.transform(v, lambda x: x / nrm)).otherwise(v)
 
     def publish(new_state, new_dead):
         new_out["state"] = new_state
@@ -398,7 +465,9 @@ def ivf_rebalance(
     report = _rebalance_core(
         spark, path, path, state, dead, recon, id_col, payload, scale,
         max_cell_rows, split_factor, publish,
-        part_col="centroid_id", bracket=False,
+        part_col="centroid_id", bracket=True, bracket_cells=".",
+        drop_dead_dirs=False,
+        assign_fn=lambda sub, labels: _cosine_assign_expr(sub, labels, scale),
     )
     if not report["split"]:
         return cents, report
@@ -413,3 +482,16 @@ def ivf_rebalance(
             s, n = new_state[i]
             out.append([float(v) / (n * scale) for v in s])
     return out, report
+
+
+def ivf_vacuum(path: str, centroids: list, part_col: str = "centroid_id") -> list[int]:
+    """Reclaim a rebalanced plain-IVF index's dead cell directories —
+    call AFTER the returned centroid list from :func:`ivf_rebalance` has
+    been durably persisted (the family's commit point; see the
+    ivf_rebalance crash contract). Removes every ``centroid_id=N`` dir
+    whose slot is a ``None`` tombstone or beyond the list (orphan
+    sub-cells of a rebalance whose list was never persisted). Safe at
+    any time: probes filter to live cids and never read either kind.
+    Returns the pruned cids."""
+    dead = {i for i, c in enumerate(centroids) if c is None}
+    return _prune_stale_cells(path, len(centroids), dead, part_col)

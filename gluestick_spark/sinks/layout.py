@@ -50,15 +50,48 @@ def write_sorted(
     part.sortWithinPartitions(*sort_cols).write.mode(mode).format(fmt).save(path)
 
 
+def _catalog_locations(spark) -> set[str]:
+    """Real paths of every location any session-catalog table points at
+    (managed or external). Temp views carry no location and are
+    skipped."""
+    import os
+
+    locs: set[str] = set()
+    for db in spark.catalog.listDatabases():
+        try:
+            tables = spark.catalog.listTables(db.name)
+        except Exception:
+            continue
+        for t in tables:
+            if t.isTemporary or not t.namespace:
+                continue
+            qual = ".".join([*t.namespace, t.name])
+            try:
+                rows = spark.sql(
+                    f"DESCRIBE TABLE EXTENDED {qual}"
+                ).collect()
+            except Exception:
+                continue
+            for r in rows:
+                if r["col_name"] == "Location" and r["data_type"]:
+                    from urllib.parse import urlparse
+
+                    p = urlparse(r["data_type"]).path or r["data_type"]
+                    locs.add(os.path.realpath(p))
+    return locs
+
+
 def _clear_orphaned_managed_location(spark, table: str) -> None:
     """Remove a stale MANAGED-table warehouse directory left behind by a
     killed prior run: the catalog has no entry for ``table`` but its
     default location still exists on disk, so ``saveAsTable`` fails with
-    ``LOCATION_ALREADY_EXISTS``. The directory is an orphan — no catalog
-    entry points at it — so clearing it is safe and makes overwrite
-    writes (and the tests that exercise them) hermetic. Only the simple
-    ``tbl`` / ``db.tbl`` local-warehouse case is handled; external
-    locations are never touched."""
+    ``LOCATION_ALREADY_EXISTS``. Only the simple ``tbl`` / ``db.tbl``
+    local-warehouse case is handled, and only when NO catalog table (in
+    any database — an EXTERNAL table may legally sit on the default
+    path, ADVICE r13 #3) references the directory: clearing is
+    restricted to true orphans. Default-database tables live directly
+    under the warehouse root (``wh/tbl``, not ``wh/default.db/tbl``) —
+    the path rule Spark itself applies."""
     import os
     import shutil
     from urllib.parse import urlparse
@@ -71,13 +104,18 @@ def _clear_orphaned_managed_location(spark, table: str) -> None:
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
     if not wh:
         return
+    db = parts[0] if len(parts) == 2 else spark.catalog.currentDatabase()
+    tbl = parts[-1]
     loc = (
-        os.path.join(wh, parts[0] + ".db", parts[1])
-        if len(parts) == 2
-        else os.path.join(wh, parts[0])
+        os.path.join(wh, tbl)
+        if db == "default"
+        else os.path.join(wh, f"{db}.db", tbl)
     )
-    if os.path.isdir(loc):
-        shutil.rmtree(loc, ignore_errors=True)
+    if not os.path.isdir(loc):
+        return
+    if os.path.realpath(loc) in _catalog_locations(spark):
+        return  # some table (possibly external, other name) lives there
+    shutil.rmtree(loc, ignore_errors=True)
 
 
 def write_bucketed(

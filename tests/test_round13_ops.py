@@ -281,10 +281,17 @@ def test_pq_ivf_rebalance_splits_and_serves(spark, tmp_dir):
 
 def test_ivf_rebalance_plain_family(spark, tmp_dir):
     """Raw-vector IVF: rebalance returns the tombstoned centroid list;
-    probes/assigns skip None slots; nprobe=all equals brute-force cosine."""
+    probes/assigns skip None slots; nprobe=all equals brute-force cosine.
+    Dead cell dirs are DEFERRED (r14 crash contract: the commit point is
+    the caller persisting the list) — serving is correct with them in
+    place, and ivf_vacuum reclaims them after."""
     import os
 
-    from gluestick_spark.llm.rebalance import cell_sizes, ivf_rebalance
+    from gluestick_spark.llm.rebalance import (
+        cell_sizes,
+        ivf_rebalance,
+        ivf_vacuum,
+    )
     from gluestick_spark.llm.similarity import (
         cosine_topk,
         ivf_append,
@@ -305,9 +312,13 @@ def test_ivf_rebalance_plain_family(spark, tmp_dir):
     assert rep["split"], rep
     assert all(new_cents[c] is None for c in rep["split"])
     sizes = cell_sizes(spark, path, "centroid_id")
-    assert sum(sizes.values()) == 400
-    assert all(c not in sizes for c in rep["split"])
+    # old split dirs deliberately remain (deferred reclaim); the LIVE
+    # cells alone hold every row exactly once
+    assert all(c in sizes for c in rep["split"])
+    live_total = sum(n for c, n in sizes.items() if c not in rep["split"])
+    assert live_total == 400
 
+    # serving is exact WITH the dead dirs still on disk (probe filter)
     q = [1.0] * 8
     n_live = sum(1 for c in new_cents if c is not None)
     got = _topk_ids(
@@ -315,6 +326,17 @@ def test_ivf_rebalance_plain_family(spark, tmp_dir):
     )
     brute = _topk_ids(cosine_topk(emb, "embedding", q, 10))
     assert got == brute
+
+    # caller persisted the list → vacuum reclaims exactly the dead dirs
+    pruned = ivf_vacuum(path, new_cents)
+    assert pruned == sorted(rep["split"])
+    sizes = cell_sizes(spark, path, "centroid_id")
+    assert sum(sizes.values()) == 400
+    assert all(c not in sizes for c in rep["split"])
+    assert _topk_ids(
+        ivf_topk_indexed(spark, path, q, new_cents, k=10, nprobe=n_live)
+    ) == brute
+
     # append with the new list routes around the tombstone
     ivf_append(
         spark.createDataFrame(
@@ -325,6 +347,138 @@ def test_ivf_rebalance_plain_family(spark, tmp_dir):
     sizes2 = cell_sizes(spark, path, "centroid_id")
     assert sum(sizes2.values()) == 401
     assert all(c not in sizes2 for c in rep["split"])
+
+
+def test_ivf_rebalance_rolls_back_torn_append_first(spark, tmp_dir):
+    """ADVICE r13 #1 (high): rebalancing a plain-IVF index with a TORN
+    append must roll the unacknowledged batch back at entry — never bake
+    it into the split — and the moved sub-cells must survive the NEXT
+    append's rollback (they are written inside their own bracket, so no
+    stale manifest can misclassify them as torn)."""
+    import os
+
+    from gluestick_spark.llm.index_commit import SIDECAR, begin_append
+    from gluestick_spark.llm.rebalance import (
+        cell_sizes,
+        ivf_rebalance,
+        ivf_vacuum,
+    )
+    from gluestick_spark.llm.similarity import (
+        cosine_topk,
+        ivf_append,
+        ivf_assign,
+        ivf_topk_indexed,
+        materialize_ivf,
+        train_ivf_centroids,
+    )
+
+    emb = _skewed_embeddings(spark)
+    path = os.path.join(tmp_dir, "ivf_torn")
+    cents = train_ivf_centroids(emb.where("vec_id < 100"), "embedding", 4)
+    materialize_ivf(emb, "embedding", cents, path)
+
+    # simulate a torn append: open the bracket, write the batch, CRASH
+    # before commit (sidecar left in place)
+    torn = spark.createDataFrame(
+        [(9000 + i, [2.0] * 8) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    begin_append(path, cells=".")
+    (
+        ivf_assign(torn, "embedding", cents)
+        .repartition(F.col("centroid_id"))
+        .write.partitionBy("centroid_id")
+        .mode("append")
+        .parquet(path)
+    )
+    assert os.path.isfile(os.path.join(path, SIDECAR))
+
+    new_cents, rep = ivf_rebalance(
+        spark, path, cents, max_cell_rows=120, split_factor=2
+    )
+    assert rep["split"], rep
+    # the torn batch was rolled back, not baked in
+    ivf_vacuum(path, new_cents)
+    sizes = cell_sizes(spark, path, "centroid_id")
+    assert sum(sizes.values()) == 400
+    # the rebalance committed its own bracket: no sidecar survives …
+    assert not os.path.isfile(os.path.join(path, SIDECAR))
+    # … so the next append's rollback CANNOT delete the moved sub-cells
+    ivf_append(
+        spark.createDataFrame(
+            [(3000, [1.0] * 8)], "vec_id long, embedding array<double>"
+        ),
+        "embedding", new_cents, path,
+    )
+    assert sum(cell_sizes(spark, path, "centroid_id").values()) == 401
+    q = [1.0] * 8
+    n_live = sum(1 for c in new_cents if c is not None)
+    got = _topk_ids(
+        ivf_topk_indexed(spark, path, q, new_cents, k=10, nprobe=n_live)
+    )
+    full = emb.unionByName(
+        spark.createDataFrame(
+            [(3000, [1.0] * 8)], "vec_id long, embedding array<double>"
+        )
+    )
+    assert got == _topk_ids(cosine_topk(full, "embedding", q, 10))
+
+
+def test_ivf_rebalance_serving_geometry_is_cosine(spark, tmp_dir):
+    """ADVICE r13 #4: moved rows land in the sub-cell whose sub-centroid
+    the COSINE rule (the family's serving geometry) picks — checked
+    row-by-row against a driver-side argmax over the returned
+    sub-centroid directions."""
+    import math
+    import os
+
+    from gluestick_spark.llm.rebalance import ivf_rebalance, ivf_vacuum
+    from gluestick_spark.llm.similarity import (
+        ivf_append,
+        materialize_ivf,
+        train_ivf_centroids,
+    )
+
+    emb = _skewed_embeddings(spark)
+    path = os.path.join(tmp_dir, "ivf_geom")
+    cents = train_ivf_centroids(emb.where("vec_id < 100"), "embedding", 4)
+    materialize_ivf(emb.where("vec_id < 100"), "embedding", cents, path)
+    ivf_append(emb.where("vec_id >= 100"), "embedding", cents, path)
+    new_cents, rep = ivf_rebalance(
+        spark, path, cents, max_cell_rows=120, split_factor=2
+    )
+    assert rep["split"] and rep["new_cids"], rep
+    ivf_vacuum(path, new_cents)
+
+    sub_ids = rep["new_cids"]
+    unit = {}
+    for c in sub_ids:
+        s = new_cents[c]
+        n = math.sqrt(sum(v * v for v in s)) or 1.0
+        unit[c] = [x / n for x in s]
+    got = {
+        int(r["vec_id"]): int(r["centroid_id"])
+        for r in spark.read.parquet(path)
+        .where(F.col("centroid_id").isin(sub_ids))
+        .select("vec_id", "centroid_id")
+        .collect()
+    }
+    vecs = {int(r["vec_id"]): list(r["embedding"]) for r in emb.collect()}
+    mismatches = 0
+    for vid, cid in got.items():
+        v = vecs[vid]
+        best = max(
+            sub_ids,
+            key=lambda c: (sum(a * b for a, b in zip(v, unit[c])), -c),
+        )
+        # quantization of the unit centroid can flip exact near-ties;
+        # anything beyond a whisker of slack means wrong geometry
+        if cid != best:
+            bs = sum(a * b for a, b in zip(v, unit[best]))
+            cs = sum(a * b for a, b in zip(v, unit[cid]))
+            if bs - cs > 1e-3 * max(abs(bs), 1.0):
+                mismatches += 1
+    assert mismatches == 0
 
 
 def test_rebalance_crash_windows_self_heal(spark, tmp_dir):
@@ -653,6 +807,86 @@ def test_streaming_fingerprint_dedup_cross_batch_chain(spark, tmp_dir):
     assert batch_kept == [1, 4]
 
 
+def test_fp_segment_state_compaction_and_replay(spark, tmp_dir):
+    """VERDICT r13 #3: the fingerprint segment state is __batch__-tagged
+    (a replayed batch's re-append is byte-identical and collapses on the
+    read-side distinct) and compact_fingerprint_state reclaims the
+    physical duplicates with matching exactly invariant — a later chain
+    link against a DROPPED row's fingerprint still collapses."""
+    import os
+
+    from gluestick_spark.streaming.pipeline import (
+        compact_fingerprint_state,
+        read_streaming_dedup_output,
+        stream_from_directory,
+        streaming_fingerprint_dedup,
+    )
+
+    base = 0x0123456789ABCDEF
+    fp = {
+        b"A": base,
+        b"B": base ^ 0b111,                 # 3 flips from A
+        b"C": base ^ 0b111 ^ (0b11 << 20),  # 2 from B, 5 from A
+        b"D": base ^ ((1 << 40) - 1),       # far from everything
+        b"E": base ^ 0b111 ^ (0b11 << 20) ^ (1 << 33),  # 1 from C
+        b"F": base ^ ((1 << 63) - (1 << 22)),           # far
+    }
+
+    def hasher(payload: bytes) -> int:
+        v = fp[payload]
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    stage = os.path.join(tmp_dir, "src")
+    out = os.path.join(tmp_dir, "out")
+    state = os.path.join(tmp_dir, "state")
+    ckpt = os.path.join(tmp_dir, "ckpt")
+    schema = "doc_id long, payload binary"
+    batches = [
+        spark.createDataFrame([(1, b"A"), (2, b"B")], schema),
+        spark.createDataFrame([(3, b"C"), (4, b"D")], schema),
+    ]
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(stage)
+        q = streaming_fingerprint_dedup(
+            stream_from_directory(spark, stage, batches[0].schema),
+            "payload", "doc_id", state, out, ckpt,
+            max_hamming=3, bands=4, hasher=lambda p: hasher(bytes(p)),
+        )
+        q.awaitTermination()
+
+    seg_path = os.path.join(state, "fp_segments.parquet")
+    raw = spark.read.parquet(seg_path)
+    n_phys = raw.count()
+    n_logical = raw.distinct().count()
+    assert n_phys == n_logical == 16  # 4 judged rows x 4 bands
+
+    # at-least-once replay of the LAST batch: byte-identical re-append
+    max_b = raw.agg(F.max("__batch__")).first()[0]
+    raw.where(F.col("__batch__") == max_b).write.mode("append").parquet(
+        seg_path
+    )
+    grown = spark.read.parquet(seg_path)
+    assert grown.count() == n_phys + 8          # physical bloat...
+    assert grown.distinct().count() == n_logical  # ...logically collapsed
+
+    # compaction reclaims the duplicates; matching stays exact: E (1 flip
+    # from DROPPED C) must still drop, F far -> kept
+    assert compact_fingerprint_state(spark, state) == n_logical
+    b3 = spark.createDataFrame([(6, b"E"), (7, b"F")], schema)
+    b3.coalesce(1).write.mode("append").parquet(stage)
+    q = streaming_fingerprint_dedup(
+        stream_from_directory(spark, stage, batches[0].schema),
+        "payload", "doc_id", state, out, ckpt,
+        max_hamming=3, bands=4, hasher=lambda p: hasher(bytes(p)),
+    )
+    q.awaitTermination()
+    kept = sorted(
+        r["doc_id"]
+        for r in read_streaming_dedup_output(spark, out).collect()
+    )
+    assert kept == [1, 4, 7]
+
+
 # ---------------- r13 extra: sample-trained PQ codebooks -----------------
 
 
@@ -778,8 +1012,9 @@ def test_streaming_quantiles_merge_law_and_replay(spark, tmp_dir):
 def test_compact_sketch_log_preserves_estimates(spark, tmp_dir):
     """Compacting a KLL sketch log to one row per group is invisible to
     the reader: identical quantile estimates before and after, the
-    replay tag survives as max(__batch__), and the row count collapses
-    to the group count. KMV kind likewise (idempotent merge)."""
+    compacted-through watermark records the max real batch id, and the
+    row count collapses to the group count. KMV kind likewise
+    (idempotent merge)."""
     import os
 
     from gluestick_spark.llm.sketch import (
@@ -789,7 +1024,11 @@ def test_compact_sketch_log_preserves_estimates(spark, tmp_dir):
         kmv_merge,
         kmv_sketch,
     )
-    from gluestick_spark.streaming.pipeline import compact_sketch_log
+    from gluestick_spark.streaming.pipeline import (
+        _log_watermark,
+        compact_sketch_log,
+        read_sketch_log,
+    )
 
     d = spark.createDataFrame(
         [(i, ["a", "b"][i % 2], float(i % 500)) for i in range(3000)],
@@ -804,18 +1043,50 @@ def test_compact_sketch_log_preserves_estimates(spark, tmp_dir):
         ).parquet(log_dir)
 
     def estimates():
-        log = spark.read.parquet(log_dir).distinct().drop("__batch__")
+        log = read_sketch_log(spark, log_dir).distinct().drop("__batch__")
         return sorted(
             map(tuple, kll_quantiles(
                 kll_merge(log, 200, ["g"]), [0.25, 0.5, 0.9], ["g"]
             ).collect())
         )
 
+    def total_n():
+        log = read_sketch_log(spark, log_dir).distinct().drop("__batch__")
+        return sum(r["kll"]["n"] for r in kll_merge(log, 200, ["g"]).collect())
+
     before = estimates()
     n = compact_sketch_log(spark, log_dir, "kll", 200, ["g"])
     assert n == 2  # one row per group
     assert estimates() == before
-    assert spark.read.parquet(log_dir).agg(F.max("__batch__")).first()[0] == 2
+    # merged rows carry the compacted sentinel; the watermark records
+    # the max real batch id folded in
+    assert spark.read.parquet(log_dir).agg(F.max("__batch__")).first()[0] == -1
+    assert _log_watermark(log_dir) == 2
+
+    # ADVICE r13 #2: a batch replayed AFTER compaction (crash between
+    # its log append and the checkpoint commit) re-appends a partial row
+    # that is NOT byte-identical to the merged row — the watermark drops
+    # it, so the cumulative weight cannot double-count
+    n_before_replay = total_n()
+    assert n_before_replay == 3000
+    kll_sketch(
+        d.where(F.col("doc_id") % 3 == 2), "v", 200, ["g"]
+    ).withColumn("__batch__", F.lit(2).cast("long")).write.mode(
+        "append"
+    ).parquet(log_dir)
+    assert total_n() == n_before_replay
+    assert estimates() == before
+    # a genuinely NEW batch (id > watermark) still lands
+    kll_sketch(
+        d.where(F.col("doc_id") % 3 == 0), "v", 200, ["g"]
+    ).withColumn("__batch__", F.lit(3).cast("long")).write.mode(
+        "append"
+    ).parquet(log_dir)
+    assert total_n() == 4000
+    # recompaction folds it in and advances the watermark
+    assert compact_sketch_log(spark, log_dir, "kll", 200, ["g"]) == 2
+    assert _log_watermark(log_dir) == 3
+    assert total_n() == 4000
 
     # kmv kind
     klog = os.path.join(tmp_dir, "kmv_log.parquet")
