@@ -5277,6 +5277,193 @@ def q_sq_ivf_rebalanced_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEL_SIVF_CACHE: dict = {}
+
+
+def q_sq_ivf_deleted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index DELETE + vacuum (llm/index_delete.py — VERDICT r13 #2,
+    the missing third of the index lifecycle after append and
+    rebalance): build the IVF×SQ index on a quarter of the corpus,
+    append the rest, tombstone one planted id set (vec_id % 7 == 3) and
+    PHYSICALLY purge it with vacuum_deleted (atomic per-cell rewrite),
+    then tombstone a second set (vec_id % 5 == 1) and leave it
+    tombstoned — so the probe exercises BOTH delete paths at once: the
+    vacuumed rows are gone from the cells, the tombstoned rows are
+    anti-joined out at serve time. The probe at nprobe = n_live must
+    equal EXHAUSTIVE int8 scoring over the SURVIVING rows — the
+    takedown-propagation proof (a deleted row can never serve, a
+    surviving row is never lost) — so the oracle is the sq_topk SQL
+    with the survivor predicate.
+
+    The deleted index is cached per sf_dir (the maintenance happens
+    once; repeated calls measure serving with the anti-join gate)."""
+    import json
+    import os
+    import tempfile
+
+    from gluestick_spark.llm.cluster import (
+        materialize_sq_ivf,
+        sq_ivf_append,
+        sq_ivf_topk_indexed,
+    )
+    from gluestick_spark.llm.index_delete import sq_ivf_delete, vacuum_deleted
+
+    q = _query_vec(spark, sf_dir)
+    path = _DEL_SIVF_CACHE.get(sf_dir)
+    if path is None:
+        e = _t(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="gs_sqivf_del_")
+        materialize_sq_ivf(
+            e.where(F.col("vec_id") % 4 == 0), "embedding", "vec_id", path,
+            n_clusters=4, iters=1, scale=_KM_SCALE,
+        )
+        sq_ivf_append(
+            e.where(F.col("vec_id") % 4 != 0), "embedding", "vec_id", path
+        )
+        sq_ivf_delete(
+            spark, path, e.where(F.col("vec_id") % 7 == 3).select("vec_id")
+        )
+        vacuum_deleted(spark, path)  # physical purge of the first set
+        sq_ivf_delete(
+            spark, path, e.where(F.col("vec_id") % 5 == 1).select("vec_id")
+        )  # second set stays tombstoned: serving anti-join active
+        _DEL_SIVF_CACHE[sf_dir] = path
+    with open(os.path.join(path, "_ROUTER.json")) as f:
+        meta = json.load(f)
+    n_live = len(meta["state"]) - len(meta.get("dead", []))
+    top = sq_ivf_topk_indexed(spark, path, q, k=_SQ_TOPK_K, nprobe=n_live)
+    return top.select(
+        "vec_id", (F.floor(F.col("score") * 1e4) / 1e4).alias("score")
+    )
+
+
+# the sq_topk oracle restricted to the rows surviving the two planted
+# delete sets — exhaustive int8 scoring over survivors IS the contract
+_Q_SQ_DELETED_TOPK_SQL = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+a AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM v
+),
+enc AS (
+  SELECT vec_id,
+    CASE WHEN amax > 0 THEN amax / 127.0 ELSE 0.0 END AS sc,
+    CASE WHEN amax > 0
+         THEN list_transform(v, x -> greatest(-127.0, least(127.0, floor(x / (amax / 127.0) + 0.5))))
+         ELSE list_transform(v, x -> 0.0) END AS qc
+  FROM a
+),
+q AS (SELECT sc AS qsc, qc AS qqc FROM enc WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+         CAST(list_dot_product(e.qc, q.qqc) AS BIGINT) AS idot,
+         e.sc, q.qsc
+  FROM enc e, q
+  WHERE NOT (e.vec_id % 7 = 3 OR e.vec_id % 5 = 1)
+)
+SELECT vec_id,
+       floor((CAST(idot AS DOUBLE) * sc * qsc) * 1e4) / 1e4 AS score
+FROM s
+ORDER BY CAST(idot AS DOUBLE) * sc * qsc DESC, vec_id ASC
+LIMIT {_SQ_TOPK_K}
+"""
+
+
+def q_rrf_fused_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval fusion (llm/retrieval.py:rrf_fuse — VERDICT r13
+    #5): the lexical BM25 leg (query 'spark merge join window' over
+    documents, scores 0.01-bucketed so leg RANKS are cross-engine
+    stable) fused with the ANN leg (int8-SQ exhaustive top-50 over
+    embeddings, whose raw ordering is already replayable — the sq_topk
+    device) by Reciprocal Rank Fusion in exact integers:
+    rrf = Σ ⌊1e9/(60+rank)⌋. doc_id ≡ vec_id in the testdata (1:1), so
+    the fusion is over one entity space — the retrieval-based decontam
+    audit shape (eval question → fused top-k → overlap check)."""
+    from gluestick_spark.llm.retrieval import bm25_topk, rrf_fuse
+    from gluestick_spark.llm.similarity import sq_topk
+
+    d = _tp(spark, sf_dir, "documents", "doc_id")
+    e = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    bm = bm25_topk(
+        d, "text", "doc_id", "spark merge join window", k=1_000_000
+    ).select("doc_id", (F.floor(F.col("bm25") * 100) / 100).alias("bm25r"))
+    ann = sq_topk(e, "embedding", "vec_id", q, k=50).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    return rrf_fuse(
+        [(bm, "bm25r", False), (ann, "score", False)],
+        "doc_id",
+        k_const=60,
+        leg_k=50,
+        k=20,
+    )
+
+
+_Q_RRF_FUSED_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_transform(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''),
+                        x -> lower(x)) AS t
+  FROM documents
+),
+stats AS (SELECT count(*) AS n, avg(len(t)) AS avgdl FROM tok),
+hits AS (
+  SELECT doc_id, len(t) AS dl,
+         unnest(list_filter(t, x -> x IN ('join','merge','spark','window'))) AS term
+  FROM tok
+),
+tf AS (SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl FROM hits GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))) AS s
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+bmr AS (SELECT doc_id, floor(s * 100) / 100 AS b FROM scored),
+bmrank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY b DESC, doc_id ASC) AS r FROM bmr
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+aa AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM v),
+enc AS (
+  SELECT vec_id,
+    CASE WHEN amax > 0 THEN amax / 127.0 ELSE 0.0 END AS sc,
+    CASE WHEN amax > 0
+         THEN list_transform(v, x -> greatest(-127.0, least(127.0, floor(x / (amax / 127.0) + 0.5))))
+         ELSE list_transform(v, x -> 0.0) END AS qc
+  FROM aa
+),
+qv AS (SELECT sc AS qsc, qc AS qqc FROM enc WHERE vec_id = 0),
+sv AS (
+  SELECT e.vec_id,
+         CAST(list_dot_product(e.qc, qv.qqc) AS BIGINT) AS idot,
+         e.sc, qv.qsc
+  FROM enc e, qv
+),
+annrank AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY CAST(idot AS DOUBLE) * sc * qsc DESC, vec_id ASC
+         ) AS r
+  FROM sv
+),
+legs AS (
+  SELECT doc_id, 1000000000 // (60 + r) AS c FROM bmrank WHERE r <= 50
+  UNION ALL
+  SELECT doc_id, 1000000000 // (60 + r) AS c FROM annrank WHERE r <= 50
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_score, count(*) AS n_legs
+FROM legs GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT 20
+"""
+
+
 _LIDFT_NB = 512
 _LIDFT_MODEL_CACHE: dict = {}
 
@@ -8360,6 +8547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'semdedup_against': q_semdedup_against,
         'streaming_phash_dedup': q_streaming_phash_dedup,
         'streaming_quantiles': q_streaming_quantiles,
+        'sq_ivf_deleted_topk': q_sq_ivf_deleted_topk,
+        'rrf_fused_topk': q_rrf_fused_topk,
         'shipping_priority': q_shipping_priority,
         'ann_topk': q_ann_topk,
         'audio_features': q_audio_features,
@@ -8571,6 +8760,8 @@ def oracle_sql() -> dict[str, str]:
         'semdedup_against': _semdedup_against_oracle_sql(),
         'streaming_phash_dedup': _Q_PHASH_DEDUP_SQL,
         'streaming_quantiles': _Q_QUANTILE_SKETCH_SQL,
+        'sq_ivf_deleted_topk': _Q_SQ_DELETED_TOPK_SQL,
+        'rrf_fused_topk': _Q_RRF_FUSED_SQL,
         'shipping_priority': _Q_SHIPPING_SQL,
         'ann_topk': _Q_ANN_TOPK_SQL,
         'audio_features': _audio_features_sql(),

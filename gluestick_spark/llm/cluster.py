@@ -976,5 +976,10 @@ def sq_ivf_topk_indexed(
             F.col("qvec").alias("__qv__"),
         )
     )
+    from .index_delete import filter_tombstoned
+
+    enc = filter_tombstoned(
+        spark, path, enc, out_id, stored_id_col=router["id_col"]
+    )
     qscale, qcodes = quantize_query(query)
     return _sq_score_topk(enc, out_id, qscale, qcodes, k)

@@ -70,11 +70,21 @@ def rollback_torn_append(
 ) -> bool:
     """Undo a torn/unacknowledged append: delete cell files not in the
     manifest, prune partition dirs it created, drop the sidecar.
-    Returns True iff a torn batch was rolled back."""
+    Returns True iff a torn batch was rolled back.
+
+    The sidecar is SELF-DESCRIBING since r14: it records which root its
+    manifest lists (``cells``), and the rollback honors the RECORDED
+    root over the caller's default — without this, a torn DELETE
+    (manifest = tombstone files) healed by an append's rollback (default
+    root = cell files) would compare cell files against a tombstone
+    manifest and destroy the index. Pre-r14 sidecars lack the key and
+    fall back to the caller's argument."""
     side = os.path.join(path, SIDECAR)
     if not fs.isfile(side):
         return False
-    manifest = set(json.loads(fs.read_text(side))["files"])
+    manifest_doc = json.loads(fs.read_text(side))
+    manifest = set(manifest_doc["files"])
+    cells = manifest_doc.get("cells", cells)
     root = _cells_root(path, cells)
     for rel in _list_cell_files(root, fs):
         # the sidecar lives under root itself when cells='.' (the plain-IVF
@@ -100,7 +110,13 @@ def begin_append(
     rollback_torn_append(path, cells, fs)
     side = os.path.join(path, SIDECAR)
     fs.write_text_atomic(
-        side, json.dumps({"files": _list_cell_files(_cells_root(path, cells), fs)})
+        side,
+        json.dumps(
+            {
+                "files": _list_cell_files(_cells_root(path, cells), fs),
+                "cells": cells,
+            }
+        ),
     )
 
 

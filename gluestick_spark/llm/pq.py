@@ -584,6 +584,9 @@ def pq_ivf_topk_indexed(
     cells = spark.read.parquet(_os.path.join(path, "cells")).where(
         F.col("cid").isin(probes)
     )
+    from .index_delete import filter_tombstoned
+
+    cells = filter_tombstoned(spark, path, cells, meta["id_col"])
     if rerank is None:
         enc = cells.select(F.col(meta["id_col"]).alias(out_id), F.col("code"))
         return (

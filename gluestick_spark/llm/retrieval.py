@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from .text import tokens_expr
 
-__all__ = ["bm25_topk", "tfidf_vectors"]
+__all__ = ["bm25_topk", "tfidf_vectors", "rrf_fuse"]
 
 
 def tfidf_vectors(
@@ -123,3 +123,77 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def rrf_fuse(
+    legs: list,
+    id_col: str,
+    k_const: int = 60,
+    leg_k: int | None = None,
+    k: int | None = None,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Hybrid-retrieval fusion by Reciprocal Rank Fusion (VERDICT r13
+    #5): combine N ranked lists — typically the lexical :func:`bm25_topk`
+    leg and an ANN embedding leg (sq_topk / ivf / pq) — into one ranking
+
+        rrf(d) = Σ_legs ⌊scale / (k_const + rank_leg(d))⌋
+
+    computed in EXACT integer arithmetic (``scale DIV (k+r)`` — each
+    term floors one integer division, the ppm-weight device), so the
+    fused score is replayable bit-for-bit cross-engine and ties are
+    deterministic (score desc, id asc). ``legs`` is a list of
+    ``(df, score_col, ascending)`` triples; each leg is ranked by
+    ``(score asc|desc, id asc)`` — callers fusing float-scored legs
+    should pre-round the score to a coarse grid when cross-engine rank
+    stability matters (the bm25 0.01-bucket convention).
+
+    Returns (``id_col``, ``rrf_score`` long, ``n_legs``), best first.
+    ``leg_k`` truncates each leg to its top ranks before fusing (the
+    standard fuse-top-N form); ``k`` limits the fused output.
+
+    Scale note: the inputs are TOP-K LISTS by contract — retrieval
+    results, thousands of rows at most, never a corpus. Ranking uses one
+    single-partition window per leg, which is O(k log k) on k-bounded
+    data; feeding a corpus here is a misuse (rank the corpus with a
+    distributed top-k first). The fuse itself is one union + one
+    groupBy."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    if not legs:
+        raise ValueError("legs must be non-empty")
+    if k_const < 1 or scale < 1:
+        raise ValueError("k_const >= 1 and scale >= 1 required")
+    parts = []
+    for df, score_col, ascending in legs:
+        order = [
+            F.col(score_col).asc() if ascending else F.col(score_col).desc(),
+            F.col(id_col).asc(),
+        ]
+        ranked = df.select(
+            F.col(id_col),
+            F.row_number().over(Window.orderBy(*order)).alias("__r__"),
+        )
+        if leg_k is not None:
+            ranked = ranked.where(F.col("__r__") <= leg_k)
+        parts.append(
+            ranked.select(
+                id_col,
+                F.expr(
+                    f"CAST({int(scale)} AS BIGINT) div "
+                    f"(CAST({int(k_const)} AS BIGINT) + __r__)"
+                ).alias("__c__"),
+            )
+        )
+    allc = reduce(lambda a, b: a.unionByName(b), parts)
+    fused = (
+        allc.groupBy(id_col)
+        .agg(
+            F.sum("__c__").alias("rrf_score"),
+            F.count(F.lit(1)).alias("n_legs"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    )
+    return fused.limit(k) if k is not None else fused

@@ -595,6 +595,9 @@ def ivf_topk_indexed(
     require_committed(path, "ivf")  # a torn append must not be probed
     probe = _probe_centroids(query, centroids, nprobe)
     cand = spark.read.parquet(path).where(F.col("centroid_id").isin(probe))
+    from .index_delete import filter_tombstoned
+
+    cand = filter_tombstoned(spark, path, cand, id_col)
     return cosine_topk(cand.drop("centroid_id"), vec_col, query, k, id_col)
 
 
