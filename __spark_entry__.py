@@ -5464,6 +5464,207 @@ LIMIT 20
 """
 
 
+_UNI_L, _UNI_W, _UNI_SCALE, _UNI_MINC, _UNI_UNK = 4, 16, 1_000_000_000, 2, -5_000_000_000
+
+
+def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM Viterbi segmentation (llm/unigram.py — VERDICT r13
+    #6): the corpus-count integer-cost vocabulary (subword_vocab:
+    -(1e9 DIV count), pure integer so the oracle replays vocabulary
+    construction too) drives a max-sum DP per DISTINCT word (ties →
+    smallest piece), joined back to word instances and exploded to one
+    row per emitted piece. The oracle UNROLLS the DP and the backtrace
+    to max_word_len static steps (the kmeans-unroll determinism device
+    applied to Viterbi); words longer than the unroll take the
+    documented single-piece fallback in both engines."""
+    from gluestick_spark.llm.unigram import subword_vocab, unigram_segment
+
+    d = _tp(spark, sf_dir, "documents", "doc_id")
+    v = subword_vocab(
+        d, "text", max_piece_len=_UNI_L, min_count=_UNI_MINC, scale=_UNI_SCALE
+    )
+    seg = unigram_segment(
+        d, "text", "doc_id", v,
+        max_piece_len=_UNI_L, max_word_len=_UNI_W, unk_score=_UNI_UNK,
+    )
+    ex = seg.select(
+        "doc_id", "word_idx", "word", "score",
+        F.posexplode("pieces").alias("__pi__", "piece"),
+    )
+    return ex.select(
+        "doc_id", "word_idx", "word",
+        (F.col("__pi__") + 1).alias("piece_idx"), "piece", "score",
+    )
+
+
+def _unigram_sql(
+    L: int = _UNI_L,
+    W: int = _UNI_W,
+    scale: int = _UNI_SCALE,
+    min_count: int = _UNI_MINC,
+    unk: int = _UNI_UNK,
+) -> str:
+    """DuckDB replay of q_unigram_segment: vocabulary from instance
+    counts, per-word W·L score list, DP + backtrace unrolled to W static
+    steps with ONE CTE LEVEL PER STEP (the kmeans-unroll shape) — each
+    dp_i/pos_t becomes a materialized column of its level; a flat
+    lateral-alias chain instead would INLINE each reference and the
+    expression tree grows ~L^W (measured: the flat form hangs DuckDB),
+    long-word fallback unioned in."""
+    SENT = -(10**15)
+    # dp/bp: one CTE per position so dp{i-1} is a real column, never an
+    # inlined expression
+    dp_ctes = ["d0 AS (SELECT w, sa, len(w) AS n, CAST(0 AS BIGINT) AS dp0 FROM sarr)"]
+    for i in range(1, W + 1):
+        cs, names = [], []
+        for l in range(1, min(L, i) + 1):
+            cs.append(
+                f"dp{i - l} + coalesce(sa[{(i - l) * L + l}], "
+                f"CAST({SENT} AS BIGINT)) AS c_{i}_{l}"
+            )
+            names.append(f"c_{i}_{l}")
+        dp_expr = (
+            f"greatest({', '.join(names)})" if len(names) > 1 else names[0]
+        )
+        bp = " ".join(f"WHEN {nm} = dp{i} THEN {l}" for nm, l in zip(names, range(1, min(L, i) + 1)))
+        dp_ctes.append(
+            f"d{i} AS (SELECT *, {', '.join(cs)}, {dp_expr} AS dp{i}, "
+            f"(CASE {bp} END) AS bp{i} FROM d{i - 1})"
+        )
+    score_case = " ".join(f"WHEN {i} THEN dp{i}" for i in range(1, W + 1))
+    bp_case = " ".join(f"WHEN {i} THEN bp{i}" for i in range(1, W + 1))
+    bt_ctes = [
+        f"b0 AS (SELECT *, (CASE n {score_case} END) AS score, n AS pos0 FROM d{W})"
+    ]
+    for t in range(1, W + 1):
+        bt_ctes.append(
+            f"b{t} AS (SELECT *, "
+            f"CASE WHEN pos{t - 1} = 0 THEN 0 ELSE "
+            f"(CASE pos{t - 1} {bp_case} END) END AS l{t}, "
+            f"pos{t - 1} - (CASE WHEN pos{t - 1} = 0 THEN 0 ELSE "
+            f"(CASE pos{t - 1} {bp_case} END) END) AS pos{t} "
+            f"FROM b{t - 1})"
+        )
+    piece_exprs = ", ".join(
+        f"CASE WHEN pos{t - 1} > 0 THEN "
+        f"substr(w, pos{t - 1} - l{t} + 1, l{t}) END"
+        for t in range(1, W + 1)
+    )
+    sa_terms = ", ".join(
+        f"max(CASE WHEN st = {st} AND l = {l} THEN sc END)"
+        for st in range(W)
+        for l in range(1, L + 1)
+    )
+    dp_chain = ",\n".join(dp_ctes)
+    bt_chain = ",\n".join(bt_ctes)
+    return rf"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS t
+  FROM documents
+),
+inst AS (
+  SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t) + 1)) AS widx
+  FROM tok
+),
+iw AS (SELECT w FROM inst),
+sp1 AS (SELECT w, unnest(range(0, len(w))) AS st FROM iw),
+sp2 AS (
+  SELECT w, st,
+         unnest(range(1, least({L}, len(w) - st) + 1)) AS l
+  FROM sp1
+),
+vcount AS (
+  SELECT substr(w, st + 1, l) AS piece, count(*) AS n
+  FROM sp2 GROUP BY 1
+),
+vocab AS (
+  SELECT piece, -(CAST({scale} AS BIGINT) // n) AS score
+  FROM vcount WHERE n >= {min_count} OR len(piece) = 1
+),
+dw AS (SELECT DISTINCT w FROM inst),
+dsp1 AS (
+  SELECT w, unnest(range(0, len(w))) AS st FROM dw WHERE len(w) <= {W}
+),
+dsp2 AS (
+  SELECT w, st,
+         unnest(range(1, least({L}, len(w) - st) + 1)) AS l
+  FROM dsp1
+),
+dj AS (
+  SELECT d.w, d.st, d.l,
+         CASE WHEN d.l = 1
+              THEN coalesce(v.score, CAST({unk} AS BIGINT))
+              ELSE v.score END AS sc
+  FROM dsp2 d LEFT JOIN vocab v ON v.piece = substr(d.w, d.st + 1, d.l)
+),
+sarr AS (
+  SELECT w, list_value({sa_terms}) AS sa
+  FROM dj WHERE sc IS NOT NULL GROUP BY w
+),
+{dp_chain},
+{bt_chain},
+seg AS (
+  SELECT w,
+         list_reverse(list_filter([{piece_exprs}], x -> x IS NOT NULL)) AS pieces,
+         score
+  FROM b{W}
+  UNION ALL
+  SELECT w, [w] AS pieces, CAST({unk} AS BIGINT) AS score
+  FROM dw WHERE len(w) > {W}
+)
+SELECT i.doc_id, i.widx AS word_idx, i.w AS word,
+       unnest(range(1, len(s.pieces) + 1)) AS piece_idx,
+       unnest(s.pieces) AS piece,
+       s.score
+FROM inst i JOIN seg s ON i.w = s.w
+"""
+
+
+def q_streaming_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 streaming cross-corpus SemDeDup (streaming/pipeline.py:
+    materialize_semdedup_ref + streaming_semdedup — VERDICT r13 #7,
+    closing streaming parity for the last batch-only dedup family): the
+    frozen reference (vec_id % 3 = 0) is materialized once (router +
+    assigned cells); the corpus half arrives in two micro-batches, each
+    assigned against the persisted router and judged with the exact
+    int64 rational cosine rule. Stateless per batch ⇒ stream ≡ batch
+    EXACTLY, so this row shares the semdedup_against oracle verbatim
+    over the union."""
+    import tempfile
+
+    from gluestick_spark.streaming.pipeline import (
+        materialize_semdedup_ref,
+        read_streaming_dedup_output,
+        stream_from_directory,
+        streaming_semdedup,
+    )
+
+    _prep(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    ref = e.where(F.col("vec_id") % 3 == 0)
+    cor = e.where(F.col("vec_id") % 3 != 0)
+    refp = tempfile.mkdtemp(prefix="gs_ssd_ref_")
+    materialize_semdedup_ref(
+        ref, "embedding", "vec_id", refp,
+        k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE,
+    )
+    stage = tempfile.mkdtemp(prefix="gs_ssd_src_")
+    out = tempfile.mkdtemp(prefix="gs_ssd_out_")
+    ckpt = tempfile.mkdtemp(prefix="gs_ssd_ckpt_")
+    mid = cor.select(F.percentile_approx("vec_id", 0.5)).first()[0]
+    schema = cor.schema
+    for cond in (F.col("vec_id") <= mid, F.col("vec_id") > mid):
+        cor.where(cond).coalesce(1).write.mode("append").parquet(stage)
+        q = streaming_semdedup(
+            stream_from_directory(spark, stage, schema),
+            refp, "embedding", "vec_id", out, ckpt,
+            threshold=_SEMDEDUP_TAU,
+        )
+        q.awaitTermination()
+    return read_streaming_dedup_output(spark, out)
+
+
 _LIDFT_NB = 512
 _LIDFT_MODEL_CACHE: dict = {}
 
@@ -8549,6 +8750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_quantiles': q_streaming_quantiles,
         'sq_ivf_deleted_topk': q_sq_ivf_deleted_topk,
         'rrf_fused_topk': q_rrf_fused_topk,
+        'unigram_segment': q_unigram_segment,
+        'streaming_semdedup': q_streaming_semdedup,
         'shipping_priority': q_shipping_priority,
         'ann_topk': q_ann_topk,
         'audio_features': q_audio_features,
@@ -8762,6 +8965,8 @@ def oracle_sql() -> dict[str, str]:
         'streaming_quantiles': _Q_QUANTILE_SKETCH_SQL,
         'sq_ivf_deleted_topk': _Q_SQ_DELETED_TOPK_SQL,
         'rrf_fused_topk': _Q_RRF_FUSED_SQL,
+        'unigram_segment': _unigram_sql(),
+        'streaming_semdedup': _semdedup_against_oracle_sql(),
         'shipping_priority': _Q_SHIPPING_SQL,
         'ann_topk': _Q_ANN_TOPK_SQL,
         'audio_features': _audio_features_sql(),

@@ -1,0 +1,285 @@
+"""Unigram-LM (SentencePiece-style) Viterbi segmentation (VERDICT r13
+#6).
+
+Complements :mod:`gluestick_spark.llm.bpe` so the packing/token-budget
+story (L12/L61) covers both dominant tokenizer families: BPE encodes by
+replaying a merge list; the unigram model segments each
+whitespace-pre-tokenized word by MAX-SUM dynamic programming over a
+piece vocabulary with integer scores — max-product over piece
+probabilities IS max-sum over integer log-mass scores, and keeping the
+scores integer makes the whole decision exactly replayable in ANSI SQL
+(the kmeans-unroll determinism device applied to Viterbi).
+
+Score contract: ``vocab`` maps piece → int64 score, HIGHER is better
+(log-probabilities scaled to integers are the canonical instance:
+``floor(ln(p)·1e6)``, all negative). Any caller-built integer scoring
+works; :func:`subword_vocab` builds one from corpus counts with pure
+integer arithmetic (``-(scale DIV count)`` — an inverse-frequency cost,
+chosen over ``ln`` so the DRIVER ORACLE can replay vocabulary
+construction bit-for-bit; the ln-scored form is pinned by pytest
+against a brute-force reference instead).
+
+Decision rule (fully deterministic): dp[0]=0; dp[i] = max over piece
+lengths l in 1..L of dp[i−l] + score(word[i−l:i]); ties prefer the
+SMALLEST l. Single-character pieces always exist (vocab hit or
+``unk_score``), so every word has a path. Words longer than
+``max_word_len`` take the documented fallback — one piece (the whole
+word) at ``unk_score`` — which both bounds the DP and keeps the SQL
+replay (whose unroll depth is ``max_word_len``) total.
+
+Scale shape: the DP runs once per DISTINCT word (the fuzzy.py
+compression device) and joins back to word instances — corpus cost is
+one tokenize + one distinct + one broadcast join. Per distinct word the
+work is one span×vocab broadcast join (≤ W·L rows) and one Catalyst
+``aggregate`` fold of ``n ≤ max_word_len`` steps — no Python, no
+shuffle beyond the distinct. At 100 TB the distinct-word table is the
+natural unit (vocabulary-sized, not corpus-sized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens_expr
+
+__all__ = ["subword_vocab", "unigram_segment"]
+
+# unreachable-position sentinel: far below any real path score
+# (|scores| <= ~5e9 per piece x <= 64 pieces), far above int64 overflow
+_SENT = -(10**15)
+
+
+def subword_vocab(
+    df: DataFrame,
+    text_col: str,
+    max_piece_len: int = 4,
+    min_count: int = 2,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Integer-cost piece vocabulary from corpus counts: every substring
+    of length 1..``max_piece_len`` of every word INSTANCE is counted;
+    pieces seen >= ``min_count`` times (single characters always) score
+    ``-(scale DIV count)`` — an exact-integer inverse-frequency cost
+    (frequent pieces are cheap; the Viterbi max-sum then prefers few,
+    frequent pieces). Returns (``piece``, ``score`` long)."""
+    if max_piece_len < 1 or min_count < 1 or scale < 1:
+        raise ValueError("max_piece_len, min_count, scale must be >= 1")
+    w = df.select(F.explode(tokens_expr(F.col(text_col))).alias("__w__"))
+    spans = (
+        w.select(
+            "__w__",
+            F.explode(
+                F.sequence(F.lit(0), F.length("__w__") - 1)
+            ).alias("__st__"),
+        )
+        .select(
+            "__w__",
+            "__st__",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.lit(max_piece_len),
+                        F.length("__w__") - F.col("__st__"),
+                    ),
+                )
+            ).alias("__l__"),
+        )
+        .select(
+            F.substring(
+                F.col("__w__"), F.col("__st__") + 1, F.col("__l__")
+            ).alias("piece")
+        )
+    )
+    counts = spans.groupBy("piece").agg(F.count(F.lit(1)).alias("__n__"))
+    kept = counts.where(
+        (F.col("__n__") >= min_count) | (F.length("piece") == 1)
+    )
+    return kept.select(
+        "piece",
+        F.expr(f"-(CAST({int(scale)} AS BIGINT) div __n__)").alias("score"),
+    )
+
+
+def _span_score_array(
+    words: DataFrame,
+    vocab: DataFrame,
+    piece_col: str,
+    score_col: str,
+    max_piece_len: int,
+    max_word_len: int,
+    unk_score: int,
+) -> DataFrame:
+    """Per distinct word: a dense W·L score array indexed by
+    ``(start)·L + (len−1)`` (missing spans null) — the lookup table the
+    DP fold reads. One broadcast join; single-char spans fall back to
+    ``unk_score`` so every word stays segmentable."""
+    L = max_piece_len
+    spans = (
+        words.select(
+            "__w__",
+            F.explode(
+                F.sequence(F.lit(0), F.length("__w__") - 1)
+            ).alias("__st__"),
+        )
+        .select(
+            "__w__",
+            "__st__",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(L), F.length("__w__") - F.col("__st__")),
+                )
+            ).alias("__l__"),
+        )
+        .withColumn(
+            "piece",
+            F.substring(F.col("__w__"), F.col("__st__") + 1, F.col("__l__")),
+        )
+    )
+    v = vocab.select(
+        F.col(piece_col).alias("piece"), F.col(score_col).alias("__sc__")
+    )
+    j = spans.join(F.broadcast(v), "piece", "left").withColumn(
+        "__sc__",
+        F.when(
+            F.col("__l__") == 1,
+            F.coalesce(F.col("__sc__"), F.lit(int(unk_score)).cast("long")),
+        ).otherwise(F.col("__sc__")),
+    ).where(F.col("__sc__").isNotNull())
+    aggs = []
+    for st in range(max_word_len):
+        for l in range(1, L + 1):
+            aggs.append(
+                F.max(
+                    F.when(
+                        (F.col("__st__") == st) & (F.col("__l__") == l),
+                        F.col("__sc__"),
+                    )
+                ).alias(f"__s_{st}_{l}__")
+            )
+    arr = F.array(
+        *[
+            F.col(f"__s_{st}_{l}__")
+            for st in range(max_word_len)
+            for l in range(1, L + 1)
+        ]
+    )
+    return (
+        j.groupBy("__w__").agg(*aggs).select("__w__", arr.alias("__sarr__"))
+    )
+
+
+def unigram_segment(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab: DataFrame,
+    piece_col: str = "piece",
+    score_col: str = "score",
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    unk_score: int = -5_000_000_000,
+) -> DataFrame:
+    """Viterbi-encode every whitespace word of ``text_col`` against an
+    integer-scored piece vocabulary (module docstring for the decision
+    rule and determinism contract). Returns one row per word instance:
+    (``id_col``, ``word_idx`` 1-based, ``word``, ``pieces``
+    array<string>, ``score`` long)."""
+    if max_piece_len < 1 or max_word_len < 1:
+        raise ValueError("max_piece_len and max_word_len must be >= 1")
+    L, W = max_piece_len, max_word_len
+    toks = tokens_expr(F.col(text_col))
+    inst = df.select(
+        F.col(id_col), F.posexplode(toks).alias("__wi__", "__w__")
+    ).select(
+        id_col, (F.col("__wi__") + 1).alias("word_idx"), "__w__"
+    )
+    dw = inst.select("__w__").distinct()
+    short = dw.where(F.length("__w__") <= W)
+    long_ = dw.where(F.length("__w__") > W).select(
+        "__w__",
+        F.array(F.col("__w__")).alias("pieces"),
+        F.lit(int(unk_score)).cast("long").alias("score"),
+    )
+
+    sarr = _span_score_array(
+        short, vocab, piece_col, score_col, L, W, unk_score
+    )
+
+    n = F.length("__w__")
+    sent = F.lit(_SENT).cast("long")
+    invalid = F.lit(4 * _SENT).cast("long")
+
+    def step(acc, i):
+        cands = []
+        for l in range(1, L + 1):
+            sc = F.coalesce(
+                F.element_at(F.col("__sarr__"), (i - F.lit(l)) * L + l),
+                sent,
+            )
+            dp_prev = F.element_at(acc, i - F.lit(l) + 1)["dp"]
+            cands.append(
+                F.when(
+                    i >= F.lit(l),
+                    F.struct(
+                        (dp_prev + sc).alias("dp"),
+                        F.lit(-l).alias("negl"),
+                    ),
+                ).otherwise(
+                    F.struct(invalid.alias("dp"), F.lit(-l).alias("negl"))
+                )
+            )
+        best = F.array_max(F.array(*cands))
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    best["dp"].alias("dp"),
+                    (-best["negl"]).cast("int").alias("bp"),
+                )
+            ),
+        )
+
+    init = F.array(
+        F.struct(
+            F.lit(0).cast("long").alias("dp"), F.lit(0).cast("int").alias("bp")
+        )
+    )
+    dp = F.aggregate(F.sequence(F.lit(1), n), init, step)
+
+    solved = sarr.withColumn("__dp__", dp)
+
+    # backtrace: W static steps over the per-position backpointers
+    def back(state, _i):
+        pos = state["pos"]
+        l = F.element_at(F.col("__dp__"), pos + 1)["bp"]
+        piece = F.substring(F.col("__w__"), pos - l + 1, l)
+        return F.when(
+            pos > 0,
+            F.struct(
+                (pos - l).alias("pos"),
+                F.concat(state["parts"], F.array(piece)).alias("parts"),
+            ),
+        ).otherwise(state)
+
+    bt_init = F.struct(
+        n.cast("int").alias("pos"),
+        F.array().cast("array<string>").alias("parts"),
+    )
+    bt = F.aggregate(F.sequence(F.lit(1), F.lit(W)), bt_init, back)
+    seg = solved.select(
+        "__w__",
+        F.reverse(bt["parts"]).alias("pieces"),
+        F.element_at(F.col("__dp__"), n + 1)["dp"].alias("score"),
+    )
+
+    all_words = seg.unionByName(long_)
+    return inst.join(F.broadcast(all_words), "__w__").select(
+        id_col,
+        "word_idx",
+        F.col("__w__").alias("word"),
+        "pieces",
+        "score",
+    )

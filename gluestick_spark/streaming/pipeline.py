@@ -1745,6 +1745,195 @@ def streaming_decontam(
     return writer.start()
 
 
+_SEMDEDUP_META = "_SEMDEDUP_META.json"
+
+
+def materialize_semdedup_ref(
+    reference: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1000,
+    max_cluster_size: int | None = None,
+    assign: str = "auto",
+) -> None:
+    """Persist the FROZEN cross-corpus SemDeDup reference (VERDICT r13
+    #7): the integer-Lloyd router state plus the assigned+prepared
+    reference points (``cid``, quantized vector, squared norm) written
+    parquet partitioned by cid — the store-once/serve-many form of
+    :func:`~gluestick_spark.llm.cluster.semdedup_against`'s reference
+    half. ``max_cluster_size`` is applied AT BUILD: oversized reference
+    cells are dropped and their cids recorded in the meta, so serving
+    knows corpus rows routed there are UNJUDGED (the semdedup cap
+    contract — never a silent keep). The meta JSON is written LAST
+    (tmp + atomic replace) — it is the commit marker; a torn build
+    refuses to serve."""
+    import json as _json
+    import os as _os
+
+    from ..llm.cluster import _assign_df, _prepare, kmeans
+
+    _os.makedirs(path, exist_ok=True)
+    meta_path = _os.path.join(path, _SEMDEDUP_META)
+    if _os.path.isfile(meta_path):
+        _os.remove(meta_path)  # invalidate before the rewrite
+    _, state = kmeans(
+        reference, vec_col, id_col, k=k, iters=iters, scale=scale,
+        return_state=True, assign=assign,
+    )
+    capped: list[int] = []
+    if state:
+        pts = _assign_df(_prepare(reference, vec_col, id_col, scale), state, assign)
+        if max_cluster_size is not None:
+            if max_cluster_size < 1:
+                raise ValueError(
+                    f"max_cluster_size must be >= 1, got {max_cluster_size}"
+                )
+            sizes = {
+                int(r["cid"]): int(r["n"])
+                for r in pts.groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            # mirror semdedup_against's capped join EXACTLY: cells kept are
+            # those with 0 < n <= cap; oversized AND empty cells both leave
+            # their corpus rows unjudged (the batch op's inner join on the
+            # ok-cell list has precisely that effect)
+            capped = sorted(
+                c
+                for c in range(len(state))
+                if sizes.get(c, 0) == 0 or sizes[c] > max_cluster_size
+            )
+            if capped:
+                pts = pts.where(~F.col("cid").isin(capped))
+        (
+            pts.select("cid", F.col("__q__").alias("qr"), F.col("__xx__").alias("xxr"))
+            .repartition(F.col("cid"))
+            .write.partitionBy("cid")
+            .mode("overwrite")
+            .parquet(_os.path.join(path, "cells"))
+        )
+    meta = {
+        "scale": int(scale),
+        "k": int(k),
+        "iters": int(iters),
+        "id_col": id_col,
+        "assign": assign,
+        "capped": capped,
+        "state": [[list(map(int, s)), int(n)] for s, n in state],
+    }
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    _os.replace(tmp, meta_path)
+
+
+def streaming_semdedup(
+    stream_df: DataFrame,
+    ref_path: str,
+    vec_col: str,
+    id_col: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.7,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming cross-corpus SemDeDup (VERDICT r13 #7 — the last
+    batch-only dedup family given streaming parity): every micro-batch
+    of embeddings is assigned against the PERSISTED frozen router
+    (:func:`materialize_semdedup_ref`) and judged against the persisted
+    reference cells with the exact int64 rational cosine rule; one
+    (id, ``cid``, ``keep``, ``__batch_id__``) row per JUDGED corpus row
+    appends to ``out_dir``. Rows assigned to a capped reference cell
+    emit no row (unjudged — the cap contract).
+
+    **Stream ≡ batch EXACTLY, no caveats**: the reference is frozen and
+    each batch's verdicts depend only on that batch's rows, so the
+    union of emitted batches equals
+    :func:`~gluestick_spark.llm.cluster.semdedup_against` over the
+    whole corpus (shared oracle; the streaming_decontam argument).
+    Replays are byte-identical and collapse under
+    :func:`read_streaming_dedup_output`.
+
+    Per-batch cost: one narrow assignment over the batch + one
+    cid-keyed join against the (partition-pruned) reference cells —
+    Σ_c |batch_c|·|ref_c|, reference never rescanned in full when the
+    batch touches few cells."""
+    import json as _json
+    import os as _os
+    from math import gcd
+
+    from ..llm.cluster import _assign_df, _prepare
+
+    meta_path = _os.path.join(ref_path, _SEMDEDUP_META)
+    if not _os.path.isfile(meta_path):
+        raise ValueError(
+            f"semdedup reference at {ref_path} is torn or absent (no "
+            f"{_SEMDEDUP_META}) — run materialize_semdedup_ref first"
+        )
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    state = [(list(map(int, s)), int(n)) for s, n in meta["state"]]
+    capped = set(meta.get("capped", []))
+    scale = int(meta["scale"])
+    t = round(threshold * 100)
+    if not 0 <= t <= 100:
+        raise ValueError("threshold must be in [0, 1]")
+    num, den = t * t, 100 * 100
+    g = gcd(num, den) or 1
+    num, den = num // g, den // g
+    from ..llm.cluster import int_dot_expr
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tag = F.lit(batch_id).cast("long").alias("__batch_id__")
+        if not state:  # empty reference: every row keeps, cid NULL
+            out = batch_df.select(
+                F.col(id_col),
+                F.lit(None).cast("int").alias("cid"),
+                F.lit(True).alias("keep"),
+                tag,
+            )
+            out.write.mode("append").parquet(out_dir)
+            return
+        pts = _assign_df(
+            _prepare(batch_df, vec_col, id_col, scale), state, meta["assign"]
+        )
+        if capped:
+            pts = pts.where(~F.col("cid").isin(sorted(capped)))
+        cells = spark.read.parquet(_os.path.join(ref_path, "cells"))
+        dot = int_dot_expr(F.col("__q__"), F.col("qr"))
+        matched = (
+            pts.join(cells, ["cid"])
+            .where(dot > 0)
+            .where(
+                F.lit(den).cast("long") * dot * dot
+                > F.lit(num).cast("long") * F.col("__xx__") * F.col("xxr")
+            )
+            .select("__id__")
+            .distinct()
+            .withColumn("__m__", F.lit(True))
+        )
+        out = (
+            pts.select("__id__", "cid")
+            .join(matched, "__id__", "left")
+            .select(
+                F.col("__id__").alias(id_col),
+                "cid",
+                F.coalesce(~F.col("__m__"), F.lit(True)).alias("keep"),
+                tag,
+            )
+        )
+        out.write.mode("append").parquet(out_dir)
+
+    writer = stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # ---------------------------------------------------------------------------
 # Streaming novelty guardrail (VERDICT r11 #8): the L110 store-once
 # pattern composed with llm/decontam.py:novelty_scores — the reference

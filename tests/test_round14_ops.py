@@ -260,3 +260,169 @@ def test_torn_delete_refuses_to_serve_and_rolls_back(spark, tmp_dir):
     assert got == [
         tuple(r) for r in sq_topk(want_corpus, "embedding", "vec_id", q, 10).collect()
     ]
+
+
+# ---------------- VERDICT #6: unigram Viterbi segmentation ---------------
+
+
+def _ref_segment(word, vocab, L, unk):
+    """Brute-force reference: exact max-sum DP, ties -> smallest piece
+    length — the documented decision rule, implemented independently."""
+    n = len(word)
+    NEG = float("-inf")
+    dp = [0] + [NEG] * n
+    bp = [0] * (n + 1)
+    for i in range(1, n + 1):
+        best, bl = NEG, 0
+        for l in range(1, min(L, i) + 1):
+            piece = word[i - l:i]
+            sc = vocab.get(piece, unk if l == 1 else None)
+            if sc is None or dp[i - l] == NEG:
+                continue
+            cand = dp[i - l] + sc
+            if cand > best:  # strict: ties keep the SMALLEST l seen first
+                best, bl = cand, l
+        dp[i], bp[i] = best, bl
+    parts, pos = [], n
+    while pos > 0:
+        l = bp[pos]
+        parts.append(word[pos - l:pos])
+        pos -= l
+    return list(reversed(parts)), dp[n]
+
+
+def test_unigram_segment_matches_bruteforce(spark):
+    """Planted ln-scored vocab (the canonical log-prob instance, floor
+    x1e6 to integers): the engine's Viterbi fold agrees with an
+    independent brute-force DP on every word — pieces AND score."""
+    import math
+
+    from gluestick_spark.llm.unigram import unigram_segment
+
+    pieces = [
+        "in", "ter", "inter", "nation", "national", "net", "al", "ion",
+        "at", "ernat", "supercal",
+    ] + list("abcdefghijklmnopqrstuvwxyz")
+    # deterministic pseudo-probabilities, ln-scored, integer-floored
+    vocab = {
+        p: math.floor(math.log(1.0 / (3 + (i * 7) % 23)) * 1e6)
+        for i, p in enumerate(pieces)
+    }
+    words = [
+        "international", "internet", "intern", "net", "national",
+        "nationalization", "ternate", "aaaa", "supercala", "xyz",
+        "q", "internationalatio",
+    ]
+    L, W, UNK = 8, 16, -40_000_000
+    d = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    vdf = spark.createDataFrame(
+        list(vocab.items()), "piece string, score long"
+    )
+    out = {
+        r["word"]: (list(r["pieces"]), r["score"])
+        for r in unigram_segment(
+            d, "text", "doc_id", vdf,
+            max_piece_len=L, max_word_len=W, unk_score=UNK,
+        ).collect()
+    }
+    for w in words:
+        if len(w) > W:
+            assert out[w] == ([w], UNK), w
+            continue
+        ref_parts, ref_score = _ref_segment(w, vocab, L, UNK)
+        assert out[w] == (ref_parts, ref_score), (w, out[w], ref_parts)
+    # every segmentation rebuilds its word exactly
+    for w, (parts, _) in out.items():
+        assert "".join(parts) == w
+
+
+# ---------------- VERDICT #7: streaming cross-corpus SemDeDup ------------
+
+
+def test_streaming_semdedup_equals_batch(spark, tmp_dir):
+    """Stream ≡ batch exactly (stateless per batch, frozen reference):
+    two micro-batches of corpus embeddings judged against the persisted
+    reference reproduce semdedup_against row-for-row; capped reference
+    cells leave their corpus rows UNJUDGED in both; a torn reference
+    (no meta) refuses loudly; an empty reference keeps everything."""
+    import os
+
+    from gluestick_spark.llm.cluster import semdedup_against
+    from gluestick_spark.streaming.pipeline import (
+        materialize_semdedup_ref,
+        read_streaming_dedup_output,
+        stream_from_directory,
+        streaming_semdedup,
+    )
+
+    import math
+
+    # skewed: 80% of vectors cluster tightly (one hot reference cell) so
+    # the max_cluster_size cap is guaranteed to bite
+    rows = []
+    for i in range(240):
+        if i % 5 != 0:
+            v = [1.0 + 0.001 * ((i * (j + 3)) % 7) for j in range(8)]
+        else:
+            v = [math.sin(0.7 * i + j) for j in range(8)]
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ref = emb.where("vec_id % 3 = 0")
+    cor = emb.where("vec_id % 3 != 0")
+    refp = os.path.join(tmp_dir, "ref")
+    materialize_semdedup_ref(
+        ref, "embedding", "vec_id", refp, k=4, iters=2, max_cluster_size=35
+    )
+
+    stage = os.path.join(tmp_dir, "src")
+    out = os.path.join(tmp_dir, "out")
+    ckpt = os.path.join(tmp_dir, "ckpt")
+    schema = cor.schema
+    for cond in ("vec_id <= 120", "vec_id > 120"):
+        cor.where(cond).coalesce(1).write.mode("append").parquet(stage)
+        q = streaming_semdedup(
+            stream_from_directory(spark, stage, schema),
+            refp, "embedding", "vec_id", out, ckpt, threshold=0.9,
+        )
+        q.awaitTermination()
+    got = sorted(
+        map(tuple, read_streaming_dedup_output(spark, out).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            semdedup_against(
+                cor, ref, "embedding", "vec_id",
+                k=4, iters=2, threshold=0.9, max_cluster_size=35,
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    # the cap actually bit: some corpus rows are unjudged
+    assert len(got) < cor.count()
+
+    # torn reference refuses
+    os.remove(os.path.join(refp, "_SEMDEDUP_META.json"))
+    with pytest.raises(ValueError, match="torn or absent"):
+        streaming_semdedup(
+            stream_from_directory(spark, stage, schema),
+            refp, "embedding", "vec_id", out, ckpt,
+        )
+
+    # empty reference: all rows keep, cid NULL (stream matches batch)
+    refp2 = os.path.join(tmp_dir, "ref_empty")
+    materialize_semdedup_ref(
+        ref.where("vec_id < 0"), "embedding", "vec_id", refp2, k=4
+    )
+    out2 = os.path.join(tmp_dir, "out2")
+    ckpt2 = os.path.join(tmp_dir, "ckpt2")
+    q = streaming_semdedup(
+        stream_from_directory(spark, stage, schema),
+        refp2, "embedding", "vec_id", out2, ckpt2,
+    )
+    q.awaitTermination()
+    rows = read_streaming_dedup_output(spark, out2).collect()
+    assert len(rows) == cor.count()
+    assert all(r["keep"] and r["cid"] is None for r in rows)
