@@ -8729,67 +8729,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # map. Tail entries remain locally oracle-checked via
     # tools/check_correctness.py / tools/driver_sim.py every round.
     return {
-        # ---- correctness window: first 50 = driver-checked. Round-13
+        # ---- correctness window: first 50 = driver-checked. Round-14
         # rotation (tools/rotate_registry.py, honest-evidence policy):
         # never-driver-checked rows lead, then oldest-evidence-first.
         # Displacement rationales: COVERAGE.md. ----
-        'unimax_tokens': q_unimax_tokens,
-        'corpus_overlap_kmv': q_corpus_overlap_kmv,
-        'streaming_corpus_drift': q_streaming_corpus_drift,
-        'phash_near_dups': q_phash_near_dups,
-        'priority_sample': q_priority_sample,
-        'corpus_drift_matrix': q_corpus_drift_matrix,
-        'grouped_priority_sample': q_grouped_priority_sample,
-        'phash_dedup': q_phash_dedup,
-        'sq_ivf_rebalanced_topk': q_sq_ivf_rebalanced_topk,
-        'lang_id_ft': q_lang_id_ft,
-        'audio_near_dups': q_audio_near_dups,
-        'audio_dedup': q_audio_dedup,
-        'semdedup_against': q_semdedup_against,
-        'streaming_phash_dedup': q_streaming_phash_dedup,
-        'streaming_quantiles': q_streaming_quantiles,
         'sq_ivf_deleted_topk': q_sq_ivf_deleted_topk,
         'rrf_fused_topk': q_rrf_fused_topk,
         'unigram_segment': q_unigram_segment,
         'streaming_semdedup': q_streaming_semdedup,
-        'shipping_priority': q_shipping_priority,
-        'ann_topk': q_ann_topk,
-        'audio_features': q_audio_features,
-        'cosine_similarity': q_cosine_all,
-        'csv_roundtrip': q_csv_roundtrip,
-        'deep_convert_expr': q_deep_convert_expr,
-        'embedding_near_dups': q_embedding_near_dups,
-        'events_daily': q_events_daily,
-        'explode_json_to_rows': q_explode_json_to_rows,
-        'ivf_topk': q_ivf_topk,
-        'map_fields': q_map_fields,
-        'minhash_dedup': q_minhash_dedup,
-        'multimodal_metadata': q_multimodal_meta,
-        'parquet_roundtrip': q_parquet_roundtrip,
-        'pluck_fields_by_regex': q_pluck_regex,
-        'pricing_summary': q_pricing_summary,
-        'rename': q_rename,
-        'sessionize_events': q_sessionize_events,
-        'simhash_near_dups': q_simhash_near_dups,
-        'snapshot_upsert': q_snapshot_upsert,
-        'token_stats': q_token_stats,
-        'top_orders_per_cust': q_top_orders_per_cust,
-        'chunk_documents': q_chunk_documents,
-        'contamination_check': q_contamination_check,
-        'event_asof_open': q_event_asof_open,
-        'jsonl_roundtrip': q_jsonl_roundtrip,
-        'kmv_distinct': q_kmv_distinct,
-        'orc_roundtrip': q_orc_roundtrip,
-        'pack_documents': q_pack_documents,
-        'pii_redaction': q_pii_redaction,
-        'pool_embeddings': q_pool_embeddings,
-        'range_join_windows': q_range_join_windows,
-        'html_extract_replay': q_html_extract,
-        'streaming_decontam': q_streaming_decontam,
-        'windowed_counts': q_windowed_counts,
-        # ---- tail: locally oracle-checked every round (driver_sim /
-        # check_correctness); ordered oldest-evidence-first, so this IS
-        # the round-14 promotion queue. ----
         'build_vocab': q_build_vocab,
         'cluster_dedup': q_cluster_dedup,
         'hash_sample': q_hash_sample,
@@ -8836,6 +8783,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'robust_scaled': q_robust_scaled,
         'rolling_zscore': q_rolling_zscore,
         'line_dedup': q_line_dedup,
+        # ---- tail: locally oracle-checked every round (driver_sim /
+        # check_correctness); ordered oldest-evidence-first, so this IS
+        # the round-15 promotion queue. ----
         'streaming_quality_filter': q_streaming_quality_filter,
         'cluster_balanced': q_cluster_balanced,
         'gopher_quality': q_gopher_quality,
@@ -8936,6 +8886,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'bigram_nll': q_bigram_nll,
         'local_supplier_volume': q_local_supplier_volume,
         'promo_revenue': q_promo_revenue,
+        'unimax_tokens': q_unimax_tokens,
+        'corpus_overlap_kmv': q_corpus_overlap_kmv,
+        'streaming_corpus_drift': q_streaming_corpus_drift,
+        'phash_near_dups': q_phash_near_dups,
+        'priority_sample': q_priority_sample,
+        'corpus_drift_matrix': q_corpus_drift_matrix,
+        'grouped_priority_sample': q_grouped_priority_sample,
+        'phash_dedup': q_phash_dedup,
+        'sq_ivf_rebalanced_topk': q_sq_ivf_rebalanced_topk,
+        'lang_id_ft': q_lang_id_ft,
+        'audio_near_dups': q_audio_near_dups,
+        'audio_dedup': q_audio_dedup,
+        'semdedup_against': q_semdedup_against,
+        'streaming_phash_dedup': q_streaming_phash_dedup,
+        'streaming_quantiles': q_streaming_quantiles,
+        'shipping_priority': q_shipping_priority,
+        'ann_topk': q_ann_topk,
+        'audio_features': q_audio_features,
+        'cosine_similarity': q_cosine_all,
+        'csv_roundtrip': q_csv_roundtrip,
+        'deep_convert_expr': q_deep_convert_expr,
+        'embedding_near_dups': q_embedding_near_dups,
+        'events_daily': q_events_daily,
+        'explode_json_to_rows': q_explode_json_to_rows,
+        'ivf_topk': q_ivf_topk,
+        'map_fields': q_map_fields,
+        'minhash_dedup': q_minhash_dedup,
+        'multimodal_metadata': q_multimodal_meta,
+        'parquet_roundtrip': q_parquet_roundtrip,
+        'pluck_fields_by_regex': q_pluck_regex,
+        'pricing_summary': q_pricing_summary,
+        'rename': q_rename,
+        'sessionize_events': q_sessionize_events,
+        'simhash_near_dups': q_simhash_near_dups,
+        'snapshot_upsert': q_snapshot_upsert,
+        'token_stats': q_token_stats,
+        'top_orders_per_cust': q_top_orders_per_cust,
+        'chunk_documents': q_chunk_documents,
+        'contamination_check': q_contamination_check,
+        'event_asof_open': q_event_asof_open,
+        'jsonl_roundtrip': q_jsonl_roundtrip,
+        'kmv_distinct': q_kmv_distinct,
+        'orc_roundtrip': q_orc_roundtrip,
+        'pack_documents': q_pack_documents,
+        'pii_redaction': q_pii_redaction,
+        'pool_embeddings': q_pool_embeddings,
+        'range_join_windows': q_range_join_windows,
+        'html_extract_replay': q_html_extract,
+        'streaming_decontam': q_streaming_decontam,
+        'windowed_counts': q_windowed_counts,
     }
 
 
@@ -8948,60 +8948,10 @@ def oracle_sql() -> dict[str, str]:
     # (stream-then-batch == batch-over-union).
     return {
         # (order mirrors queries() exactly — the driver zips them)
-        'unimax_tokens': _Q_UNIMAX_TOKENS_SQL,
-        'corpus_overlap_kmv': _Q_CORPUS_OVERLAP_KMV_SQL,
-        'streaming_corpus_drift': _Q_CORPUS_OVERLAP_KMV_SQL,
-        'phash_near_dups': _Q_PHASH_NEAR_DUPS_SQL,
-        'priority_sample': _Q_PRIORITY_SAMPLE_SQL,
-        'corpus_drift_matrix': _Q_CORPUS_DRIFT_MATRIX_SQL,
-        'grouped_priority_sample': _Q_GROUPED_PRIORITY_SQL,
-        'phash_dedup': _Q_PHASH_DEDUP_SQL,
-        'sq_ivf_rebalanced_topk': _Q_SQ_TOPK_SQL,
-        'lang_id_ft': _Q_LANG_ID_FT_SQL,
-        'audio_near_dups': _Q_AUDIO_NEAR_DUPS_SQL,
-        'audio_dedup': _Q_AUDIO_DEDUP_SQL,
-        'semdedup_against': _semdedup_against_oracle_sql(),
-        'streaming_phash_dedup': _Q_PHASH_DEDUP_SQL,
-        'streaming_quantiles': _Q_QUANTILE_SKETCH_SQL,
         'sq_ivf_deleted_topk': _Q_SQ_DELETED_TOPK_SQL,
         'rrf_fused_topk': _Q_RRF_FUSED_SQL,
         'unigram_segment': _unigram_sql(),
         'streaming_semdedup': _semdedup_against_oracle_sql(),
-        'shipping_priority': _Q_SHIPPING_SQL,
-        'ann_topk': _Q_ANN_TOPK_SQL,
-        'audio_features': _audio_features_sql(),
-        'cosine_similarity': _Q_COSINE_ALL_SQL,
-        'csv_roundtrip': _Q_CSV_ROUNDTRIP_SQL,
-        'deep_convert_expr': _Q_DEEP_CONVERT_SQL,
-        'embedding_near_dups': _embedding_near_dups_sql(),
-        'events_daily': _Q_EVENTS_DAILY_SQL,
-        'explode_json_to_rows': _Q_EXPLODE_ROWS_SQL,
-        'ivf_topk': _Q_ANN_TOPK_SQL,
-        'map_fields': _Q_MAP_FIELDS_SQL,
-        'minhash_dedup': _Q_MINHASH_DEDUP_SQL,
-        'multimodal_metadata': _Q_MULTIMODAL_SQL,
-        'parquet_roundtrip': _Q_PARQUET_ROUNDTRIP_SQL,
-        'pluck_fields_by_regex': _Q_PLUCK_REGEX_SQL,
-        'pricing_summary': _Q_PRICING_SQL,
-        'rename': _Q_RENAME_SQL,
-        'sessionize_events': _Q_SESSIONIZE_SQL,
-        'simhash_near_dups': _Q_SIMHASH_SQL,
-        'snapshot_upsert': _Q_SNAPSHOT_SQL,
-        'token_stats': _Q_TOKEN_STATS_SQL,
-        'top_orders_per_cust': _Q_TOP_ORDERS_SQL,
-        'chunk_documents': _Q_CHUNK_DOCS_SQL,
-        'contamination_check': _Q_CONTAMINATION_SQL,
-        'event_asof_open': _Q_EVENT_ASOF_SQL,
-        'jsonl_roundtrip': _Q_JSONL_ROUNDTRIP_SQL,
-        'kmv_distinct': _Q_KMV_SQL,
-        'orc_roundtrip': _Q_ORC_ROUNDTRIP_SQL,
-        'pack_documents': _Q_PACK_DOCS_SQL,
-        'pii_redaction': _Q_PII_SQL,
-        'pool_embeddings': _Q_POOL_SQL,
-        'range_join_windows': _Q_RANGE_JOIN_SQL,
-        'html_extract_replay': _Q_HTML_EXTRACT_REPLAY_SQL,
-        'streaming_decontam': _Q_SUBSTRING_DECONTAM_SQL,
-        'windowed_counts': _Q_WINDOWED_COUNTS_SQL,
         'build_vocab': _Q_BUILD_VOCAB_SQL,
         'cluster_dedup': _Q_CLUSTER_DEDUP_SQL,
         'hash_sample': _Q_HASH_SAMPLE_SQL,
@@ -9148,4 +9098,54 @@ def oracle_sql() -> dict[str, str]:
         'bigram_nll': _Q_BIGRAM_NLL_SQL,
         'local_supplier_volume': _Q_LOCAL_SUPPLIER_SQL,
         'promo_revenue': _Q_PROMO_SQL,
+        'unimax_tokens': _Q_UNIMAX_TOKENS_SQL,
+        'corpus_overlap_kmv': _Q_CORPUS_OVERLAP_KMV_SQL,
+        'streaming_corpus_drift': _Q_CORPUS_OVERLAP_KMV_SQL,
+        'phash_near_dups': _Q_PHASH_NEAR_DUPS_SQL,
+        'priority_sample': _Q_PRIORITY_SAMPLE_SQL,
+        'corpus_drift_matrix': _Q_CORPUS_DRIFT_MATRIX_SQL,
+        'grouped_priority_sample': _Q_GROUPED_PRIORITY_SQL,
+        'phash_dedup': _Q_PHASH_DEDUP_SQL,
+        'sq_ivf_rebalanced_topk': _Q_SQ_TOPK_SQL,
+        'lang_id_ft': _Q_LANG_ID_FT_SQL,
+        'audio_near_dups': _Q_AUDIO_NEAR_DUPS_SQL,
+        'audio_dedup': _Q_AUDIO_DEDUP_SQL,
+        'semdedup_against': _semdedup_against_oracle_sql(),
+        'streaming_phash_dedup': _Q_PHASH_DEDUP_SQL,
+        'streaming_quantiles': _Q_QUANTILE_SKETCH_SQL,
+        'shipping_priority': _Q_SHIPPING_SQL,
+        'ann_topk': _Q_ANN_TOPK_SQL,
+        'audio_features': _audio_features_sql(),
+        'cosine_similarity': _Q_COSINE_ALL_SQL,
+        'csv_roundtrip': _Q_CSV_ROUNDTRIP_SQL,
+        'deep_convert_expr': _Q_DEEP_CONVERT_SQL,
+        'embedding_near_dups': _embedding_near_dups_sql(),
+        'events_daily': _Q_EVENTS_DAILY_SQL,
+        'explode_json_to_rows': _Q_EXPLODE_ROWS_SQL,
+        'ivf_topk': _Q_ANN_TOPK_SQL,
+        'map_fields': _Q_MAP_FIELDS_SQL,
+        'minhash_dedup': _Q_MINHASH_DEDUP_SQL,
+        'multimodal_metadata': _Q_MULTIMODAL_SQL,
+        'parquet_roundtrip': _Q_PARQUET_ROUNDTRIP_SQL,
+        'pluck_fields_by_regex': _Q_PLUCK_REGEX_SQL,
+        'pricing_summary': _Q_PRICING_SQL,
+        'rename': _Q_RENAME_SQL,
+        'sessionize_events': _Q_SESSIONIZE_SQL,
+        'simhash_near_dups': _Q_SIMHASH_SQL,
+        'snapshot_upsert': _Q_SNAPSHOT_SQL,
+        'token_stats': _Q_TOKEN_STATS_SQL,
+        'top_orders_per_cust': _Q_TOP_ORDERS_SQL,
+        'chunk_documents': _Q_CHUNK_DOCS_SQL,
+        'contamination_check': _Q_CONTAMINATION_SQL,
+        'event_asof_open': _Q_EVENT_ASOF_SQL,
+        'jsonl_roundtrip': _Q_JSONL_ROUNDTRIP_SQL,
+        'kmv_distinct': _Q_KMV_SQL,
+        'orc_roundtrip': _Q_ORC_ROUNDTRIP_SQL,
+        'pack_documents': _Q_PACK_DOCS_SQL,
+        'pii_redaction': _Q_PII_SQL,
+        'pool_embeddings': _Q_POOL_SQL,
+        'range_join_windows': _Q_RANGE_JOIN_SQL,
+        'html_extract_replay': _Q_HTML_EXTRACT_REPLAY_SQL,
+        'streaming_decontam': _Q_SUBSTRING_DECONTAM_SQL,
+        'windowed_counts': _Q_WINDOWED_COUNTS_SQL,
     }
