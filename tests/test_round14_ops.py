@@ -426,3 +426,33 @@ def test_streaming_semdedup_equals_batch(spark, tmp_dir):
     rows = read_streaming_dedup_output(spark, out2).collect()
     assert len(rows) == cor.count()
     assert all(r["keep"] and r["cid"] is None for r in rows)
+
+
+def test_tombstone_antijoin_keeps_partition_pruning(spark, tmp_dir):
+    """The serving anti-join against tombstones must not disturb the
+    probe's partition pruning: the cells FileSourceScan still carries a
+    cid PartitionFilter with tombstones present."""
+    import os
+
+    from gluestick_spark.llm.cluster import (
+        materialize_sq_ivf,
+        sq_ivf_topk_indexed,
+    )
+    from gluestick_spark.llm.index_delete import sq_ivf_delete
+
+    emb = _emb(spark)
+    path = os.path.join(tmp_dir, "sq_prune")
+    materialize_sq_ivf(emb, "embedding", "vec_id", path, n_clusters=4)
+    sq_ivf_delete(
+        spark, path, emb.where("vec_id % 9 = 4").select("vec_id")
+    )
+    top = sq_ivf_topk_indexed(spark, path, [1.0] * 8, k=5, nprobe=2)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "cells" in ln
+    ]
+    assert scan_lines, plan
+    assert "PartitionFilters" in scan_lines[0] and "cid" in scan_lines[0]
+    # and the deleted ids are actually gone from the answer
+    assert all(r["vec_id"] % 9 != 4 for r in top.collect())
