@@ -2919,6 +2919,92 @@ WHERE doc_id NOT IN (SELECT node FROM comp WHERE node != component)
 """
 
 
+def q_component_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split (llm/dedup.py:component_split — r14): rows are
+    labeled with their near-dup CONNECTED COMPONENT (min-id star
+    contraction over the verified MinHash pair graph; singletons = own
+    id) and the train/val/test hash bands are cut on the COMPONENT key —
+    two near-identical documents can never land on opposite sides of an
+    eval boundary (the contamination a row-keyed split permits by
+    construction). Oracle replays the exact all-pairs Jaccard graph, the
+    recursive-CTE closure, and the md5 hash bands."""
+    from gluestick_spark.llm.dedup import component_split, minhash_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(d, "text", "doc_id", threshold=0.8)
+    out = component_split(
+        d, "doc_id", pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.select("doc_id", "component", "split")
+
+
+_Q_COMPONENT_SPLIT_SQL = f"""
+WITH RECURSIVE {_SHINGLE_PAIRS_CTE.strip()}
+, edges AS MATERIALIZED (SELECT a, b FROM pairs WHERE j >= 0.8),
+sedges AS (SELECT a AS src, b AS dst FROM edges UNION SELECT b AS src, a AS dst FROM edges),
+reach(node, label) AS (
+  SELECT src, src FROM sedges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN sedges e ON e.src = r.node
+),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+lab AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+h AS (
+  SELECT doc_id, component,
+         CAST('0x' || substr(md5(CAST(component AS VARCHAR) || chr(31)), 1, 15) AS UBIGINT) AS hv
+  FROM lab
+)
+SELECT doc_id, component,
+       CASE WHEN hv < {_HASH_80PCT} THEN 'train'
+            WHEN hv < {_HASH_90PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+
+def q_chunked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window chunking with overlap (llm/text.py:chunk_text — r14):
+    40-token windows, 10-token overlap, last window snapped to the doc
+    end (cover-with-full-windows — every chunk is exactly full except a
+    short doc's single chunk). One narrow map-only plan: tokenize,
+    per-doc start list, posexplode, slice. Oracle replays the start-set
+    rule and the slices with DuckDB list arithmetic."""
+    from gluestick_spark.llm.text import chunk_text
+
+    d = _tp(spark, sf_dir, "documents", "doc_id")
+    return chunk_text(d, "text", "doc_id", chunk_tokens=40, overlap=10)
+
+
+_Q_CHUNKED_DOCS_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS t
+  FROM documents
+),
+b AS (SELECT doc_id, t, len(t) AS n FROM tok WHERE len(t) > 0),
+st AS (
+  SELECT doc_id, t, n,
+    CASE WHEN n <= 40 THEN [0]
+         ELSE list_append(list_filter(range(0, n + 1, 30), s -> s + 40 < n), n - 40)
+    END AS starts
+  FROM b
+),
+ex AS (
+  SELECT doc_id, t,
+         unnest(starts) AS token_start,
+         unnest(range(1, len(starts) + 1)) AS chunk_idx
+  FROM st
+)
+SELECT doc_id, chunk_idx, token_start,
+       len(t[(token_start + 1):(token_start + 40)]) AS n_tokens,
+       array_to_string(t[(token_start + 1):(token_start + 40)], ' ') AS chunk_text
+FROM ex
+"""
+
+
 def _planes_values_sql(num_planes: int, dim: int = 64, seed: int = 42) -> str:
     """The seeded hyperplanes as a SQL VALUES list (pid, p DOUBLE[])."""
     from gluestick_spark.llm.similarity import random_hyperplanes
@@ -4236,6 +4322,48 @@ _Q_VERSIONED_SQL = """
 SELECT o_orderkey, o_orderstatus,
        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
 FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def q_versioned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE on the versioned table
+    (operators/versioned.py:delete_where — r14, the table-side takedown
+    path matching the ANN-index tombstone story): publish v1 (all
+    orders), delete the 'F' rows (v2 = delete VECTOR only — O(matched
+    keys), no rewrite), then delete every key ≡ 0 mod 5 (v3 — a chained
+    delta) and read latest through the two anti-joins. The oracle
+    recomputes the survivors from the source; a broken chain resolution,
+    a delete vector applied to the wrong base, or a torn delta all
+    mismatch. compact_version + chain-aware vacuum are pytest-pinned
+    (physical purge is a maintenance step, not a read-path effect)."""
+    import tempfile
+
+    from gluestick_spark.operators.versioned import (
+        delete_where,
+        read_versioned,
+        write_versioned,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_orderstatus", _dec("o_totalprice").alias("price")
+    )
+    path = tempfile.mkdtemp(prefix="gs_vdel_")
+    write_versioned(base, path)
+    delete_where(spark, path, F.col("o_orderstatus") == "F", "o_orderkey")
+    delete_where(spark, path, F.col("o_orderkey") % 5 == 0, "o_orderkey")
+    out = read_versioned(spark, path)
+    return out.select(
+        "o_orderkey", "o_orderstatus",
+        F.col("price").cast("double").alias("price"),
+    )
+
+
+_Q_VERSIONED_DELETE_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+FROM orders
+WHERE o_orderstatus <> 'F' AND o_orderkey % 5 <> 0
 """
 
 
@@ -8936,6 +9064,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'html_extract_replay': q_html_extract,
         'streaming_decontam': q_streaming_decontam,
         'windowed_counts': q_windowed_counts,
+        # ---- r14 tail debuts (r15 window promotion queue) ----
+        'versioned_delete': q_versioned_delete,
+        'component_split': q_component_split,
+        'chunked_docs': q_chunked_docs,
     }
 
 
@@ -9148,4 +9280,7 @@ def oracle_sql() -> dict[str, str]:
         'html_extract_replay': _Q_HTML_EXTRACT_REPLAY_SQL,
         'streaming_decontam': _Q_SUBSTRING_DECONTAM_SQL,
         'windowed_counts': _Q_WINDOWED_COUNTS_SQL,
+        'versioned_delete': _Q_VERSIONED_DELETE_SQL,
+        'component_split': _Q_COMPONENT_SPLIT_SQL,
+        'chunked_docs': _Q_CHUNKED_DOCS_SQL,
     }

@@ -1194,3 +1194,40 @@ def dedup_against_indexed(
     )
     doomed = pairs.select(F.col("new_id").alias(id_col)).distinct()
     return df_new.join(doomed, id_col, "left_anti")
+
+
+def component_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    seed: str = "",
+    split_col: str = "split",
+    component_col: str = "component",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Leakage-safe train/val/test split (r14): near-duplicate
+    CONNECTED COMPONENTS never straddle a split boundary. A plain
+    :func:`~gluestick_spark.llm.sampling.hash_split` on the row id keeps
+    each row's assignment stable but lets two near-identical documents
+    land in train AND test — evaluation contamination by construction.
+    Here each row is first labeled with its component over ``pairs``
+    (:func:`connected_components` min-id labels; rows appearing in no
+    pair are their own singleton component), then the split hashes the
+    COMPONENT key — every member of a dup cluster travels together,
+    with hash_split's contiguous-band nesting stability intact.
+
+    Adds ``component_col`` and ``split_col``. Scale shape: the component
+    labeling is the O(log n)-round star contraction over the PAIR graph
+    only (near-dup pairs, not the corpus); the join back and the split
+    are one keyed join + a narrow projection."""
+    from .sampling import hash_split
+
+    comp = connected_components(pairs, a_col, b_col).select(
+        F.col("id").alias(id_col), F.col("component").alias(component_col)
+    )
+    withc = df.join(comp, id_col, "left").withColumn(
+        component_col, F.coalesce(F.col(component_col), F.col(id_col))
+    )
+    return hash_split(withc, component_col, weights, seed=seed, split_col=split_col)

@@ -988,3 +988,64 @@ def lang_id_ft(
     ``out_col``. See :func:`train_lang_id_ft`; one narrow projection,
     no shuffle/join/Python."""
     return df.withColumn(out_col, lang_id_ft_expr(F.col(text_col), model))
+
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Fixed-window document chunking with overlap (r14) — the
+    context-window preprocessing step every RAG/pretraining pipeline
+    needs: each document's whitespace tokens are covered by windows of
+    ``chunk_tokens`` advancing by ``chunk_tokens − overlap``, with the
+    LAST window snapped to the document end (so every chunk except a
+    short document's single chunk is exactly full — the
+    cover-with-full-windows rule, deterministic and engine-portable:
+    starts = {k·stride | k·stride + C < n} ∪ {n − C}, or {0} when
+    n ≤ C). Documents with no tokens emit no chunks.
+
+    Returns one row per chunk: (``id_col``, ``chunk_idx`` 1-based,
+    ``token_start`` 0-based, ``n_tokens``, ``chunk_text``). Pure
+    Catalyst — one tokenize, one posexplode over the per-doc start
+    list, one slice + array_join; no shuffle at all (narrow plan), so
+    at 100 TB this is a map-only pass."""
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    stride = chunk_tokens - overlap
+    toks = tokens_expr(F.col(text_col))
+    base = df.select(
+        F.col(id_col), toks.alias("__toks__"), F.size(toks).alias("__n__")
+    ).where(F.col("__n__") > 0)
+    starts = F.when(
+        F.col("__n__") <= chunk_tokens, F.array(F.lit(0))
+    ).otherwise(
+        F.concat(
+            F.filter(
+                F.sequence(F.lit(0), F.col("__n__"), F.lit(stride)),
+                lambda s: s + chunk_tokens < F.col("__n__"),
+            ),
+            F.array(F.col("__n__") - chunk_tokens),
+        )
+    )
+    ex = base.select(
+        id_col,
+        "__toks__",
+        F.posexplode(starts).alias("__ci__", "token_start"),
+    )
+    chunk = F.slice(
+        F.col("__toks__"), F.col("token_start") + 1, chunk_tokens
+    )
+    return ex.select(
+        id_col,
+        (F.col("__ci__") + 1).alias("chunk_idx"),
+        "token_start",
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -54,13 +54,16 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..fsio import LOCAL_FS, StateFS
 
 __all__ = [
     "write_versioned",
     "read_versioned",
+    "delete_where",
+    "compact_version",
     "list_versions",
     "published_versions",
     "latest_version",
@@ -70,6 +73,8 @@ __all__ = [
 _POINTER = "_LATEST"
 _COMMITS = "_COMMITS"
 _MARKER = "_COMMITTED"
+_BASE_MARK = "_BASE.json"
+_DELETES_DIR = "deletes.parquet"
 
 
 def _vdir(path: str, v: int) -> str:
@@ -169,18 +174,33 @@ def write_versioned(df: DataFrame, path: str, fs: StateFS = LOCAL_FS) -> int:
     concurrent writers get distinct version numbers (each publishes its
     own complete directory; last pointer flip wins the "latest" title,
     both remain readable via time travel)."""
-    fs.makedirs(path, exist_ok=True)
-    v = (max(list_versions(path, fs), default=0)) + 1
-    while True:
-        try:
-            fs.mkdir(_vdir(path, v))  # exclusive claim
-            break
-        except FileExistsError:
-            v += 1
+    v = _claim_version(path, fs)
     df.write.mode("append").parquet(_vdir(path, v))
     _record_commit(path, v, fs)
     fs.write_text_atomic(os.path.join(path, _POINTER), str(v))  # atomic publish
     return v
+
+
+def _delta_meta(path: str, v: int, fs: StateFS = LOCAL_FS) -> dict | None:
+    """The delete-vector metadata of a delta version (``_BASE.json``:
+    base version + key columns), or None for a flat data version."""
+    import json
+
+    p = os.path.join(_vdir(path, v), _BASE_MARK)
+    if not fs.isfile(p):
+        return None
+    return json.loads(fs.read_text(p))
+
+
+def _base_chain(path: str, v: int, fs: StateFS = LOCAL_FS) -> list[int]:
+    """Versions that ``v`` transitively depends on (delta → base → …)."""
+    out: list[int] = []
+    m = _delta_meta(path, v, fs)
+    while m is not None:
+        b = int(m["base"])
+        out.append(b)
+        m = _delta_meta(path, b, fs)
+    return out
 
 
 def read_versioned(
@@ -193,7 +213,11 @@ def read_versioned(
     time travel. Raises on an unpublished/unknown version so a typo can't
     silently read a crash leftover — including a torn ``v=N`` that later
     writes have since buried under the pointer (publication is tracked in
-    the ``_COMMITS`` log, not inferred from directory listings)."""
+    the ``_COMMITS`` log, not inferred from directory listings).
+
+    A DELTA version (:func:`delete_where`) is resolved merge-on-read:
+    its base resolves recursively, then one anti-join against the delete
+    vector — the read-side half of the deletion-vector design."""
     if version is None:
         version = latest_version(path, fs)
         if version is None:
@@ -204,7 +228,94 @@ def read_versioned(
             f"version {version} not published at {path} "
             f"(published: {pub}, on disk: {list_versions(path, fs)})"
         )
-    return spark.read.parquet(_vdir(path, version))
+    m = _delta_meta(path, version, fs)
+    if m is None:
+        return spark.read.parquet(_vdir(path, version))
+    base = read_versioned(spark, path, int(m["base"]), fs)
+    dels = spark.read.parquet(
+        os.path.join(_vdir(path, version), _DELETES_DIR)
+    )
+    return base.join(dels, list(m["keys"]), "left_anti")
+
+
+def _claim_version(path: str, fs: StateFS = LOCAL_FS) -> int:
+    """Claim the next version number with an exclusive mkdir (the
+    write_versioned protocol, factored for delete_where)."""
+    fs.makedirs(path, exist_ok=True)
+    v = (max(list_versions(path, fs), default=0)) + 1
+    while True:
+        try:
+            fs.mkdir(_vdir(path, v))  # exclusive claim
+            return v
+        except FileExistsError:
+            v += 1
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    condition: "Column | str",
+    key_cols: "list[str] | str",
+    fs: StateFS = LOCAL_FS,
+) -> int:
+    """DELETE rows from the versioned table as a MERGE-ON-READ delta
+    version — the table-side takedown path matching the ANN-index
+    tombstone story (r14): the new version holds ONLY the matched key
+    tuples (the delete vector) plus a ``_BASE.json`` pointer, so a
+    takedown/PII delete costs O(matched keys), never a table rewrite;
+    :func:`read_versioned` resolves it with one anti-join. Returns the
+    new version number.
+
+    Time-travel semantics are the standard table-format ones: PRE-delete
+    versions remain readable (reproducibility), so the PHYSICAL purge
+    completes when (a) :func:`compact_version` materializes the deletes
+    into a flat version and (b) :func:`vacuum_versions` ages the
+    pre-delete versions out of retention — the documented GDPR flow.
+    Vacuum is chain-aware: a base version referenced by any retained
+    delta is never removed.
+
+    Crash contract: claim → delete-vector write → base marker →
+    ``_COMMITTED`` → pointer flip; a crash before the commit marker
+    leaves an unpublished directory invisible to readers and vacuumable
+    under the normal grace rules."""
+    import json
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty")
+    cur = latest_version(path, fs)
+    if cur is None:
+        raise ValueError(f"no published version at {path} to delete from")
+    base_df = read_versioned(spark, path, cur, fs=fs)
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    doomed = base_df.where(cond).select(*keys).distinct()
+    v = _claim_version(path, fs)
+    doomed.write.mode("append").parquet(
+        os.path.join(_vdir(path, v), _DELETES_DIR)
+    )
+    fs.write_text_atomic(
+        os.path.join(_vdir(path, v), _BASE_MARK),
+        json.dumps({"base": int(cur), "keys": keys}),
+    )
+    _record_commit(path, v, fs)
+    fs.write_text_atomic(os.path.join(path, _POINTER), str(v))
+    return v
+
+
+def compact_version(
+    spark: SparkSession, path: str, fs: StateFS = LOCAL_FS
+) -> int:
+    """Materialize the latest version into a FLAT data version (resolve
+    the delta chain once, write the survivors) — the merge-on-read
+    amortization step, and the first half of the physical-purge flow
+    (vacuum the pre-delete history for the second). No-op (returns the
+    current version) when the latest version is already flat."""
+    cur = latest_version(path, fs)
+    if cur is None:
+        raise ValueError(f"no published version at {path}")
+    if _delta_meta(path, cur, fs) is None:
+        return cur
+    return write_versioned(read_versioned(spark, path, cur, fs=fs), path, fs)
 
 
 def _tree_mtime(
@@ -288,6 +399,13 @@ def vacuum_versions(
         return []
     pub = published_versions(path, fs)
     doomed = set(pub[:-keep] if len(pub) > keep else [])
+    # chain protection (r14 merge-on-read deltas): a base a RETAINED
+    # delta resolves through must survive, however old — removing it
+    # would break every reader of the retained version
+    protected: set[int] = set()
+    for v in pub[-keep:] if len(pub) > keep else pub:
+        protected.update(_base_chain(path, v, fs))
+    doomed -= protected
     now = time.time()
     for v in list_versions(path, fs):
         if v < cur and v not in pub:

@@ -448,11 +448,180 @@ def test_tombstone_antijoin_keeps_partition_pruning(spark, tmp_dir):
     )
     top = sq_ivf_topk_indexed(spark, path, [1.0] * 8, k=5, nprobe=2)
     plan = top._jdf.queryExecution().executedPlan().toString()
-    scan_lines = [
+    pruned = [
         ln for ln in plan.splitlines()
-        if "FileScan" in ln and "cells" in ln
+        if "FileScan" in ln
+        and "PartitionFilters:" in ln
+        and "cid" in ln.split("PartitionFilters:")[1].split("]")[0]
     ]
-    assert scan_lines, plan
-    assert "PartitionFilters" in scan_lines[0] and "cid" in scan_lines[0]
+    assert pruned, plan
     # and the deleted ids are actually gone from the answer
     assert all(r["vec_id"] % 9 != 4 for r in top.collect())
+
+
+# ---------------- r14 extra: versioned-table merge-on-read DELETE --------
+
+
+def test_versioned_delete_chain_compact_vacuum(spark, tmp_dir):
+    """delete_where writes a delete VECTOR (O(matched keys), no table
+    rewrite); read resolves chained deltas; time travel still sees the
+    pre-delete state; compact_version materializes; vacuum is
+    chain-aware (never removes a retained delta's base) and completes
+    the physical purge after compaction; a torn delta stays invisible."""
+    import os
+
+    from gluestick_spark.operators.versioned import (
+        _BASE_MARK,
+        _DELETES_DIR,
+        _vdir,
+        compact_version,
+        delete_where,
+        list_versions,
+        read_versioned,
+        vacuum_versions,
+        write_versioned,
+    )
+
+    d = spark.createDataFrame(
+        [(i, f"u{i % 7}", float(i)) for i in range(100)],
+        "id long, user string, v double",
+    )
+    path = os.path.join(tmp_dir, "vt")
+    assert write_versioned(d, path) == 1
+
+    v2 = delete_where(spark, path, "id % 10 = 3", "id")
+    assert v2 == 2
+    # the delta holds ONLY the vector — no data rewrite
+    assert os.path.isfile(os.path.join(_vdir(path, 2), _BASE_MARK))
+    assert spark.read.parquet(
+        os.path.join(_vdir(path, 2), _DELETES_DIR)
+    ).count() == 10
+    assert read_versioned(spark, path).count() == 90
+    assert read_versioned(spark, path, 1).count() == 100  # time travel
+
+    v3 = delete_where(spark, path, F.col("user") == "u2", "id")
+    assert v3 == 3
+    got = sorted(r["id"] for r in read_versioned(spark, path).collect())
+    want = sorted(
+        i for i in range(100) if i % 10 != 3 and i % 7 != 2
+    )
+    assert got == want
+
+    # chain-aware vacuum: keep=1 retains v3, whose chain is {2, 1} —
+    # nothing may be removed
+    assert vacuum_versions(path, keep=1, unpublished_grace_seconds=0) == []
+    assert read_versioned(spark, path, 1).count() == 100
+
+    # compaction flattens; vacuum then purges the pre-delete history
+    v4 = compact_version(spark, path)
+    assert v4 == 4
+    assert sorted(r["id"] for r in read_versioned(spark, path).collect()) == want
+    assert compact_version(spark, path) == 4  # flat: no-op
+    gone = vacuum_versions(path, keep=1, unpublished_grace_seconds=0)
+    assert gone == [1, 2, 3]
+    assert list_versions(path) == [4]
+    # physical purge complete: the deleted ids exist nowhere on disk
+    left = spark.read.parquet(_vdir(path, 4))
+    assert left.where("id % 10 = 3 OR user = 'u2'").count() == 0
+
+    # torn delta: claim + vector, no commit marker -> invisible
+    os.makedirs(_vdir(path, 5))
+    spark.createDataFrame([(1,)], "id long").write.parquet(
+        os.path.join(_vdir(path, 5), _DELETES_DIR)
+    )
+    with open(os.path.join(_vdir(path, 5), _BASE_MARK), "w") as f:
+        f.write('{"base": 4, "keys": ["id"]}')
+    assert read_versioned(spark, path).count() == len(want)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not published"):
+        read_versioned(spark, path, 5)
+
+
+# ---------------- r14 extra: chunking + leakage-safe split ---------------
+
+
+def test_chunk_text_cover_rule(spark):
+    """Cover-with-full-windows: every chunk except a short doc's single
+    one is exactly chunk_tokens long, consecutive chunks overlap by
+    >= overlap, the union covers every token, and the last window snaps
+    to the end. Empty docs emit nothing; bad params raise."""
+    from gluestick_spark.llm.text import chunk_text
+
+    docs = [
+        (1, " ".join(f"t{i}" for i in range(100))),   # 100 toks
+        (2, " ".join(f"t{i}" for i in range(40))),    # exactly C
+        (3, " ".join(f"t{i}" for i in range(7))),     # short
+        (4, " ".join(f"t{i}" for i in range(41))),    # C+1: two chunks
+        (5, "   "),                                    # empty
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunk_text(d, "text", "doc_id", chunk_tokens=40, overlap=10)
+    rows = sorted(
+        map(tuple, out.select("doc_id", "chunk_idx", "token_start", "n_tokens").collect())
+    )
+    by_doc = {}
+    for did, ci, ts, nt in rows:
+        by_doc.setdefault(did, []).append((ci, ts, nt))
+    assert 5 not in by_doc
+    assert by_doc[2] == [(1, 0, 40)]
+    assert by_doc[3] == [(1, 0, 7)]
+    assert by_doc[4] == [(1, 0, 40), (2, 1, 40)]  # last snapped to end
+    # 100 toks, stride 30: starts 0,30 (60+40 !< 100) then snap 60
+    assert by_doc[1] == [(1, 0, 40), (2, 30, 40), (3, 60, 40)]
+    # coverage: every token index in [0, n) is inside some chunk
+    for did, n in ((1, 100), (4, 41)):
+        covered = set()
+        for _, ts, nt in by_doc[did]:
+            covered.update(range(ts, ts + nt))
+        assert covered == set(range(n))
+    # chunk text round-trips the token slice
+    r = {
+        (x["doc_id"], x["chunk_idx"]): x["chunk_text"]
+        for x in out.collect()
+    }
+    assert r[(1, 2)].split(" ") == [f"t{i}" for i in range(30, 70)]
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_text(d, "text", "doc_id", chunk_tokens=10, overlap=10)
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_text(d, "text", "doc_id", chunk_tokens=0)
+
+
+def test_component_split_no_cluster_straddles(spark):
+    """Every near-dup component lands entirely inside ONE split, and the
+    component labels are the min-id closure (singletons = own id)."""
+    from gluestick_spark.llm.dedup import component_split
+
+    d = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(60)], "doc_id long, text string"
+    )
+    # chain 1~2~3, pair 10~11, pair 20~40; rest singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 40)], "a long, b long"
+    )
+    out = component_split(
+        d, "doc_id", pairs, {"train": 0.6, "val": 0.2, "test": 0.2}
+    )
+    rows = {r["doc_id"]: (r["component"], r["split"]) for r in out.collect()}
+    assert len(rows) == 60
+    assert rows[1][0] == rows[2][0] == rows[3][0] == 1
+    assert rows[10][0] == rows[11][0] == 10
+    assert rows[20][0] == rows[40][0] == 20
+    assert rows[5][0] == 5  # singleton
+    # no component straddles splits
+    comp_splits = {}
+    for did, (c, s) in rows.items():
+        comp_splits.setdefault(c, set()).add(s)
+    assert all(len(v) == 1 for v in comp_splits.values())
+    # and the split is the hash_split of the component key (stability)
+    from gluestick_spark.llm.sampling import hash_split
+
+    ref = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            out.select("doc_id", F.col("component").alias("k")),
+            "k", {"train": 0.6, "val": 0.2, "test": 0.2},
+        ).collect()
+    }
+    assert all(rows[d][1] == ref[d] for d in rows)
