@@ -5749,6 +5749,60 @@ FROM inst i JOIN seg s ON i.w = s.w
 """
 
 
+def q_unigram_em_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi-EM (hard-EM) unigram vocabulary refinement
+    (llm/unigram.py:train_unigram_vocab — r14, the trainer half of the
+    SentencePiece-style family): E-step segments every distinct word
+    with the count-initialized vocabulary, M-step re-costs each piece
+    from its usage in the Viterbi segmentations (instance-weighted,
+    ``-(scale DIV usage)``), pruning pieces the optimal segmentations
+    abandoned (single chars never pruned — reachability). One full EM
+    iteration replayed in SQL: init vocab + the unrolled DP/backtrace
+    chain + the usage recount + the rescore."""
+    from gluestick_spark.llm.unigram import train_unigram_vocab
+
+    d = _tp(spark, sf_dir, "documents", "doc_id")
+    return train_unigram_vocab(
+        d, "text", iters=1,
+        max_piece_len=_UNI_L, max_word_len=_UNI_W,
+        min_count=_UNI_MINC, scale=_UNI_SCALE, unk_score=_UNI_UNK,
+    )
+
+
+def _unigram_em_sql(
+    L: int = _UNI_L,
+    W: int = _UNI_W,
+    scale: int = _UNI_SCALE,
+    min_count: int = _UNI_MINC,
+    unk: int = _UNI_UNK,
+) -> str:
+    """One EM iteration in SQL: everything through the ``seg`` CTE is
+    the q_unigram_segment chain verbatim (shared generator); the tail
+    swaps the instance-join select for usage recount + rescore."""
+    base = _unigram_sql(L, W, scale, min_count, unk)
+    head = base[: base.index("SELECT i.doc_id")].rstrip()
+    assert head.endswith(")")
+    return head + f""",
+wm AS (SELECT w, count(*) AS m FROM iw GROUP BY w),
+pu AS (
+  SELECT piece, CAST(sum(m) AS BIGINT) AS u
+  FROM (
+    SELECT unnest(s.pieces) AS piece, wm.m
+    FROM seg s JOIN wm ON s.w = wm.w
+  ) GROUP BY piece
+),
+chars AS (SELECT piece FROM vocab WHERE len(piece) = 1),
+mrg AS (
+  SELECT coalesce(pu.piece, chars.piece) AS piece, coalesce(pu.u, 0) AS u
+  FROM pu FULL OUTER JOIN chars ON pu.piece = chars.piece
+)
+SELECT piece,
+       -(CAST({scale} AS BIGINT) // greatest(u, CAST(1 AS BIGINT))) AS score
+FROM mrg
+WHERE (u >= 1 AND len(piece) <= {L}) OR len(piece) = 1
+"""
+
+
 def q_streaming_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 streaming cross-corpus SemDeDup (streaming/pipeline.py:
     materialize_semdedup_ref + streaming_semdedup — VERDICT r13 #7,
@@ -9068,6 +9122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'versioned_delete': q_versioned_delete,
         'component_split': q_component_split,
         'chunked_docs': q_chunked_docs,
+        'unigram_em_vocab': q_unigram_em_vocab,
     }
 
 
@@ -9283,4 +9338,5 @@ def oracle_sql() -> dict[str, str]:
         'versioned_delete': _Q_VERSIONED_DELETE_SQL,
         'component_split': _Q_COMPONENT_SPLIT_SQL,
         'chunked_docs': _Q_CHUNKED_DOCS_SQL,
+        'unigram_em_vocab': _unigram_em_sql(),
     }

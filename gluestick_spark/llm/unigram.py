@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from .text import tokens_expr
 
-__all__ = ["subword_vocab", "unigram_segment"]
+__all__ = ["subword_vocab", "unigram_segment", "train_unigram_vocab"]
 
 # unreachable-position sentinel: far below any real path score
 # (|scores| <= ~5e9 per piece x <= 64 pieces), far above int64 overflow
@@ -283,3 +283,74 @@ def unigram_segment(
         "pieces",
         "score",
     )
+
+
+def train_unigram_vocab(
+    df: DataFrame,
+    text_col: str,
+    iters: int = 1,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    min_count: int = 2,
+    scale: int = 1_000_000_000,
+    unk_score: int = -5_000_000_000,
+) -> DataFrame:
+    """Viterbi-EM (hard-EM) unigram vocabulary refinement — the trainer
+    half of the SentencePiece-style family: start from the
+    :func:`subword_vocab` count-based costs, then iterate (E) segment
+    every DISTINCT word with the current vocabulary and (M) re-cost each
+    piece from its USAGE in the Viterbi segmentations (weighted by word
+    instance counts): ``score' = -(scale DIV usage)``. Pieces the
+    optimal segmentations stop using are pruned (the EM pruning step);
+    single-character pieces are never pruned (reachability — unused
+    ones get the worst cost, ``-(scale DIV 1)``), and fallback pieces
+    longer than ``max_piece_len`` (unsegmentable long words) never
+    enter. Deterministic integers end-to-end — one EM iteration is
+    exactly replayable in SQL (the ``unigram_em_vocab`` oracle row).
+
+    Scale shape per iteration: the E-step runs the DP once per DISTINCT
+    word (vocabulary-sized, not corpus-sized — instance weights ride a
+    precomputed count column); the M-step is one explode + one
+    aggregate over the segmentations. Returns (``piece``, ``score``)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    v = subword_vocab(df, text_col, max_piece_len, min_count, scale)
+    w = (
+        df.select(F.explode(tokens_expr(F.col(text_col))).alias("__w__"))
+        .groupBy("__w__")
+        .agg(F.count(F.lit(1)).alias("__m__"))
+    )
+    chars = v.where(F.length("piece") == 1).select("piece")
+    for _ in range(iters):
+        seg = unigram_segment(
+            w.select(
+                F.col("__w__").alias("wid"), F.col("__w__").alias("wtext")
+            ),
+            "wtext",
+            "wid",
+            v,
+            max_piece_len=max_piece_len,
+            max_word_len=max_word_len,
+            unk_score=unk_score,
+        )
+        usage = (
+            seg.join(w.withColumnRenamed("__w__", "wid"), "wid")
+            .select(F.explode("pieces").alias("piece"), "__m__")
+            .groupBy("piece")
+            .agg(F.sum("__m__").alias("__u__"))
+        )
+        merged = usage.join(chars, "piece", "full").select(
+            "piece", F.coalesce(F.col("__u__"), F.lit(0)).alias("__u__")
+        )
+        v = merged.where(
+            ((F.col("__u__") >= 1) & (F.length("piece") <= max_piece_len))
+            | (F.length("piece") == 1)
+        ).select(
+            "piece",
+            F.expr(
+                f"-(CAST({int(scale)} AS BIGINT) div "
+                f"greatest(CAST(__u__ AS BIGINT), CAST(1 AS BIGINT)))"
+            ).alias("score"),
+        )
+        v = v.localCheckpoint()  # vocabulary-sized; truncate the EM lineage
+    return v

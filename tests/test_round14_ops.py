@@ -625,3 +625,68 @@ def test_component_split_no_cluster_straddles(spark):
         ).collect()
     }
     assert all(rows[d][1] == ref[d] for d in rows)
+
+
+def test_train_unigram_vocab_em_step(spark):
+    """Hard-EM refinement: the M-step re-costs pieces from Viterbi
+    usage (hand-checked on a planted corpus), prunes abandoned
+    multi-char pieces, keeps every single char (worst cost when
+    unused), and never admits a piece longer than max_piece_len (long
+    words' fallback pieces stay out). A second iteration runs on the
+    refined vocabulary without error (fixpoint-ish)."""
+    from gluestick_spark.llm.unigram import (
+        subword_vocab,
+        train_unigram_vocab,
+        unigram_segment,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "abab abab abab cd"), (2, "abab cd cd")],
+        "doc_id long, text string",
+    )
+    v1 = train_unigram_vocab(
+        d, "text", iters=1, max_piece_len=2, max_word_len=8,
+        min_count=2, scale=1_000_000_000,
+    )
+    got = {r["piece"]: r["score"] for r in v1.collect()}
+    # Viterbi over init vocab segments abab -> [ab, ab] (ab is the
+    # cheapest frequent piece) and cd -> [cd]; usage: ab = 2*4(instances)
+    # = 8, cd = 3
+    assert got["ab"] == -(1_000_000_000 // 8)
+    assert got["cd"] == -(1_000_000_000 // 3)
+    # abandoned multi-char pieces pruned ('ba' never used by any optimal
+    # segmentation)
+    assert "ba" not in got
+    # single chars survive at worst cost (unused -> usage floor 1)
+    for c in ("a", "b", "c", "d"):
+        assert got[c] == -1_000_000_000
+    # no piece longer than max_piece_len
+    assert all(len(p) <= 2 for p in got)
+
+    # refined vocab still segments exactly (and fewer pieces per word
+    # than the char baseline)
+    seg = unigram_segment(
+        d, "text", "doc_id", v1, max_piece_len=2, max_word_len=8
+    )
+    for r in seg.collect():
+        assert "".join(r["pieces"]) == r["word"]
+        if r["word"] == "abab":
+            assert list(r["pieces"]) == ["ab", "ab"]
+
+    # iteration 2 is stable on this corpus
+    v2 = train_unigram_vocab(
+        d, "text", iters=2, max_piece_len=2, max_word_len=8,
+        min_count=2, scale=1_000_000_000,
+    )
+    got2 = {r["piece"]: r["score"] for r in v2.collect()}
+    assert got2 == got
+
+    with pytest.raises(ValueError, match="iters"):
+        train_unigram_vocab(d, "text", iters=0)
+
+    # the init vocab really did contain 'ba' (so the prune is load-bearing)
+    init = {
+        r["piece"]
+        for r in subword_vocab(d, "text", max_piece_len=2, min_count=2).collect()
+    }
+    assert "ba" in init
