@@ -159,6 +159,15 @@ BENCH_QUERIES = [
     "priority_sample",
     "grouped_priority_sample",
     "phash_dedup",
+    # round 14
+    "sq_ivf_deleted_topk",
+    "rrf_fused_topk",
+    "unigram_segment",
+    "streaming_semdedup",
+    "versioned_delete",
+    "component_split",
+    "chunked_docs",
+    "unigram_em_vocab",
 ]
 
 
