@@ -6626,7 +6626,7 @@ _SIVF_INDEX_CACHE: dict = {}
 _PIVF_NC, _PIVF_NPROBE, _PIVF_K = 8, 3, 20
 
 
-def _pq_ivf_oracle_sql(rerank: int | None = None) -> str:
+def _pq_ivf_oracle_sql(rerank: int | None = None, survivors_where: str = "") -> str:
     """Replays the full IVFADC serving path end-to-end: the integer-
     Lloyd coarse router (training + probe selection + the cid pruning
     that partition pruning performs physically) AND the m per-subspace
@@ -6688,11 +6688,12 @@ dt_pv{j} AS (
         )
     joins += f"\n  JOIN {r_assign} ar ON ar.id = a0.id"
     dist = " + ".join(f"d{j}.dv" for j in range(_PQ_M))
+    surv = f" AND {survivors_where}" if survivors_where else ""
     if rerank is None:
         return (
             "WITH " + ",\n".join(blocks)
             + f"\nSELECT a0.id AS vec_id, ({dist}) AS pq_dist\n{joins}\n"
-            + "WHERE ar.cid IN (SELECT cid FROM probes_pivf)\n"
+            + f"WHERE ar.cid IN (SELECT cid FROM probes_pivf){surv}\n"
             + f"ORDER BY pq_dist, vec_id LIMIT {_PIVF_K}"
         )
     qrow = (
@@ -6759,6 +6760,39 @@ def q_pq_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PIVF_INDEX_CACHE: dict = {}
+_DEL_PIVF_CACHE: dict = {}
+
+
+def q_pq_ivf_deleted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete propagation through the IVF×PQ family
+    (llm/index_delete.py:pq_ivf_delete — r14, completing the
+    delete-path coverage across all three persisted index families):
+    build the IVFADC index (own cache — the shared pq_ivf index must
+    never be mutated), tombstone vec_id % 6 == 1, and probe with the
+    serving anti-join active. Shares the full IVFADC replay oracle
+    (router + codebooks + ADC + pruning) with the survivor predicate —
+    a deleted row serving, or a surviving row lost, mismatches."""
+    import tempfile
+
+    from gluestick_spark.llm.index_delete import pq_ivf_delete
+    from gluestick_spark.llm.pq import materialize_pq_ivf, pq_ivf_topk_indexed
+
+    q = _query_vec(spark, sf_dir)
+    path = _DEL_PIVF_CACHE.get(sf_dir)
+    if path is None:
+        e = _t(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="gs_pqivf_del_")
+        materialize_pq_ivf(
+            e, "embedding", "vec_id", path, m=_PQ_M, n_codes=_PQ_K,
+            n_clusters=_PIVF_NC, iters=_PQ_ITERS, scale=_KM_SCALE,
+        )
+        pq_ivf_delete(
+            spark, path, e.where(F.col("vec_id") % 6 == 1).select("vec_id")
+        )
+        _DEL_PIVF_CACHE[sf_dir] = path
+    return pq_ivf_topk_indexed(
+        spark, path, q, k=_PIVF_K, nprobe=_PIVF_NPROBE
+    )
 
 
 # IVFADC+R (VERDICT r10 #6): refinement pool 3x the final k.
@@ -9129,6 +9163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'component_split': q_component_split,
         'chunked_docs': q_chunked_docs,
         'unigram_em_vocab': q_unigram_em_vocab,
+        'pq_ivf_deleted_topk': q_pq_ivf_deleted_topk,
     }
 
 
@@ -9345,4 +9380,5 @@ def oracle_sql() -> dict[str, str]:
         'component_split': _Q_COMPONENT_SPLIT_SQL,
         'chunked_docs': _Q_CHUNKED_DOCS_SQL,
         'unigram_em_vocab': _unigram_em_sql(),
+        'pq_ivf_deleted_topk': _pq_ivf_oracle_sql(survivors_where='NOT (a0.id % 6 = 1)'),
     }

@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "component_split",
     "chunked_docs",
     "unigram_em_vocab",
+    "pq_ivf_deleted_topk",
 ]
 
 
