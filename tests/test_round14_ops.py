@@ -690,3 +690,75 @@ def test_train_unigram_vocab_em_step(spark):
         for r in subword_vocab(d, "text", max_piece_len=2, min_count=2).collect()
     }
     assert "ba" in init
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF against a hand-computed fixture: integer contributions
+    floor(1e9/(60+rank)), multi-leg sum, leg_k truncation, tie -> id,
+    ascending legs (distance-like scores) rank correctly."""
+    from gluestick_spark.llm.retrieval import rrf_fuse
+
+    bm = spark.createDataFrame(
+        [(1, 9.0), (2, 7.0), (3, 7.0), (4, 1.0)], "doc_id long, s double"
+    )
+    ann = spark.createDataFrame(
+        [(2, 0.1), (5, 0.2), (1, 0.9)], "doc_id long, d double"
+    )
+    out = rrf_fuse(
+        [(bm, "s", False), (ann, "d", True)], "doc_id", k_const=60, leg_k=3
+    )
+    rows = {r["doc_id"]: (r["rrf_score"], r["n_legs"]) for r in out.collect()}
+    c = lambda r: 10**9 // (60 + r)  # noqa: E731
+    # bm ranks: 1->1, 2->2 (tie 7.0 breaks to smaller id), 3->3, 4 cut by leg_k
+    # ann ranks (ascending d): 2->1, 5->2, 1->3
+    assert rows[1] == (c(1) + c(3), 2)
+    assert rows[2] == (c(2) + c(1), 2)
+    assert rows[3] == (c(3), 1)
+    assert rows[5] == (c(2), 1)
+    assert 4 not in rows
+    # ordering: best first, ties by id
+    got = [r["doc_id"] for r in out.collect()]
+    assert got == sorted(
+        rows, key=lambda d: (-rows[d][0], d)
+    )
+    with pytest.raises(ValueError, match="legs"):
+        rrf_fuse([], "doc_id")
+
+
+def test_pq_ivf_delete_and_vacuum(spark, tmp_dir):
+    """Delete propagation through the PQ family: tombstoned ids stop
+    serving immediately; vacuum physically purges the code rows; the
+    probe answer is identical before and after vacuum."""
+    import os
+
+    from gluestick_spark.llm.index_delete import (
+        pq_ivf_delete,
+        tombstones,
+        vacuum_deleted,
+    )
+    from gluestick_spark.llm.pq import materialize_pq_ivf, pq_ivf_topk_indexed
+
+    emb = _emb(spark, n=200)
+    path = os.path.join(tmp_dir, "pq_idx")
+    materialize_pq_ivf(
+        emb, "embedding", "vec_id", path, m=4, n_codes=8, n_clusters=4
+    )
+    n = pq_ivf_delete(
+        spark, path, emb.where("vec_id % 4 = 2").select("vec_id")
+    )
+    assert n == 50
+    q = [0.5] * 8
+    got = [
+        tuple(r)
+        for r in pq_ivf_topk_indexed(spark, path, q, k=10, nprobe=4).collect()
+    ]
+    assert got and all(v % 4 != 2 for v, _ in got)
+    rep = vacuum_deleted(spark, path)
+    assert rep["rows_purged"] == 50
+    assert tombstones(spark, path, "vec_id") is None
+    assert spark.read.parquet(os.path.join(path, "cells")).count() == 150
+    got2 = [
+        tuple(r)
+        for r in pq_ivf_topk_indexed(spark, path, q, k=10, nprobe=4).collect()
+    ]
+    assert got2 == got
