@@ -272,6 +272,11 @@ def main() -> None:
     # runs the floor aggregates.
     cold_total = round(sum(cold.values()), 3)
     merged_runs = 1
+    # ADVICE r14 #4: min-merging across a CODE CHANGE would floor away a
+    # genuine regression introduced mid-round — key the merge on a code
+    # fingerprint (HEAD sha + working-tree diff hash) so only same-code
+    # runs fold; a changed tree starts a fresh basis.
+    code_sha = _code_fingerprint()
     try:
         _here = os.path.dirname(os.path.abspath(__file__))
         _side = os.path.join(
@@ -280,7 +285,12 @@ def main() -> None:
         if os.path.isfile(_side):
             with open(_side) as f:
                 _old = json.load(f)
-            if _old.get("sf") == sf_val and _old.get("queries"):
+            if (
+                _old.get("sf") == sf_val
+                and _old.get("queries")
+                and code_sha is not None
+                and _old.get("code_sha") == code_sha
+            ):
                 _oq = _old["queries"]
                 for q in timings:
                     if q in _oq:
@@ -311,6 +321,7 @@ def main() -> None:
         "job_latency_ms": round(job_lat * 1000, 1),
         "sf": sf_val,
         "merged_runs": merged_runs,
+        "code_sha": code_sha,
     }
     # Regression tracking is best-effort: after the queries have run, nothing
     # (malformed prior BENCH files included) may prevent the JSON line from
@@ -402,6 +413,35 @@ def main() -> None:
     except Exception:
         pass
     print(json.dumps(result))
+
+
+def _code_fingerprint() -> str | None:
+    """HEAD sha + sha256 of the working-tree diff (empty when clean) —
+    two runs share a fingerprint iff they measured the same code, the
+    key that gates the same-round sidecar min-merge (ADVICE r14 #4).
+    None when git is unavailable (merge then never fires)."""
+    import hashlib
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=here, capture_output=True,
+            text=True, timeout=30,
+        )
+        diff = subprocess.run(
+            ["git", "diff", "HEAD"], cwd=here, capture_output=True,
+            timeout=60,
+        )
+        if head.returncode != 0 or diff.returncode != 0:
+            return None
+        return (
+            head.stdout.strip()
+            + "+"
+            + hashlib.sha256(diff.stdout).hexdigest()[:16]
+        )
+    except Exception:
+        return None
 
 
 def _round_number(here: str) -> int:

@@ -144,22 +144,75 @@ def ivf_delete(
     return _delete_core(spark, path, ids_df, id_col, fallback_cells=".")
 
 
+_VACUUM_TMP = "_vacuum.__rewriting__"  # underscore: invisible to Spark
+
+
+def _recover_vacuum_leftovers(root: str, part_col: str) -> None:
+    """Heal any crash leftover of a prior vacuum before computing the
+    affected-cell set (ADVICE r14 #1). Two kinds exist:
+
+    - ``_<part_col>=N.__old__`` (and the pre-r15 unprefixed
+      ``<part_col>=N.__old__``): the displaced live cell of a two-rename
+      swap. If the live cell dir is ABSENT the crash hit between the two
+      renames — restore it (rename back; the tombstones that triggered
+      the rewrite are still active, so the restored doomed rows stay
+      serving-invisible and the rerun purges them again). If the live
+      dir exists the swap completed — the leftover is pure garbage.
+    - ``_vacuum.__rewriting__`` / pre-r15 ``<part_col>=N.__rewriting__``
+      temp dirs: never referenced by a live cell, always garbage.
+    """
+    if not os.path.isdir(root):
+        return
+    for name in os.listdir(root):
+        full = os.path.join(root, name)
+        if name.endswith(".__old__"):
+            base = name[: -len(".__old__")]
+            if base.startswith("_" + part_col + "="):
+                base = base[1:]
+            if not base.startswith(part_col + "="):
+                continue
+            live = os.path.join(root, base)
+            if os.path.isdir(live):
+                shutil.rmtree(full, ignore_errors=True)
+            else:
+                os.rename(full, live)
+        elif name.endswith(".__rewriting__"):
+            shutil.rmtree(full, ignore_errors=True)
+
+
 def vacuum_deleted(
     spark,
     path: str,
     cells: str = "cells",
     part_col: str = "cid",
     id_col: str | None = None,
+    batch_cells: int = 64,
 ) -> dict:
     """Physically purge tombstoned rows: rewrite ONLY the cells that
-    hold them (atomic per-cell dir swap), drop fully-dead cell dirs,
-    clear the tombstones last. Defaults fit the routered sq/pq families
-    (``cells='cells'``, ``part_col='cid'``, id column read from the
-    router); the plain family passes ``cells='.'``,
-    ``part_col='centroid_id'`` and its own ``id_col``. Returns
-    ``{"cells_rewritten": [...], "cells_dropped": [...],
-    "rows_purged": N}``. Idempotent and crash-safe at every window (see
-    module docstring)."""
+    hold them, drop fully-dead cell dirs, clear the tombstones last.
+    Defaults fit the routered sq/pq families (``cells='cells'``,
+    ``part_col='cid'``, id column read from the router); the plain
+    family passes ``cells='.'``, ``part_col='centroid_id'`` and its own
+    ``id_col``. Returns ``{"cells_rewritten": [...], "cells_dropped":
+    [...], "rows_purged": N}``.
+
+    Scale shape (VERDICT r14 #5): affected cells are rewritten in
+    GROUPS of ``batch_cells`` — each group is ONE partition-pruned
+    anti-join job writing all its surviving cells partitioned by
+    ``part_col`` into a hidden staging dir, plus one small purge-count
+    aggregate — so a mass takedown touching C cells costs O(C /
+    batch_cells) Spark jobs, not O(C). The per-cell publish stays an
+    atomic dir swap (RENAME_EXCHANGE, two-rename fallback).
+
+    Crash safety (ADVICE r14 #1): every transient dir is invisible to
+    Spark partition discovery (underscore-prefixed ``_vacuum.*`` /
+    ``_<part_col>=N.__old__`` names — a leftover can never flip the
+    inferred partition-column type or leak into a later scan), and
+    vacuum entry runs :func:`_recover_vacuum_leftovers`, which restores
+    a live cell stranded in ``.__old__`` by a crash between the two
+    fallback renames. Idempotent at every window: an unrewritten cell's
+    tombstones are still active; a rewritten-but-uncleared tombstone
+    anti-joins rows already gone."""
     from ..sinks.layout import _exchange_dirs
 
     rollback_torn_append(path, cells=cells)
@@ -174,12 +227,15 @@ def vacuum_deleted(
             )
         with open(router_path) as f:
             id_col = json.load(f)["id_col"]
+    if batch_cells < 1:
+        raise ValueError(f"batch_cells must be >= 1, got {batch_cells}")
     report: dict = {"cells_rewritten": [], "cells_dropped": [], "rows_purged": 0}
+    root = path if cells == "." else os.path.join(path, cells)
+    _recover_vacuum_leftovers(root, part_col)
     t = tombstones(spark, path, id_col)
     if t is None:
         return report
-    t = t.localCheckpoint()  # reused per affected cell; kilobytes
-    root = path if cells == "." else os.path.join(path, cells)
+    t = t.localCheckpoint()  # reused per rewrite group; kilobytes
     affected = sorted(
         r[part_col]
         for r in spark.read.parquet(root)
@@ -188,30 +244,48 @@ def vacuum_deleted(
         .distinct()
         .collect()
     )
-    for cid in affected:
-        # fresh reader per cell: earlier swaps must not leave this scan a
-        # stale file listing (partition pruning reads ONLY this dir)
-        cell = spark.read.parquet(root).where(F.col(part_col) == cid)
-        n_cell = cell.count()
-        surv = cell.join(t, id_col, "left_anti").drop(part_col)
-        n_surv = surv.count()
-        report["rows_purged"] += n_cell - n_surv
-        cell_dir = os.path.join(root, f"{part_col}={cid}")
-        if n_surv == 0:
-            shutil.rmtree(cell_dir, ignore_errors=True)
-            report["cells_dropped"].append(cid)
-            continue
-        tmp = cell_dir + ".__rewriting__"
-        old = cell_dir + ".__old__"
-        shutil.rmtree(tmp, ignore_errors=True)
-        surv.coalesce(1).write.mode("overwrite").parquet(tmp)
-        if not _exchange_dirs(tmp, cell_dir):
-            shutil.rmtree(old, ignore_errors=True)
-            os.rename(cell_dir, old)
-            os.rename(tmp, cell_dir)
-            os.rename(old, tmp)
-        shutil.rmtree(tmp, ignore_errors=True)
-        report["cells_rewritten"].append(cid)
+    stage = os.path.join(root, _VACUUM_TMP)
+    for lo in range(0, len(affected), batch_cells):
+        group = affected[lo : lo + batch_cells]
+        # fresh reader per group: earlier swaps must not leave this scan
+        # a stale file listing (pruning reads ONLY the group's dirs)
+        gdf = spark.read.parquet(root).where(F.col(part_col).isin(group))
+        purged = {
+            r[part_col]: r["n"]
+            for r in gdf.join(t, id_col)
+            .groupBy(part_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        report["rows_purged"] += sum(purged.values())
+        shutil.rmtree(stage, ignore_errors=True)
+        (
+            gdf.join(t, id_col, "left_anti")
+            .repartition(F.col(part_col))
+            .write.partitionBy(part_col)
+            .mode("overwrite")
+            .parquet(stage)
+        )
+        survived = {
+            d.split("=", 1)[1]
+            for d in os.listdir(stage)
+            if d.startswith(part_col + "=")
+        }
+        for cid in group:
+            cell_dir = os.path.join(root, f"{part_col}={cid}")
+            if str(cid) not in survived:
+                shutil.rmtree(cell_dir, ignore_errors=True)
+                report["cells_dropped"].append(cid)
+                continue
+            tmp = os.path.join(stage, f"{part_col}={cid}")
+            if not _exchange_dirs(tmp, cell_dir):
+                old = os.path.join(root, f"_{part_col}={cid}.__old__")
+                shutil.rmtree(old, ignore_errors=True)
+                os.rename(cell_dir, old)
+                os.rename(tmp, cell_dir)
+                os.rename(old, tmp)
+            report["cells_rewritten"].append(cid)
+        shutil.rmtree(stage, ignore_errors=True)
     # LAST: every affected cell is rewritten, so clearing is pure cleanup
     # (a crash mid-clear leaves tombstones that anti-join already-gone
     # rows — harmless, the next vacuum finishes the job)

@@ -1105,8 +1105,17 @@ def streaming_fingerprint_dedup(
             # full-row distinct (tag included) collapses an at-least-once
             # replay's re-appended rows — same batch id, byte-identical —
             # while keeping legitimate cross-batch duplicates (harmless:
-            # set-semantics matching + the final distinct)
-            state = spark.read.parquet(seg_path).distinct()
+            # set-semantics matching + the final distinct). mergeSchema
+            # (ADVICE r14 #3): a pre-r14 untagged state appended to by a
+            # tagged batch has mixed per-file schemas — without the merge
+            # whether __batch__ exists depends on which footer Spark
+            # happens to pick, making the replay-collapse semantics
+            # nondeterministic across reads.
+            state = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(seg_path)
+                .distinct()
+            )
             matched = (
                 segs.join(
                     state.select(
@@ -1280,6 +1289,7 @@ def compact_sketch_log(
     kind: str,
     k: int,
     group_cols: list[str] | None = None,
+    assume_quiesced: bool = False,
 ) -> int:
     """Compact a sketch log (:func:`streaming_corpus_drift`'s
     ``sketch_log.parquet`` / :func:`streaming_quantiles`'
@@ -1298,7 +1308,17 @@ def compact_sketch_log(
     ``kind``: ``'kmv'`` (merge idempotent — compaction is always safe)
     or ``'kll'`` (weights add — safe via the reader's distinct collapse
     for pre-compaction replays plus the watermark for post-compaction
-    ones)."""
+    ones).
+
+    Concurrent-append safety (ADVICE r14 #2): micro-batches commit
+    serially within a stream, so at most the MAXIMUM real batch id in
+    the listing can be a mid-commit partial. By default that batch is
+    EXCLUDED from the fold — its rows pass through raw (replays of it
+    still collapse under the reader's distinct, exactly as before any
+    compaction) and the watermark only covers provably complete
+    batches, so a partial listing can never silently drop the batch's
+    remaining rows. ``assume_quiesced=True`` restores the full fold for
+    single-writer maintenance windows where no trigger is in flight."""
     import json as _json
     import os as _os
     import shutil as _shutil
@@ -1316,6 +1336,16 @@ def compact_sketch_log(
     max_real = log.where(F.col("__batch__") >= 0).agg(
         F.max("__batch__")
     ).first()[0]
+    passthrough = None
+    if not assume_quiesced and max_real is not None:
+        # the max batch id may be a mid-commit partial (the only batch
+        # that can be, given serial triggers): keep its rows raw and
+        # fold only provably complete batches
+        passthrough = log.where(F.col("__batch__") == F.lit(int(max_real)))
+        log = log.where(F.col("__batch__") != F.lit(int(max_real)))
+        max_real = log.where(F.col("__batch__") >= 0).agg(
+            F.max("__batch__")
+        ).first()[0]
     through = max(
         (v for v in (prev_w, max_real) if v is not None), default=None
     )
@@ -1323,6 +1353,13 @@ def compact_sketch_log(
     merged = (
         kmv_merge(body, k, gcols) if kind == "kmv" else kll_merge(body, k, gcols)
     ).withColumn("__batch__", F.lit(_COMPACTED_TAG).cast("long"))
+    if passthrough is not None:
+        # a global (no-group) agg over an empty fold would mint a bogus
+        # empty-sketch row — when everything sits in the excluded batch,
+        # the "compaction" is just the passthrough
+        if log.first() is None:
+            merged = passthrough.select(*merged.columns).limit(0)
+        merged = merged.unionByName(passthrough.select(*merged.columns))
     norm = log_dir.rstrip("/")
     tmp = norm + ".__compacting__"
     old = norm + ".__old__"
@@ -1361,9 +1398,12 @@ def compact_fingerprint_state(spark, state_dir: str) -> int:
     from ..sinks.layout import _exchange_dirs
 
     seg_path = _os.path.join(state_dir, "fp_segments.parquet")
-    state = spark.read.parquet(seg_path)
+    # mergeSchema (ADVICE r14 #3): a mixed tagged/untagged state dir must
+    # deterministically surface __batch__ regardless of footer pick order;
+    # untagged files' rows read as null and fall out of the max
+    state = spark.read.option("mergeSchema", "true").parquet(seg_path)
     if "__batch__" in state.columns:  # pre-r14 states carry no tag
-        max_batch = state.agg(F.max("__batch__")).first()[0]
+        max_batch = state.agg(F.max("__batch__")).first()[0] or 0
         state = state.drop("__batch__")
     else:
         max_batch = 0
@@ -1828,6 +1868,19 @@ def materialize_semdedup_ref(
     _os.replace(tmp, meta_path)
 
 
+def _pruned_ref_cells(spark, ref_path: str, batch_cids: list) -> DataFrame:
+    """The reference-cell scan a :func:`streaming_semdedup` micro-batch
+    judges against, restricted to the batch's own distinct cids with a
+    LITERAL ``cid IN (...)`` — partition pruning is structural (the
+    filter rides the scan as a PartitionFilter, plan-gated), never a bet
+    on dynamic pruning inside a foreachBatch plan (VERDICT r14 #4)."""
+    import os as _os
+
+    return spark.read.parquet(_os.path.join(ref_path, "cells")).where(
+        F.col("cid").isin(list(batch_cids))
+    )
+
+
 def streaming_semdedup(
     stream_df: DataFrame,
     ref_path: str,
@@ -1856,9 +1909,12 @@ def streaming_semdedup(
     :func:`read_streaming_dedup_output`.
 
     Per-batch cost: one narrow assignment over the batch + one
-    cid-keyed join against the (partition-pruned) reference cells —
-    Σ_c |batch_c|·|ref_c|, reference never rescanned in full when the
-    batch touches few cells."""
+    cid-keyed join against the reference cells restricted to the
+    batch's own distinct cids (collected, ≤ router size k — the
+    ``cid IN (...)`` literal makes partition pruning STRUCTURAL, not a
+    bet on dynamic pruning; plan-gated) — Σ_c |batch_c|·|ref_c|, the
+    reference is never rescanned in full when the batch touches few
+    cells."""
     import json as _json
     import os as _os
     from math import gcd
@@ -1876,9 +1932,11 @@ def streaming_semdedup(
     state = [(list(map(int, s)), int(n)) for s, n in meta["state"]]
     capped = set(meta.get("capped", []))
     scale = int(meta["scale"])
-    t = round(threshold * 100)
-    if not 0 <= t <= 100:
+    # validate the RAW float (ADVICE r14 #5): 1.004 / -0.004 must raise,
+    # not silently round into range
+    if not 0.0 <= threshold <= 1.0:
         raise ValueError("threshold must be in [0, 1]")
+    t = round(threshold * 100)
     num, den = t * t, 100 * 100
     g = gcd(num, den) or 1
     num, den = num // g, den // g
@@ -1901,7 +1959,16 @@ def streaming_semdedup(
         )
         if capped:
             pts = pts.where(~F.col("cid").isin(sorted(capped)))
-        cells = spark.read.parquet(_os.path.join(ref_path, "cells"))
+        # pin the batch's assignment once (batch-sized): it feeds the cid
+        # collect below plus the matched/out branches
+        pts = pts.localCheckpoint()
+        # STRUCTURAL cell pruning (VERDICT r14 #4): the batch's distinct
+        # cids are bounded by the router size k — collect them and
+        # restrict the reference scan explicitly, so partition pruning is
+        # guaranteed by the filter literal rather than left to dynamic
+        # pruning (which foreachBatch plan shapes don't promise)
+        batch_cids = [r["cid"] for r in pts.select("cid").distinct().collect()]
+        cells = _pruned_ref_cells(spark, ref_path, batch_cids)
         dot = int_dot_expr(F.col("__q__"), F.col("qr"))
         matched = (
             pts.join(cells, ["cid"])

@@ -1055,7 +1055,7 @@ def test_compact_sketch_log_preserves_estimates(spark, tmp_dir):
         return sum(r["kll"]["n"] for r in kll_merge(log, 200, ["g"]).collect())
 
     before = estimates()
-    n = compact_sketch_log(spark, log_dir, "kll", 200, ["g"])
+    n = compact_sketch_log(spark, log_dir, "kll", 200, ["g"], assume_quiesced=True)
     assert n == 2  # one row per group
     assert estimates() == before
     # merged rows carry the compacted sentinel; the watermark records
@@ -1084,7 +1084,9 @@ def test_compact_sketch_log_preserves_estimates(spark, tmp_dir):
     ).parquet(log_dir)
     assert total_n() == 4000
     # recompaction folds it in and advances the watermark
-    assert compact_sketch_log(spark, log_dir, "kll", 200, ["g"]) == 2
+    assert compact_sketch_log(
+        spark, log_dir, "kll", 200, ["g"], assume_quiesced=True
+    ) == 2
     assert _log_watermark(log_dir) == 3
     assert total_n() == 4000
 
@@ -1100,7 +1102,7 @@ def test_compact_sketch_log_preserves_estimates(spark, tmp_dir):
     pre = kmv_merge(
         spark.read.parquet(klog).drop("__batch__"), 64
     ).first()["kmv"]
-    assert compact_sketch_log(spark, klog, "kmv", 64) == 1
+    assert compact_sketch_log(spark, klog, "kmv", 64, assume_quiesced=True) == 1
     post = kmv_merge(
         spark.read.parquet(klog).drop("__batch__"), 64
     ).first()["kmv"]

@@ -1,0 +1,323 @@
+"""Round-15 operator tests.
+
+Phase A — ADVICE r14 closures + VERDICT r14 plan-posture fixes:
+- vacuum_deleted: hidden swap dirs + crash recovery + batched rewrites
+- compact_sketch_log: in-flight max-batch exclusion (append race)
+- fp_segments mixed tagged/untagged schema determinism (mergeSchema)
+- streaming_semdedup raw-threshold validation + structural cell pruning
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _emb(spark, n=300, dim=8):
+    rows = [
+        (i, [math.sin(0.31 * i + j) + 0.01 * ((i * (j + 2)) % 5) for j in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+# ---------------- vacuum: batched rewrites + crash recovery ----------------
+
+
+def test_vacuum_mass_delete_batched_rewrites(spark, tmp_dir):
+    """A mass takedown touching many cells completes in O(groups) rewrite
+    jobs (batch_cells groups), with identical survivors to the unbatched
+    semantics, no visible leftover dirs in the cells root, and correct
+    per-cell rewritten/dropped accounting (VERDICT r14 #5)."""
+    from gluestick_spark.llm.cluster import materialize_sq_ivf, sq_ivf_topk_indexed
+    from gluestick_spark.llm.index_delete import sq_ivf_delete, vacuum_deleted
+    from gluestick_spark.llm.similarity import sq_topk
+
+    emb = _emb(spark, n=400)
+    path = os.path.join(tmp_dir, "mass_idx")
+    materialize_sq_ivf(emb, "embedding", "vec_id", path, n_clusters=12)
+    cells_root = os.path.join(path, "cells")
+    pre_cells = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(cells_root)
+        if d.startswith("cid=")
+    )
+    assert len(pre_cells) >= 8  # the mass-delete scenario needs many cells
+
+    doom_pred = F.col("vec_id") % 3 != 0  # ~2/3 of every cell
+    doomed = emb.where(doom_pred).select("vec_id")
+    n_doomed = doomed.count()
+    assert sq_ivf_delete(spark, path, doomed) == n_doomed
+
+    # small batch size forces multiple groups through the staged path
+    rep = vacuum_deleted(spark, path, batch_cells=4)
+    assert rep["rows_purged"] == n_doomed
+    assert sorted(rep["cells_rewritten"] + rep["cells_dropped"]) == pre_cells
+
+    # nothing transient left behind: only live cid= dirs in the root
+    assert all(
+        d.startswith(("cid=", "_", "."))  # _/._ are hidden to Spark
+        for d in os.listdir(cells_root)
+    )
+    assert not any("__rewriting__" in d or "__old__" in d for d in os.listdir(cells_root))
+
+    survivors = emb.where(~doom_pred)
+    left = spark.read.parquet(cells_root)
+    assert left.count() == survivors.count()
+    q = [1.0] * 8
+    brute = [tuple(r) for r in sq_topk(survivors, "embedding", "vec_id", q, 10).collect()]
+    got = [
+        tuple(r)
+        for r in sq_ivf_topk_indexed(spark, path, q, k=10, nprobe=12).collect()
+    ]
+    assert got == brute
+
+
+def test_vacuum_recovers_stranded_old_cell(spark, tmp_dir):
+    """ADVICE r14 #1: a crash between the two fallback renames leaves the
+    live cell dir absent with survivors stranded in ``.__old__`` —
+    vacuum entry must restore it (and clean completed-swap leftovers)
+    rather than permanently stop serving those rows. Both the r15 hidden
+    naming and the pre-r15 unprefixed naming are healed, and the hidden
+    names never flip partition discovery."""
+    from gluestick_spark.llm.cluster import materialize_sq_ivf, sq_ivf_topk_indexed
+    from gluestick_spark.llm.index_delete import sq_ivf_delete, vacuum_deleted
+    from gluestick_spark.llm.similarity import sq_topk
+
+    emb = _emb(spark, n=200)
+    path = os.path.join(tmp_dir, "crash_idx")
+    materialize_sq_ivf(emb, "embedding", "vec_id", path, n_clusters=4)
+    cells_root = os.path.join(path, "cells")
+    live = sorted(d for d in os.listdir(cells_root) if d.startswith("cid="))
+    assert len(live) >= 3
+
+    # simulate the torn two-rename window on one cell (r15 hidden name)
+    torn = live[0]
+    os.rename(
+        os.path.join(cells_root, torn),
+        os.path.join(cells_root, "_" + torn + ".__old__"),
+    )
+    # and a COMPLETED swap's leftover on another (live dir still present)
+    import shutil
+
+    leftover_src = os.path.join(cells_root, live[1])
+    leftover = os.path.join(cells_root, "_" + live[1] + ".__old__")
+    shutil.copytree(leftover_src, leftover)
+    # plus a legacy pre-r15 unprefixed temp dir
+    legacy_tmp = os.path.join(cells_root, live[2] + ".__rewriting__")
+    shutil.copytree(leftover_src, legacy_tmp)
+
+    # the hidden __old__ dir is invisible to partition discovery even
+    # BEFORE recovery (the unprefixed legacy .__rewriting__ one is the
+    # bug being fixed, so it is cleaned at entry instead)
+    doomed = emb.where(F.col("vec_id") % 11 == 5).select("vec_id")
+    n_doomed = doomed.count()
+    sq_ivf_delete(spark, path, doomed)
+    rep = vacuum_deleted(spark, path)
+
+    # every cell dir restored/live again; all transient dirs gone
+    after = sorted(d for d in os.listdir(cells_root) if d.startswith("cid="))
+    assert after == live
+    assert not any(
+        "__old__" in d or "__rewriting__" in d for d in os.listdir(cells_root)
+    )
+    # the stranded cell's rows serve again (minus the genuinely doomed)
+    assert rep["rows_purged"] == n_doomed
+    survivors = emb.where(F.col("vec_id") % 11 != 5)
+    assert spark.read.parquet(cells_root).count() == survivors.count()
+    q = [1.0] * 8
+    brute = [tuple(r) for r in sq_topk(survivors, "embedding", "vec_id", q, 5).collect()]
+    got = [
+        tuple(r)
+        for r in sq_ivf_topk_indexed(spark, path, q, k=5, nprobe=4).collect()
+    ]
+    assert got == brute
+
+
+# ---------------- sketch-log compaction: append race ----------------
+
+
+def test_compact_sketch_log_excludes_inflight_max_batch(spark, tmp_dir):
+    """ADVICE r14 #2: compaction racing a mid-commit append must not
+    watermark the in-flight batch. The default fold excludes the max
+    real batch id — its rows pass through raw, so the part of the batch
+    the compaction's listing MISSED still lands (no silent loss), while
+    replays of folded batches are still dropped by the watermark."""
+    from gluestick_spark.llm.sketch import kll_merge, kll_sketch
+    from gluestick_spark.streaming.pipeline import (
+        _log_watermark,
+        compact_sketch_log,
+        read_sketch_log,
+    )
+
+    d = spark.createDataFrame(
+        [(i, float(i % 500)) for i in range(3000)], "doc_id long, v double"
+    )
+    log_dir = os.path.join(tmp_dir, "kll_log.parquet")
+    for b in range(2):
+        kll_sketch(d.where(F.col("doc_id") % 3 == b), "v", 200).withColumn(
+            "__batch__", F.lit(b).cast("long")
+        ).write.mode("append").parquet(log_dir)
+    # batch 2 commits in two physical appends; compaction runs when only
+    # the FIRST half is visible (the partial-listing race)
+    kll_sketch(
+        d.where((F.col("doc_id") % 3 == 2) & (F.col("doc_id") < 1500)), "v", 200
+    ).withColumn("__batch__", F.lit(2).cast("long")).write.mode("append").parquet(
+        log_dir
+    )
+
+    def total_n():
+        log = read_sketch_log(spark, log_dir).distinct().drop("__batch__")
+        return kll_merge(log, 200).first()["kll"]["n"]
+
+    compact_sketch_log(spark, log_dir, "kll", 200)
+    # only provably complete batches are watermarked
+    assert _log_watermark(log_dir) == 1
+    # batch 2's visible half survived as a raw tagged row
+    raw = spark.read.parquet(log_dir)
+    assert raw.where(F.col("__batch__") == 2).count() == 1
+    assert raw.where(F.col("__batch__") == -1).count() == 1
+
+    # the batch's remaining half lands AFTER compaction — pre-fix the
+    # watermark (2) would have dropped it
+    kll_sketch(
+        d.where((F.col("doc_id") % 3 == 2) & (F.col("doc_id") >= 1500)), "v", 200
+    ).withColumn("__batch__", F.lit(2).cast("long")).write.mode("append").parquet(
+        log_dir
+    )
+    assert total_n() == 3000
+    # a full replay of the half already seen still collapses (distinct)
+    kll_sketch(
+        d.where((F.col("doc_id") % 3 == 2) & (F.col("doc_id") < 1500)), "v", 200
+    ).withColumn("__batch__", F.lit(2).cast("long")).write.mode("append").parquet(
+        log_dir
+    )
+    assert total_n() == 3000
+    # and a replay of a FOLDED batch is dropped by the watermark
+    kll_sketch(d.where(F.col("doc_id") % 3 == 0), "v", 200).withColumn(
+        "__batch__", F.lit(0).cast("long")
+    ).write.mode("append").parquet(log_dir)
+    assert total_n() == 3000
+
+    # quiesced recompaction folds everything down to one row
+    assert compact_sketch_log(spark, log_dir, "kll", 200, assume_quiesced=True) == 1
+    assert _log_watermark(log_dir) == 2
+    assert total_n() == 3000
+
+
+def test_compact_sketch_log_single_batch_is_pure_passthrough(spark, tmp_dir):
+    """With exactly one (possibly in-flight) batch in the log, the
+    default compaction must not mint a bogus empty-sketch merged row —
+    the output is the passthrough alone."""
+    from gluestick_spark.llm.sketch import kmv_sketch
+    from gluestick_spark.streaming.pipeline import (
+        _log_watermark,
+        compact_sketch_log,
+    )
+
+    d = spark.createDataFrame([(str(i),) for i in range(100)], "s string")
+    log_dir = os.path.join(tmp_dir, "kmv_log.parquet")
+    kmv_sketch(d, "s", 64).withColumn(
+        "__batch__", F.lit(0).cast("long")
+    ).write.mode("append").parquet(log_dir)
+    assert compact_sketch_log(spark, log_dir, "kmv", 64) == 1
+    raw = spark.read.parquet(log_dir)
+    assert raw.where(F.col("__batch__") == 0).count() == 1
+    assert raw.where(F.col("__batch__") == -1).count() == 0
+    assert _log_watermark(log_dir) is None
+
+
+# ---------------- fp segment state: mixed-schema determinism ----------------
+
+
+def test_fp_segments_mixed_schema_reads_deterministically(spark, tmp_dir):
+    """ADVICE r14 #3: a pre-r14 untagged fp_segments.parquet appended to
+    by a tagged batch has mixed per-file schemas. The mergeSchema read
+    must surface __batch__ for every read (untagged rows null) and
+    compact_fingerprint_state must not crash on the all/partial-null
+    tag."""
+    from gluestick_spark.streaming.pipeline import compact_fingerprint_state
+
+    state_dir = tmp_dir
+    seg_path = os.path.join(state_dir, "fp_segments.parquet")
+    untagged = spark.createDataFrame(
+        [(0, 7, 111), (1, 8, 222)], "band int, seg long, __h__ long"
+    )
+    untagged.write.mode("append").parquet(seg_path)
+    tagged = spark.createDataFrame(
+        [(0, 7, 111, 3), (2, 9, 333, 3)],
+        "band int, seg long, __h__ long, __batch__ long",
+    )
+    tagged.write.mode("append").parquet(seg_path)
+
+    n = compact_fingerprint_state(spark, state_dir)
+    assert n == 3  # (0,7,111) deduped across the tag boundary
+    out = spark.read.parquet(seg_path)
+    assert "__batch__" in out.columns
+    assert out.agg(F.max("__batch__")).first()[0] == 3
+
+    # all-untagged state: max over no tags falls back to 0, not a crash
+    import shutil
+
+    shutil.rmtree(seg_path)
+    untagged.write.mode("append").parquet(seg_path)
+    assert compact_fingerprint_state(spark, state_dir) == 2
+    assert spark.read.parquet(seg_path).agg(F.max("__batch__")).first()[0] == 0
+
+
+# ---------------- streaming semdedup: validation + pruning ----------------
+
+
+def test_streaming_semdedup_validates_raw_threshold(spark, tmp_dir):
+    """ADVICE r14 #5: 1.004 / -0.004 must raise on the RAW float, not
+    silently round into range."""
+    from gluestick_spark.streaming.pipeline import (
+        materialize_semdedup_ref,
+        streaming_semdedup,
+    )
+
+    ref = _emb(spark, n=40)
+    ref_path = os.path.join(tmp_dir, "ref")
+    materialize_semdedup_ref(ref, "embedding", "vec_id", ref_path, k=2, iters=1)
+    src = os.path.join(tmp_dir, "src")
+    _emb(spark, n=10).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    for bad in (1.004, -0.004, 1.5):
+        with pytest.raises(ValueError, match=r"\[0, 1\]"):
+            streaming_semdedup(
+                stream, ref_path, "embedding", "vec_id",
+                os.path.join(tmp_dir, "out"), os.path.join(tmp_dir, "ck"),
+                threshold=bad,
+            )
+
+
+def test_semdedup_ref_cell_pruning_is_structural(spark, tmp_dir):
+    """VERDICT r14 #4 plan gate: the handler's reference scan
+    (_pruned_ref_cells) carries the batch's cid literals as a
+    PartitionFilter — pruning is structural, not dynamic."""
+    from gluestick_spark.streaming.pipeline import (
+        _pruned_ref_cells,
+        materialize_semdedup_ref,
+    )
+
+    ref = _emb(spark, n=120)
+    ref_path = os.path.join(tmp_dir, "ref")
+    materialize_semdedup_ref(ref, "embedding", "vec_id", ref_path, k=4, iters=1)
+    cells = _pruned_ref_cells(spark, ref_path, [0, 2])
+    plan = cells._jdf.queryExecution().executedPlan().toString()
+    pruned = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln
+        and "PartitionFilters:" in ln
+        and "cid" in ln.split("PartitionFilters:")[1].split("]")[0]
+    ]
+    assert pruned, plan
+    # and only the probed cells' rows come back
+    assert set(
+        r["cid"] for r in cells.select("cid").distinct().collect()
+    ) <= {0, 2}
