@@ -8951,63 +8951,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # map. Tail entries remain locally oracle-checked via
     # tools/check_correctness.py / tools/driver_sim.py every round.
     return {
-        # ---- correctness window: first 50 = driver-checked. Round-14
+        # ---- correctness window: first 50 = driver-checked. Round-15
         # rotation (tools/rotate_registry.py, honest-evidence policy):
         # never-driver-checked rows lead, then oldest-evidence-first.
         # Displacement rationales: COVERAGE.md. ----
-        'sq_ivf_deleted_topk': q_sq_ivf_deleted_topk,
-        'rrf_fused_topk': q_rrf_fused_topk,
-        'unigram_segment': q_unigram_segment,
-        'streaming_semdedup': q_streaming_semdedup,
-        'build_vocab': q_build_vocab,
-        'cluster_dedup': q_cluster_dedup,
-        'hash_sample': q_hash_sample,
-        'mix_corpora': q_mix_corpora,
-        'tfidf_vectors': q_tfidf_vectors,
-        'time_rollup': q_time_rollup,
-        'kmv_merge': q_kmv_merge,
-        'event_asof_close': q_event_asof_close,
-        'event_asof_nearest': q_event_asof_nearest,
-        'ivf_probe_indexed': q_ivf_probe_indexed,
-        'minhash_candidates': q_minhash_candidates,
-        'hash_split': q_hash_split,
-        'pq_ivf_topk_indexed': q_pq_ivf_topk_indexed,
-        'dsir_sample': q_dsir_sample,
-        'unicode_tokens': q_unicode_tokens,
-        'balanced_sample': q_balanced_sample,
-        'bm25_scores': q_bm25_scores,
-        'bpe_pairs': q_bpe_pairs,
-        'cap_per_domain': q_cap_per_domain,
-        'cdc_diff': q_cdc_diff,
-        'clipped_values': q_clipped_values,
-        'cluster_dedup_best': q_cluster_dedup_best,
-        'corr_matrix': q_corr_matrix,
-        'dedup_against_ref': q_dedup_against,
-        'dedup_cluster_sizes': q_cluster_sizes,
-        'domain_split': q_domain_split,
-        'domain_stats': q_domain_stats,
-        'encoded_docs': q_encoded_docs,
-        'equi_depth_bins': q_equi_depth_bins,
-        'expectations_audit': q_expectations,
-        'fuzzy_pairs': q_fuzzy_pairs,
-        'gapfill_daily': q_gapfill_daily,
-        'grouped_percentiles': q_grouped_percentiles,
-        'heavy_hitters': q_heavy_hitters,
-        'hive_partition_roundtrip': q_hive_partition_roundtrip,
-        'ivf_append_topk': q_ivf_append,
-        'merge_into_orders': q_merge_into,
-        'negative_pairs': q_negative_pairs,
-        'nll_mix': q_nll_mix,
-        'packed_encoded_docs': q_packed_encoded_docs,
-        'profile_numeric': q_profile_numeric,
-        'quantize_embeddings': q_quantize_embeddings,
-        'repetition_stats': q_repetition_stats,
-        'robust_scaled': q_robust_scaled,
-        'rolling_zscore': q_rolling_zscore,
-        'line_dedup': q_line_dedup,
-        # ---- tail: locally oracle-checked every round (driver_sim /
-        # check_correctness); ordered oldest-evidence-first, so this IS
-        # the round-15 promotion queue. ----
+        'versioned_delete': q_versioned_delete,
+        'component_split': q_component_split,
+        'chunked_docs': q_chunked_docs,
+        'unigram_em_vocab': q_unigram_em_vocab,
+        'pq_ivf_deleted_topk': q_pq_ivf_deleted_topk,
         'streaming_quality_filter': q_streaming_quality_filter,
         'cluster_balanced': q_cluster_balanced,
         'gopher_quality': q_gopher_quality,
@@ -9053,6 +9005,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_fingerprint': q_dedup_fingerprint,
         'deep_convert_datetimes': q_deep_convert_datetimes,
         'docs_cube': q_docs_cube,
+        # ---- tail: locally oracle-checked every round (driver_sim /
+        # check_correctness); ordered oldest-evidence-first, so this IS
+        # the round-16 promotion queue. ----
         'drop_null_columns': q_drop_null_columns,
         'drop_redundant': q_drop_redundant,
         'enforce_exploded_types': q_enforce_exploded_types,
@@ -9158,12 +9113,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'html_extract_replay': q_html_extract,
         'streaming_decontam': q_streaming_decontam,
         'windowed_counts': q_windowed_counts,
-        # ---- r14 tail debuts (r15 window promotion queue) ----
-        'versioned_delete': q_versioned_delete,
-        'component_split': q_component_split,
-        'chunked_docs': q_chunked_docs,
-        'unigram_em_vocab': q_unigram_em_vocab,
-        'pq_ivf_deleted_topk': q_pq_ivf_deleted_topk,
+        'sq_ivf_deleted_topk': q_sq_ivf_deleted_topk,
+        'rrf_fused_topk': q_rrf_fused_topk,
+        'unigram_segment': q_unigram_segment,
+        'streaming_semdedup': q_streaming_semdedup,
+        'build_vocab': q_build_vocab,
+        'cluster_dedup': q_cluster_dedup,
+        'hash_sample': q_hash_sample,
+        'mix_corpora': q_mix_corpora,
+        'tfidf_vectors': q_tfidf_vectors,
+        'time_rollup': q_time_rollup,
+        'kmv_merge': q_kmv_merge,
+        'event_asof_close': q_event_asof_close,
+        'event_asof_nearest': q_event_asof_nearest,
+        'ivf_probe_indexed': q_ivf_probe_indexed,
+        'minhash_candidates': q_minhash_candidates,
+        'hash_split': q_hash_split,
+        'pq_ivf_topk_indexed': q_pq_ivf_topk_indexed,
+        'dsir_sample': q_dsir_sample,
+        'unicode_tokens': q_unicode_tokens,
+        'balanced_sample': q_balanced_sample,
+        'bm25_scores': q_bm25_scores,
+        'bpe_pairs': q_bpe_pairs,
+        'cap_per_domain': q_cap_per_domain,
+        'cdc_diff': q_cdc_diff,
+        'clipped_values': q_clipped_values,
+        'cluster_dedup_best': q_cluster_dedup_best,
+        'corr_matrix': q_corr_matrix,
+        'dedup_against_ref': q_dedup_against,
+        'dedup_cluster_sizes': q_cluster_sizes,
+        'domain_split': q_domain_split,
+        'domain_stats': q_domain_stats,
+        'encoded_docs': q_encoded_docs,
+        'equi_depth_bins': q_equi_depth_bins,
+        'expectations_audit': q_expectations,
+        'fuzzy_pairs': q_fuzzy_pairs,
+        'gapfill_daily': q_gapfill_daily,
+        'grouped_percentiles': q_grouped_percentiles,
+        'heavy_hitters': q_heavy_hitters,
+        'hive_partition_roundtrip': q_hive_partition_roundtrip,
+        'ivf_append_topk': q_ivf_append,
+        'merge_into_orders': q_merge_into,
+        'negative_pairs': q_negative_pairs,
+        'nll_mix': q_nll_mix,
+        'packed_encoded_docs': q_packed_encoded_docs,
+        'profile_numeric': q_profile_numeric,
+        'quantize_embeddings': q_quantize_embeddings,
+        'repetition_stats': q_repetition_stats,
+        'robust_scaled': q_robust_scaled,
+        'rolling_zscore': q_rolling_zscore,
+        'line_dedup': q_line_dedup,
     }
 
 
@@ -9176,56 +9175,11 @@ def oracle_sql() -> dict[str, str]:
     # (stream-then-batch == batch-over-union).
     return {
         # (order mirrors queries() exactly — the driver zips them)
-        'sq_ivf_deleted_topk': _Q_SQ_DELETED_TOPK_SQL,
-        'rrf_fused_topk': _Q_RRF_FUSED_SQL,
-        'unigram_segment': _unigram_sql(),
-        'streaming_semdedup': _semdedup_against_oracle_sql(),
-        'build_vocab': _Q_BUILD_VOCAB_SQL,
-        'cluster_dedup': _Q_CLUSTER_DEDUP_SQL,
-        'hash_sample': _Q_HASH_SAMPLE_SQL,
-        'mix_corpora': _Q_MIX_CORPORA_SQL,
-        'tfidf_vectors': _Q_TFIDF_SQL,
-        'time_rollup': _Q_TIME_ROLLUP_SQL,
-        'kmv_merge': _Q_KMV_SQL,
-        'event_asof_close': _Q_EVENT_ASOF_CLOSE_SQL,
-        'event_asof_nearest': _Q_EVENT_ASOF_NEAREST_SQL,
-        'ivf_probe_indexed': _Q_ANN_TOPK_SQL,
-        'minhash_candidates': _Q_MINHASH_CANDIDATES_SQL,
-        'hash_split': _Q_HASH_SPLIT_SQL,
-        'pq_ivf_topk_indexed': _pq_ivf_oracle_sql(),
-        'dsir_sample': _Q_DSIR_SAMPLE_SQL,
-        'unicode_tokens': _unicode_tokens_oracle_sql(),
-        'balanced_sample': _Q_BALANCED_SQL,
-        'bm25_scores': _Q_BM25_SQL,
-        'bpe_pairs': _Q_BPE_PAIRS_SQL,
-        'cap_per_domain': _Q_CAP_DOMAIN_SQL,
-        'cdc_diff': _Q_CDC_DIFF_SQL,
-        'clipped_values': _Q_CLIPPED_SQL,
-        'cluster_dedup_best': _cluster_dedup_best_sql(),
-        'corr_matrix': _Q_CORR_SQL,
-        'dedup_against_ref': _Q_DEDUP_AGAINST_SQL,
-        'dedup_cluster_sizes': _cluster_sizes_sql(),
-        'domain_split': _Q_DOMAIN_SPLIT_SQL,
-        'domain_stats': _Q_DOMAIN_STATS_SQL,
-        'encoded_docs': _Q_ENCODED_SQL,
-        'equi_depth_bins': _Q_EQUI_DEPTH_SQL,
-        'expectations_audit': _Q_EXPECTATIONS_SQL,
-        'fuzzy_pairs': _Q_FUZZY_PAIRS_SQL,
-        'gapfill_daily': _Q_GAPFILL_SQL,
-        'grouped_percentiles': _Q_GROUPED_PCT_SQL,
-        'heavy_hitters': _Q_HEAVY_HITTERS_SQL,
-        'hive_partition_roundtrip': _Q_HIVE_PART_SQL,
-        'ivf_append_topk': _Q_ANN_TOPK_SQL,
-        'merge_into_orders': _Q_MERGE_INTO_SQL,
-        'negative_pairs': _Q_NEGATIVE_PAIRS_SQL,
-        'nll_mix': _Q_NLL_MIX_SQL,
-        'packed_encoded_docs': _Q_PACKED_ENCODED_SQL,
-        'profile_numeric': _Q_PROFILE_SQL,
-        'quantize_embeddings': _Q_QUANTIZE_SQL,
-        'repetition_stats': _Q_REPETITION_SQL,
-        'robust_scaled': _Q_ROBUST_SCALED_SQL,
-        'rolling_zscore': _Q_ROLLING_ZSCORE_SQL,
-        'line_dedup': _Q_LINE_DEDUP_SQL,
+        'versioned_delete': _Q_VERSIONED_DELETE_SQL,
+        'component_split': _Q_COMPONENT_SPLIT_SQL,
+        'chunked_docs': _Q_CHUNKED_DOCS_SQL,
+        'unigram_em_vocab': _unigram_em_sql(),
+        'pq_ivf_deleted_topk': _pq_ivf_oracle_sql(survivors_where='NOT (a0.id % 6 = 1)'),
         'streaming_quality_filter': _streaming_quality_filter_oracle_sql(),
         'cluster_balanced': _cluster_balanced_oracle_sql(),
         'gopher_quality': _Q_GOPHER_QUALITY_SQL,
@@ -9376,9 +9330,54 @@ def oracle_sql() -> dict[str, str]:
         'html_extract_replay': _Q_HTML_EXTRACT_REPLAY_SQL,
         'streaming_decontam': _Q_SUBSTRING_DECONTAM_SQL,
         'windowed_counts': _Q_WINDOWED_COUNTS_SQL,
-        'versioned_delete': _Q_VERSIONED_DELETE_SQL,
-        'component_split': _Q_COMPONENT_SPLIT_SQL,
-        'chunked_docs': _Q_CHUNKED_DOCS_SQL,
-        'unigram_em_vocab': _unigram_em_sql(),
-        'pq_ivf_deleted_topk': _pq_ivf_oracle_sql(survivors_where='NOT (a0.id % 6 = 1)'),
+        'sq_ivf_deleted_topk': _Q_SQ_DELETED_TOPK_SQL,
+        'rrf_fused_topk': _Q_RRF_FUSED_SQL,
+        'unigram_segment': _unigram_sql(),
+        'streaming_semdedup': _semdedup_against_oracle_sql(),
+        'build_vocab': _Q_BUILD_VOCAB_SQL,
+        'cluster_dedup': _Q_CLUSTER_DEDUP_SQL,
+        'hash_sample': _Q_HASH_SAMPLE_SQL,
+        'mix_corpora': _Q_MIX_CORPORA_SQL,
+        'tfidf_vectors': _Q_TFIDF_SQL,
+        'time_rollup': _Q_TIME_ROLLUP_SQL,
+        'kmv_merge': _Q_KMV_SQL,
+        'event_asof_close': _Q_EVENT_ASOF_CLOSE_SQL,
+        'event_asof_nearest': _Q_EVENT_ASOF_NEAREST_SQL,
+        'ivf_probe_indexed': _Q_ANN_TOPK_SQL,
+        'minhash_candidates': _Q_MINHASH_CANDIDATES_SQL,
+        'hash_split': _Q_HASH_SPLIT_SQL,
+        'pq_ivf_topk_indexed': _pq_ivf_oracle_sql(),
+        'dsir_sample': _Q_DSIR_SAMPLE_SQL,
+        'unicode_tokens': _unicode_tokens_oracle_sql(),
+        'balanced_sample': _Q_BALANCED_SQL,
+        'bm25_scores': _Q_BM25_SQL,
+        'bpe_pairs': _Q_BPE_PAIRS_SQL,
+        'cap_per_domain': _Q_CAP_DOMAIN_SQL,
+        'cdc_diff': _Q_CDC_DIFF_SQL,
+        'clipped_values': _Q_CLIPPED_SQL,
+        'cluster_dedup_best': _cluster_dedup_best_sql(),
+        'corr_matrix': _Q_CORR_SQL,
+        'dedup_against_ref': _Q_DEDUP_AGAINST_SQL,
+        'dedup_cluster_sizes': _cluster_sizes_sql(),
+        'domain_split': _Q_DOMAIN_SPLIT_SQL,
+        'domain_stats': _Q_DOMAIN_STATS_SQL,
+        'encoded_docs': _Q_ENCODED_SQL,
+        'equi_depth_bins': _Q_EQUI_DEPTH_SQL,
+        'expectations_audit': _Q_EXPECTATIONS_SQL,
+        'fuzzy_pairs': _Q_FUZZY_PAIRS_SQL,
+        'gapfill_daily': _Q_GAPFILL_SQL,
+        'grouped_percentiles': _Q_GROUPED_PCT_SQL,
+        'heavy_hitters': _Q_HEAVY_HITTERS_SQL,
+        'hive_partition_roundtrip': _Q_HIVE_PART_SQL,
+        'ivf_append_topk': _Q_ANN_TOPK_SQL,
+        'merge_into_orders': _Q_MERGE_INTO_SQL,
+        'negative_pairs': _Q_NEGATIVE_PAIRS_SQL,
+        'nll_mix': _Q_NLL_MIX_SQL,
+        'packed_encoded_docs': _Q_PACKED_ENCODED_SQL,
+        'profile_numeric': _Q_PROFILE_SQL,
+        'quantize_embeddings': _Q_QUANTIZE_SQL,
+        'repetition_stats': _Q_REPETITION_SQL,
+        'robust_scaled': _Q_ROBUST_SCALED_SQL,
+        'rolling_zscore': _Q_ROLLING_ZSCORE_SQL,
+        'line_dedup': _Q_LINE_DEDUP_SQL,
     }
