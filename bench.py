@@ -169,6 +169,10 @@ BENCH_QUERIES = [
     "chunked_docs",
     "unigram_em_vocab",
     "pq_ivf_deleted_topk",
+    "sq_ivf_batch_topk",
+    "pq_ivf_batch_topk",
+    "bm25_batch_topk",
+    "retrieval_decontam",
 ]
 
 

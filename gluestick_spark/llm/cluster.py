@@ -80,6 +80,7 @@ __all__ = [
     "materialize_sq_ivf",
     "sq_ivf_append",
     "sq_ivf_topk_indexed",
+    "sq_ivf_topk_indexed_batch",
 ]
 
 
@@ -132,6 +133,20 @@ def _min_struct_expr(
     ``array_min`` — exact distance ties break to the smallest cluster
     id). ``d`` is the rational squared distance as a double — the IEEE
     division of two exact int64s, replayable cross-engine."""
+    return F.array_min(F.array(*_dist_structs(cents, q, xx, cids)))
+
+
+def _dist_structs(
+    cents: list[tuple[list[int], int]],
+    q: Column | None = None,
+    xx: Column | None = None,
+    cids: list[int] | None = None,
+) -> list[Column]:
+    """One ``struct(d, cid)`` expression per centroid literal — the
+    shared body of the argmin assignment (:func:`_min_struct_expr`) and
+    the batched top-``nprobe`` probe selection
+    (:func:`_probe_cids_expr`). ``d`` is the exact rational squared
+    distance as a double (int64 numerator, round-then-divide)."""
     q = F.col("__q__") if q is None else q
     xx = F.col("__xx__") if xx is None else xx
     labels = list(range(len(cents))) if cids is None else list(cids)
@@ -147,7 +162,29 @@ def _min_struct_expr(
         )
         d = num.cast("double") / F.lit(float(n * n))
         structs.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
-    return F.array_min(F.array(*structs))
+    return structs
+
+
+def _probe_cids_expr(
+    cents: list[tuple[list[int], int]],
+    nprobe: int,
+    q: Column | None = None,
+    xx: Column | None = None,
+    cids: list[int] | None = None,
+) -> Column:
+    """Per-row IVF probe selection as ONE Catalyst expression: the
+    ``nprobe`` nearest live centroids of the row's quantized query
+    vector, as an ``array<int>`` of cids. The algebra (exact int64
+    numerator, round-then-divide double, ties to smallest cid via the
+    struct's lexicographic sort) is term-for-term the driver-side
+    :func:`_select_probes`, so batched probe selection ≡ the
+    single-query path structurally — the device behind
+    :func:`sq_ivf_topk_indexed_batch`."""
+    structs = _dist_structs(cents, q, xx, cids)
+    return F.transform(
+        F.slice(F.array_sort(F.array(*structs)), 1, int(nprobe)),
+        lambda s: s["cid"],
+    )
 
 
 def _prepare(df: DataFrame, vec_col: str, id_col: str, scale: int) -> DataFrame:
@@ -983,3 +1020,134 @@ def sq_ivf_topk_indexed(
     )
     qscale, qcodes = quantize_query(query)
     return _sq_score_topk(enc, out_id, qscale, qcodes, k)
+
+
+def sq_ivf_topk_indexed_batch(
+    spark,
+    path: str,
+    queries_df: DataFrame,
+    vec_col: str,
+    query_id_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Batched serving against a :func:`materialize_sq_ivf` index
+    (VERDICT r14 #2 — the retrieval-scale gap): answer a whole QUERY
+    DATAFRAME in ONE job instead of a driver-side loop of per-query
+    jobs. Returns (``query_id_col``, id, ``score``) — per query,
+    row-for-row identical to :func:`sq_ivf_topk_indexed` with the same
+    ``k``/``nprobe`` (agreement pytest-pinned):
+
+    1. ONE narrow projection over the queries computes, per row, the
+       router-scale quantization, the int8 SQ query codes
+       (:func:`~gluestick_spark.llm.similarity.sq_quantize_exprs` — the
+       Catalyst twin of the driver-side ``quantize_query``, bit-identical
+       by construction), and the ``nprobe`` probe cells against the
+       broadcast router literals (:func:`_probe_cids_expr`, the same
+       exact algebra as :func:`_select_probes`).
+    2. The union of all probed cids (collected — bounded by the router
+       size, never by query count) restricts the cells scan with a
+       LITERAL ``cid IN (...)`` partition filter, exactly the
+       single-query pruning.
+    3. One cid-keyed join scores every (query, candidate) pair with the
+       exact int64 code dot × the two scales — cost Σ_q |probed
+       cells_q|, ONE Spark job for the whole query set. AQE broadcasts
+       the (small) exploded query side in practice.
+    4. Per-query top-k via a ``query``-partitioned window (score desc,
+       id asc — the single-query tie rule).
+
+    Tombstoned ids are anti-joined out (delete propagation applies to
+    batch serving identically). NULL query vectors are the caller's
+    contract to filter, as everywhere in the family. Query-id
+    uniqueness is the caller's contract; duplicate ids collapse into
+    one ranking."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import Window
+
+    if nprobe < 1 or k < 1:
+        raise ValueError("nprobe >= 1 and k >= 1 required")
+    router_path = _os.path.join(path, "_ROUTER.json")
+    if not _os.path.isfile(router_path):
+        raise ValueError(
+            f"sq-ivf index at {path} is uncommitted (torn build or "
+            "mid-rebuild) — re-run materialize_sq_ivf"
+        )
+    from .index_commit import require_committed
+
+    require_committed(path, "sq-ivf")
+    with open(router_path) as f:
+        router = _json.load(f)
+    state = [(list(map(int, s)), int(n)) for s, n in router["state"]]
+    dead = set(router.get("dead", []))
+    out_id = id_col or router["id_col"]
+    live = [(cid, sn) for cid, sn in enumerate(state) if cid not in dead]
+
+    def _empty() -> DataFrame:
+        return (
+            queries_df.select(F.col(query_id_col))
+            .limit(0)
+            .withColumn(out_id, F.lit(None).cast("long"))
+            .withColumn("score", F.lit(None).cast("double"))
+        )
+
+    if not live:
+        return _empty()
+    from .similarity import sq_quantize_exprs
+
+    sc_e, qc_e = sq_quantize_exprs(F.col(vec_col))
+    qprep = queries_df.select(
+        F.col(query_id_col).alias("__qid__"),
+        sc_e.alias("__qsc__"),
+        qc_e.alias("__qcodes__"),
+        quantize_vec_expr(F.col(vec_col), router["scale"]).alias("__q__"),
+    ).withColumn("__xx__", int_dot_expr(F.col("__q__"), F.col("__q__")))
+    probes = _probe_cids_expr(
+        [sn for _, sn in live], nprobe, cids=[cid for cid, _ in live]
+    )
+    qx = qprep.select(
+        "__qid__", "__qsc__", "__qcodes__", F.explode(probes).alias("cid")
+    ).localCheckpoint()  # pinned: feeds the probed-cid collect AND the join
+    probed = sorted({r["cid"] for r in qx.select("cid").distinct().collect()})
+    if not probed:
+        return _empty()
+    cells = spark.read.parquet(_os.path.join(path, "cells")).where(
+        F.col("cid").isin(probed)
+    )
+    cand = qx.join(cells, "cid").select(
+        "__qid__",
+        "__qsc__",
+        F.col(router["id_col"]).alias(out_id),
+        F.col("scale").alias("__sc__"),
+        F.col("qvec").alias("__qv__"),
+        F.col("__qcodes__"),
+    )
+    from .index_delete import filter_tombstoned
+
+    cand = filter_tombstoned(
+        spark, path, cand, out_id, stored_id_col=router["id_col"]
+    )
+    # exact int64 code dot × stored scale × query scale — the same IEEE
+    # multiply order as _sq_score_topk, so scores are bit-identical
+    idot = F.aggregate(
+        F.zip_with(
+            F.col("__qv__"),
+            F.col("__qcodes__"),
+            lambda a, b: a.cast("long") * b.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    score = idot.cast("double") * F.col("__sc__") * F.col("__qsc__")
+    w = Window.partitionBy("__qid__").orderBy(F.desc("score"), F.asc(out_id))
+    return (
+        cand.select(F.col("__qid__"), F.col(out_id), score.alias("score"))
+        .withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") <= k)
+        .select(
+            F.col("__qid__").alias(query_id_col), F.col(out_id), F.col("score")
+        )
+        .orderBy(F.asc(query_id_col), F.desc("score"), F.asc(out_id))
+    )

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from .text import tokens_expr
 
-__all__ = ["bm25_topk", "tfidf_vectors", "rrf_fuse"]
+__all__ = ["bm25_topk", "bm25_topk_batch", "tfidf_vectors", "rrf_fuse"]
 
 
 def tfidf_vectors(
@@ -125,6 +125,101 @@ def bm25_topk(
     )
 
 
+def bm25_topk_batch(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    queries_df: DataFrame,
+    query_id_col: str,
+    query_col: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batched BM25 (VERDICT r14 #3): top-``k`` docs for EVERY query in
+    ``queries_df`` in one pass — (``query_id_col``, id, ``bm25``), per
+    query score desc / id asc, matching :func:`bm25_topk` run per query
+    (same tokenizer on both sides: corpus via ``tokens_expr``, query
+    text whitespace-split + lowercased + distinct).
+
+    Scale shape — ONE tokenize of the corpus regardless of query count:
+    the union of all query terms (a tiny broadcast set) gates the
+    corpus explode, so rows ∝ occurrences of ANY query's terms; per-doc
+    tf and per-term df are the same two aggregates as the single-query
+    path; the (term → queries needing it) fan-out joins the tf frame
+    against the broadcast query-term table, and per-query ranking is
+    one query-partitioned window top-k. Cost Σ_q |matching docs_q| —
+    one job for a whole eval set, zero driver loops.
+
+    Float caveat (shared with every per-doc BM25 sum): per-(query, doc)
+    scores sum ≥2 doubles, so the last ulp depends on aggregation
+    order — callers comparing cross-engine (or batch-vs-single) should
+    bucket scores (the 0.01-floor convention)."""
+    qsplit = F.array_distinct(
+        F.transform(
+            F.filter(
+                F.split(F.col(query_col), r"\s+"), lambda t: t != F.lit("")
+            ),
+            F.lower,
+        )
+    )
+    qterms = queries_df.select(
+        F.col(query_id_col).alias("__qid__"), F.explode(qsplit).alias("__t__")
+    )
+    terms = qterms.select("__t__").distinct()
+
+    toks = F.transform(tokens_expr(F.col(text_col)), F.lower)
+    base = df.select(
+        F.col(id_col).alias("__id__"),
+        toks.alias("__toks__"),
+        F.size(toks).alias("__dl__"),
+    )
+    stats = base.agg(
+        F.count("*").alias("__n__"), F.avg("__dl__").alias("__avgdl__")
+    )
+    # rows = occurrences of ANY query's terms only — the broadcast
+    # semi-gate is the batch twin of the single-query literal filter
+    hits = base.select(
+        "__id__", "__dl__", F.explode(F.col("__toks__")).alias("__t__")
+    ).join(F.broadcast(terms), "__t__")
+    tf = hits.groupBy("__id__", "__t__").agg(
+        F.count("*").alias("__tf__"), F.first("__dl__").alias("__dl__")
+    )
+    dfreq = tf.groupBy("__t__").agg(F.count("*").alias("__df__"))
+    j = tf.join(F.broadcast(dfreq), "__t__").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        (F.col("__n__") - F.col("__df__") + F.lit(0.5))
+        / (F.col("__df__") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("__tf__") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("__dl__") / F.col("__avgdl__")
+    )
+    contrib = idf * F.col("__tf__") * F.lit(k1 + 1.0) / denom
+    scored = (
+        j.join(F.broadcast(qterms), "__t__")
+        .groupBy("__qid__", "__id__")
+        .agg(F.sum(contrib).alias("bm25"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__qid__").orderBy(
+        F.col("bm25").desc(), F.col("__id__").asc()
+    )
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") <= k)
+        .select(
+            F.col("__qid__").alias(query_id_col),
+            F.col("__id__").alias(id_col),
+            "bm25",
+        )
+        .orderBy(
+            F.asc(query_id_col), F.col("bm25").desc(), F.col(id_col).asc()
+        )
+    )
+
+
 def rrf_fuse(
     legs: list,
     id_col: str,
@@ -132,6 +227,7 @@ def rrf_fuse(
     leg_k: int | None = None,
     k: int | None = None,
     scale: int = 1_000_000_000,
+    query_col: str | None = None,
 ) -> DataFrame:
     """Hybrid-retrieval fusion by Reciprocal Rank Fusion (VERDICT r13
     #5): combine N ranked lists — typically the lexical :func:`bm25_topk`
@@ -152,6 +248,14 @@ def rrf_fuse(
     ``leg_k`` truncates each leg to its top ranks before fusing (the
     standard fuse-top-N form); ``k`` limits the fused output.
 
+    ``query_col`` (VERDICT r14 #3) makes the fusion PER QUERY: each
+    leg must then carry that column (the batched retrieval outputs —
+    :func:`bm25_topk_batch`, ``*_topk_indexed_batch`` — do), ranks are
+    taken within each query (one query-partitioned window per leg, no
+    single-partition bottleneck), fusion groups on (query, id), and
+    ``k`` limits EACH query's fused list. The result gains the query
+    column, ordered (query asc, score desc, id asc).
+
     Scale note: the inputs are TOP-K LISTS by contract — retrieval
     results, thousands of rows at most, never a corpus. Ranking uses one
     single-partition window per leg, which is O(k log k) on k-bounded
@@ -166,21 +270,27 @@ def rrf_fuse(
         raise ValueError("legs must be non-empty")
     if k_const < 1 or scale < 1:
         raise ValueError("k_const >= 1 and scale >= 1 required")
+    keys = ([query_col] if query_col else []) + [id_col]
     parts = []
     for df, score_col, ascending in legs:
         order = [
             F.col(score_col).asc() if ascending else F.col(score_col).desc(),
             F.col(id_col).asc(),
         ]
+        w = (
+            Window.partitionBy(query_col).orderBy(*order)
+            if query_col
+            else Window.orderBy(*order)
+        )
         ranked = df.select(
-            F.col(id_col),
-            F.row_number().over(Window.orderBy(*order)).alias("__r__"),
+            *[F.col(c) for c in keys],
+            F.row_number().over(w).alias("__r__"),
         )
         if leg_k is not None:
             ranked = ranked.where(F.col("__r__") <= leg_k)
         parts.append(
             ranked.select(
-                id_col,
+                *keys,
                 F.expr(
                     f"CAST({int(scale)} AS BIGINT) div "
                     f"(CAST({int(k_const)} AS BIGINT) + __r__)"
@@ -188,12 +298,23 @@ def rrf_fuse(
             )
         )
     allc = reduce(lambda a, b: a.unionByName(b), parts)
-    fused = (
-        allc.groupBy(id_col)
-        .agg(
-            F.sum("__c__").alias("rrf_score"),
-            F.count(F.lit(1)).alias("n_legs"),
-        )
-        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    fused = allc.groupBy(*keys).agg(
+        F.sum("__c__").alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_legs"),
     )
-    return fused.limit(k) if k is not None else fused
+    final_order = (
+        [F.asc(query_col)] if query_col else []
+    ) + [F.col("rrf_score").desc(), F.col(id_col).asc()]
+    if k is None:
+        return fused.orderBy(*final_order)
+    if query_col is None:
+        return fused.orderBy(*final_order).limit(k)
+    wq = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("__rn__", F.row_number().over(wq))
+        .where(F.col("__rn__") <= k)
+        .drop("__rn__")
+        .orderBy(*final_order)
+    )

@@ -321,3 +321,192 @@ def test_semdedup_ref_cell_pruning_is_structural(spark, tmp_dir):
     assert set(
         r["cid"] for r in cells.select("cid").distinct().collect()
     ) <= {0, 2}
+
+
+# ---------------- batched retrieval serving (VERDICT r14 #2/#3) ----------
+
+
+def test_sq_batch_equals_single_query_serving(spark, tmp_dir):
+    """sq_ivf_topk_indexed_batch ≡ per-query sq_ivf_topk_indexed at
+    PARTIAL and exhaustive nprobe, tombstones active — probe selection,
+    scoring, and tie rules are shared term-for-term."""
+    from gluestick_spark.llm.cluster import (
+        materialize_sq_ivf,
+        sq_ivf_topk_indexed,
+        sq_ivf_topk_indexed_batch,
+    )
+    from gluestick_spark.llm.index_delete import sq_ivf_delete
+
+    emb = _emb(spark, n=300)
+    path = os.path.join(tmp_dir, "bidx")
+    materialize_sq_ivf(emb, "embedding", "vec_id", path, n_clusters=5)
+    sq_ivf_delete(spark, path, emb.where("vec_id % 7 = 3").select("vec_id"))
+    qids = [0, 3, 17, 29, 100]
+    queries = emb.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qvecs = {r["vec_id"]: list(r["embedding"]) for r in emb.where(
+        F.col("vec_id").isin(qids)
+    ).collect()}
+    for nprobe in (2, 5):
+        batch = sq_ivf_topk_indexed_batch(
+            spark, path, queries, "embedding", "query_id", k=7, nprobe=nprobe
+        )
+        got: dict = {q: [] for q in qids}
+        for r in batch.collect():
+            got[r["query_id"]].append((r["vec_id"], r["score"]))
+        for qid in qids:
+            single = [
+                (r["vec_id"], r["score"])
+                for r in sq_ivf_topk_indexed(
+                    spark, path, qvecs[qid], k=7, nprobe=nprobe
+                ).collect()
+            ]
+            assert got[qid] == single, (nprobe, qid)
+
+
+def test_pq_batch_equals_single_query_serving(spark, tmp_dir):
+    """pq_ivf_topk_indexed_batch ≡ per-query pq_ivf_topk_indexed —
+    plain ADC at partial/exhaustive nprobe AND the IVFADC+R rerank
+    path; the per-query Catalyst ADC tables are entry-for-entry the
+    driver-side adc_table."""
+    from gluestick_spark.llm.index_delete import pq_ivf_delete
+    from gluestick_spark.llm.pq import (
+        materialize_pq_ivf,
+        pq_ivf_topk_indexed,
+        pq_ivf_topk_indexed_batch,
+    )
+
+    emb = _emb(spark, n=300)
+    path = os.path.join(tmp_dir, "pqb")
+    materialize_pq_ivf(
+        emb, "embedding", "vec_id", path, m=4, n_codes=8, n_clusters=4,
+        store_vectors=True,
+    )
+    pq_ivf_delete(spark, path, emb.where("vec_id % 9 = 2").select("vec_id"))
+    qids = [0, 3, 17, 29]
+    queries = emb.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qvecs = {r["vec_id"]: list(r["embedding"]) for r in emb.where(
+        F.col("vec_id").isin(qids)
+    ).collect()}
+    for nprobe, rerank in ((2, None), (4, None), (2, 12)):
+        batch = pq_ivf_topk_indexed_batch(
+            spark, path, queries, "embedding", "query_id",
+            k=6, nprobe=nprobe, rerank=rerank,
+        )
+        got: dict = {q: [] for q in qids}
+        for r in batch.collect():
+            got[r["query_id"]].append(tuple(r)[1:])
+        for qid in qids:
+            single = [
+                tuple(r)
+                for r in pq_ivf_topk_indexed(
+                    spark, path, qvecs[qid], k=6, nprobe=nprobe, rerank=rerank
+                ).collect()
+            ]
+            assert got[qid] == single, (nprobe, rerank, qid)
+    # rerank without stored vectors refuses loudly
+    path2 = os.path.join(tmp_dir, "pqb2")
+    materialize_pq_ivf(
+        emb, "embedding", "vec_id", path2, m=4, n_codes=8, n_clusters=4
+    )
+    with pytest.raises(ValueError, match="store_vectors"):
+        pq_ivf_topk_indexed_batch(
+            spark, path2, queries, "embedding", "query_id", k=3, rerank=5
+        )
+
+
+def test_bm25_batch_equals_single_query(spark):
+    """bm25_topk_batch per query ≡ bm25_topk (same tokenizer, same
+    stats, same tf/df); scores compared on a 1e-6 floor — per-doc sums
+    of doubles are aggregation-order-sensitive at the last ulp."""
+    import math
+
+    from gluestick_spark.llm.retrieval import bm25_topk, bm25_topk_batch
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    qs = [
+        (1, "spark merge join window"),
+        (2, "fast hash filter data"),
+        (3, "the stream window sort"),
+        (4, "Spark JOIN"),
+    ]
+    qdf = spark.createDataFrame(qs, "qid long, qtext string")
+    batch = bm25_topk_batch(d, "text", "doc_id", qdf, "qid", "qtext", k=8)
+    got: dict = {}
+    for r in batch.collect():
+        got.setdefault(r["qid"], []).append(
+            (r["doc_id"], math.floor(r["bm25"] * 1e6) / 1e6)
+        )
+    for qid, qtext in qs:
+        single = [
+            (r["doc_id"], math.floor(r["bm25"] * 1e6) / 1e6)
+            for r in bm25_topk(d, "text", "doc_id", qtext, k=8).collect()
+        ]
+        assert got.get(qid, []) == single, qid
+
+
+def test_rrf_fuse_per_query_equals_per_query_single(spark):
+    """rrf_fuse(query_col=) groups ranks and fusion per query: each
+    query's fused list equals single-query rrf_fuse over that query's
+    legs, and k bounds EACH query's output."""
+    from gluestick_spark.llm.retrieval import bm25_topk_batch, rrf_fuse
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    qs = [(1, "spark merge join window"), (2, "fast hash filter data")]
+    qdf = spark.createDataFrame(qs, "qid long, qtext string")
+    batch = bm25_topk_batch(d, "text", "doc_id", qdf, "qid", "qtext", k=40)
+    leg1 = batch.select(
+        "qid", "doc_id", (F.floor(F.col("bm25") * 100) / 100).alias("s")
+    )
+    leg2 = batch.select("qid", "doc_id", (-F.col("bm25")).alias("s"))
+    fused = rrf_fuse(
+        [(leg1, "s", False), (leg2, "s", True)], "doc_id", k=5,
+        query_col="qid",
+    )
+    rows = fused.collect()
+    for qid, _ in qs:
+        per = [
+            (r["doc_id"], r["rrf_score"], r["n_legs"])
+            for r in rows
+            if r["qid"] == qid
+        ]
+        assert 0 < len(per) <= 5
+        l1 = leg1.where(F.col("qid") == qid).drop("qid")
+        l2 = leg2.where(F.col("qid") == qid).drop("qid")
+        single = [
+            (r["doc_id"], r["rrf_score"], r["n_legs"])
+            for r in rrf_fuse(
+                [(l1, "s", False), (l2, "s", True)], "doc_id", k=5
+            ).collect()
+        ]
+        assert per == single, qid
+
+
+def test_sq_batch_keeps_partition_pruning(spark, tmp_dir):
+    """The batched cells scan still carries the cid PartitionFilter —
+    batching must not cost the single-query path's pruning."""
+    from gluestick_spark.llm.cluster import (
+        materialize_sq_ivf,
+        sq_ivf_topk_indexed_batch,
+    )
+
+    emb = _emb(spark, n=200)
+    path = os.path.join(tmp_dir, "bprune")
+    materialize_sq_ivf(emb, "embedding", "vec_id", path, n_clusters=4)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = sq_ivf_topk_indexed_batch(
+        spark, path, queries, "embedding", "query_id", k=5, nprobe=2
+    )
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    pruned = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln
+        and "PartitionFilters:" in ln
+        and "cid" in ln.split("PartitionFilters:")[1].split("]")[0]
+    ]
+    assert pruned, plan
