@@ -5820,15 +5820,21 @@ def q_streaming_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 streaming cross-corpus SemDeDup (streaming/pipeline.py:
     materialize_semdedup_ref + streaming_semdedup — VERDICT r13 #7,
     closing streaming parity for the last batch-only dedup family): the
-    frozen reference (vec_id % 3 = 0) is materialized once (router +
-    assigned cells); the corpus half arrives in two micro-batches, each
-    assigned against the persisted router and judged with the exact
-    int64 rational cosine rule. Stateless per batch ⇒ stream ≡ batch
-    EXACTLY, so this row shares the semdedup_against oracle verbatim
-    over the union."""
+    frozen reference (vec_id % 3 = 0) is built the LIFECYCLE way since
+    r15: materialized on its vec_id % 6 = 0 half (router trained
+    there), then GROWN to the full third with append_semdedup_ref
+    (VERDICT r14 #6 — frozen-router assignment, bracket-committed);
+    the corpus half arrives in two micro-batches, each assigned
+    against the persisted router and judged with the exact int64
+    rational cosine rule. Stateless per batch ⇒ stream ≡ batch
+    EXACTLY; the oracle is the semdedup_against replay with the router
+    trained on the build half and the appended rows assigned against
+    the final centroids — a wrong append (retrained router, lost or
+    doubled reference rows) mismatches."""
     import tempfile
 
     from gluestick_spark.streaming.pipeline import (
+        append_semdedup_ref,
         materialize_semdedup_ref,
         read_streaming_dedup_output,
         stream_from_directory,
@@ -5837,14 +5843,17 @@ def q_streaming_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     e = _t(spark, sf_dir, "embeddings")
-    ref = e.where(F.col("vec_id") % 3 == 0)
     cor = e.where(F.col("vec_id") % 3 != 0)
     refp = _SSD_REF_CACHE.get(sf_dir)
     if refp is None:  # store-once: repeated calls measure the STREAM
         refp = tempfile.mkdtemp(prefix="gs_ssd_ref_")
         materialize_semdedup_ref(
-            ref, "embedding", "vec_id", refp,
+            e.where(F.col("vec_id") % 6 == 0), "embedding", "vec_id", refp,
             k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE,
+        )
+        append_semdedup_ref(
+            e.where((F.col("vec_id") % 3 == 0) & (F.col("vec_id") % 6 != 0)),
+            "embedding", "vec_id", refp,
         )
         _SSD_REF_CACHE[sf_dir] = refp
     stage = tempfile.mkdtemp(prefix="gs_ssd_src_")
@@ -8217,7 +8226,15 @@ def q_semdedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semdedup_against_oracle_sql() -> str:
+def _semdedup_against_oracle_sql(router_pred: str = "vec_id % 3 = 0") -> str:
+    """Cross-corpus SemDeDup replay. ``router_pred`` selects the rows
+    the ROUTER trains on; the reference point set is always the full
+    ``vec_id % 3 = 0`` third. When the two differ (the append-built
+    reference of the r15 streaming_semdedup row: materialize on
+    ``vec_id % 6 = 0``, append the rest), the appended rows are
+    assigned against the FINAL centroids with the cassign window device
+    — exactly what append_semdedup_ref's frozen-router ``_assign_df``
+    computes."""
     from math import gcd
 
     t = round(_SEMDEDUP_TAU * 100)
@@ -8226,14 +8243,49 @@ def _semdedup_against_oracle_sql() -> str:
     num, den = num // g, den // g
     body, last = _kmeans_sql_body(
         _KM_K, _KM_ITERS, _KM_SCALE, _KM_DIM,
-        src="(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0)",
+        src=f"(SELECT vec_id, embedding FROM embeddings WHERE {router_pred})",
     )
     cent_final = f"cent{_KM_ITERS}"
-    return f"""WITH {body},
+    if router_pred == "vec_id % 3 = 0":
+        rpts = f"""rpts AS (
+  SELECT x.q, x.xx, a.cid
+  FROM qxx x JOIN assign{last} a ON x.id = a.id
+)"""
+    else:
+        # appended reference rows: frozen-router assignment against the
+        # final centroids (argmin by rational distance, ties to cid)
+        rpts = f"""aq AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_SCALE}.0 + 0.5) AS BIGINT)) AS q
+  FROM embeddings WHERE vec_id % 3 = 0 AND NOT ({router_pred})
+),
+aqx AS (
+  SELECT id, q, CAST(list_dot_product(q, q) AS BIGINT) AS xx FROM aq
+),
+aassign AS (
+  SELECT id, cid FROM (
+    SELECT x.id, c.cid,
+           row_number() OVER (
+             PARTITION BY x.id
+             ORDER BY CAST(c.n*c.n*x.xx
+                           - 2*c.n*CAST(list_dot_product(x.q, c.s) AS BIGINT)
+                           + CAST(list_dot_product(c.s, c.s) AS BIGINT) AS DOUBLE)
+                      / CAST(c.n*c.n AS DOUBLE),
+                      c.cid
+           ) AS rn
+    FROM aqx x CROSS JOIN {cent_final} c
+  ) WHERE rn = 1
+),
 rpts AS (
   SELECT x.q, x.xx, a.cid
   FROM qxx x JOIN assign{last} a ON x.id = a.id
-),
+  UNION ALL
+  SELECT x.q, x.xx, a.cid
+  FROM aqx x JOIN aassign a ON x.id = a.id
+)"""
+    return f"""WITH {body},
+{rpts},
 cqx AS (
   SELECT vec_id AS id,
          list_transform(embedding,
@@ -9336,6 +9388,106 @@ ORDER BY qid, rrf_score DESC, doc_id
 
 
 
+def q_pii_validated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated structured PII (llm/pii.py:valid_cards_expr /
+    valid_ibans_expr — VERDICT r14 #7): one card-shaped 16-digit run
+    and one IBAN-shaped run are planted per document, derived
+    DETERMINISTICALLY from doc_id, so ~1/10 pass Luhn and ~1/97 pass
+    ISO 7064 mod-97 — the false-positive cut a regex-only redactor
+    cannot make. Detection is a pure Catalyst fold (indexed transform +
+    integer aggregate for Luhn; incremental mod-97 fold for IBAN); the
+    oracle replays candidate extraction and BOTH checksums in SQL
+    (position-indexed doubling; letter-expanded uniform digit fold)."""
+    from gluestick_spark.llm.pii import valid_cards_expr, valid_ibans_expr
+
+    d = _tp(spark, sf_dir, "documents", "doc_id")
+    card = F.concat(
+        F.lit("4"),
+        F.lpad(
+            (F.col("doc_id") * 7919 % F.lit(10**15)).cast("string"), 15, "0"
+        ),
+    )
+    iban = F.concat(
+        F.lit("DE"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit("BANK"),
+        F.lpad(
+            (F.col("doc_id") * 104729 % F.lit(10**10)).cast("string"), 10, "0"
+        ),
+    )
+    txt = F.concat(
+        F.col("text"), F.lit(" pay "), card, F.lit(" wire "), iban
+    )
+    return d.select(
+        "doc_id",
+        F.size(valid_cards_expr(txt)).alias("n_valid_cards"),
+        F.size(valid_ibans_expr(txt)).alias("n_valid_ibans"),
+    )
+
+
+_Q_PII_VALIDATED_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         text || ' pay ' || '4' ||
+           lpad(CAST((doc_id * 7919) % 1000000000000000 AS VARCHAR), 15, '0')
+         || ' wire ' || 'DE' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+         || 'BANK' || lpad(CAST((doc_id * 104729) % 10000000000 AS VARCHAR), 10, '0') AS t
+  FROM documents
+),
+cards AS (
+  SELECT doc_id, unnest(regexp_extract_all(t, '\b\d(?:[ -]?\d){12,18}\b')) AS cand
+  FROM base
+),
+cdigits AS (
+  SELECT doc_id, cand, regexp_replace(cand, '[ -]', '', 'g') AS ds FROM cards
+),
+cvalid AS (
+  SELECT doc_id
+  FROM (
+    SELECT doc_id, ds, length(ds) AS L,
+           list_sum(list_transform(string_split(ds, ''),
+             (c, i) -> CASE WHEN (length(ds) - i) % 2 = 1
+                            THEN CASE WHEN CAST(c AS INT) * 2 > 9
+                                      THEN CAST(c AS INT) * 2 - 9
+                                      ELSE CAST(c AS INT) * 2 END
+                            ELSE CAST(c AS INT) END)) AS s
+    FROM cdigits
+  ) WHERE L >= 13 AND s % 10 = 0
+),
+ccount AS (SELECT doc_id, count(*) AS n FROM cvalid GROUP BY doc_id),
+ibans AS (
+  SELECT doc_id, unnest(regexp_extract_all(t, '\b[A-Z]{2}\d{2}[A-Z0-9]{11,29}\b')) AS ib
+  FROM base
+),
+iexp AS (
+  SELECT doc_id, ib,
+         list_aggregate(list_transform(
+           string_split(substr(ib, 5) || substr(ib, 1, 4), ''),
+           c -> CASE WHEN ascii(c) >= 65 THEN CAST(ascii(c) - 55 AS VARCHAR)
+                     ELSE c END), 'string_agg', '') AS expanded
+  FROM ibans
+),
+ivalid AS (
+  SELECT doc_id
+  FROM (
+    SELECT doc_id, ib,
+           CAST(list_reduce(string_split('0' || expanded, ''),
+             (a, c) -> CAST((CAST(a AS BIGINT) * 10 + CAST(c AS BIGINT)) % 97 AS VARCHAR)
+           ) AS BIGINT) AS m
+    FROM iexp
+  ) WHERE length(ib) >= 15 AND m = 1
+),
+icount AS (SELECT doc_id, count(*) AS n FROM ivalid GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(c.n, 0) AS INT) AS n_valid_cards,
+       CAST(coalesce(i.n, 0) AS INT) AS n_valid_ibans
+FROM documents d
+LEFT JOIN ccount c ON c.doc_id = d.doc_id
+LEFT JOIN icount i ON i.doc_id = d.doc_id
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -9580,6 +9732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pq_ivf_batch_topk': q_pq_ivf_batch_topk,
         'bm25_batch_topk': q_bm25_batch_topk,
         'retrieval_decontam': q_retrieval_decontam,
+        'pii_validated': q_pii_validated,
     }
 
 
@@ -9750,7 +9903,7 @@ def oracle_sql() -> dict[str, str]:
         'sq_ivf_deleted_topk': _Q_SQ_DELETED_TOPK_SQL,
         'rrf_fused_topk': _Q_RRF_FUSED_SQL,
         'unigram_segment': _unigram_sql(),
-        'streaming_semdedup': _semdedup_against_oracle_sql(),
+        'streaming_semdedup': _semdedup_against_oracle_sql(router_pred='vec_id % 6 = 0'),
         'build_vocab': _Q_BUILD_VOCAB_SQL,
         'cluster_dedup': _Q_CLUSTER_DEDUP_SQL,
         'hash_sample': _Q_HASH_SAMPLE_SQL,
@@ -9802,4 +9955,5 @@ def oracle_sql() -> dict[str, str]:
         'pq_ivf_batch_topk': _pq_ivf_batch_oracle_sql(),
         'bm25_batch_topk': _Q_BM25_BATCH_SQL,
         'retrieval_decontam': _retrieval_decontam_oracle_sql(),
+        'pii_validated': _Q_PII_VALIDATED_SQL,
     }

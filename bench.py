@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "pq_ivf_batch_topk",
     "bm25_batch_topk",
     "retrieval_decontam",
+    "pii_validated",
 ]
 
 

@@ -1824,17 +1824,23 @@ def materialize_semdedup_ref(
         return_state=True, assign=assign,
     )
     capped: list[int] = []
+    counts: list[int] = []
     if state:
         pts = _assign_df(_prepare(reference, vec_col, id_col, scale), state, assign)
+        # per-cell TRUE counts (capped cells included) persist in the
+        # meta: append_semdedup_ref re-derives the capped set from
+        # counts + appended batches — capped cells' rows are physically
+        # absent, so disk can never be the count of record
+        sizes = {
+            int(r["cid"]): int(r["n"])
+            for r in pts.groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        counts = [sizes.get(c, 0) for c in range(len(state))]
         if max_cluster_size is not None:
             if max_cluster_size < 1:
                 raise ValueError(
                     f"max_cluster_size must be >= 1, got {max_cluster_size}"
                 )
-            sizes = {
-                int(r["cid"]): int(r["n"])
-                for r in pts.groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()
-            }
             # mirror semdedup_against's capped join EXACTLY: cells kept are
             # those with 0 < n <= cap; oversized AND empty cells both leave
             # their corpus rows unjudged (the batch op's inner join on the
@@ -1860,12 +1866,138 @@ def materialize_semdedup_ref(
         "id_col": id_col,
         "assign": assign,
         "capped": capped,
+        "counts": counts,
+        "max_cluster_size": (
+            int(max_cluster_size) if max_cluster_size is not None else None
+        ),
         "state": [[list(map(int, s)), int(n)] for s, n in state],
     }
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
         _json.dump(meta, f)
     _os.replace(tmp, meta_path)
+
+
+_SSD_LEDGER = "_append_counts"  # inside cells/: underscore-hidden, manifested
+
+
+def append_semdedup_ref(
+    new_ref_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+) -> int:
+    """Incrementally GROW a :func:`materialize_semdedup_ref` reference
+    (VERDICT r14 #6 — the lifecycle asymmetry vs the ANN index family):
+    the new reference rows are assigned against the FROZEN router
+    (geometry unchanged ⇒ every existing verdict's cell and cosine rule
+    unchanged), prepared in the same narrow projection, and appended
+    into the cell partition dirs — O(batch), never a router retrain or
+    cell rewrite. Returns the number of appended rows.
+
+    Cap re-derivation: the meta's per-cell build ``counts`` plus a
+    per-append count ledger (``cells/_append_counts/*.json``, written
+    INSIDE the append bracket so a torn batch rolls its ledger back
+    with its cell files) let :func:`_semdedup_capped` recompute the
+    capped set at serve time from TRUE totals — a cell crossing
+    ``max_cluster_size`` stops being judged, an empty cell that gains
+    rows starts, exactly as a rebuild over the union with the same
+    router would decide. (Build-capped cells' rows were never written,
+    so disk alone can never be the count of record.) A capped reference
+    whose meta predates the counts field refuses to append — rebuild
+    once to record them.
+
+    Crash safety is the shared ``_APPEND_INPROGRESS`` bracket: a torn
+    append is rolled back (cells + ledger together) on the next append,
+    and serving (:func:`streaming_semdedup`) refuses a torn reference
+    loudly. The meta file is never rewritten — the router IS frozen."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    from ..llm.cluster import _assign_df, _prepare
+    from ..llm.index_commit import (
+        begin_append,
+        commit_append,
+        rollback_torn_append,
+    )
+
+    meta_path = _os.path.join(path, _SEMDEDUP_META)
+    if not _os.path.isfile(meta_path):
+        raise ValueError(
+            f"semdedup reference at {path} is torn or absent (no "
+            f"{_SEMDEDUP_META}) — run materialize_semdedup_ref first"
+        )
+    rollback_torn_append(path)  # self-heal: a retried append rolls back
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    state = [(list(map(int, s)), int(n)) for s, n in meta["state"]]
+    if not state:
+        raise ValueError(
+            f"semdedup reference at {path} has an empty router — rebuild "
+            "with materialize_semdedup_ref on a non-empty reference"
+        )
+    if meta.get("max_cluster_size") is not None and "counts" not in meta:
+        raise ValueError(
+            f"semdedup reference at {path} was built with a cap by a "
+            "pre-append version (no per-cell counts in the meta) — "
+            "rebuild once with materialize_semdedup_ref to record them"
+        )
+    pts = _assign_df(
+        _prepare(new_ref_df, vec_col, id_col, meta["scale"]),
+        state,
+        meta["assign"],
+    ).localCheckpoint()  # feeds the count aggregate AND the append write
+    appended = {
+        int(r["cid"]): int(r["n"])
+        for r in pts.groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_rows = sum(appended.values())
+    if n_rows == 0:
+        return 0
+    begin_append(path)
+    (
+        pts.select(
+            "cid", F.col("__q__").alias("qr"), F.col("__xx__").alias("xxr")
+        )
+        .repartition(F.col("cid"))
+        .write.partitionBy("cid")
+        .mode("append")
+        .parquet(_os.path.join(path, "cells"))
+    )
+    ledger_dir = _os.path.join(path, "cells", _SSD_LEDGER)
+    _os.makedirs(ledger_dir, exist_ok=True)
+    tmp = _os.path.join(ledger_dir, f".{_uuid.uuid4().hex}.tmp")
+    dst = _os.path.join(ledger_dir, f"{_uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        _json.dump({"counts": appended}, f)
+    _os.replace(tmp, dst)
+    commit_append(path)
+    return n_rows
+
+
+def _semdedup_capped(path: str, meta: dict) -> set[int]:
+    """The reference's CURRENT capped-cell set: build counts + every
+    committed append ledger, judged against the persisted cap. A
+    pre-counts meta (or an uncapped build) falls back to the frozen
+    build-time list."""
+    import json as _json
+    import os as _os
+
+    cap = meta.get("max_cluster_size")
+    counts = meta.get("counts")
+    if cap is None or counts is None:
+        return set(meta.get("capped", []))
+    totals = [int(v) for v in counts]
+    ledger_dir = _os.path.join(path, "cells", _SSD_LEDGER)
+    if _os.path.isdir(ledger_dir):
+        for name in sorted(_os.listdir(ledger_dir)):
+            if not name.endswith(".json"):
+                continue
+            with open(_os.path.join(ledger_dir, name)) as f:
+                for cid, n in _json.load(f)["counts"].items():
+                    totals[int(cid)] += int(n)
+    return {c for c, t in enumerate(totals) if t == 0 or t > cap}
 
 
 def _pruned_ref_cells(spark, ref_path: str, batch_cids: list) -> DataFrame:
@@ -1927,10 +2059,17 @@ def streaming_semdedup(
             f"semdedup reference at {ref_path} is torn or absent (no "
             f"{_SEMDEDUP_META}) — run materialize_semdedup_ref first"
         )
+    from ..llm.index_commit import require_committed
+
+    # a torn append_semdedup_ref must not serve half a reference batch
+    require_committed(ref_path, "semdedup reference")
     with open(meta_path) as f:
         meta = _json.load(f)
     state = [(list(map(int, s)), int(n)) for s, n in meta["state"]]
-    capped = set(meta.get("capped", []))
+    # capped set derived from TRUE totals (build counts + append
+    # ledgers) — appends can cap a growing cell or uncap an empty one,
+    # exactly as a rebuild over the union with the same router would
+    capped = _semdedup_capped(ref_path, meta)
     scale = int(meta["scale"])
     # validate the RAW float (ADVICE r14 #5): 1.004 / -0.004 must raise,
     # not silently round into range
