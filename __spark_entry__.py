@@ -9200,6 +9200,69 @@ ORDER BY qid, pq_dist, vec_id
     )
 
 
+def q_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched plain-family IVF serving (llm/similarity.py:
+    ivf_topk_indexed_batch — completing the batched trio across all
+    three persisted index families): the 4-query set probes the shared
+    plain IVF index with nprobe = ALL lists, so each query's answer must
+    equal exhaustive cosine top-k — the oracle is the brute-force cosine
+    SQL with a query dimension (probe-selection parity at partial nprobe
+    is pinned by the agreement pytest, the same split as the sq row)."""
+    import tempfile
+
+    from gluestick_spark.llm.similarity import (
+        ivf_topk_indexed_batch,
+        materialize_ivf,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = [
+        list(r["embedding"])
+        for r in e.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    path = _IVF_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="gs_ivf_idx_")
+        materialize_ivf(e, "embedding", cents, path)
+        _IVF_INDEX_CACHE[sf_dir] = path
+    queries = e.where(F.col("vec_id").isin(list(_BATCH_QIDS))).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    top = ivf_topk_indexed_batch(
+        spark, path, queries, cents, "qid", k=10, nprobe=len(cents)
+    )
+    return top.select(
+        "qid", "vec_id",
+        (F.floor(F.col("similarity") * 1e4) / 1e4).alias("similarity"),
+    )
+
+
+_Q_IVF_BATCH_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+  WHERE vec_id IN {_BATCH_QIDS}
+),
+s AS (
+  SELECT q.qid, e.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+  FROM embeddings e CROSS JOIN q
+),
+r AS (
+  SELECT qid, vec_id, sim,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY sim DESC, vec_id ASC
+         ) AS rn
+  FROM s
+)
+SELECT qid, vec_id, floor(sim * 1e4) / 1e4 AS similarity
+FROM r WHERE rn <= 10
+ORDER BY qid, rn
+"""
+
+
 # eval-question set for batched lexical retrieval + the decontam
 # composition: terms drawn from the synthetic documents vocabulary
 _DECON_QUERIES = (
@@ -9733,6 +9796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'bm25_batch_topk': q_bm25_batch_topk,
         'retrieval_decontam': q_retrieval_decontam,
         'pii_validated': q_pii_validated,
+        'ivf_batch_topk': q_ivf_batch_topk,
     }
 
 
@@ -9956,4 +10020,5 @@ def oracle_sql() -> dict[str, str]:
         'bm25_batch_topk': _Q_BM25_BATCH_SQL,
         'retrieval_decontam': _retrieval_decontam_oracle_sql(),
         'pii_validated': _Q_PII_VALIDATED_SQL,
+        'ivf_batch_topk': _Q_IVF_BATCH_TOPK_SQL,
     }

@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "bm25_batch_topk",
     "retrieval_decontam",
     "pii_validated",
+    "ivf_batch_topk",
 ]
 
 

@@ -42,6 +42,7 @@ __all__ = [
     "ivf_topk",
     "materialize_ivf",
     "ivf_topk_indexed",
+    "ivf_topk_indexed_batch",
     "train_ivf_centroids",
     "quantize_embeddings",
     "sq_quantize_exprs",
@@ -846,3 +847,118 @@ def ann_recall_audit(
         recall = 10000 if n_exact == 0 else int((10000 * n_hit) // n_exact)
         rows.append((t, len(queries), k, n_exact, n_hit, recall))
     return spark.createDataFrame(rows, schema)
+
+
+def _probe_centroids_expr(
+    centroids: list[list[float] | None], nprobe: int, qcol: Column
+) -> Column:
+    """Per-row probe selection against FLOAT centroid literals — the
+    Catalyst twin of :func:`_probe_centroids`, operation-for-operation
+    (sequential left-fold sums, ``sqrt(cc)·sqrt(qq)`` denominator,
+    ``0.0`` on zero denominator, descending similarity with ties to the
+    LARGER centroid index — Python's ``sorted(reverse=True)`` on
+    ``(s, i)`` tuples). Returns an ``array<int>`` of probe ids."""
+    qn = F.sqrt(
+        F.aggregate(
+            F.transform(qcol, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    structs = []
+    for i, c in enumerate(centroids):
+        if c is None:  # tombstoned slot (ivf_rebalance): never probed
+            continue
+        cn = math.sqrt(sum(x * x for x in c))
+        c_arr = F.array(*[F.lit(float(x)) for x in c])
+        dot = F.aggregate(
+            F.zip_with(qcol, c_arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        denom = F.lit(cn) * qn
+        s = F.when(denom != 0, dot / denom).otherwise(F.lit(0.0))
+        # ascending sort on (-s, -i) == Python's descending (s, i)
+        structs.append(
+            F.struct((-s).alias("d"), F.lit(-i).alias("mi"))
+        )
+    return F.transform(
+        F.slice(F.array_sort(F.array(*structs)), 1, int(nprobe)),
+        lambda x: -x["mi"],
+    )
+
+
+def ivf_topk_indexed_batch(
+    spark,
+    path: str,
+    queries_df: DataFrame,
+    centroids: list[list[float] | None],
+    query_id_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched serving against a :func:`materialize_ivf` index — the
+    plain-family member of the round-15 batched-retrieval trio (IVF×SQ:
+    :func:`~gluestick_spark.llm.cluster.sq_ivf_topk_indexed_batch`,
+    IVF×PQ: :func:`~gluestick_spark.llm.pq.pq_ivf_topk_indexed_batch`).
+    ``queries_df`` carries (``query_id_col``, ``vec_col``); the result
+    is (query, id, ``similarity``), per query row-for-row identical to
+    :func:`ivf_topk_indexed` (agreement pytest-pinned).
+
+    Plan: ONE narrow pass selects each query's ``nprobe`` probe lists
+    against the float centroid literals (:func:`_probe_centroids_expr`);
+    the union of probed ids (collected, bounded by the centroid count)
+    prunes the partitioned scan; one ``centroid_id``-keyed join scores
+    candidates with the column-to-column :func:`cosine_expr`; per-query
+    top-k via a window (similarity desc, id asc). Tombstoned ids are
+    anti-joined out. Cost Σ_q |probed lists_q| — one job, no driver
+    loop."""
+    from pyspark.sql import Window
+
+    from .index_commit import require_committed
+
+    if nprobe < 1 or k < 1:
+        raise ValueError("nprobe >= 1 and k >= 1 required")
+    require_committed(path, "ivf")  # a torn append must not be probed
+    probes = _probe_centroids_expr(centroids, nprobe, F.col(vec_col))
+    qx = queries_df.select(
+        F.col(query_id_col).alias("__qid__"),
+        F.col(vec_col).alias("__qv__"),
+        F.explode(probes).alias("centroid_id"),
+    ).localCheckpoint()  # pinned: feeds the probed-id collect AND the join
+    probed = sorted(
+        {r["centroid_id"] for r in qx.select("centroid_id").distinct().collect()}
+    )
+    if not probed:
+        return (
+            queries_df.select(F.col(query_id_col))
+            .limit(0)
+            .withColumn(id_col, F.lit(None).cast("long"))
+            .withColumn("similarity", F.lit(None).cast("double"))
+        )
+    cand = qx.join(
+        spark.read.parquet(path).where(F.col("centroid_id").isin(probed)),
+        "centroid_id",
+    )
+    from .index_delete import filter_tombstoned
+
+    cand = filter_tombstoned(spark, path, cand, id_col)
+    sim = cosine_expr(F.col(vec_col), F.col("__qv__"))
+    w = Window.partitionBy("__qid__").orderBy(
+        F.col("similarity").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.select(F.col("__qid__"), F.col(id_col), sim.alias("similarity"))
+        .withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") <= k)
+        .select(
+            F.col("__qid__").alias(query_id_col),
+            F.col(id_col),
+            F.col("similarity"),
+        )
+        .orderBy(
+            F.asc(query_id_col), F.col("similarity").desc(), F.asc(id_col)
+        )
+    )

@@ -784,3 +784,44 @@ def test_luhn_and_iban_validation_known_vectors(spark):
         "order 1234-5678-9012-3456 card <CARD> "
         "wire <IBAN> not DE89370400440532013001"
     )
+
+
+def test_plain_ivf_batch_equals_single_query_serving(spark, tmp_dir):
+    """ivf_topk_indexed_batch ≡ per-query ivf_topk_indexed for the
+    plain float family — probe selection (incl. the larger-index tie
+    rule and tombstoned None slots), cosine scoring, delete gating."""
+    from gluestick_spark.llm.index_delete import ivf_delete
+    from gluestick_spark.llm.similarity import (
+        ivf_topk_indexed,
+        ivf_topk_indexed_batch,
+        materialize_ivf,
+        train_ivf_centroids,
+    )
+
+    emb = _emb(spark, n=250)
+    cents = train_ivf_centroids(emb, "embedding", 4)
+    path = os.path.join(tmp_dir, "pivf")
+    materialize_ivf(emb, "embedding", cents, path)
+    ivf_delete(spark, path, emb.where("vec_id % 8 = 5").select("vec_id"))
+    qids = [0, 7, 33, 101]
+    queries = emb.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qvecs = {r["vec_id"]: list(r["embedding"]) for r in emb.where(
+        F.col("vec_id").isin(qids)
+    ).collect()}
+    for nprobe in (2, 4):
+        batch = ivf_topk_indexed_batch(
+            spark, path, queries, cents, "query_id", k=6, nprobe=nprobe
+        )
+        got: dict = {q: [] for q in qids}
+        for r in batch.collect():
+            got[r["query_id"]].append((r["vec_id"], r["similarity"]))
+        for qid in qids:
+            single = [
+                (r["vec_id"], r["similarity"])
+                for r in ivf_topk_indexed(
+                    spark, path, qvecs[qid], cents, k=6, nprobe=nprobe
+                ).collect()
+            ]
+            assert got[qid] == single, (nprobe, qid)
