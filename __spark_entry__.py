@@ -9379,7 +9379,7 @@ def q_retrieval_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = sq_ivf_topk_indexed_batch(
         spark, path, qvecs, "embedding", "qid", k=50, nprobe=n_live
     ).withColumnRenamed("vec_id", "doc_id")
-    return rrf_fuse(
+    fused = rrf_fuse(
         [(bm, "bm25r", False), (ann, "score", False)],
         "doc_id",
         k_const=60,
@@ -9387,10 +9387,62 @@ def q_retrieval_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         query_col="qid",
     )
+    # OVERLAP VERDICT: word-bigram containment of the eval question in
+    # each fused candidate — n_hit = |q_bigrams ∩ doc_bigrams| (distinct
+    # sets), contaminated iff ≥ half the question's bigrams appear.
+    # Exact integer decision — no float ratio to round.
+    from gluestick_spark.llm.text import tokens_expr
+
+    qg = spark.createDataFrame(
+        [
+            (qid, sorted({
+                f"{a} {b}"
+                for a, b in zip(qs.lower().split(), qs.lower().split()[1:])
+            }))
+            for qid, qs in _DECON_QUERIES
+        ],
+        "qid long, qgrams array<string>",
+    )
+    toks = F.transform(tokens_expr(F.col("text")), F.lower)
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat(
+                    F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dg = d.join(
+        fused.select("doc_id").distinct(), "doc_id"
+    ).select("doc_id", grams.alias("dgrams"))
+    n_hit = F.size(F.array_intersect(F.col("qgrams"), F.col("dgrams")))
+    return (
+        fused.join(F.broadcast(qg), "qid")
+        .join(F.broadcast(dg), "doc_id")
+        .select(
+            "qid", "doc_id", "rrf_score", "n_legs",
+            n_hit.alias("n_hit"),
+            (F.lit(2) * n_hit >= F.size(F.col("qgrams"))).alias("contaminated"),
+        )
+        .orderBy(F.asc("qid"), F.col("rrf_score").desc(), F.asc("doc_id"))
+    )
 
 
 def _retrieval_decontam_oracle_sql() -> str:
     qid_list = ", ".join(str(qid) for qid, _ in _DECON_QUERIES)
+    qgram_vals = ", ".join(
+        f"({qid}, '{a} {b}')"
+        for qid, qs in _DECON_QUERIES
+        for a, b in sorted(
+            {
+                (x, y)
+                for x, y in zip(qs.lower().split(), qs.lower().split()[1:])
+            }
+        )
+    )
     return (
         "WITH "
         + _bm25_batch_ctes()
@@ -9442,9 +9494,32 @@ rk AS (
   SELECT *, row_number() OVER (
     PARTITION BY qid ORDER BY rrf_score DESC, doc_id ASC
   ) AS rn FROM f
+),
+fused AS (SELECT qid, doc_id, rrf_score, n_legs FROM rk WHERE rn <= 10),
+qg(qid, gram) AS (VALUES {qgram_vals}),
+qn AS (SELECT qid, count(*) AS n_q FROM qg GROUP BY qid),
+dgr AS (
+  SELECT t.doc_id, unnest(list_distinct(
+    CASE WHEN len(t.t) >= 2
+         THEN list_transform(range(1, len(t.t)), i -> t.t[i] || ' ' || t.t[i + 1])
+         ELSE [] END)) AS gram
+  FROM tok t
+  WHERE t.doc_id IN (SELECT doc_id FROM fused)
+),
+ghits AS (
+  SELECT f.qid, f.doc_id, count(*) AS n_hit
+  FROM fused f
+  JOIN qg ON qg.qid = f.qid
+  JOIN dgr ON dgr.doc_id = f.doc_id AND dgr.gram = qg.gram
+  GROUP BY f.qid, f.doc_id
 )
-SELECT qid, doc_id, rrf_score, n_legs FROM rk WHERE rn <= 10
-ORDER BY qid, rrf_score DESC, doc_id
+SELECT f.qid, f.doc_id, f.rrf_score, f.n_legs,
+       CAST(coalesce(h.n_hit, 0) AS INT) AS n_hit,
+       (2 * coalesce(h.n_hit, 0) >= qn.n_q) AS contaminated
+FROM fused f
+LEFT JOIN ghits h ON h.qid = f.qid AND h.doc_id = f.doc_id
+JOIN qn ON qn.qid = f.qid
+ORDER BY f.qid, f.rrf_score DESC, f.doc_id
 """
     )
 
