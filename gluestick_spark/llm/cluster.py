@@ -104,72 +104,117 @@ def int_dot_expr(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_lit_sql(q_sql: str, s: list[int]) -> str:
+    """SQL text for the exact int64 dot of an array<long> column
+    fragment against an integer-literal vector, unrolled as a
+    left-associated sum — term order identical to the
+    :func:`int_dot_expr` fold (``((0 + t₀) + t₁) + …`` ≡
+    ``t₀ + t₁ + …``), so every partial sum (and thus ANSI overflow
+    behavior) is the same. Unrolled ``element_at`` terms whole-stage
+    codegen, unlike the interpreted higher-order-function fold, and —
+    the reason this module builds SQL text at all — the whole
+    expression crosses py4j ONCE instead of ~50 driver roundtrips per
+    centroid (measured: 7.4 s of a 9.7 s kmeans build was expression
+    construction chatter).
+
+    Use for SINGLE dots (one query vector, a rerank distance). For the
+    k-struct argmin use :func:`_dot_fold_sql`: k·d unrolled terms form
+    ONE un-splittable expression whose generated method exceeds
+    janino's 64 KB limit (observed on the PQ encode projection), and
+    the failed compile + interpreted fallback costs more than the fold
+    ever did."""
+    return (
+        " + ".join(
+            f"element_at({q_sql}, {i + 1}) * {int(v)}L" for i, v in enumerate(s)
+        )
+        or "0L"
+    )
+
+
+def _dot_fold_sql(q_sql: str, s: list[int]) -> str:
+    """SQL text for the same exact int64 dot as :func:`_dot_lit_sql`
+    but in the ``aggregate(zip_with(...))`` fold form — byte-for-byte
+    the runtime expression the Column API built before r15 (identical
+    fold order, identical interpreted evaluation), just parsed in one
+    py4j call. The fold keeps generated code size O(1) per centroid,
+    which is what lets a k-struct argmin projection stay inside
+    whole-stage codegen limits."""
+    vals = ", ".join(f"{int(v)}L" for v in s)
+    return (
+        f"aggregate(zip_with({q_sql}, array({vals}), (x, y) -> x * y), "
+        "0L, (acc, v) -> acc + v)"
+    )
+
+
+def _dist_struct_sqls(
+    cents: list[tuple[list[int], int]],
+    q_sql: str = "__q__",
+    xx_sql: str = "__xx__",
+    cids: list[int] | None = None,
+) -> list[str]:
+    """One ``struct(d, cid)`` SQL fragment per centroid literal — the
+    shared body of the argmin assignment (:func:`_min_struct_expr`) and
+    the batched top-``nprobe`` probe selection
+    (:func:`_probe_cids_expr`). ``d`` is the exact rational squared
+    distance as a double (int64 numerator, round-then-divide — the
+    divisor ``CAST(n² AS DOUBLE)`` constant-folds to exactly
+    ``float(n²)``, the same literal the Column builder emitted)."""
+    labels = list(range(len(cents))) if cids is None else list(cids)
+    out = []
+    for cid, (s, n) in zip(labels, cents):
+        ss = int(sum(v * v for v in s))
+        nn = int(n) * int(n)
+        num = f"{nn}L * {xx_sql} - {2 * int(n)}L * ({_dot_fold_sql(q_sql, s)}) + {ss}L"
+        out.append(
+            f"struct(CAST({num} AS DOUBLE) / CAST({nn} AS DOUBLE) AS d, "
+            f"{int(cid)} AS cid)"
+        )
+    return out
+
+
 def _assign_expr(
     cents: list[tuple[list[int], int]],
-    q: Column | None = None,
-    xx: Column | None = None,
+    q: str | None = None,
+    xx: str | None = None,
     cids: list[int] | None = None,
 ) -> Column:
     """argmin-distance expression against centroid literals.
 
     Builds ``array_min`` over k (d, cid) structs — struct comparison is
     lexicographic, so exact distance ties break to the smallest cluster
-    id. Pure narrow map: no join, no shuffle. ``q``/``xx`` default to the
-    internal prepared columns; PQ passes per-subspace slices. ``cids``
-    labels the entries explicitly (default: positional) — the device
-    that lets appends assign against the LIVE subset of a rebalanced
-    router whose dead cells left index gaps.
+    id. Pure narrow map: no join, no shuffle. ``q``/``xx`` are SQL text
+    fragments defaulting to the internal prepared columns; PQ passes
+    per-subspace column names. ``cids`` labels the entries explicitly
+    (default: positional) — the device that lets appends assign against
+    the LIVE subset of a rebalanced router whose dead cells left index
+    gaps.
     """
     return _min_struct_expr(cents, q, xx, cids)["cid"]
 
 
 def _min_struct_expr(
     cents: list[tuple[list[int], int]],
-    q: Column | None = None,
-    xx: Column | None = None,
+    q: str | None = None,
+    xx: str | None = None,
     cids: list[int] | None = None,
 ) -> Column:
     """``struct(d, cid)`` of the nearest centroid (lexicographic
     ``array_min`` — exact distance ties break to the smallest cluster
     id). ``d`` is the rational squared distance as a double — the IEEE
-    division of two exact int64s, replayable cross-engine."""
-    return F.array_min(F.array(*_dist_structs(cents, q, xx, cids)))
-
-
-def _dist_structs(
-    cents: list[tuple[list[int], int]],
-    q: Column | None = None,
-    xx: Column | None = None,
-    cids: list[int] | None = None,
-) -> list[Column]:
-    """One ``struct(d, cid)`` expression per centroid literal — the
-    shared body of the argmin assignment (:func:`_min_struct_expr`) and
-    the batched top-``nprobe`` probe selection
-    (:func:`_probe_cids_expr`). ``d`` is the exact rational squared
-    distance as a double (int64 numerator, round-then-divide)."""
-    q = F.col("__q__") if q is None else q
-    xx = F.col("__xx__") if xx is None else xx
-    labels = list(range(len(cents))) if cids is None else list(cids)
-    structs = []
-    for cid, (s, n) in zip(labels, cents):
-        s_arr = F.array(*[F.lit(int(v)).cast("long") for v in s])
-        xs = int_dot_expr(q, s_arr)
-        ss = int(sum(v * v for v in s))
-        num = (
-            F.lit(int(n * n)).cast("long") * xx
-            - F.lit(int(2 * n)).cast("long") * xs
-            + F.lit(ss).cast("long")
-        )
-        d = num.cast("double") / F.lit(float(n * n))
-        structs.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
-    return structs
+    division of two exact int64s, replayable cross-engine. Parsed from
+    SQL text in ONE ``F.expr`` call (plan-construction posture: k·d
+    literal trees built through the Column API cost tens of thousands
+    of py4j roundtrips per assignment — the round-15 profile's
+    dominant driver-side cost across the whole kmeans family)."""
+    sqls = _dist_struct_sqls(cents, q or "__q__", xx or "__xx__", cids)
+    return F.expr(f"array_min(array({', '.join(sqls)}))")
 
 
 def _probe_cids_expr(
     cents: list[tuple[list[int], int]],
     nprobe: int,
-    q: Column | None = None,
-    xx: Column | None = None,
+    q: str | None = None,
+    xx: str | None = None,
     cids: list[int] | None = None,
 ) -> Column:
     """Per-row IVF probe selection as ONE Catalyst expression: the
@@ -180,10 +225,10 @@ def _probe_cids_expr(
     :func:`_select_probes`, so batched probe selection ≡ the
     single-query path structurally — the device behind
     :func:`sq_ivf_topk_indexed_batch`."""
-    structs = _dist_structs(cents, q, xx, cids)
-    return F.transform(
-        F.slice(F.array_sort(F.array(*structs)), 1, int(nprobe)),
-        lambda s: s["cid"],
+    sqls = _dist_struct_sqls(cents, q or "__q__", xx or "__xx__", cids)
+    return F.expr(
+        f"transform(slice(array_sort(array({', '.join(sqls)})), 1, "
+        f"{int(nprobe)}), s -> s.cid)"
     )
 
 
@@ -291,16 +336,21 @@ def kmeans(
         cents = [(list(r["__q__"]), 1) for r in seed_rows]
         dim = len(cents[0][0])
 
+        # the k·(d+1) ints of driver-side state per step, fetched as ONE
+        # array-of-sums aggregate expression (a single F.expr parse —
+        # d separate sum() Columns cost ~6 py4j roundtrips each)
+        sums_sql = ", ".join(
+            f"sum(element_at(__q__, {i + 1}))" for i in range(dim)
+        )
         for _ in range(iters):
             assigned = _assign_df(pts, cents, assign)
-            agg = [F.count("*").alias("__n__")] + [
-                F.sum(F.element_at("__q__", i + 1)).alias(f"__s{i}__")
-                for i in range(dim)
-            ]
-            rows = assigned.groupBy("cid").agg(*agg).collect()
+            rows = assigned.groupBy("cid").agg(
+                F.count("*").alias("__n__"),
+                F.expr(f"array({sums_sql}) AS __sums__"),
+            ).collect()
             state = {
                 int(r["cid"]): (
-                    [int(r[f"__s{i}__"]) for i in range(dim)],
+                    [int(v) for v in r["__sums__"]],
                     int(r["__n__"]),
                 )
                 for r in rows
@@ -689,11 +739,10 @@ def ivf_topk_exact(
 
     pts = _prepare(df, vec_col, id_col, scale)
     pts = _assign_df(pts, state, assign).where(F.col("cid").isin(probes))
-    q_arr = F.array(*[F.lit(int(v)).cast("long") for v in qq])
-    dist = (
-        F.lit(int(qxx)).cast("long")
-        - F.lit(2).cast("long") * int_dot_expr(F.col("__q__"), q_arr)
-        + F.col("__xx__")
+    # one parsed expression; the unrolled dot keeps the fold's exact
+    # left-associated int64 term order (see _dot_lit_sql)
+    dist = F.expr(
+        f"{int(qxx)}L - 2L * ({_dot_lit_sql('__q__', qq)}) + __xx__"
     )
     return (
         pts.select(F.col("__id__").alias(id_col), dist.alias("ivf_dist"))

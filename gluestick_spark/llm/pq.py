@@ -145,12 +145,33 @@ def encode_pq(
     """
     m = len(codebooks)
     ds = len(codebooks[0][0][0])
-    codes = []
-    for j, book in enumerate(codebooks):
-        q = quantize_vec_expr(F.slice(F.col(vec_col), j * ds + 1, ds), scale)
-        xx = int_dot_expr(q, q)
-        codes.append(_assign_expr(book, q=q, xx=xx))
-    return df.select(F.col(id_col), F.array(*codes).alias("code"))
+    # project each subspace's quantized slice (and its norm) ONCE as a
+    # named column, then reference it by name from the k-struct argmin
+    # SQL — both single-evaluation at runtime and a single py4j parse
+    # per subspace (the Column-API literal trees this replaces were the
+    # dominant driver-side cost of the whole PQ family). The stacked
+    # narrow projections collapse into one in the optimized plan; the
+    # final select drops the scratch columns, so the output schema is
+    # unchanged: (id, code array<int>).
+    pre = df.select(
+        F.col(id_col),
+        *[
+            quantize_vec_expr(
+                F.slice(F.col(vec_col), j * ds + 1, ds), scale
+            ).alias(f"__pq{j}__")
+            for j in range(m)
+        ],
+    )
+    for j in range(m):
+        pre = pre.withColumn(
+            f"__pqx{j}__",
+            int_dot_expr(F.col(f"__pq{j}__"), F.col(f"__pq{j}__")),
+        )
+    codes = [
+        _assign_expr(book, q=f"__pq{j}__", xx=f"__pqx{j}__")
+        for j, book in enumerate(codebooks)
+    ]
+    return pre.select(F.col(id_col), F.array(*codes).alias("code"))
 
 
 def adc_table(
@@ -215,12 +236,15 @@ def _adc_dist_expr(tab: list[list[int]], code_col: str = "code"):
     table-literal lookup ``tab[j][code[j]]`` — shared by the in-query
     scan and the persisted-index serving path so indexed ≡ direct is
     structural."""
-    dist = None
-    for j, row in enumerate(tab):
-        arr = F.array(*[F.lit(int(v)).cast("long") for v in row])
-        term = F.element_at(arr, F.element_at(code_col, j + 1) + 1)
-        dist = term if dist is None else dist + term
-    return dist
+    terms = " + ".join(
+        "element_at(array({vals}), element_at({code}, {j}) + 1)".format(
+            vals=", ".join(f"{int(v)}L" for v in row),
+            code=code_col,
+            j=j + 1,
+        )
+        for j, row in enumerate(tab)
+    )
+    return F.expr(terms)
 
 
 def _rerank_dist_expr(qq: list[int], vec_col: str = "qvec"):
@@ -228,12 +252,15 @@ def _rerank_dist_expr(qq: list[int], vec_col: str = "qvec"):
     quantized query — the IVFADC+R refinement distance (Jégou et al.
     §V). Precision is the quantization grid (scale⁻¹ per coordinate),
     i.e. the full-vector distance the PQ codes approximate."""
-    arr = F.array(*[F.lit(int(v)).cast("long") for v in qq])
-    return F.aggregate(
-        F.zip_with(F.col(vec_col), arr, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    # unrolled squared-difference sum: identical left-associated int64
+    # term order to the zip_with/aggregate fold it replaces, but
+    # whole-stage-codegen-able and ONE py4j parse
+    terms = " + ".join(
+        f"(element_at({vec_col}, {i + 1}) - {int(v)}L) * "
+        f"(element_at({vec_col}, {i + 1}) - {int(v)}L)"
+        for i, v in enumerate(qq)
+    ) or "0L"
+    return F.expr(terms)
 
 
 def _rerank_tail(cand: DataFrame, id_col: str, qq: list[int], k: int):
@@ -347,18 +374,30 @@ def _encode_cells(
     payload — see :func:`materialize_pq_ivf` ``store_vectors``)."""
     m = len(codebooks)
     ds = len(codebooks[0][0][0])
-    codes = []
-    for j, book in enumerate(codebooks):
-        q = quantize_vec_expr(F.slice(F.col(vec_col), j * ds + 1, ds), scale)
-        xx = int_dot_expr(q, q)
-        codes.append(_assign_expr(book, q=q, xx=xx))
-    full_q = quantize_vec_expr(F.col(vec_col), scale)
-    out_cols = [id_col, "code", "cid"] + (["qvec"] if keep_qvec else [])
-    return df.select(
+    # per-subspace quantized slices projected ONCE as named columns
+    # (encode_pq's r15 shape: single evaluation, one SQL parse per
+    # subspace instead of k·d literal Column trees over py4j)
+    pre = df.select(
         F.col(id_col),
-        F.array(*codes).alias("code"),
-        full_q.alias("__q__"),
-    ).withColumn("__xx__", int_dot_expr(F.col("__q__"), F.col("__q__"))).withColumn(
+        quantize_vec_expr(F.col(vec_col), scale).alias("__q__"),
+        *[
+            quantize_vec_expr(
+                F.slice(F.col(vec_col), j * ds + 1, ds), scale
+            ).alias(f"__pq{j}__")
+            for j in range(m)
+        ],
+    ).withColumn("__xx__", int_dot_expr(F.col("__q__"), F.col("__q__")))
+    for j in range(m):
+        pre = pre.withColumn(
+            f"__pqx{j}__",
+            int_dot_expr(F.col(f"__pq{j}__"), F.col(f"__pq{j}__")),
+        )
+    codes = [
+        _assign_expr(book, q=f"__pq{j}__", xx=f"__pqx{j}__")
+        for j, book in enumerate(codebooks)
+    ]
+    out_cols = [id_col, "code", "cid"] + (["qvec"] if keep_qvec else [])
+    return pre.withColumn("code", F.array(*codes)).withColumn(
         "cid", _assign_expr(router, cids=router_cids)
     ).withColumn("qvec", F.col("__q__")).select(*out_cols)
 

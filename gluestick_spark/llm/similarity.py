@@ -181,12 +181,17 @@ def sq_topk(
 def _sq_score_topk(
     enc: DataFrame, id_col: str, qscale: float, qcodes: list[int], k: int
 ) -> DataFrame:
-    """Shared SQ scoring tail: int64 code dot × the two scales, top-k."""
-    lit_codes = F.array(*[F.lit(int(c)).cast("long") for c in qcodes])
-    idot = F.aggregate(
-        F.zip_with(F.col("__qv__"), lit_codes, lambda a, b: a.cast("long") * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    """Shared SQ scoring tail: int64 code dot × the two scales, top-k.
+
+    The dot is unrolled SQL text (one parse, whole-stage codegen) with
+    the same left-associated int64 term order as the zip_with/aggregate
+    fold it replaces — bit-identical sums, including overflow order."""
+    idot = F.expr(
+        " + ".join(
+            f"CAST(element_at(__qv__, {i + 1}) AS BIGINT) * {int(c)}L"
+            for i, c in enumerate(qcodes)
+        )
+        or "0L"
     )
     score = idot.cast("double") * F.col("__sc__") * F.lit(float(qscale))
     return (
@@ -850,41 +855,43 @@ def ann_recall_audit(
 
 
 def _probe_centroids_expr(
-    centroids: list[list[float] | None], nprobe: int, qcol: Column
+    centroids: list[list[float] | None], nprobe: int, qcol: str
 ) -> Column:
     """Per-row probe selection against FLOAT centroid literals — the
     Catalyst twin of :func:`_probe_centroids`, operation-for-operation
     (sequential left-fold sums, ``sqrt(cc)·sqrt(qq)`` denominator,
     ``0.0`` on zero denominator, descending similarity with ties to the
     LARGER centroid index — Python's ``sorted(reverse=True)`` on
-    ``(s, i)`` tuples). Returns an ``array<int>`` of probe ids."""
-    qn = F.sqrt(
-        F.aggregate(
-            F.transform(qcol, lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    ``(s, i)`` tuples). ``qcol`` is the query-vector column NAME; the
+    whole expression is SQL text parsed once (k·d float-literal Column
+    trees cost thousands of py4j roundtrips — the r15 profile's
+    driver-side tax). ``repr(float)``+``D`` renders each literal as the
+    shortest roundtrip decimal, which Java parses back to the identical
+    double, and the unrolled dot keeps the fold's left-associated IEEE
+    order — probe choice is bit-identical. Returns ``array<int>``."""
+    # left-fold x·x sum, same order as aggregate(transform(...))
+    qn_sql = f"sqrt(aggregate(transform({qcol}, x -> x * x), 0.0D, (acc, x) -> acc + x))"
     structs = []
     for i, c in enumerate(centroids):
         if c is None:  # tombstoned slot (ivf_rebalance): never probed
             continue
         cn = math.sqrt(sum(x * x for x in c))
-        c_arr = F.array(*[F.lit(float(x)) for x in c])
-        dot = F.aggregate(
-            F.zip_with(qcol, c_arr, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        # fold form, not unrolled: k·d unrolled terms in one expression
+        # overflow janino's 64 KB method limit (see cluster._dot_fold_sql);
+        # the fold is byte-identical to the pre-r15 Column-API runtime
+        vals = ", ".join(f"{float(x)!r}D" for x in c)
+        dot = (
+            f"aggregate(zip_with({qcol}, array({vals}), (a, b) -> a * b), "
+            "0.0D, (acc, x) -> acc + x)"
         )
-        denom = F.lit(cn) * qn
-        s = F.when(denom != 0, dot / denom).otherwise(F.lit(0.0))
+        denom = f"({cn!r}D * __qn__)"
+        s = f"CASE WHEN {denom} != 0.0D THEN ({dot}) / {denom} ELSE 0.0D END"
         # ascending sort on (-s, -i) == Python's descending (s, i)
-        structs.append(
-            F.struct((-s).alias("d"), F.lit(-i).alias("mi"))
-        )
-    return F.transform(
-        F.slice(F.array_sort(F.array(*structs)), 1, int(nprobe)),
-        lambda x: -x["mi"],
+        structs.append(f"struct(-({s}) AS d, {-i} AS mi)")
+    return F.expr(
+        "transform(slice(array_sort(array({ss})), 1, {np}), x -> -x.mi)".format(
+            ss=", ".join(structs), np=int(nprobe)
+        ).replace("__qn__", qn_sql)
     )
 
 
@@ -922,7 +929,7 @@ def ivf_topk_indexed_batch(
     if nprobe < 1 or k < 1:
         raise ValueError("nprobe >= 1 and k >= 1 required")
     require_committed(path, "ivf")  # a torn append must not be probed
-    probes = _probe_centroids_expr(centroids, nprobe, F.col(vec_col))
+    probes = _probe_centroids_expr(centroids, nprobe, vec_col)
     qx = queries_df.select(
         F.col(query_id_col).alias("__qid__"),
         F.col(vec_col).alias("__qv__"),

@@ -910,16 +910,23 @@ def test_pq_sample_trained_codebooks(spark):
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
 
     def distortion(books):
+        # _min_struct_expr takes SQL-text fragments since r15 — project
+        # the quantized slices as named columns first (encode_pq's shape)
         ds = len(books[0][0][0])
-        total = None
-        for j, book in enumerate(books):
+        pre = emb
+        for j in range(len(books)):
             q = quantize_vec_expr(
                 F.slice(F.col("embedding"), j * ds + 1, ds), 1000
             )
-            xx = int_dot_expr(q, q)
-            d = _min_struct_expr(book, q=q, xx=xx)["d"]
+            pre = pre.withColumn(f"__q{j}__", q).withColumn(
+                f"__xx{j}__",
+                int_dot_expr(F.col(f"__q{j}__"), F.col(f"__q{j}__")),
+            )
+        total = None
+        for j, book in enumerate(books):
+            d = _min_struct_expr(book, q=f"__q{j}__", xx=f"__xx{j}__")["d"]
             total = d if total is None else total + d
-        return emb.agg(F.sum(total)).first()[0]
+        return pre.agg(F.sum(total)).first()[0]
 
     full = train_pq(emb, "embedding", "vec_id", m=4, k=8, iters=1)
     samp = train_pq(
