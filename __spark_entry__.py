@@ -7464,7 +7464,16 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = d.withColumn("text", mut)
     g = gopher_quality_flags(d, "text")
-    kept1 = g.where(F.col("gopher_pass")).select("doc_id", "text", "source")
+    # stage boundary (r15): line_dedup references its input ~6 times
+    # (occurrence explode, election join-back, collision path, doc
+    # reattach) — un-checkpointed, each reference re-plans AND re-runs
+    # the mutation + gopher battery (at 100 TB: six corpus passes for
+    # one)
+    kept1 = (
+        g.where(F.col("gopher_pass"))
+        .select("doc_id", "text", "source")
+        .localCheckpoint(eager=False)
+    )
     ld = line_dedup(kept1, "doc_id", "text")
     # stage boundary: dsir derives its input 4+ times (two gram
     # aggregates, per-doc scoring, the weight-quantile pass) — without a

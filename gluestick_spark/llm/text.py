@@ -327,21 +327,25 @@ def gopher_quality_flags(
 
     Scale: one narrow projection — lines and tokens are each computed
     once per row inside the scan; no shuffle, no UDF."""
+    # Staged projections (r15 plan-size fix): the one-shot select this
+    # replaces inlined the tokenization/line-split subtrees into every
+    # counter, every flag, AND gopher_pass — ~10 copies of the token
+    # forest per reference, which made every CONSUMER of the battery
+    # (the filter-and-go shape, curation_pipeline's chain) pay seconds
+    # of Catalyst optimization per plan. Counters and flags are now
+    # real aliased columns computed once; multi-referenced non-trivial
+    # aliases are exactly what CollapseProject refuses to re-inline, so
+    # the optimized tree keeps this shape. Same expressions, same
+    # output schema, same values.
     col = F.coalesce(F.col(text_col), F.lit(""))
-    toks = tokens_expr(col)
-    lines = F.split(col, "\n")
-    n_words = F.size(toks).cast("long")
-    n_lines = F.size(lines).cast("long")
-    sum_len = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    toks = F.col("__gq_toks__")
+    lines = F.col("__gq_lines__")
+    c1 = df.select(
+        "*",
+        col.alias("__gq_txt__"),
+        tokens_expr(col).alias("__gq_toks__"),
+        F.split(col, "\n").alias("__gq_lines__"),
     )
-    n_sym = F.size(F.regexp_extract_all(col, F.lit(r"#|\.\.\.|…"), 0)).cast("long")
-    n_bullet = F.size(
-        F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
-    ).cast("long")
-    n_ellipsis = F.size(
-        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
-    ).cast("long")
     n_alpha_ascii = F.size(
         F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
     ).cast("long")
@@ -356,42 +360,76 @@ def gopher_quality_flags(
             F.filter(toks, lambda t: t.rlike(r"\p{L}"))
         ).cast("long")
         n_alpha = F.when(
-            lang_id_expr(col).isin(*NONLATIN_LANGS), n_alpha_uni
+            lang_id_expr(F.col("__gq_txt__")).isin(*NONLATIN_LANGS),
+            n_alpha_uni,
         ).otherwise(n_alpha_ascii)
     else:
         raise ValueError(
             f"alpha_mode must be 'ascii', 'unicode' or 'route', got {alpha_mode!r}"
         )
     stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
-    n_stop = F.size(
-        F.array_intersect(F.transform(toks, F.lower), stop_arr)
-    ).cast("long")
-
-    f_word_count = (n_words >= min_words) & (n_words <= max_words)
-    f_mean_word_len = (F.lit(3) * n_words <= sum_len) & (
-        sum_len <= F.lit(10) * n_words
-    )
-    f_symbol_ratio = F.lit(10) * n_sym <= n_words
-    f_bullet_lines = F.lit(10) * n_bullet <= F.lit(9) * n_lines
-    f_ellipsis_lines = F.lit(10) * n_ellipsis <= F.lit(3) * n_lines
-    f_alpha_words = F.lit(10) * n_alpha >= F.lit(8) * n_words
-    f_stopwords = n_stop >= 2
-    gopher_pass = (
-        f_word_count & f_mean_word_len & f_symbol_ratio & f_bullet_lines
-        & f_ellipsis_lines & f_alpha_words & f_stopwords
-    )
-    return df.select(
+    c2 = c1.select(
         "*",
-        n_words.alias("n_words"),
-        sum_len.alias("sum_word_len"),
-        n_stop.alias("n_stopwords"),
-        f_word_count.alias("f_word_count"),
-        f_mean_word_len.alias("f_mean_word_len"),
-        f_symbol_ratio.alias("f_symbol_ratio"),
-        f_bullet_lines.alias("f_bullet_lines"),
-        f_ellipsis_lines.alias("f_ellipsis_lines"),
-        f_alpha_words.alias("f_alpha_words"),
-        f_stopwords.alias("f_stopwords"),
+        F.size(toks).cast("long").alias("__gq_nw__"),
+        F.size(lines).cast("long").alias("__gq_nl__"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("__gq_sl__"),
+        F.size(
+            F.regexp_extract_all(F.col("__gq_txt__"), F.lit(r"#|\.\.\.|…"), 0)
+        ).cast("long").alias("__gq_sym__"),
+        F.size(
+            F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
+        ).cast("long").alias("__gq_bul__"),
+        F.size(
+            F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+        ).cast("long").alias("__gq_ell__"),
+        n_alpha.alias("__gq_alpha__"),
+        F.size(
+            F.array_intersect(F.transform(toks, F.lower), stop_arr)
+        ).cast("long").alias("__gq_stop__"),
+    )
+    n_words = F.col("__gq_nw__")
+    n_lines = F.col("__gq_nl__")
+    sum_len = F.col("__gq_sl__")
+    c3 = c2.select(
+        "*",
+        ((n_words >= min_words) & (n_words <= max_words)).alias(
+            "f_word_count"
+        ),
+        (
+            (F.lit(3) * n_words <= sum_len) & (sum_len <= F.lit(10) * n_words)
+        ).alias("f_mean_word_len"),
+        (F.lit(10) * F.col("__gq_sym__") <= n_words).alias("f_symbol_ratio"),
+        (F.lit(10) * F.col("__gq_bul__") <= F.lit(9) * n_lines).alias(
+            "f_bullet_lines"
+        ),
+        (F.lit(10) * F.col("__gq_ell__") <= F.lit(3) * n_lines).alias(
+            "f_ellipsis_lines"
+        ),
+        (F.lit(10) * F.col("__gq_alpha__") >= F.lit(8) * n_words).alias(
+            "f_alpha_words"
+        ),
+        (F.col("__gq_stop__") >= 2).alias("f_stopwords"),
+    )
+    gopher_pass = (
+        F.col("f_word_count") & F.col("f_mean_word_len")
+        & F.col("f_symbol_ratio") & F.col("f_bullet_lines")
+        & F.col("f_ellipsis_lines") & F.col("f_alpha_words")
+        & F.col("f_stopwords")
+    )
+    return c3.select(
+        *df.columns,
+        F.col("__gq_nw__").alias("n_words"),
+        F.col("__gq_sl__").alias("sum_word_len"),
+        F.col("__gq_stop__").alias("n_stopwords"),
+        "f_word_count",
+        "f_mean_word_len",
+        "f_symbol_ratio",
+        "f_bullet_lines",
+        "f_ellipsis_lines",
+        "f_alpha_words",
+        "f_stopwords",
         gopher_pass.alias("gopher_pass"),
     )
 
