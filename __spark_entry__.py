@@ -8061,9 +8061,26 @@ def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gluestick_spark.operators.graph import triangle_count
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
-    edges = a.join(b, "ok").where(F.col("src") < F.col("dst")).select("src", "dst")
+    # pair generation via ONE keyed aggregate + narrow explosion instead
+    # of the r14 self-join (which shuffled lineitem twice and recomputed
+    # the order key match): collect the order's sorted distinct parts,
+    # emit (ps[i], ps[j]) for i<j — identical pair SET (sortedness gives
+    # src < dst; collect_set collapses the same within-order dupes the
+    # join's src<dst + downstream distinct did)
+    edges = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("__ps__"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ps__, (x, i) -> "
+                    "transform(slice(__ps__, i + 2, size(__ps__)), "
+                    "y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("__e__")
+        )
+        .select(F.col("__e__.src").alias("src"), F.col("__e__.dst").alias("dst"))
+    )
     return triangle_count(edges)
 
 
