@@ -116,19 +116,91 @@ def train_pq(
             hash_sample_expr(F.col(id_col), train_sample_rate, "pq_train")
         )
     ds = _subdim(df, vec_col, m)
-    books: list[Codebook] = []
+    # All m subspace Lloyd loops share their driver-side schedule: the
+    # seed ids are a pure function of id_col (same k rows for every
+    # subspace) and the per-iteration update is an independent
+    # per-subspace aggregate. Train them TOGETHER (r15): one projection
+    # holding every subspace's quantized slice, one seed collect, and
+    # per iteration ONE explode-keyed aggregate over (subspace, cid) —
+    # 2 + iters jobs total instead of m·(2 + iters), with each job
+    # reading the corpus once instead of m times. States are
+    # bit-identical to the sequential per-subspace kmeans calls this
+    # replaces: same seeds (slicing the id-selected rows ≡ selecting
+    # the slice), same assignment algebra, same per-dim int64 sums,
+    # same empty-cluster carry-forward.
+    from gluestick_spark.llm.sketch import kmv_hash_expr
+
+    pre = df.select(
+        F.col(id_col).alias("__id__"),
+        *[
+            quantize_vec_expr(
+                F.slice(F.col(vec_col), j * ds + 1, ds), scale
+            ).alias(f"__pq{j}__")
+            for j in range(m)
+        ],
+    )
     for j in range(m):
-        sub = df.select(
-            F.col(id_col), F.slice(F.col(vec_col), j * ds + 1, ds).alias("__sub__")
+        pre = pre.withColumn(
+            f"__pqx{j}__",
+            int_dot_expr(F.col(f"__pq{j}__"), F.col(f"__pq{j}__")),
         )
-        _, state = kmeans(
-            sub, "__sub__", id_col, k=k, iters=iters, scale=scale,
-            return_state=True,
+    pre = pre.persist()
+    try:
+        seed_rows = (
+            pre.withColumn("__h__", kmv_hash_expr(F.col("__id__")))
+            .orderBy("__h__", "__id__")
+            .limit(k)
+            .collect()
         )
-        if not state:
+        if not seed_rows:
             raise ValueError("cannot train PQ on an empty frame")
-        books.append(state)
-    return books
+        books: list[Codebook] = [
+            [(list(r[f"__pq{j}__"]), 1) for r in seed_rows] for j in range(m)
+        ]
+        sums_sql = ", ".join(
+            f"sum(element_at(__sub__, {i + 1}))" for i in range(ds)
+        )
+        for _ in range(iters):
+            exploded = pre.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(j).alias("__j__"),
+                                _assign_expr(
+                                    books[j],
+                                    q=f"__pq{j}__",
+                                    xx=f"__pqx{j}__",
+                                ).alias("cid"),
+                                F.col(f"__pq{j}__").alias("__sub__"),
+                            )
+                            for j in range(m)
+                        ]
+                    )
+                ).alias("__s__")
+            ).select("__s__.__j__", "__s__.cid", "__s__.__sub__")
+            rows = exploded.groupBy("__j__", "cid").agg(
+                F.count(F.lit(1)).alias("__n__"),
+                F.expr(f"array({sums_sql}) AS __sums__"),
+            ).collect()
+            state: list[dict[int, tuple[list[int], int]]] = [
+                {} for _ in range(m)
+            ]
+            for r in rows:
+                state[int(r["__j__"])][int(r["cid"])] = (
+                    [int(v) for v in r["__sums__"]],
+                    int(r["__n__"]),
+                )
+            books = [
+                [
+                    state[j].get(c, books[j][c])
+                    for c in range(len(books[j]))
+                ]
+                for j in range(m)
+            ]
+        return books
+    finally:
+        pre.unpersist(False)
 
 
 def encode_pq(
