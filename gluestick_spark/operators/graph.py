@@ -296,9 +296,37 @@ def triangle_count(
     ).localCheckpoint(eager=False)
     # wedges at apex u: (v, w) with v < w; the triangle closes iff the
     # canonical edge (v, w) exists
-    w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
-    w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
-    wedges = w1.join(w2, "u").where(F.col("x") < F.col("y"))
+    # wedge generation (r15): ONE groupBy(u) aggregate collecting the
+    # sorted out-neighborhood, then a narrow pair explosion — instead of
+    # the self-join on u, which shuffled the oriented edge set into a
+    # hash join just to emit the same Σ outdeg(u)² pairs. The adjacency
+    # list per apex is bounded by outdeg ≤ min(max_degree, O(√|E|)) by
+    # the orientation, so collect_list never materializes a hub; the
+    # exploded (x, y) pairs with x < y are exactly the self-join's wedge
+    # multiset (oriented edges are distinct, sort_array gives x < y),
+    # and they flow map-side straight into the Bloom probe below.
+    # The adjacency frame is tiny (one row per apex, compact lists), so
+    # AQE coalesces its shuffle to a handful of partitions — but the
+    # explosion below fans each row out to outdeg² wedges, and that
+    # work must spread over every core. Re-spread the CHEAP side (list
+    # rows) with an explicit count; the wedge stream itself never takes
+    # an extra exchange. Salting by apex id keeps hot apexes separated.
+    par = oriented.sparkSession.sparkContext.defaultParallelism
+    adj = (
+        oriented.groupBy("u")
+        .agg(F.sort_array(F.collect_list("v")).alias("__vs__"))
+        .repartition(max(par, 1) * 2, "u")
+    )
+    wedges = adj.select(
+        F.col("u"),
+        F.explode(
+            F.expr(
+                "flatten(transform(__vs__, (x, i) -> "
+                "transform(slice(__vs__, i + 2, size(__vs__)), "
+                "y -> struct(x AS x, y AS y))))"
+            )
+        ).alias("__w__"),
+    ).select("u", F.col("__w__.x").alias("x"), F.col("__w__.y").alias("y"))
     closing = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     # The closing join's left side is the WEDGE stream — Σ outdeg(u)²
     # rows, the O(|E|^1.5) bulk of the algorithm — of which only the
@@ -317,16 +345,20 @@ def triangle_count(
     if n_edges >= 100_000:
         from ..llm.bloom import bloom_prefilter, bloom_words
 
+        # k=2 probes with a 2× larger bitmap instead of k=3: same FP
+        # ballpark ((1−e^(−2n/m))² ≈ 0.3% at m=32n) for one fewer
+        # broadcast join over the Σ outdeg² wedge stream — the probe
+        # cost scales with the wedges, the bitmap only with |E|.
         m_bits = 64
-        while m_bits < min(16 * n_edges, 1 << 27):
+        while m_bits < min(32 * n_edges, 1 << 28):
             m_bits <<= 1
         words = bloom_words(
             closing.select(F.xxhash64("x", "y").alias("__eh__")),
-            "__eh__", m_bits, 3,
+            "__eh__", m_bits, 2,
         )
         wedges = bloom_prefilter(
             wedges.withColumn("__wh__", F.xxhash64("x", "y")),
-            "__wh__", words, m_bits, 3,
+            "__wh__", words, m_bits, 2,
         ).drop("__wh__")
     tris = wedges.join(closing.hint("shuffle_hash"), ["x", "y"]).select(
         F.col("u").alias("n1"), F.col("x").alias("n2"), F.col("y").alias("n3")
