@@ -601,6 +601,43 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+_CC_LOCAL_MAX_EDGES = 1 << 16
+"""Edge-count threshold below which :func:`connected_components` solves
+the graph with driver-side union-find instead of the distributed star
+loop. The same size-adaptive strategy switch as a broadcast join: a
+verified near-dup pair graph is orders of magnitude smaller than its
+corpus, and when it fits comfortably on the driver (64k edges ≈ 1 MB),
+every distributed round — two aggregates, two joins, a checkpoint and a
+convergence check of SUB-SECOND data — is pure scheduling floor (and at
+cluster scale, pure driver round-trips). Above the threshold the
+O(log n)-round star contraction runs unchanged. Both paths produce the
+identical (id, min-of-component) labeling."""
+
+
+def _cc_union_find(rows) -> dict:
+    """Min-root union-find over collected (u, v) edge rows — the exact
+    labeling the star-contraction fixpoint produces."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        ru, rv = find(row[0]), find(row[1])
+        if ru == rv:
+            continue
+        lo, hi = (ru, rv) if ru < rv else (rv, ru)
+        parent[hi] = lo
+    return {x: find(x) for x in parent} | {
+        r: r for r in set(parent.values()) if parent.get(r, r) == r
+    }
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a",
@@ -626,6 +663,11 @@ def connected_components(
     fixpoint (a star forest centered on component minima), checked with two
     cheap count jobs per round over the (shrinking) edge set;
     ``localCheckpoint`` truncates lineage so plans stay flat across rounds.
+
+    Graphs at or under :data:`_CC_LOCAL_MAX_EDGES` distinct edges skip
+    the loop entirely: the collected edge list (bounded, ~1 MB) goes
+    through min-root union-find on the driver — identical labels, zero
+    distributed rounds (r15; the broadcast-join-style size switch).
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
@@ -636,6 +678,21 @@ def connected_components(
         .localCheckpoint()
     )
     n_edges = edges.count()
+    if n_edges <= _CC_LOCAL_MAX_EDGES:
+        labels = _cc_union_find(edges.collect())
+        spark = pairs.sparkSession
+        from pyspark.sql.types import StructField, StructType
+
+        utype = edges.schema["u"].dataType
+        schema = StructType(
+            [
+                StructField("id", utype, True),
+                StructField("component", utype, True),
+            ]
+        )
+        return spark.createDataFrame(
+            sorted(labels.items()), schema
+        )
     # Nodes come from the CHECKPOINTED edge set, not from `pairs`: the pairs
     # frame is typically an expensive un-cached plan (LSH + verify), and
     # reading it a second time would re-run that whole pipeline when the

@@ -488,14 +488,18 @@ def test_cluster_dedup_matches_bruteforce_components(spark):
     assert sorted(all_ids - kept) == expect_drop
 
 
-def test_connected_components_deep_chain_and_nonconvergence(spark):
+def test_connected_components_deep_chain_and_nonconvergence(spark, monkeypatch):
     """Star contraction halves tree heights per alternation: a 100-node
     chain (diameter 99 — min-label propagation would need 99 rounds)
     converges in O(log n) rounds within the default budget. An exhausted
     budget raises instead of silently returning split clusters, and a
-    non-positive budget is rejected at entry."""
+    non-positive budget is rejected at entry. The distributed loop is
+    FORCED here (threshold 0) — small graphs normally short-circuit to
+    driver-side union-find and never consult max_iter."""
+    from gluestick_spark.llm import dedup
     from gluestick_spark.llm.dedup import connected_components
 
+    monkeypatch.setattr(dedup, "_CC_LOCAL_MAX_EDGES", 0)
     chain = spark.createDataFrame([Row(a=i, b=i + 1) for i in range(99)])
     comps = {r["id"]: r["component"] for r in connected_components(chain).collect()}
     assert set(comps.values()) == {0} and len(comps) == 100
@@ -504,6 +508,33 @@ def test_connected_components_deep_chain_and_nonconvergence(spark):
         connected_components(chain, max_iter=1)
     with pytest.raises(ValueError, match="max_iter"):
         connected_components(chain, max_iter=0)
+
+
+def test_connected_components_local_matches_distributed(spark, monkeypatch):
+    """The r15 size switch: driver-side union-find (small graphs) and the
+    star-contraction loop produce the IDENTICAL (id, min-of-component)
+    labeling — checked on a graph mixing chains, a star, a cycle,
+    reversed/duplicate edges and an isolated pair."""
+    from gluestick_spark.llm import dedup
+    from gluestick_spark.llm.dedup import connected_components
+
+    edges = (
+        [Row(a=i, b=i + 1) for i in range(0, 20)]          # chain
+        + [Row(a=100, b=x) for x in range(101, 110)]        # star
+        + [Row(a=200, b=201), Row(a=201, b=202), Row(a=202, b=200)]  # cycle
+        + [Row(a=301, b=300), Row(a=300, b=301)]            # reversed dup
+        + [Row(a=400, b=401)]
+    )
+    pairs = spark.createDataFrame(edges)
+    local = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    monkeypatch.setattr(dedup, "_CC_LOCAL_MAX_EDGES", 0)
+    dist = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert local == dist and local[19] == 0 and local[109] == 100
+    assert local[202] == 200 and local[300] == 300 and local[401] == 400
 
 
 def test_chunk_documents_windows_and_overlap(spark):
