@@ -9405,6 +9405,10 @@ def q_retrieval_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = sq_ivf_topk_indexed_batch(
         spark, path, qvecs, "embedding", "qid", k=50, nprobe=n_live
     ).withColumnRenamed("vec_id", "doc_id")
+    # pinned: fused feeds BOTH the output join and dg's candidate-doc
+    # semi-join below — un-checkpointed, the physical plan duplicates the
+    # whole two-leg retrieval subtree (both legs ran twice; guide §7.2
+    # duplicated subtrees). k-bounded: ≤ k rows per eval question.
     fused = rrf_fuse(
         [(bm, "bm25r", False), (ann, "score", False)],
         "doc_id",
@@ -9412,7 +9416,7 @@ def q_retrieval_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         leg_k=50,
         k=10,
         query_col="qid",
-    )
+    ).localCheckpoint(eager=False)
     # OVERLAP VERDICT: word-bigram containment of the eval question in
     # each fused candidate — n_hit = |q_bigrams ∩ doc_bigrams| (distinct
     # sets), contaminated iff ≥ half the question's bigrams appear.

@@ -536,23 +536,30 @@ def semdedup(
     g = gcd(num, den) or 1
     num, den = num // g, den // g
 
-    assigned = kmeans(
-        df, vec_col, id_col, k=k, iters=iters, scale=scale, assign=assign
+    _, cents = kmeans(
+        df, vec_col, id_col, k=k, iters=iters, scale=scale, assign=assign,
+        return_state=True,
     )
+    if not cents:
+        return df.select(
+            F.col(id_col), F.lit(0).alias("cid"), F.lit(True).alias("keep")
+        ).where(F.lit(False))
+    # assignment recomputed as the narrow _assign_df map against the
+    # trained state — NOT kmeans' returned (id, cid) frame joined back on
+    # id, which shuffled the corpus against itself (2 exchanges + a sort
+    # per side) just to re-attach a column that is a pure function of the
+    # vector (guide §2.4: remove shuffles outright). Identical cids by
+    # construction: kmeans' own output IS _assign_df(pts, final_state).
+    pts = _assign_df(_prepare(df, vec_col, id_col, scale), cents, assign)
     if max_cluster_size is not None:
         ok = (
-            assigned.groupBy("cid")
+            pts.groupBy("cid")
             .agg(F.count(F.lit(1)).alias("__n__"))
             .where(F.col("__n__") <= max_cluster_size)
             .select("cid")
         )
         # k-bounded (≤ k rows): broadcast, never a shuffle of the corpus
-        assigned = assigned.join(F.broadcast(ok), "cid").select(
-            *[c for c in assigned.columns]
-        )
-    pts = _prepare(df, vec_col, id_col, scale).join(
-        assigned.select(F.col(id_col).alias("__id__"), "cid"), "__id__"
-    )
+        pts = pts.join(F.broadcast(ok), "cid")
     a = pts.select(
         F.col("__id__").alias("__ida__"),
         F.col("__q__").alias("__qa__"),
@@ -579,7 +586,7 @@ def semdedup(
         .withColumn("__dropped__", F.lit(True))
     )
     return (
-        assigned.withColumnRenamed(id_col, "__id__")
+        pts.select("__id__", "cid")
         .join(dropped, "__id__", "left")
         .select(
             F.col("__id__").alias(id_col),
@@ -1158,7 +1165,9 @@ def sq_ivf_topk_indexed_batch(
     )
     qx = qprep.select(
         "__qid__", "__qsc__", "__qcodes__", F.explode(probes).alias("cid")
-    ).localCheckpoint()  # pinned: feeds the probed-cid collect AND the join
+    ).localCheckpoint(eager=False)  # pinned: feeds the probed-cid collect
+    # AND the join; lazy — the collect right below materializes it, an
+    # eager checkpoint would cost one extra scheduled job per call
     probed = sorted({r["cid"] for r in qx.select("cid").distinct().collect()})
     if not probed:
         return _empty()

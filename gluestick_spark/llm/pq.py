@@ -814,7 +814,9 @@ def pq_ivf_topk_indexed_batch(
         F.col(query_id_col).alias("__qid__"),
         quantize_vec_expr(F.col(vec_col), scale).alias("__q__"),
     ).withColumn("__xx__", int_dot_expr(F.col("__q__"), F.col("__q__")))
-    qprep = qprep.localCheckpoint()  # feeds probes, the ADC build, rerank
+    # lazy: materialized transitively by qx's probed-cid collect below —
+    # an eager checkpoint here costs an extra scheduled job per call
+    qprep = qprep.localCheckpoint(eager=False)  # feeds probes, ADC build, rerank
 
     # per-query ADC tables, built by ONE broadcast join against the
     # (m × n_codes)-row codebook frame — the adc_table arithmetic
@@ -869,7 +871,8 @@ def pq_ivf_topk_indexed_batch(
     qx = (
         qprep.select(*qx_cols, F.explode(probes).alias("cid"))
         .join(qtab, "__qid__")
-        .localCheckpoint()  # pinned: feeds the probed-cid collect + join
+        .localCheckpoint(eager=False)  # pinned: feeds the probed-cid
+        # collect + join; lazy — the collect below materializes it
     )
     probed = sorted({r["cid"] for r in qx.select("cid").distinct().collect()})
     if not probed:

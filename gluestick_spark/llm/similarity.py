@@ -934,7 +934,8 @@ def ivf_topk_indexed_batch(
         F.col(query_id_col).alias("__qid__"),
         F.col(vec_col).alias("__qv__"),
         F.explode(probes).alias("centroid_id"),
-    ).localCheckpoint()  # pinned: feeds the probed-id collect AND the join
+    ).localCheckpoint(eager=False)  # pinned: feeds the probed-id collect
+    # AND the join; lazy — the collect below materializes it
     probed = sorted(
         {r["centroid_id"] for r in qx.select("centroid_id").distinct().collect()}
     )

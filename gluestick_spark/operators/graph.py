@@ -363,10 +363,14 @@ def triangle_count(
     tris = wedges.join(closing.hint("shuffle_hash"), ["x", "y"]).select(
         F.col("u").alias("n1"), F.col("x").alias("n2"), F.col("y").alias("n3")
     )
+    # one explode, NOT a 3-way unionAll of tris projections: union branches
+    # share no subtree in the physical plan, so the union form re-ran the
+    # whole wedge + Bloom + closing-join chain three times (guide §7.2,
+    # duplicated subtrees — measured 2× the row's exec time at sf0.1)
     per_node = (
-        tris.select(F.col("n1").alias("node"))
-        .unionAll(tris.select(F.col("n2").alias("node")))
-        .unionAll(tris.select(F.col("n3").alias("node")))
+        tris.select(
+            F.explode(F.array("n1", "n2", "n3")).alias("node")
+        )
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
     )
