@@ -41,6 +41,12 @@ __all__ = [
 
 _SPACE = float(1 << 60)
 
+# dsir_sample: collect the per-bucket gram counts as driver-side state
+# (and build the weight table as a literal frame) up to this many
+# buckets; past it, stay distributed with pinned aggregates. 64k rows
+# of (int, long) ≈ 1 MB — kmeans-state sized, never a data collect.
+_WTAB_COLLECT_MAX = 65536
+
 
 def _keyed_hash(col: Column, seed: str) -> Column:
     # The seed is mixed into the hashed STRING (not xor'd after) so
@@ -577,11 +583,16 @@ def dsir_sample(
     the keep RULE is checked, not just the survivors).
 
     Scale shape: two gram explodes feed two B-bounded aggregates
-    (map-side combined) and one broadcast join (the B-row weight table);
-    per-doc scoring is ONE keyed shuffle; w_max is a 1-row aggregate
-    broadcast by crossJoin. The gram explode is deliberately not
-    materialized (the ``containment_pairs`` trade-off: recomputing a
-    projection beats storing several× the corpus)."""
+    (map-side combined) whose results — up to ``_WTAB_COLLECT_MAX``
+    buckets — COLLECT as driver-side algorithm state (kmeans-loop
+    pattern; the function runs those two jobs at call time) and come
+    back as a literal broadcast weight table, so no downstream consumer
+    ever re-plans the gram aggregates; past the threshold the join form
+    runs with the aggregates pinned. Per-doc scoring is ONE keyed
+    shuffle into a pinned (key, weight) decision frame; w_max is a
+    1-row aggregate broadcast by crossJoin. The gram explode is
+    deliberately not materialized (the ``containment_pairs`` trade-off:
+    recomputing a projection beats storing several× the corpus)."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     from .classifier import hashed_ngrams_expr
@@ -597,43 +608,100 @@ def dsir_sample(
             ).alias("__b__"),
         )
 
-    nt = grams_of(df_target).groupBy("__b__").agg(
-        F.count(F.lit(1)).alias("__nt__")
-    )
-    nr = grams_of(df_raw).groupBy("__b__").agg(
-        F.count(F.lit(1)).alias("__nr__")
-    )
-    t_tot = nt.agg(
-        (F.coalesce(F.sum("__nt__"), F.lit(0)) + F.lit(n_buckets)).alias("__t_tot__")
-    )
-    r_tot = nr.agg(
-        (F.coalesce(F.sum("__nr__"), F.lit(0)) + F.lit(n_buckets)).alias("__r_tot__")
-    )
-    buckets = spark.range(n_buckets).select(F.col("id").cast("int").alias("__b__"))
-    wtab = (
-        buckets.join(nt, "__b__", "left")
-        .join(nr, "__b__", "left")
-        .crossJoin(F.broadcast(t_tot))
-        .crossJoin(F.broadcast(r_tot))
-        .select(
-            "__b__",
-            F.floor(
-                F.lit(1000000.0)
-                * (
-                    (
-                        (F.coalesce(F.col("__nt__"), F.lit(0)) + F.lit(1)).cast("double")
-                        / F.col("__t_tot__").cast("double")
-                    )
-                    / (
-                        (F.coalesce(F.col("__nr__"), F.lit(0)) + F.lit(1)).cast("double")
-                        / F.col("__r_tot__").cast("double")
+    # The B-row weight table is ALGORITHM STATE, not data (the kmeans
+    # driver-loop pattern): the two bucket aggregates collect to the
+    # driver (≤ n_buckets rows each) and the per-bucket ratio is computed
+    # in Python — bit-identical to the previous join form, since every
+    # step is the same correctly-rounded IEEE op on the same exact int64s
+    # ((n+1)/tot double divisions, their quotient, floor(1e6·x)). The
+    # previous all-DataFrame form referenced nt/nr from both the weight
+    # join and their own totals, so the physical plan re-ran the full
+    # gram explode over each corpus per reference — 12 corpus scans in
+    # one plan at its worst (guide §7.2 duplicated subtrees / §8 decide
+    # with small rows). Past _WTAB_COLLECT_MAX buckets the literal table
+    # stops being "driver state" and the old join path runs, with the
+    # B-bounded aggregates pinned so each is computed once.
+    if n_buckets <= _WTAB_COLLECT_MAX:
+        nt_map = {
+            int(r["__b__"]): int(r["__nt__"])
+            for r in grams_of(df_target)
+            .groupBy("__b__")
+            .agg(F.count(F.lit(1)).alias("__nt__"))
+            .collect()
+        }
+        nr_map = {
+            int(r["__b__"]): int(r["__nr__"])
+            for r in grams_of(df_raw)
+            .groupBy("__b__")
+            .agg(F.count(F.lit(1)).alias("__nr__"))
+            .collect()
+        }
+        t_tot = float(sum(nt_map.values()) + n_buckets)
+        r_tot = float(sum(nr_map.values()) + n_buckets)
+        import math as _math
+
+        wtab = spark.createDataFrame(
+            [
+                (
+                    b,
+                    int(
+                        _math.floor(
+                            1000000.0
+                            * (
+                                (float(nt_map.get(b, 0) + 1) / t_tot)
+                                / (float(nr_map.get(b, 0) + 1) / r_tot)
+                            )
+                        )
+                    ),
+                )
+                for b in range(n_buckets)
+            ],
+            "__b__ int, __wppm__ long",
+        )
+    else:
+        nt = (
+            grams_of(df_target)
+            .groupBy("__b__")
+            .agg(F.count(F.lit(1)).alias("__nt__"))
+            .localCheckpoint(eager=False)
+        )
+        nr = (
+            grams_of(df_raw)
+            .groupBy("__b__")
+            .agg(F.count(F.lit(1)).alias("__nr__"))
+            .localCheckpoint(eager=False)
+        )
+        t_tot = nt.agg(
+            (F.coalesce(F.sum("__nt__"), F.lit(0)) + F.lit(n_buckets)).alias("__t_tot__")
+        )
+        r_tot = nr.agg(
+            (F.coalesce(F.sum("__nr__"), F.lit(0)) + F.lit(n_buckets)).alias("__r_tot__")
+        )
+        buckets = spark.range(n_buckets).select(F.col("id").cast("int").alias("__b__"))
+        wtab = (
+            buckets.join(nt, "__b__", "left")
+            .join(nr, "__b__", "left")
+            .crossJoin(F.broadcast(t_tot))
+            .crossJoin(F.broadcast(r_tot))
+            .select(
+                "__b__",
+                F.floor(
+                    F.lit(1000000.0)
+                    * (
+                        (
+                            (F.coalesce(F.col("__nt__"), F.lit(0)) + F.lit(1)).cast("double")
+                            / F.col("__t_tot__").cast("double")
+                        )
+                        / (
+                            (F.coalesce(F.col("__nr__"), F.lit(0)) + F.lit(1)).cast("double")
+                            / F.col("__r_tot__").cast("double")
+                        )
                     )
                 )
+                .cast("long")
+                .alias("__wppm__"),
             )
-            .cast("long")
-            .alias("__wppm__"),
         )
-    )
     sums = (
         grams_of(df_raw, F.col(key_col).alias("__k__"))
         .join(F.broadcast(wtab), "__b__")
@@ -646,6 +714,12 @@ def dsir_sample(
             .alias("__w__"),
         )
     )
+    # NOT pinned: scored has two consumers (the cap aggregate and the
+    # output), so the gram explode + literal-weight join re-runs once —
+    # one extra parallel pass, strictly cheaper than a localCheckpoint,
+    # which under AQE executes every upstream stage serially at call
+    # time. With the weight table literal the duplicated subtree is ONLY
+    # that pass (it was the full 12-scan bucket-statistics tree before).
     scored = df_raw.join(
         sums, df_raw[key_col] == sums["__k__"], "left"
     ).select(
