@@ -7770,8 +7770,16 @@ def q_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gluestick_spark.llm.sampling import mix_corpora
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    scored = classifier_score(d, "text", _CLF_WEIGHTS).select(
-        "doc_id", "clf_score"
+    # pinned: mix_corpora unions filtered copies of each source (its
+    # documented no-shuffle shape), so the hashed-gram classifier pass
+    # would re-run once per replica branch (3 corpus scans measured) —
+    # the scored frame is (doc_id, double), cheap to pin, and the
+    # classifier plan is single-stage so the lazy checkpoint defers all
+    # work to the first action
+    scored = (
+        classifier_score(d, "text", _CLF_WEIGHTS)
+        .select("doc_id", "clf_score")
+        .localCheckpoint(eager=False)
     )
     out = mix_corpora(
         {

@@ -2079,7 +2079,7 @@ def streaming_semdedup(
     num, den = t * t, 100 * 100
     g = gcd(num, den) or 1
     num, den = num // g, den // g
-    from ..llm.cluster import int_dot_expr
+    from ..llm.cluster import _semdedup_verdicts
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -2108,27 +2108,23 @@ def streaming_semdedup(
         # pruning (which foreachBatch plan shapes don't promise)
         batch_cids = [r["cid"] for r in pts.select("cid").distinct().collect()]
         cells = _pruned_ref_cells(spark, ref_path, batch_cids)
-        dot = int_dot_expr(F.col("__q__"), F.col("qr"))
-        matched = (
-            pts.join(cells, ["cid"])
-            .where(dot > 0)
-            .where(
-                F.lit(den).cast("long") * dot * dot
-                > F.lit(num).cast("long") * F.col("__xx__") * F.col("xxr")
-            )
-            .select("__id__")
-            .distinct()
-            .withColumn("__m__", F.lit(True))
-        )
-        out = (
-            pts.select("__id__", "cid")
-            .join(matched, "__id__", "left")
-            .select(
-                F.col("__id__").alias(id_col),
+        # cross-corpus verdicts via the shared Arrow gram kernel (see
+        # llm/cluster.py:_semdedup_verdicts) — same exact int64 decision
+        # the per-pair fold join computed, one cid-keyed exchange
+        id_type = pts.schema["__id__"].dataType
+        both = pts.select(
+            "__id__", "__q__", "__xx__", "cid", F.lit(1).alias("__side__")
+        ).unionByName(
+            cells.select(
+                F.lit(None).cast(id_type).alias("__id__"),
+                F.col("qr").alias("__q__"),
+                F.col("xxr").alias("__xx__"),
                 "cid",
-                F.coalesce(~F.col("__m__"), F.lit(True)).alias("keep"),
-                tag,
+                F.lit(0).alias("__side__"),
             )
+        )
+        out = _semdedup_verdicts(both, num, den, within=False).select(
+            F.col("__id__").alias(id_col), "cid", "keep", tag
         )
         out.write.mode("append").parquet(out_dir)
 
