@@ -435,8 +435,14 @@ def _code_fingerprint() -> str | None:
             ["git", "rev-parse", "HEAD"], cwd=here, capture_output=True,
             text=True, timeout=30,
         )
+        # exclude .bench/ from the diff: the sidecars bench itself writes
+        # are git-tracked, so without the exclusion every run changes the
+        # fingerprint and the same-round min-merge NEVER fires twice in a
+        # row on an uncommitted tree (observed r15: two back-to-back runs
+        # of identical code each started a fresh basis)
         diff = subprocess.run(
-            ["git", "diff", "HEAD"], cwd=here, capture_output=True,
+            ["git", "diff", "HEAD", "--", ".", ":(exclude).bench"],
+            cwd=here, capture_output=True,
             timeout=60,
         )
         if head.returncode != 0 or diff.returncode != 0:
