@@ -1503,7 +1503,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     count; the oracle replays the same 8 merges with nested REPLACE."""
     from gluestick_spark.llm.bpe import apply_bpe
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _tp(spark, sf_dir, "documents", "doc_id").select("doc_id", "text")
     enc = apply_bpe(d, "text", "doc_id", _BPE_FIXED_MERGES)
     return enc.select(
         "doc_id",
@@ -3744,7 +3744,7 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     check, proving blocking loses nothing."""
     from gluestick_spark.llm.fuzzy import edit_distance_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents", "doc_id")
     titles = d.select(
         "doc_id",
         F.array_join(F.slice(tokens_expr(F.col("text")), 1, 6), " ").alias("title"),
@@ -5159,7 +5159,7 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     table; the 1-row total rides a broadcast crossJoin."""
     from gluestick_spark.llm.text import collocations
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents", "doc_id")
     return collocations(d, "text", min_count=5, k=50)
 
 
@@ -6173,7 +6173,7 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ratio bit-for-bit."""
     from gluestick_spark.llm.dedup import containment_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents", "doc_id")
     return containment_pairs(
         d, "text", "doc_id", shingle_n=3,
         tau_pct=_CONT_TAU_PCT, max_doc_freq=_CONT_MAX_DF,
@@ -6876,7 +6876,7 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     no rounding is needed."""
     from gluestick_spark.llm.classifier import classifier_score
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _tp(spark, sf_dir, "documents", "doc_id").select("doc_id", "text")
     return classifier_score(d, "text", _CLF_WEIGHTS).select(
         "doc_id", "clf_score"
     )
@@ -7011,7 +7011,7 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings for the verify, gaps-and-islands for the merge)."""
     from gluestick_spark.llm.spans import substring_overlap_spans
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _tp(spark, sf_dir, "documents", "doc_id").select("doc_id", "text")
     return substring_overlap_spans(
         d, "doc_id", "text", k=8, max_occurrences=64
     )
@@ -7079,7 +7079,7 @@ def q_substring_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         substring_spans_against,
     )
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _tp(spark, sf_dir, "documents", "doc_id").select("doc_id", "text")
     ref = d.where(F.col("doc_id") % 2 == 0)
     new = d.where(F.col("doc_id") % 2 == 1)
     path = tempfile.mkdtemp(prefix="gs_ssidx_")
@@ -7317,7 +7317,7 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     VARIES (the synthetic corpus has no English stopwords at all)."""
     from gluestick_spark.llm.text import gopher_quality_flags
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _tp(spark, sf_dir, "documents", "doc_id").select("doc_id", "text")
     d = d.withColumn(
         "text",
         F.when(
@@ -7455,7 +7455,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gluestick_spark.llm.spans import line_dedup
     from gluestick_spark.llm.text import gopher_quality_flags
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    d = _tp(spark, sf_dir, "documents", "doc_id").select("doc_id", "text", "source")
     mut = F.concat_ws(
         "\n",
         F.coalesce(F.col("text"), F.lit("")),
@@ -7769,7 +7769,7 @@ def q_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gluestick_spark.llm.classifier import classifier_score
     from gluestick_spark.llm.sampling import mix_corpora
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _tp(spark, sf_dir, "documents", "doc_id").select("doc_id", "text")
     # pinned: mix_corpora unions filtered copies of each source (its
     # documented no-shuffle shape), so the hashed-gram classifier pass
     # would re-run once per replica branch (3 corpus scans measured) —
@@ -7818,7 +7818,7 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuild) — the FULL pipeline end-to-end."""
     from gluestick_spark.llm.spans import substring_dedup
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _tp(spark, sf_dir, "documents", "doc_id").select("doc_id", "text")
     return substring_dedup(d, "doc_id", "text", k=8, max_occurrences=64)
 
 

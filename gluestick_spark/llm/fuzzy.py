@@ -48,6 +48,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..partitioning import ensure_min_partitions as _parallelize
+
 __all__ = ["edit_distance_pairs"]
 
 
@@ -111,14 +113,17 @@ def edit_distance_pairs(
         return within
 
     # 2.+3. length blocking × q-gram prefix blocking over DISTINCT strings.
-    # q=3: gram diversity grows with |alphabet|^q, and candidate collisions
+    # q=4: gram diversity grows with |alphabet|^q, and candidate collisions
     # shrink ~quadratically in it — probed 0.71 → <0.4 scale exponent on a
-    # distinct uniform-length corpus when moving from q=2. The price is a
+    # distinct uniform-length corpus when moving from q=2 to 3, and on a
+    # low-diversity word alphabet (titles drawn from a small vocabulary,
+    # where whole q-grams repeat across strings) q=4 measured 3.2× fewer
+    # candidate pairs than q=3 for ~30% more prefix rows. The price is a
     # larger short-string class (both ≤ q·k grams ⇒ len ≤ q·(k−1)+1 falls
     # back to plain bucket join) — fine for titles/names; a corpus of
     # millions of DISTINCT ≤(q·(k−1)+1)-char strings should pass
     # block_cols to shrink the fallback.
-    q = 3
+    q = 4
     reps = groups.select(
         "__gid__", "__t__", (F.length("__t__") / w).cast("long").alias("__lb__"),
         *blocks, "__ids__",
@@ -141,6 +146,14 @@ def edit_distance_pairs(
             F.col("__g__.pos").alias("__pos__"),
         )
     )
+    # `groups` is a checkpoint of an AQE-coalesced aggregate (1-2
+    # partitions locally), so this whole gram chain — explode, frequency
+    # join, prefix ranking — would otherwise run nearly serial. Keying
+    # the respread on __gid__ satisfies the prefix window's required
+    # distribution, so the window adds no exchange of its own; at real
+    # scale the frame already has >= defaultParallelism partitions and
+    # this is a no-op.
+    grams = _parallelize(grams, "__gid__")
     # Global gram frequencies: at most |alphabet|^q distinct grams — a
     # broadcast-sized table however large the corpus. Rarest-first prefixes
     # minimize candidate collisions (the ED-Join ordering).
@@ -158,7 +171,16 @@ def edit_distance_pairs(
         .where(F.col("__rn__") <= q * max_dist + 1)
         .select("__gid__", "__lb__", *blocks, "__gram__", "__pos__")
     ).localCheckpoint()
-    probe = prefix
+    # The candidate join EXPLODES (each shared prefix gram emits a pair):
+    # its input bytes are prefix-sized but its output is candidate-sized,
+    # so AQE — which sizes post-shuffle partitions by INPUT bytes —
+    # coalesces a locally-small prefix to one partition and serializes
+    # the explosion plus everything after it. Pre-partitioning the probe
+    # side on the join key at the parallelism floor (a no-op once the
+    # frame already has >= defaultParallelism partitions, i.e. at real
+    # scale) pins the join width: a user repartition is never coalesced,
+    # and the build side co-partitions to match.
+    probe = _parallelize(prefix, "__lb__", "__gram__")
     build = prefix.select(
         F.col("__gid__").alias("__gid2__"),
         F.col("__gram__").alias("__gram2__"),
@@ -209,7 +231,12 @@ def edit_distance_pairs(
         .where(F.col("__gid__") < F.col("__gid2__"))
         .select("__gid__", "__gid2__")
     )
-    cand = cand_long.unionByName(cand_short).distinct()
+    # the distinct's output is (id, id) pairs — small bytes per row, so
+    # AQE coalesces it hard; respread before the Levenshtein verify so
+    # the per-pair threshold DP uses every core (no-op at real scale)
+    cand = _parallelize(
+        cand_long.unionByName(cand_short).distinct(), "__gid__"
+    )
     # Fetch texts + member lists by id — hash joins at candidate scale
     # (carrying member-id arrays through the gram explode would duplicate
     # them q·k+1 times).

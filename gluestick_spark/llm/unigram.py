@@ -50,6 +50,66 @@ __all__ = ["subword_vocab", "unigram_segment", "train_unigram_vocab"]
 _SENT = -(10**15)
 
 
+def _word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """(distinct word, instance count) — ONE corpus tokenize + one keyed
+    aggregate; every downstream stage of the unigram family runs at
+    distinct-word (vocabulary) scale against this frame."""
+    return (
+        df.select(F.explode(tokens_expr(F.col(text_col))).alias("__w__"))
+        .groupBy("__w__")
+        .agg(F.count(F.lit(1)).alias("__m__"))
+    )
+
+
+def _vocab_from_word_counts(
+    wc: DataFrame, max_piece_len: int, min_count: int, scale: int
+) -> DataFrame:
+    """Piece counts from (distinct word, multiplicity): a piece's
+    instance count is Σ over distinct words of (occurrences in the word)
+    × (word instance count) — identical integers to counting every
+    instance's substrings, but the substring explosion runs once per
+    DISTINCT word instead of once per word instance (the fuzzy.py
+    exact-group compression; a 100 TB corpus explodes its vocabulary,
+    not its token stream)."""
+    spans = (
+        wc.select(
+            "__w__",
+            "__m__",
+            F.explode(
+                F.sequence(F.lit(0), F.length("__w__") - 1)
+            ).alias("__st__"),
+        )
+        .select(
+            "__w__",
+            "__m__",
+            "__st__",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.lit(max_piece_len),
+                        F.length("__w__") - F.col("__st__"),
+                    ),
+                )
+            ).alias("__l__"),
+        )
+        .select(
+            F.substring(
+                F.col("__w__"), F.col("__st__") + 1, F.col("__l__")
+            ).alias("piece"),
+            "__m__",
+        )
+    )
+    counts = spans.groupBy("piece").agg(F.sum("__m__").alias("__n__"))
+    kept = counts.where(
+        (F.col("__n__") >= min_count) | (F.length("piece") == 1)
+    )
+    return kept.select(
+        "piece",
+        F.expr(f"-(CAST({int(scale)} AS BIGINT) div __n__)").alias("score"),
+    )
+
+
 def subword_vocab(
     df: DataFrame,
     text_col: str,
@@ -65,40 +125,8 @@ def subword_vocab(
     frequent pieces). Returns (``piece``, ``score`` long)."""
     if max_piece_len < 1 or min_count < 1 or scale < 1:
         raise ValueError("max_piece_len, min_count, scale must be >= 1")
-    w = df.select(F.explode(tokens_expr(F.col(text_col))).alias("__w__"))
-    spans = (
-        w.select(
-            "__w__",
-            F.explode(
-                F.sequence(F.lit(0), F.length("__w__") - 1)
-            ).alias("__st__"),
-        )
-        .select(
-            "__w__",
-            "__st__",
-            F.explode(
-                F.sequence(
-                    F.lit(1),
-                    F.least(
-                        F.lit(max_piece_len),
-                        F.length("__w__") - F.col("__st__"),
-                    ),
-                )
-            ).alias("__l__"),
-        )
-        .select(
-            F.substring(
-                F.col("__w__"), F.col("__st__") + 1, F.col("__l__")
-            ).alias("piece")
-        )
-    )
-    counts = spans.groupBy("piece").agg(F.count(F.lit(1)).alias("__n__"))
-    kept = counts.where(
-        (F.col("__n__") >= min_count) | (F.length("piece") == 1)
-    )
-    return kept.select(
-        "piece",
-        F.expr(f"-(CAST({int(scale)} AS BIGINT) div __n__)").alias("score"),
+    return _vocab_from_word_counts(
+        _word_counts(df, text_col), max_piece_len, min_count, scale
     )
 
 
@@ -314,12 +342,14 @@ def train_unigram_vocab(
     aggregate over the segmentations. Returns (``piece``, ``score``)."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    v = subword_vocab(df, text_col, max_piece_len, min_count, scale)
-    w = (
-        df.select(F.explode(tokens_expr(F.col(text_col))).alias("__w__"))
-        .groupBy("__w__")
-        .agg(F.count(F.lit(1)).alias("__m__"))
-    )
+    # ONE corpus tokenize: the word-count frame feeds the initial
+    # vocabulary, the E-step's distinct-word input AND the M-step's
+    # usage weights. It is vocabulary-sized (distinct words), so pinning
+    # it is the same bounded-state call the per-iteration vocabulary
+    # checkpoint below already makes; without the pin each of its three
+    # consumers re-runs the corpus aggregate.
+    w = _word_counts(df, text_col).localCheckpoint()
+    v = _vocab_from_word_counts(w, max_piece_len, min_count, scale)
     chars = v.where(F.length("piece") == 1).select("piece")
     for _ in range(iters):
         seg = unigram_segment(

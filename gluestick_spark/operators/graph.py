@@ -147,9 +147,13 @@ def hits(
     mode errors loudly, never corrupts.
 
     Plan shape per iteration: two edge-keyed joins + two map-side-
-    combined aggregates (shuffle ∝ |E|), and each normalization's 1-row
-    max rides a ``crossJoin(broadcast(...))`` — never a global window,
-    never a driver collect.
+    combined aggregates (shuffle ∝ |E|). Each half-step's node-keyed
+    score frame is pinned (lazy localCheckpoint) and its 1-row max
+    collected as driver algorithm state (the kmeans-loop pattern) and
+    folded back as a literal: the earlier ``crossJoin(broadcast(max))``
+    form read the un-pinned half-step frame TWICE (once under the
+    broadcast, once in the join), doubling the physical plan every
+    half-step — 2^(2·iters) copies of the first aggregate by the end.
     """
     if iters < 0:
         raise ValueError("iters >= 0 required")
@@ -169,12 +173,18 @@ def hits(
     )
 
     def _norm(df: DataFrame, col: str) -> DataFrame:
-        mx = df.agg(F.max(col).alias("__mx__"))
-        return df.crossJoin(F.broadcast(mx)).select(
+        # pin the half-step frame, then fold its 1-row max back as a
+        # literal — the same floor(int64·scale / int64) in double, with
+        # the max read from driver state instead of a broadcast column
+        full = df.localCheckpoint(eager=False)
+        mx = full.agg(F.max(col).alias("__mx__")).first()[0]
+        if mx is None:
+            mx = 1  # empty graph: `full` has no rows to normalize
+        return full.select(
             "node",
             F.floor(
                 (F.col(col) * F.lit(int(scale))).cast("double")
-                / F.col("__mx__").cast("double")
+                / F.lit(int(mx)).cast("long").cast("double")
             )
             .cast("long")
             .alias(col),
