@@ -283,8 +283,15 @@ def minhash_band_buckets(
     share a (band, bucket). bands × N tiny rows, no shuffle of its own;
     the streaming dedup stores exactly this frame as its incremental
     index state."""
-    rows_per_band = num_perm // bands
     with_sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    return _explode_bands(with_sig, num_perm, bands)
+
+
+def _explode_bands(with_sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(``__id__``, band, bucket) rows from a (``__id__``, ``__sig__``)
+    signature frame — the banding half of :func:`minhash_band_buckets`,
+    shared with the shingle-store-fed index build."""
+    rows_per_band = num_perm // bands
     band_structs = F.array(
         *[
             F.struct(
@@ -537,14 +544,30 @@ def minhash_near_dup_pairs(
     cand = minhash_lsh_candidates(
         df, text_col, id_col, num_perm, bands, shingle_n, max_bucket
     )
-    sh = _parallelize(df, id_col).select(
-        F.col(id_col).alias("__id__"),
-        F.array_distinct(shingles_expr(F.col(text_col), shingle_n)).alias("__sh__"),
+    # Exact-Jaccard verify: attach the raw TEXT on the candidate joins
+    # and shingle ABOVE them — the shingling CPU is spent once per
+    # candidate-pair side (max_bucket-capped), never re-run over every
+    # corpus document on both join sides (guide §2: compute on
+    # survivors). `cand` is referenced exactly once, so the signature
+    # chain needs no pinning.
+    t = df.select(F.col(id_col), F.col(text_col))
+    j = (
+        cand.join(
+            t.select(F.col(id_col).alias("a"), F.col(text_col).alias("__ta__")), "a"
+        ).join(
+            t.select(F.col(id_col).alias("b"), F.col(text_col).alias("__tb__")), "b"
+        )
+    )
+    # staged as real columns: jaccard_expr reads each side twice
+    # (intersect + union) and HOF expressions get no codegen CSE —
+    # multi-referenced non-trivial aliases stay materialized once
+    j = j.withColumn(
+        "__sha__", F.array_distinct(shingles_expr(F.col("__ta__"), shingle_n))
+    ).withColumn(
+        "__shb__", F.array_distinct(shingles_expr(F.col("__tb__"), shingle_n))
     )
     return (
-        cand.join(sh.withColumnRenamed("__id__", "a").withColumnRenamed("__sh__", "__sha__"), "a")
-        .join(sh.withColumnRenamed("__id__", "b").withColumnRenamed("__sh__", "__shb__"), "b")
-        .withColumn("jaccard", jaccard_expr(F.col("__sha__"), F.col("__shb__")))
+        j.withColumn("jaccard", jaccard_expr(F.col("__sha__"), F.col("__shb__")))
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
@@ -1061,9 +1084,14 @@ def cross_corpus_near_dup_pairs(
     (new, ref), never compared by id order."""
     bn = minhash_band_buckets(df_new, text_col, id_col, num_perm, bands, shingle_n)
     br = minhash_band_buckets(df_ref, text_col, id_col, num_perm, bands, shingle_n)
-    sh_new = _shingle_sets(df_new, text_col, id_col, shingle_n, "new_id")
-    sh_ref = _shingle_sets(df_ref, text_col, id_col, shingle_n, "ref_id")
-    return _cross_pairs_core(bn, br, sh_new, sh_ref, threshold, max_bucket)
+    return _cross_pairs_core(
+        bn,
+        br,
+        ("text", df_new, text_col, id_col, shingle_n),
+        ("text", df_ref, text_col, id_col, shingle_n),
+        threshold,
+        max_bucket,
+    )
 
 
 def _shingle_sets(
@@ -1078,15 +1106,22 @@ def _shingle_sets(
 def _cross_pairs_core(
     bn: DataFrame,
     br: DataFrame,
-    sh_new: DataFrame,
-    sh_ref: DataFrame,
+    new_side,
+    ref_side,
     threshold: float,
     max_bucket: int | None,
 ) -> DataFrame:
     """Shared tail of the cross-corpus candidate+verify plan: capped
-    bucket equi-join (cost ∝ cross collisions) then exact-Jaccard verify
-    via the two shingle frames. Both the direct and index-backed paths
-    end here, so indexed ≡ direct by construction."""
+    bucket equi-join (cost ∝ cross collisions) then exact-Jaccard verify.
+    Both the direct and index-backed paths end here, so indexed ≡ direct
+    by construction.
+
+    Each side is either ``("text", df, text_col, id_col, shingle_n)`` —
+    a raw corpus, whose TEXT rides the candidate join and is shingled
+    ABOVE it, so the shingling CPU is spent per candidate occurrence and
+    never re-run over every corpus document — or ``("shingles", frame)``
+    — a persisted index whose stored shingle sets join directly (reading
+    the store is the hash join's probe, not recomputation)."""
     bn = _cap_buckets(bn.repartition("band", "bucket"), ["band", "bucket"], max_bucket)
     br = _cap_buckets(br.repartition("band", "bucket"), ["band", "bucket"], max_bucket)
     cand = (
@@ -1096,10 +1131,24 @@ def _cross_pairs_core(
         .select("new_id", "ref_id")
         .distinct()
     )
+
+    def _attach(j: DataFrame, side, key: str) -> DataFrame:
+        if side[0] == "shingles":
+            return j.join(side[1], key)
+        _, sdf, text_col, id_col, shingle_n = side
+        t = sdf.select(
+            F.col(id_col).alias(key), F.col(text_col).alias(f"__t_{key}__")
+        )
+        # staged as a real column: jaccard_expr reads each side twice
+        # (intersect + union) and HOF expressions get no codegen CSE
+        return j.join(t, key).withColumn(
+            f"__sh_{key}__",
+            F.array_distinct(shingles_expr(F.col(f"__t_{key}__"), shingle_n)),
+        )
+
+    j = _attach(_attach(cand, new_side, "new_id"), ref_side, "ref_id")
     return (
-        cand.join(sh_new, "new_id")
-        .join(sh_ref, "ref_id")
-        .withColumn("jaccard", jaccard_expr(F.col("__sh_new_id__"), F.col("__sh_ref_id__")))
+        j.withColumn("jaccard", jaccard_expr(F.col("__sh_new_id__"), F.col("__sh_ref_id__")))
         .where(F.col("jaccard") >= threshold)
         .select("new_id", "ref_id", "jaccard")
     )
@@ -1156,12 +1205,22 @@ def materialize_band_index(
     NEW reference batch to an existing index (O(batch) — nothing is
     re-signed; geometry must match the stored meta).
 
-    Crash safety (ADVICE r8): the multi-step rewrite (bands, then
-    shingles, then meta) is bracketed by a ``_INDEX_COMMIT`` marker —
+    Crash safety (ADVICE r8): the multi-step rewrite (shingles, then
+    bands, then meta) is bracketed by a ``_INDEX_COMMIT`` marker —
     removed FIRST, re-written (atomic ``os.replace``) only after every
     component landed. A crash mid-rebuild leaves no marker, and
     ``_read_band_index`` refuses to serve the torn index loudly instead
-    of silently mixing band and shingle tables from different corpora."""
+    of silently mixing band and shingle tables from different corpora.
+
+    One corpus pass (overwrite mode): the shingle sets are written
+    FIRST, and the band signatures are derived from the just-written
+    shingle store instead of re-shingling the corpus — the store IS the
+    materialization the second pass needs (identical signatures: the
+    stored arrays are the distinct shingle sets the signature fold
+    consumes, and min/band-hash do not depend on array order). Append
+    mode keeps the direct two-read form — the batch is small by the
+    O(batch) contract, and the stored dir then holds OLD batches the
+    band derivation must not re-emit."""
     import json as _json
     import os as _os
 
@@ -1180,11 +1239,25 @@ def materialize_band_index(
     # mid-rebuild index rather than joining mismatched halves
     if _os.path.isfile(commit_path):
         _os.remove(commit_path)
-    bb = minhash_band_buckets(df_ref, text_col, id_col, num_perm, bands, shingle_n)
-    bb.write.mode(mode).parquet(_os.path.join(path, "bands"))
+    sh_path = _os.path.join(path, "shingles")
     _shingle_sets(df_ref, text_col, id_col, shingle_n, "__id__").withColumnRenamed(
         "__sh___id____", "__sh__"
-    ).write.mode(mode).parquet(_os.path.join(path, "shingles"))
+    ).write.mode(mode).parquet(sh_path)
+    if mode == "overwrite":
+        stored = df_ref.sparkSession.read.parquet(sh_path)
+        bb = _explode_bands(
+            stored.select(
+                "__id__",
+                minhash_signature_expr(F.col("__sh__"), num_perm).alias("__sig__"),
+            ),
+            num_perm,
+            bands,
+        )
+    else:
+        bb = minhash_band_buckets(
+            df_ref, text_col, id_col, num_perm, bands, shingle_n
+        )
+    bb.write.mode(mode).parquet(_os.path.join(path, "bands"))
     with open(meta_path, "w") as f:
         _json.dump(meta, f)
     tmp = commit_path + ".tmp"
@@ -1229,8 +1302,14 @@ def cross_corpus_near_dup_pairs_indexed(
     bn = minhash_band_buckets(
         df_new, text_col, id_col, meta["num_perm"], meta["bands"], meta["shingle_n"]
     )
-    sh_new = _shingle_sets(df_new, text_col, id_col, meta["shingle_n"], "new_id")
-    return _cross_pairs_core(bn, br, sh_new, sh_ref, threshold, max_bucket)
+    return _cross_pairs_core(
+        bn,
+        br,
+        ("text", df_new, text_col, id_col, meta["shingle_n"]),
+        ("shingles", sh_ref),  # persisted shingles: the join probes the store
+        threshold,
+        max_bucket,
+    )
 
 
 def dedup_against_indexed(
