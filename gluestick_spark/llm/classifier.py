@@ -116,7 +116,10 @@ def classifier_score(
 
     grams = hashed_ngrams_expr(F.col(text_col), n_buckets, use_bigrams)
     if assign == "literal":
-        warr = F.array(*[F.lit(int(v)).cast("long") for v in wq])
+        # one parsed literal instead of n_buckets py4j lit() roundtrips
+        warr = F.expr(
+            "CAST(array(" + ",".join(str(int(v)) for v in wq) + ") AS ARRAY<BIGINT>)"
+        )
         total = F.aggregate(
             grams,
             F.lit(0).cast("long"),

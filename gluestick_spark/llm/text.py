@@ -984,14 +984,17 @@ def lang_id_ft_expr(col: Column, model: dict) -> Column:
     nb = model["n_buckets"]
     if not labels:
         return F.lit("und")
-    # Weight tables as SINGLE Literal nodes (F.lit(list)), not
-    # F.array(*lits): a classes×n_buckets CreateArray is thousands of
-    # expression nodes that re-run analysis/optimization on EVERY plan
-    # build — measured ~7s of driver-side planning per query at the
-    # default geometry, vs 0.3s of actual execution. One Literal per
-    # class keeps the tree k nodes wide and planning free.
+    # Weight tables as SQL text parsed once per class: classic-mode
+    # F.lit(list) silently expands to one py4j lit() call PER ELEMENT
+    # (classes×n_buckets roundtrips ≈ 1.7 s of plan-build at the default
+    # geometry); a single parsed array(...) literal is one roundtrip and
+    # constant-folds to the same ArrayData before execution.
     warrs = [
-        F.lit([int(v) for v in model["weights"][lbl]]).cast("array<long>")
+        F.expr(
+            "CAST(array("
+            + ",".join(str(int(v)) for v in model["weights"][lbl])
+            + ") AS ARRAY<BIGINT>)"
+        )
         for lbl in labels
     ]
     lbl_arr = F.lit(list(labels))

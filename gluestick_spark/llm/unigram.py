@@ -176,23 +176,23 @@ def _span_score_array(
             F.coalesce(F.col("__sc__"), F.lit(int(unk_score)).cast("long")),
         ).otherwise(F.col("__sc__")),
     ).where(F.col("__sc__").isNotNull())
-    aggs = []
-    for st in range(max_word_len):
-        for l in range(1, L + 1):
-            aggs.append(
-                F.max(
-                    F.when(
-                        (F.col("__st__") == st) & (F.col("__l__") == l),
-                        F.col("__sc__"),
-                    )
-                ).alias(f"__s_{st}_{l}__")
-            )
-    arr = F.array(
-        *[
-            F.col(f"__s_{st}_{l}__")
-            for st in range(max_word_len)
-            for l in range(1, L + 1)
-        ]
+    # W·L aggregates as SQL text parsed once each: the Column-builder
+    # form (max(when(...)) per cell) cost ~1 s of py4j roundtrips per
+    # call at W=16, L=4 — the kmeans literal-SQL device. CASE WHEN with
+    # no ELSE is exactly when().otherwise-absent (NULL), so the grouped
+    # maxima are identical.
+    cells = [
+        (st, l) for st in range(max_word_len) for l in range(1, L + 1)
+    ]
+    aggs = [
+        F.expr(
+            f"max(CASE WHEN __st__ = {st} AND __l__ = {l} THEN __sc__ END)"
+            f" AS __s_{st}_{l}__"
+        )
+        for st, l in cells
+    ]
+    arr = F.expr(
+        "array(" + ", ".join(f"__s_{st}_{l}__" for st, l in cells) + ")"
     )
     return (
         j.groupBy("__w__").agg(*aggs).select("__w__", arr.alias("__sarr__"))
@@ -236,71 +236,52 @@ def unigram_segment(
         short, vocab, piece_col, score_col, L, W, unk_score
     )
 
-    n = F.length("__w__")
-    sent = F.lit(_SENT).cast("long")
-    invalid = F.lit(4 * _SENT).cast("long")
+    # DP fold and backtrace as SQL text parsed once (the kmeans
+    # literal-SQL device): term-for-term the Column-builder form —
+    # CASE branches, struct field order, int/long types and the
+    # best.dp/best.negl subtree duplication are all unchanged, so the
+    # decision (and every tie) is bit-identical.
+    sent = int(_SENT)
+    invalid = int(4 * _SENT)
 
-    def step(acc, i):
-        cands = []
-        for l in range(1, L + 1):
-            sc = F.coalesce(
-                F.element_at(F.col("__sarr__"), (i - F.lit(l)) * L + l),
-                sent,
-            )
-            dp_prev = F.element_at(acc, i - F.lit(l) + 1)["dp"]
-            cands.append(
-                F.when(
-                    i >= F.lit(l),
-                    F.struct(
-                        (dp_prev + sc).alias("dp"),
-                        F.lit(-l).alias("negl"),
-                    ),
-                ).otherwise(
-                    F.struct(invalid.alias("dp"), F.lit(-l).alias("negl"))
-                )
-            )
-        best = F.array_max(F.array(*cands))
-        return F.concat(
-            acc,
-            F.array(
-                F.struct(
-                    best["dp"].alias("dp"),
-                    (-best["negl"]).cast("int").alias("bp"),
-                )
-            ),
+    def _cand(l: int) -> str:
+        sc = (
+            f"coalesce(element_at(__sarr__, (i - {l}) * {L} + {l}),"
+            f" CAST({sent} AS BIGINT))"
+        )
+        dp_prev = f"element_at(acc, i - {l} + 1).dp"
+        return (
+            f"IF(i >= {l},"
+            f" named_struct('dp', {dp_prev} + {sc}, 'negl', {-l}),"
+            f" named_struct('dp', CAST({invalid} AS BIGINT), 'negl', {-l}))"
         )
 
-    init = F.array(
-        F.struct(
-            F.lit(0).cast("long").alias("dp"), F.lit(0).cast("int").alias("bp")
-        )
+    best = "array_max(array(" + ", ".join(_cand(l) for l in range(1, L + 1)) + "))"
+    dp = F.expr(
+        "aggregate(sequence(1, length(__w__)),"
+        " array(named_struct('dp', CAST(0 AS BIGINT), 'bp', 0)),"
+        f" (acc, i) -> concat(acc, array(named_struct("
+        f"'dp', {best}.dp, 'bp', CAST(-({best}.negl) AS INT)))))"
     )
-    dp = F.aggregate(F.sequence(F.lit(1), n), init, step)
 
     solved = sarr.withColumn("__dp__", dp)
 
     # backtrace: W static steps over the per-position backpointers
-    def back(state, _i):
-        pos = state["pos"]
-        l = F.element_at(F.col("__dp__"), pos + 1)["bp"]
-        piece = F.substring(F.col("__w__"), pos - l + 1, l)
-        return F.when(
-            pos > 0,
-            F.struct(
-                (pos - l).alias("pos"),
-                F.concat(state["parts"], F.array(piece)).alias("parts"),
-            ),
-        ).otherwise(state)
-
-    bt_init = F.struct(
-        n.cast("int").alias("pos"),
-        F.array().cast("array<string>").alias("parts"),
+    bl = "element_at(__dp__, state.pos + 1).bp"
+    bt = F.expr(
+        f"aggregate(sequence(1, {W}),"
+        " named_struct('pos', CAST(length(__w__) AS INT),"
+        " 'parts', CAST(array() AS ARRAY<STRING>)),"
+        " (state, i) -> IF(state.pos > 0,"
+        f" named_struct('pos', state.pos - {bl},"
+        f" 'parts', concat(state.parts,"
+        f" array(substring(__w__, state.pos - {bl} + 1, {bl})))),"
+        " state))"
     )
-    bt = F.aggregate(F.sequence(F.lit(1), F.lit(W)), bt_init, back)
     seg = solved.select(
         "__w__",
         F.reverse(bt["parts"]).alias("pieces"),
-        F.element_at(F.col("__dp__"), n + 1)["dp"].alias("score"),
+        F.element_at(F.col("__dp__"), F.length("__w__") + 1)["dp"].alias("score"),
     )
 
     all_words = seg.unionByName(long_)
