@@ -256,12 +256,15 @@ def rrf_fuse(
     ``k`` limits EACH query's fused list. The result gains the query
     column, ordered (query asc, score desc, id asc).
 
-    Scale note: the inputs are TOP-K LISTS by contract — retrieval
-    results, thousands of rows at most, never a corpus. Ranking uses one
-    single-partition window per leg, which is O(k log k) on k-bounded
-    data; feeding a corpus here is a misuse (rank the corpus with a
-    distributed top-k first). The fuse itself is one union + one
-    groupBy."""
+    Scale note: with ``leg_k`` set, an unbounded single-query leg is
+    first truncated to its top ``leg_k`` rows by the SAME total order
+    (score, id) via a distributed top-k (``TakeOrderedAndProject`` —
+    per-partition heaps, never a full sort), so the rank window only
+    ever sorts ``leg_k`` rows; a corpus-sized leg is therefore safe.
+    Without ``leg_k`` the full ranking is demanded and uses one
+    single-partition window per leg — feed top-k lists there. The
+    per-query form ranks inside query partitions (distributed across
+    queries). The fuse itself is one union + one groupBy."""
     from functools import reduce
 
     from pyspark.sql import Window
@@ -277,11 +280,18 @@ def rrf_fuse(
             F.col(score_col).asc() if ascending else F.col(score_col).desc(),
             F.col(id_col).asc(),
         ]
-        w = (
-            Window.partitionBy(query_col).orderBy(*order)
-            if query_col
-            else Window.orderBy(*order)
-        )
+        if query_col:
+            w = Window.partitionBy(query_col).orderBy(*order)
+        else:
+            w = Window.orderBy(*order)
+            if leg_k is not None:
+                # k-bound the single-partition rank window: keep the top
+                # leg_k rows by the SAME total order first (a distributed
+                # TakeOrderedAndProject), so row_number sorts leg_k rows
+                # instead of the whole leg. (score, id) is a total order,
+                # so the surviving rows and their ranks are identical to
+                # ranking the full leg and filtering __r__ <= leg_k.
+                df = df.orderBy(*order).limit(int(leg_k))
         ranked = df.select(
             *[F.col(c) for c in keys],
             F.row_number().over(w).alias("__r__"),
