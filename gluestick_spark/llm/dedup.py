@@ -541,31 +541,36 @@ def minhash_near_dup_pairs(
     At scale the verify joins shingle arrays back in — two
     broadcast-or-shuffle hash joins on the id column, never O(N²).
     """
+    # Pinned: (a, b) id pairs only — tiny rows, the connected_components
+    # edge pattern — because the verify below references the candidate
+    # set three times (two survivor semi-joins + the pair join) and the
+    # signature/bucket chain must run once, not three times.
     cand = minhash_lsh_candidates(
         df, text_col, id_col, num_perm, bands, shingle_n, max_bucket
-    )
-    # Exact-Jaccard verify: attach the raw TEXT on the candidate joins
-    # and shingle ABOVE them — the shingling CPU is spent once per
-    # candidate-pair side (max_bucket-capped), never re-run over every
-    # corpus document on both join sides (guide §2: compute on
-    # survivors). `cand` is referenced exactly once, so the signature
-    # chain needs no pinning.
-    t = df.select(F.col(id_col), F.col(text_col))
-    j = (
-        cand.join(
-            t.select(F.col(id_col).alias("a"), F.col(text_col).alias("__ta__")), "a"
-        ).join(
-            t.select(F.col(id_col).alias("b"), F.col(text_col).alias("__tb__")), "b"
+    ).localCheckpoint(eager=False)
+    # Exact-Jaccard verify: shingle once per candidate DOCUMENT per side
+    # (corpus semi-joined to the pair ids), then hash-join the arrays to
+    # the pairs. This dominates both alternatives in every regime:
+    # shingling every corpus doc pays for non-candidates (sparse-dup
+    # corpora), while shingling per pair OCCURRENCE recomputes a hot
+    # doc's set once per partner — on dup-heavy corpora pairs/doc is
+    # unbounded (a replica family of R contributes C(R,2) pairs; the
+    # 10x replica probe measured 48 s vs 12 s). Survivor-doc scale is
+    # min(corpus, 2·pairs) by construction (guide §8: every pass but
+    # the last operates on a lightweight proxy / survivors).
+    def _survivor_shingles(key: str) -> DataFrame:
+        ids = cand.select(F.col(key).alias(id_col)).distinct()
+        return df.join(ids, id_col, "leftsemi").select(
+            F.col(id_col).alias(key),
+            F.array_distinct(shingles_expr(F.col(text_col), shingle_n)).alias(
+                f"__sh{key}__"
+            ),
         )
-    )
-    # staged as real columns: jaccard_expr reads each side twice
-    # (intersect + union) and HOF expressions get no codegen CSE —
-    # multi-referenced non-trivial aliases stay materialized once
-    j = j.withColumn(
-        "__sha__", F.array_distinct(shingles_expr(F.col("__ta__"), shingle_n))
-    ).withColumn(
-        "__shb__", F.array_distinct(shingles_expr(F.col("__tb__"), shingle_n))
-    )
+
+    # arrays arrive as real join-output columns, so jaccard_expr's two
+    # reads (intersect + union) never recompute the shingle HOF (which
+    # gets no codegen CSE)
+    j = cand.join(_survivor_shingles("a"), "a").join(_survivor_shingles("b"), "b")
     return (
         j.withColumn("jaccard", jaccard_expr(F.col("__sha__"), F.col("__shb__")))
         .where(F.col("jaccard") >= threshold)
@@ -1117,11 +1122,14 @@ def _cross_pairs_core(
     by construction.
 
     Each side is either ``("text", df, text_col, id_col, shingle_n)`` —
-    a raw corpus, whose TEXT rides the candidate join and is shingled
-    ABOVE it, so the shingling CPU is spent per candidate occurrence and
-    never re-run over every corpus document — or ``("shingles", frame)``
-    — a persisted index whose stored shingle sets join directly (reading
-    the store is the hash join's probe, not recomputation)."""
+    a raw corpus, shingled once per candidate DOCUMENT (the corpus
+    semi-joined to the candidate ids; never per pair occurrence, which
+    is unbounded on dup-heavy corpora, and never over every corpus
+    document) — or ``("shingles", frame)`` — a persisted index whose
+    stored shingle sets join directly (reading the store is the hash
+    join's probe, not recomputation). The candidate pair set is pinned
+    (id pairs only) because the text sides reference it for their
+    survivor semi-joins."""
     bn = _cap_buckets(bn.repartition("band", "bucket"), ["band", "bucket"], max_bucket)
     br = _cap_buckets(br.repartition("band", "bucket"), ["band", "bucket"], max_bucket)
     cand = (
@@ -1131,20 +1139,24 @@ def _cross_pairs_core(
         .select("new_id", "ref_id")
         .distinct()
     )
+    if new_side[0] == "text" or ref_side[0] == "text":
+        cand = cand.localCheckpoint(eager=False)
 
     def _attach(j: DataFrame, side, key: str) -> DataFrame:
         if side[0] == "shingles":
             return j.join(side[1], key)
         _, sdf, text_col, id_col, shingle_n = side
-        t = sdf.select(
-            F.col(id_col).alias(key), F.col(text_col).alias(f"__t_{key}__")
+        ids = cand.select(F.col(key).alias(id_col)).distinct()
+        # shingle arrays computed once per surviving doc, attached as
+        # real join-output columns (jaccard_expr's intersect + union
+        # never recompute the HOF, which gets no codegen CSE)
+        sh = sdf.join(ids, id_col, "leftsemi").select(
+            F.col(id_col).alias(key),
+            F.array_distinct(shingles_expr(F.col(text_col), shingle_n)).alias(
+                f"__sh_{key}__"
+            ),
         )
-        # staged as a real column: jaccard_expr reads each side twice
-        # (intersect + union) and HOF expressions get no codegen CSE
-        return j.join(t, key).withColumn(
-            f"__sh_{key}__",
-            F.array_distinct(shingles_expr(F.col(f"__t_{key}__"), shingle_n)),
-        )
+        return j.join(sh, key)
 
     j = _attach(_attach(cand, new_side, "new_id"), ref_side, "ref_id")
     return (
