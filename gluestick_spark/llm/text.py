@@ -768,15 +768,23 @@ def unigram_nll(
     with corpus token count T, vocab size V, and add-α smoothing. Returns
     (id, ``nll`` double, ``n_tokens``); empty docs get NULL nll.
 
-    Plan: ONE tokenize+explode feeds both the frequency table and the
-    per-doc join (a hash join on the token — the frequency side is
-    vocabulary-sized, broadcastable for most corpora), then one per-doc
-    aggregate. Everything JVM-side; corpus scalars (T, V) ride a 1-row
-    broadcast.
+    Plan: the frequency table is computed by ONE tokenize pass and
+    PINNED (lazy localCheckpoint — it is vocabulary-sized: one row per
+    distinct token, executor-resident, no driver bound), so its two
+    consumers (the corpus-scalar aggregate and the per-doc scoring
+    join) never re-run the tokenize; the scoring side tokenizes once
+    more. Two corpus passes total — the lower bound for
+    corpus-self-scored NLL (one to learn the distribution, one to
+    score against it). Everything JVM-side; corpus scalars (T, V) ride
+    a 1-row broadcast.
     """
     toks = F.transform(tokens_expr(F.col(text_col)), F.lower)
     ex = df.select(F.col(id_col).alias("__id__"), F.explode(toks).alias("token"))
-    freq = ex.groupBy("token").agg(F.count("*").alias("__c__"))
+    freq = (
+        ex.groupBy("token")
+        .agg(F.count("*").alias("__c__"))
+        .localCheckpoint(eager=False)
+    )
     totals = freq.agg(
         F.sum("__c__").alias("__T__"), F.count("*").alias("__V__")
     )
@@ -821,14 +829,17 @@ def bigram_nll(
     (id, ``nll`` double, ``n_bigrams``); docs with < 2 tokens get NULL
     nll and 0 bigrams.
 
-    Plan: one tokenize per document; adjacent pairs via the zip_with
-    slice device (no self-join of token positions); ONE explode feeds
-    the bigram-frequency aggregate, the context-frequency aggregate,
-    and the per-doc scoring join; V rides a 1-row broadcast. The bigram
-    table is corpus-bounded (distinct adjacent pairs), the join is a
-    plain hash join on the pair — everything JVM-side. Like
-    unigram_nll, the per-doc avg sums doubles in engine order — oracle
-    rows floor-round (1e-3) on both sides.
+    Plan: adjacent pairs via the zip_with slice device (no self-join of
+    token positions); the context-frequency table is PINNED (lazy
+    localCheckpoint — vocabulary-sized, one row per distinct token) so
+    its two consumers (the V scalar and the per-doc scoring join) never
+    re-run its tokenize; the pair explode feeds the bigram-frequency
+    aggregate and the scoring join (corpus-scale, deliberately NOT
+    pinned — storing it would cost several× the corpus). Three corpus
+    passes total. The bigram table is corpus-bounded (distinct adjacent
+    pairs), the join is a plain hash join on the pair — everything
+    JVM-side. Like unigram_nll, the per-doc avg sums doubles in engine
+    order — oracle rows floor-round (1e-3) on both sides.
     """
     toks = F.transform(tokens_expr(F.col(text_col)), F.lower)
     n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
@@ -840,8 +851,11 @@ def bigram_nll(
     ex = df.select(
         F.col(id_col).alias("__id__"), F.explode(pairs).alias("__p__")
     ).select("__id__", F.col("__p__.prev").alias("prev"), F.col("__p__.cur").alias("cur"))
-    uni = df.select(F.explode(toks).alias("tok")).groupBy("tok").agg(
-        F.count(F.lit(1)).alias("__c1__")
+    uni = (
+        df.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__c1__"))
+        .localCheckpoint(eager=False)
     )
     vocab = uni.agg(F.count(F.lit(1)).alias("__V__"))
     bi = ex.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("__c2__"))
