@@ -283,10 +283,19 @@ def main() -> None:
     # fingerprint (HEAD sha + working-tree diff hash) so only same-code
     # runs fold; a changed tree starts a fresh basis.
     code_sha = _code_fingerprint()
+    # VERDICT r15 #3: the merge key also needs the CORE COUNT — the
+    # driver re-runs the bench at a lower $SPARK_GRAFT_CPUS to measure
+    # scaling, and folding an 8-core run into a 32-core floor (or vice
+    # versa) silently corrupts both. The core count goes into the sidecar
+    # FILENAME (a low-core run can never even overwrite the 32-core
+    # floor) and is recorded in the result for cross-round pairing.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     try:
         _here = os.path.dirname(os.path.abspath(__file__))
         _side = os.path.join(
-            _here, ".bench", f"BENCH_r{_round_number(_here):02d}_full_sf{sf}.json"
+            _here,
+            ".bench",
+            f"BENCH_r{_round_number(_here):02d}_full_sf{sf}_c{cpus}.json",
         )
         if os.path.isfile(_side):
             with open(_side) as f:
@@ -296,6 +305,7 @@ def main() -> None:
                 and _old.get("queries")
                 and code_sha is not None
                 and _old.get("code_sha") == code_sha
+                and _old.get("cpus") == cpus
             ):
                 _oq = _old["queries"]
                 for q in timings:
@@ -326,6 +336,7 @@ def main() -> None:
         "calibration_sec": round(calib, 3),
         "job_latency_ms": round(job_lat * 1000, 1),
         "sf": sf_val,
+        "cpus": cpus,
         "merged_runs": merged_runs,
         "code_sha": code_sha,
     }
@@ -333,7 +344,7 @@ def main() -> None:
     # (malformed prior BENCH files included) may prevent the JSON line from
     # printing — rounds 2 and 3 both lost their bench artifact to exactly that.
     try:
-        prev, prev_round, prev_calib = _previous_round(sf_val)
+        prev, prev_round, prev_calib = _previous_round(sf_val, cpus)
         if prev:
             # Drift-normalize (VERDICT r6 #4). The synthetic calibration
             # tracks CPU throughput, but the sub-second queries are
@@ -409,9 +420,13 @@ def main() -> None:
         # Since r14 the result is ALREADY min-merged with any existing
         # same-round sidecar (see run()), so this write never loses the
         # round's noise floor — every in-session rerun tightens it.
+        # Since r16 the name carries the core count (VERDICT r15 #3), so
+        # the driver's low-core scaling run gets its own file and can
+        # never overwrite or fold into the 32-core floor.
         with open(
             os.path.join(
-                bdir, f"BENCH_r{_round_number(here):02d}_full_sf{sf}.json"
+                bdir,
+                f"BENCH_r{_round_number(here):02d}_full_sf{sf}_c{cpus}.json",
             ),
             "w",
         ) as f:
@@ -533,12 +548,18 @@ def _match_sidecar_by_delta(here: str, deltas: dict[str, float]) -> dict | None:
     return None
 
 
-def _previous_round(sf_val) -> tuple[dict[str, float], str | None, float | None]:
+def _previous_round(
+    sf_val, cpus: int = 32
+) -> tuple[dict[str, float], str | None, float | None]:
     """(per-query seconds, round tag, calibration_sec) from the newest
     parseable BENCH_r*.json at the same SF (round-over-round regression
     tracking; VERDICT r1 #10). The tag names WHICH artifact the basis came
     from, so a skipped/crashed round can't silently shift the comparison
-    basis; the calibration lets the caller normalize away machine drift."""
+    basis; the calibration lets the caller normalize away machine drift.
+    Only a SAME-core-count basis is comparable (VERDICT r15 #3): a
+    sidecar with a _c{N} suffix must match `cpus` exactly; a legacy
+    unsuffixed sidecar is accepted only when its recorded cpus key is
+    absent or matches."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -557,13 +578,24 @@ def _previous_round(sf_val) -> tuple[dict[str, float], str | None, float | None]
         m = _re.match(r"BENCH_r(\d+)_full_sf", os.path.basename(p))
         return int(m.group(1)) if m else -1
 
+    def _cpus_of(p: str):
+        m = _re.search(r"_c(\d+)\.json$", os.path.basename(p))
+        return int(m.group(1)) if m else None
+
     for path in sorted(
         glob.glob(os.path.join(here, ".bench", "BENCH_r*_full_sf*.json")),
-        key=_round_of,
+        # within a round, prefer the cpus-suffixed (new-style) sidecar
+        key=lambda p: (_round_of(p), _cpus_of(p) is not None),
         reverse=True,
     ):
         n = _round_of(path)
         if n < 0:
+            continue
+        # every legacy (unsuffixed, no-cpus-key) sidecar was written by a
+        # 32-core run — treat missing metadata as 32, don't hand a
+        # low-core run a 32-core comparison basis
+        side_cpus = _cpus_of(path)
+        if (side_cpus if side_cpus is not None else 32) != cpus:
             continue
         if not any(
             os.path.isfile(os.path.join(here, f"BENCH_r{tag}.json"))
@@ -573,6 +605,8 @@ def _previous_round(sf_val) -> tuple[dict[str, float], str | None, float | None]
         try:
             with open(path) as f:
                 parsed = json.load(f)
+            if parsed.get("cpus") not in (None, cpus):
+                continue
             if parsed.get("sf") == sf_val and parsed.get("queries"):
                 calib = parsed.get("calibration_sec")
                 calib = float(calib) if calib else None
@@ -598,7 +632,14 @@ def _previous_round(sf_val) -> tuple[dict[str, float], str | None, float | None]
         try:
             with open(path) as f:
                 rec = json.load(f)
+            # the driver records its own core count in the root artifact;
+            # a different-cpus run (e.g. BENCH_r15_c8.json) is not a
+            # comparable basis for this run
+            if (rec.get("cpus") or 32) != cpus:
+                continue
             parsed = rec.get("parsed") or rec
+            if (parsed.get("cpus") or 32) != cpus:
+                continue
             if parsed.get("sf") == sf_val and parsed.get("queries"):
                 calib = parsed.get("calibration_sec")
                 calib = float(calib) if calib else None
