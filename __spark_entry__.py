@@ -5615,15 +5615,25 @@ def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     to max_word_len static steps (the kmeans-unroll determinism device
     applied to Viterbi); words longer than the unroll take the
     documented single-piece fallback in both engines."""
-    from gluestick_spark.llm.unigram import subword_vocab, unigram_segment
+    from gluestick_spark.llm.unigram import (
+        _vocab_from_word_counts,
+        _word_counts,
+        unigram_segment,
+    )
 
     d = _tp(spark, sf_dir, "documents", "doc_id")
-    v = subword_vocab(
-        d, "text", max_piece_len=_UNI_L, min_count=_UNI_MINC, scale=_UNI_SCALE
-    )
+    # r16: ONE corpus tokenize feeds both the vocabulary counts and the
+    # DP's distinct-word input (the train_pq shared-schedule device;
+    # subword_vocab == _vocab_from_word_counts(_word_counts(...)) by
+    # definition, so the scores are identical integers). The word-count
+    # frame is vocabulary-sized — pinning it is the same bounded-state
+    # call train_unigram_vocab already makes.
+    wc = _word_counts(d, "text").localCheckpoint(eager=False)
+    v = _vocab_from_word_counts(wc, _UNI_L, _UNI_MINC, _UNI_SCALE)
     seg = unigram_segment(
         d, "text", "doc_id", v,
         max_piece_len=_UNI_L, max_word_len=_UNI_W, unk_score=_UNI_UNK,
+        words=wc.select("__w__"),
     )
     ex = seg.select(
         "doc_id", "word_idx", "word", "score",

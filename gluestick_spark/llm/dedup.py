@@ -699,15 +699,21 @@ def connected_components(
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    # LAZY pin + one bounded limit-collect replaces the r15 eager
+    # checkpoint + count + collect (3 scheduled jobs → 1 for every graph
+    # at or under the local bound — the common case; the collect is
+    # bounded to _CC_LOCAL_MAX_EDGES+1 rows either way, so an oversized
+    # graph wastes at most ~1 MB of driver transfer before taking the
+    # distributed path)
     edges = (
         pairs.where(F.col(a_col) != F.col(b_col))
         .select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    n_edges = edges.count()
-    if n_edges <= _CC_LOCAL_MAX_EDGES:
-        labels = _cc_union_find(edges.collect())
+    probe = edges.limit(_CC_LOCAL_MAX_EDGES + 1).collect()
+    if len(probe) <= _CC_LOCAL_MAX_EDGES:
+        labels = _cc_union_find(probe)
         spark = pairs.sparkSession
         from pyspark.sql.types import StructField, StructType
 
@@ -721,6 +727,7 @@ def connected_components(
         return spark.createDataFrame(
             sorted(labels.items()), schema
         )
+    n_edges = edges.count()
     # Nodes come from the CHECKPOINTED edge set, not from `pairs`: the pairs
     # frame is typically an expensive un-cached plan (LSH + verify), and
     # reading it a second time would re-run that whole pipeline when the
@@ -732,7 +739,10 @@ def connected_components(
         .distinct()
     )
     for _ in range(max_iter):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        # lazy pin: the convergence count right below materializes it
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(
+            eager=False
+        )
         n_new = new_edges.count()
         # Sets are distinct-deduped: equal counts + empty (new − old) ⇒ equal.
         if n_new == n_edges and new_edges.exceptAll(edges).isEmpty():

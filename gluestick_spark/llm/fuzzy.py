@@ -86,10 +86,14 @@ def edit_distance_pairs(
     # the gram/frequency/prefix chain, and both id joins. Without it each
     # consumer re-runs the corpus aggregate (measured ~2.4× the whole
     # operator's wall time at sf0.1).
+    # LAZY pin (r16): under AQE the checkpoint call still executes the
+    # aggregate's upstream stages, but the final result stage is no
+    # longer a separately scheduled call-time job — the first consumer
+    # materializes it and every later stage reuses the pin
     groups = base.groupBy("__t__", *blocks).agg(
         F.min("__id__").alias("__gid__"),
         F.collect_list("__id__").alias("__ids__"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     # distance-0 pairs inside each duplicate group: all member pairs, no
     # Levenshtein. Output-bound (these rows ARE the result).
@@ -165,12 +169,13 @@ def edit_distance_pairs(
     )
     # prefix is (q·k+1) rows per distinct string and feeds both join
     # sides; checkpoint so the gram/frequency/rank chain runs once
+    # (LAZY — same rationale as `groups` above)
     prefix = (
         grams.join(F.broadcast(freq), "__gram__")
         .withColumn("__rn__", F.row_number().over(wrank))
         .where(F.col("__rn__") <= q * max_dist + 1)
         .select("__gid__", "__lb__", *blocks, "__gram__", "__pos__")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # The candidate join EXPLODES (each shared prefix gram emits a pair):
     # its input bytes are prefix-sized but its output is candidate-sized,
     # so AQE — which sizes post-shuffle partitions by INPUT bytes —

@@ -235,7 +235,9 @@ def vacuum_deleted(
     t = tombstones(spark, path, id_col)
     if t is None:
         return report
-    t = t.localCheckpoint()  # reused per rewrite group; kilobytes
+    # reused per rewrite group; kilobytes. LAZY (r16): the `affected`
+    # collect right below materializes it — one fewer scheduled job
+    t = t.localCheckpoint(eager=False)
     affected = sorted(
         r[part_col]
         for r in spark.read.parquet(root)

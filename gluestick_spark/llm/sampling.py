@@ -622,19 +622,31 @@ def dsir_sample(
     # stops being "driver state" and the old join path runs, with the
     # B-bounded aggregates pinned so each is computed once.
     if n_buckets <= _WTAB_COLLECT_MAX:
-        nt_map = {
-            int(r["__b__"]): int(r["__nt__"])
-            for r in grams_of(df_target)
-            .groupBy("__b__")
-            .agg(F.count(F.lit(1)).alias("__nt__"))
+        # ONE side-tagged aggregate + collect instead of two sequential
+        # jobs (r16, guide §2.6): the target and raw gram scans run in
+        # the same job's stage set — concurrent, not back-to-back — and
+        # the driver pays one scheduling/collect round-trip. The counts
+        # are the same exact int64s, so every downstream IEEE step is
+        # bit-identical.
+        side_counts = (
+            grams_of(df_target)
+            .select(F.lit(0).alias("__s__"), "__b__")
+            .unionByName(
+                grams_of(df_raw).select(F.lit(1).alias("__s__"), "__b__")
+            )
+            .groupBy("__s__", "__b__")
+            .agg(F.count(F.lit(1)).alias("__n__"))
             .collect()
+        )
+        nt_map = {
+            int(r["__b__"]): int(r["__n__"])
+            for r in side_counts
+            if r["__s__"] == 0
         }
         nr_map = {
-            int(r["__b__"]): int(r["__nr__"])
-            for r in grams_of(df_raw)
-            .groupBy("__b__")
-            .agg(F.count(F.lit(1)).alias("__nr__"))
-            .collect()
+            int(r["__b__"]): int(r["__n__"])
+            for r in side_counts
+            if r["__s__"] == 1
         }
         t_tot = float(sum(nt_map.values()) + n_buckets)
         r_tot = float(sum(nr_map.values()) + n_buckets)

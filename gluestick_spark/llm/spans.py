@@ -191,7 +191,19 @@ def line_dedup(
     the rare colliding hashes (two different lines, one xxh64) take the
     broadcast-filtered exact path keyed by ``(hash, line)``. Same
     result as the string-keyed plan, bit for bit, under any collision
-    (pytest-pinned with degenerate forced-collision hashes)."""
+    (pytest-pinned with degenerate forced-collision hashes).
+
+    Election staging (VERDICT r15 #4): the per-hash election table —
+    distinct-line scale, NO text (hash, nd, first, n_occ) — is pinned
+    ONCE (lazy localCheckpoint, the connected-components edge pattern;
+    not fault-tolerant, the repo-documented localCheckpoint trade-off)
+    and the collision branch is gated on a driver-side count over the
+    pinned frame (the union-find/dsir size-adaptive strategy switch):
+    with zero colliding hashes — every corpus until ~2^32 distinct
+    lines, and every oracle SF — the exact-path subtree is never even
+    planned, so the corpus is scanned exactly 3× (election, join-back,
+    reassembly) instead of ~7×. When collisions exist the exact path
+    runs broadcast-filtered as before (identical decisions)."""
     lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
     occ = df.select(
         F.col(id_col), F.posexplode(lines).alias("pos", "line")
@@ -205,44 +217,58 @@ def line_dedup(
     judged = occ.where(F.trim(F.col("line")) != "").withColumn(
         "__lh__", hash_of(F.col("line"))
     )
-    per_line = judged.groupBy("__lh__", "line").agg(
-        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
-            "first"
-        ),
-        F.count(F.lit(1)).alias("n_occ"),
-    )
-    per_hash = per_line.groupBy("__lh__").agg(
-        F.count(F.lit(1)).alias("__nd__"),
-        F.min("first").alias("first"),
-        F.sum("n_occ").alias("n_occ"),
-    )
-    keep_flag = (F.col("n_occ") == 1) | (
-        (F.col(id_col) == F.col("first.d")) & (F.col("pos") == F.col("first.p"))
-    )
-    tagged_clean = (
-        judged.select(id_col, "pos", "__lh__")
-        .join(per_hash.where(F.col("__nd__") == 1), "__lh__")
-        .select(id_col, "pos", keep_flag.alias("keep"))
-    )
-    # collision path (expected empty): judge the collided hashes exactly
-    # by (hash, line) — tiny set, broadcast-filtered on both sides
-    collided = per_hash.where(F.col("__nd__") > 1).select("__lh__")
-    tagged_coll = (
-        judged.join(F.broadcast(collided), "__lh__")
-        .join(
-            per_line.join(F.broadcast(collided), "__lh__"),
-            ["__lh__", "line"],
+
+    def _per_line(j):
+        return j.groupBy("__lh__", "line").agg(
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+            ).alias("first"),
+            F.count(F.lit(1)).alias("n_occ"),
         )
-        .select(id_col, "pos", keep_flag.alias("keep"))
+
+    per_hash = (
+        _per_line(judged)
+        .groupBy("__lh__")
+        .agg(
+            F.count(F.lit(1)).alias("__nd__"),
+            F.min("first").alias("first"),
+            F.sum("n_occ").alias("n_occ"),
+        )
+        .localCheckpoint(eager=False)
     )
-    tagged = tagged_clean.unionByName(tagged_coll)
+    # one bounded driver action over the PINNED election table decides
+    # whether the exact collision branch exists at all (materializes the
+    # pin for the join-back below in the same pass)
+    n_coll = per_hash.where(F.col("__nd__") > 1).count()
+    first_match = (F.col(id_col) == F.col("first.d")) & (
+        F.col("pos") == F.col("first.p")
+    )
+    # only duplicated collision-free lines can drop occurrences: the
+    # join-back ships (id, pos, hash) against that filtered table
+    dec = per_hash.where(
+        (F.col("__nd__") == 1) & (F.col("n_occ") > 1)
+    ).select("__lh__", "first")
+    dropped = (
+        judged.select(id_col, "pos", "__lh__")
+        .join(dec, "__lh__")
+        .where(~first_match)
+        .select(id_col, "pos")
+    )
+    if n_coll:
+        # collision path: judge the collided hashes exactly by
+        # (hash, line) — tiny set, broadcast-filtered on both sides,
+        # per-line stats recomputed over the filtered occurrences only
+        collided = per_hash.where(F.col("__nd__") > 1).select("__lh__")
+        judged_c = judged.join(F.broadcast(collided), "__lh__")
+        dropped_c = (
+            judged_c.join(_per_line(judged_c), ["__lh__", "line"])
+            .where((F.col("n_occ") > 1) & ~first_match)
+            .select(id_col, "pos")
+        )
+        dropped = dropped.unionByName(dropped_c)
     # dropped positions collapse to ONE small array per affected doc —
     # blanks were never judged, so they are never in the array (kept)
-    drops = (
-        tagged.where(~F.col("keep"))
-        .groupBy(id_col)
-        .agg(F.collect_set("pos").alias("__dp__"))
-    )
+    drops = dropped.groupBy(id_col).agg(F.collect_set("pos").alias("__dp__"))
     dp = F.coalesce(F.col("__dp__"), F.array().cast("array<long>"))
     kept_lines = F.filter(
         lines, lambda x, i: ~F.array_contains(dp, i.cast("long"))

@@ -209,12 +209,23 @@ def unigram_segment(
     max_piece_len: int = 4,
     max_word_len: int = 16,
     unk_score: int = -5_000_000_000,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Viterbi-encode every whitespace word of ``text_col`` against an
     integer-scored piece vocabulary (module docstring for the decision
     rule and determinism contract). Returns one row per word instance:
     (``id_col``, ``word_idx`` 1-based, ``word``, ``pieces``
-    array<string>, ``score`` long)."""
+    array<string>, ``score`` long).
+
+    ``words`` (optional): a single-column frame holding exactly the
+    corpus's DISTINCT whitespace words. Callers that already aggregated
+    word counts for the vocabulary (``subword_vocab``'s input) pass the
+    distinct words here so the DP input never re-derives them from the
+    corpus — the train_pq shared-schedule device. When omitted, the
+    distinct-word frame is derived from ``df`` and pinned (lazy
+    localCheckpoint — vocabulary-sized; its two consumers, the DP input
+    and the long-word fallback, would otherwise each re-run the corpus
+    tokenize+distinct)."""
     if max_piece_len < 1 or max_word_len < 1:
         raise ValueError("max_piece_len and max_word_len must be >= 1")
     L, W = max_piece_len, max_word_len
@@ -224,7 +235,12 @@ def unigram_segment(
     ).select(
         id_col, (F.col("__wi__") + 1).alias("word_idx"), "__w__"
     )
-    dw = inst.select("__w__").distinct()
+    if words is not None:
+        dw = words.select(F.col(words.columns[0]).alias("__w__"))
+    else:
+        dw = (
+            inst.select("__w__").distinct().localCheckpoint(eager=False)
+        )
     short = dw.where(F.length("__w__") <= W)
     long_ = dw.where(F.length("__w__") > W).select(
         "__w__",
@@ -329,10 +345,15 @@ def train_unigram_vocab(
     # it is the same bounded-state call the per-iteration vocabulary
     # checkpoint below already makes; without the pin each of its three
     # consumers re-runs the corpus aggregate.
-    w = _word_counts(df, text_col).localCheckpoint()
+    # lazy pin (r16): the first E-step's vocab broadcast materializes it
+    w = _word_counts(df, text_col).localCheckpoint(eager=False)
     v = _vocab_from_word_counts(w, max_piece_len, min_count, scale)
     chars = v.where(F.length("piece") == 1).select("piece")
     for _ in range(iters):
+        # the E-step's documents ARE the distinct words (each word is one
+        # single-token doc), so the pinned word-count frame doubles as
+        # unigram_segment's distinct-word input — no re-derive, no
+        # per-iteration distinct aggregate
         seg = unigram_segment(
             w.select(
                 F.col("__w__").alias("wid"), F.col("__w__").alias("wtext")
@@ -343,6 +364,7 @@ def train_unigram_vocab(
             max_piece_len=max_piece_len,
             max_word_len=max_word_len,
             unk_score=unk_score,
+            words=w.select("__w__"),
         )
         usage = (
             seg.join(w.withColumnRenamed("__w__", "wid"), "wid")
@@ -363,5 +385,10 @@ def train_unigram_vocab(
                 f"greatest(CAST(__u__ AS BIGINT), CAST(1 AS BIGINT)))"
             ).alias("score"),
         )
-        v = v.localCheckpoint()  # vocabulary-sized; truncate the EM lineage
+        # vocabulary-sized lineage truncation; LAZY since r16 — the next
+        # iteration's vocab broadcast (or the caller's first action)
+        # materializes it, so the eager form's one extra scheduled job
+        # per iteration disappears (the retrieval probe-checkpoint
+        # lesson)
+        v = v.localCheckpoint(eager=False)
     return v

@@ -996,10 +996,13 @@ def streaming_url_dedup(
             )
         else:
             survivors = batch_kept
-        # materialize BEFORE the writes: the state append below targets
-        # the same path the anti-join reads, and the second action would
-        # otherwise re-evaluate the join against the just-updated state
-        survivors = survivors.localCheckpoint()
+        # pin BEFORE the writes: the state append below targets the same
+        # path the anti-join reads, and the second action would
+        # otherwise re-evaluate the join against the just-updated state.
+        # LAZY (r16): the out_dir write — which strictly precedes the
+        # state append — materializes the pin, so the ordering guarantee
+        # holds without the eager form's extra scheduled job per trigger
+        survivors = survivors.localCheckpoint(eager=False)
         survivors.withColumn(
             "__batch_id__", F.lit(batch_id).cast("long")
         ).write.mode("append").parquet(out_dir)
@@ -1096,8 +1099,11 @@ def streaming_fingerprint_dedup(
         )
         judged = fp.where(F.col("__fp__").isNotNull())
         # the component contraction and the two joins below consume the
-        # codec output repeatedly — pin it once (small: batch-sized)
-        judged = judged.localCheckpoint()
+        # codec output repeatedly — pin it once (small: batch-sized).
+        # LAZY (r16): the component contraction's first bounded collect
+        # materializes it, so the eager form's extra scheduled job per
+        # trigger disappears
+        judged = judged.localCheckpoint(eager=False)
         segs = fingerprint_segments(judged, id_col, "__fp__", bands)
 
         matched = None
@@ -1153,9 +1159,13 @@ def streaming_fingerprint_dedup(
             )
         else:
             drops = comp.where(F.col("id") != F.col("component")).select("id")
+        # no pin needed: survivors is consumed exactly once (the output
+        # write below), and the state append it reads from (seg_path)
+        # happens strictly AFTER that write completes — the r15 eager
+        # checkpoint here was one dead scheduled job per trigger
         survivors = batch_df.join(
             drops.withColumnRenamed("id", id_col), id_col, "left_anti"
-        ).localCheckpoint()  # pin before the two writes (state self-read)
+        )
         survivors.withColumn(
             "__batch_id__", F.lit(batch_id).cast("long")
         ).write.mode("append").parquet(out_dir)
@@ -1712,10 +1722,12 @@ def streaming_quality_filter(
     from ..llm.classifier import classifier_score
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # lazy pin (r16 job fold): the passing-side write right below
+        # materializes it; the rejected-side write then reuses the pin
         scored = classifier_score(
             batch_df, text_col, weights, bias=bias, use_bigrams=use_bigrams,
             weight_scale=weight_scale, out_col=score_col,
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         tag = F.lit(batch_id).cast("long").alias("__batch_id__")
         passing = F.col(score_col) >= F.lit(float(threshold))
         scored.where(passing).select("*", tag).write.mode("append").parquet(
@@ -1768,9 +1780,11 @@ def streaming_decontam(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # lazy pin (r16 job fold): the clean-side write's anti-join
+        # materializes it; the flagged-side write then reuses the pin
         spans = substring_spans_against(
             spark, batch_df, index_path, id_col, text_col, max_occurrences
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         dirty = spans.select(id_col).distinct()
         clean = batch_df.join(dirty, id_col, "left_anti")
         tag = F.lit(batch_id).cast("long").alias("__batch_id__")
@@ -1947,7 +1961,9 @@ def append_semdedup_ref(
         _prepare(new_ref_df, vec_col, id_col, meta["scale"]),
         state,
         meta["assign"],
-    ).localCheckpoint()  # feeds the count aggregate AND the append write
+        # feeds the count aggregate AND the append write; LAZY — the
+        # count collect right below materializes it (r16 job fold)
+    ).localCheckpoint(eager=False)
     appended = {
         int(r["cid"]): int(r["n"])
         for r in pts.groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -2099,8 +2115,11 @@ def streaming_semdedup(
         if capped:
             pts = pts.where(~F.col("cid").isin(sorted(capped)))
         # pin the batch's assignment once (batch-sized): it feeds the cid
-        # collect below plus the matched/out branches
-        pts = pts.localCheckpoint()
+        # collect below plus the matched/out branches. LAZY (r16): the
+        # cid collect right below materializes it — the eager form cost
+        # one extra scheduled job per trigger (the retrieval
+        # probe-checkpoint lesson)
+        pts = pts.localCheckpoint(eager=False)
         # STRUCTURAL cell pruning (VERDICT r14 #4): the batch's distinct
         # cids are bounded by the router size k — collect them and
         # restrict the reference scan explicitly, so partition pruning is
