@@ -9701,20 +9701,185 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # map. Tail entries remain locally oracle-checked via
     # tools/check_correctness.py / tools/driver_sim.py every round.
     return {
-        # ---- correctness window: first 50 = driver-checked. Round-15
+        # ---- correctness window: first 50 = driver-checked. Round-16
         # rotation (tools/rotate_registry.py, honest-evidence policy):
         # never-driver-checked rows lead, then oldest-evidence-first.
         # Displacement rationales: COVERAGE.md. ----
-        'versioned_delete': q_versioned_delete,
         'component_split': q_component_split,
-        'chunked_docs': q_chunked_docs,
         'unigram_em_vocab': q_unigram_em_vocab,
-        'pq_ivf_deleted_topk': q_pq_ivf_deleted_topk,
         'streaming_quality_filter': q_streaming_quality_filter,
+        'curation_pipeline': q_curation_pipeline,
+        'streaming_minhash_dedup': q_streaming_minhash_dedup,
+        'hits_click_graph': q_hits_click_graph,
+        'ivf_exact_topk': q_ivf_exact_topk,
+        'kmeans_clusters': q_kmeans_clusters,
+        'part_triangles': q_part_triangles,
+        'pq_topk': q_pq_topk,
+        'semdedup_keep': q_semdedup_keep,
+        'streaming_url_dedup': q_streaming_url_dedup,
+        'sq_ivf_topk': q_sq_ivf_topk,
+        'classifier_score': q_classifier_score,
+        'substring_spans': q_substring_spans,
+        'substring_dedup': q_substring_dedup,
+        'quality_mix': q_quality_mix,
+        'substring_decontam': q_substring_decontam,
+        'bigram_nll': q_bigram_nll,
+        'phash_dedup': q_phash_dedup,
+        'lang_id_ft': q_lang_id_ft,
+        'audio_dedup': q_audio_dedup,
+        'semdedup_against': q_semdedup_against,
+        'streaming_phash_dedup': q_streaming_phash_dedup,
+        'minhash_dedup': q_minhash_dedup,
+        'streaming_decontam': q_streaming_decontam,
+        'sq_ivf_deleted_topk': q_sq_ivf_deleted_topk,
+        'rrf_fused_topk': q_rrf_fused_topk,
+        'unigram_segment': q_unigram_segment,
+        'streaming_semdedup': q_streaming_semdedup,
+        'cluster_dedup': q_cluster_dedup,
+        'minhash_candidates': q_minhash_candidates,
+        'dsir_sample': q_dsir_sample,
+        'dedup_against_ref': q_dedup_against,
+        'fuzzy_pairs': q_fuzzy_pairs,
+        'line_dedup': q_line_dedup,
+        'sq_ivf_batch_topk': q_sq_ivf_batch_topk,
+        'pq_ivf_batch_topk': q_pq_ivf_batch_topk,
+        'bm25_batch_topk': q_bm25_batch_topk,
+        'retrieval_decontam': q_retrieval_decontam,
+        'pii_validated': q_pii_validated,
+        'ivf_batch_topk': q_ivf_batch_topk,
+        'drop_null_columns': q_drop_null_columns,
+        'drop_redundant': q_drop_redundant,
+        'enforce_exploded_types': q_enforce_exploded_types,
+        'event_transitions': q_event_transitions,
+        'events_pivot': q_events_pivot,
+        'unimax_sample': q_unimax_sample,
+        'quantile_sketch': q_quantile_sketch,
+        'streaming_novelty': q_streaming_novelty,
+        # ---- tail: locally oracle-checked every round (driver_sim /
+        # check_correctness); ordered oldest-evidence-first, so this IS
+        # the round-17 promotion queue. ----
+        'explode_json_to_cols': q_explode_json_to_cols,
+        'format_str_records': q_format_str_records,
+        'funnel_counts': q_funnel_counts,
+        'image_features': q_image_features,
+        'jaccard_vs_query': q_jaccard_vs_query,
+        'json_tuple_to_cols': q_json_tuple_to_cols,
+        'keep_last_dedup': q_keep_last,
+        'label_communities': q_label_communities,
+        'lang_id': q_lang_id,
+        'localize_datetime': q_localize_datetime,
+        'lsh_ann_topk': q_lsh_ann,
+        'melt_part': q_melt_part,
+        'merge_id_from_snapshot': q_merge_id,
+        'nulls_trimmed': q_nulls_trimmed,
+        'pagerank_events': q_pagerank_events,
+        'pluck_fields': q_pluck_fields,
+        'quality_score': q_quality_score,
+        'resample_ratio': q_resample_ratio,
+        'row_hash': q_row_hash,
+        'sq_topk': q_sq_topk,
+        'union_relaxed': q_union_relaxed,
+        'url_dedup': q_url_dedup,
+        'winnow_fingerprint': q_winnow_fingerprint,
+        'length_drift': q_length_drift,
+        'sq_topk_indexed': q_sq_topk_indexed,
+        'streaming_drift': q_streaming_drift,
+        'html_extract': q_html_extract,
+        'outlink_domains': q_outlink_domains,
+        'customer_matches': q_customer_matches,
+        'contact_normalize': q_contact_normalize,
+        'sq_ivf_topk_indexed': q_sq_ivf_topk_indexed,
+        'local_supplier_volume': q_local_supplier_volume,
+        'promo_revenue': q_promo_revenue,
+        'unimax_tokens': q_unimax_tokens,
+        'corpus_overlap_kmv': q_corpus_overlap_kmv,
+        'streaming_corpus_drift': q_streaming_corpus_drift,
+        'phash_near_dups': q_phash_near_dups,
+        'priority_sample': q_priority_sample,
+        'corpus_drift_matrix': q_corpus_drift_matrix,
+        'grouped_priority_sample': q_grouped_priority_sample,
+        'sq_ivf_rebalanced_topk': q_sq_ivf_rebalanced_topk,
+        'audio_near_dups': q_audio_near_dups,
+        'streaming_quantiles': q_streaming_quantiles,
+        'shipping_priority': q_shipping_priority,
+        'ann_topk': q_ann_topk,
+        'audio_features': q_audio_features,
+        'cosine_similarity': q_cosine_all,
+        'csv_roundtrip': q_csv_roundtrip,
+        'deep_convert_expr': q_deep_convert_expr,
+        'embedding_near_dups': q_embedding_near_dups,
+        'events_daily': q_events_daily,
+        'explode_json_to_rows': q_explode_json_to_rows,
+        'ivf_topk': q_ivf_topk,
+        'map_fields': q_map_fields,
+        'multimodal_metadata': q_multimodal_meta,
+        'parquet_roundtrip': q_parquet_roundtrip,
+        'pluck_fields_by_regex': q_pluck_regex,
+        'pricing_summary': q_pricing_summary,
+        'rename': q_rename,
+        'sessionize_events': q_sessionize_events,
+        'simhash_near_dups': q_simhash_near_dups,
+        'snapshot_upsert': q_snapshot_upsert,
+        'token_stats': q_token_stats,
+        'top_orders_per_cust': q_top_orders_per_cust,
+        'chunk_documents': q_chunk_documents,
+        'contamination_check': q_contamination_check,
+        'event_asof_open': q_event_asof_open,
+        'jsonl_roundtrip': q_jsonl_roundtrip,
+        'kmv_distinct': q_kmv_distinct,
+        'orc_roundtrip': q_orc_roundtrip,
+        'pack_documents': q_pack_documents,
+        'pii_redaction': q_pii_redaction,
+        'pool_embeddings': q_pool_embeddings,
+        'range_join_windows': q_range_join_windows,
+        'html_extract_replay': q_html_extract,
+        'windowed_counts': q_windowed_counts,
+        'build_vocab': q_build_vocab,
+        'hash_sample': q_hash_sample,
+        'mix_corpora': q_mix_corpora,
+        'tfidf_vectors': q_tfidf_vectors,
+        'time_rollup': q_time_rollup,
+        'kmv_merge': q_kmv_merge,
+        'event_asof_close': q_event_asof_close,
+        'event_asof_nearest': q_event_asof_nearest,
+        'ivf_probe_indexed': q_ivf_probe_indexed,
+        'hash_split': q_hash_split,
+        'pq_ivf_topk_indexed': q_pq_ivf_topk_indexed,
+        'unicode_tokens': q_unicode_tokens,
+        'balanced_sample': q_balanced_sample,
+        'bm25_scores': q_bm25_scores,
+        'bpe_pairs': q_bpe_pairs,
+        'cap_per_domain': q_cap_per_domain,
+        'cdc_diff': q_cdc_diff,
+        'clipped_values': q_clipped_values,
+        'cluster_dedup_best': q_cluster_dedup_best,
+        'corr_matrix': q_corr_matrix,
+        'dedup_cluster_sizes': q_cluster_sizes,
+        'domain_split': q_domain_split,
+        'domain_stats': q_domain_stats,
+        'encoded_docs': q_encoded_docs,
+        'equi_depth_bins': q_equi_depth_bins,
+        'expectations_audit': q_expectations,
+        'gapfill_daily': q_gapfill_daily,
+        'grouped_percentiles': q_grouped_percentiles,
+        'heavy_hitters': q_heavy_hitters,
+        'hive_partition_roundtrip': q_hive_partition_roundtrip,
+        'ivf_append_topk': q_ivf_append,
+        'merge_into_orders': q_merge_into,
+        'negative_pairs': q_negative_pairs,
+        'nll_mix': q_nll_mix,
+        'packed_encoded_docs': q_packed_encoded_docs,
+        'profile_numeric': q_profile_numeric,
+        'quantize_embeddings': q_quantize_embeddings,
+        'repetition_stats': q_repetition_stats,
+        'robust_scaled': q_robust_scaled,
+        'rolling_zscore': q_rolling_zscore,
+        'versioned_delete': q_versioned_delete,
+        'chunked_docs': q_chunked_docs,
+        'pq_ivf_deleted_topk': q_pq_ivf_deleted_topk,
         'cluster_balanced': q_cluster_balanced,
         'gopher_quality': q_gopher_quality,
         'pq_ivf_rerank': q_pq_ivf_rerank,
-        'curation_pipeline': q_curation_pipeline,
         'novelty_scores': q_novelty_scores,
         'exact_k_sample': q_exact_k_sample,
         'corpus_overlap': q_corpus_overlap,
@@ -9728,7 +9893,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'stream_interval_join': q_stream_interval_join,
         'streaming_agg': q_streaming_agg,
         'streaming_cdc': q_streaming_cdc,
-        'streaming_minhash_dedup': q_streaming_minhash_dedup,
         'streaming_scd2': q_streaming_scd2,
         'streaming_topk': q_streaming_topk,
         'suppress_bursts': q_suppress_bursts,
@@ -9755,171 +9919,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_fingerprint': q_dedup_fingerprint,
         'deep_convert_datetimes': q_deep_convert_datetimes,
         'docs_cube': q_docs_cube,
-        # ---- tail: locally oracle-checked every round (driver_sim /
-        # check_correctness); ordered oldest-evidence-first, so this IS
-        # the round-16 promotion queue. ----
-        'drop_null_columns': q_drop_null_columns,
-        'drop_redundant': q_drop_redundant,
-        'enforce_exploded_types': q_enforce_exploded_types,
-        'event_transitions': q_event_transitions,
-        'events_pivot': q_events_pivot,
-        'unimax_sample': q_unimax_sample,
-        'quantile_sketch': q_quantile_sketch,
-        'streaming_novelty': q_streaming_novelty,
-        'explode_json_to_cols': q_explode_json_to_cols,
-        'format_str_records': q_format_str_records,
-        'funnel_counts': q_funnel_counts,
-        'hits_click_graph': q_hits_click_graph,
-        'image_features': q_image_features,
-        'ivf_exact_topk': q_ivf_exact_topk,
-        'jaccard_vs_query': q_jaccard_vs_query,
-        'json_tuple_to_cols': q_json_tuple_to_cols,
-        'keep_last_dedup': q_keep_last,
-        'kmeans_clusters': q_kmeans_clusters,
-        'label_communities': q_label_communities,
-        'lang_id': q_lang_id,
-        'localize_datetime': q_localize_datetime,
-        'lsh_ann_topk': q_lsh_ann,
-        'melt_part': q_melt_part,
-        'merge_id_from_snapshot': q_merge_id,
-        'nulls_trimmed': q_nulls_trimmed,
-        'pagerank_events': q_pagerank_events,
-        'part_triangles': q_part_triangles,
-        'pluck_fields': q_pluck_fields,
-        'pq_topk': q_pq_topk,
-        'quality_score': q_quality_score,
-        'resample_ratio': q_resample_ratio,
-        'row_hash': q_row_hash,
-        'semdedup_keep': q_semdedup_keep,
-        'sq_topk': q_sq_topk,
-        'union_relaxed': q_union_relaxed,
-        'url_dedup': q_url_dedup,
-        'winnow_fingerprint': q_winnow_fingerprint,
-        'length_drift': q_length_drift,
-        'streaming_url_dedup': q_streaming_url_dedup,
-        'sq_topk_indexed': q_sq_topk_indexed,
-        'streaming_drift': q_streaming_drift,
-        'html_extract': q_html_extract,
-        'outlink_domains': q_outlink_domains,
-        'customer_matches': q_customer_matches,
-        'contact_normalize': q_contact_normalize,
-        'sq_ivf_topk': q_sq_ivf_topk,
-        'sq_ivf_topk_indexed': q_sq_ivf_topk_indexed,
-        'classifier_score': q_classifier_score,
-        'substring_spans': q_substring_spans,
-        'substring_dedup': q_substring_dedup,
-        'quality_mix': q_quality_mix,
-        'substring_decontam': q_substring_decontam,
-        'bigram_nll': q_bigram_nll,
-        'local_supplier_volume': q_local_supplier_volume,
-        'promo_revenue': q_promo_revenue,
-        'unimax_tokens': q_unimax_tokens,
-        'corpus_overlap_kmv': q_corpus_overlap_kmv,
-        'streaming_corpus_drift': q_streaming_corpus_drift,
-        'phash_near_dups': q_phash_near_dups,
-        'priority_sample': q_priority_sample,
-        'corpus_drift_matrix': q_corpus_drift_matrix,
-        'grouped_priority_sample': q_grouped_priority_sample,
-        'phash_dedup': q_phash_dedup,
-        'sq_ivf_rebalanced_topk': q_sq_ivf_rebalanced_topk,
-        'lang_id_ft': q_lang_id_ft,
-        'audio_near_dups': q_audio_near_dups,
-        'audio_dedup': q_audio_dedup,
-        'semdedup_against': q_semdedup_against,
-        'streaming_phash_dedup': q_streaming_phash_dedup,
-        'streaming_quantiles': q_streaming_quantiles,
-        'shipping_priority': q_shipping_priority,
-        'ann_topk': q_ann_topk,
-        'audio_features': q_audio_features,
-        'cosine_similarity': q_cosine_all,
-        'csv_roundtrip': q_csv_roundtrip,
-        'deep_convert_expr': q_deep_convert_expr,
-        'embedding_near_dups': q_embedding_near_dups,
-        'events_daily': q_events_daily,
-        'explode_json_to_rows': q_explode_json_to_rows,
-        'ivf_topk': q_ivf_topk,
-        'map_fields': q_map_fields,
-        'minhash_dedup': q_minhash_dedup,
-        'multimodal_metadata': q_multimodal_meta,
-        'parquet_roundtrip': q_parquet_roundtrip,
-        'pluck_fields_by_regex': q_pluck_regex,
-        'pricing_summary': q_pricing_summary,
-        'rename': q_rename,
-        'sessionize_events': q_sessionize_events,
-        'simhash_near_dups': q_simhash_near_dups,
-        'snapshot_upsert': q_snapshot_upsert,
-        'token_stats': q_token_stats,
-        'top_orders_per_cust': q_top_orders_per_cust,
-        'chunk_documents': q_chunk_documents,
-        'contamination_check': q_contamination_check,
-        'event_asof_open': q_event_asof_open,
-        'jsonl_roundtrip': q_jsonl_roundtrip,
-        'kmv_distinct': q_kmv_distinct,
-        'orc_roundtrip': q_orc_roundtrip,
-        'pack_documents': q_pack_documents,
-        'pii_redaction': q_pii_redaction,
-        'pool_embeddings': q_pool_embeddings,
-        'range_join_windows': q_range_join_windows,
-        'html_extract_replay': q_html_extract,
-        'streaming_decontam': q_streaming_decontam,
-        'windowed_counts': q_windowed_counts,
-        'sq_ivf_deleted_topk': q_sq_ivf_deleted_topk,
-        'rrf_fused_topk': q_rrf_fused_topk,
-        'unigram_segment': q_unigram_segment,
-        'streaming_semdedup': q_streaming_semdedup,
-        'build_vocab': q_build_vocab,
-        'cluster_dedup': q_cluster_dedup,
-        'hash_sample': q_hash_sample,
-        'mix_corpora': q_mix_corpora,
-        'tfidf_vectors': q_tfidf_vectors,
-        'time_rollup': q_time_rollup,
-        'kmv_merge': q_kmv_merge,
-        'event_asof_close': q_event_asof_close,
-        'event_asof_nearest': q_event_asof_nearest,
-        'ivf_probe_indexed': q_ivf_probe_indexed,
-        'minhash_candidates': q_minhash_candidates,
-        'hash_split': q_hash_split,
-        'pq_ivf_topk_indexed': q_pq_ivf_topk_indexed,
-        'dsir_sample': q_dsir_sample,
-        'unicode_tokens': q_unicode_tokens,
-        'balanced_sample': q_balanced_sample,
-        'bm25_scores': q_bm25_scores,
-        'bpe_pairs': q_bpe_pairs,
-        'cap_per_domain': q_cap_per_domain,
-        'cdc_diff': q_cdc_diff,
-        'clipped_values': q_clipped_values,
-        'cluster_dedup_best': q_cluster_dedup_best,
-        'corr_matrix': q_corr_matrix,
-        'dedup_against_ref': q_dedup_against,
-        'dedup_cluster_sizes': q_cluster_sizes,
-        'domain_split': q_domain_split,
-        'domain_stats': q_domain_stats,
-        'encoded_docs': q_encoded_docs,
-        'equi_depth_bins': q_equi_depth_bins,
-        'expectations_audit': q_expectations,
-        'fuzzy_pairs': q_fuzzy_pairs,
-        'gapfill_daily': q_gapfill_daily,
-        'grouped_percentiles': q_grouped_percentiles,
-        'heavy_hitters': q_heavy_hitters,
-        'hive_partition_roundtrip': q_hive_partition_roundtrip,
-        'ivf_append_topk': q_ivf_append,
-        'merge_into_orders': q_merge_into,
-        'negative_pairs': q_negative_pairs,
-        'nll_mix': q_nll_mix,
-        'packed_encoded_docs': q_packed_encoded_docs,
-        'profile_numeric': q_profile_numeric,
-        'quantize_embeddings': q_quantize_embeddings,
-        'repetition_stats': q_repetition_stats,
-        'robust_scaled': q_robust_scaled,
-        'rolling_zscore': q_rolling_zscore,
-        'line_dedup': q_line_dedup,
-        # ---- round-15 debuts (tail; lead the r16 window) ----
-        'sq_ivf_batch_topk': q_sq_ivf_batch_topk,
-        'pq_ivf_batch_topk': q_pq_ivf_batch_topk,
-        'bm25_batch_topk': q_bm25_batch_topk,
-        'retrieval_decontam': q_retrieval_decontam,
-        'pii_validated': q_pii_validated,
-        'ivf_batch_topk': q_ivf_batch_topk,
     }
 
 
@@ -9932,16 +9931,178 @@ def oracle_sql() -> dict[str, str]:
     # (stream-then-batch == batch-over-union).
     return {
         # (order mirrors queries() exactly — the driver zips them)
-        'versioned_delete': _Q_VERSIONED_DELETE_SQL,
         'component_split': _Q_COMPONENT_SPLIT_SQL,
-        'chunked_docs': _Q_CHUNKED_DOCS_SQL,
         'unigram_em_vocab': _unigram_em_sql(),
-        'pq_ivf_deleted_topk': _pq_ivf_oracle_sql(survivors_where='NOT (a0.id % 6 = 1)'),
         'streaming_quality_filter': _streaming_quality_filter_oracle_sql(),
+        'curation_pipeline': _curation_pipeline_oracle_sql(),
+        'streaming_minhash_dedup': _Q_MINHASH_DEDUP_SQL,
+        'hits_click_graph': _hits_oracle_sql(),
+        'ivf_exact_topk': _ivf_exact_oracle_sql(),
+        'kmeans_clusters': _kmeans_oracle_sql(),
+        'part_triangles': _Q_PART_TRIANGLES_SQL,
+        'pq_topk': _pq_oracle_sql(),
+        'semdedup_keep': _semdedup_oracle_sql(),
+        'streaming_url_dedup': _Q_URL_DEDUP_SQL,
+        'sq_ivf_topk': _sq_ivf_oracle_sql(),
+        'classifier_score': _classifier_oracle_sql(),
+        'substring_spans': _Q_SUBSTRING_SPANS_SQL,
+        'substring_dedup': _Q_SUBSTRING_DEDUP_SQL,
+        'quality_mix': _quality_mix_oracle_sql(),
+        'substring_decontam': _Q_SUBSTRING_DECONTAM_SQL,
+        'bigram_nll': _Q_BIGRAM_NLL_SQL,
+        'phash_dedup': _Q_PHASH_DEDUP_SQL,
+        'lang_id_ft': _Q_LANG_ID_FT_SQL,
+        'audio_dedup': _Q_AUDIO_DEDUP_SQL,
+        'semdedup_against': _semdedup_against_oracle_sql(),
+        'streaming_phash_dedup': _Q_PHASH_DEDUP_SQL,
+        'minhash_dedup': _Q_MINHASH_DEDUP_SQL,
+        'streaming_decontam': _Q_SUBSTRING_DECONTAM_SQL,
+        'sq_ivf_deleted_topk': _Q_SQ_DELETED_TOPK_SQL,
+        'rrf_fused_topk': _Q_RRF_FUSED_SQL,
+        'unigram_segment': _unigram_sql(),
+        'streaming_semdedup': _semdedup_against_oracle_sql(router_pred='vec_id % 6 = 0'),
+        'cluster_dedup': _Q_CLUSTER_DEDUP_SQL,
+        'minhash_candidates': _Q_MINHASH_CANDIDATES_SQL,
+        'dsir_sample': _Q_DSIR_SAMPLE_SQL,
+        'dedup_against_ref': _Q_DEDUP_AGAINST_SQL,
+        'fuzzy_pairs': _Q_FUZZY_PAIRS_SQL,
+        'line_dedup': _Q_LINE_DEDUP_SQL,
+        'sq_ivf_batch_topk': _Q_SQ_BATCH_TOPK_SQL,
+        'pq_ivf_batch_topk': _pq_ivf_batch_oracle_sql(),
+        'bm25_batch_topk': _Q_BM25_BATCH_SQL,
+        'retrieval_decontam': _retrieval_decontam_oracle_sql(),
+        'pii_validated': _Q_PII_VALIDATED_SQL,
+        'ivf_batch_topk': _Q_IVF_BATCH_TOPK_SQL,
+        'drop_null_columns': _Q_DROP_NULL_COLS_SQL,
+        'drop_redundant': _Q_DROP_REDUNDANT_SQL,
+        'enforce_exploded_types': _Q_ENFORCE_TYPES_SQL,
+        'event_transitions': _Q_EVENT_TRANSITIONS_SQL,
+        'events_pivot': _Q_EVENTS_PIVOT_SQL,
+        'unimax_sample': _Q_UNIMAX_SQL,
+        'quantile_sketch': _Q_QUANTILE_SKETCH_SQL,
+        'streaming_novelty': _Q_NOVELTY_SQL,
+        'explode_json_to_cols': _Q_EXPLODE_COLS_SQL,
+        'format_str_records': _Q_FORMAT_STR_SQL,
+        'funnel_counts': _Q_FUNNEL_SQL,
+        'image_features': _image_features_sql(),
+        'jaccard_vs_query': _Q_JACCARD_SQL,
+        'json_tuple_to_cols': _Q_JSON_TUPLE_SQL,
+        'keep_last_dedup': _Q_KEEP_LAST_SQL,
+        'label_communities': _lpa_oracle_sql(),
+        'lang_id': _lang_id_sql(),
+        'localize_datetime': _Q_LOCALIZE_SQL,
+        'lsh_ann_topk': _lsh_ann_sql(),
+        'melt_part': _Q_MELT_PART_SQL,
+        'merge_id_from_snapshot': _Q_MERGE_ID_SQL,
+        'nulls_trimmed': _Q_NULLS_TRIMMED_SQL,
+        'pagerank_events': _pagerank_oracle_sql(),
+        'pluck_fields': _Q_PLUCK_SQL,
+        'quality_score': _quality_sql(),
+        'resample_ratio': _Q_RESAMPLE_RATIO_SQL,
+        'row_hash': _Q_ROW_HASH_SQL,
+        'sq_topk': _Q_SQ_TOPK_SQL,
+        'union_relaxed': _Q_UNION_SQL,
+        'url_dedup': _Q_URL_DEDUP_SQL,
+        'winnow_fingerprint': _Q_WINNOW_FP_SQL,
+        'length_drift': _Q_LENGTH_DRIFT_SQL,
+        'sq_topk_indexed': _Q_SQ_TOPK_SQL,
+        'streaming_drift': _Q_LENGTH_DRIFT_SQL,
+        'html_extract': _Q_HTML_EXTRACT_SQL,
+        'outlink_domains': _Q_OUTLINK_DOMAINS_SQL,
+        'customer_matches': _Q_CUSTOMER_MATCHES_SQL,
+        'contact_normalize': _Q_CONTACT_NORM_SQL,
+        'sq_ivf_topk_indexed': _sq_ivf_oracle_sql(),
+        'local_supplier_volume': _Q_LOCAL_SUPPLIER_SQL,
+        'promo_revenue': _Q_PROMO_SQL,
+        'unimax_tokens': _Q_UNIMAX_TOKENS_SQL,
+        'corpus_overlap_kmv': _Q_CORPUS_OVERLAP_KMV_SQL,
+        'streaming_corpus_drift': _Q_CORPUS_OVERLAP_KMV_SQL,
+        'phash_near_dups': _Q_PHASH_NEAR_DUPS_SQL,
+        'priority_sample': _Q_PRIORITY_SAMPLE_SQL,
+        'corpus_drift_matrix': _Q_CORPUS_DRIFT_MATRIX_SQL,
+        'grouped_priority_sample': _Q_GROUPED_PRIORITY_SQL,
+        'sq_ivf_rebalanced_topk': _Q_SQ_TOPK_SQL,
+        'audio_near_dups': _Q_AUDIO_NEAR_DUPS_SQL,
+        'streaming_quantiles': _Q_QUANTILE_SKETCH_SQL,
+        'shipping_priority': _Q_SHIPPING_SQL,
+        'ann_topk': _Q_ANN_TOPK_SQL,
+        'audio_features': _audio_features_sql(),
+        'cosine_similarity': _Q_COSINE_ALL_SQL,
+        'csv_roundtrip': _Q_CSV_ROUNDTRIP_SQL,
+        'deep_convert_expr': _Q_DEEP_CONVERT_SQL,
+        'embedding_near_dups': _embedding_near_dups_sql(),
+        'events_daily': _Q_EVENTS_DAILY_SQL,
+        'explode_json_to_rows': _Q_EXPLODE_ROWS_SQL,
+        'ivf_topk': _Q_ANN_TOPK_SQL,
+        'map_fields': _Q_MAP_FIELDS_SQL,
+        'multimodal_metadata': _Q_MULTIMODAL_SQL,
+        'parquet_roundtrip': _Q_PARQUET_ROUNDTRIP_SQL,
+        'pluck_fields_by_regex': _Q_PLUCK_REGEX_SQL,
+        'pricing_summary': _Q_PRICING_SQL,
+        'rename': _Q_RENAME_SQL,
+        'sessionize_events': _Q_SESSIONIZE_SQL,
+        'simhash_near_dups': _Q_SIMHASH_SQL,
+        'snapshot_upsert': _Q_SNAPSHOT_SQL,
+        'token_stats': _Q_TOKEN_STATS_SQL,
+        'top_orders_per_cust': _Q_TOP_ORDERS_SQL,
+        'chunk_documents': _Q_CHUNK_DOCS_SQL,
+        'contamination_check': _Q_CONTAMINATION_SQL,
+        'event_asof_open': _Q_EVENT_ASOF_SQL,
+        'jsonl_roundtrip': _Q_JSONL_ROUNDTRIP_SQL,
+        'kmv_distinct': _Q_KMV_SQL,
+        'orc_roundtrip': _Q_ORC_ROUNDTRIP_SQL,
+        'pack_documents': _Q_PACK_DOCS_SQL,
+        'pii_redaction': _Q_PII_SQL,
+        'pool_embeddings': _Q_POOL_SQL,
+        'range_join_windows': _Q_RANGE_JOIN_SQL,
+        'html_extract_replay': _Q_HTML_EXTRACT_REPLAY_SQL,
+        'windowed_counts': _Q_WINDOWED_COUNTS_SQL,
+        'build_vocab': _Q_BUILD_VOCAB_SQL,
+        'hash_sample': _Q_HASH_SAMPLE_SQL,
+        'mix_corpora': _Q_MIX_CORPORA_SQL,
+        'tfidf_vectors': _Q_TFIDF_SQL,
+        'time_rollup': _Q_TIME_ROLLUP_SQL,
+        'kmv_merge': _Q_KMV_SQL,
+        'event_asof_close': _Q_EVENT_ASOF_CLOSE_SQL,
+        'event_asof_nearest': _Q_EVENT_ASOF_NEAREST_SQL,
+        'ivf_probe_indexed': _Q_ANN_TOPK_SQL,
+        'hash_split': _Q_HASH_SPLIT_SQL,
+        'pq_ivf_topk_indexed': _pq_ivf_oracle_sql(),
+        'unicode_tokens': _unicode_tokens_oracle_sql(),
+        'balanced_sample': _Q_BALANCED_SQL,
+        'bm25_scores': _Q_BM25_SQL,
+        'bpe_pairs': _Q_BPE_PAIRS_SQL,
+        'cap_per_domain': _Q_CAP_DOMAIN_SQL,
+        'cdc_diff': _Q_CDC_DIFF_SQL,
+        'clipped_values': _Q_CLIPPED_SQL,
+        'cluster_dedup_best': _cluster_dedup_best_sql(),
+        'corr_matrix': _Q_CORR_SQL,
+        'dedup_cluster_sizes': _cluster_sizes_sql(),
+        'domain_split': _Q_DOMAIN_SPLIT_SQL,
+        'domain_stats': _Q_DOMAIN_STATS_SQL,
+        'encoded_docs': _Q_ENCODED_SQL,
+        'equi_depth_bins': _Q_EQUI_DEPTH_SQL,
+        'expectations_audit': _Q_EXPECTATIONS_SQL,
+        'gapfill_daily': _Q_GAPFILL_SQL,
+        'grouped_percentiles': _Q_GROUPED_PCT_SQL,
+        'heavy_hitters': _Q_HEAVY_HITTERS_SQL,
+        'hive_partition_roundtrip': _Q_HIVE_PART_SQL,
+        'ivf_append_topk': _Q_ANN_TOPK_SQL,
+        'merge_into_orders': _Q_MERGE_INTO_SQL,
+        'negative_pairs': _Q_NEGATIVE_PAIRS_SQL,
+        'nll_mix': _Q_NLL_MIX_SQL,
+        'packed_encoded_docs': _Q_PACKED_ENCODED_SQL,
+        'profile_numeric': _Q_PROFILE_SQL,
+        'quantize_embeddings': _Q_QUANTIZE_SQL,
+        'repetition_stats': _Q_REPETITION_SQL,
+        'robust_scaled': _Q_ROBUST_SCALED_SQL,
+        'rolling_zscore': _Q_ROLLING_ZSCORE_SQL,
+        'versioned_delete': _Q_VERSIONED_DELETE_SQL,
+        'chunked_docs': _Q_CHUNKED_DOCS_SQL,
+        'pq_ivf_deleted_topk': _pq_ivf_oracle_sql(survivors_where='NOT (a0.id % 6 = 1)'),
         'cluster_balanced': _cluster_balanced_oracle_sql(),
         'gopher_quality': _Q_GOPHER_QUALITY_SQL,
         'pq_ivf_rerank': _pq_ivf_oracle_sql(rerank=_PIVF_RERANK),
-        'curation_pipeline': _curation_pipeline_oracle_sql(),
         'novelty_scores': _Q_NOVELTY_SQL,
         'exact_k_sample': _Q_EXACT_K_SAMPLE_SQL,
         'corpus_overlap': _Q_CORPUS_OVERLAP_SQL,
@@ -9955,7 +10116,6 @@ def oracle_sql() -> dict[str, str]:
         'stream_interval_join': _Q_STREAM_INTERVAL_SQL,
         'streaming_agg': _Q_STREAMING_AGG_SQL,
         'streaming_cdc': _Q_STREAMING_CDC_SQL,
-        'streaming_minhash_dedup': _Q_MINHASH_DEDUP_SQL,
         'streaming_scd2': _Q_SCD2_SQL,
         'streaming_topk': _Q_HEAVY_HITTERS_SQL,
         'suppress_bursts': _Q_SUPPRESS_SQL,
@@ -9982,166 +10142,4 @@ def oracle_sql() -> dict[str, str]:
         'dedup_fingerprint': _Q_DEDUP_FP_SQL,
         'deep_convert_datetimes': _Q_DEEP_CONVERT_SQL,
         'docs_cube': _Q_DOCS_CUBE_SQL,
-        'drop_null_columns': _Q_DROP_NULL_COLS_SQL,
-        'drop_redundant': _Q_DROP_REDUNDANT_SQL,
-        'enforce_exploded_types': _Q_ENFORCE_TYPES_SQL,
-        'event_transitions': _Q_EVENT_TRANSITIONS_SQL,
-        'events_pivot': _Q_EVENTS_PIVOT_SQL,
-        'unimax_sample': _Q_UNIMAX_SQL,
-        'quantile_sketch': _Q_QUANTILE_SKETCH_SQL,
-        'streaming_novelty': _Q_NOVELTY_SQL,
-        'explode_json_to_cols': _Q_EXPLODE_COLS_SQL,
-        'format_str_records': _Q_FORMAT_STR_SQL,
-        'funnel_counts': _Q_FUNNEL_SQL,
-        'hits_click_graph': _hits_oracle_sql(),
-        'image_features': _image_features_sql(),
-        'ivf_exact_topk': _ivf_exact_oracle_sql(),
-        'jaccard_vs_query': _Q_JACCARD_SQL,
-        'json_tuple_to_cols': _Q_JSON_TUPLE_SQL,
-        'keep_last_dedup': _Q_KEEP_LAST_SQL,
-        'kmeans_clusters': _kmeans_oracle_sql(),
-        'label_communities': _lpa_oracle_sql(),
-        'lang_id': _lang_id_sql(),
-        'localize_datetime': _Q_LOCALIZE_SQL,
-        'lsh_ann_topk': _lsh_ann_sql(),
-        'melt_part': _Q_MELT_PART_SQL,
-        'merge_id_from_snapshot': _Q_MERGE_ID_SQL,
-        'nulls_trimmed': _Q_NULLS_TRIMMED_SQL,
-        'pagerank_events': _pagerank_oracle_sql(),
-        'part_triangles': _Q_PART_TRIANGLES_SQL,
-        'pluck_fields': _Q_PLUCK_SQL,
-        'pq_topk': _pq_oracle_sql(),
-        'quality_score': _quality_sql(),
-        'resample_ratio': _Q_RESAMPLE_RATIO_SQL,
-        'row_hash': _Q_ROW_HASH_SQL,
-        'semdedup_keep': _semdedup_oracle_sql(),
-        'sq_topk': _Q_SQ_TOPK_SQL,
-        'union_relaxed': _Q_UNION_SQL,
-        'url_dedup': _Q_URL_DEDUP_SQL,
-        'winnow_fingerprint': _Q_WINNOW_FP_SQL,
-        'length_drift': _Q_LENGTH_DRIFT_SQL,
-        'streaming_url_dedup': _Q_URL_DEDUP_SQL,
-        'sq_topk_indexed': _Q_SQ_TOPK_SQL,
-        'streaming_drift': _Q_LENGTH_DRIFT_SQL,
-        'html_extract': _Q_HTML_EXTRACT_SQL,
-        'outlink_domains': _Q_OUTLINK_DOMAINS_SQL,
-        'customer_matches': _Q_CUSTOMER_MATCHES_SQL,
-        'contact_normalize': _Q_CONTACT_NORM_SQL,
-        'sq_ivf_topk': _sq_ivf_oracle_sql(),
-        'sq_ivf_topk_indexed': _sq_ivf_oracle_sql(),
-        'classifier_score': _classifier_oracle_sql(),
-        'substring_spans': _Q_SUBSTRING_SPANS_SQL,
-        'substring_dedup': _Q_SUBSTRING_DEDUP_SQL,
-        'quality_mix': _quality_mix_oracle_sql(),
-        'substring_decontam': _Q_SUBSTRING_DECONTAM_SQL,
-        'bigram_nll': _Q_BIGRAM_NLL_SQL,
-        'local_supplier_volume': _Q_LOCAL_SUPPLIER_SQL,
-        'promo_revenue': _Q_PROMO_SQL,
-        'unimax_tokens': _Q_UNIMAX_TOKENS_SQL,
-        'corpus_overlap_kmv': _Q_CORPUS_OVERLAP_KMV_SQL,
-        'streaming_corpus_drift': _Q_CORPUS_OVERLAP_KMV_SQL,
-        'phash_near_dups': _Q_PHASH_NEAR_DUPS_SQL,
-        'priority_sample': _Q_PRIORITY_SAMPLE_SQL,
-        'corpus_drift_matrix': _Q_CORPUS_DRIFT_MATRIX_SQL,
-        'grouped_priority_sample': _Q_GROUPED_PRIORITY_SQL,
-        'phash_dedup': _Q_PHASH_DEDUP_SQL,
-        'sq_ivf_rebalanced_topk': _Q_SQ_TOPK_SQL,
-        'lang_id_ft': _Q_LANG_ID_FT_SQL,
-        'audio_near_dups': _Q_AUDIO_NEAR_DUPS_SQL,
-        'audio_dedup': _Q_AUDIO_DEDUP_SQL,
-        'semdedup_against': _semdedup_against_oracle_sql(),
-        'streaming_phash_dedup': _Q_PHASH_DEDUP_SQL,
-        'streaming_quantiles': _Q_QUANTILE_SKETCH_SQL,
-        'shipping_priority': _Q_SHIPPING_SQL,
-        'ann_topk': _Q_ANN_TOPK_SQL,
-        'audio_features': _audio_features_sql(),
-        'cosine_similarity': _Q_COSINE_ALL_SQL,
-        'csv_roundtrip': _Q_CSV_ROUNDTRIP_SQL,
-        'deep_convert_expr': _Q_DEEP_CONVERT_SQL,
-        'embedding_near_dups': _embedding_near_dups_sql(),
-        'events_daily': _Q_EVENTS_DAILY_SQL,
-        'explode_json_to_rows': _Q_EXPLODE_ROWS_SQL,
-        'ivf_topk': _Q_ANN_TOPK_SQL,
-        'map_fields': _Q_MAP_FIELDS_SQL,
-        'minhash_dedup': _Q_MINHASH_DEDUP_SQL,
-        'multimodal_metadata': _Q_MULTIMODAL_SQL,
-        'parquet_roundtrip': _Q_PARQUET_ROUNDTRIP_SQL,
-        'pluck_fields_by_regex': _Q_PLUCK_REGEX_SQL,
-        'pricing_summary': _Q_PRICING_SQL,
-        'rename': _Q_RENAME_SQL,
-        'sessionize_events': _Q_SESSIONIZE_SQL,
-        'simhash_near_dups': _Q_SIMHASH_SQL,
-        'snapshot_upsert': _Q_SNAPSHOT_SQL,
-        'token_stats': _Q_TOKEN_STATS_SQL,
-        'top_orders_per_cust': _Q_TOP_ORDERS_SQL,
-        'chunk_documents': _Q_CHUNK_DOCS_SQL,
-        'contamination_check': _Q_CONTAMINATION_SQL,
-        'event_asof_open': _Q_EVENT_ASOF_SQL,
-        'jsonl_roundtrip': _Q_JSONL_ROUNDTRIP_SQL,
-        'kmv_distinct': _Q_KMV_SQL,
-        'orc_roundtrip': _Q_ORC_ROUNDTRIP_SQL,
-        'pack_documents': _Q_PACK_DOCS_SQL,
-        'pii_redaction': _Q_PII_SQL,
-        'pool_embeddings': _Q_POOL_SQL,
-        'range_join_windows': _Q_RANGE_JOIN_SQL,
-        'html_extract_replay': _Q_HTML_EXTRACT_REPLAY_SQL,
-        'streaming_decontam': _Q_SUBSTRING_DECONTAM_SQL,
-        'windowed_counts': _Q_WINDOWED_COUNTS_SQL,
-        'sq_ivf_deleted_topk': _Q_SQ_DELETED_TOPK_SQL,
-        'rrf_fused_topk': _Q_RRF_FUSED_SQL,
-        'unigram_segment': _unigram_sql(),
-        'streaming_semdedup': _semdedup_against_oracle_sql(router_pred='vec_id % 6 = 0'),
-        'build_vocab': _Q_BUILD_VOCAB_SQL,
-        'cluster_dedup': _Q_CLUSTER_DEDUP_SQL,
-        'hash_sample': _Q_HASH_SAMPLE_SQL,
-        'mix_corpora': _Q_MIX_CORPORA_SQL,
-        'tfidf_vectors': _Q_TFIDF_SQL,
-        'time_rollup': _Q_TIME_ROLLUP_SQL,
-        'kmv_merge': _Q_KMV_SQL,
-        'event_asof_close': _Q_EVENT_ASOF_CLOSE_SQL,
-        'event_asof_nearest': _Q_EVENT_ASOF_NEAREST_SQL,
-        'ivf_probe_indexed': _Q_ANN_TOPK_SQL,
-        'minhash_candidates': _Q_MINHASH_CANDIDATES_SQL,
-        'hash_split': _Q_HASH_SPLIT_SQL,
-        'pq_ivf_topk_indexed': _pq_ivf_oracle_sql(),
-        'dsir_sample': _Q_DSIR_SAMPLE_SQL,
-        'unicode_tokens': _unicode_tokens_oracle_sql(),
-        'balanced_sample': _Q_BALANCED_SQL,
-        'bm25_scores': _Q_BM25_SQL,
-        'bpe_pairs': _Q_BPE_PAIRS_SQL,
-        'cap_per_domain': _Q_CAP_DOMAIN_SQL,
-        'cdc_diff': _Q_CDC_DIFF_SQL,
-        'clipped_values': _Q_CLIPPED_SQL,
-        'cluster_dedup_best': _cluster_dedup_best_sql(),
-        'corr_matrix': _Q_CORR_SQL,
-        'dedup_against_ref': _Q_DEDUP_AGAINST_SQL,
-        'dedup_cluster_sizes': _cluster_sizes_sql(),
-        'domain_split': _Q_DOMAIN_SPLIT_SQL,
-        'domain_stats': _Q_DOMAIN_STATS_SQL,
-        'encoded_docs': _Q_ENCODED_SQL,
-        'equi_depth_bins': _Q_EQUI_DEPTH_SQL,
-        'expectations_audit': _Q_EXPECTATIONS_SQL,
-        'fuzzy_pairs': _Q_FUZZY_PAIRS_SQL,
-        'gapfill_daily': _Q_GAPFILL_SQL,
-        'grouped_percentiles': _Q_GROUPED_PCT_SQL,
-        'heavy_hitters': _Q_HEAVY_HITTERS_SQL,
-        'hive_partition_roundtrip': _Q_HIVE_PART_SQL,
-        'ivf_append_topk': _Q_ANN_TOPK_SQL,
-        'merge_into_orders': _Q_MERGE_INTO_SQL,
-        'negative_pairs': _Q_NEGATIVE_PAIRS_SQL,
-        'nll_mix': _Q_NLL_MIX_SQL,
-        'packed_encoded_docs': _Q_PACKED_ENCODED_SQL,
-        'profile_numeric': _Q_PROFILE_SQL,
-        'quantize_embeddings': _Q_QUANTIZE_SQL,
-        'repetition_stats': _Q_REPETITION_SQL,
-        'robust_scaled': _Q_ROBUST_SCALED_SQL,
-        'rolling_zscore': _Q_ROLLING_ZSCORE_SQL,
-        'line_dedup': _Q_LINE_DEDUP_SQL,
-        # ---- round-15 debuts (order mirrors queries()) ----
-        'sq_ivf_batch_topk': _Q_SQ_BATCH_TOPK_SQL,
-        'pq_ivf_batch_topk': _pq_ivf_batch_oracle_sql(),
-        'bm25_batch_topk': _Q_BM25_BATCH_SQL,
-        'retrieval_decontam': _retrieval_decontam_oracle_sql(),
-        'pii_validated': _Q_PII_VALIDATED_SQL,
-        'ivf_batch_topk': _Q_IVF_BATCH_TOPK_SQL,
     }
